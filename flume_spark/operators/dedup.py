@@ -1,0 +1,190 @@
+"""Deduplication operators over a document table.
+
+Scale design (100 TB corpus):
+- exact: one hash-shuffle on the content hash; map-side partial agg keeps
+  the shuffle small (one row per distinct hash per partition).
+- n-gram Jaccard: exact pairwise similarity restricted to co-shingled pairs;
+  the shingle self-join is the classic inverted-index join — shuffle is
+  bounded by sum over shingles of df^2, so hot shingles must be capped
+  (df cap / stopword-shingle drop) at scale.  MinHash-LSH below is the
+  scalable path; this exact operator is the verifier on candidate pairs.
+- MinHash-LSH: per-doc signature (k aggregates over exploded shingles),
+  banding, then a join keyed on (band_idx, band_hash) — shuffle bounded by
+  bucket sizes; collision probability tunable via (k, bands).
+- All hashing is md5-based (string min = lexicographic) so results are
+  deterministic and engine-independent — no seed-dependent JVM hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest id per identical content; reports group size.
+
+    Returns (content_hash, keep_id, n_copies).
+    """
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col).alias("id")
+        )
+        .groupBy("content_hash")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct n-word shingles per document: (id, shingle).
+
+    Tokenization: lowercase, split on whitespace runs.  Shingles built with
+    array slicing inside codegen (no UDF).
+    """
+    words_sql = f"split(lower(trim({text_col})), '\\\\s+')"
+    if n == 1:
+        shingle_arr = F.expr(words_sql)
+    else:
+        # positions 0..len-n building space-joined n-grams; guard short docs
+        # (Spark's sequence(0, -1) would yield a descending sequence).
+        shingle_arr = F.expr(
+            f"CASE WHEN size({words_sql}) >= {n} "
+            f"THEN transform(sequence(0, size({words_sql}) - {n}), "
+            f"     i -> concat_ws(' ', slice({words_sql}, i + 1, {n}))) "
+            f"ELSE cast(array() AS array<string>) END"
+        )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(shingle_arr).alias("shingle")
+    )
+    return exploded.distinct()
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard >= threshold via inverted-index join.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    jaccard is rounded to 6dp (it is a ratio of exact integer counts, so
+    both engines agree bit-for-bit; rounding is belt-and-braces).
+    """
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _minhash_sig_cols(num_hashes: int) -> list[Column]:
+    """k deterministic min-hash aggregates: min over shingles of
+    md5('<seed>:' || shingle).  Lexicographic min over md5 hex strings is a
+    valid uniform min-hash and is engine-independent."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 1,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash + LSH banding candidate pairs: (doc_a, doc_b) sharing >= 1 band.
+
+    rows-per-band r = num_hashes / bands; candidate probability for true
+    Jaccard j is 1 - (1 - j^r)^bands.  The join is keyed on
+    (band_idx, band_hash) so shuffle volume is O(docs * bands), never
+    all-pairs.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    sigs = sh.groupBy("id").agg(*_minhash_sig_cols(num_hashes))
+    band_cols = []
+    for bidx in range(bands):
+        parts = [F.col(f"mh{bidx * r + j}") for j in range(r)]
+        band_cols.append(
+            F.struct(
+                F.lit(bidx).alias("band_idx"),
+                F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
+            )
+        )
+    banded = sigs.select(
+        "id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("id", "band.band_idx", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold, doc_a < doc_b.
+
+    Brute-force all-pairs — correct baseline; the scale path buckets by LSH
+    first (see similarity.hyperplane_lsh_buckets) so the self-join is per
+    bucket.  Cosine computed in double precision with a sequential fold so
+    the DuckDB oracle matches bit-for-bit; rounded to 6dp before the
+    threshold compare.
+    """
+    from flume_spark.operators.similarity import cosine_expr
+
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    ).alias("a")
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    ).alias("b")
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine_expr("va", "vb")
+    return (
+        pairs.select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

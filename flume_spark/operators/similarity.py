@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_expr: pure-Catalyst double-precision cosine (zip_with + sequential
+  aggregate fold — deterministic summation order, engine-reproducible).
+- brute_force_topk: exact top-k per query — the correctness baseline.
+  Cross-join cost is |Q|·|N|; at scale |Q| is a broadcastable slice, so the
+  plan is a broadcast-nested-loop with partial top-k per partition
+  (window + filter collapses to per-partition heaps under AQE).
+- hyperplane_lsh_buckets / lsh_topk: the scale path — random-hyperplane
+  signatures bucket vectors so candidate generation is a hash join on the
+  bucket key instead of all-pairs.  Hyperplanes are derived deterministically
+  from md5, so results are reproducible across engines/runs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _to_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot_expr(a: str | Column, b: str | Column) -> Column:
+    """Sequential-fold dot product in double precision (no UDF)."""
+    prods = F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_expr(a: str | Column) -> Column:
+    sq = F.transform(_to_double(a), lambda x: x * x)
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_expr(a: str | Column, b: str | Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, rank, cosine).  Deterministic: ranked by
+    rounded cosine desc, then neighbor id.
+    """
+    q = emb.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    n = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    pairs = F.broadcast(q).join(n, F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr("qv", "nv"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _deterministic_hyperplanes(dim: int, n_planes: int, seed: str = "flume") -> list[list[float]]:
+    """Pseudo-random unit hyperplanes from md5 — reproducible everywhere.
+
+    Each component is a uniform in [-1, 1) derived from md5(seed:plane:dim).
+    Quality is adequate for sign-LSH; no numpy RNG state involved.
+    """
+    planes = []
+    for p in range(n_planes):
+        comps = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()
+            comps.append(int(h[:12], 16) / float(16**12) * 2.0 - 1.0)
+        norm = math.sqrt(sum(c * c for c in comps)) or 1.0
+        planes.append([c / norm for c in comps])
+    return planes
+
+
+def hyperplane_lsh_buckets(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "flume",
+) -> DataFrame:
+    """Assign each vector a sign-LSH bucket key (string of 0/1 bits).
+
+    Vectors with equal bucket keys are cosine-close with high probability;
+    downstream joins key on `bucket` so shuffle is bounded by bucket sizes.
+    """
+    planes = _deterministic_hyperplanes(dim, n_planes, seed)
+    bits = []
+    for plane in planes:
+        arr = F.array(*[F.lit(c) for c in plane])
+        bits.append(
+            F.when(dot_expr(F.col(vec_col), arr) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+        )
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.concat(*bits).alias("bucket"),
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking *within* each LSH bucket.
+
+    Recall trades off with n_planes (fewer planes -> bigger buckets -> higher
+    recall, more compute).  Multi-probe / multi-table extensions compose by
+    unioning bucket assignments.
+    """
+    bucketed = hyperplane_lsh_buckets(emb, dim, n_planes, id_col, vec_col)
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("query_id"),
+        F.col("b.id").alias("neighbor_id"),
+        F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

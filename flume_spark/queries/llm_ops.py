@@ -1,0 +1,310 @@
+"""Declared LLM-data-pipeline queries (dedup / similarity / text / multimodal)
+over the driver's `documents` and `embeddings` tables, with DuckDB oracles.
+
+Thresholds are tuned to the synthetic data (max pairwise cosine ~0.51, small
+word vocabulary) so results are non-empty without being huge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_spark.operators import dedup, multimodal, similarity, text
+from flume_spark.queries._util import T
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+
+
+DEDUP_NGRAM_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(words) - 1),
+                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+    FROM w
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-word shingles, 16 min-hashes, 4 bands of 4 — tuned so candidates are
+    the genuinely-similar tail (P(candidate) ≈ 1 for j>0.9, ~4e-4 for j=0.1)."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=16, bands=4
+    )
+
+
+_MH = ",\n         ".join(
+    f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(16)
+)
+_BANDS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_hash FROM sig".format(
+        b=b, parts=" || '|' || ".join(f"mh{4 * b + j}" for j in range(4))
+    )
+    for b in range(4)
+)
+
+DEDUP_MINHASH_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(words)),
+                  i -> words[i] || ' ' || words[i+1])) AS shingle
+    FROM w
+  )
+),
+sig AS (
+  SELECT doc_id,
+         {_MH}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{_BANDS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    return dedup.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+DEDUP_COSINE_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+               6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, cosine FROM scored WHERE cosine >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, F.col("vec_id") < 20, k=5)
+
+
+ANN_TOPK_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))),
+               6) AS cosine
+  FROM e q JOIN e n ON n.vec_id != q.vec_id
+  WHERE q.vec_id < 20
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+           AS "rank"
+  FROM scored
+)
+SELECT query_id, neighbor_id, "rank", cosine FROM ranked WHERE "rank" <= 5
+"""
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (LSH-bucketed) variant — no oracle: recall is by design
+    < 1, so the driver records a rows-only check."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, dim=64, k=5, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return text.token_count(docs, "doc_id", "text")
+
+
+TEXT_TOKEN_SQL = """
+SELECT doc_id,
+       len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+       length(text) AS n_chars_calc,
+       len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS n_unique_tokens
+FROM documents
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return text.quality_score(docs, "doc_id", "text")
+
+
+TEXT_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         length(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(toks)
+           AS mean_token_len,
+         len(list_filter(toks,
+               t -> t IN ('the', 'a', 'and', 'of', 'to', 'in'))) * 1.0 / len(toks)
+           AS stopword_ratio,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS type_token_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, mean_token_len, stopword_ratio, type_token_ratio,
+       least(n_tokens / 100.0, 1.0) * 0.5
+             + least(stopword_ratio * 5.0, 1.0) * 0.25
+             + type_token_ratio * 0.25 AS quality
+FROM m
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return text.lang_id(docs, "doc_id", "text")
+
+
+TEXT_LANG_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS toks
+  FROM documents
+),
+v AS (
+  SELECT doc_id,
+         len(list_filter(toks, t -> t IN ('the', 'and', 'of')))  AS votes_en,
+         len(list_filter(toks, t -> t IN ('le', 'la', 'et')))    AS votes_fr,
+         len(list_filter(toks, t -> t IN ('el', 'los', 'que')))  AS votes_es,
+         len(list_filter(toks, t -> t IN ('der', 'die', 'und'))) AS votes_de
+  FROM t
+)
+SELECT doc_id, votes_en, votes_fr, votes_es, votes_de,
+       CASE WHEN votes_en > 0 AND votes_en = greatest(votes_en, votes_fr, votes_es, votes_de) THEN 'en'
+            WHEN votes_fr > 0 AND votes_fr = greatest(votes_en, votes_fr, votes_es, votes_de) THEN 'fr'
+            WHEN votes_es > 0 AND votes_es = greatest(votes_en, votes_fr, votes_es, votes_de) THEN 'es'
+            WHEN votes_de > 0 AND votes_de = greatest(votes_en, votes_fr, votes_es, votes_de) THEN 'de'
+            ELSE 'unknown' END AS lang_pred
+FROM v
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "doc_id", "text")
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint,
+       length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS n_norm_chars
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload column + Arrow-batched (stub) decode via mapInPandas.
+
+    The oracle replicates the deterministic stub in SQL, which validates the
+    distributed plumbing (schema, batching, byte handling) end-to-end.
+    """
+    docs = T(spark, sf_dir, "documents")
+    payloads = multimodal.to_binary_payload(docs, "doc_id", "text")
+    return multimodal.decode_media_meta(payloads)
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id AS id,
+       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+       'application/octet-stream' AS media_type,
+       CAST(octet_length(CAST(text AS BLOB)) % 1920 + 1 AS INT) AS width,
+       CAST(ascii(substr(text, 1, 1)) % 1080 + 1 AS INT) AS height,
+       true AS ok
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "ann_topk_bruteforce": ann_topk_bruteforce,
+    "ann_topk_lsh": ann_topk_lsh,
+    "text_token_count": text_token_count,
+    "text_quality_score": text_quality_score,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint": text_fingerprint,
+    "multimodal_meta": multimodal_meta,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_embedding_cosine": DEDUP_COSINE_SQL,
+    "ann_topk_bruteforce": ANN_TOPK_SQL,
+    # ann_topk_lsh: no oracle (approximate by design)
+    "text_token_count": TEXT_TOKEN_SQL,
+    "text_quality_score": TEXT_QUALITY_SQL,
+    "text_lang_id": TEXT_LANG_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "multimodal_meta": MULTIMODAL_META_SQL,
+}

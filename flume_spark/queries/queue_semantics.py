@@ -1,0 +1,187 @@
+"""SQL-checkable analogs of the reference's queue operators (SURVEY.md §2).
+
+Each query maps a flume operator to the relational shape our engine uses for
+it, expressed over the driver's `events`/`documents` tables so the DuckDB
+oracle can verify it.  The *live* queue implementation (stateful, on the jobs
+table) lives in `flume_spark.queue`; these declare the per-operator semantics.
+
+Reference citations are in each docstring (paths relative to /root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_spark.queries._util import T
+
+
+def due_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — due-job range predicate.
+
+    Reference: ZRANGEBYSCORE 0..now over scheduled/retry zsets
+    (redis/job.ex:160-190).  Spark shape: a time-range filter that pushes
+    down to the parquet scan (min/max row-group pruning at scale).
+    """
+    ev = T(spark, sf_dir, "events")
+    return ev.filter(F.col("ts") <= F.lit("2024-01-05 00:00:00").cast("timestamp")).select(
+        "event_id", "ts", "event_type", "user_id"
+    )
+
+
+DUE_FILTER_SQL = """
+SELECT event_id, ts, event_type, user_id
+FROM events WHERE ts <= TIMESTAMP '2024-01-05 00:00:00'
+"""
+
+
+def topk_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — ordered take of the K most-overdue jobs.
+
+    Reference: ZRANGEBYSCORE ... LIMIT 0 K (enqueue_processing_jobs.lua:15).
+    Spark plans TakeOrderedAndProject — no global sort.
+    """
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.orderBy("ts", "event_id").select("event_id", "ts", "event_type").limit(100)
+    )
+
+
+TOPK_DUE_SQL = """
+SELECT event_id, ts, event_type FROM events ORDER BY ts, event_id LIMIT 100
+"""
+
+
+def job_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — pipelined LLEN per queue (queue/manager.ex:69-81).
+
+    Spark shape: partial-aggregated count per key; one narrow shuffle.
+    """
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("queue")).agg(
+        F.count(F.lit(1)).alias("n_jobs")
+    )
+
+
+JOB_COUNTS_SQL = """
+SELECT event_type AS queue, count(*) AS n_jobs FROM events GROUP BY event_type
+"""
+
+
+def backoff_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — exponential backoff: min(round(initial*count*1.5), max)
+    (queue/backoff.ex:6-16; initial=500ms, max=10s per config.ex:8-10).
+
+    Pure columnar expression — whole-stage codegen, no UDF.
+    """
+    ev = T(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    rc = (F.col("event_id") % 6).alias("retry_count")
+    backoff = F.least(
+        F.round(F.lit(500) * (F.col("event_id") % 6) * 1.5, 0).cast("bigint"),
+        F.lit(10000).cast("bigint"),
+    )
+    return ev.select("event_id", rc, backoff.alias("backoff_ms"))
+
+
+BACKOFF_SQL = """
+SELECT event_id, event_id % 6 AS retry_count,
+       least(CAST(round(500 * (event_id % 6) * 1.5) AS BIGINT), 10000) AS backoff_ms
+FROM events WHERE event_id < 200
+"""
+
+
+def md5_ledger_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 — md5 member key for the rate-limit ledger
+    (redis/bulk_dequeue.ex:269: Odgn.Jsonata md5 of the job payload)."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5(F.col("text")).alias("job_md5"))
+
+
+MD5_LEDGER_SQL = """
+SELECT doc_id, md5(text) AS job_md5 FROM documents
+"""
+
+
+def rate_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/W3 — events processed per window per key (the rate-limit count:
+    ZCOUNT limit_zset over the window, redis/bulk_dequeue.ex:196-219).
+
+    Spark shape: tumbling-window count per user — partial agg then one
+    shuffle on (user, window).
+    """
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("window_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+RATE_WINDOW_SQL = """
+SELECT user_id, date_trunc('hour', ts) AS window_start, count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def group_args_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — batch grouping by class (producer_consumer.ex:51-61): collect the
+    member ids per group, deterministically ordered (reference nests args as
+    [[args...]] per BulkEvent — bulk_event.ex:42)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(F.col("event_type").alias("job_class")).agg(
+        F.sort_array(F.collect_list("event_id")).alias("member_ids"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+GROUP_ARGS_SQL = """
+SELECT event_type AS job_class,
+       list_sort(list(event_id)) AS member_ids,
+       count(*) AS n_members
+FROM events GROUP BY event_type
+"""
+
+
+def visibility_timeout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/ST2 — stuck-job scan: claimed longer ago than the visibility
+    timeout (priv/scripts/enqueue_processing_jobs.lua:15, 600s default at
+    config.ex:23).  Here: events older than (max ts - 1 day) per type, the
+    same bounded ordered-take shape."""
+    ev = T(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-30 00:00:00").cast("timestamp")
+    return (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_stuck"),
+            F.max("ts").alias("newest_stuck"),
+        )
+    )
+
+
+VISIBILITY_SQL = """
+SELECT event_type, count(*) AS n_stuck, max(ts) AS newest_stuck
+FROM events WHERE ts < TIMESTAMP '2024-01-30 00:00:00'
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "due_filter": due_filter,
+    "topk_due": topk_due,
+    "job_counts": job_counts,
+    "backoff_expr": backoff_expr,
+    "md5_ledger_key": md5_ledger_key,
+    "rate_window_count": rate_window_count,
+    "group_args_nested": group_args_nested,
+    "visibility_timeout_scan": visibility_timeout_scan,
+}
+
+ORACLES = {
+    "due_filter": DUE_FILTER_SQL,
+    "topk_due": TOPK_DUE_SQL,
+    "job_counts": JOB_COUNTS_SQL,
+    "backoff_expr": BACKOFF_SQL,
+    "md5_ledger_key": MD5_LEDGER_SQL,
+    "rate_window_count": RATE_WINDOW_SQL,
+    "group_args_nested": GROUP_ARGS_SQL,
+    "visibility_timeout_scan": VISIBILITY_SQL,
+}
