@@ -1,0 +1,314 @@
+"""QueueManager — the engine's equivalent of lib/flume/queue/manager.ex:
+enqueue / bulk_enqueue / enqueue_in, claim (bulk dequeue), ack, retry→DLQ,
+scheduled/retry promotion, visibility-timeout reclaim, job counts, and
+pause/resume — all as DataFrame transformations over the job log.
+
+The separate background movers of the reference (Queue.Scheduler and
+ProcessingScheduler polling loops, SURVEY.md §3.3) disappear: each trigger's
+due-predicate subsumes them (`status=pending AND scheduled_at<=now`,
+`status=retry AND retry_at<=now`, `status=processing AND leased_at<now-vt`).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_spark.queue import schema as S
+from flume_spark.queue.backoff import DEFAULT_INITIAL_MS, DEFAULT_MAX_MS, backoff_ms
+from flume_spark.queue.ratelimit import SlidingWindowLimiter
+from flume_spark.queue.store import JobStore
+from flume_spark.queue.workers import WorkerRegistry, dispatch_bulk, dispatch_single
+
+DEFAULT_MAX_RETRIES = 5  # lib/flume/config.ex:8 (@max_retries 5)
+DEFAULT_VISIBILITY_TIMEOUT_S = 600  # lib/flume/config.ex:23
+DEFAULT_MAX_DEMAND = 500  # lib/flume/pipeline.ex:5
+
+
+@dataclass
+class Pipeline:
+    """Pipeline declaration — lib/flume/pipeline.ex:7-18."""
+
+    name: str
+    queue: str
+    max_demand: int = DEFAULT_MAX_DEMAND
+    batch_size: int | None = None
+    rate_limit_count: int | None = None
+    rate_limit_scale: int | None = None  # ms
+    rate_limit_key: str | None = None
+    paused: bool = False
+
+    @property
+    def limit_key(self) -> str:
+        # queue/manager.ex:285-287: shared key if rate_limit_key else per-queue
+        return f"limit:{self.rate_limit_key}" if self.rate_limit_key else f"queue:limit:{self.queue}"
+
+
+def _ts(now: float) -> datetime:
+    return datetime.fromtimestamp(now, tz=timezone.utc).replace(tzinfo=None)
+
+
+class QueueManager:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: JobStore,
+        registry: WorkerRegistry | None = None,
+        pipelines: list[Pipeline] | None = None,
+        max_retries: int = DEFAULT_MAX_RETRIES,
+        visibility_timeout_s: int = DEFAULT_VISIBILITY_TIMEOUT_S,
+        backoff_initial_ms: int = DEFAULT_INITIAL_MS,
+        backoff_max_ms: int = DEFAULT_MAX_MS,
+        dispatch_timeout_s: float | None = None,
+    ):
+        self.spark = spark
+        self.store = store
+        self.registry = registry or WorkerRegistry()
+        self.pipelines = {p.name: p for p in (pipelines or [])}
+        self.max_retries = max_retries
+        self.visibility_timeout_s = visibility_timeout_s
+        self.backoff_initial_ms = backoff_initial_ms
+        self.backoff_max_ms = backoff_max_ms
+        self.dispatch_timeout_s = dispatch_timeout_s
+        self.limiter = SlidingWindowLimiter()
+
+    # ------------------------------------------------------------------
+    # write path (S1-S3): queue/manager.ex:12-67
+    # ------------------------------------------------------------------
+
+    def enqueue(
+        self,
+        queue: str,
+        cls: str,
+        args: list,
+        function: str = "perform",
+        context: dict | None = None,
+        now: float | None = None,
+    ) -> str:
+        return self.bulk_enqueue(queue, [(cls, function, args)], context=context, now=now)[0]
+
+    def bulk_enqueue(
+        self,
+        queue: str,
+        jobs: list[tuple[str, str, list]],
+        context: dict | None = None,
+        now: float | None = None,
+        delay_s: float = 0.0,
+    ) -> list[str]:
+        """One multi-row append (reference: single multi-value RPUSH,
+        redis/client.ex:183-185)."""
+        now = time.time() if now is None else now
+        seq = self.store.next_seq()
+        jids, rows = [], []
+        for cls, function, args in jobs:
+            if isinstance(args, dict):
+                # reference rejects object args -> [] (event.ex:88-89,108-109)
+                args = []
+            jid = str(uuid.uuid4())
+            jids.append(jid)
+            rows.append(
+                {
+                    "jid": jid,
+                    "queue": queue,
+                    "class": cls,
+                    "function": function,
+                    "args": json.dumps(args),
+                    "context": context,
+                    "status": S.PENDING,
+                    "retry_count": 0,
+                    "enqueued_at": _ts(now),
+                    "scheduled_at": _ts(now + delay_s) if delay_s else None,
+                    "leased_at": None,
+                    "retry_at": None,
+                    "finished_at": None,
+                    "failed_at": None,
+                    "error_message": None,
+                    "error_backtrace": None,
+                    "seq": seq,
+                }
+            )
+        self.store.append_rows(rows)
+        return jids
+
+    def enqueue_in(
+        self,
+        queue: str,
+        delay_s: float,
+        cls: str,
+        args: list,
+        function: str = "perform",
+        context: dict | None = None,
+        now: float | None = None,
+    ) -> str:
+        """Scheduled insert (queue/manager.ex:54-67)."""
+        return self.bulk_enqueue(
+            queue, [(cls, function, args)], context=context, now=now, delay_s=delay_s
+        )[0]
+
+    # ------------------------------------------------------------------
+    # read path
+    # ------------------------------------------------------------------
+
+    def current(self) -> DataFrame:
+        return self.store.current()
+
+    def job_counts(self, queues: list[str]) -> dict[str, int]:
+        """S7 — pending-job count per queue (queue/manager.ex:69-81)."""
+        rows = (
+            self.current()
+            .filter(F.col("status") == S.PENDING)
+            .filter(F.col("queue").isin(queues))
+            .groupBy("queue")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        counts = {q: 0 for q in queues}
+        counts.update({r["queue"]: r["n"] for r in rows})
+        return counts
+
+    def due_jobs(self, queue: str, now: float) -> DataFrame:
+        """The per-trigger due predicate (subsumes scheduler + processing
+        reclaim loops — SURVEY.md §3.3)."""
+        ts = F.lit(_ts(now))
+        lease_horizon = F.lit(_ts(now - self.visibility_timeout_s))
+        cur = self.current().filter(F.col("queue") == queue)
+        pending_due = (F.col("status") == S.PENDING) & (
+            F.col("scheduled_at").isNull() | (F.col("scheduled_at") <= ts)
+        )
+        retry_due = (F.col("status") == S.RETRY) & (F.col("retry_at") <= ts)
+        lease_expired = (F.col("status") == S.PROCESSING) & (
+            F.col("leased_at") < lease_horizon
+        )
+        return cur.filter(pending_due | retry_due | lease_expired)
+
+    # ------------------------------------------------------------------
+    # trigger (claim -> dispatch -> ack): the GenStage pipeline collapsed
+    # into one synchronous micro-batch (SURVEY.md §3.2)
+    # ------------------------------------------------------------------
+
+    def run_once(self, pipeline: str | Pipeline, now: float | None = None) -> dict:
+        p = self.pipelines[pipeline] if isinstance(pipeline, str) else pipeline
+        now = time.time() if now is None else now
+        stats = {"claimed": 0, "succeeded": 0, "retried": 0, "dead": 0}
+        if p.paused:
+            return stats
+
+        demand = p.max_demand * (p.batch_size or 1)  # producer.ex:131-146
+        if p.rate_limit_count is not None:
+            demand = min(
+                demand,
+                self.limiter.remaining(
+                    p.limit_key, p.rate_limit_count, p.rate_limit_scale or 1000, now
+                ),
+            )
+        if demand <= 0:
+            return stats
+
+        # claim append (≙ MULTI {ZADD processing, LTRIM}, bulk_dequeue.ex:242-295).
+        # The claim batch is written first, then read back by its unique seq:
+        # it IS the "processing zset", and re-reading it avoids both a driver
+        # round-trip and the cache invalidation that appending to the log
+        # causes for any DataFrame still reading the pre-claim state.
+        claim_seq = self.store.next_seq()
+        self.store.append(
+            self.due_jobs(p.queue, now)
+            .orderBy("enqueued_at", "jid")
+            .limit(demand)
+            .withColumn("status", F.lit(S.PROCESSING))
+            .withColumn("leased_at", F.lit(_ts(now)))
+            .withColumn("seq", F.lit(claim_seq))
+        )
+        claimed = self.store.log().filter(F.col("seq") == claim_seq)
+        claimed_rows = claimed.count()
+        if claimed_rows == 0:
+            return stats
+        stats["claimed"] = claimed_rows
+        self.limiter.record(p.limit_key, claimed_rows, now)
+
+        # dispatch on executors; results land in a scratch table so workers
+        # run exactly one pass (cached lineage would re-execute them whenever
+        # a later log append invalidates the cache)
+        if p.batch_size:
+            results = dispatch_bulk(
+                claimed, self.registry, p.batch_size, self.dispatch_timeout_s
+            )
+        else:
+            results = dispatch_single(claimed, self.registry, self.dispatch_timeout_s)
+        results_path = f"{self.store.path.rstrip('/')}.results/{claim_seq}"
+        results.write.mode("overwrite").parquet(results_path)
+        results = self.spark.read.parquet(results_path)
+
+        # ack / retry / DLQ append (system_event worker + manager.ex:121-193)
+        ack_seq = self.store.next_seq()
+        joined = claimed.drop("seq", "error_message", "error_backtrace").join(
+            results, "jid"
+        )
+        new_retry_count = F.col("retry_count") + 1
+        backoff_s = F.least(
+            F.round(F.lit(self.backoff_initial_ms) * new_retry_count * 1.5, 0),
+            F.lit(self.backoff_max_ms),
+        ) / 1000.0
+        ack = joined.select(
+            "jid",
+            "queue",
+            "class",
+            "function",
+            "args",
+            "context",
+            F.when(F.col("ok"), F.lit(S.SUCCEEDED))
+            .when(new_retry_count > self.max_retries, F.lit(S.DEAD))
+            .otherwise(F.lit(S.RETRY))
+            .alias("status"),
+            F.when(F.col("ok"), F.col("retry_count"))
+            .otherwise(new_retry_count)
+            .cast("int")
+            .alias("retry_count"),
+            "enqueued_at",
+            "scheduled_at",
+            F.lit(_ts(now)).alias("leased_at"),
+            F.when(
+                ~F.col("ok") & (new_retry_count <= self.max_retries),
+                F.timestamp_seconds(F.unix_timestamp(F.lit(_ts(now))) + backoff_s),
+            ).alias("retry_at"),
+            F.when(F.col("ok"), F.lit(_ts(now))).alias("finished_at"),
+            F.when(~F.col("ok"), F.lit(_ts(now))).alias("failed_at"),
+            F.col("error_message"),
+            F.col("error_backtrace"),
+            F.lit(ack_seq).alias("seq"),
+        )
+        self.store.append(ack)
+
+        outcome = (
+            joined.select(
+                "jid",
+                F.when(F.col("ok"), F.lit("succeeded"))
+                .when(new_retry_count > self.max_retries, F.lit("dead"))
+                .otherwise(F.lit("retried"))
+                .alias("outcome"),
+            )
+            .groupBy("outcome")
+            .count()
+            .collect()
+        )
+        for row in outcome:
+            stats[row["outcome"]] = row["count"]
+        return stats
+
+    def backoff_s(self, retry_count: int) -> float:
+        return backoff_ms(retry_count, self.backoff_initial_ms, self.backoff_max_ms) / 1000.0
+
+    # ------------------------------------------------------------------
+    # control (ST6): pause/resume — pipeline/event/producer.ex:25-43
+    # ------------------------------------------------------------------
+
+    def pause(self, name: str) -> None:
+        self.pipelines[name].paused = True
+
+    def resume(self, name: str) -> None:
+        self.pipelines[name].paused = False

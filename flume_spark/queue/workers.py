@@ -1,0 +1,192 @@
+"""Worker registry + distributed dispatch.
+
+Reference: single-job dispatch applies `class.function(args...)` per event
+in an isolated Task (lib/flume/pipeline/event/worker.ex:25-102); bulk
+dispatch applies one call per batch with args nested `[[args...]]` and
+all-or-nothing success marking (lib/flume/pipeline/bulk_event/worker.ex:8-89).
+
+Spark shape: claimed jobs are a DataFrame; dispatch is `mapInPandas`
+(single mode) or `applyInPandas` grouped by class (bulk mode) — Arrow
+batches in, per-jid result rows out.  Workers are plain Python callables
+registered by class name; the registry closure ships to executors (in
+production, workers live in an importable module on the executors'
+PYTHONPATH and the registry just names them).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import traceback
+from collections.abc import Callable, Iterator
+from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import TimeoutError as FutTimeout
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from flume_spark.queue.schema import DISPATCH_RESULT_SCHEMA
+
+# context propagation (reference stashes context in the process dictionary —
+# lib/flume/pipeline/context.ex:1-14); we use a module global per executor
+# worker process, readable by the running job via current_context().
+# NB: dispatch closures are pickled by value, so they must set this through
+# an explicit module import — a bare `global` would write to the closure's
+# cloned globals, invisible to workers importing this module.
+_CURRENT_CONTEXT: dict | list | None = None
+
+
+def current_context() -> dict | list | None:
+    return _CURRENT_CONTEXT
+
+
+def _set_context(value) -> None:
+    import flume_spark.queue.workers as W
+
+    W._CURRENT_CONTEXT = value
+
+
+def _as_dict(context) -> dict | None:
+    """Arrow delivers MapType as a list of (k, v) tuples in pandas."""
+    if context is None:
+        return None
+    if isinstance(context, dict):
+        return context
+    try:
+        return dict(context)
+    except (TypeError, ValueError):
+        return None
+
+
+class WorkerRegistry:
+    """class-name -> callable. Callables take positional args (single mode)
+    or a list-of-args-lists (bulk mode, reference nesting [[args...]])."""
+
+    def __init__(self) -> None:
+        self._workers: dict[str, Callable] = {}
+
+    def register(self, name: str, fn: Callable | None = None):
+        if fn is None:
+
+            def deco(f: Callable) -> Callable:
+                self._workers[name] = f
+                return f
+
+            return deco
+        self._workers[name] = fn
+        return fn
+
+    def get(self, name: str) -> Callable:
+        return self._workers[name]
+
+    def names(self) -> list[str]:
+        return sorted(self._workers)
+
+
+def _call_with_timeout(fn: Callable, args: list, timeout_s: float | None):
+    if timeout_s is None:
+        return fn(*args)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(fn, *args)
+        try:
+            return fut.result(timeout=timeout_s)
+        except FutTimeout:
+            raise TimeoutError(f"worker exceeded {timeout_s}s") from None
+
+
+def dispatch_single(
+    claimed: DataFrame,
+    registry: WorkerRegistry,
+    timeout_s: float | None = None,
+) -> DataFrame:
+    """Per-job dispatch with per-job crash isolation (one bad job never
+    fails the batch — mirrors the rescue at pipeline/event/worker.ex:43-67
+    and the `restart: :temporary` consumer isolation)."""
+    workers = dict(registry._workers)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                started = time.perf_counter()
+                err = None
+                tb = None
+                try:
+                    fn = workers[row.c_class]
+                    args = json.loads(row.args)
+                    _set_context(_as_dict(row.context))
+                    _call_with_timeout(fn, args, timeout_s)
+                except Exception as exc:  # noqa: BLE001 — isolation boundary
+                    err = f"{type(exc).__name__}: {exc}"
+                    tb = traceback.format_exc(limit=5)
+                finally:
+                    _set_context(None)
+                out.append(
+                    {
+                        "jid": row.jid,
+                        "ok": err is None,
+                        "error_message": err,
+                        "error_backtrace": tb,
+                        "duration_ms": (time.perf_counter() - started) * 1e3,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    prepared = claimed.selectExpr(
+        "jid", "class as c_class", "function", "args", "context"
+    )
+    return prepared.mapInPandas(run, schema=DISPATCH_RESULT_SCHEMA)
+
+
+def dispatch_bulk(
+    claimed: DataFrame,
+    registry: WorkerRegistry,
+    batch_size: int,
+    timeout_s: float | None = None,
+) -> DataFrame:
+    """Bulk dispatch: group by class, chunk by batch_size, one call per
+    chunk with args nested [[args_1, args_2, ...]] (bulk_event.ex:42,58-64);
+    a chunk failure marks every job in the chunk failed (all-or-nothing,
+    bulk_event/worker.ex:80-89)."""
+    workers = dict(registry._workers)
+
+    def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        cls = pdf["c_class"].iloc[0]
+        pdf = pdf.sort_values("jid", kind="stable")
+        out = []
+        for lo in range(0, len(pdf), batch_size):
+            chunk = pdf.iloc[lo : lo + batch_size]
+            started = time.perf_counter()
+            err = None
+            tb = None
+            try:
+                fn = workers[cls]
+                args_list = [json.loads(a) for a in chunk["args"]]
+                contexts = [_as_dict(c) for c in chunk["context"] if c is not None]
+                _set_context([c for c in contexts if c] or None)
+                _call_with_timeout(fn, [args_list], timeout_s)
+            except Exception as exc:  # noqa: BLE001 — isolation boundary
+                err = f"{type(exc).__name__}: {exc}"
+                tb = traceback.format_exc(limit=5)
+            finally:
+                _set_context(None)
+            dur = (time.perf_counter() - started) * 1e3
+            for jid in chunk["jid"]:
+                out.append(
+                    {
+                        "jid": jid,
+                        "ok": err is None,
+                        "error_message": err,
+                        "error_backtrace": tb,
+                        "duration_ms": dur,
+                    }
+                )
+        return pd.DataFrame(out)
+
+    prepared = claimed.selectExpr(
+        "jid", "class as c_class", "function", "args", "context"
+    )
+    return prepared.groupBy("c_class").applyInPandas(
+        run_group, schema=DISPATCH_RESULT_SCHEMA
+    )

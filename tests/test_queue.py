@@ -1,0 +1,306 @@
+"""Queue engine tests mirroring the reference's manager/pipeline test matrix
+(SURVEY.md §5: test/flume/queue/manager_test.exs, test/flume_test.exs).
+
+A controllable `now` is threaded through every operation so scheduled /
+retry / visibility-timeout semantics are asserted deterministically.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from flume_spark.queue import JobStore, QueueManager, WorkerRegistry
+from flume_spark.queue.backoff import backoff_ms
+from flume_spark.queue.manager import Pipeline
+
+T0 = 1_700_000_000.0  # fixed epoch base for deterministic clocks
+
+# Workers run in executor Python processes, so the call journal is a file
+# (O_APPEND writes are atomic at this size).
+JOURNAL = None
+
+
+def _record(kind, payload):
+    with open(JOURNAL, "a") as f:
+        f.write(json.dumps({"kind": kind, "payload": payload}) + "\n")
+
+
+def calls():
+    out = []
+    try:
+        with open(JOURNAL) as f:
+            for line in f:
+                rec = json.loads(line)
+                out.append((rec["kind"], rec["payload"]))
+    except FileNotFoundError:
+        pass
+    return out
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    global JOURNAL
+    JOURNAL = str(tmp_path / "journal.jsonl")
+    journal = JOURNAL
+    registry = WorkerRegistry()
+
+    @registry.register("EchoWorker")
+    def echo(*args):
+        with open(journal, "a") as f:
+            f.write(json.dumps({"kind": "echo", "payload": list(args)}) + "\n")
+
+    @registry.register("FailWorker")
+    def fail(*args):
+        raise ValueError("boom")
+
+    @registry.register("BulkWorker")
+    def bulk(args_list):
+        with open(journal, "a") as f:
+            f.write(json.dumps({"kind": "bulk", "payload": args_list}) + "\n")
+
+    @registry.register("BulkFailWorker")
+    def bulk_fail(args_list):
+        raise RuntimeError("bulk boom")
+
+    store = JobStore(spark, str(tmp_path / "jobs"))
+    manager = QueueManager(
+        spark,
+        store,
+        registry,
+        pipelines=[
+            Pipeline(name="default", queue="default", max_demand=500),
+            Pipeline(name="batch", queue="batch", max_demand=500, batch_size=2),
+            Pipeline(
+                name="limited",
+                queue="limited",
+                max_demand=500,
+                rate_limit_count=2,
+                rate_limit_scale=1000,
+            ),
+        ],
+    )
+    return manager
+
+
+# -- enqueue (manager_test.exs:17-21) ---------------------------------------
+
+
+def test_enqueue_creates_pending_row(engine):
+    jid = engine.enqueue("default", "EchoWorker", [1], now=T0)
+    row = engine.current().collect()[0]
+    assert row["jid"] == jid
+    assert row["status"] == "pending"
+    assert row["retry_count"] == 0
+    assert json.loads(row["args"]) == [1]
+    assert engine.job_counts(["default", "other"]) == {"default": 1, "other": 0}
+
+
+def test_bulk_enqueue(engine):
+    jids = engine.bulk_enqueue(
+        "default", [("EchoWorker", "perform", [i]) for i in range(5)], now=T0
+    )
+    assert len(set(jids)) == 5
+    assert engine.job_counts(["default"]) == {"default": 5}
+
+
+def test_object_args_rejected(engine):
+    """Reference rejects JSON-object args -> [] (event.ex:88-89)."""
+    engine.enqueue("default", "EchoWorker", {"a": 1}, now=T0)
+    row = engine.current().collect()[0]
+    assert json.loads(row["args"]) == []
+
+
+# -- run_once happy path ----------------------------------------------------
+
+
+def test_run_once_executes_and_acks(engine):
+    engine.enqueue("default", "EchoWorker", ["x", 42], now=T0)
+    stats = engine.run_once("default", now=T0 + 1)
+    assert stats == {"claimed": 1, "succeeded": 1, "retried": 0, "dead": 0}
+    assert calls() == [("echo", ["x", 42])]
+    row = engine.current().collect()[0]
+    assert row["status"] == "succeeded"
+    assert row["finished_at"] is not None
+    assert engine.job_counts(["default"]) == {"default": 0}
+
+
+# -- scheduled jobs (manager_test.exs:33-37, 194-277) -----------------------
+
+
+def test_enqueue_in_not_due_until_schedule(engine):
+    engine.enqueue_in("default", 60, "EchoWorker", [1], now=T0)
+    assert engine.run_once("default", now=T0 + 30)["claimed"] == 0
+    assert engine.run_once("default", now=T0 + 61)["claimed"] == 1
+    assert calls() == [("echo", [1])]
+
+
+# -- retry with backoff then DLQ (manager_test.exs:108-163) -----------------
+
+
+def test_retry_backoff_then_dead(engine):
+    engine.enqueue("default", "FailWorker", [], now=T0)
+    now = T0
+    for attempt in range(1, 6):
+        stats = engine.run_once("default", now=now)
+        assert stats["claimed"] == 1, f"attempt {attempt}"
+        assert stats["retried"] == 1
+        row = engine.current().collect()[0]
+        assert row["status"] == "retry"
+        assert row["retry_count"] == attempt
+        assert "ValueError: boom" in row["error_message"]
+        expected_backoff = backoff_ms(attempt) / 1000.0
+        delta = (row["retry_at"] - row["failed_at"]).total_seconds()
+        assert abs(delta - expected_backoff) <= 1.0
+        # not due again before retry_at
+        assert engine.run_once("default", now=now)["claimed"] == 0
+        now += 30
+    stats = engine.run_once("default", now=now)
+    assert stats["dead"] == 1
+    row = engine.current().collect()[0]
+    assert row["status"] == "dead"
+    assert row["retry_count"] == 6
+
+
+# -- visibility timeout reclaim (ST2) ---------------------------------------
+
+
+def test_visibility_timeout_reclaim(engine, spark):
+    """A claimed-but-never-acked job is reclaimable after the timeout."""
+    engine.enqueue("default", "EchoWorker", [1], now=T0)
+    # simulate a crashed claim: append a processing record with no ack
+    from pyspark.sql import functions as F
+
+    claimed = engine.due_jobs("default", T0 + 1).limit(1)
+    from flume_spark.queue.manager import _ts
+
+    engine.store.append(
+        claimed.withColumn("status", F.lit("processing"))
+        .withColumn("leased_at", F.lit(_ts(T0 + 1)))
+        .withColumn("seq", F.lit(engine.store.next_seq()))
+    )
+    assert engine.run_once("default", now=T0 + 2)["claimed"] == 0  # leased
+    stats = engine.run_once("default", now=T0 + 602)  # > 600s timeout
+    assert stats == {"claimed": 1, "succeeded": 1, "retried": 0, "dead": 0}
+
+
+# -- batch pipelines (producer_consumer_test.exs:57-61) ---------------------
+
+
+def test_bulk_dispatch_nesting(engine):
+    """Bulk worker receives [[args1, args2]] — exact reference nesting."""
+    engine.bulk_enqueue("batch", [("BulkWorker", "perform", [i]) for i in range(4)], now=T0)
+    stats = engine.run_once("batch", now=T0 + 1)
+    assert stats["succeeded"] == 4
+    recorded = calls()
+    assert len(recorded) == 2  # 4 jobs / batch_size 2
+    for name, args_list in recorded:
+        assert name == "bulk"
+        assert isinstance(args_list, list)
+        assert all(isinstance(a, list) for a in args_list)
+        assert len(args_list) == 2
+
+
+def test_bulk_all_or_nothing_failure(engine):
+    engine.bulk_enqueue("batch", [("BulkFailWorker", "perform", [i]) for i in range(2)], now=T0)
+    stats = engine.run_once("batch", now=T0 + 1)
+    assert stats["retried"] == 2
+    rows = engine.current().collect()
+    assert all(r["status"] == "retry" for r in rows)
+    assert all("bulk boom" in r["error_message"] for r in rows)
+
+
+# -- per-job isolation (worker.ex rescue semantics) -------------------------
+
+
+def test_one_bad_job_does_not_fail_batch(engine):
+    engine.enqueue("default", "FailWorker", [], now=T0)
+    engine.enqueue("default", "EchoWorker", [7], now=T0)
+    stats = engine.run_once("default", now=T0 + 1)
+    assert stats["claimed"] == 2
+    assert stats["succeeded"] == 1
+    assert stats["retried"] == 1
+
+
+# -- rate limiting (manager_test.exs:39-78, flume_test.exs slow section) ----
+
+
+def test_rate_limit_admits_at_most_count_per_window(engine):
+    engine.bulk_enqueue(
+        "limited", [("EchoWorker", "perform", [i]) for i in range(10)], now=T0
+    )
+    done = 0
+    now = T0 + 1
+    for _ in range(5):  # 5 windows x 2 per window
+        s1 = engine.run_once("limited", now=now)
+        s2 = engine.run_once("limited", now=now + 0.2)  # same window: nothing
+        assert s1["claimed"] <= 2
+        assert s1["claimed"] + s2["claimed"] <= 2
+        done += s1["claimed"] + s2["claimed"]
+        now += 1.001  # next window
+    assert done == 10
+
+
+def test_rate_limit_shared_key(engine):
+    """ST7 — pipelines sharing rate_limit_key share one ledger."""
+    p1 = Pipeline(
+        name="l1", queue="q1", rate_limit_count=3, rate_limit_scale=1000,
+        rate_limit_key="shared",
+    )
+    p2 = Pipeline(
+        name="l2", queue="q2", rate_limit_count=3, rate_limit_scale=1000,
+        rate_limit_key="shared",
+    )
+    engine.pipelines.update({"l1": p1, "l2": p2})
+    engine.bulk_enqueue("q1", [("EchoWorker", "perform", [i]) for i in range(3)], now=T0)
+    engine.bulk_enqueue("q2", [("EchoWorker", "perform", [i]) for i in range(3)], now=T0)
+    s1 = engine.run_once("l1", now=T0 + 1)
+    s2 = engine.run_once("l2", now=T0 + 1.1)  # same window — budget consumed
+    assert s1["claimed"] == 3
+    assert s2["claimed"] == 0
+    s3 = engine.run_once("l2", now=T0 + 2.2)  # new window
+    assert s3["claimed"] == 3
+
+
+# -- pause/resume (ST6) -----------------------------------------------------
+
+
+def test_pause_resume(engine):
+    engine.enqueue("default", "EchoWorker", [1], now=T0)
+    engine.pause("default")
+    assert engine.run_once("default", now=T0 + 1)["claimed"] == 0
+    engine.resume("default")
+    assert engine.run_once("default", now=T0 + 2)["claimed"] == 1
+
+
+# -- context propagation (U3) -----------------------------------------------
+
+
+def test_context_propagation(engine):
+    registry = engine.registry
+    journal = JOURNAL
+
+    @registry.register("CtxWorker")
+    def ctx_worker(*args):
+        from flume_spark.queue.workers import current_context
+
+        with open(journal, "a") as f:
+            f.write(json.dumps({"kind": "ctx", "payload": dict(current_context() or {})}) + "\n")
+
+    engine.enqueue("default", "CtxWorker", [], context={"request_id": "123"}, now=T0)
+    engine.run_once("default", now=T0 + 1)
+    assert calls() == [("ctx", {"request_id": "123"})]
+
+
+# -- FIFO ordering (W1) -----------------------------------------------------
+
+
+def test_fifo_dequeue_order(engine):
+    for i in range(5):
+        engine.enqueue("default", "EchoWorker", [i], now=T0 + i)
+    p = Pipeline(name="one", queue="default", max_demand=1)
+    engine.pipelines["one"] = p
+    for i in range(5):
+        engine.run_once("one", now=T0 + 10 + i)
+    assert [c[1][0] for c in calls()] == [0, 1, 2, 3, 4]
