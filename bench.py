@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline relational + LLM-op queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus a queue-engine
+throughput section mirroring the reference's redis_benchmark shape
+(bulk_enqueue across 20 queues + claim-dispatch-ack loop —
+/root/reference/lib/mix/tasks/redis_benchmark.ex:11-19).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flume_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "join_broadcast",
+    "agg_distinct",
+    "window_rank",
+    "topk_orders",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_topk_bruteforce",
+    "text_quality_score",
+    "text_fingerprint",
+    "multimodal_meta",
+]
+
+QUEUE_JOBS = 2_000
+QUEUE_FANOUT = 20  # queues, mirroring redis_benchmark defaults
+
+
+def bench_queries(spark) -> dict[str, float]:
+    from flume_spark.queries import all_queries
+
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        start = time.perf_counter()
+        rows = fn(spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - start, 3)
+        assert rows is not None
+    return timings
+
+
+def bench_queue(spark) -> dict[str, float]:
+    from flume_spark.queue import JobStore, QueueManager, WorkerRegistry
+    from flume_spark.queue.manager import Pipeline
+
+    tmp = tempfile.mkdtemp(prefix="flume_bench_")
+    try:
+        registry = WorkerRegistry()
+        registry.register("NoopWorker", lambda *args: None)
+        store = JobStore(spark, os.path.join(tmp, "jobs"))
+        pipelines = [
+            Pipeline(name=f"p{i}", queue=f"q{i}", max_demand=500)
+            for i in range(QUEUE_FANOUT)
+        ]
+        manager = QueueManager(spark, store, registry, pipelines)
+
+        start = time.perf_counter()
+        per_queue = QUEUE_JOBS // QUEUE_FANOUT
+        payload = ["x" * 500]  # ~0.5 kB payload tier from the reference bench
+        for i in range(QUEUE_FANOUT):
+            manager.bulk_enqueue(
+                f"q{i}", [("NoopWorker", "perform", payload)] * per_queue
+            )
+        enqueue_s = time.perf_counter() - start
+
+        start = time.perf_counter()
+        done = 0
+        for i in range(QUEUE_FANOUT):
+            done += manager.run_once(f"p{i}")["succeeded"]
+        process_s = time.perf_counter() - start
+        assert done == QUEUE_JOBS, f"processed {done}/{QUEUE_JOBS}"
+        return {
+            "queue_enqueue": round(enqueue_s, 3),
+            "queue_process": round(process_s, 3),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp.rstrip("/") + "/jobs.results", ignore_errors=True)
+
+
+def main() -> None:
+    spark = get_spark(app_name="flume_spark_bench")
+    timings = bench_queries(spark)
+    timings.update(bench_queue(spark))
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
