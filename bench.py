@@ -85,9 +85,7 @@ def bench_queue(spark) -> dict[str, float]:
         enqueue_s = time.perf_counter() - start
 
         start = time.perf_counter()
-        done = 0
-        for i in range(QUEUE_FANOUT):
-            done += manager.run_once(f"p{i}")["succeeded"]
+        done = manager.run_many([f"p{i}" for i in range(QUEUE_FANOUT)])["succeeded"]
         process_s = time.perf_counter() - start
         assert done == QUEUE_JOBS, f"processed {done}/{QUEUE_JOBS}"
         return {

@@ -156,6 +156,93 @@ def minhash_lsh_candidates(
     )
 
 
+def simhash_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """Per-document SimHash fingerprint: (doc_id, simhash).
+
+    Charikar-style: each token hashed to `bits` bits (md5 prefix, so the hash
+    is deterministic and engine-independent); bit i of the fingerprint is 1
+    iff the count-weighted sum of (+1 if token-bit set else -1) is positive.
+
+    Scale: two narrow shuffles (token-count groupBy, then per-doc groupBy of
+    the bit sums); everything is whole-stage-codegen expressions, no UDF.
+    """
+    words = F.expr(f"split(lower(trim({text_col})), '\\\\s+')")
+    counts = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tok_hash = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    hashed = counts.select("doc_id", tok_hash.alias("h"), "cnt")
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), F.col("cnt")).otherwise(
+                    -F.col("cnt")
+                )
+            ).alias(f"s{i}")
+            for i in range(bits)
+        ]
+    )
+    fingerprint = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return bit_sums.select("doc_id", fingerprint.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+
+    EXACT under the pigeonhole guarantee: with `blocks` > `max_hamming`
+    equal-width bit blocks, any pair within the hamming budget must agree on
+    at least one whole block, so the block-keyed equi-join (the only shuffle
+    that grows with corpus size) finds every qualifying pair — no all-pairs
+    comparison.  Returns (doc_a, doc_b, hamming).
+    """
+    assert blocks > max_hamming, "pigeonhole requires blocks > max_hamming"
+    assert bits % blocks == 0
+    width = bits // blocks
+    mask = (1 << width) - 1
+    fp = simhash_fingerprint(df, id_col, text_col, bits)
+    block_cols = [
+        F.struct(
+            F.lit(j).alias("block_idx"),
+            F.expr(f"shiftright(simhash, {j * width}) & {mask}").alias("block_val"),
+        )
+        for j in range(blocks)
+    ]
+    banded = fp.select(
+        "doc_id", "simhash", F.explode(F.array(*block_cols)).alias("b")
+    ).select("doc_id", "simhash", "b.block_idx", "b.block_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def cosine_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

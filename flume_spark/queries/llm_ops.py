@@ -108,6 +108,45 @@ FROM bands a JOIN bands b
 """
 
 
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, hamming <= 3 of 32 bits (~725 pairs of the
+    124,750 possible at sf0.01).  Exact under pigeonhole banding."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=3, blocks=4)
+
+
+_SIMHASH_BITS = ",\n         ".join(
+    f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS s{i}"
+    for i in range(32)
+)
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)" for i in range(32)
+)
+
+DEDUP_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+  ) GROUP BY doc_id, tok
+),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h, cnt FROM toks
+),
+bits AS (
+  SELECT doc_id,
+         {_SIMHASH_BITS}
+  FROM h GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {_SIMHASH_FP} AS simhash FROM bits)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
     return dedup.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
@@ -285,6 +324,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
@@ -299,6 +339,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding_cosine": DEDUP_COSINE_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     # ann_topk_lsh: no oracle (approximate by design)

@@ -19,6 +19,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flume_spark.queue import schema as S
 from flume_spark.queue.backoff import DEFAULT_INITIAL_MS, DEFAULT_MAX_MS, backoff_ms
@@ -172,12 +173,13 @@ class QueueManager:
         counts.update({r["queue"]: r["n"] for r in rows})
         return counts
 
-    def due_jobs(self, queue: str, now: float) -> DataFrame:
+    def due_jobs(self, queue: str | list[str], now: float) -> DataFrame:
         """The per-trigger due predicate (subsumes scheduler + processing
         reclaim loops — SURVEY.md §3.3)."""
         ts = F.lit(_ts(now))
         lease_horizon = F.lit(_ts(now - self.visibility_timeout_s))
-        cur = self.current().filter(F.col("queue") == queue)
+        queues = [queue] if isinstance(queue, str) else queue
+        cur = self.current().filter(F.col("queue").isin(queues))
         pending_due = (F.col("status") == S.PENDING) & (
             F.col("scheduled_at").isNull() | (F.col("scheduled_at") <= ts)
         )
@@ -193,21 +195,37 @@ class QueueManager:
     # ------------------------------------------------------------------
 
     def run_once(self, pipeline: str | Pipeline, now: float | None = None) -> dict:
-        p = self.pipelines[pipeline] if isinstance(pipeline, str) else pipeline
+        return self.run_many([pipeline], now=now)
+
+    def run_many(
+        self, pipelines: list[str | Pipeline], now: float | None = None
+    ) -> dict:
+        """One micro-batch over MANY pipelines: a single claim→dispatch→ack
+        pass for every queue (per-queue demand enforced by a windowed rank),
+        instead of a full log scan per pipeline.  At 1000-executor scale this
+        is the difference between one shuffle per trigger and one per queue.
+        """
         now = time.time() if now is None else now
         stats = {"claimed": 0, "succeeded": 0, "retried": 0, "dead": 0}
-        if p.paused:
-            return stats
 
-        demand = p.max_demand * (p.batch_size or 1)  # producer.ex:131-146
-        if p.rate_limit_count is not None:
-            demand = min(
-                demand,
-                self.limiter.remaining(
-                    p.limit_key, p.rate_limit_count, p.rate_limit_scale or 1000, now
-                ),
-            )
-        if demand <= 0:
+        # admission per pipeline (producer.ex:131-146 demand sizing + the
+        # sliding-window governor, redis/bulk_dequeue.ex:196-224)
+        demands: dict[str, tuple[Pipeline, int]] = {}
+        for pl in pipelines:
+            p = self.pipelines[pl] if isinstance(pl, str) else pl
+            if p.paused:
+                continue
+            demand = p.max_demand * (p.batch_size or 1)
+            if p.rate_limit_count is not None:
+                demand = min(
+                    demand,
+                    self.limiter.remaining(
+                        p.limit_key, p.rate_limit_count, p.rate_limit_scale or 1000, now
+                    ),
+                )
+            if demand > 0:
+                demands[p.queue] = (p, demand)
+        if not demands:
             return stats
 
         # claim append (≙ MULTI {ZADD processing, LTRIM}, bulk_dequeue.ex:242-295).
@@ -216,30 +234,60 @@ class QueueManager:
         # round-trip and the cache invalidation that appending to the log
         # causes for any DataFrame still reading the pre-claim state.
         claim_seq = self.store.next_seq()
+        rank_w = Window.partitionBy("queue").orderBy("enqueued_at", "jid")
+        demand_map = F.create_map(
+            *[x for q, (_, d) in demands.items() for x in (F.lit(q), F.lit(d))]
+        )
         self.store.append(
-            self.due_jobs(p.queue, now)
-            .orderBy("enqueued_at", "jid")
-            .limit(demand)
+            self.due_jobs(list(demands), now)
+            .withColumn("_rn", F.row_number().over(rank_w))
+            .filter(F.col("_rn") <= demand_map[F.col("queue")])
+            .drop("_rn")
             .withColumn("status", F.lit(S.PROCESSING))
             .withColumn("leased_at", F.lit(_ts(now)))
             .withColumn("seq", F.lit(claim_seq))
         )
         claimed = self.store.log().filter(F.col("seq") == claim_seq)
-        claimed_rows = claimed.count()
+        per_queue = {
+            r["queue"]: r["count"] for r in claimed.groupBy("queue").count().collect()
+        }
+        claimed_rows = sum(per_queue.values())
         if claimed_rows == 0:
             return stats
         stats["claimed"] = claimed_rows
-        self.limiter.record(p.limit_key, claimed_rows, now)
+        for q, n in per_queue.items():
+            self.limiter.record(demands[q][0].limit_key, n, now)
 
         # dispatch on executors; results land in a scratch table so workers
         # run exactly one pass (cached lineage would re-execute them whenever
-        # a later log append invalidates the cache)
-        if p.batch_size:
-            results = dispatch_bulk(
-                claimed, self.registry, p.batch_size, self.dispatch_timeout_s
+        # a later log append invalidates the cache).  Pipelines that share a
+        # dispatch mode run in one pass; distinct batch_sizes each get one.
+        single_queues = [q for q, (p, _) in demands.items() if not p.batch_size]
+        bulk_sizes = sorted(
+            {p.batch_size for p, _ in demands.values() if p.batch_size}
+        )
+        parts = []
+        if single_queues:
+            parts.append(
+                dispatch_single(
+                    claimed.filter(F.col("queue").isin(single_queues)),
+                    self.registry,
+                    self.dispatch_timeout_s,
+                )
             )
-        else:
-            results = dispatch_single(claimed, self.registry, self.dispatch_timeout_s)
+        for bs in bulk_sizes:
+            qs = [q for q, (p, _) in demands.items() if p.batch_size == bs]
+            parts.append(
+                dispatch_bulk(
+                    claimed.filter(F.col("queue").isin(qs)),
+                    self.registry,
+                    bs,
+                    self.dispatch_timeout_s,
+                )
+            )
+        results = parts[0]
+        for extra in parts[1:]:
+            results = results.unionByName(extra)
         results_path = f"{self.store.path.rstrip('/')}.results/{claim_seq}"
         results.write.mode("overwrite").parquet(results_path)
         results = self.spark.read.parquet(results_path)
