@@ -248,30 +248,72 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    blocks: int = 8,
 ) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= threshold, doc_a < doc_b.
+    """Embedding near-dup pairs: cosine >= threshold (rounded 6dp), doc_a < doc_b.
 
-    Brute-force all-pairs — correct baseline; the scale path buckets by LSH
-    first (see similarity.hyperplane_lsh_buckets) so the self-join is per
-    bucket.  Cosine computed in double precision with a sequential fold so
-    the DuckDB oracle matches bit-for-bit; rounded to 6dp before the
-    threshold compare.
+    Block-matrix similarity join: vectors are hashed into `blocks` groups,
+    each vector is replicated once per partner block, and every block-pair
+    group computes its cosine sub-matrix as ONE numpy float64 matmul inside
+    `applyInPandas` (Arrow-batched, BLAS).  Exact — every pair lands in
+    exactly one block-pair group.
+
+    Scale: replication factor is `blocks` (vs |N| for a naive cross-join);
+    the only shuffle is the groupBy on the block-pair key, and each group is
+    O((N/blocks)^2) flops of vectorized work.  Tune `blocks` so a group's two
+    sub-matrices fit executor memory (~N/blocks x dim doubles each).  An
+    expression-only variant of the same semantics is `similarity.cosine_expr`
+    in a theta-join, which Catalyst evaluates row-at-a-time — ~100x slower.
     """
-    from flume_spark.operators.similarity import cosine_expr
+    import pandas as pd
 
-    a = emb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-    ).alias("a")
-    b = emb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    ).alias("b")
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = cosine_expr("va", "vb")
-    return (
-        pairs.select(
-            F.col("id_a").alias("doc_a"),
-            F.col("id_b").alias("doc_b"),
-            F.round(sim, 6).alias("cosine"),
+    b = F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int")
+    partner = F.explode(F.array(*[F.lit(i) for i in range(blocks)]))
+    tagged = (
+        emb.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), b.alias("blk")
         )
-        .filter(F.col("cosine") >= threshold)
+        .withColumn("partner", partner)
+        .select(
+            F.least("blk", "partner").alias("blo"),
+            F.greatest("blk", "partner").alias("bhi"),
+            "blk",
+            "id",
+            "vec",
+        )
+        .dropDuplicates(["blo", "bhi", "id"])
+    )
+
+    def _block_cosine(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        lo, hi = int(pdf["blo"].iloc[0]), int(pdf["bhi"].iloc[0])
+        left = pdf[pdf["blk"] == lo]
+        right = pdf[pdf["blk"] == hi] if hi != lo else left
+        if left.empty or right.empty:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "cosine": "float64"}
+            )
+        la = np.stack(left["vec"].to_numpy()).astype(np.float64)
+        ra = np.stack(right["vec"].to_numpy()).astype(np.float64)
+        lid = left["id"].to_numpy()
+        rid = right["id"].to_numpy()
+        cos = (la @ ra.T) / np.outer(
+            np.sqrt((la * la).sum(1)), np.sqrt((ra * ra).sum(1))
+        )
+        cos = np.round(cos, 6)
+        mask = cos >= threshold
+        if hi == lo:  # self-block: upper triangle only
+            mask &= lid[:, None] < rid[None, :]
+        ia, ib = np.nonzero(mask)
+        return pd.DataFrame(
+            {
+                "doc_a": np.minimum(lid[ia], rid[ib]),
+                "doc_b": np.maximum(lid[ia], rid[ib]),
+                "cosine": cos[ia, ib],
+            }
+        )
+
+    return tagged.groupBy("blo", "bhi").applyInPandas(
+        _block_cosine, schema="doc_a long, doc_b long, cosine double"
     )

@@ -12,12 +12,40 @@ from __future__ import annotations
 import os
 import threading
 import time
+import uuid
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flume_spark.queue.schema import JOB_LOG_SCHEMA
+
+# Arrow twin of JOB_LOG_SCHEMA for the driver-side small-append fast path.
+# timestamp[us, UTC] matches what Spark itself writes (isAdjustedToUTC=true);
+# session timezone is UTC everywhere so wall-clock == instant.
+_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("jid", pa.string(), False),
+        pa.field("queue", pa.string(), False),
+        pa.field("class", pa.string(), False),
+        pa.field("function", pa.string(), False),
+        pa.field("args", pa.string(), False),
+        pa.field("context", pa.map_(pa.string(), pa.string())),
+        pa.field("status", pa.string(), False),
+        pa.field("retry_count", pa.int32(), False),
+        pa.field("enqueued_at", pa.timestamp("us", tz="UTC"), False),
+        pa.field("scheduled_at", pa.timestamp("us", tz="UTC")),
+        pa.field("leased_at", pa.timestamp("us", tz="UTC")),
+        pa.field("retry_at", pa.timestamp("us", tz="UTC")),
+        pa.field("finished_at", pa.timestamp("us", tz="UTC")),
+        pa.field("failed_at", pa.timestamp("us", tz="UTC")),
+        pa.field("error_message", pa.string()),
+        pa.field("error_backtrace", pa.string()),
+        pa.field("seq", pa.int64(), False),
+    ]
+)
 
 
 class JobStore:
@@ -47,10 +75,32 @@ class JobStore:
         df.write.mode("append").parquet(self.path)
 
     def append_rows(self, rows: list[dict]) -> None:
+        """Driver-side fast path: commit driver-local rows as one parquet
+        file directly (pyarrow), no Spark job.  Enqueue is a driver/producer
+        operation on a few rows — a distributed write would be ~50x slower
+        in scheduling overhead alone.  In the Delta target this is a small
+        AddFile commit; the reference analog is a single RPUSH
+        (redis/client.ex:183-185).
+        """
         if not rows:
             return
-        df = self.spark.createDataFrame(rows, schema=JOB_LOG_SCHEMA)  # type: ignore[arg-type]
-        self.append(df)
+        cols = {
+            name: [r.get(name) for r in rows] for name in _ARROW_SCHEMA.names
+        }
+        arrays = [
+            pa.array(
+                [None if v is None else list(v.items()) for v in cols[f.name]]
+                if pa.types.is_map(f.type)
+                else cols[f.name],
+                type=f.type,
+            )
+            for f in _ARROW_SCHEMA
+        ]
+        table = pa.Table.from_arrays(arrays, schema=_ARROW_SCHEMA)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(self.path, f".{name}.tmp")
+        pq.write_table(table, tmp)
+        os.rename(tmp, os.path.join(self.path, name))  # atomic visibility
 
     def is_empty(self) -> bool:
         return not any(
@@ -81,10 +131,8 @@ class JobStore:
         Bounds read amplification; in Delta this is OPTIMIZE + vacuum.
         Terminal-state rows could also be aged out to an archive table.
         """
-        snapshot = self.current().collect()
         tmp = self.path.rstrip("/") + ".compact.tmp"
-        df = self.spark.createDataFrame(snapshot, schema=JOB_LOG_SCHEMA)
-        df.write.mode("overwrite").parquet(tmp)
+        self.current().write.mode("overwrite").parquet(tmp)
         old = self.path.rstrip("/") + ".compact.old"
         os.rename(self.path, old)
         os.rename(tmp, self.path)
