@@ -1,0 +1,82 @@
+"""Temporal operators: as-of join and event-time windowing helpers.
+
+The reference has no temporal operators (scripbox/flume moves opaque job
+strings; SURVEY.md §2.5 — the only windowing is the rate-limit ledger), so
+these are engine-native, designed for the LLM-pipeline / analytics surface.
+
+`asof_join` is the classic time-series join Spark lacks as a primitive.
+Implemented as union + per-key ordered window (`last(_, ignoreNulls)`) —
+ONE shuffle on the join key, no per-row subquery, no range explosion:
+the same plan shape survives a 100x scale-up because cost is
+O((|L|+|R|) log) within each key partition, and AQE handles key skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row with
+    `right_ts <= left_ts` (or `<` when inclusive=False) and equal `on` key.
+
+    Returns all left columns plus the requested right columns (null when no
+    prior right row exists — left outer semantics, like DuckDB ASOF LEFT
+    JOIN / pandas merge_asof).
+
+    Plan: tag both sides, union, then `last(right_struct, ignoreNulls)` over
+    (partition by key, order by ts with right-before-left on ties when
+    inclusive).  Single hash-partition shuffle on `on`; sort is local.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    rstruct = F.struct(*[F.col(c) for c in right_cols])
+    lstruct = F.struct(*[F.col(c) for c in left.columns])
+
+    r = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_right"),
+        rstruct.alias("__r"),
+        F.lit(None).cast(
+            left.select(lstruct.alias("x")).schema["x"].dataType
+        ).alias("__l"),
+    )
+    l = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__is_right"),
+        F.lit(None).cast(
+            right.select(rstruct.alias("x")).schema["x"].dataType
+        ).alias("__r"),
+        lstruct.alias("__l"),
+    )
+    # ties: inclusive -> right sorts before left at equal ts (is_right desc);
+    # exclusive -> left first, so an equal-ts right row is not yet visible.
+    order = [
+        F.col("__ts"),
+        F.col("__is_right").desc() if inclusive else F.col("__is_right").asc(),
+    ]
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        l.unionByName(r)
+        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__is_right") == 0)
+        .select(
+            *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+            *[F.col(f"__match.{c}").alias(c) for c in right_cols],
+        )
+    )

@@ -1,0 +1,228 @@
+"""Event-time temporal queries over the `events` table, with DuckDB oracles.
+
+Engine-native (the reference has no event-time processing — SURVEY.md §2.5,
+§2.8 ST9): tumbling / sliding / session windows, backward as-of join, exact
+percentiles.  In streaming mode the same window expressions run under
+`readStream` + `withWatermark` (see flume_spark/streaming); batch and stream
+share the plan, which is the point of Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_spark.operators.temporal import asof_join
+from flume_spark.queries._util import T
+
+# ---------------------------------------------------------------------------
+# Tumbling window (F.window) — maps to GROUP BY time_bucket
+# ---------------------------------------------------------------------------
+
+
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+WINDOW_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts)                    AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sliding window (F.window with slide) — each event lands in size/slide windows
+# ---------------------------------------------------------------------------
+
+
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # sum, not avg: input has exactly 2 decimals, so a 4dp round of
+            # the sum can never land on a half boundary (avg can — e.g.
+            # sum/8 = x.xxx75 — where Spark HALF_UP and DuckDB binary
+            # rounding disagree)
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+WINDOW_SLIDING_SQL = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts)
+           - k * (INTERVAL '30 minutes') AS window_start,
+         value
+  FROM events, unnest([0, 1]) AS u(k)
+)
+SELECT window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       count(*)             AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Session window (F.session_window) — gaps-and-islands in the oracle
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP = "4 hours"
+
+
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 4h inactivity gap.  Spark's session_window
+    end = last event + gap."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", _SESSION_GAP).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+WINDOW_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '4 hours'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts)                       AS session_start,
+       max(ts) + INTERVAL '4 hours'  AS session_end,
+       count(*)                      AS n_events,
+       round(sum(value), 4)          AS sum_value
+FROM islands
+GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join — DuckDB ASOF JOIN oracle
+# ---------------------------------------------------------------------------
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each 'purchase' event joined to the user's latest prior (<=) 'click'."""
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_ts", "click_value"],
+    ).select("event_id", "user_id", "ts", "value", "click_ts", "click_value")
+
+
+JOIN_ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts, p.value,
+       c.ts    AS click_ts,
+       c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (interpolated, = DuckDB quantile_cont)
+# ---------------------------------------------------------------------------
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.round(F.min("value"), 4).alias("min_v"),
+        F.round(F.max("value"), 4).alias("max_v"),
+    )
+
+
+AGG_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4)  AS p50,
+       round(quantile_cont(value, 0.9), 4)  AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       round(min(value), 4) AS min_v,
+       round(max(value), 4) AS max_v
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "window_tumbling": window_tumbling,
+    "window_sliding": window_sliding,
+    "window_session": window_session,
+    "join_asof": join_asof,
+    "agg_percentiles": agg_percentiles,
+}
+
+ORACLES = {
+    "window_tumbling": WINDOW_TUMBLING_SQL,
+    "window_sliding": WINDOW_SLIDING_SQL,
+    "window_session": WINDOW_SESSION_SQL,
+    "join_asof": JOIN_ASOF_SQL,
+    "agg_percentiles": AGG_PERCENTILES_SQL,
+}
