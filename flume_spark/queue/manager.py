@@ -229,16 +229,17 @@ class QueueManager:
             return stats
 
         # claim append (≙ MULTI {ZADD processing, LTRIM}, bulk_dequeue.ex:242-295).
-        # The claim batch is written first, then read back by its unique seq:
-        # it IS the "processing zset", and re-reading it avoids both a driver
-        # round-trip and the cache invalidation that appending to the log
-        # causes for any DataFrame still reading the pre-claim state.
+        # The claim batch is staged to a scratch dir, then only data-bearing
+        # part files are renamed into the log: an EMPTY claim publishes
+        # nothing (otherwise every zero-row part file would wake any
+        # streaming reader of the log and re-trigger a claim, forever), and
+        # dispatch reads exactly the claim files, not a full log scan.
         claim_seq = self.store.next_seq()
         rank_w = Window.partitionBy("queue").orderBy("enqueued_at", "jid")
         demand_map = F.create_map(
             *[x for q, (_, d) in demands.items() for x in (F.lit(q), F.lit(d))]
         )
-        self.store.append(
+        claim_df = (
             self.due_jobs(list(demands), now)
             .withColumn("_rn", F.row_number().over(rank_w))
             .filter(F.col("_rn") <= demand_map[F.col("queue")])
@@ -247,13 +248,16 @@ class QueueManager:
             .withColumn("leased_at", F.lit(_ts(now)))
             .withColumn("seq", F.lit(claim_seq))
         )
-        claimed = self.store.log().filter(F.col("seq") == claim_seq)
+        claim_paths = self.store.publish(claim_df, f"claim-{claim_seq}")
+        if not claim_paths:
+            return stats
+        claimed = self.spark.read.schema(self.store.log().schema).parquet(
+            *claim_paths
+        )
         per_queue = {
             r["queue"]: r["count"] for r in claimed.groupBy("queue").count().collect()
         }
         claimed_rows = sum(per_queue.values())
-        if claimed_rows == 0:
-            return stats
         stats["claimed"] = claimed_rows
         for q, n in per_queue.items():
             self.limiter.record(demands[q][0].limit_key, n, now)
@@ -330,7 +334,7 @@ class QueueManager:
             F.col("error_backtrace"),
             F.lit(ack_seq).alias("seq"),
         )
-        self.store.append(ack)
+        self.store.publish(ack, f"ack-{ack_seq}")
 
         outcome = (
             joined.select(

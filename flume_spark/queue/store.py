@@ -102,6 +102,35 @@ class JobStore:
         pq.write_table(table, tmp)
         os.rename(tmp, os.path.join(self.path, name))  # atomic visibility
 
+    def publish(self, df: DataFrame, tag: str) -> list[str]:
+        """Stage a distributed write, then rename only data-bearing part
+        files into the log.  Returns the published paths ([] if the frame
+        was empty).
+
+        Why not a plain append: Spark materializes at least one ZERO-ROW
+        part file for an empty frame, which any streaming reader of the log
+        treats as an arrival — an empty claim would wake the stream, whose
+        trigger claims again, forever.  Rename is atomic within a filesystem,
+        so readers never see partial files (Delta's staged-commit, in
+        miniature).
+        """
+        staging = f"{self.path.rstrip('/')}.staging/{tag}"
+        df.write.mode("overwrite").parquet(staging)
+        published = []
+        for i, name in enumerate(sorted(os.listdir(staging))):
+            if not name.endswith(".parquet"):
+                continue
+            src = os.path.join(staging, name)
+            if pq.ParquetFile(src).metadata.num_rows == 0:
+                continue
+            dst = os.path.join(self.path, f"{tag}-{i}.parquet")
+            os.rename(src, dst)
+            published.append(dst)
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        return published
+
     def is_empty(self) -> bool:
         return not any(
             name.endswith(".parquet") for name in os.listdir(self.path)
