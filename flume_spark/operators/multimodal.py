@@ -71,3 +71,58 @@ def decode_media_meta(payloads: DataFrame) -> DataFrame:
             )
 
     return payloads.mapInPandas(batches, schema=MEDIA_META_SCHEMA)
+
+
+RESIZE_SCHEMA = "id bigint, width int, height int, resized_w int, resized_h int"
+
+
+def resize_stub(payloads: DataFrame, max_dim: int = 64) -> DataFrame:
+    """STUB image resize: fake-decode dims, then scale so max(w,h) == max_dim
+    (no upscale).  A real kernel swaps `_fake_decode`/the arithmetic for
+    PIL.Image.thumbnail over the payload bytes — batch shape is identical."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = pdf["payload"].map(lambda p: _fake_decode(bytes(p)))
+            w = dims.map(lambda d: d[0]).astype("int64")
+            h = dims.map(lambda d: d[1]).astype("int64")
+            m = pd.concat([w, h], axis=1).max(axis=1).clip(lower=max_dim)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "resized_w": (w * max_dim // m).astype("int32"),
+                    "resized_h": (h * max_dim // m).astype("int32"),
+                }
+            )
+
+    return payloads.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "id bigint, frame_idx int, frame_off int, frame_len int"
+
+
+def frame_sample_stub(payloads: DataFrame, n_frames: int = 4) -> DataFrame:
+    """STUB video frame sampling: emit `n_frames` evenly-spaced byte-slice
+    coordinates per payload (an exploding 1->N mapInPandas — the real kernel
+    would also carry `frame_bytes`).  frame_len drops the tail remainder."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = pdf["n_bytes"].astype("int64")
+            out = []
+            for i in range(n_frames):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "id": pdf["id"],
+                            "frame_idx": i,
+                            "frame_off": (i * (n // n_frames)).astype("int32"),
+                            "frame_len": (n // n_frames).astype("int32"),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return payloads.mapInPandas(batches, schema=FRAME_SCHEMA)

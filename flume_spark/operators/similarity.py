@@ -120,6 +120,50 @@ def hyperplane_lsh_buckets(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: exact top-k *within* the query's coarse bucket.
+
+    `bucket_col` is the inverted-file cell (here the precomputed `label`;
+    in production, argmin-distance to KMeans centroids assigned at ingest).
+    The probe is an equi-join on the bucket key — shuffle bounded by bucket
+    sizes instead of |Q|x|N|, the standard IVF trade (recall loss only when
+    the true neighbor lives in another cell; multi-probe = OR more cells).
+    """
+    q = emb.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col(bucket_col).alias("__bucket"),
+        F.col(vec_col).alias("qv"),
+    )
+    n = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(bucket_col).alias("__bucket"),
+        F.col(vec_col).alias("nv"),
+    )
+    pairs = F.broadcast(q).join(n, "__bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr("qv", "nv"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     dim: int,

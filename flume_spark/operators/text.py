@@ -95,6 +95,57 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(*cols)
 
 
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^\sa-z0-9]+"
+# Spark SQL string literals consume one level of backslash escaping
+_BPE_SQL = BPE_ISH_PATTERN.replace("\\", "\\\\")
+
+
+def subword_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """BPE-ish regex tokenization (GPT-2-style category split: letter runs,
+    digit runs, punctuation runs) — the cheap proxy for a real BPE vocab when
+    estimating token budgets over a corpus.  Pattern kept to RE2-safe
+    constructs so any engine reproduces it."""
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '{_BPE_SQL}', 0)"
+    )
+    alpha = F.expr(
+        f"size(filter(regexp_extract_all(lower({text_col}), '{_BPE_SQL}', 0),"
+        " t -> t rlike '^[a-z]'))"
+    )
+    num = F.expr(
+        f"size(filter(regexp_extract_all(lower({text_col}), '{_BPE_SQL}', 0),"
+        " t -> t rlike '^[0-9]'))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_subwords"),
+        alpha.alias("n_alpha"),
+        num.alias("n_num"),
+        (F.size(toks) - alpha - num).alias("n_other"),
+    )
+
+
+def rolling_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-style): hash every
+    k-char window of the normalized text, keep the min hash + distinct
+    window count.  md5 stands in for the polynomial rolling hash so the
+    fingerprint is engine-independent; a production kernel would use a true
+    O(n) Rabin-Karp in a pandas UDF, same contract."""
+    kgrams = F.expr(
+        f"transform(sequence(1, greatest(length(regexp_replace(lower({text_col}),"
+        f" '[^a-z0-9]', '')) - {k - 1}, 1)),"
+        f" i -> md5(substring(regexp_replace(lower({text_col}), '[^a-z0-9]', ''),"
+        f" i, {k})))"
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_min(kgrams).alias("min_hash"),
+        F.size(F.array_distinct(kgrams)).alias("n_distinct_windows"),
+    )
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content fingerprint: md5 over the normalized text (lowercased,
     non-alphanumerics stripped) — stable under whitespace/punct noise."""

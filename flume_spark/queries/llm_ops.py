@@ -320,6 +320,113 @@ FROM documents
 """
 
 
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe using `label` as the coarse cell; exact within the cell, so
+    fully oracle-checkable (the approximation is WHICH cells are probed,
+    not the math)."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, F.col("vec_id") < 20, k=3)
+
+
+ANN_IVF_SQL = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))),
+               6) AS cosine
+  FROM e q JOIN e n ON q.label = n.label AND n.vec_id != q.vec_id
+  WHERE q.vec_id < 20
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+           AS "rank"
+  FROM scored
+)
+SELECT query_id, neighbor_id, "rank", cosine FROM ranked WHERE "rank" <= 3
+"""
+
+
+def text_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return text.subword_tokens(docs, "doc_id", "text")
+
+
+TEXT_SUBWORD_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^\sa-z0-9]+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_subwords,
+       len(list_filter(toks, t -> regexp_matches(t, '^[a-z]'))) AS n_alpha,
+       len(list_filter(toks, t -> regexp_matches(t, '^[0-9]'))) AS n_num,
+       len(toks) - len(list_filter(toks, t -> regexp_matches(t, '^[a-z]')))
+                 - len(list_filter(toks, t -> regexp_matches(t, '^[0-9]'))) AS n_other
+FROM t
+"""
+
+
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return text.rolling_fingerprint(docs, "doc_id", "text", k=8)
+
+
+TEXT_ROLLING_SQL = """
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+                        i -> md5(substr(norm, i::INT, 8))) AS hashes
+  FROM n
+)
+SELECT doc_id,
+       list_aggregate(hashes, 'min') AS min_hash,
+       len(list_distinct(hashes))    AS n_distinct_windows
+FROM g
+"""
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    payloads = multimodal.to_binary_payload(docs, "doc_id", "text")
+    return multimodal.resize_stub(payloads, max_dim=64)
+
+
+MULTIMODAL_RESIZE_SQL = """
+WITH d AS (
+  SELECT doc_id AS id,
+         octet_length(CAST(text AS BLOB)) % 1920 + 1 AS width,
+         ascii(substr(text, 1, 1)) % 1080 + 1        AS height
+  FROM documents
+)
+SELECT id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+       CAST(width * 64 // greatest(width, height, 64) AS INT)  AS resized_w,
+       CAST(height * 64 // greatest(width, height, 64) AS INT) AS resized_h
+FROM d
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    payloads = multimodal.to_binary_payload(docs, "doc_id", "text")
+    return multimodal.frame_sample_stub(payloads, n_frames=4)
+
+
+MULTIMODAL_FRAME_SQL = """
+SELECT doc_id AS id,
+       CAST(i AS INT)                                              AS frame_idx,
+       CAST(i * (octet_length(CAST(text AS BLOB)) // 4) AS INT)    AS frame_off,
+       CAST(octet_length(CAST(text AS BLOB)) // 4 AS INT)          AS frame_len
+FROM documents, unnest(range(0, 4)) AS t(i)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -328,6 +435,11 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
+    "ann_topk_ivf": ann_topk_ivf,
+    "text_subword_tokens": text_subword_tokens,
+    "text_rolling_fingerprint": text_rolling_fingerprint,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frame_sample": multimodal_frame_sample,
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
@@ -343,6 +455,11 @@ ORACLES = {
     "dedup_embedding_cosine": DEDUP_COSINE_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     # ann_topk_lsh: no oracle (approximate by design)
+    "ann_topk_ivf": ANN_IVF_SQL,
+    "text_subword_tokens": TEXT_SUBWORD_SQL,
+    "text_rolling_fingerprint": TEXT_ROLLING_SQL,
+    "multimodal_resize": MULTIMODAL_RESIZE_SQL,
+    "multimodal_frame_sample": MULTIMODAL_FRAME_SQL,
     "text_token_count": TEXT_TOKEN_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_SQL,

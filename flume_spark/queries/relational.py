@@ -639,6 +639,187 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Subqueries, pivot/unpivot, lateral explode, ordered array agg
+# ---------------------------------------------------------------------------
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery -> left-semi join."""
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1995-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01'
+  AND o_orderdate < DATE '1995-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight filter + single aggregate; every predicate
+    reaches the parquet scan (PushedFilters)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery -> broadcast of a 1-row aggregate."""
+    register_views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+        """
+    )
+
+
+SCALAR_SUBQUERY_SQL = """
+SELECT p_partkey, p_name, p_retailprice
+FROM part
+WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
+"""
+
+
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit values (no discovery scan)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_linestatus",
+            F.col("A").alias("qty_a"),
+            F.col("N").alias("qty_n"),
+            F.col("R").alias("qty_r"),
+        )
+    )
+
+
+PIVOT_SQL = """
+SELECT l_linestatus,
+       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_a,
+       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_n,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def unpivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt wide columns into (metric, value) rows."""
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_totalprice", "o_custkey")
+        .unpivot(
+            "o_orderkey",
+            ["o_totalprice", "o_custkey"],
+            "metric",
+            "value",
+        )
+    )
+
+
+UNPIVOT_SQL = """
+SELECT o_orderkey, 'o_totalprice' AS metric, CAST(o_totalprice AS DOUBLE) AS value
+FROM orders WHERE o_orderkey < 1000
+UNION ALL
+SELECT o_orderkey, 'o_custkey', CAST(o_custkey AS DOUBLE)
+FROM orders WHERE o_orderkey < 1000
+"""
+
+
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral explode with position (posexplode ≙ unnest WITH ORDINALITY)."""
+    docs = T(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (
+        docs.filter(F.col("doc_id") < 50)
+        .select("doc_id", F.posexplode(toks).alias("pos", "token"))
+    )
+
+
+EXPLODE_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, i - 1 AS pos, words[i] AS token
+FROM w, unnest(range(1, len(words) + 1)) AS t(i)
+"""
+
+
+def array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collect: per-order line numbers as a sorted CSV string
+    (string form so the value hash is engine-independent)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") < 500)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("l_linenumber"))), ","
+            ).alias("linenumbers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+ARRAY_AGG_SQL = """
+SELECT l_orderkey,
+       string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS linenumbers,
+       count(*) AS n_lines
+FROM lineitem WHERE l_orderkey < 500
+GROUP BY l_orderkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -665,6 +846,13 @@ QUERIES = {
     "scalar_json_funcs": scalar_json_funcs,
     "case_when_bucketing": case_when_bucketing,
     "approx_distinct": approx_distinct,
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "scalar_subquery": scalar_subquery,
+    "pivot_returnflag": pivot_returnflag,
+    "unpivot_orders": unpivot_orders,
+    "explode_tokens": explode_tokens,
+    "array_agg_sorted": array_agg_sorted,
 }
 
 ORACLES = {
@@ -693,4 +881,11 @@ ORACLES = {
     "scalar_json_funcs": SCALAR_JSON_SQL,
     "case_when_bucketing": CASE_WHEN_SQL,
     # approx_distinct: intentionally no oracle (HLL is approximate).
+    "q4_order_priority": Q4_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "scalar_subquery": SCALAR_SUBQUERY_SQL,
+    "pivot_returnflag": PIVOT_SQL,
+    "unpivot_orders": UNPIVOT_SQL,
+    "explode_tokens": EXPLODE_SQL,
+    "array_agg_sorted": ARRAY_AGG_SQL,
 }
