@@ -35,11 +35,18 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
+    "ann_topk_ivf",
     "text_quality_score",
     "text_fingerprint",
+    "text_subword_tokens",
     "multimodal_meta",
+    "window_tumbling",
+    "window_session",
+    "join_asof",
+    "agg_percentiles",
 ]
 
 QUEUE_JOBS = 2_000
