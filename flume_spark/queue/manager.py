@@ -179,7 +179,9 @@ class QueueManager:
         ts = F.lit(_ts(now))
         lease_horizon = F.lit(_ts(now - self.visibility_timeout_s))
         queues = [queue] if isinstance(queue, str) else queue
-        cur = self.current().filter(F.col("queue").isin(queues))
+        # queue is immutable per jid, so the predicate pushes below the
+        # latest-per-jid window all the way to the parquet scan
+        cur = self.store.current(prefilter=F.col("queue").isin(queues))
         pending_due = (F.col("status") == S.PENDING) & (
             F.col("scheduled_at").isNull() | (F.col("scheduled_at") <= ts)
         )

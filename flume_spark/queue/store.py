@@ -139,17 +139,25 @@ class JobStore:
     def log(self) -> DataFrame:
         return self.spark.read.schema(JOB_LOG_SCHEMA).parquet(self.path)
 
-    def current(self) -> DataFrame:
+    def current(self, prefilter=None) -> DataFrame:
         """Latest record per jid — the live job table.
+
+        `prefilter` is applied BELOW the window, so it reaches the parquet
+        scan (PushedFilters) — only valid for predicates on columns that are
+        immutable across a jid's lifecycle (queue, class, enqueued_at).
+        A mutable-column predicate (status, leased_at) below the window
+        would change which record is "latest"; filter those above.
 
         One shuffle on jid; at scale the log is bucketed by jid so this
         collapses to a per-bucket local window (no exchange), and compaction
         keeps the log short.
         """
+        log = self.log()
+        if prefilter is not None:
+            log = log.filter(prefilter)
         w = Window.partitionBy("jid").orderBy(F.col("seq").desc())
         return (
-            self.log()
-            .withColumn("_rn", F.row_number().over(w))
+            log.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )

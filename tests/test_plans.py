@@ -1,0 +1,129 @@
+"""Physical-plan quality gates.
+
+Correctness tests prove the WHAT; these prove the HOW survives refactors:
+filters reach the parquet scan, projections prune the read schema, small
+dimensions broadcast, and shuffle counts stay at the plan-minimum.  At
+100 TB each of these properties is the difference between a scan of
+gigabytes and a scan of the full table.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from flume_spark.queries import all_queries
+from tests.conftest import SF_ORACLE
+
+QUERIES = all_queries()
+
+
+def n_nodes(plan: str, kind: str) -> int:
+    """Count physical-plan NODES of a kind — the formatted output mentions
+    each node twice (tree + detail), so count detail headers only."""
+    return len(re.findall(rf"^\(\d+\) {kind}", plan, flags=re.MULTILINE))
+
+
+def explained(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_ORACLE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_filters_pushed_to_scan(spark):
+    plan = explained(spark, "q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan, "shipdate range not pushed"
+    assert "LessThan(l_shipdate" in plan
+    assert "GreaterThanOrEqual(l_discount" in plan
+
+
+def test_q6_column_pruning(spark):
+    plan = explained(spark, "q6_forecast_revenue")
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_quantity" in read and "l_extendedprice" in read
+    # untouched wide columns must NOT be read
+    assert "l_returnflag" not in read and "l_partkey" not in read
+
+
+def test_q1_column_pruning(spark):
+    plan = explained(spark, "q1_pricing_summary")
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_suppkey" not in read
+
+
+def test_join_broadcast_is_broadcast(spark):
+    plan = explained(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q5_all_dims_broadcast(spark):
+    """Star join: every dimension broadcasts; the fact table streams.
+    A SortMergeJoin here means a dim lost its broadcast hint/threshold."""
+    plan = explained(spark, "q5_local_supplier")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_semi_anti_stay_broadcast(spark):
+    for name in ("join_semi", "join_anti"):
+        plan = explained(spark, name)
+        assert "Broadcast" in plan, f"{name}: no broadcast"
+        assert "SortMergeJoin" not in plan, f"{name}: fell back to SMJ"
+
+
+def test_dedup_exact_single_shuffle(spark):
+    """Hash-dedup is one groupBy: exactly one Exchange in the plan."""
+    plan = explained(spark, "dedup_exact")
+    assert n_nodes(plan, "Exchange") <= 1, plan
+
+
+def test_window_rank_single_shuffle(spark):
+    plan = explained(spark, "window_rank")
+    assert n_nodes(plan, "Exchange") <= 1, plan
+
+
+def test_asof_join_single_key_shuffle(spark):
+    """The as-of union+window plan must shuffle each side once on the key
+    and never range-explode into a join."""
+    plan = explained(spark, "join_asof")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one hashpartitioning exchange per union leg is the expected shape
+    assert n_nodes(plan, "Exchange") <= 2, plan
+
+
+def test_topk_uses_take_ordered(spark):
+    """ORDER BY + LIMIT must collapse to TakeOrderedAndProject (per-partition
+    heaps), never a global sort."""
+    plan = explained(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_text_ops_are_scan_fused_map_stages(spark):
+    """Pure-expression text ops: no shuffle at all — they fuse into the scan."""
+    for name in ("text_fingerprint", "text_token_count", "text_subword_tokens"):
+        plan = explained(spark, name)
+        assert "Exchange" not in plan, f"{name} shuffles: {plan}"
+
+
+def test_queue_due_filter_pushdown(spark, tmp_path):
+    """The per-trigger due predicate must reach the job-log parquet scan."""
+    from flume_spark.queue import JobStore, QueueManager
+
+    store = JobStore(spark, str(tmp_path / "jobs"))
+    manager = QueueManager(spark, store)
+    manager.bulk_enqueue("q0", [("W", "perform", [1])])
+    df = manager.due_jobs("q0", 1_700_000_000.0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    assert "EqualTo(queue,q0)" in plan or "In(queue" in plan, plan
