@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 from flume_spark.queue import schema as S
 from flume_spark.queue.backoff import DEFAULT_INITIAL_MS, DEFAULT_MAX_MS, backoff_ms
+from flume_spark.queue.instrumentation import Telemetry
 from flume_spark.queue.ratelimit import SlidingWindowLimiter
 from flume_spark.queue.store import JobStore
 from flume_spark.queue.workers import WorkerRegistry, dispatch_bulk, dispatch_single
@@ -67,9 +68,11 @@ class QueueManager:
         backoff_initial_ms: int = DEFAULT_INITIAL_MS,
         backoff_max_ms: int = DEFAULT_MAX_MS,
         dispatch_timeout_s: float | None = None,
+        telemetry: Telemetry | None = None,
     ):
         self.spark = spark
         self.store = store
+        self.telemetry = telemetry or Telemetry()
         self.registry = registry or WorkerRegistry()
         self.pipelines = {p.name: p for p in (pipelines or [])}
         self.max_retries = max_retries
@@ -135,6 +138,12 @@ class QueueManager:
                 }
             )
         self.store.append_rows(rows)
+        # [:queue, :enqueue] telemetry (manager.ex:23-27; payload_size A5)
+        self.telemetry.emit(
+            ("queue", "enqueue"),
+            {"count": len(rows), "payload_size": sum(len(r["args"]) for r in rows)},
+            {"queue": queue},
+        )
         return jids
 
     def enqueue_in(
@@ -237,6 +246,7 @@ class QueueManager:
         # streaming reader of the log and re-trigger a claim, forever), and
         # dispatch reads exactly the claim files, not a full log scan.
         claim_seq = self.store.next_seq()
+        claim_t0 = time.perf_counter()
         rank_w = Window.partitionBy("queue").orderBy("enqueued_at", "jid")
         demand_map = F.create_map(
             *[x for q, (_, d) in demands.items() for x in (F.lit(q), F.lit(d))]
@@ -261,6 +271,12 @@ class QueueManager:
         }
         claimed_rows = sum(per_queue.values())
         stats["claimed"] = claimed_rows
+        # [:queue, :dequeue] telemetry (producer.ex:158-164)
+        self.telemetry.emit(
+            ("queue", "dequeue"),
+            {"count": claimed_rows, "latency_ms": (time.perf_counter() - claim_t0) * 1000.0},
+            {"queues": sorted(per_queue)},
+        )
         for q, n in per_queue.items():
             self.limiter.record(demands[q][0].limit_key, n, now)
 
@@ -341,17 +357,30 @@ class QueueManager:
         outcome = (
             joined.select(
                 "jid",
+                "duration_ms",
                 F.when(F.col("ok"), F.lit("succeeded"))
                 .when(new_retry_count > self.max_retries, F.lit("dead"))
                 .otherwise(F.lit("retried"))
                 .alias("outcome"),
             )
             .groupBy("outcome")
-            .count()
+            .agg(
+                F.count(F.lit(1)).alias("count"),
+                F.sum("duration_ms").alias("duration_ms"),
+            )
             .collect()
         )
+        worker_ms = 0.0
         for row in outcome:
             stats[row["outcome"]] = row["count"]
+            worker_ms += row["duration_ms"] or 0.0
+        # [:pipeline, :worker] telemetry (worker.ex:37-42) — measurements
+        # piggy-back on the outcome aggregation, no extra Spark job
+        self.telemetry.emit(
+            ("pipeline", "worker"),
+            {"duration_ms": worker_ms, "jobs": claimed_rows},
+            {"queues": sorted(per_queue)},
+        )
         return stats
 
     def backoff_s(self, retry_count: int) -> float:

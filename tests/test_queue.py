@@ -304,3 +304,56 @@ def test_fifo_dequeue_order(engine):
     for i in range(5):
         engine.run_once("one", now=T0 + 10 + i)
     assert [c[1][0] for c in calls()] == [0, 1, 2, 3, 4]
+
+
+# -- telemetry (O1: instrumentation.ex:1-40 event points) -------------------
+
+
+def test_telemetry_events_emitted(engine):
+    engine.telemetry.keep_events = True
+    engine.enqueue("default", "EchoWorker", [1])
+    engine.run_once("default", now=T0)
+    names = [e[0] for e in engine.telemetry.events]
+    assert ("queue", "enqueue") in names
+    assert ("queue", "dequeue") in names
+    assert ("pipeline", "worker") in names
+    enq = next(e for e in engine.telemetry.events if e[0] == ("queue", "enqueue"))
+    assert enq[1]["count"] == 1 and enq[1]["payload_size"] > 0
+    wrk = next(e for e in engine.telemetry.events if e[0] == ("pipeline", "worker"))
+    assert wrk[1]["jobs"] == 1 and wrk[1]["duration_ms"] >= 0
+
+
+def test_telemetry_handler_isolation(engine):
+    seen = []
+
+    def bad_handler(event, m, meta):
+        raise RuntimeError("handler boom")
+
+    engine.telemetry.attach(bad_handler)
+    engine.telemetry.attach(lambda e, m, meta: seen.append(e))
+    engine.enqueue("default", "EchoWorker", [1])  # must not raise
+    assert ("queue", "enqueue") in seen
+
+
+# -- mock mode (U4: queue/mock_api.ex) --------------------------------------
+
+
+def test_mock_mode_records_instead_of_writing(engine):
+    from flume_spark.queue.mock import mock
+
+    with mock(engine) as recorder:
+        engine.enqueue("default", "EchoWorker", ["mocked"])
+        recorder.assert_enqueued("default", "EchoWorker", [["mocked"]][0])
+    # nothing landed in the store while mocked
+    assert engine.job_counts(["default"])["default"] == 0
+    # real path restored
+    engine.enqueue("default", "EchoWorker", ["real"])
+    assert engine.job_counts(["default"])["default"] == 1
+
+
+def test_mock_rejects_object_args(engine):
+    from flume_spark.queue.mock import mock
+
+    with mock(engine) as recorder:
+        engine.enqueue("default", "EchoWorker", {"k": "v"})
+        recorder.assert_enqueued("default", "EchoWorker", [])

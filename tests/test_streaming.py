@@ -71,3 +71,20 @@ def test_stream_pause_gate(runner_env):
     manager.enqueue("sq", "NoopWorker", ["wake"])  # new arrival wakes the stream
     runner.await_idle()
     assert _status_counts(manager) == {"succeeded": 4}
+
+
+def test_streaming_listener_bridges_progress(runner_env, spark):
+    from flume_spark.queue.instrumentation import Telemetry, attach_streaming_listener
+
+    manager, runner = runner_env
+    bus = Telemetry(keep_events=True)
+    listener = attach_streaming_listener(spark, bus)
+    try:
+        manager.enqueue("sq", "NoopWorker", [1])
+        runner.start()
+        runner.await_idle()
+        names = {e[0] for e in bus.events}
+        assert ("pipeline", "started") in names
+        assert ("pipeline", "progress") in names
+    finally:
+        spark.streams.removeListener(listener)
