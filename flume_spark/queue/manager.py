@@ -247,12 +247,32 @@ class QueueManager:
         # dispatch reads exactly the claim files, not a full log scan.
         claim_seq = self.store.next_seq()
         claim_t0 = time.perf_counter()
-        rank_w = Window.partitionBy("queue").orderBy("enqueued_at", "jid")
+        ts = F.lit(_ts(now))
+        lease_horizon = F.lit(_ts(now - self.visibility_timeout_s))
+        due_pred = (
+            (
+                (F.col("status") == S.PENDING)
+                & (F.col("scheduled_at").isNull() | (F.col("scheduled_at") <= ts))
+            )
+            | ((F.col("status") == S.RETRY) & (F.col("retry_at") <= ts))
+            | ((F.col("status") == S.PROCESSING) & (F.col("leased_at") < lease_horizon))
+        )
         demand_map = F.create_map(
             *[x for q, (_, d) in demands.items() for x in (F.lit(q), F.lit(d))]
         )
+        # ONE shuffle: jid -> queue is functional (a job never changes
+        # queue), so both the latest-per-jid window and the per-queue demand
+        # rank cluster by `queue` — the explicit repartition is reused by
+        # both windows (only local sorts follow).
+        w_latest = Window.partitionBy("queue", "jid").orderBy(F.col("seq").desc())
+        rank_w = Window.partitionBy("queue").orderBy("enqueued_at", "jid")
         claim_df = (
-            self.due_jobs(list(demands), now)
+            self.store.log()
+            .filter(F.col("queue").isin(list(demands)))  # pushed to scan
+            .repartition("queue")
+            .withColumn("_r1", F.row_number().over(w_latest))
+            .filter((F.col("_r1") == 1) & due_pred)
+            .drop("_r1")
             .withColumn("_rn", F.row_number().over(rank_w))
             .filter(F.col("_rn") <= demand_map[F.col("queue")])
             .drop("_rn")
@@ -263,13 +283,17 @@ class QueueManager:
         claim_paths = self.store.publish(claim_df, f"claim-{claim_seq}")
         if not claim_paths:
             return stats
+        # claim rows are bounded by Σ demand (the reference's own bound —
+        # its whole claim travels through one Redis reply), so the
+        # control-plane bookkeeping is driver-side: zero extra Spark jobs
+        claim_rows = self.store.read_rows(claim_paths)
         claimed = self.spark.read.schema(self.store.log().schema).parquet(
             *claim_paths
         )
-        per_queue = {
-            r["queue"]: r["count"] for r in claimed.groupBy("queue").count().collect()
-        }
-        claimed_rows = sum(per_queue.values())
+        per_queue: dict[str, int] = {}
+        for r in claim_rows:
+            per_queue[r["queue"]] = per_queue.get(r["queue"], 0) + 1
+        claimed_rows = len(claim_rows)
         stats["claimed"] = claimed_rows
         # [:queue, :dequeue] telemetry (producer.ex:158-164)
         self.telemetry.emit(
@@ -310,72 +334,63 @@ class QueueManager:
         results = parts[0]
         for extra in parts[1:]:
             results = results.unionByName(extra)
-        results_path = f"{self.store.path.rstrip('/')}.results/{claim_seq}"
-        results.write.mode("overwrite").parquet(results_path)
-        results = self.spark.read.parquet(results_path)
+        # one action executes the workers exactly once; the result set is
+        # bounded by the claim (≤ Σ demand), so it collects
+        result_rows = {r["jid"]: r for r in results.collect()}
 
         # ack / retry / DLQ append (system_event worker + manager.ex:121-193)
+        # — driver-side over the bounded claim; the only cost is one pyarrow
+        # file commit (append_rows), no Spark jobs
         ack_seq = self.store.next_seq()
-        joined = claimed.drop("seq", "error_message", "error_backtrace").join(
-            results, "jid"
-        )
-        new_retry_count = F.col("retry_count") + 1
-        backoff_s = F.least(
-            F.round(F.lit(self.backoff_initial_ms) * new_retry_count * 1.5, 0),
-            F.lit(self.backoff_max_ms),
-        ) / 1000.0
-        ack = joined.select(
-            "jid",
-            "queue",
-            "class",
-            "function",
-            "args",
-            "context",
-            F.when(F.col("ok"), F.lit(S.SUCCEEDED))
-            .when(new_retry_count > self.max_retries, F.lit(S.DEAD))
-            .otherwise(F.lit(S.RETRY))
-            .alias("status"),
-            F.when(F.col("ok"), F.col("retry_count"))
-            .otherwise(new_retry_count)
-            .cast("int")
-            .alias("retry_count"),
-            "enqueued_at",
-            "scheduled_at",
-            F.lit(_ts(now)).alias("leased_at"),
-            F.when(
-                ~F.col("ok") & (new_retry_count <= self.max_retries),
-                F.timestamp_seconds(F.unix_timestamp(F.lit(_ts(now))) + backoff_s),
-            ).alias("retry_at"),
-            F.when(F.col("ok"), F.lit(_ts(now))).alias("finished_at"),
-            F.when(~F.col("ok"), F.lit(_ts(now))).alias("failed_at"),
-            F.col("error_message"),
-            F.col("error_backtrace"),
-            F.lit(ack_seq).alias("seq"),
-        )
-        self.store.publish(ack, f"ack-{ack_seq}")
-
-        outcome = (
-            joined.select(
-                "jid",
-                "duration_ms",
-                F.when(F.col("ok"), F.lit("succeeded"))
-                .when(new_retry_count > self.max_retries, F.lit("dead"))
-                .otherwise(F.lit("retried"))
-                .alias("outcome"),
-            )
-            .groupBy("outcome")
-            .agg(
-                F.count(F.lit(1)).alias("count"),
-                F.sum("duration_ms").alias("duration_ms"),
-            )
-            .collect()
-        )
+        now_dt = _ts(now)
+        ack_rows = []
         worker_ms = 0.0
-        for row in outcome:
-            stats[row["outcome"]] = row["count"]
-            worker_ms += row["duration_ms"] or 0.0
-        # [:pipeline, :worker] telemetry (worker.ex:37-42) — measurements
-        # piggy-back on the outcome aggregation, no extra Spark job
+        for c in claim_rows:
+            r = result_rows.get(c["jid"])
+            ok = bool(r and r["ok"])
+            if r:
+                worker_ms += r["duration_ms"] or 0.0
+            new_rc = c["retry_count"] + 1
+            if ok:
+                status, rc_out, outcome = S.SUCCEEDED, c["retry_count"], "succeeded"
+            elif new_rc > self.max_retries:
+                status, rc_out, outcome = S.DEAD, new_rc, "dead"
+            else:
+                status, rc_out, outcome = S.RETRY, new_rc, "retried"
+            stats[outcome] += 1
+            retry_at = None
+            if status == S.RETRY:
+                delay = backoff_ms(
+                    new_rc, self.backoff_initial_ms, self.backoff_max_ms
+                ) / 1000.0
+                retry_at = _ts(int(now) + delay)
+            err = None if ok else (r["error_message"] if r else "no dispatch result")
+            ack_rows.append(
+                {
+                    "jid": c["jid"],
+                    "queue": c["queue"],
+                    "class": c["class"],
+                    "function": c["function"],
+                    "args": c["args"],
+                    "context": c["context"],
+                    "status": status,
+                    "retry_count": rc_out,
+                    "enqueued_at": c["enqueued_at"],
+                    "scheduled_at": c["scheduled_at"],
+                    "leased_at": now_dt,
+                    "retry_at": retry_at,
+                    "finished_at": now_dt if ok else None,
+                    "failed_at": None if ok else now_dt,
+                    "error_message": err,
+                    "error_backtrace": None
+                    if ok
+                    else (r["error_backtrace"] if r else None),
+                    "seq": ack_seq,
+                }
+            )
+        self.store.append_rows(ack_rows)
+
+        # [:pipeline, :worker] telemetry (worker.ex:37-42)
         self.telemetry.emit(
             ("pipeline", "worker"),
             {"duration_ms": worker_ms, "jobs": claimed_rows},

@@ -102,6 +102,28 @@ class JobStore:
         pq.write_table(table, tmp)
         os.rename(tmp, os.path.join(self.path, name))  # atomic visibility
 
+    def read_rows(self, paths: list[str]) -> list[dict]:
+        """Driver-side read of specific log files (pyarrow, no Spark job).
+
+        ONLY for control-plane data bounded by construction — e.g. a claim
+        batch is ≤ Σ max_demand rows per trigger, the same bound the
+        reference's Redis round-trip carries.  Never point this at the log
+        dir itself.
+        """
+        from datetime import datetime, timezone
+
+        tbl = pa.concat_tables(
+            [pq.read_table(p) for p in paths], promote_options="permissive"
+        )
+        rows = tbl.to_pylist()
+        for r in rows:
+            for k, v in r.items():
+                if isinstance(v, datetime) and v.tzinfo is not None:
+                    r[k] = v.astimezone(timezone.utc).replace(tzinfo=None)
+            if isinstance(r.get("context"), list):
+                r["context"] = dict(r["context"])
+        return rows
+
     def publish(self, df: DataFrame, tag: str) -> list[str]:
         """Stage a distributed write, then rename only data-bearing part
         files into the log.  Returns the published paths ([] if the frame
