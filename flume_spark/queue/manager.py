@@ -69,10 +69,12 @@ class QueueManager:
         backoff_max_ms: int = DEFAULT_MAX_MS,
         dispatch_timeout_s: float | None = None,
         telemetry: Telemetry | None = None,
+        compact_max_files: int | None = 256,
     ):
         self.spark = spark
         self.store = store
         self.telemetry = telemetry or Telemetry()
+        self.compact_max_files = compact_max_files
         self.registry = registry or WorkerRegistry()
         self.pipelines = {p.name: p for p in (pipelines or [])}
         self.max_retries = max_retries
@@ -181,6 +183,12 @@ class QueueManager:
         counts = {q: 0 for q in queues}
         counts.update({r["queue"]: r["n"] for r in rows})
         return counts
+
+    def fetch_all(self, queue: str, status: str | None = None) -> DataFrame:
+        """S8 full scan of a queue (redis/job.ex:152-158; ZRANGE variant via
+        `status='retry'` etc.)."""
+        df = self.store.current(prefilter=F.col("queue") == queue)
+        return df.filter(F.col("status") == status) if status else df
 
     def due_jobs(self, queue: str | list[str], now: float) -> DataFrame:
         """The per-trigger due predicate (subsumes scheduler + processing
@@ -396,6 +404,10 @@ class QueueManager:
             {"duration_ms": worker_ms, "jobs": claimed_rows},
             {"queues": sorted(per_queue)},
         )
+
+        # bound log fragmentation so per-trigger scan cost stays flat
+        if self.compact_max_files is not None:
+            self.store.maybe_compact(self.compact_max_files)
         return stats
 
     def backoff_s(self, retry_count: int) -> float:

@@ -153,6 +153,19 @@ class JobStore:
         shutil.rmtree(staging, ignore_errors=True)
         return published
 
+    def n_files(self) -> int:
+        return sum(1 for n in os.listdir(self.path) if n.endswith(".parquet"))
+
+    def maybe_compact(self, max_files: int = 256) -> bool:
+        """Compact when the log fragments past `max_files` — bounds the
+        per-trigger scan cost under sustained enqueue/ack traffic (each
+        trigger otherwise reads every small file ever written).  Delta/
+        Iceberg analog: auto-OPTIMIZE.  Returns True if compaction ran."""
+        if self.n_files() <= max_files:
+            return False
+        self.compact()
+        return True
+
     def is_empty(self) -> bool:
         return not any(
             name.endswith(".parquet") for name in os.listdir(self.path)

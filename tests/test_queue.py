@@ -357,3 +357,20 @@ def test_mock_rejects_object_args(engine):
     with mock(engine) as recorder:
         engine.enqueue("default", "EchoWorker", {"k": "v"})
         recorder.assert_enqueued("default", "EchoWorker", [])
+
+
+# -- compaction (bounds per-trigger scan cost) ------------------------------
+
+
+def test_auto_compaction_bounds_log_files(engine):
+    engine.compact_max_files = 4
+    now = T0
+    for i in range(6):
+        engine.enqueue("default", "EchoWorker", [i], now=now)
+        engine.run_once("default", now=now)
+        now += 1
+    assert engine.store.n_files() <= 5  # compacted under the cap (+1 slack)
+    # state survived compaction: every job exactly once, all succeeded
+    rows = engine.current().collect()
+    assert len(rows) == 6
+    assert all(r["status"] == "succeeded" for r in rows)
