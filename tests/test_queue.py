@@ -374,3 +374,14 @@ def test_auto_compaction_bounds_log_files(engine):
     rows = engine.current().collect()
     assert len(rows) == 6
     assert all(r["status"] == "succeeded" for r in rows)
+
+
+def test_fetch_all(engine):
+    engine.enqueue("default", "EchoWorker", [1], now=T0)
+    engine.enqueue("default", "FailWorker", [], now=T0)
+    engine.enqueue("other", "EchoWorker", [2], now=T0)
+    engine.run_once("default", now=T0)
+    rows = engine.fetch_all("default").collect()
+    assert len(rows) == 2  # only this queue
+    retry = engine.fetch_all("default", status="retry").collect()
+    assert len(retry) == 1 and retry[0]["class"] == "FailWorker"
