@@ -385,3 +385,61 @@ def test_fetch_all(engine):
     assert len(rows) == 2  # only this queue
     retry = engine.fetch_all("default", status="retry").collect()
     assert len(retry) == 1 and retry[0]["class"] == "FailWorker"
+
+
+def test_unknown_worker_class_is_isolated_and_retried(engine):
+    """A job naming an unregistered class fails that job only (KeyError in
+    the dispatch isolation boundary) and enters the retry/backoff path."""
+    engine.enqueue("default", "NoSuchWorker", [1], now=T0)
+    engine.enqueue("default", "EchoWorker", [2], now=T0)
+    stats = engine.run_once("default", now=T0)
+    assert stats == {"claimed": 2, "succeeded": 1, "retried": 1, "dead": 0}
+    bad = engine.fetch_all("default", status="retry").collect()[0]
+    assert "KeyError" in bad["error_message"]
+
+
+# -- property tests (hypothesis) --------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(count=st.integers(min_value=1, max_value=100))
+@settings(max_examples=30, deadline=None)
+def test_backoff_monotone_and_capped(count):
+    from flume_spark.queue.backoff import DEFAULT_MAX_MS, backoff_ms
+
+    b = backoff_ms(count)
+    assert 0 < b <= DEFAULT_MAX_MS
+    assert b >= backoff_ms(count - 1) or count == 1
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=10, allow_nan=False),  # time offset
+            st.integers(min_value=1, max_value=20),  # batch size
+        ),
+        max_size=30,
+    ),
+    max_count=st.integers(min_value=1, max_value=50),
+    scale_ms=st.integers(min_value=100, max_value=5000),
+)
+@settings(max_examples=50, deadline=None)
+def test_rate_limiter_never_exceeds_window(events, max_count, scale_ms):
+    """INVARIANT (README.md:264-265 of the reference): at no instant do more
+    than max_count admitted events fall inside any trailing window."""
+    from flume_spark.queue.ratelimit import SlidingWindowLimiter
+
+    lim = SlidingWindowLimiter()
+    admitted: list[float] = []
+    t = 1_000_000.0
+    for offset, want in sorted(events):
+        now = t + offset
+        grant = min(want, lim.remaining("k", max_count, scale_ms, now))
+        assert grant >= 0
+        if grant:
+            lim.record("k", grant, now)
+            admitted.extend([now] * grant)
+        in_window = sum(1 for a in admitted if a > now - scale_ms / 1000.0)
+        assert in_window <= max_count
