@@ -101,7 +101,6 @@ def bench_queue(spark) -> dict[str, float]:
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(tmp.rstrip("/") + "/jobs.results", ignore_errors=True)
 
 
 def main() -> None:

@@ -88,3 +88,55 @@ def test_streaming_listener_bridges_progress(runner_env, spark):
         assert ("pipeline", "progress") in names
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_streaming_window_agg_matches_batch(spark, tmp_path):
+    """ST8/ST9: the same tumbling-window plan under readStream (with
+    watermark) converges to the batch answer once all files are processed."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from flume_spark.streaming.windows import streaming_tumbling_counts
+
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    # build two small event files arriving separately
+    from datetime import datetime
+
+    rows1 = [(i, datetime(2024, 1, 1, h, 5), "click") for i, h in enumerate([0, 0, 1])]
+    rows2 = [(10 + i, datetime(2024, 1, 1, h, 40), "view") for i, h in enumerate([0, 2])]
+    schema = "event_id long, ts timestamp, event_type string"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(
+        str(src)
+    )
+
+    stream = streaming_tumbling_counts(
+        spark, str(src), schema, window="1 hour", max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["window_start"].hour, r["event_type"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        }
+    finally:
+        q.stop()
+    expected = (
+        spark.read.schema(schema).parquet(str(src))
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+        .collect()
+    )
+    exp = {(r["window"]["start"].hour, r["event_type"]): r["count"] for r in expected}
+    assert got == exp == {(0, "click"): 2, (1, "click"): 1, (0, "view"): 1, (2, "view"): 1}
