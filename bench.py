@@ -57,6 +57,9 @@ def bench_queries(spark) -> dict[str, float]:
     from flume_spark.queries import all_queries
 
     queries = all_queries()
+    # warm the JVM / parquet reader / Arrow path once so the first timed
+    # query isn't charged for session startup
+    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

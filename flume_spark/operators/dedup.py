@@ -21,6 +21,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy downstream expressions (per-shingle hashing) are not
+    bottlenecked on a single input partition.  Small single-file inputs scan
+    as ONE partition, serializing all map-side hash work onto one core; a
+    cheap row-count-bounded repartition buys full parallelism.  At real
+    scale the scan already has >= cores partitions and this is a no-op.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep the lowest id per identical content; reports group size.
 
@@ -36,12 +49,15 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """Distinct n-word shingles per document: (id, shingle).
+    """n-word shingles per document: (id, shingle), distinct by default.
 
     Tokenization: lowercase, split on whitespace runs.  Shingles built with
-    array slicing inside codegen (no UDF).
+    array slicing inside codegen (no UDF).  Pass distinct=False for
+    consumers invariant to duplicates (min-hash: min over a multiset equals
+    min over its set) — it removes a full shuffle of the exploded table,
+    the largest intermediate in the pipeline.
     """
     words_sql = f"split(lower(trim({text_col})), '\\\\s+')"
     if n == 1:
@@ -55,10 +71,10 @@ def word_shingles(
             f"     i -> concat_ws(' ', slice({words_sql}, i + 1, {n}))) "
             f"ELSE cast(array() AS array<string>) END"
         )
-    exploded = df.select(
+    exploded = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(shingle_arr).alias("shingle")
     )
-    return exploded.distinct()
+    return exploded.distinct() if distinct else exploded
 
 
 def ngram_jaccard_pairs(
@@ -128,7 +144,7 @@ def minhash_lsh_candidates(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sh = word_shingles(df, id_col, text_col, shingle_n)
+    sh = word_shingles(df, id_col, text_col, shingle_n, distinct=False)
     sigs = sh.groupBy("id").agg(*_minhash_sig_cols(num_hashes))
     band_cols = []
     for bidx in range(bands):
@@ -170,7 +186,7 @@ def simhash_fingerprint(
     """
     words = F.expr(f"split(lower(trim({text_col})), '\\\\s+')")
     counts = (
-        df.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("tok"))
+        _spread(df).select(F.col(id_col).alias("doc_id"), F.explode(words).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

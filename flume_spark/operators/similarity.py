@@ -54,10 +54,15 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, rank, cosine).  Deterministic: ranked by
     rounded cosine desc, then neighbor id.
     """
+    from flume_spark.operators.dedup import _spread
+
     q = emb.filter(query_pred).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    n = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    # spread the probe side: the per-pair cosine fold runs on ITS partitions
+    n = _spread(emb).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
     pairs = F.broadcast(q).join(n, F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
         "query_id",
@@ -136,12 +141,14 @@ def ivf_topk(
     sizes instead of |Q|x|N|, the standard IVF trade (recall loss only when
     the true neighbor lives in another cell; multi-probe = OR more cells).
     """
+    from flume_spark.operators.dedup import _spread
+
     q = emb.filter(query_pred).select(
         F.col(id_col).alias("query_id"),
         F.col(bucket_col).alias("__bucket"),
         F.col(vec_col).alias("qv"),
     )
-    n = emb.select(
+    n = _spread(emb).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(bucket_col).alias("__bucket"),
         F.col(vec_col).alias("nv"),
