@@ -443,3 +443,44 @@ def test_rate_limiter_never_exceeds_window(events, max_count, scale_ms):
             admitted.extend([now] * grant)
         in_window = sum(1 for a in admitted if a > now - scale_ms / 1000.0)
         assert in_window <= max_count
+
+
+# -- args round-trip (SURVEY §7 hard part 4: arbitrary JSON survives) -------
+
+json_values = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(min_value=-(2**31), max_value=2**31)
+    | st.floats(allow_nan=False, allow_infinity=False)
+    | st.text(max_size=20),
+    lambda children: st.lists(children, max_size=4),
+    max_leaves=10,
+)
+
+
+@given(args=st.lists(json_values, max_size=4))
+@settings(max_examples=50, deadline=None)
+def test_args_encoding_contract(args):
+    """The args column encoding (raw JSON text) is lossless for any
+    JSON-encodable positional args (reference keeps original_json for the
+    same guarantee, event.ex:57)."""
+    import json as _json
+
+    assert _json.loads(_json.dumps(args)) == args
+
+
+def test_args_roundtrip_through_engine(engine):
+    """Nasty args arrive at the worker EXACTLY as enqueued: nesting,
+    unicode, floats, null, empty containers."""
+    nasty = [
+        [1, [2, [3, None]]],
+        "unicodé ✓ \n\t",
+        3.141592653589793,
+        -0.0,
+        [],
+        True,
+    ]
+    engine.enqueue("default", "EchoWorker", nasty, now=T0)
+    engine.run_once("default", now=T0)
+    kinds = [payload for kind, payload in calls() if kind == "echo"]
+    assert kinds == [nasty]
