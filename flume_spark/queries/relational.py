@@ -629,6 +629,30 @@ FROM orders GROUP BY 1
 """
 
 
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance.
+    6dp rounding absorbs partial-aggregation summation-order noise."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+    )
+
+
+AGG_STATS_SQL = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6)                 AS sd_qty,
+       round(var_samp(l_discount), 6)                    AS var_disc,
+       round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch — no oracle (approximate by design; driver
     records a rows-only check)."""
@@ -945,6 +969,7 @@ QUERIES = {
     "scalar_math_funcs": scalar_math_funcs,
     "scalar_json_funcs": scalar_json_funcs,
     "case_when_bucketing": case_when_bucketing,
+    "agg_stats": agg_stats,
     "approx_distinct": approx_distinct,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
@@ -983,6 +1008,7 @@ ORACLES = {
     "scalar_math_funcs": SCALAR_MATH_SQL,
     "scalar_json_funcs": SCALAR_JSON_SQL,
     "case_when_bucketing": CASE_WHEN_SQL,
+    "agg_stats": AGG_STATS_SQL,
     # approx_distinct: intentionally no oracle (HLL is approximate).
     "q4_order_priority": Q4_SQL,
     "q6_forecast_revenue": Q6_SQL,
