@@ -28,6 +28,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume",
+    "agg_stats",
     "join_broadcast",
     "agg_distinct",
     "window_rank",

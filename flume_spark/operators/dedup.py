@@ -83,14 +83,25 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact pairwise n-gram Jaccard >= threshold via inverted-index join.
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     jaccard is rounded to 6dp (it is a ratio of exact integer counts, so
     both engines agree bit-for-bit; rounding is belt-and-braces).
+
+    `max_df` is the 100 TB knob: the join's shuffle is Σ_shingle df², so a
+    stop-shingle appearing in d docs contributes d² candidate rows.
+    Dropping shingles with df > max_df from the CANDIDATE join bounds the
+    blow-up; intersection counts then come from the capped index, so
+    results become a lower-bound approximation — leave None for exact
+    (the oracle-checked configuration).
     """
     sh = word_shingles(df, id_col, text_col, n).cache()
+    if max_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -11,28 +11,18 @@ from __future__ import annotations
 
 import contextlib
 import io
-import re
 
 import pytest
 
+from flume_spark.plans import explain_str, n_nodes
 from flume_spark.queries import all_queries
 from tests.conftest import SF_ORACLE
 
 QUERIES = all_queries()
 
 
-def n_nodes(plan: str, kind: str) -> int:
-    """Count physical-plan NODES of a kind — the formatted output mentions
-    each node twice (tree + detail), so count detail headers only."""
-    return len(re.findall(rf"^\(\d+\) {kind}", plan, flags=re.MULTILINE))
-
-
 def explained(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF_ORACLE)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    return explain_str(QUERIES[name](spark, SF_ORACLE))
 
 
 def test_q6_filters_pushed_to_scan(spark):
