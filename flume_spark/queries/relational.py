@@ -750,6 +750,32 @@ WHERE p_retailprice > 1.5 * (SELECT avg(p_retailprice) FROM part)
 """
 
 
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q2 shape) — Catalyst decorrelates
+    it into an aggregate + join, no per-row re-execution."""
+    register_views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        FROM customer c
+        WHERE c_acctbal = (
+          SELECT max(c2.c_acctbal) FROM customer c2
+          WHERE c2.c_nationkey = c.c_nationkey
+        )
+        """
+    )
+
+
+CORRELATED_SUBQUERY_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal
+FROM customer c
+WHERE c_acctbal = (
+  SELECT max(c2.c_acctbal) FROM customer c2
+  WHERE c2.c_nationkey = c.c_nationkey
+)
+"""
+
+
 def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupBy().pivot() with explicit values (no discovery scan)."""
     li = T(spark, sf_dir, "lineitem")
@@ -977,6 +1003,7 @@ QUERIES = {
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_volume": q18_large_volume,
     "scalar_subquery": scalar_subquery,
+    "correlated_subquery": correlated_subquery,
     "pivot_returnflag": pivot_returnflag,
     "unpivot_orders": unpivot_orders,
     "explode_tokens": explode_tokens,
@@ -1016,6 +1043,7 @@ ORACLES = {
     "q14_promo_revenue": Q14_SQL,
     "q18_large_volume": Q18_SQL,
     "scalar_subquery": SCALAR_SUBQUERY_SQL,
+    "correlated_subquery": CORRELATED_SUBQUERY_SQL,
     "pivot_returnflag": PIVOT_SQL,
     "unpivot_orders": UNPIVOT_SQL,
     "explode_tokens": EXPLODE_SQL,

@@ -140,3 +140,47 @@ def test_streaming_window_agg_matches_batch(spark, tmp_path):
     )
     exp = {(r["window"]["start"].hour, r["event_type"]): r["count"] for r in expected}
     assert got == exp == {(0, "click"): 2, (1, "click"): 1, (0, "view"): 1, (2, "view"): 1}
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-key totals accumulate across separately
+    arriving files (micro-batches), surviving in the state store."""
+    from pyspark.sql import functions as F
+
+    from flume_spark.streaming.stateful import running_totals
+
+    src = tmp_path / "kv_stream"
+    src.mkdir()
+    schema = "key string, value double"
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 10.0)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = running_totals(stream.groupBy("key"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_s"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch arrives later: totals must ACCUMULATE, not reset
+        spark.createDataFrame(
+            [("a", 4.0), ("c", 7.0)], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT key, max(n_events) AS n, max(total) AS t "
+            "FROM running_totals GROUP BY key"
+        ).collect()
+        got = {r["key"]: (r["n"], r["t"]) for r in rows}
+    finally:
+        q.stop()
+    assert got == {"a": (3, 7.0), "b": (1, 10.0), "c": (1, 7.0)}
