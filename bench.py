@@ -54,7 +54,7 @@ HEADLINE = [
     "agg_percentiles",
 ]
 
-QUEUE_JOBS = 2_000
+QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))
 QUEUE_FANOUT = 20  # queues, mirroring redis_benchmark defaults
 
 

@@ -155,3 +155,24 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.length(norm).alias("n_norm_chars"),
     )
+
+
+def corpus_stats_observed(df: DataFrame, id_col: str, text_col: str):
+    """Per-doc quality frame + corpus-level metrics via `df.observe` —
+    the metrics ride the SAME action as the main result (zero extra scans;
+    `instrumentation.ex`-style telemetry for the relational surface).
+
+    Returns (scored_df, Observation).  After any action on scored_df,
+    `observation.get` yields {n_docs, total_tokens, mean_quality}.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("corpus_stats")
+    scored = quality_score(df, id_col, text_col)
+    observed = scored.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.avg("quality").alias("mean_quality"),
+    )
+    return observed, obs

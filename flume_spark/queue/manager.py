@@ -213,6 +213,50 @@ class QueueManager:
     # into one synchronous micro-batch (SURVEY.md §3.2)
     # ------------------------------------------------------------------
 
+    def claim_plan(
+        self, demand_by_queue: dict[str, int], now: float, claim_seq: int
+    ) -> DataFrame:
+        """The per-trigger claim as ONE-shuffle plan.
+
+        jid -> queue is functional (a job never changes queue), so both the
+        latest-per-jid window and the per-queue demand rank cluster by
+        `queue` — the explicit repartition is reused by both windows (only
+        local sorts follow), and the queue IN-filter pushes to the scan.
+        `tests/test_plans.py::test_claim_plan_single_shuffle` guards this.
+        """
+        ts = F.lit(_ts(now))
+        lease_horizon = F.lit(_ts(now - self.visibility_timeout_s))
+        due_pred = (
+            (
+                (F.col("status") == S.PENDING)
+                & (F.col("scheduled_at").isNull() | (F.col("scheduled_at") <= ts))
+            )
+            | ((F.col("status") == S.RETRY) & (F.col("retry_at") <= ts))
+            | (
+                (F.col("status") == S.PROCESSING)
+                & (F.col("leased_at") < lease_horizon)
+            )
+        )
+        demand_map = F.create_map(
+            *[x for q, d in demand_by_queue.items() for x in (F.lit(q), F.lit(d))]
+        )
+        w_latest = Window.partitionBy("queue", "jid").orderBy(F.col("seq").desc())
+        rank_w = Window.partitionBy("queue").orderBy("enqueued_at", "jid")
+        return (
+            self.store.log()
+            .filter(F.col("queue").isin(list(demand_by_queue)))  # pushed to scan
+            .repartition("queue")
+            .withColumn("_r1", F.row_number().over(w_latest))
+            .filter((F.col("_r1") == 1) & due_pred)
+            .drop("_r1")
+            .withColumn("_rn", F.row_number().over(rank_w))
+            .filter(F.col("_rn") <= demand_map[F.col("queue")])
+            .drop("_rn")
+            .withColumn("status", F.lit(S.PROCESSING))
+            .withColumn("leased_at", F.lit(_ts(now)))
+            .withColumn("seq", F.lit(claim_seq))
+        )
+
     def run_once(self, pipeline: str | Pipeline, now: float | None = None) -> dict:
         return self.run_many([pipeline], now=now)
 
@@ -255,38 +299,8 @@ class QueueManager:
         # dispatch reads exactly the claim files, not a full log scan.
         claim_seq = self.store.next_seq()
         claim_t0 = time.perf_counter()
-        ts = F.lit(_ts(now))
-        lease_horizon = F.lit(_ts(now - self.visibility_timeout_s))
-        due_pred = (
-            (
-                (F.col("status") == S.PENDING)
-                & (F.col("scheduled_at").isNull() | (F.col("scheduled_at") <= ts))
-            )
-            | ((F.col("status") == S.RETRY) & (F.col("retry_at") <= ts))
-            | ((F.col("status") == S.PROCESSING) & (F.col("leased_at") < lease_horizon))
-        )
-        demand_map = F.create_map(
-            *[x for q, (_, d) in demands.items() for x in (F.lit(q), F.lit(d))]
-        )
-        # ONE shuffle: jid -> queue is functional (a job never changes
-        # queue), so both the latest-per-jid window and the per-queue demand
-        # rank cluster by `queue` — the explicit repartition is reused by
-        # both windows (only local sorts follow).
-        w_latest = Window.partitionBy("queue", "jid").orderBy(F.col("seq").desc())
-        rank_w = Window.partitionBy("queue").orderBy("enqueued_at", "jid")
-        claim_df = (
-            self.store.log()
-            .filter(F.col("queue").isin(list(demands)))  # pushed to scan
-            .repartition("queue")
-            .withColumn("_r1", F.row_number().over(w_latest))
-            .filter((F.col("_r1") == 1) & due_pred)
-            .drop("_r1")
-            .withColumn("_rn", F.row_number().over(rank_w))
-            .filter(F.col("_rn") <= demand_map[F.col("queue")])
-            .drop("_rn")
-            .withColumn("status", F.lit(S.PROCESSING))
-            .withColumn("leased_at", F.lit(_ts(now)))
-            .withColumn("seq", F.lit(claim_seq))
+        claim_df = self.claim_plan(
+            {q: d for q, (_, d) in demands.items()}, now, claim_seq
         )
         claim_paths = self.store.publish(claim_df, f"claim-{claim_seq}")
         if not claim_paths:

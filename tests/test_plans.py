@@ -117,3 +117,16 @@ def test_queue_due_filter_pushdown(spark, tmp_path):
     plan = buf.getvalue()
     assert "PushedFilters" in plan
     assert "EqualTo(queue,q0)" in plan or "In(queue" in plan, plan
+
+
+def test_claim_plan_single_shuffle(spark, tmp_path):
+    """The queue claim must stay a ONE-shuffle plan: both windows reuse the
+    repartition("queue") exchange (jid->queue functional dependency)."""
+    from flume_spark.queue import JobStore, QueueManager
+
+    store = JobStore(spark, str(tmp_path / "jobs"))
+    manager = QueueManager(spark, store)
+    manager.bulk_enqueue("q0", [("W", "perform", [i]) for i in range(5)])
+    plan = explain_str(manager.claim_plan({"q0": 10, "q1": 10}, 1.7e9, 99))
+    assert n_nodes(plan, "Exchange") == 1, plan
+    assert "In(queue" in plan or "EqualTo(queue" in plan  # scan pushdown
