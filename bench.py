@@ -100,7 +100,13 @@ def bench_queue(spark) -> dict[str, float]:
         enqueue_s = time.perf_counter() - start
 
         start = time.perf_counter()
-        done = manager.run_many([f"p{i}" for i in range(QUEUE_FANOUT)])["succeeded"]
+        names = [f"p{i}" for i in range(QUEUE_FANOUT)]
+        done = 0
+        while done < QUEUE_JOBS:  # drain: demand caps each trigger at 500/queue
+            got = manager.run_many(names)["succeeded"]
+            if got == 0:
+                break
+            done += got
         process_s = time.perf_counter() - start
         assert done == QUEUE_JOBS, f"processed {done}/{QUEUE_JOBS}"
         return {
