@@ -100,6 +100,36 @@ def resize_stub(payloads: DataFrame, max_dim: int = 64) -> DataFrame:
     return payloads.mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
+FEATURE_SCHEMA = "id bigint, features array<double>"
+
+
+def feature_extract_stub(payloads: DataFrame) -> DataFrame:
+    """STUB media feature extraction: a deterministic 4-dim embedding from
+    payload bytes (each component k/256, exactly representable in binary so
+    any engine reproduces it bit-for-bit).  The real kernel swaps the
+    arithmetic for a model forward pass over the decoded media — batch
+    shape, Arrow transfer, and output schema (`array<double>`) unchanged.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                n = len(b)
+                feats.append(
+                    [
+                        (n % 256) / 256.0,
+                        (b[0] if b else 0) / 256.0,
+                        (b[-1] if b else 0) / 256.0,
+                        (n * 7 % 256) / 256.0,
+                    ]
+                )
+            yield pd.DataFrame({"id": pdf["id"], "features": feats})
+
+    return payloads.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
 FRAME_SCHEMA = "id bigint, frame_idx int, frame_off int, frame_len int"
 
 

@@ -412,6 +412,22 @@ FROM d
 """
 
 
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    payloads = multimodal.to_binary_payload(docs, "doc_id", "text")
+    return multimodal.feature_extract_stub(payloads)
+
+
+MULTIMODAL_FEATURE_SQL = """
+SELECT doc_id AS id,
+       [ (octet_length(CAST(text AS BLOB)) % 256) / 256.0,
+         ascii(substr(text, 1, 1)) / 256.0,
+         ascii(substr(text, length(text), 1)) / 256.0,
+         (octet_length(CAST(text AS BLOB)) * 7 % 256) / 256.0 ] AS features
+FROM documents
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     payloads = multimodal.to_binary_payload(docs, "doc_id", "text")
@@ -440,6 +456,7 @@ QUERIES = {
     "text_rolling_fingerprint": text_rolling_fingerprint,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_feature_extract": multimodal_feature_extract,
     "text_token_count": text_token_count,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
@@ -460,6 +477,7 @@ ORACLES = {
     "text_rolling_fingerprint": TEXT_ROLLING_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SQL,
+    "multimodal_feature_extract": MULTIMODAL_FEATURE_SQL,
     "text_token_count": TEXT_TOKEN_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_SQL,

@@ -9,8 +9,6 @@ reader has a `readStream` twin for the streaming surface.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 from flume_spark.queries._util import T, register_views  # noqa: F401 (re-export)
