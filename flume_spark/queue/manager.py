@@ -70,11 +70,16 @@ class QueueManager:
         dispatch_timeout_s: float | None = None,
         telemetry: Telemetry | None = None,
         compact_max_files: int | None = 256,
+        archive_succeeded: bool = False,
     ):
         self.spark = spark
         self.store = store
         self.telemetry = telemetry or Telemetry()
         self.compact_max_files = compact_max_files
+        # True keeps the live log O(in-flight + dead) under sustained load
+        # (succeeded acks move to the archive on compaction) — the setting
+        # for long-running deployments; False preserves full history live.
+        self.archive_succeeded = archive_succeeded
         self.registry = registry or WorkerRegistry()
         self.pipelines = {p.name: p for p in (pipelines or [])}
         self.max_retries = max_retries
@@ -421,7 +426,9 @@ class QueueManager:
 
         # bound log fragmentation so per-trigger scan cost stays flat
         if self.compact_max_files is not None:
-            self.store.maybe_compact(self.compact_max_files)
+            self.store.maybe_compact(
+                self.compact_max_files, archive_succeeded=self.archive_succeeded
+            )
         return stats
 
     def backoff_s(self, retry_count: int) -> float:

@@ -156,14 +156,16 @@ class JobStore:
     def n_files(self) -> int:
         return sum(1 for n in os.listdir(self.path) if n.endswith(".parquet"))
 
-    def maybe_compact(self, max_files: int = 256) -> bool:
+    def maybe_compact(
+        self, max_files: int = 256, archive_succeeded: bool = False
+    ) -> bool:
         """Compact when the log fragments past `max_files` — bounds the
         per-trigger scan cost under sustained enqueue/ack traffic (each
         trigger otherwise reads every small file ever written).  Delta/
         Iceberg analog: auto-OPTIMIZE.  Returns True if compaction ran."""
         if self.n_files() <= max_files:
             return False
-        self.compact()
+        self.compact(archive_succeeded=archive_succeeded)
         return True
 
     def is_empty(self) -> bool:
@@ -197,17 +199,37 @@ class JobStore:
             .drop("_rn")
         )
 
-    def compact(self) -> None:
+    def compact(self, archive_succeeded: bool = False) -> None:
         """Rewrite the log to one record per jid (latest state).
 
         Bounds read amplification; in Delta this is OPTIMIZE + vacuum.
-        Terminal-state rows could also be aged out to an archive table.
+        With `archive_succeeded`, succeeded jobs move to `<path>.archive/`
+        instead of staying live — the reference analog is exact (a
+        successful ack REMOVES the job from Redis, queue/manager.ex:184-193,
+        while dead jobs stay queryable in the dead zset), and it is what
+        keeps the live log O(in-flight + dead), not O(all jobs ever).
         """
+        snapshot = self.current()
         tmp = self.path.rstrip("/") + ".compact.tmp"
-        self.current().write.mode("overwrite").parquet(tmp)
+        if archive_succeeded:
+            archive = self.path.rstrip("/") + ".archive"
+            snapshot.filter(F.col("status") == "succeeded").write.mode(
+                "append"
+            ).parquet(archive)
+            snapshot.filter(F.col("status") != "succeeded").write.mode(
+                "overwrite"
+            ).parquet(tmp)
+        else:
+            snapshot.write.mode("overwrite").parquet(tmp)
         old = self.path.rstrip("/") + ".compact.old"
         os.rename(self.path, old)
         os.rename(tmp, self.path)
         import shutil
 
         shutil.rmtree(old)
+
+    def archive(self) -> DataFrame:
+        """Archived (succeeded) job records, if any were compacted out."""
+        return self.spark.read.schema(JOB_LOG_SCHEMA).parquet(
+            self.path.rstrip("/") + ".archive"
+        )

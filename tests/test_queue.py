@@ -484,3 +484,34 @@ def test_args_roundtrip_through_engine(engine):
     engine.run_once("default", now=T0)
     kinds = [payload for kind, payload in calls() if kind == "echo"]
     assert kinds == [nasty]
+
+
+def test_run_many_mixed_dispatch_modes(engine):
+    """One trigger over single-mode AND bulk-mode pipelines: each queue's
+    jobs dispatch in its pipeline's mode, one pass per mode."""
+    engine.bulk_enqueue("default", [("EchoWorker", "perform", [[i]]) for i in range(3)], now=T0)
+    engine.bulk_enqueue("batch", [("BulkWorker", "perform", [i]) for i in range(4)], now=T0)
+    stats = engine.run_many(["default", "batch"], now=T0)
+    assert stats["claimed"] == 7 and stats["succeeded"] == 7
+    got = calls()
+    echoes = [p for k, p in got if k == "echo"]
+    bulks = [p for k, p in got if k == "bulk"]
+    assert len(echoes) == 3
+    # batch_size=2 over 4 jobs -> two bulk calls, [[args...]] nesting
+    assert len(bulks) == 2
+    assert sorted(len(b) for b in bulks) == [2, 2]
+
+
+def test_compaction_archives_succeeded(engine):
+    """archive_succeeded: the live log keeps only in-flight/dead/pending
+    state (reference: ack REMOVES the job, manager.ex:184-193); succeeded
+    history stays queryable in the archive."""
+    engine.compact_max_files = 1
+    engine.archive_succeeded = True
+    engine.enqueue("default", "EchoWorker", [1], now=T0)
+    engine.enqueue("default", "FailWorker", [], now=T0)
+    engine.run_once("default", now=T0)  # 1 success, 1 retry; then compacts
+    live = {r["class"]: r["status"] for r in engine.current().collect()}
+    assert live == {"FailWorker": "retry"}
+    archived = engine.store.archive().collect()
+    assert len(archived) == 1 and archived[0]["status"] == "succeeded"
