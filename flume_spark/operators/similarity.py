@@ -171,6 +171,43 @@ def ivf_topk(
     )
 
 
+def label_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-bucket centroid (element-wise vector mean) — how IVF cells get
+    their centroids at ingest (KMeans assignment step runs against these).
+
+    posexplode -> groupBy(bucket, pos) -> avg -> re-assemble sorted: two
+    narrow shuffles, no UDF, vectors never collect to the driver.  Elements
+    rounded so partial-agg summation order can't flip the value hash.
+    """
+    pos = emb.select(
+        F.col(bucket_col).alias("bucket"),
+        F.posexplode(_to_double(F.col(vec_col))).alias("pos", "v"),
+    )
+    by_pos = pos.groupBy("bucket", "pos").agg(
+        F.round(F.avg("v"), round_dp).alias("c"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        by_pos.groupBy("bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "c"))
+            ).alias("pairs"),
+            (F.max("n")).alias("n_vectors"),
+        )
+        .select(
+            "bucket",
+            F.expr("transform(pairs, p -> p.c)").alias("centroid"),
+            "n_vectors",
+        )
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     dim: int,

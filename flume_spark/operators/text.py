@@ -157,6 +157,33 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# Training-data scrubbing patterns (RE2-safe so any engine reproduces them)
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ssn_like": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII detection + redaction counts — the standard pre-training scrub
+    pass.  Returns per-doc match counts per category and the redacted text
+    (matches replaced by <CATEGORY>).  Pure regexp expressions: fuses into
+    the scan, no shuffle."""
+    lower = F.lower(F.col(text_col))
+    cols = [F.col(id_col)]
+    redacted = lower
+    for cat, pat in PII_PATTERNS.items():
+        sql_pat = pat.replace("\\", "\\\\")
+        cols.append(
+            F.expr(f"size(regexp_extract_all(lower({text_col}), '{sql_pat}', 0))")
+            .alias(f"n_{cat}")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{cat.upper()}>")
+    cols.append(redacted.alias("redacted"))
+    return df.select(*cols)
+
+
 def corpus_stats_observed(df: DataFrame, id_col: str, text_col: str):
     """Per-doc quality frame + corpus-level metrics via `df.observe` —
     the metrics ride the SAME action as the main result (zero extra scans;

@@ -207,6 +207,47 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid — the IVF cell-centroid ingest step."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.label_centroids(emb, "vec_id", "embedding", "label")
+
+
+EMBEDDING_CENTROIDS_SQL = """
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+by_pos AS (
+  SELECT label AS bucket, i - 1 AS pos, round(avg(v[i]), 6) AS c,
+         count(*) AS n
+  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+  GROUP BY 1, 2
+)
+SELECT bucket, list(c ORDER BY pos) AS centroid, max(n) AS n_vectors
+FROM by_pos GROUP BY bucket
+"""
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return text.pii_scrub(docs, "doc_id", "text")
+
+
+TEXT_PII_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text),
+           '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+       len(regexp_extract_all(lower(text), 'https?://[^\s]+')) AS n_url,
+       len(regexp_extract_all(lower(text),
+           '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn_like,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(lower(text),
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+           'https?://[^\s]+', '<URL>', 'g'),
+         '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN_LIKE>', 'g') AS redacted
+FROM documents
+"""
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     return text.token_count(docs, "doc_id", "text")
@@ -452,6 +493,8 @@ QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
+    "embedding_centroids": embedding_centroids,
+    "text_pii_scrub": text_pii_scrub,
     "text_subword_tokens": text_subword_tokens,
     "text_rolling_fingerprint": text_rolling_fingerprint,
     "multimodal_resize": multimodal_resize,
@@ -473,6 +516,8 @@ ORACLES = {
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     # ann_topk_lsh: no oracle (approximate by design)
     "ann_topk_ivf": ANN_IVF_SQL,
+    "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
+    "text_pii_scrub": TEXT_PII_SQL,
     "text_subword_tokens": TEXT_SUBWORD_SQL,
     "text_rolling_fingerprint": TEXT_ROLLING_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,

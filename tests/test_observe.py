@@ -15,3 +15,23 @@ def test_corpus_stats_ride_the_main_action(spark):
     assert metrics["n_docs"] == len(rows) == docs.count()
     assert metrics["total_tokens"] > 0
     assert 0.0 < metrics["mean_quality"] <= 1.0
+
+
+def test_pii_scrub_redacts_crafted_rows(spark):
+    from flume_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at Bob.Smith+x@Example.ORG today"),
+            (2, "see https://a.example/path?q=1 and 123-45-6789"),
+            (3, "clean text"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(df, "doc_id", "text").collect()}
+    assert rows[1]["n_email"] == 1 and "<EMAIL>" in rows[1]["redacted"]
+    assert "bob" not in rows[1]["redacted"]
+    assert rows[2]["n_url"] == 1 and rows[2]["n_ssn_like"] == 1
+    assert "<URL>" in rows[2]["redacted"] and "<SSN_LIKE>" in rows[2]["redacted"]
+    assert rows[3]["redacted"] == "clean text"
+    assert (rows[3]["n_email"], rows[3]["n_url"], rows[3]["n_ssn_like"]) == (0, 0, 0)
