@@ -184,3 +184,29 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     finally:
         q.stop()
     assert got == {"a": (3, 7.0), "b": (1, 10.0), "c": (1, 7.0)}
+
+
+def test_stream_respects_rate_limit_across_triggers(spark, tmp_path):
+    """ST7 under the live stream: with a 3-per-minute limit, a burst of 10
+    jobs admits exactly 3 — the governor holds across micro-batches."""
+    registry = WorkerRegistry()
+    registry.register("NoopWorker", lambda *a: None)
+    store = JobStore(spark, str(tmp_path / "jobs_rl"))
+    pipeline = Pipeline(
+        name="rl", queue="rlq", max_demand=500,
+        rate_limit_count=3, rate_limit_scale=60_000,
+    )
+    manager = QueueManager(spark, store, registry, pipelines=[pipeline])
+    runner = PipelineRunner(
+        spark, manager, pipeline,
+        checkpoint_dir=str(tmp_path / "ckpt_rl"), trigger_seconds=0.25,
+    )
+    try:
+        manager.bulk_enqueue("rlq", [("NoopWorker", "perform", [i]) for i in range(10)])
+        runner.start()
+        runner.await_idle()
+        counts = _status_counts(manager)
+        assert counts.get("succeeded", 0) == 3
+        assert counts.get("pending", 0) == 7
+    finally:
+        runner.stop()
