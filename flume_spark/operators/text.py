@@ -157,6 +157,32 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "flume",
+) -> DataFrame:
+    """Deterministic stratified sample: the k rows per stratum that sort
+    first by md5(seed || id) — a reproducible uniform draw (md5 output is
+    uniform, engine-independent, and reshuffles completely per seed).
+
+    Training-data curation staple: balanced per-source/language/quality
+    buckets.  One shuffle on the stratum key; TopK per group, never a
+    global sort.
+    """
+    from pyspark.sql.window import Window
+
+    order = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 # Training-data scrubbing patterns (RE2-safe so any engine reproduces them)
 PII_PATTERNS = {
     "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",

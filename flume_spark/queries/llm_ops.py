@@ -248,6 +248,24 @@ FROM documents
 """
 
 
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 embeddings per label, chosen by deterministic md5 draw."""
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return text.stratified_sample(emb, "label", "vec_id", k=5)
+
+
+SAMPLE_STRATIFIED_SQL = """
+SELECT vec_id, label FROM (
+  SELECT vec_id, label,
+         row_number() OVER (
+           PARTITION BY label
+           ORDER BY md5('flume:' || CAST(vec_id AS VARCHAR)), vec_id
+         ) AS rk
+  FROM embeddings
+) WHERE rk <= 5
+"""
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     return text.token_count(docs, "doc_id", "text")
@@ -494,6 +512,7 @@ QUERIES = {
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "embedding_centroids": embedding_centroids,
+    "sample_stratified": sample_stratified,
     "text_pii_scrub": text_pii_scrub,
     "text_subword_tokens": text_subword_tokens,
     "text_rolling_fingerprint": text_rolling_fingerprint,
@@ -517,6 +536,7 @@ ORACLES = {
     # ann_topk_lsh: no oracle (approximate by design)
     "ann_topk_ivf": ANN_IVF_SQL,
     "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "text_pii_scrub": TEXT_PII_SQL,
     "text_subword_tokens": TEXT_SUBWORD_SQL,
     "text_rolling_fingerprint": TEXT_ROLLING_SQL,
