@@ -213,25 +213,40 @@ def lsh_topk(
     dim: int,
     k: int = 5,
     n_planes: int = 6,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: exact cosine ranking *within* each LSH bucket.
+    """Approximate top-k: exact cosine ranking over LSH-bucket candidates.
 
-    Recall trades off with n_planes (fewer planes -> bigger buckets -> higher
-    recall, more compute).  Multi-probe / multi-table extensions compose by
-    unioning bucket assignments.
+    Recall knobs: fewer planes -> bigger buckets -> higher recall per table;
+    `n_tables` independent hash tables union their candidates, so miss
+    probability decays exponentially, (1 - p)^L, at L-times the bucketing
+    cost — the standard multi-table LSH trade.  The candidate join stays
+    keyed on (table, bucket): shuffle grows with bucket sizes and L, never
+    all-pairs.
     """
-    bucketed = hyperplane_lsh_buckets(emb, dim, n_planes, id_col, vec_col)
+    tables = [
+        hyperplane_lsh_buckets(
+            emb, dim, n_planes, id_col, vec_col, seed=f"flume{t}"
+        ).withColumn("table", F.lit(t))
+        for t in range(n_tables)
+    ]
+    bucketed = tables[0]
+    for extra in tables[1:]:
+        bucketed = bucketed.unionByName(extra)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id"))
+        b,
+        (F.col("a.table") == F.col("b.table"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") != F.col("b.id")),
     ).select(
         F.col("a.id").alias("query_id"),
         F.col("b.id").alias("neighbor_id"),
         F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
-    )
+    ).distinct()  # same pair from several tables scores identically
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

@@ -197,9 +197,11 @@ SELECT query_id, neighbor_id, "rank", cosine FROM ranked WHERE "rank" <= 5
 
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate (LSH-bucketed) variant — no oracle: recall is by design
-    < 1, so the driver records a rows-only check."""
+    < 1, so the driver records a rows-only check.  4 planes x 6 tables
+    gives ~0.6 recall@5 on the synthetic embeddings (see
+    tests/test_observe.py recall floor)."""
     emb = T(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, dim=64, k=5, n_planes=4)
+    return similarity.lsh_topk(emb, dim=64, k=5, n_planes=4, n_tables=6)
 
 
 # ---------------------------------------------------------------------------

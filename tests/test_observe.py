@@ -35,3 +35,21 @@ def test_pii_scrub_redacts_crafted_rows(spark):
     assert "<URL>" in rows[2]["redacted"] and "<SSN_LIKE>" in rows[2]["redacted"]
     assert rows[3]["redacted"] == "clean text"
     assert (rows[3]["n_email"], rows[3]["n_url"], rows[3]["n_ssn_like"]) == (0, 0, 0)
+
+
+def test_lsh_topk_recall_floor(spark):
+    """Multi-table LSH must stay a USEFUL approximation: recall@5 vs the
+    exact brute force >= 0.4 on the synthetic embeddings (measured ~0.58
+    with 4 planes x 6 tables; single-table was ~0.14)."""
+    from flume_spark.queries.llm_ops import ann_topk_bruteforce, ann_topk_lsh
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_bruteforce(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_lsh(spark, SF_ORACLE).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"recall collapsed to {recall}"
