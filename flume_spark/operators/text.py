@@ -157,6 +157,47 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 512,
+    shards: int = 8,
+) -> DataFrame:
+    """Greedy sequential token-budget packing — assigning documents to
+    fixed-budget training sequences.
+
+    Semantics: docs are sharded by id hash-mod, ordered by id within the
+    shard, and filled sequentially: a doc starts a new pack when the tokens
+    BEFORE it already meet the budget (the boundary doc overflows its pack,
+    it is never split).  pack key = (shard, pack_id).
+
+    Scale: packing is embarrassingly parallel across shards (one window per
+    shard partition, no global sort); shard count sets the parallelism and
+    the number of output pack streams.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.size(tokens_col(text_col))
+    shard = F.pmod(F.col(id_col), F.lit(shards)).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = df.select(
+        F.col(id_col), shard.alias("shard"), toks.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return staged.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / budget)
+        .cast("int")
+        .alias("pack_id"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

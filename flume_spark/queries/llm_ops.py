@@ -268,6 +268,30 @@ SELECT vec_id, label FROM (
 """
 
 
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (budget 512, 8 shards)."""
+    docs = T(spark, sf_dir, "documents")
+    return text.pack_sequences(docs, "doc_id", "text", budget=512, shards=8)
+
+
+PACK_SEQUENCES_SQL = """
+WITH staged AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM staged
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor((cum_tokens - n_tokens) / 512.0) AS INT) AS pack_id
+FROM cum
+"""
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     return text.token_count(docs, "doc_id", "text")
@@ -515,6 +539,7 @@ QUERIES = {
     "ann_topk_ivf": ann_topk_ivf,
     "embedding_centroids": embedding_centroids,
     "sample_stratified": sample_stratified,
+    "pack_sequences": pack_sequences_q,
     "text_pii_scrub": text_pii_scrub,
     "text_subword_tokens": text_subword_tokens,
     "text_rolling_fingerprint": text_rolling_fingerprint,
@@ -539,6 +564,7 @@ ORACLES = {
     "ann_topk_ivf": ANN_IVF_SQL,
     "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
     "text_pii_scrub": TEXT_PII_SQL,
     "text_subword_tokens": TEXT_SUBWORD_SQL,
     "text_rolling_fingerprint": TEXT_ROLLING_SQL,

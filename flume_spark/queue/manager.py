@@ -153,6 +153,62 @@ class QueueManager:
         )
         return jids
 
+    def enqueue_from(
+        self,
+        df: DataFrame,
+        queue: str,
+        cls: str,
+        args_col: str,
+        function: str = "perform",
+        now: float | None = None,
+        delay_s: float = 0.0,
+    ) -> int:
+        """Distributed enqueue: turn a DataFrame into jobs, one per row,
+        entirely on executors — the ingest path for deriving work from a
+        query result at scale (no driver round-trip, no row limit).
+
+        `args_col` must be an array column (or any column; it is wrapped
+        into a one-element args array when not an array already).  Returns
+        the number of jobs enqueued.
+        """
+        now = time.time() if now is None else now
+        seq = self.store.next_seq()
+        dtype = dict(df.dtypes)[args_col]
+        args_expr = (
+            F.to_json(F.col(args_col))
+            if dtype.startswith("array")
+            else F.to_json(F.array(F.col(args_col)))
+        )
+        jobs = df.select(
+            F.expr("uuid()").alias("jid"),
+            F.lit(queue).alias("queue"),
+            F.lit(cls).alias("class"),
+            F.lit(function).alias("function"),
+            args_expr.alias("args"),
+            F.lit(None)
+            .cast("map<string,string>")
+            .alias("context"),
+            F.lit(S.PENDING).alias("status"),
+            F.lit(0).cast("int").alias("retry_count"),
+            F.lit(_ts(now)).alias("enqueued_at"),
+            (F.lit(_ts(now + delay_s)) if delay_s else F.lit(None).cast("timestamp")).alias(
+                "scheduled_at"
+            ),
+            F.lit(None).cast("timestamp").alias("leased_at"),
+            F.lit(None).cast("timestamp").alias("retry_at"),
+            F.lit(None).cast("timestamp").alias("finished_at"),
+            F.lit(None).cast("timestamp").alias("failed_at"),
+            F.lit(None).cast("string").alias("error_message"),
+            F.lit(None).cast("string").alias("error_backtrace"),
+            F.lit(seq).alias("seq"),
+        )
+        paths = self.store.publish(jobs, f"ingest-{seq}")
+        n = self.store.count_rows(paths)
+        self.telemetry.emit(
+            ("queue", "enqueue"), {"count": n, "payload_size": -1}, {"queue": queue}
+        )
+        return n
+
     def enqueue_in(
         self,
         queue: str,

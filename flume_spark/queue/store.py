@@ -102,6 +102,12 @@ class JobStore:
         pq.write_table(table, tmp)
         os.rename(tmp, os.path.join(self.path, name))  # atomic visibility
 
+    @staticmethod
+    def count_rows(paths: list[str]) -> int:
+        """Row count of specific files from parquet metadata (driver-side,
+        no Spark job, no data read)."""
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+
     def read_rows(self, paths: list[str]) -> list[dict]:
         """Driver-side read of specific log files (pyarrow, no Spark job).
 

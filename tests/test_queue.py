@@ -515,3 +515,16 @@ def test_compaction_archives_succeeded(engine):
     assert live == {"FailWorker": "retry"}
     archived = engine.store.archive().collect()
     assert len(archived) == 1 and archived[0]["status"] == "succeeded"
+
+
+def test_enqueue_from_dataframe(engine, spark):
+    """Distributed enqueue: jobs derived from a query result on executors,
+    then claimable/processable like any other."""
+    src = spark.range(0, 50).selectExpr("id", "array(cast(id AS string)) AS payload")
+    n = engine.enqueue_from(src, "default", "EchoWorker", "payload", now=T0)
+    assert n == 50
+    assert engine.job_counts(["default"]) == {"default": 50}
+    stats = engine.run_once("default", now=T0 + 1)
+    assert stats["succeeded"] == 50
+    echoed = sorted(p[0] for k, p in calls() if k == "echo")
+    assert echoed == sorted(str(i) for i in range(50))
