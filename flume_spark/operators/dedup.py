@@ -270,6 +270,67 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Cluster near-dup PAIRS into components: (doc_id, component), where
+    component is the minimum doc id reachable — the canonical document of
+    each dedup cluster.
+
+    Iterative min-label propagation (the simple form of the large-star/
+    small-star map-reduce CC algorithm): each round, every node adopts the
+    minimum label among itself and its neighbors; converges in O(component
+    diameter) rounds.  Near-dup components are shallow (similarity is
+    near-transitive), so a handful of rounds suffices; each round is one
+    join + one groupBy — all distributed, the driver only checks the
+    changed-count scalar.  localCheckpoint() per round truncates the
+    exponentially-growing lineage.
+    """
+    bidir = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        bidir.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            bidir.join(labels, bidir.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
 def cosine_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

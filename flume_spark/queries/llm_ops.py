@@ -147,6 +147,44 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from SimHash pairs: (doc_id, component) with
+    component = min reachable doc id — the canonical-doc assignment."""
+    docs = T(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=3, blocks=4)
+    return dedup.connected_components(pairs, "doc_a", "doc_b")
+
+
+# Oracle: transitive closure by recursive CTE over the same SimHash pairs,
+# then component = min reachable node (including self).
+DEDUP_COMPONENTS_SQL = (
+    DEDUP_SIMHASH_SQL.replace(
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+        "       bit_count(xor(a.simhash, b.simhash))::INT AS hamming\n"
+        "FROM fp a JOIN fp b ON a.doc_id < b.doc_id\n"
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3",
+        """,
+edges AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+bidir AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+),
+reach AS (
+  SELECT src, dst FROM bidir
+  UNION
+  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+)
+SELECT src AS doc_id, least(src, min(dst)) AS component
+FROM reach GROUP BY src
+""",
+    ).replace("WITH toks AS", "WITH RECURSIVE toks AS")
+)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
     return dedup.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
@@ -533,6 +571,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_components": dedup_components,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
@@ -558,6 +597,7 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_components": DEDUP_COMPONENTS_SQL,
     "dedup_embedding_cosine": DEDUP_COSINE_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     # ann_topk_lsh: no oracle (approximate by design)
