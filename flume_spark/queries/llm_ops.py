@@ -185,6 +185,55 @@ FROM reach GROUP BY src
 )
 
 
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: drop SimHash near-dup non-canonical docs, keep
+    quality >= 0.5, report tokens — the composed filter a training-data
+    run applies before packing.  Each stage is the already-oracled operator;
+    the composition is one declarative plan (dedup anti-join + quality
+    filter + projection)."""
+    docs = T(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=3, blocks=4)
+    comps = dedup.connected_components(pairs, "doc_a", "doc_b")
+    dropped = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    scored = text.quality_score(docs, "doc_id", "text")
+    return (
+        scored.join(dropped, "doc_id", "left_anti")
+        .filter(F.col("quality") >= 0.5)
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
+CURATION_SQL = (
+    DEDUP_COMPONENTS_SQL.rstrip().removesuffix(
+        "SELECT src AS doc_id, least(src, min(dst)) AS component\nFROM reach GROUP BY src"
+    )
+    + """
+, dropped AS (
+  SELECT src AS doc_id FROM reach GROUP BY src
+  HAVING least(src, min(dst)) != src
+),
+toks2 AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         least(len(t) / 100.0, 1.0) * 0.5
+           + least(len(list_filter(t,
+               x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) * 1.0
+               / len(t) * 5.0, 1.0) * 0.25
+           + len(list_distinct(t)) * 1.0 / len(t) * 0.25 AS quality
+  FROM toks2
+)
+SELECT doc_id, n_tokens, quality
+FROM scored
+WHERE quality >= 0.5 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
     return dedup.cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
@@ -572,6 +621,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_components": dedup_components,
+    "curation_pipeline": curation_pipeline,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
@@ -598,6 +648,7 @@ ORACLES = {
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
+    "curation_pipeline": CURATION_SQL,
     "dedup_embedding_cosine": DEDUP_COSINE_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     # ann_topk_lsh: no oracle (approximate by design)
