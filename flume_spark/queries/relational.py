@@ -418,6 +418,82 @@ FROM orders WHERE o_custkey < 100
 """
 
 
+def window_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame: 4-event moving sum + min/max per user."""
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("moving_sum"),
+        F.min("value").over(w).alias("moving_min"),
+        F.max("value").over(w).alias("moving_max"),
+    )
+
+
+WINDOW_MOVING_SQL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 4) AS moving_sum,
+       min(value) OVER w AS moving_min,
+       max(value) OVER w AS moving_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value analytics with default fill."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value", 1, 0.0).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+WINDOW_LAG_LEAD_SQL = """
+SELECT event_id, user_id,
+       lag(value, 1, 0.0) OVER w  AS prev_value,
+       lead(value, 1) OVER w      AS next_value,
+       first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS first_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface: coalesce / nullif / nvl2-style / nan guards."""
+    ev = T(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") < 1000).select(
+        "event_id",
+        F.coalesce(F.col("props"), F.lit("{}")).alias("props_or_empty"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_unless_error"),
+        F.when(F.col("value").isNull(), -1.0)
+        .otherwise(F.col("value"))
+        .alias("value_filled"),
+        F.isnull(F.col("value")).alias("value_is_null"),
+    )
+
+
+SCALAR_NULL_SQL = """
+SELECT event_id,
+       coalesce(props, '{}')            AS props_or_empty,
+       nullif(event_type, 'error')      AS type_unless_error,
+       CASE WHEN value IS NULL THEN -1.0 ELSE value END AS value_filled,
+       value IS NULL                    AS value_is_null
+FROM events WHERE event_id < 1000
+"""
+
+
 def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER BY + LIMIT — Spark plans TakeOrderedAndProject (no full sort)."""
     orders = T(spark, sf_dir, "orders")
@@ -986,6 +1062,9 @@ QUERIES = {
     "agg_grouping_sets": agg_grouping_sets,
     "window_rank": window_rank,
     "window_running_sum": window_running_sum,
+    "window_moving_agg": window_moving_agg,
+    "window_lag_lead": window_lag_lead,
+    "scalar_null_funcs": scalar_null_funcs,
     "topk_orders": topk_orders,
     "set_union": set_union,
     "set_intersect": set_intersect,
@@ -1026,6 +1105,9 @@ ORACLES = {
     "agg_grouping_sets": AGG_GROUPING_SETS_SQL,
     "window_rank": WINDOW_RANK_SQL,
     "window_running_sum": WINDOW_RUNNING_SUM_SQL,
+    "window_moving_agg": WINDOW_MOVING_SQL,
+    "window_lag_lead": WINDOW_LAG_LEAD_SQL,
+    "scalar_null_funcs": SCALAR_NULL_SQL,
     "topk_orders": TOPK_ORDERS_SQL,
     "set_union": SET_UNION_SQL,
     "set_intersect": SET_INTERSECT_SQL,
