@@ -205,6 +205,24 @@ class JobStore:
             .drop("_rn")
         )
 
+    def as_of(self, seq: int, prefilter=None) -> DataFrame:
+        """Time travel: the live job table as it was at log position `seq`
+        (inclusive) — the log-structured store gives this for free, like
+        Delta's VERSION AS OF.  Same pushdown rules as `current()`.
+
+        NB: compaction collapses history; snapshots before the last compact
+        resolve to the compacted state.
+        """
+        log = self.log().filter(F.col("seq") <= seq)
+        if prefilter is not None:
+            log = log.filter(prefilter)
+        w = Window.partitionBy("jid").orderBy(F.col("seq").desc())
+        return (
+            log.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     def compact(self, archive_succeeded: bool = False) -> None:
         """Rewrite the log to one record per jid (latest state).
 

@@ -528,3 +528,14 @@ def test_enqueue_from_dataframe(engine, spark):
     assert stats["succeeded"] == 50
     echoed = sorted(p[0] for k, p in calls() if k == "echo")
     assert echoed == sorted(str(i) for i in range(50))
+
+
+def test_time_travel_as_of(engine):
+    """Snapshot-as-of-seq: the job's state history is queryable."""
+    engine.enqueue("default", "EchoWorker", [1], now=T0)
+    seq_after_enqueue = engine.store.next_seq()
+    engine.run_once("default", now=T0)
+    # now: succeeded; as-of the enqueue: still pending
+    assert engine.current().collect()[0]["status"] == "succeeded"
+    past = engine.store.as_of(seq_after_enqueue).collect()
+    assert len(past) == 1 and past[0]["status"] == "pending"
