@@ -17,20 +17,20 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from flume_spark.queries import llm_ops, queue_semantics, relational, temporal
+from flume_spark.queries import llm_ops, queue_semantics, relational, temporal, tpch_extra
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
-    for mod in (relational, queue_semantics, llm_ops, temporal):
+    for mod in (relational, queue_semantics, llm_ops, temporal, tpch_extra):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (relational, queue_semantics, llm_ops, temporal):
+    for mod in (relational, queue_semantics, llm_ops, temporal, tpch_extra):
         out.update(mod.ORACLES)
     return out
