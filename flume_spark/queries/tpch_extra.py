@@ -487,7 +487,7 @@ def q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = T(spark, sf_dir, "supplier")
     return (
-        supp.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        supp.join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_suppkey")
     )

@@ -130,3 +130,64 @@ def test_claim_plan_single_shuffle(spark, tmp_path):
     plan = explain_str(manager.claim_plan({"q0": 10, "q1": 10}, 1.7e9, 99))
     assert n_nodes(plan, "Exchange") == 1, plan
     assert "In(queue" in plan or "EqualTo(queue" in plan  # scan pushdown
+
+
+# --- TPC-H extension shapes (tpch_extra.py) --------------------------------
+
+
+def test_q9_single_shuffle_star(spark):
+    """Q9: every dimension broadcasts; the only exchange is the final agg."""
+    plan = explained(spark, "q9_product_profit")
+    assert "SortMergeJoin" not in plan
+    assert n_nodes(plan, "Exchange") <= 1, plan
+
+
+def test_q12_q19_single_shuffle(spark):
+    for name in ("q12_priority_lineclass", "q19_discounted_revenue"):
+        plan = explained(spark, name)
+        assert n_nodes(plan, "Exchange") <= 1, f"{name}: {plan}"
+        assert "CartesianProduct" not in plan
+
+
+def test_q12_shipdate_pushdown(spark):
+    plan = explained(spark, "q12_priority_lineclass")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "In(l_returnflag" in plan or "EqualTo(l_returnflag" in plan
+
+
+def test_q21_no_self_join(spark):
+    """Q21's exists/not-exists collapses to one groupBy on l_orderkey —
+    no lineitem self-joins, top-K via per-partition heaps."""
+    plan = explained(spark, "q21_sole_returned_supplier")
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert n_nodes(plan, "Exchange") <= 3, plan
+
+
+def test_q17_correlated_avg_broadcasts(spark):
+    """The per-part avg must broadcast back into the fact scan, not SMJ."""
+    plan = explained(spark, "q17_small_quantity_revenue")
+    assert "SortMergeJoin" not in plan
+    assert n_nodes(plan, "Exchange") <= 2, plan
+
+
+def test_q20_semi_join_broadcasts(spark):
+    plan = explained(spark, "q20_volume_suppliers")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_q16_bridge_prunes_lineitem(spark):
+    """The part-supplier bridge must read only (l_partkey, l_suppkey)."""
+    plan = explained(spark, "q16_supplier_part_counts")
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l and "l_partkey" in l)
+    assert "l_extendedprice" not in read and "l_quantity" not in read
+
+
+def test_fact_fact_joins_may_smj(spark):
+    """Q7/Q8 join two fact tables (lineitem⋈orders): SMJ/shuffle-hash on the
+    key is the *correct* 100 TB plan (broadcast would OOM); dims broadcast."""
+    for name in ("q7_volume_shipping", "q8_market_share"):
+        plan = explained(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert plan.count("BroadcastHashJoin") >= 2, name
