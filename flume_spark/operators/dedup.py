@@ -195,6 +195,9 @@ def simhash_fingerprint(
     Scale: two narrow shuffles (token-count groupBy, then per-doc groupBy of
     the bit sums); everything is whole-stage-codegen expressions, no UDF.
     """
+    # token hashes use the first 8 md5 hex chars = 32 bits; wider
+    # fingerprints would silently get always-zero high bits
+    assert 1 <= bits <= 32, "simhash supports at most 32 bits"
     words = F.expr(f"split(lower(trim({text_col})), '\\\\s+')")
     counts = (
         _spread(df).select(F.col(id_col).alias("doc_id"), F.explode(words).alias("tok"))
@@ -289,11 +292,13 @@ def connected_components(
     changed-count scalar.  localCheckpoint() per round truncates the
     exponentially-growing lineage.
     """
+    # Materialize the (possibly expensive) edge plan once — the two-sided
+    # union below would otherwise recompute it twice in the same job.
+    edges = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
     bidir = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-        )
+        edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint()
     )
@@ -303,31 +308,32 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
-        neighbor_min = (
-            bidir.join(labels, bidir.src == labels.node)
-            .groupBy(F.col("dst").alias("node2"))
-            .agg(F.min("label").alias("nbr_label"))
+        # Min-label propagation with pointer jumping: each node takes the min
+        # over {its own label, neighbor labels, its label's label}.  The
+        # grandparent term doubles the propagation distance per round, so
+        # convergence is O(log diameter) rounds instead of O(diameter) —
+        # at 100 TB that's the difference between ~5 and ~50 shuffle rounds.
+        neighbor = bidir.join(labels, bidir.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.node2, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
+        grand = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.label") == F.col("l2.node"))
+            .select(F.col("l1.node").alias("node"), F.col("l2.label").alias("label"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        contrib = neighbor.unionByName(labels).unionByName(grand)
+        labels = (
+            contrib.groupBy("node").agg(F.min("label").alias("label")).localCheckpoint()
         )
-        labels = new_labels
-        if changed == 0:
+        # Labels only ever decrease, so sum(label) strictly decreases iff any
+        # node changed — a scalar agg on the materialized result replaces the
+        # per-round changed-count join.
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 

@@ -297,21 +297,22 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label centroid — the IVF cell-centroid ingest step."""
+    """Per-label centroid — the IVF cell-centroid ingest step.  Declared in
+    long form (bucket, pos, c) so every oracled output column is scalar —
+    the driver harness canonicalizes via pandas and can't hash lists."""
     emb = T(spark, sf_dir, "embeddings")
-    return similarity.label_centroids(emb, "vec_id", "embedding", "label")
+    cent = similarity.label_centroids(emb, "vec_id", "embedding", "label")
+    return cent.select(
+        "bucket", "n_vectors", F.posexplode("centroid").alias("pos", "c")
+    )
 
 
 EMBEDDING_CENTROIDS_SQL = """
-WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-by_pos AS (
-  SELECT label AS bucket, i - 1 AS pos, round(avg(v[i]), 6) AS c,
-         count(*) AS n
-  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
-  GROUP BY 1, 2
-)
-SELECT bucket, list(c ORDER BY pos) AS centroid, max(n) AS n_vectors
-FROM by_pos GROUP BY bucket
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT label AS bucket, count(*) AS n_vectors, CAST(i - 1 AS INT) AS pos,
+       round(avg(v[i]), 6) AS c
+FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+GROUP BY 1, 3
 """
 
 
@@ -585,18 +586,25 @@ FROM d
 
 
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared in long form (id, feat_idx, feature) so every oracled output
+    column is scalar — see embedding_centroids note."""
     docs = T(spark, sf_dir, "documents")
     payloads = multimodal.to_binary_payload(docs, "doc_id", "text")
-    return multimodal.feature_extract_stub(payloads)
+    feats = multimodal.feature_extract_stub(payloads)
+    return feats.select("id", F.posexplode("features").alias("feat_idx", "feature"))
 
 
 MULTIMODAL_FEATURE_SQL = """
-SELECT doc_id AS id,
-       [ (octet_length(CAST(text AS BLOB)) % 256) / 256.0,
-         ascii(substr(text, 1, 1)) / 256.0,
-         ascii(substr(text, length(text), 1)) / 256.0,
-         (octet_length(CAST(text AS BLOB)) * 7 % 256) / 256.0 ] AS features
-FROM documents
+WITH f AS (
+  SELECT doc_id AS id,
+         [ (octet_length(CAST(text AS BLOB)) % 256) / 256.0,
+           ascii(substr(text, 1, 1)) / 256.0,
+           ascii(substr(text, length(text), 1)) / 256.0,
+           (octet_length(CAST(text AS BLOB)) * 7 % 256) / 256.0 ] AS features
+  FROM documents
+)
+SELECT id, CAST(i - 1 AS INT) AS feat_idx, features[i] AS feature
+FROM f, unnest(range(1, 5)) AS t(i)
 """
 
 

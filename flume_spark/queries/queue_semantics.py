@@ -127,14 +127,16 @@ def group_args_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     [[args...]] per BulkEvent — bulk_event.ex:42)."""
     ev = T(spark, sf_dir, "events")
     return ev.groupBy(F.col("event_type").alias("job_class")).agg(
-        F.sort_array(F.collect_list("event_id")).alias("member_ids"),
+        # JSON-stringified so every oracled output column is scalar (the
+        # driver harness canonicalizes via pandas and can't hash lists).
+        F.to_json(F.sort_array(F.collect_list("event_id"))).alias("member_ids"),
         F.count(F.lit(1)).alias("n_members"),
     )
 
 
 GROUP_ARGS_SQL = """
 SELECT event_type AS job_class,
-       list_sort(list(event_id)) AS member_ids,
+       CAST(to_json(list_sort(list(event_id))) AS VARCHAR) AS member_ids,
        count(*) AS n_members
 FROM events GROUP BY event_type
 """

@@ -275,7 +275,11 @@ class QueueManager:
     # ------------------------------------------------------------------
 
     def claim_plan(
-        self, demand_by_queue: dict[str, int], now: float, claim_seq: int
+        self,
+        demand_by_queue: dict[str, int],
+        now: float,
+        claim_seq: int,
+        shared_budgets: dict[str, tuple[str, int]] | None = None,
     ) -> DataFrame:
         """The per-trigger claim as ONE-shuffle plan.
 
@@ -284,6 +288,15 @@ class QueueManager:
         `queue` — the explicit repartition is reused by both windows (only
         local sorts follow), and the queue IN-filter pushes to the scan.
         `tests/test_plans.py::test_claim_plan_single_shuffle` guards this.
+
+        `shared_budgets` maps queue -> (rate_limit_key, window_budget) for
+        queues whose pipelines SHARE a rate_limit_key.  The joint cap is
+        enforced here, in-plan, by a FIFO rank across the key's queues —
+        enforcing it at admission time instead (per-pipeline reservations)
+        either over-admits (everyone sees the full budget) or starves (an
+        empty queue's reservation burns budget its sibling needed).  Only
+        rows from shared-key queues enter the extra window, so the plan is
+        unchanged when no key is shared.
         """
         ts = F.lit(_ts(now))
         lease_horizon = F.lit(_ts(now - self.visibility_timeout_s))
@@ -303,7 +316,7 @@ class QueueManager:
         )
         w_latest = Window.partitionBy("queue", "jid").orderBy(F.col("seq").desc())
         rank_w = Window.partitionBy("queue").orderBy("enqueued_at", "jid")
-        return (
+        plan = (
             self.store.log()
             .filter(F.col("queue").isin(list(demand_by_queue)))  # pushed to scan
             .repartition("queue")
@@ -313,7 +326,38 @@ class QueueManager:
             .withColumn("_rn", F.row_number().over(rank_w))
             .filter(F.col("_rn") <= demand_map[F.col("queue")])
             .drop("_rn")
-            .withColumn("status", F.lit(S.PROCESSING))
+        )
+        if shared_budgets:
+            # joint FIFO rank across the queues sharing each rate_limit_key,
+            # over the already demand-bounded candidate set (≤ Σ demand rows)
+            key_map = F.create_map(
+                *[
+                    x
+                    for q, (k, _) in shared_budgets.items()
+                    for x in (F.lit(q), F.lit(k))
+                ]
+            )
+            budgets = {k: b for k, b in shared_budgets.values()}
+            budget_map = F.create_map(
+                *[x for k, b in budgets.items() for x in (F.lit(k), F.lit(b))]
+            )
+            w_key = Window.partitionBy("_lk").orderBy("enqueued_at", "jid")
+            plan = (
+                plan.withColumn("_lk", key_map[F.col("queue")])
+                .withColumn(
+                    "_kn",
+                    F.when(F.col("_lk").isNull(), F.lit(0)).otherwise(
+                        F.row_number().over(w_key)
+                    ),
+                )
+                .filter(
+                    F.col("_lk").isNull()
+                    | (F.col("_kn") <= budget_map[F.col("_lk")])
+                )
+                .drop("_lk", "_kn")
+            )
+        return (
+            plan.withColumn("status", F.lit(S.PROCESSING))
             .withColumn("leased_at", F.lit(_ts(now)))
             .withColumn("seq", F.lit(claim_seq))
         )
@@ -335,22 +379,37 @@ class QueueManager:
         # admission per pipeline (producer.ex:131-146 demand sizing + the
         # sliding-window governor, redis/bulk_dequeue.ex:196-224)
         demands: dict[str, tuple[Pipeline, int]] = {}
+        # Pipelines sharing a rate_limit_key must jointly respect one window
+        # budget (queue/manager.ex:285-287).  Each pipeline is admitted up to
+        # min(demand, key budget); when a key spans >1 admitted queue, the
+        # JOINT cap is enforced inside the claim plan (see claim_plan), so an
+        # empty queue can't burn budget its sibling needed.
+        key_remaining: dict[str, int] = {}
+        key_queues: dict[str, list[str]] = {}
         for pl in pipelines:
             p = self.pipelines[pl] if isinstance(pl, str) else pl
             if p.paused:
                 continue
             demand = p.max_demand * (p.batch_size or 1)
             if p.rate_limit_count is not None:
-                demand = min(
-                    demand,
-                    self.limiter.remaining(
-                        p.limit_key, p.rate_limit_count, p.rate_limit_scale or 1000, now
-                    ),
-                )
+                key = p.limit_key
+                if key not in key_remaining:
+                    key_remaining[key] = self.limiter.remaining(
+                        key, p.rate_limit_count, p.rate_limit_scale or 1000, now
+                    )
+                demand = min(demand, key_remaining[key])
+                if demand > 0:
+                    key_queues.setdefault(key, []).append(p.queue)
             if demand > 0:
                 demands[p.queue] = (p, demand)
         if not demands:
             return stats
+        shared_budgets = {
+            q: (key, key_remaining[key])
+            for key, qs in key_queues.items()
+            if len(qs) > 1
+            for q in qs
+        }
 
         # claim append (≙ MULTI {ZADD processing, LTRIM}, bulk_dequeue.ex:242-295).
         # The claim batch is staged to a scratch dir, then only data-bearing
@@ -361,7 +420,7 @@ class QueueManager:
         claim_seq = self.store.next_seq()
         claim_t0 = time.perf_counter()
         claim_df = self.claim_plan(
-            {q: d for q, (_, d) in demands.items()}, now, claim_seq
+            {q: d for q, (_, d) in demands.items()}, now, claim_seq, shared_budgets
         )
         claim_paths = self.store.publish(claim_df, f"claim-{claim_seq}")
         if not claim_paths:
@@ -446,7 +505,9 @@ class QueueManager:
                 delay = backoff_ms(
                     new_rc, self.backoff_initial_ms, self.backoff_max_ms
                 ) / 1000.0
-                retry_at = _ts(int(now) + delay)
+                # no int() truncation: sub-second backoff must keep
+                # retry_at strictly in the future relative to `now`
+                retry_at = _ts(now + delay)
             err = None if ok else (r["error_message"] if r else "no dispatch result")
             ack_rows.append(
                 {

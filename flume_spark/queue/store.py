@@ -232,25 +232,41 @@ class JobStore:
         successful ack REMOVES the job from Redis, queue/manager.ex:184-193,
         while dead jobs stay queryable in the dead zset), and it is what
         keeps the live log O(in-flight + dead), not O(all jobs ever).
+
+        Concurrency/crash contract: the input file list is snapshotted FIRST,
+        the compacted output is published as new files INTO the live dir, and
+        only the snapshotted inputs are then deleted.  A file appended
+        concurrently (another runner's ack, a user enqueue during streaming)
+        is not in the snapshot, so it survives; its higher `seq` still wins
+        the latest-per-jid window over the compacted record.  A crash between
+        publish and the unlinks leaves duplicate latest-records — harmless
+        (identical rows; the window picks either) and removed by the next
+        compact.  No whole-directory rename ever happens, so there is no
+        moment without a live log dir.
         """
-        snapshot = self.current()
-        tmp = self.path.rstrip("/") + ".compact.tmp"
+        files = sorted(
+            os.path.join(self.path, n)
+            for n in os.listdir(self.path)
+            if n.endswith(".parquet")
+        )
+        if not files:
+            return
+        log = self.spark.read.schema(JOB_LOG_SCHEMA).parquet(*files)
+        w = Window.partitionBy("jid").orderBy(F.col("seq").desc())
+        snapshot = (
+            log.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         if archive_succeeded:
             archive = self.path.rstrip("/") + ".archive"
             snapshot.filter(F.col("status") == "succeeded").write.mode(
                 "append"
             ).parquet(archive)
-            snapshot.filter(F.col("status") != "succeeded").write.mode(
-                "overwrite"
-            ).parquet(tmp)
-        else:
-            snapshot.write.mode("overwrite").parquet(tmp)
-        old = self.path.rstrip("/") + ".compact.old"
-        os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        import shutil
-
-        shutil.rmtree(old)
+            snapshot = snapshot.filter(F.col("status") != "succeeded")
+        self.publish(snapshot, f"compact-{self.next_seq()}")
+        for p in files:
+            os.unlink(p)
 
     def archive(self) -> DataFrame:
         """Archived (succeeded) job records, if any were compacted out."""

@@ -16,11 +16,10 @@ PYTHONPATH and the registry just names them).
 from __future__ import annotations
 
 import json
+import threading
 import time
 import traceback
 from collections.abc import Callable, Iterator
-from concurrent.futures import ThreadPoolExecutor
-from concurrent.futures import TimeoutError as FutTimeout
 
 import pandas as pd
 
@@ -85,14 +84,35 @@ class WorkerRegistry:
 
 
 def _call_with_timeout(fn: Callable, args: list, timeout_s: float | None):
+    """Bound the worker call's wall-clock time.
+
+    Runs the call on a daemon thread and abandons it on timeout: the hung
+    thread leaks (Python can't kill threads) but the dispatch loop moves on,
+    so one stuck job delays its micro-batch by at most ``timeout_s`` — the
+    semantics the reference gets from killing the worker Task process
+    (lib/flume/pipeline/event/worker.ex timeout exits).  A pool context
+    manager would block in shutdown(wait=True) until the hung call returned,
+    making the timeout advisory only.
+    """
     if timeout_s is None:
         return fn(*args)
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        fut = pool.submit(fn, *args)
+    result: list = []
+
+    def target() -> None:
         try:
-            return fut.result(timeout=timeout_s)
-        except FutTimeout:
-            raise TimeoutError(f"worker exceeded {timeout_s}s") from None
+            result.append(("ok", fn(*args)))
+        except BaseException as exc:  # noqa: BLE001 — crosses the thread boundary
+            result.append(("err", exc))
+
+    t = threading.Thread(target=target, daemon=True, name="flume-worker-call")
+    t.start()
+    t.join(timeout_s)
+    if not result:
+        raise TimeoutError(f"worker exceeded {timeout_s}s")
+    kind, val = result[0]
+    if kind == "err":
+        raise val
+    return val
 
 
 def dispatch_single(

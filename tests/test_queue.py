@@ -539,3 +539,122 @@ def test_time_travel_as_of(engine):
     assert engine.current().collect()[0]["status"] == "succeeded"
     past = engine.store.as_of(seq_after_enqueue).collect()
     assert len(past) == 1 and past[0]["status"] == "pending"
+
+
+# -- ADVICE round-1 regressions ---------------------------------------------
+
+
+def test_call_with_timeout_bounds_wall_clock():
+    """A hung worker must not block dispatch past the timeout (the old pool
+    context manager waited for the worker in shutdown(wait=True))."""
+    import time as _time
+
+    from flume_spark.queue.workers import _call_with_timeout
+
+    t0 = _time.perf_counter()
+    with pytest.raises(TimeoutError):
+        _call_with_timeout(lambda: _time.sleep(30), [], timeout_s=0.5)
+    assert _time.perf_counter() - t0 < 5
+
+    # fast calls still return their value and propagate errors
+    assert _call_with_timeout(lambda x: x + 1, [41], timeout_s=5) == 42
+    with pytest.raises(ValueError):
+        _call_with_timeout(lambda: (_ for _ in ()).throw(ValueError("x")), [], 5)
+
+
+def test_dispatch_timeout_marks_job_failed(spark, tmp_path):
+    """End-to-end: a sleeping worker times out, the batch completes within
+    bounded wall-clock, and the job enters the retry path."""
+    import time as _time
+
+    registry = WorkerRegistry()
+
+    @registry.register("SlowWorker")
+    def slow(*args):
+        _time.sleep(300)
+
+    store = JobStore(spark, str(tmp_path / "jobs_slow"))
+    m = QueueManager(
+        spark,
+        store,
+        registry,
+        pipelines=[Pipeline(name="slow", queue="slow")],
+        dispatch_timeout_s=1.0,
+    )
+    m.enqueue("slow", "SlowWorker", [], now=T0)
+    t0 = _time.perf_counter()
+    stats = m.run_once("slow", now=T0 + 1)
+    # far below the 300 s sleep: the timeout, not the worker, bounds the batch
+    assert _time.perf_counter() - t0 < 60
+    assert stats["retried"] == 1
+    row = m.fetch_all("slow", status="retry").collect()[0]
+    assert "worker exceeded" in row["error_message"]
+
+
+def test_rate_limit_shared_key_single_trigger(engine):
+    """Pipelines sharing a rate_limit_key must split ONE window budget even
+    within a single run_many trigger (admission previously read remaining()
+    for both before recording either)."""
+    p1 = Pipeline(
+        name="l1", queue="q1", rate_limit_count=3, rate_limit_scale=1000,
+        rate_limit_key="shared1t",
+    )
+    p2 = Pipeline(
+        name="l2", queue="q2", rate_limit_count=3, rate_limit_scale=1000,
+        rate_limit_key="shared1t",
+    )
+    engine.pipelines.update({"l1": p1, "l2": p2})
+    engine.bulk_enqueue("q1", [("EchoWorker", "perform", [i]) for i in range(3)], now=T0)
+    engine.bulk_enqueue("q2", [("EchoWorker", "perform", [i]) for i in range(3)], now=T0)
+    stats = engine.run_many(["l1", "l2"], now=T0 + 1)
+    assert stats["claimed"] <= 3  # joint budget, not 3 per pipeline
+    # the remaining jobs drain in the next window
+    stats2 = engine.run_many(["l1", "l2"], now=T0 + 2.1)
+    assert stats["claimed"] + stats2["claimed"] == 6
+
+
+def test_compact_preserves_concurrent_append(engine):
+    """A file appended after compaction snapshots its input list must
+    survive (the old implementation swapped the whole dir and deleted it)."""
+    store = engine.store
+    for i in range(4):
+        engine.enqueue("default", "EchoWorker", [i], now=T0)
+    engine.run_once("default", now=T0 + 1)
+
+    orig_publish = store.publish
+    raced_jid = []
+
+    def publish_then_race(df, tag):
+        paths = orig_publish(df, tag)
+        if tag.startswith("compact-") and not raced_jid:
+            # concurrent enqueue lands between publish and input deletion
+            raced_jid.append(engine.enqueue("default", "EchoWorker", ["late"], now=T0 + 2))
+        return paths
+
+    store.publish = publish_then_race
+    try:
+        store.compact()
+    finally:
+        store.publish = orig_publish
+    jids = {r["jid"] for r in engine.current().collect()}
+    assert raced_jid[0] in jids, "concurrently-appended job lost by compact"
+    assert len(jids) == 5
+
+
+def test_subsecond_backoff_not_immediately_due(engine):
+    """retry_at must not truncate `now` to whole seconds: with a 500 ms
+    initial backoff the first retry would otherwise be due immediately."""
+    engine.enqueue("default", "FailWorker", [], now=T0)
+    engine.run_once("default", now=T0 + 0.9)  # fails -> retry in 750 ms
+    # still inside the backoff window
+    assert engine.run_once("default", now=T0 + 0.95)["claimed"] == 0
+    # due after the backoff elapses
+    assert engine.run_once("default", now=T0 + 1.7)["claimed"] == 1
+
+
+def test_simhash_rejects_wide_bits(spark):
+    from flume_spark.operators import dedup
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(AssertionError):
+        dedup.simhash_fingerprint(df, "doc_id", "text", bits=64)
