@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import time
 import uuid
+from contextlib import ExitStack
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
@@ -71,6 +72,7 @@ class QueueManager:
         telemetry: Telemetry | None = None,
         compact_max_files: int | None = 256,
         archive_succeeded: bool = False,
+        limiter: SlidingWindowLimiter | None = None,
     ):
         self.spark = spark
         self.store = store
@@ -87,7 +89,10 @@ class QueueManager:
         self.backoff_initial_ms = backoff_initial_ms
         self.backoff_max_ms = backoff_max_ms
         self.dispatch_timeout_s = dispatch_timeout_s
-        self.limiter = SlidingWindowLimiter()
+        # Pass a SharedLedgerLimiter to hold the rate limit jointly across
+        # app instances (README "across app instances" guarantee); the
+        # default driver-local ledger covers the single-driver deployment.
+        self.limiter = limiter or SlidingWindowLimiter()
 
     # ------------------------------------------------------------------
     # write path (S1-S3): queue/manager.ex:12-67
@@ -376,75 +381,100 @@ class QueueManager:
         now = time.time() if now is None else now
         stats = {"claimed": 0, "succeeded": 0, "retried": 0, "dead": 0}
 
-        # admission per pipeline (producer.ex:131-146 demand sizing + the
-        # sliding-window governor, redis/bulk_dequeue.ex:196-224)
-        demands: dict[str, tuple[Pipeline, int]] = {}
-        # Pipelines sharing a rate_limit_key must jointly respect one window
-        # budget (queue/manager.ex:285-287).  Each pipeline is admitted up to
-        # min(demand, key budget); when a key spans >1 admitted queue, the
-        # JOINT cap is enforced inside the claim plan (see claim_plan), so an
-        # empty queue can't burn budget its sibling needed.
-        key_remaining: dict[str, int] = {}
-        key_queues: dict[str, list[str]] = {}
-        for pl in pipelines:
-            p = self.pipelines[pl] if isinstance(pl, str) else pl
-            if p.paused:
-                continue
-            demand = p.max_demand * (p.batch_size or 1)
-            if p.rate_limit_count is not None:
-                key = p.limit_key
-                if key not in key_remaining:
-                    key_remaining[key] = self.limiter.remaining(
-                        key, p.rate_limit_count, p.rate_limit_scale or 1000, now
-                    )
-                demand = min(demand, key_remaining[key])
-                if demand > 0:
-                    key_queues.setdefault(key, []).append(p.queue)
-            if demand > 0:
-                demands[p.queue] = (p, demand)
-        if not demands:
-            return stats
-        shared_budgets = {
-            q: (key, key_remaining[key])
-            for key, qs in key_queues.items()
-            if len(qs) > 1
-            for q in qs
-        }
+        resolved = [
+            self.pipelines[pl] if isinstance(pl, str) else pl for pl in pipelines
+        ]
+        # Each rate-limited key's lock is held across the whole
+        # remaining->claim->record span: with a SharedLedgerLimiter this is
+        # the reference's bulk_dequeue_lock (redis/lock.ex:8-24) — two app
+        # instances can't both read the same window budget and jointly
+        # overshoot.  Keys sorted for deadlock-free ordering; the local
+        # limiter's lock serializes concurrent runner threads in-process.
+        limited_keys = sorted(
+            {
+                p.limit_key
+                for p in resolved
+                if p.rate_limit_count is not None and not self.is_paused(p)
+            }
+        )
+        with ExitStack() as ledger_locks:
+            for key in limited_keys:
+                ledger_locks.enter_context(self.limiter.lock(key))
 
-        # claim append (≙ MULTI {ZADD processing, LTRIM}, bulk_dequeue.ex:242-295).
-        # The claim batch is staged to a scratch dir, then only data-bearing
-        # part files are renamed into the log: an EMPTY claim publishes
-        # nothing (otherwise every zero-row part file would wake any
-        # streaming reader of the log and re-trigger a claim, forever), and
-        # dispatch reads exactly the claim files, not a full log scan.
-        claim_seq = self.store.next_seq()
-        claim_t0 = time.perf_counter()
-        claim_df = self.claim_plan(
-            {q: d for q, (_, d) in demands.items()}, now, claim_seq, shared_budgets
-        )
-        claim_paths = self.store.publish(claim_df, f"claim-{claim_seq}")
-        if not claim_paths:
-            return stats
-        # claim rows are bounded by Σ demand (the reference's own bound —
-        # its whole claim travels through one Redis reply), so the
-        # control-plane bookkeeping is driver-side: zero extra Spark jobs
-        claim_rows = self.store.read_rows(claim_paths)
-        claimed = self.spark.read.schema(self.store.log().schema).parquet(
-            *claim_paths
-        )
-        per_queue: dict[str, int] = {}
-        for r in claim_rows:
-            per_queue[r["queue"]] = per_queue.get(r["queue"], 0) + 1
-        claimed_rows = len(claim_rows)
-        stats["claimed"] = claimed_rows
-        # [:queue, :dequeue] telemetry (producer.ex:158-164)
-        self.telemetry.emit(
-            ("queue", "dequeue"),
-            {"count": claimed_rows, "latency_ms": (time.perf_counter() - claim_t0) * 1000.0},
-            {"queues": sorted(per_queue)},
-        )
-        for q, n in per_queue.items():
-            self.limiter.record(demands[q][0].limit_key, n, now)
+            # admission per pipeline (producer.ex:131-146 demand sizing + the
+            # sliding-window governor, redis/bulk_dequeue.ex:196-224)
+            demands: dict[str, tuple[Pipeline, int]] = {}
+            # Pipelines sharing a rate_limit_key must jointly respect one
+            # window budget (queue/manager.ex:285-287).  Each pipeline is
+            # admitted up to min(demand, key budget); when a key spans >1
+            # admitted queue, the JOINT cap is enforced inside the claim plan
+            # (see claim_plan), so an empty queue can't burn budget its
+            # sibling needed.
+            key_remaining: dict[str, int] = {}
+            key_queues: dict[str, list[str]] = {}
+            for p in resolved:
+                if self.is_paused(p):
+                    continue
+                demand = p.max_demand * (p.batch_size or 1)
+                if p.rate_limit_count is not None:
+                    key = p.limit_key
+                    if key not in key_remaining:
+                        key_remaining[key] = self.limiter.remaining(
+                            key, p.rate_limit_count, p.rate_limit_scale or 1000, now
+                        )
+                    demand = min(demand, key_remaining[key])
+                    if demand > 0:
+                        key_queues.setdefault(key, []).append(p.queue)
+                if demand > 0:
+                    demands[p.queue] = (p, demand)
+            if not demands:
+                return stats
+            shared_budgets = {
+                q: (key, key_remaining[key])
+                for key, qs in key_queues.items()
+                if len(qs) > 1
+                for q in qs
+            }
+
+            # claim append (≙ MULTI {ZADD processing, LTRIM},
+            # bulk_dequeue.ex:242-295).  The claim batch is staged to a
+            # scratch dir, then only data-bearing part files are renamed into
+            # the log: an EMPTY claim publishes nothing (otherwise every
+            # zero-row part file would wake any streaming reader of the log
+            # and re-trigger a claim, forever), and dispatch reads exactly
+            # the claim files, not a full log scan.
+            claim_seq = self.store.next_seq()
+            claim_t0 = time.perf_counter()
+            claim_df = self.claim_plan(
+                {q: d for q, (_, d) in demands.items()}, now, claim_seq, shared_budgets
+            )
+            claim_paths = self.store.publish(claim_df, f"claim-{claim_seq}")
+            if not claim_paths:
+                return stats
+            # claim rows are bounded by Σ demand (the reference's own bound —
+            # its whole claim travels through one Redis reply), so the
+            # control-plane bookkeeping is driver-side: zero extra Spark jobs
+            claim_rows = self.store.read_rows(claim_paths)
+            claimed = self.spark.read.schema(self.store.log().schema).parquet(
+                *claim_paths
+            )
+            per_queue: dict[str, int] = {}
+            for r in claim_rows:
+                per_queue[r["queue"]] = per_queue.get(r["queue"], 0) + 1
+            claimed_rows = len(claim_rows)
+            stats["claimed"] = claimed_rows
+            # [:queue, :dequeue] telemetry (producer.ex:158-164)
+            self.telemetry.emit(
+                ("queue", "dequeue"),
+                {
+                    "count": claimed_rows,
+                    "latency_ms": (time.perf_counter() - claim_t0) * 1000.0,
+                },
+                {"queues": sorted(per_queue)},
+            )
+            for q, n in per_queue.items():
+                if demands[q][0].rate_limit_count is not None:
+                    self.limiter.record(demands[q][0].limit_key, n, now)
 
         # dispatch on executors; results land in a scratch table so workers
         # run exactly one pass (cached lineage would re-execute them whenever
@@ -555,8 +585,26 @@ class QueueManager:
     # control (ST6): pause/resume — pipeline/event/producer.ex:25-43
     # ------------------------------------------------------------------
 
-    def pause(self, name: str) -> None:
+    def pause(self, name: str, temporary: bool = True) -> None:
+        """Stop admission for a pipeline.  `temporary=True` (the reference
+        default, pipeline/control/options.ex:32-59) pauses this manager
+        only; `temporary=False` also persists a control flag on the store
+        (≙ the Redis `<ns>:pipeline:<name>:paused` string,
+        pipeline/event.ex:41-55,69-70) so the pause survives restarts and
+        applies to every manager/stream sharing the store."""
         self.pipelines[name].paused = True
+        if not temporary:
+            self.store.set_flag(f"paused/{name}")
 
-    def resume(self, name: str) -> None:
+    def resume(self, name: str, temporary: bool = True) -> None:
+        """`temporary=True` resumes this manager only (a persistent flag, if
+        any, re-pauses on restart — reference semantics); `temporary=False`
+        also clears the durable flag."""
         self.pipelines[name].paused = False
+        if not temporary:
+            self.store.clear_flag(f"paused/{name}")
+
+    def is_paused(self, p: Pipeline) -> bool:
+        """Pause gate read at trigger time: node-local flag OR the durable
+        control flag (so a pause from another manager instance holds)."""
+        return p.paused or self.store.has_flag(f"paused/{p.name}")

@@ -268,6 +268,32 @@ class JobStore:
         for p in files:
             os.unlink(p)
 
+    # -- control flags ------------------------------------------------------
+    # Durable cluster-visible control state lives NEXT TO the log (at scale:
+    # a Delta control table; here: flag files on the shared store path).
+    # Reference analog: the `<ns>:pipeline:<name>:paused` Redis string
+    # written when pause has `temporary: false` (pipeline/event.ex:69-70).
+
+    def _flag_path(self, flag: str) -> str:
+        return os.path.join(self.path.rstrip("/") + ".control", flag)
+
+    def set_flag(self, flag: str) -> None:
+        path = self._flag_path(flag)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("true")
+        os.rename(tmp, path)
+
+    def clear_flag(self, flag: str) -> None:
+        try:
+            os.unlink(self._flag_path(flag))
+        except FileNotFoundError:
+            pass
+
+    def has_flag(self, flag: str) -> bool:
+        return os.path.exists(self._flag_path(flag))
+
     def archive(self) -> DataFrame:
         """Archived (succeeded) job records, if any were compacted out."""
         return self.spark.read.schema(JOB_LOG_SCHEMA).parquet(

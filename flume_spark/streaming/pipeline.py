@@ -55,7 +55,7 @@ class PipelineRunner:
         # The arriving records are only the wake-up signal; run_once reads
         # authoritative state from the store so replays are harmless.
         with self._lock:
-            if self.pipeline.paused:
+            if self.manager.is_paused(self.pipeline):
                 return  # F3 pause gate (producer.ex:111-115): skip fetch
             self.manager.run_once(self.pipeline)
             self.batches_run += 1

@@ -658,3 +658,98 @@ def test_simhash_rejects_wide_bits(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(AssertionError):
         dedup.simhash_fingerprint(df, "doc_id", "text", bits=64)
+
+
+# -- persistent pause (ST6, temporary: false) --------------------------------
+
+
+def test_pause_persistent_survives_restart(engine, spark, tmp_path):
+    """pause(temporary=False) persists a control flag on the store: a NEW
+    manager over the same store (≙ app restart / another instance) stays
+    paused until a durable resume (pipeline/event.ex:41-55,69-70)."""
+    engine.enqueue("default", "EchoWorker", [1], now=T0)
+    engine.pause("default", temporary=False)
+    assert engine.run_once("default", now=T0 + 1)["claimed"] == 0
+
+    # "restart": fresh manager + pipeline objects, same store path
+    m2 = QueueManager(
+        spark,
+        JobStore(spark, engine.store.path),
+        engine.registry,
+        pipelines=[Pipeline(name="default", queue="default")],
+    )
+    assert m2.run_once("default", now=T0 + 2)["claimed"] == 0
+    # a temporary resume on the restarted node does not clear the flag …
+    m2.resume("default", temporary=True)
+    assert not m2.pipelines["default"].paused
+    assert m2.is_paused(m2.pipelines["default"])  # durable flag still wins
+    # … a durable resume does
+    m2.resume("default", temporary=False)
+    assert m2.run_once("default", now=T0 + 3)["claimed"] == 1
+
+
+def test_pause_temporary_is_node_local(engine, spark):
+    """Default pause stays in-memory: a second manager on the same store is
+    unaffected (reference temporary: true semantics)."""
+    engine.enqueue("default", "EchoWorker", [1], now=T0)
+    engine.pause("default")  # temporary
+    m2 = QueueManager(
+        spark,
+        JobStore(spark, engine.store.path),
+        engine.registry,
+        pipelines=[Pipeline(name="default", queue="default")],
+    )
+    assert m2.run_once("default", now=T0 + 1)["claimed"] == 1
+
+
+# -- multi-instance shared rate-limit ledger ---------------------------------
+
+
+def test_shared_ledger_across_manager_instances(spark, tmp_path):
+    """Two QueueManager instances sharing one SharedLedgerLimiter admit at
+    most `count` per window JOINTLY (manager_test.exs:54-78 'across app
+    instances')."""
+    from flume_spark.queue.ratelimit import SharedLedgerLimiter
+
+    registry = WorkerRegistry()
+
+    @registry.register("EchoWorker")
+    def echo(*args):
+        pass
+
+    pipes = [
+        Pipeline(
+            name="lim", queue="lim", rate_limit_count=3, rate_limit_scale=1000
+        )
+    ]
+    store_path = str(tmp_path / "jobs_shared")
+    ledger_path = str(tmp_path / "ledger")
+    m1 = QueueManager(
+        spark, JobStore(spark, store_path), registry, pipelines=pipes,
+        limiter=SharedLedgerLimiter(ledger_path),
+    )
+    m2 = QueueManager(
+        spark, JobStore(spark, store_path), registry, pipelines=pipes,
+        limiter=SharedLedgerLimiter(ledger_path),
+    )
+    m1.bulk_enqueue("lim", [("EchoWorker", "perform", [i]) for i in range(8)], now=T0)
+    s1 = m1.run_once("lim", now=T0 + 1)
+    s2 = m2.run_once("lim", now=T0 + 1.2)  # same window, other instance
+    assert s1["claimed"] == 3
+    assert s2["claimed"] == 0  # joint budget already spent by m1
+    s3 = m2.run_once("lim", now=T0 + 2.2)  # next window
+    assert s3["claimed"] == 3
+    s4 = m1.run_once("lim", now=T0 + 3.3)
+    assert s4["claimed"] == 2  # drained
+
+
+def test_shared_ledger_prunes_expired_entries(tmp_path):
+    from flume_spark.queue.ratelimit import SharedLedgerLimiter
+
+    lim = SharedLedgerLimiter(str(tmp_path / "ledger2"))
+    lim.record("k", 5, now=T0)
+    assert lim.in_window("k", 1000, now=T0 + 0.5) == 5
+    assert lim.remaining("k", 8, 1000, now=T0 + 0.5) == 3
+    # window slides past the entries -> pruned from disk
+    assert lim.remaining("k", 8, 1000, now=T0 + 2) == 8
+    assert lim.in_window("k", 1000, now=T0 + 2) == 0
