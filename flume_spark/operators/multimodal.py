@@ -13,12 +13,21 @@ bounded (`spark.sql.execution.arrow.maxRecordsPerBatch`).
 
 from __future__ import annotations
 
+import io
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+try:  # real pixel codec when available; header parsers below need nothing
+    from PIL import Image as _PILImage  # type: ignore
+
+    _HAS_PIL = True
+except ImportError:  # pragma: no cover - container has no PIL
+    _HAS_PIL = False
 
 MEDIA_META_SCHEMA = (
     "id bigint, n_bytes int, media_type string, width int, height int, ok boolean"
@@ -40,32 +49,89 @@ def to_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def _fake_decode(payload: bytes) -> tuple[int, int]:
     """STUB decode: derive a deterministic (width, height) from payload bytes.
 
-    Replace with a real codec (e.g. PIL.Image.open) in production; raising
-    NotImplementedError here would be correct too, but a deterministic fake
-    lets the distributed plumbing be exercised end-to-end in tests.
+    Used only for payloads `probe_media` doesn't recognize, so the
+    distributed plumbing stays exercisable end-to-end with synthetic blobs.
     """
     if not payload:
         return (0, 0)
     return (len(payload) % 1920 + 1, payload[0] % 1080 + 1)
 
 
-def decode_media_meta(payloads: DataFrame) -> DataFrame:
-    """Arrow-batched 'decode' over (id, payload, n_bytes, media_type).
+def probe_media(payload: bytes) -> tuple[str, int, int] | None:
+    """REAL header-level decode of common formats, no external codecs:
+    returns (media_type, width, height), or None for unrecognized payloads.
 
-    Per-batch pandas work — the pattern for any per-item media kernel
-    (resize, frame-sample, feature-extract).
+    PIL, when importable, is tried first (full decoder, covers everything it
+    knows); the pure-Python parsers below handle PNG/GIF/JPEG from their
+    published on-disk layouts, so the real-codec path is testable even in
+    codec-less containers.
+    """
+    if not payload:
+        return None
+    if _HAS_PIL:
+        try:
+            img = _PILImage.open(io.BytesIO(payload))
+            fmt = (img.format or "bin").lower()
+            return (f"image/{fmt}", int(img.width), int(img.height))
+        except Exception:  # noqa: BLE001 — not an image PIL knows; try parsers
+            pass
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        # IHDR is the first chunk: width/height big-endian at bytes 16..24
+        w, h = struct.unpack(">II", payload[16:24])
+        return ("image/png", w, h)
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("image/gif", w, h)
+    if payload[:2] == b"\xff\xd8":  # JPEG: scan segments for a SOFn marker
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return ("image/jpeg", w, h)
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        return None
+    return None
+
+
+def _decode_dims(payload: bytes) -> tuple[str | None, int, int]:
+    """(detected_media_type | None, width, height): real formats get their
+    true dimensions; anything else falls back to the deterministic stub."""
+    probed = probe_media(payload)
+    if probed is not None:
+        return probed
+    w, h = _fake_decode(payload)
+    return (None, w, h)
+
+
+def decode_media_meta(payloads: DataFrame) -> DataFrame:
+    """Arrow-batched decode over (id, payload, n_bytes, media_type).
+
+    Real formats (PNG/GIF/JPEG; anything PIL can open when installed) get
+    their true dimensions and a detected media_type; unrecognized payloads
+    keep the caller's media_type and the deterministic stub dims, so
+    synthetic-blob pipelines stay oracle-checkable.  Per-batch pandas work —
+    the pattern for any per-item media kernel (resize, frame-sample,
+    feature-extract).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            dims = pdf["payload"].map(lambda p: _fake_decode(bytes(p)))
+            decoded = pdf["payload"].map(lambda p: _decode_dims(bytes(p)))
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "n_bytes": pdf["n_bytes"].astype("int32"),
-                    "media_type": pdf["media_type"],
-                    "width": dims.map(lambda d: d[0]).astype("int32"),
-                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "media_type": [
+                        d[0] or mt
+                        for d, mt in zip(decoded, pdf["media_type"])
+                    ],
+                    "width": decoded.map(lambda d: d[1]).astype("int32"),
+                    "height": decoded.map(lambda d: d[2]).astype("int32"),
                     "ok": True,
                 }
             )
@@ -77,15 +143,17 @@ RESIZE_SCHEMA = "id bigint, width int, height int, resized_w int, resized_h int"
 
 
 def resize_stub(payloads: DataFrame, max_dim: int = 64) -> DataFrame:
-    """STUB image resize: fake-decode dims, then scale so max(w,h) == max_dim
-    (no upscale).  A real kernel swaps `_fake_decode`/the arithmetic for
-    PIL.Image.thumbnail over the payload bytes — batch shape is identical."""
+    """Image resize planning: decode dims (real formats via probe_media,
+    stub otherwise), then scale so max(w,h) == max_dim (no upscale).  The
+    output is target dimensions; actual pixel resampling (PIL
+    Image.thumbnail) plugs into the same batch loop when a codec is
+    installed — batch shape is identical."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            dims = pdf["payload"].map(lambda p: _fake_decode(bytes(p)))
-            w = dims.map(lambda d: d[0]).astype("int64")
-            h = dims.map(lambda d: d[1]).astype("int64")
+            dims = pdf["payload"].map(lambda p: _decode_dims(bytes(p)))
+            w = dims.map(lambda d: d[1]).astype("int64")
+            h = dims.map(lambda d: d[2]).astype("int64")
             m = pd.concat([w, h], axis=1).max(axis=1).clip(lower=max_dim)
             yield pd.DataFrame(
                 {

@@ -73,6 +73,7 @@ class QueueManager:
         compact_max_files: int | None = 256,
         archive_succeeded: bool = False,
         limiter: SlidingWindowLimiter | None = None,
+        idempotence: bool = False,
     ):
         self.spark = spark
         self.store = store
@@ -93,6 +94,14 @@ class QueueManager:
         # app instances (README "across app instances" guarantee); the
         # default driver-local ledger covers the single-driver deployment.
         self.limiter = limiter or SlidingWindowLimiter()
+        # Opt-in processed-jid ledger: completed dispatches are recorded
+        # BEFORE the ack lands, so a visibility-timeout redelivery (crash
+        # between dispatch and ack) skips the worker instead of re-running
+        # its external side effects.  The reference has the same exposure
+        # (move-then-delete, queue/manager.ex:218-220) and no such guard —
+        # this closes SURVEY "hard part 2".  Markers are cleared once the
+        # ack is durable, so the set stays O(crash window), not O(history).
+        self.idempotence = idempotence
 
     # ------------------------------------------------------------------
     # write path (S1-S3): queue/manager.ex:12-67
@@ -484,6 +493,18 @@ class QueueManager:
         bulk_sizes = sorted(
             {p.batch_size for p, _ in demands.values() if p.batch_size}
         )
+        # idempotence: claimed jids whose dispatch already completed (marker
+        # present = crash happened between dispatch and ack) skip the worker
+        skipped_jids: set[str] = set()
+        if self.idempotence:
+            skipped_jids = {
+                c["jid"]
+                for c in claim_rows
+                if self.store.has_flag(f"processed/{c['jid']}")
+            }
+            if skipped_jids:
+                claimed = claimed.filter(~F.col("jid").isin(list(skipped_jids)))
+
         parts = []
         if single_queues:
             parts.append(
@@ -508,7 +529,16 @@ class QueueManager:
             results = results.unionByName(extra)
         # one action executes the workers exactly once; the result set is
         # bounded by the claim (≤ Σ demand), so it collects
-        result_rows = {r["jid"]: r for r in results.collect()}
+        if len(skipped_jids) == len(claim_rows):
+            result_rows: dict[str, dict] = {}  # nothing left to dispatch
+        else:
+            result_rows = {r["jid"]: r for r in results.collect()}
+        if self.idempotence:
+            # record completed dispatches BEFORE the ack lands — the ordering
+            # that makes redelivery-after-crash skip the side effects
+            for jid, r in result_rows.items():
+                if r["ok"]:
+                    self.store.set_flag(f"processed/{jid}")
 
         # ack / retry / DLQ append (system_event worker + manager.ex:121-193)
         # — driver-side over the bounded claim; the only cost is one pyarrow
@@ -519,7 +549,8 @@ class QueueManager:
         worker_ms = 0.0
         for c in claim_rows:
             r = result_rows.get(c["jid"])
-            ok = bool(r and r["ok"])
+            # a marker-skipped job already ran its side effects: ack succeeded
+            ok = bool(r and r["ok"]) or c["jid"] in skipped_jids
             if r:
                 worker_ms += r["duration_ms"] or 0.0
             new_rc = c["retry_count"] + 1
@@ -563,6 +594,12 @@ class QueueManager:
                 }
             )
         self.store.append_rows(ack_rows)
+        if self.idempotence:
+            # ack is durable: markers served their purpose, keep the set
+            # bounded by the crash window
+            for row in ack_rows:
+                if row["status"] == S.SUCCEEDED:
+                    self.store.clear_flag(f"processed/{row['jid']}")
 
         # [:pipeline, :worker] telemetry (worker.ex:37-42)
         self.telemetry.emit(

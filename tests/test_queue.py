@@ -753,3 +753,125 @@ def test_shared_ledger_prunes_expired_entries(tmp_path):
     # window slides past the entries -> pruned from disk
     assert lim.remaining("k", 8, 1000, now=T0 + 2) == 8
     assert lim.in_window("k", 1000, now=T0 + 2) == 0
+
+
+# -- jid idempotence (SURVEY hard part 2) ------------------------------------
+
+
+def test_idempotent_redelivery_skips_worker(spark, tmp_path):
+    """With idempotence on, a visibility-timeout redelivery of a job whose
+    dispatch completed (crash between dispatch and ack) does NOT re-invoke
+    the worker; the job is acked succeeded from the marker."""
+    journal = str(tmp_path / "idem.jsonl")
+    registry = WorkerRegistry()
+
+    @registry.register("SideEffectWorker")
+    def side_effect(*args):
+        with open(journal, "a") as f:
+            f.write("invoked\n")
+
+    store = JobStore(spark, str(tmp_path / "jobs_idem"))
+    m = QueueManager(
+        spark,
+        store,
+        registry,
+        pipelines=[Pipeline(name="p", queue="p")],
+        idempotence=True,
+    )
+    jid = m.enqueue("p", "SideEffectWorker", [], now=T0)
+
+    # simulate the crash: job claimed (processing row, no ack) and the
+    # dispatch-completed marker written — exactly the state run_many leaves
+    # if the driver dies after dispatch but before append_rows(ack)
+    from pyspark.sql import functions as F
+    from flume_spark.queue.manager import _ts
+
+    claimed = m.due_jobs("p", T0 + 1).limit(1)
+    store.append(
+        claimed.withColumn("status", F.lit("processing"))
+        .withColumn("leased_at", F.lit(_ts(T0 + 1)))
+        .withColumn("seq", F.lit(store.next_seq()))
+    )
+    store.set_flag(f"processed/{jid}")
+
+    stats = m.run_once("p", now=T0 + 700)  # past the 600 s visibility timeout
+    assert stats == {"claimed": 1, "succeeded": 1, "retried": 0, "dead": 0}
+    import os
+
+    assert not os.path.exists(journal), "worker side effects ran twice"
+    assert not store.has_flag(f"processed/{jid}")  # cleared after durable ack
+    # and a fresh job still dispatches normally
+    m.enqueue("p", "SideEffectWorker", [], now=T0 + 701)
+    assert m.run_once("p", now=T0 + 702)["succeeded"] == 1
+    assert os.path.exists(journal)
+
+
+# -- real-codec multimodal decode --------------------------------------------
+
+
+def _tiny_png(w=3, h=2):
+    """A minimal valid PNG built from the published spec with stdlib only."""
+    import struct as st
+    import zlib
+
+    def chunk(typ, data):
+        c = st.pack(">I", len(data)) + typ + data
+        return c + st.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * w for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_probe_media_real_formats():
+    from flume_spark.operators.multimodal import probe_media
+
+    assert probe_media(_tiny_png(3, 2)) == ("image/png", 3, 2)
+    gif = b"GIF89a" + bytes([7, 0, 5, 0]) + b"\x00" * 10
+    assert probe_media(gif) == ("image/gif", 7, 5)
+    # JPEG: SOI + APP0 stub + SOF0 (h=4, w=6)
+    jpeg = (
+        b"\xff\xd8"
+        # APP0: declared length 16 = 2 (length field) + 14 data bytes
+        + b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+        + (4).to_bytes(2, "big") + (6).to_bytes(2, "big") + b"\x01" + b"\x00" * 3
+    )
+    assert probe_media(jpeg) == ("image/jpeg", 6, 4)
+    assert probe_media(b"just some text") is None
+    assert probe_media(b"") is None
+
+
+def test_decode_media_meta_real_codec_path(spark):
+    """A real PNG flows through the same mapInPandas contract as the stub
+    payloads and comes back with its true dimensions + detected type."""
+    from flume_spark.operators import multimodal
+
+    png = _tiny_png(5, 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(png), len(png), "application/octet-stream"),
+         (2, bytearray(b"plain text"), 10, "application/octet-stream")],
+        "id long, payload binary, n_bytes int, media_type string",
+    )
+    rows = {r["id"]: r for r in multimodal.decode_media_meta(df).collect()}
+    assert rows[1]["media_type"] == "image/png"
+    assert (rows[1]["width"], rows[1]["height"]) == (5, 4)
+    # unrecognized payloads keep the caller's type + stub dims
+    assert rows[2]["media_type"] == "application/octet-stream"
+    assert rows[2]["width"] == 10 % 1920 + 1
+
+
+@pytest.mark.skipif(
+    not __import__("importlib.util", fromlist=["util"]).find_spec("PIL"),
+    reason="PIL not installed",
+)
+def test_decode_media_meta_pil_path():
+    from flume_spark.operators.multimodal import probe_media
+
+    # PIL decodes the same tiny PNG through the full decoder
+    assert probe_media(_tiny_png(9, 7)) == ("image/png", 9, 7)
