@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
@@ -109,9 +110,47 @@ def bench_queue(spark) -> dict[str, float]:
             done += got
         process_s = time.perf_counter() - start
         assert done == QUEUE_JOBS, f"processed {done}/{QUEUE_JOBS}"
+
+        # interleaved enqueue/dequeue — the contended third scenario of the
+        # reference bench (redis_benchmark.ex:48-89): producers keep
+        # appending while the drain loop claims.  Exercises concurrent
+        # append + claim + auto-compaction on one live log.
+        import threading
+
+        store2 = JobStore(spark, os.path.join(tmp, "jobs_interleaved"))
+        manager2 = QueueManager(spark, store2, registry, pipelines)
+        pre = QUEUE_JOBS // 2  # pre-seed x1 tier, half the volume up front
+        for i in range(QUEUE_FANOUT):
+            manager2.bulk_enqueue(
+                f"q{i}", [("NoopWorker", "perform", payload)] * (pre // QUEUE_FANOUT)
+            )
+
+        def producer() -> None:
+            remaining, qi, chunk = QUEUE_JOBS - pre, 0, 100
+            while remaining > 0:
+                n = min(chunk, remaining)
+                manager2.bulk_enqueue(
+                    f"q{qi % QUEUE_FANOUT}", [("NoopWorker", "perform", payload)] * n
+                )
+                remaining -= n
+                qi += 1
+                time.sleep(0.005)
+
+        start = time.perf_counter()
+        t = threading.Thread(target=producer)
+        t.start()
+        done2 = 0
+        for _ in range(1000):  # bounded; normally exits by the break below
+            done2 += manager2.run_many(names)["succeeded"]
+            if done2 >= QUEUE_JOBS and not t.is_alive():
+                break
+        t.join()
+        interleaved_s = time.perf_counter() - start
+        assert done2 == QUEUE_JOBS, f"interleaved processed {done2}/{QUEUE_JOBS}"
         return {
             "queue_enqueue": round(enqueue_s, 3),
             "queue_process": round(process_s, 3),
+            "queue_interleaved": round(interleaved_s, 3),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -93,10 +93,12 @@ def ngram_jaccard_pairs(
 
     `max_df` is the 100 TB knob: the join's shuffle is Σ_shingle df², so a
     stop-shingle appearing in d docs contributes d² candidate rows.
-    Dropping shingles with df > max_df from the CANDIDATE join bounds the
-    blow-up; intersection counts then come from the capped index, so
-    results become a lower-bound approximation — leave None for exact
-    (the oracle-checked configuration).
+    Dropping shingles with df > max_df bounds the blow-up; sizes AND
+    intersections then come from the capped index, so the score is Jaccard
+    over rare shingles only — it can be higher OR lower than exact Jaccard
+    (both numerator and denominator shrink), and pairs sharing only hot
+    shingles disappear.  Choose max_df >> expected near-dup cluster size so
+    only corpus-wide stop-shingles are dropped.  Leave None for exact.
     """
     sh = word_shingles(df, id_col, text_col, n).cache()
     if max_df is not None:

@@ -46,6 +46,8 @@ class Pipeline:
     rate_limit_scale: int | None = None  # ms
     rate_limit_key: str | None = None
     paused: bool = False
+    # per-pipeline telemetry opt-out (lib/flume/pipeline.ex:7-18 `instrument`)
+    instrument: bool = True
 
     @property
     def limit_key(self) -> str:
@@ -127,12 +129,27 @@ class QueueManager:
         delay_s: float = 0.0,
     ) -> list[str]:
         """One multi-row append (reference: single multi-value RPUSH,
-        redis/client.ex:183-185)."""
+        redis/client.ex:183-185).
+
+        `args` per job is normally a Python list (serialized canonically);
+        a *str* is treated as a pre-serialized JSON array and stored
+        BYTE-EXACT — the analog of the reference keeping `original_json` so
+        ack/retry handle the client's exact payload (event.ex:57,86-100).
+        A raw string that parses to a JSON object (or doesn't parse) gets
+        the reference's object-args rejection -> "[]".
+        """
         now = time.time() if now is None else now
         seq = self.store.next_seq()
         jids, rows = [], []
         for cls, function, args in jobs:
-            if isinstance(args, dict):
+            if isinstance(args, str):
+                try:
+                    parsed = json.loads(args)
+                except ValueError:
+                    parsed = {}
+                if not isinstance(parsed, list):
+                    args = []  # rejection path below serializes canonically
+            elif isinstance(args, dict):
                 # reference rejects object args -> [] (event.ex:88-89,108-109)
                 args = []
             jid = str(uuid.uuid4())
@@ -143,7 +160,7 @@ class QueueManager:
                     "queue": queue,
                     "class": cls,
                     "function": function,
-                    "args": json.dumps(args),
+                    "args": args if isinstance(args, str) else json.dumps(args),
                     "context": context,
                     "status": S.PENDING,
                     "retry_count": 0,
@@ -472,15 +489,20 @@ class QueueManager:
                 per_queue[r["queue"]] = per_queue.get(r["queue"], 0) + 1
             claimed_rows = len(claim_rows)
             stats["claimed"] = claimed_rows
-            # [:queue, :dequeue] telemetry (producer.ex:158-164)
-            self.telemetry.emit(
-                ("queue", "dequeue"),
-                {
-                    "count": claimed_rows,
-                    "latency_ms": (time.perf_counter() - claim_t0) * 1000.0,
-                },
-                {"queues": sorted(per_queue)},
+            # [:queue, :dequeue] telemetry (producer.ex:158-164), only for
+            # pipelines that didn't opt out (pipeline.ex `instrument: false`)
+            instrumented = sorted(
+                q for q in per_queue if demands[q][0].instrument
             )
+            if instrumented:
+                self.telemetry.emit(
+                    ("queue", "dequeue"),
+                    {
+                        "count": sum(per_queue[q] for q in instrumented),
+                        "latency_ms": (time.perf_counter() - claim_t0) * 1000.0,
+                    },
+                    {"queues": instrumented},
+                )
             for q, n in per_queue.items():
                 if demands[q][0].rate_limit_count is not None:
                     self.limiter.record(demands[q][0].limit_key, n, now)
@@ -601,12 +623,13 @@ class QueueManager:
                 if row["status"] == S.SUCCEEDED:
                     self.store.clear_flag(f"processed/{row['jid']}")
 
-        # [:pipeline, :worker] telemetry (worker.ex:37-42)
-        self.telemetry.emit(
-            ("pipeline", "worker"),
-            {"duration_ms": worker_ms, "jobs": claimed_rows},
-            {"queues": sorted(per_queue)},
-        )
+        # [:pipeline, :worker] telemetry (worker.ex:37-42), instrument-gated
+        if instrumented:
+            self.telemetry.emit(
+                ("pipeline", "worker"),
+                {"duration_ms": worker_ms, "jobs": claimed_rows},
+                {"queues": instrumented},
+            )
 
         # bound log fragmentation so per-trigger scan cost stays flat
         if self.compact_max_files is not None:

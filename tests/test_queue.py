@@ -875,3 +875,43 @@ def test_decode_media_meta_pil_path():
 
     # PIL decodes the same tiny PNG through the full decoder
     assert probe_media(_tiny_png(9, 7)) == ("image/png", 9, 7)
+
+
+# -- instrument opt-out + byte-exact raw payloads ----------------------------
+
+
+def test_instrument_opt_out(engine):
+    """Pipeline(instrument=False) suppresses its dequeue/worker telemetry
+    (lib/flume/pipeline.ex:7-18); instrumented pipelines still emit."""
+    engine.telemetry.keep_events = True
+    quiet = Pipeline(name="quiet", queue="quietq", instrument=False)
+    engine.pipelines["quiet"] = quiet
+    engine.enqueue("quietq", "EchoWorker", [1], now=T0)
+    engine.run_once("quiet", now=T0 + 1)
+    names = [e[0] for e in engine.telemetry.events]
+    assert ("queue", "dequeue") not in names
+    assert ("pipeline", "worker") not in names
+    # an instrumented pipeline in the same trigger still reports (its queue only)
+    engine.enqueue("quietq", "EchoWorker", [2], now=T0 + 2)
+    engine.enqueue("default", "EchoWorker", [3], now=T0 + 2)
+    engine.run_many(["quiet", "default"], now=T0 + 3)
+    deq = next(e for e in engine.telemetry.events if e[0] == ("queue", "dequeue"))
+    assert deq[2]["queues"] == ["default"]
+    assert deq[1]["count"] == 1
+
+
+def test_raw_args_stored_byte_exact(engine):
+    """A pre-serialized JSON-array string is stored verbatim (original_json
+    parity, event.ex:57,86-100); objects/garbage get the rejection -> []."""
+    raw = '[1,   2,\t"x" ]'
+    jid = engine.enqueue("default", "EchoWorker", raw, now=T0)
+    row = next(r for r in engine.current().collect() if r["jid"] == jid)
+    assert row["args"] == raw  # byte-exact, not re-serialized
+    engine.run_once("default", now=T0 + 1)
+    assert ("echo", [1, 2, "x"]) in calls()  # worker still gets parsed args
+
+    j2 = engine.enqueue("default", "EchoWorker", '{"a": 1}', now=T0 + 2)
+    j3 = engine.enqueue("default", "EchoWorker", "not json", now=T0 + 2)
+    rows = {r["jid"]: r for r in engine.current().collect()}
+    assert rows[j2]["args"] == "[]"
+    assert rows[j3]["args"] == "[]"
