@@ -251,6 +251,40 @@ def pii_scrub(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(*cols)
 
 
+def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Top-k most distinctive terms per document by TF-IDF.
+
+    The idf factor is the RATIONAL n_docs/df (no logarithm): log is a
+    transcendental whose last-ulp can differ across engines/libms, and a
+    1-ulp flip near a rank boundary would change the top-k set.  n/df
+    preserves the df-ranking log(n/df) induces for fixed tf tiers while
+    keeping every score an exactly-rounded IEEE division — deterministic and
+    oracle-checkable.  Ties break on term asc.
+
+    Scale shape: tf is one (doc, term) row per distinct pair (partial agg);
+    the df join shuffles on term — stopword terms are hot keys, but their
+    per-term df row is a single record, so AQE's skew split handles the tf
+    side.  The corpus size joins in as a broadcast single-row aggregate, not
+    a driver-side collect.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("doc_freq")
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "tf", "doc_freq", "score")
+    )
+
+
 def corpus_stats_observed(df: DataFrame, id_col: str, text_col: str):
     """Per-doc quality frame + corpus-level metrics via `df.observe` —
     the metrics ride the SAME action as the main result (zero extra scans;

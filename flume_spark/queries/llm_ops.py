@@ -441,6 +441,35 @@ FROM documents
 """
 
 
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per doc; rational idf = n_docs/df (see
+    operators/text.py::tfidf_topk for why not log)."""
+    docs = T(spark, sf_dir, "documents")
+    return text.tfidf_topk(docs, "doc_id", "text", k=5)
+
+
+TEXT_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, doc_freq, score FROM (
+  SELECT t.doc_id, t.term, t.tf, d.doc_freq,
+         CAST(t.tf * n.n_docs AS DOUBLE) / d.doc_freq AS score,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY CAST(t.tf * n.n_docs AS DOUBLE) / d.doc_freq DESC, t.term
+         ) AS rn
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+)
+WHERE rn <= 5
+"""
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     return text.quality_score(docs, "doc_id", "text")
@@ -692,6 +721,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_feature_extract": multimodal_feature_extract,
     "text_token_count": text_token_count,
+    "text_tfidf_topk": text_tfidf_topk,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
@@ -720,6 +750,7 @@ ORACLES = {
     "multimodal_frame_sample": MULTIMODAL_FRAME_SQL,
     "multimodal_feature_extract": MULTIMODAL_FEATURE_SQL,
     "text_token_count": TEXT_TOKEN_SQL,
+    "text_tfidf_topk": TEXT_TFIDF_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

@@ -1046,6 +1046,79 @@ LIMIT 50
 """
 
 
+# ---------------------------------------------------------------------------
+# Skew toolkit queries — salted physical plans, unsalted semantics
+# ---------------------------------------------------------------------------
+
+
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join (operators/skew.py): lineitem's supplier key scattered
+    across 8 salt sub-partitions, supplier replicated 8x.  The oracle is the
+    PLAIN join — salting must not change a single row, only the shuffle
+    distribution.  At 100 TB this is the shape for a hot-key fact-dim join
+    too big to broadcast."""
+    from flume_spark.operators.skew import salted_join
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = T(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, supp, on=["l_suppkey"], salt_src="l_orderkey", n_salt=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+JOIN_SKEW_SALTED_SQL = """
+SELECT s_nationkey, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
+def agg_count_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase exact distinct count (operators/skew.py): each priority's
+    customer-id space is hash-sliced into 16 disjoint buckets whose distinct
+    counts are additive.  Identical result to COUNT(DISTINCT); no reducer
+    ever builds one giant per-key distinct set."""
+    from flume_spark.operators.skew import salted_count_distinct
+
+    orders = T(spark, sf_dir, "orders")
+    return salted_count_distinct(
+        orders, ["o_orderpriority"], "o_custkey", n_salt=16, out_col="n_customers"
+    )
+
+
+AGG_CD_SALTED_SQL = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram — single partial-agg pass; bucket boundaries on
+    exact integer multiples so double division can't flip a bucket."""
+    li = T(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_extendedprice") / 5000).cast("bigint")
+    return li.groupBy(bucket.alias("price_bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+AGG_HISTOGRAM_SQL = """
+SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS price_bucket,
+       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY 1
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1087,6 +1160,9 @@ QUERIES = {
     "unpivot_orders": unpivot_orders,
     "explode_tokens": explode_tokens,
     "array_agg_sorted": array_agg_sorted,
+    "join_skew_salted": join_skew_salted,
+    "agg_count_distinct_salted": agg_count_distinct_salted,
+    "agg_histogram": agg_histogram,
 }
 
 ORACLES = {
@@ -1130,4 +1206,7 @@ ORACLES = {
     "unpivot_orders": UNPIVOT_SQL,
     "explode_tokens": EXPLODE_SQL,
     "array_agg_sorted": ARRAY_AGG_SQL,
+    "join_skew_salted": JOIN_SKEW_SALTED_SQL,
+    "agg_count_distinct_salted": AGG_CD_SALTED_SQL,
+    "agg_histogram": AGG_HISTOGRAM_SQL,
 }

@@ -211,8 +211,67 @@ GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Ordered-sequence funnel — view -> click -> purchase
+# ---------------------------------------------------------------------------
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel: each user's earliest view, earliest click
+    AFTER that view, earliest purchase AFTER that click.
+
+    All three stages aggregate and join on `user_id`, so at scale one hash
+    partitioning is reused across the whole plan (no re-shuffle between
+    stages); the stage outputs are per-user scalars, orders of magnitude
+    smaller than the event log they summarize."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return views.join(clicks, "user_id", "left").join(purchases, "user_id", "left")
+
+
+EVENTS_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS view_ts
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.view_ts GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.click_ts GROUP BY 1
+)
+SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
 QUERIES = {
     "window_tumbling": window_tumbling,
+    "events_funnel": events_funnel,
     "window_sliding": window_sliding,
     "window_session": window_session,
     "join_asof": join_asof,
@@ -221,6 +280,7 @@ QUERIES = {
 
 ORACLES = {
     "window_tumbling": WINDOW_TUMBLING_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
     "window_sliding": WINDOW_SLIDING_SQL,
     "window_session": WINDOW_SESSION_SQL,
     "join_asof": JOIN_ASOF_SQL,
