@@ -1,0 +1,33 @@
+"""Streaming exact dedup — the readStream twin of operators/dedup.exact_dedup.
+
+For a continuously-arriving corpus (the 100 TB training-data ingest path),
+exact dedup becomes `dropDuplicatesWithinWatermark` on the content hash:
+first-seen rows pass through, re-arrivals inside the watermark horizon are
+dropped, and state is bounded at one row per distinct hash within the
+horizon (the watermark evicts older hashes).  Unlike plain
+`dropDuplicates`, state cannot grow without bound on an infinite stream.
+
+The reference has no streaming-dedup analog (its queue dedups nothing);
+this is engine-native per the LLM-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str,
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Keep the first-seen row per content hash; drop re-arrivals within
+    the watermark horizon.  Works on any watermarkable stream with an
+    event-time column."""
+    return (
+        stream_df.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )

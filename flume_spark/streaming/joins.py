@@ -1,0 +1,39 @@
+"""Stream-stream joins with event-time interval bounds (SURVEY.md §2.8).
+
+A stream-stream join buffers both sides in the state store; the interval
+condition + watermarks are what make that state BOUNDED — each side can
+evict rows once the other side's watermark passes the interval's reach.
+Without the time bound the state grows forever; this module makes the bound
+part of the operator signature so it can't be forgotten.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str,
+    left_watermark: str,
+    right_watermark: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows sharing `key` where `right_ts` falls in
+    [left_ts, left_ts + within].  `within` is a SQL interval string
+    (e.g. "1 hour").  Both sides must be streaming DataFrames with
+    event-time columns; state is evicted once watermarks clear the
+    interval."""
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, how).drop(rw[key])

@@ -210,3 +210,89 @@ def test_stream_respects_rate_limit_across_triggers(spark, tmp_path):
         assert counts.get("pending", 0) == 7
     finally:
         runner.stop()
+
+
+def test_streaming_dedup_drops_rearrivals(spark, tmp_path):
+    """Streaming exact dedup: a duplicate text arriving in a LATER
+    micro-batch (within the watermark) is dropped; first-seen rows pass."""
+    from flume_spark.streaming.dedup import streaming_exact_dedup
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    schema = "doc_id long, ts timestamp, text string"
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1, 0, 0)
+    spark.createDataFrame(
+        [(1, t, "alpha"), (2, t, "beta")], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = streaming_exact_dedup(stream, "text", "ts", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_d"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # later batch: one duplicate ('alpha'), one new ('gamma')
+        spark.createDataFrame(
+            [(3, datetime(2024, 1, 1, 0, 30), "alpha"),
+             (4, datetime(2024, 1, 1, 0, 30), "gamma")], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        rows = spark.sql("SELECT doc_id, text FROM dedup_stream").collect()
+    finally:
+        q.stop()
+    got = {(r["doc_id"], r["text"]) for r in rows}
+    assert got == {(1, "alpha"), (2, "beta"), (4, "gamma")}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Clicks join their user's view within 1 hour; a click outside the
+    interval and a view with no click produce nothing (inner join)."""
+    from datetime import datetime
+
+    from flume_spark.streaming.joins import interval_join
+
+    vsrc, csrc = tmp_path / "views", tmp_path / "clicks"
+    vsrc.mkdir(); csrc.mkdir()
+    vschema = "user_id long, view_ts timestamp, page string"
+    cschema = "user_id long, click_ts timestamp, target string"
+    t0 = datetime(2024, 1, 1, 10, 0)
+    spark.createDataFrame(
+        [(1, t0, "home"), (2, t0, "search"), (3, t0, "home")], vschema
+    ).coalesce(1).write.mode("append").parquet(str(vsrc))
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 20), "buy"),     # in window
+         (2, datetime(2024, 1, 1, 12, 0), "late")],    # outside 1h window
+        cschema,
+    ).coalesce(1).write.mode("append").parquet(str(csrc))
+
+    views = spark.readStream.schema(vschema).parquet(str(vsrc))
+    clicks = spark.readStream.schema(cschema).parquet(str(csrc))
+    joined = interval_join(
+        views, clicks, key="user_id",
+        left_ts="view_ts", right_ts="click_ts",
+        within="1 hour", left_watermark="2 hours", right_watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("vc_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_j"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT user_id, page, target FROM vc_join").collect()
+    finally:
+        q.stop()
+    assert [(r["user_id"], r["page"], r["target"]) for r in rows] == [(1, "home", "buy")]
