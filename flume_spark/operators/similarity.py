@@ -255,3 +255,87 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def kmeans(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 5,
+):
+    """Lloyd's k-means over an embedding column — the iterative-algorithm
+    pattern (like dedup.connected_components): per round one broadcast join
+    + one aggregation; only k x dim centroid scalars ever reach the driver
+    (the same bounded-collect loop MLlib's KMeans uses).
+
+    Deterministic init: the k rows with smallest md5(id) — a stable
+    pseudo-random draw reproducible across runs and engines, no RNG state.
+
+    Per iteration:
+      assignment  — cross join against the k-row centroid frame (broadcast
+                    nested loop, k rows) -> min_by squared distance;
+      new centers — posexplode to (cluster, dim_pos, value), partial-agg
+                    avg, regroup to arrays.  All shuffles are keyed on
+                    (cluster, pos): k*dim groups, never data-sized.
+
+    Returns (assignments, centroids, objective_history): assignments is a
+    DataFrame (id, cluster, dist2); centroids a list of (cluster, [floats]);
+    objective_history the summed squared distance per iteration (monotone
+    non-increasing — asserted in tests).
+    """
+    spark = emb.sparkSession
+    pts = emb.select(
+        F.col(id_col).alias("id"), _to_double(vec_col).alias("vec")
+    ).cache()  # scanned once; every iteration reuses the cached points
+    init = (
+        pts.orderBy(F.md5(F.col("id").cast("string")))
+        .limit(k)
+        .select("vec")
+        .collect()
+    )
+    centroids = [(i, list(r["vec"])) for i, r in enumerate(init)]
+
+    dist2 = F.aggregate(
+        F.zip_with("vec", "cvec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    history: list[float] = []
+    assignments = None
+
+    def _assign(cdf):
+        # crossJoin replicates each point k times; min_by keeps the nearest
+        # cluster, first(vec) recovers the point (identical across the k
+        # replicas) so no second join against pts is needed.
+        return (
+            pts.crossJoin(F.broadcast(cdf))
+            .withColumn("dist2", dist2)
+            .groupBy("id")
+            .agg(
+                F.min_by("cluster", F.struct("dist2", "cluster")).alias("cluster"),
+                F.min("dist2").alias("dist2"),
+                F.first("vec").alias("vec"),
+            )
+        )
+
+    for _ in range(iters):
+        cdf = spark.createDataFrame(centroids, "cluster int, cvec array<double>")
+        assignments = _assign(cdf)
+        # per-slice sum(dist2) repeats the cluster total once per dim pos;
+        # first() after the regroup reads it back exactly once
+        stats = (
+            assignments.select("cluster", "dist2", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"), F.sum("dist2").alias("d"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"),
+                F.first("d").alias("obj_part"),
+            )
+            .select("cluster", F.transform("pm", lambda s: s["m"]).alias("cvec"), "obj_part")
+            .collect()
+        )
+        history.append(sum(r["obj_part"] for r in stats))
+        centroids = [(r["cluster"], list(r["cvec"])) for r in stats]
+    return assignments.select("id", "cluster", "dist2"), centroids, history

@@ -39,6 +39,10 @@ _NEEDS_DRIVER_ROW = [  # ascending sf0.01 runtime (measured 2026-08-13)
     "text_quality_score",
     "text_lang_id",
     "agg_percentiles",
+    "agg_histogram",
+    "join_skew_salted",
+    "agg_count_distinct_salted",
+    "events_funnel",
     "sample_stratified",
     "join_asof",
     "window_sliding",
@@ -60,6 +64,7 @@ _NEEDS_DRIVER_ROW = [  # ascending sf0.01 runtime (measured 2026-08-13)
     "q13_customer_distribution",
     "q16_supplier_part_counts",
     "q21_sole_returned_supplier",
+    "text_tfidf_topk",
     "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q9_product_profit",
@@ -69,7 +74,9 @@ _NEEDS_DRIVER_ROW = [  # ascending sf0.01 runtime (measured 2026-08-13)
     "dedup_minhash_lsh",
     "ann_topk_lsh",
     "dedup_simhash",
+    "dedup_ngram_jaccard_capped",
     "curation_pipeline",
+    "embedding_kmeans",
     "dedup_components",
 ]
 

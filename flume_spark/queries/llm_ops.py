@@ -343,6 +343,16 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means assignments (operators/similarity.py::kmeans).
+    Iterative with float-mean centroids — no SQL oracle (rows-only driver
+    check); the invariant contract (monotone objective, determinism, total
+    assignment) is tested in tests/test_scale_ops.py."""
+    emb = T(spark, sf_dir, "embeddings")
+    assignments, _, _ = similarity.kmeans(emb, k=4, iters=3)
+    return assignments
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid — the IVF cell-centroid ingest step.  Declared in
     long form (bucket, pos, c) so every oracled output column is scalar —
@@ -712,6 +722,7 @@ QUERIES = {
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "embedding_centroids": embedding_centroids,
+    "embedding_kmeans": embedding_kmeans,
     "sample_stratified": sample_stratified,
     "pack_sequences": pack_sequences_q,
     "text_pii_scrub": text_pii_scrub,

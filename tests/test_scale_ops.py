@@ -1,0 +1,87 @@
+"""K-means (iterative) and Z-order layout (operators/similarity.kmeans,
+operators/layout.cluster_by) — invariant and file-stat tests.
+
+K-means has no SQL oracle (iterative, float-mean centroids); its contract
+is invariants: monotone objective, bounded cluster ids, total assignment,
+deterministic re-run.  Z-order's contract is physical: row-group/file
+min-max ranges must be tight in BOTH clustered dimensions vs a hash layout.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from flume_spark.operators.layout import cluster_by
+from flume_spark.operators.similarity import kmeans
+from tests.conftest import SF_ORACLE
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+
+
+def test_kmeans_objective_monotone_and_total(spark):
+    emb = _emb(spark)
+    n = emb.count()
+    assignments, centroids, history = kmeans(emb, k=4, iters=4)
+    assert len(history) == 4
+    # Lloyd's objective never increases (vs the centroids each round assigns to)
+    assert all(history[i + 1] <= history[i] + 1e-9 for i in range(len(history) - 1))
+    rows = assignments.collect()
+    assert len(rows) == n  # every vector assigned exactly once
+    assert {r["cluster"] for r in rows} <= set(range(4))
+    assert len(centroids) <= 4
+
+
+def test_kmeans_deterministic(spark):
+    emb = _emb(spark).limit(200)
+    a1, c1, h1 = kmeans(emb, k=3, iters=3)
+    a2, c2, h2 = kmeans(emb, k=3, iters=3)
+    assert h1 == h2
+    assert sorted((r["id"], r["cluster"]) for r in a1.collect()) == sorted(
+        (r["id"], r["cluster"]) for r in a2.collect()
+    )
+
+
+def _stat_widths(path: str, col1: str, col2: str) -> tuple[float, float]:
+    """Mean per-row-group (max-min) width for two columns, normalized by the
+    global range — the data-skipping figure of merit."""
+    widths: dict[str, list[tuple[float, float]]] = {col1: [], col2: []}
+    import glob
+
+    for f in glob.glob(f"{path}/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        schema_names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+        for rg in range(meta.num_row_groups):
+            for col in (col1, col2):
+                st = meta.row_group(rg).column(schema_names.index(col)).statistics
+                widths[col].append((float(st.min), float(st.max)))
+    out = []
+    for col in (col1, col2):
+        lo = min(w[0] for w in widths[col])
+        hi = max(w[1] for w in widths[col])
+        mean_w = sum(w[1] - w[0] for w in widths[col]) / len(widths[col])
+        out.append(mean_w / (hi - lo))
+    return tuple(out)
+
+
+def test_zorder_tightens_rowgroup_stats_in_both_dims(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    plain_dir = str(tmp_path / "plain")
+    z_dir = str(tmp_path / "zorder")
+    # baseline: hash layout (what a naive repartition(8) write produces)
+    orders.repartition(8, "o_orderkey").write.parquet(plain_dir)
+    cluster_by(orders, "o_custkey", "o_totalprice", 8).write.parquet(z_dir)
+
+    pw1, pw2 = _stat_widths(plain_dir, "o_custkey", "o_totalprice")
+    zw1, zw2 = _stat_widths(z_dir, "o_custkey", "o_totalprice")
+    # hash layout: every file spans ~the full range of both columns
+    assert pw1 > 0.8 and pw2 > 0.8
+    # z-order: files cover tight slices of BOTH dimensions
+    assert zw1 < 0.6 * pw1, (zw1, pw1)
+    assert zw2 < 0.6 * pw2, (zw2, pw2)
+    # layout change must not lose rows
+    assert spark.read.parquet(z_dir).count() == orders.count()
