@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flume_spark.queries._util import T, register_views  # noqa: F401 (re-export)
 from flume_spark.session import load_tables  # noqa: F401 (re-export)
+from flume_spark.sources.merge import merge_upsert  # noqa: F401 (re-export)
 
 _BATCH_FORMATS = {"parquet", "json", "csv", "orc"}
 

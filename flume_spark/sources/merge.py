@@ -1,0 +1,78 @@
+"""Upsert/merge into a parquet table — the incremental-corpus maintenance op.
+
+A 100 TB training corpus is not rebuilt; it's merged into: new crawl
+snapshots upsert on document key, takedowns delete.  Production target is
+Delta/Iceberg MERGE INTO (ACID, file-level conflict detection) — same
+stance as the job store (store.py) — but the parquet-dir variant below has
+the same shape and the same scale property: **only partitions touched by
+the updates are rewritten**, found by partition-pruned reads, never a
+full-table rewrite.
+
+Semantics (match MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT /
+`_deleted` WHEN MATCHED DELETE):
+- update rows replace target rows sharing `key` (updates win),
+- unmatched update rows are inserted,
+- update rows with boolean column `_deleted` true remove the target row.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DELETED = "_deleted"
+
+
+def _merged(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    upserts = updates.filter(~F.coalesce(F.col(DELETED), F.lit(False))) if (
+        DELETED in updates.columns
+    ) else updates
+    survivors = target.join(updates.select(key), key, "left_anti")
+    return survivors.unionByName(upserts.drop(DELETED) if DELETED in upserts.columns else upserts)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    partition_col: str | None = None,
+) -> None:
+    """Merge `updates` into the parquet table at `path` on `key`.
+
+    Partitioned tables: the distinct partition values present in the
+    updates (a bounded collect — one scalar per touched partition) prune
+    the read, and dynamic partition overwrite rewrites ONLY those
+    partitions; untouched partition directories are never read or written.
+    Keys must not move between partitions (the usual constraint — Delta's
+    MERGE has the same file-scoping assumption when pruning).
+
+    Unpartitioned tables: full merge through a staging directory swapped
+    in with two renames (crash window documented; Delta is the ACID path).
+    """
+    if partition_col is not None:
+        parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+        target = spark.read.parquet(path).filter(F.col(partition_col).isin(parts))
+        merged = _merged(target, updates, key)
+        # break lineage from the files about to be overwritten
+        merged = merged.localCheckpoint(eager=True)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        return
+
+    target = spark.read.parquet(path)
+    merged = _merged(target, updates, key)
+    staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
+    merged.write.parquet(staging)
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)

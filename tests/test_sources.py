@@ -54,3 +54,54 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         back.explain("formatted")
     assert "PartitionFilters: [isnotnull(parity" in buf.getvalue()
+
+
+def test_merge_upsert_unpartitioned(spark, tmp_path):
+    """Update + insert + delete semantics on a plain parquet table."""
+    from flume_spark.sources.merge import merge_upsert
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(5)], "k long, v string"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(1, "v1-new", False), (2, None, True), (9, "v9", False)],
+        "k long, v string, _deleted boolean",
+    )
+    merge_upsert(spark, path, updates, key="k")
+    got = {(r["k"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(0, "v0"), (1, "v1-new"), (3, "v3"), (4, "v4"), (9, "v9")}
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """Partition-scoped merge: untouched partition files are not rewritten."""
+    import glob
+    import os
+
+    from flume_spark.sources.merge import merge_upsert
+
+    path = str(tmp_path / "pt")
+    spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)], "k long, p int, v string"
+    ).write.partitionBy("p").parquet(path)
+
+    untouched_before = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/p=2/*.parquet")
+    }
+    updates = spark.createDataFrame(
+        [(0, 0, "patched", False), (100, 0, "new", False), (3, 0, None, True)],
+        "k long, p int, v string, _deleted boolean",
+    )
+    merge_upsert(spark, path, updates, key="k", partition_col="p")
+
+    after = spark.read.parquet(path)
+    assert after.filter("k = 0").first()["v"] == "patched"
+    assert after.filter("k = 100").first()["v"] == "new"
+    assert after.filter("k = 3").count() == 0
+    assert after.filter("p = 1").count() == 10  # untouched partition intact
+    assert after.count() == 30  # 30 - 1 deleted + 1 inserted
+
+    untouched_after = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/p=2/*.parquet")
+    }
+    assert untouched_after == untouched_before  # p=2 never rewritten
