@@ -36,6 +36,26 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def quality_col(text_col: str) -> Column:
+    """The combined [0,1] quality score as a standalone column expression —
+    usable as an appended column (streaming curation keeps the original row)
+    or via `quality_score` for the full metric frame."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    stop_arr = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    n_stop = F.expr(
+        f"size(filter(split(lower(trim({text_col})), '\\\\s+'), t -> t IN ({stop_arr})))"
+    )
+    n_unique = F.size(F.array_distinct(toks))
+    stop_ratio = n_stop.cast("double") / n_tok
+    ttr = n_unique.cast("double") / n_tok
+    return (
+        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.25
+        + ttr * 0.25
+    )
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic quality: token count, mean token length, stopword ratio,
     type-token ratio, and a combined [0,1] score.
@@ -57,11 +77,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     stop_ratio = n_stop.cast("double") / n_tok
     ttr = n_unique.cast("double") / n_tok
-    score = (
-        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.5
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.25
-        + ttr * 0.25
-    )
+    score = quality_col(text_col)
     return df.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),

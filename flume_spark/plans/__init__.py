@@ -53,3 +53,26 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 def falls_back_to_smj(df: DataFrame) -> bool:
     return n_nodes(df, "SortMergeJoin") > 0
+
+
+def plan_report(df: DataFrame) -> dict:
+    """One-call scale audit of a plan — the properties every operator here
+    is reviewed against, as data: shuffle count, join strategies, scan
+    pushdown/pruning, and Python-boundary nodes (the slow path at 100 TB).
+    Tests pin plans with the individual helpers; users get this summary.
+    """
+    plan = explain_str(df)
+    return {
+        "exchanges": n_nodes(plan, "Exchange"),
+        "broadcast_hash_joins": n_nodes(plan, "BroadcastHashJoin"),
+        "sort_merge_joins": n_nodes(plan, "SortMergeJoin"),
+        "broadcast_nested_loop_joins": n_nodes(plan, "BroadcastNestedLoopJoin"),
+        "cartesian_products": n_nodes(plan, "CartesianProduct"),
+        "take_ordered": n_nodes(plan, "TakeOrderedAndProject"),
+        "python_boundary_nodes": sum(
+            n_nodes(plan, k)
+            for k in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+        ),
+        "pushed_filters": pushed_filters(plan),
+        "read_schemas": read_schemas(plan),
+    }

@@ -31,3 +31,29 @@ def streaming_exact_dedup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["content_hash"])
     )
+
+
+def streaming_curation(
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str,
+    watermark: str = "1 hour",
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """Streaming twin of queries/llm_ops.curation_pipeline: quality-gate
+    (stateless — fuses into the scan stage) then exact dedup (the only
+    stateful operator, watermark-bounded).  Order matters: filtering first
+    means rejected docs never enter dedup state.
+
+    Near-dup (SimHash/LSH) stages stay batch — they need corpus-global
+    joins; the streaming path curates each arriving micro-batch, and a
+    periodic batch job handles cross-corpus near-dup consolidation (the
+    standard lambda split for this workload).
+    """
+    from flume_spark.operators.text import quality_col
+
+    kept = stream_df.withColumn("quality", quality_col(text_col)).filter(
+        F.col("quality") >= min_quality
+    )
+    return streaming_exact_dedup(kept, text_col, ts_col, watermark)

@@ -135,3 +135,15 @@ def test_tfidf_ranks_rare_terms_first(spark):
     by_doc = {r["doc_id"]: r["term"] for r in top.collect()}
     # 'common' appears in every doc (idf=1); each doc's unique term wins
     assert by_doc == {1: "rare1", 2: "other", 3: "thing"}
+
+
+def test_plan_report_summarizes_scale_properties(spark):
+    from flume_spark.plans import plan_report
+    from flume_spark.queries.relational import join_broadcast, q6_forecast_revenue
+
+    rep = plan_report(join_broadcast(spark, "/root/testdata/sf0.001"))
+    assert rep["broadcast_hash_joins"] >= 1
+    assert rep["cartesian_products"] == 0
+    rep6 = plan_report(q6_forecast_revenue(spark, "/root/testdata/sf0.001"))
+    assert any(rep6["pushed_filters"])  # q6 filters reach the scan
+    assert rep6["python_boundary_nodes"] == 0

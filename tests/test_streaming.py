@@ -296,3 +296,49 @@ def test_stream_stream_interval_join(spark, tmp_path):
     finally:
         q.stop()
     assert [(r["user_id"], r["page"], r["target"]) for r in rows] == [(1, "home", "buy")]
+
+
+def test_streaming_curation_filters_and_dedups(spark, tmp_path):
+    """Composed streaming curation: low-quality docs rejected BEFORE dedup
+    state; duplicates of admitted docs dropped; survivors carry quality."""
+    from datetime import datetime
+
+    from flume_spark.streaming.dedup import streaming_curation
+
+    src = tmp_path / "cur_stream"
+    src.mkdir()
+    schema = "doc_id long, ts timestamp, text string"
+    t = datetime(2024, 1, 1, 0, 0)
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the wide green field of tall grass and old trees"
+    )
+    spark.createDataFrame(
+        [(1, t, good), (2, t, "x")], schema  # doc 2: one token, no stopwords
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [(3, datetime(2024, 1, 1, 0, 10), good)], schema  # duplicate of 1
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = streaming_curation(
+        stream, "doc_id", "text", "ts", watermark="1 hour", min_quality=0.3
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curated")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_c"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT doc_id, quality FROM curated").collect()
+    finally:
+        q.stop()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["quality"] >= 0.3
