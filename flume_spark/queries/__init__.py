@@ -40,6 +40,7 @@ _NEEDS_DRIVER_ROW = [  # ascending sf0.01 runtime (measured 2026-08-13)
     "text_lang_id",
     "agg_percentiles",
     "agg_histogram",
+    "window_range_frame",
     "join_skew_salted",
     "agg_count_distinct_salted",
     "events_funnel",

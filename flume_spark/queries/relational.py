@@ -1046,6 +1046,35 @@ LIMIT 50
 """
 
 
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE frame (vs the ROWS frame of window_moving_agg): per
+    customer, order spend over the trailing 30 days BY DATE VALUE — frame
+    membership is determined by the timestamp, so equal-date ties all join
+    the frame regardless of physical order (deterministic across engines;
+    a ROWS frame would not be)."""
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+               ), 2) AS spend_30d
+        FROM orders
+        """
+    )
+
+
+WINDOW_RANGE_SQL = """
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL '30 days' PRECEDING AND CURRENT ROW
+       ), 2) AS spend_30d
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # Skew toolkit queries — salted physical plans, unsalted semantics
 # ---------------------------------------------------------------------------
@@ -1160,6 +1189,7 @@ QUERIES = {
     "unpivot_orders": unpivot_orders,
     "explode_tokens": explode_tokens,
     "array_agg_sorted": array_agg_sorted,
+    "window_range_frame": window_range_frame,
     "join_skew_salted": join_skew_salted,
     "agg_count_distinct_salted": agg_count_distinct_salted,
     "agg_histogram": agg_histogram,
@@ -1206,6 +1236,7 @@ ORACLES = {
     "unpivot_orders": UNPIVOT_SQL,
     "explode_tokens": EXPLODE_SQL,
     "array_agg_sorted": ARRAY_AGG_SQL,
+    "window_range_frame": WINDOW_RANGE_SQL,
     "join_skew_salted": JOIN_SKEW_SALTED_SQL,
     "agg_count_distinct_salted": AGG_CD_SALTED_SQL,
     "agg_histogram": AGG_HISTOGRAM_SQL,
