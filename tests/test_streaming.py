@@ -342,3 +342,64 @@ def test_streaming_curation_filters_and_dedups(spark, tmp_path):
         q.stop()
     assert [r["doc_id"] for r in rows] == [1]
     assert rows[0]["quality"] >= 0.3
+
+
+def test_idempotent_sink_skips_replayed_batch(spark, tmp_path):
+    """A replayed (batch_id, data) pair — the at-least-once crash case —
+    must not double-append; a NEW batch_id still writes."""
+    from flume_spark.streaming.sink import idempotent_foreach_batch
+
+    out = tmp_path / "sink_out"
+    out.mkdir()
+    writes = []
+
+    def write_fn(df, batch_id):
+        rows = df.collect()
+        writes.append((batch_id, len(rows)))
+        with open(out / f"part-{batch_id}-{len(writes)}", "w") as fh:
+            fh.write("\n".join(str(r["id"]) for r in rows))
+
+    wrapped = idempotent_foreach_batch(write_fn, str(tmp_path / "ledger"))
+    df = spark.range(3)
+    wrapped(df, 0)
+    wrapped(df, 0)  # replay after simulated crash-before-checkpoint
+    wrapped(df, 1)
+    assert writes == [(0, 3), (1, 3)]  # batch 0 ran once, batch 1 ran
+    assert len(list(out.iterdir())) == 2
+
+
+def test_idempotent_sink_in_live_stream(spark, tmp_path):
+    """Wired into a real writeStream.foreachBatch: every input row lands
+    exactly once across micro-batches."""
+    from flume_spark.streaming.sink import idempotent_foreach_batch
+
+    src = tmp_path / "sink_src"
+    src.mkdir()
+    schema = "id long"
+    spark.createDataFrame([(1,), (2,)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    spark.createDataFrame([(3,)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    seen: list[int] = []
+    wrapped = idempotent_foreach_batch(
+        lambda df, bid: seen.extend(r["id"] for r in df.collect()),
+        str(tmp_path / "ledger2"),
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(wrapped)
+        .option("checkpointLocation", str(tmp_path / "ckpt_fb"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(seen) == [1, 2, 3]
