@@ -105,3 +105,18 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
         f: os.path.getmtime(f) for f in glob.glob(f"{path}/p=2/*.parquet")
     }
     assert untouched_after == untouched_before  # p=2 never rewritten
+
+
+def test_merge_upsert_creates_new_partition(spark, tmp_path):
+    """Updates may land in a partition value the table has never seen."""
+    from flume_spark.sources.merge import merge_upsert
+
+    path = str(tmp_path / "npt")
+    spark.createDataFrame(
+        [(1, 0, "a"), (2, 1, "b")], "k long, p int, v string"
+    ).write.partitionBy("p").parquet(path)
+    updates = spark.createDataFrame([(3, 9, "new-part")], "k long, p int, v string")
+    merge_upsert(spark, path, updates, key="k", partition_col="p")
+    after = spark.read.parquet(path)
+    assert after.count() == 3
+    assert after.filter("p = 9").first()["v"] == "new-part"

@@ -403,3 +403,52 @@ def test_idempotent_sink_in_live_stream(spark, tmp_path):
     finally:
         q.stop()
     assert sorted(seen) == [1, 2, 3]
+
+
+def test_two_runners_share_one_store(spark, tmp_path):
+    """Two live PipelineRunners (separate pipelines/queues) on ONE job log:
+    concurrent trigger-time claims and acks must not lose or double-run
+    jobs — the single-store multi-pipeline deployment shape."""
+    registry = WorkerRegistry()
+    journal = str(tmp_path / "journal2r.jsonl")
+
+    def track(tag):
+        # dispatch runs in executor python workers: journal to a file, the
+        # only cross-process-observable channel (same pattern as test_queue)
+        with open(journal, "a") as fh:
+            fh.write(tag + "\n")
+
+    registry.register("TrackWorker", track)
+    store = JobStore(spark, str(tmp_path / "jobs2r"))
+    p1 = Pipeline(name="r1", queue="qa", max_demand=100)
+    p2 = Pipeline(name="r2", queue="qb", max_demand=100)
+    manager = QueueManager(spark, store, registry, pipelines=[p1, p2])
+    r1 = PipelineRunner(
+        spark, manager, p1,
+        checkpoint_dir=str(tmp_path / "ck1"), trigger_seconds=0.2,
+    )
+    r2 = PipelineRunner(
+        spark, manager, p2,
+        checkpoint_dir=str(tmp_path / "ck2"), trigger_seconds=0.2,
+    )
+    try:
+        manager.bulk_enqueue("qa", [("TrackWorker", "perform", [f"a{i}"]) for i in range(20)])
+        manager.bulk_enqueue("qb", [("TrackWorker", "perform", [f"b{i}"]) for i in range(20)])
+        r1.start()
+        r2.start()
+        r1.await_idle()
+        r2.await_idle()
+        # late arrivals while both streams run
+        manager.bulk_enqueue("qa", [("TrackWorker", "perform", ["a-late"])])
+        manager.bulk_enqueue("qb", [("TrackWorker", "perform", ["b-late"])])
+        r1.await_idle()
+        r2.await_idle()
+    finally:
+        r1.stop()
+        r2.stop()
+    counts = _status_counts(manager)
+    assert counts == {"succeeded": 42}
+    processed = open(journal).read().split()
+    assert sorted(processed) == sorted(
+        [f"a{i}" for i in range(20)] + [f"b{i}" for i in range(20)] + ["a-late", "b-late"]
+    )
