@@ -76,3 +76,35 @@ def salted_count_distinct(
         *keys, F.pmod(F.xxhash64(F.col(value)), F.lit(n_salt)).alias(SALT)
     ).agg(F.count_distinct(F.col(value)).alias("__partial"))
     return phase1.groupBy(*keys).agg(F.sum("__partial").alias(out_col))
+
+
+def sketch_distinct(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    lg_k: int = 12,
+    out_col: str = "sketch",
+) -> DataFrame:
+    """Per-key mergeable HLL sketch of DISTINCT(value) — the incremental
+    form of distinct counting.  Where `salted_count_distinct` recomputes
+    exactly, sketches persist: compute one sketch per key per ingest slice
+    (day, partition, source), store the binary, and answer "distinct over
+    any slice union" later by merging — no rescan of history.  Merge order
+    is irrelevant (register state is max-per-bucket); merged and
+    whole-corpus estimates agree to within the sketch's error bound, not
+    bit-exactly (datasketches' sparse->dense transitions differ by path)."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(value), F.lit(lg_k)).alias(out_col)
+    )
+
+
+def merge_sketch_estimate(
+    sketches: DataFrame,
+    keys: list[str],
+    sketch_col: str = "sketch",
+    out_col: str = "n_distinct_approx",
+) -> DataFrame:
+    """Union per-key sketches (e.g. across ingest slices) and estimate."""
+    return sketches.groupBy(*keys).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias(out_col)
+    )

@@ -147,3 +147,47 @@ def test_plan_report_summarizes_scale_properties(spark):
     rep6 = plan_report(q6_forecast_revenue(spark, "/root/testdata/sf0.001"))
     assert any(rep6["pushed_filters"])  # q6 filters reach the scan
     assert rep6["python_boundary_nodes"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL distinct sketches
+# ---------------------------------------------------------------------------
+
+
+def test_sketch_merge_of_slices_equals_sketch_of_whole(spark):
+    """Merging per-slice sketches must track the whole-corpus sketch
+    closely (sparse->dense path differences allowed) and land within 5% of
+    exact; merge ORDER must not matter."""
+    from flume_spark.operators.skew import merge_sketch_estimate, sketch_distinct
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    whole = sketch_distinct(orders, ["o_orderpriority"], "o_custkey")
+    whole_est = {
+        r["o_orderpriority"]: r["n_distinct_approx"]
+        for r in merge_sketch_estimate(whole, ["o_orderpriority"]).collect()
+    }
+    # slice by order year, sketch each slice, merge
+    sliced = orders.withColumn("yr", F.year("o_orderdate"))
+    per_slice = sketch_distinct(sliced, ["o_orderpriority", "yr"], "o_custkey")
+    merged_est = {
+        r["o_orderpriority"]: r["n_distinct_approx"]
+        for r in merge_sketch_estimate(per_slice, ["o_orderpriority"]).collect()
+    }
+    for k in whole_est:
+        assert abs(merged_est[k] - whole_est[k]) / whole_est[k] < 0.02
+    # merge order irrelevant: reversed slice order gives identical estimates
+    reversed_est = {
+        r["o_orderpriority"]: r["n_distinct_approx"]
+        for r in merge_sketch_estimate(
+            per_slice.orderBy(F.desc("yr")), ["o_orderpriority"]
+        ).collect()
+    }
+    assert reversed_est == merged_est
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for k, est in merged_est.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
