@@ -191,3 +191,46 @@ def test_fact_fact_joins_may_smj(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert plan.count("BroadcastHashJoin") >= 2, name
+
+
+# ---------------------------------------------------------------------------
+# Round-2 queries
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_broadcasts_replicated_dim(spark):
+    """The exploded dim stays broadcast (no shuffle added by salting) and
+    the aggregate is the plan's only Exchange."""
+    plan = explained(spark, "join_skew_salted")
+    assert n_nodes(plan, "BroadcastHashJoin") == 1
+    assert n_nodes(plan, "Exchange") == 1
+    assert n_nodes(plan, "CartesianProduct") == 0
+
+
+def test_histogram_single_shuffle(spark):
+    plan = explained(spark, "agg_histogram")
+    assert n_nodes(plan, "Exchange") == 1
+    assert "HashAggregate" in plan  # partial+final agg, map-side combine
+
+
+def test_funnel_no_cartesian_no_smj(spark):
+    """Stage joins are equi-joins on user_id over tiny aggregates —
+    broadcast, never cartesian or sort-merge at this scale."""
+    plan = explained(spark, "events_funnel")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_tfidf_window_is_per_doc(spark):
+    """The top-k window partitions by doc_id — no single-partition global
+    sort anywhere in the plan."""
+    plan = explained(spark, "text_tfidf_topk")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan.split("Window")[1].split("\n")[0]
+    assert n_nodes(plan, "CartesianProduct") == 0
+
+
+def test_range_frame_single_window_shuffle(spark):
+    plan = explained(spark, "window_range_frame")
+    assert n_nodes(plan, "Exchange") == 1  # one hash partition by o_custkey
+    assert "RangeFrame" in plan
