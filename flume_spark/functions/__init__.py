@@ -6,6 +6,9 @@ imported from here composes into scans and map stages for free at 100 TB.
 Reference scalar surface mapped in SURVEY.md §2.7.
 """
 
+from flume_spark.operators.layout import (  # noqa: F401
+    morton_key,
+)
 from flume_spark.operators.similarity import (  # noqa: F401
     cosine_expr,
     dot_expr,
@@ -13,6 +16,7 @@ from flume_spark.operators.similarity import (  # noqa: F401
 )
 from flume_spark.operators.text import (  # noqa: F401
     BPE_ISH_PATTERN,
+    quality_col,
     tokens_col,
 )
 from flume_spark.queue.backoff import (  # noqa: F401
