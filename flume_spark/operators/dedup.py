@@ -413,3 +413,32 @@ def cosine_pairs(
     return tagged.groupBy("blo", "bhi").applyInPandas(
         _block_cosine, schema="doc_a long, doc_b long, cosine double"
     )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= min_shared distinct
+    n-gram shingles with any probe (benchmark/eval) document.
+
+    The scale shape is an inverted-index semi-structure: the probe side is
+    a benchmark — thousands of docs, not billions — so its shingle index
+    broadcasts, and the corpus-side scan stays a map-stage join with one
+    (corpus_id, probe_id) aggregation shuffle.  No corpus self-join ever
+    happens, so cost is linear in corpus shingles.
+
+    Returns (doc_id, probe_id, n_shared), one row per contaminated pair.
+    """
+    cs = word_shingles(corpus, id_col, text_col, n).withColumnRenamed("id", "doc_id")
+    ps = word_shingles(probes, id_col, text_col, n).withColumnRenamed("id", "probe_id")
+    return (
+        cs.join(F.broadcast(ps), "shingle")
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

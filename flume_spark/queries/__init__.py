@@ -66,6 +66,7 @@ _NEEDS_DRIVER_ROW = [  # ascending sf0.01 runtime (measured 2026-08-13)
     "q16_supplier_part_counts",
     "q21_sole_returned_supplier",
     "text_tfidf_topk",
+    "text_decontaminate",
     "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q9_product_profit",

@@ -480,6 +480,39 @@ WHERE rn <= 5
 """
 
 
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= 3 distinct 3-gram
+    shingles with the probe subset (doc_id % 97 == 0 stands in for an eval
+    set).  Probe index broadcasts; cost linear in corpus shingles."""
+    docs = T(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.contamination_pairs(
+        corpus, probes, "doc_id", "text", n=3, min_shared=3
+    )
+
+
+TEXT_DECONTAMINATE_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(words) - 1),
+                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+    FROM w
+  )
+)
+SELECT c.doc_id, p.doc_id AS probe_id, count(*) AS n_shared
+FROM sh c JOIN sh p ON c.shingle = p.shingle
+WHERE c.doc_id % 97 != 0 AND p.doc_id % 97 = 0
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     return text.quality_score(docs, "doc_id", "text")
@@ -733,6 +766,7 @@ QUERIES = {
     "multimodal_feature_extract": multimodal_feature_extract,
     "text_token_count": text_token_count,
     "text_tfidf_topk": text_tfidf_topk,
+    "text_decontaminate": text_decontaminate,
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
@@ -762,6 +796,7 @@ ORACLES = {
     "multimodal_feature_extract": MULTIMODAL_FEATURE_SQL,
     "text_token_count": TEXT_TOKEN_SQL,
     "text_tfidf_topk": TEXT_TFIDF_SQL,
+    "text_decontaminate": TEXT_DECONTAMINATE_SQL,
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
