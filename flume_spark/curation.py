@@ -1,0 +1,74 @@
+"""End-to-end training-corpus curation — the operators composed as one job.
+
+This is the flagship composition the LLM-ops surface exists for: take a raw
+document table, keep what a pre-training run would keep, and land it in a
+layout the next stage reads cheaply.  Stages (each individually oracled /
+tested elsewhere):
+
+1. quality gate         — codegen expression, fuses into the scan
+2. exact dedup          — keep min-id doc per content hash (one shuffle)
+3. near-dup drop        — SimHash pairs -> connected components -> keep
+                          canonical (min-id) member per cluster
+4. decontamination      — drop docs overlapping the probe/eval set
+5. tokenize + pack      — token counts, then greedy sequence packing
+6. write                — parquet, optionally Z-ordered on (pack_id, n_tokens)
+
+Everything before the write is ONE declarative plan per stage output —
+no driver-side data movement; the driver sees only stage row counts
+(df.count / bounded aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_spark.operators import dedup, text
+from flume_spark.operators.text import quality_col
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    probes: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.4,
+    out_dir: str | None = None,
+) -> tuple[DataFrame, dict]:
+    """Run the full curation pipeline; returns (curated_df, stage_counts).
+
+    `stage_counts` records survivors after each stage — the per-stage yield
+    a corpus report needs.  Pass `out_dir` to also write the result.
+    """
+    counts: dict[str, int] = {"input": docs.count()}
+
+    kept = docs.filter(quality_col(text_col) >= min_quality)
+    counts["quality_gate"] = kept.count()
+
+    exact = dedup.exact_dedup(kept, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    kept = kept.join(exact, id_col)
+    counts["exact_dedup"] = kept.count()
+
+    pairs = dedup.simhash_pairs(kept, id_col, text_col, bits=32, max_hamming=3, blocks=4)
+    comps = dedup.connected_components(pairs, "doc_a", "doc_b")
+    non_canonical = comps.filter(F.col(id_col) != F.col("component")).select(id_col)
+    kept = kept.join(non_canonical, id_col, "left_anti")
+    counts["near_dup"] = kept.count()
+
+    if probes is not None:
+        contaminated = dedup.contamination_pairs(
+            kept, probes, id_col, text_col, n=3, min_shared=3
+        ).select(F.col("doc_id").alias(id_col)).distinct()
+        kept = kept.join(contaminated, id_col, "left_anti")
+        counts["decontaminated"] = kept.count()
+
+    packed = text.pack_sequences(kept, id_col, text_col, budget=512)
+    curated = kept.join(packed.select(id_col, "shard", "n_tokens", "pack_id"), id_col)
+    counts["packed"] = curated.count()
+
+    if out_dir is not None:
+        curated.write.mode("overwrite").parquet(out_dir)
+    return curated, counts

@@ -108,3 +108,28 @@ def test_morton_key_matches_reference_interleave(spark):
     assert all(r["z"] == ref(r["b1"], r["b2"]) for r in rows)
     # the key is a bijection on the grid (no collisions -> no false co-location)
     assert len({r["z"] for r in rows}) == 256 * 256
+
+
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    """The composed curation job: every stage monotonically shrinks the
+    corpus, the output is written and re-readable, and packing covers
+    every survivor exactly once."""
+    from flume_spark.curation import curate_corpus
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    probes = docs.filter("doc_id % 17 = 0").selectExpr(
+        "doc_id + 1000000 AS doc_id", "text"
+    )  # disjoint ids, overlapping content -> guaranteed contamination hits
+    out = str(tmp_path / "curated")
+    curated, counts = curate_corpus(spark, docs, probes=probes, out_dir=out)
+    assert (
+        counts["input"] >= counts["quality_gate"] >= counts["exact_dedup"]
+        >= counts["near_dup"] >= counts["decontaminated"] == counts["packed"]
+    )
+    assert counts["decontaminated"] < counts["near_dup"]  # probes did hit
+    assert counts["packed"] > 0
+    back = spark.read.parquet(out)
+    assert back.count() == counts["packed"]
+    assert {"doc_id", "text", "pack_id", "n_tokens"} <= set(back.columns)
+    assert back.select("doc_id").distinct().count() == back.count()
