@@ -43,26 +43,35 @@ def curate_corpus(
     """
     counts: dict[str, int] = {"input": docs.count()}
 
-    kept = docs.filter(quality_col(text_col) >= min_quality)
+    # each surviving stage is cached before its count, so the count and the
+    # next stage both read the materialized result instead of re-running
+    # every upstream join (at warehouse scale: checkpoints or df.observe)
+    kept = docs.filter(quality_col(text_col) >= min_quality).cache()
     counts["quality_gate"] = kept.count()
 
     exact = dedup.exact_dedup(kept, id_col, text_col).select(
         F.col("keep_id").alias(id_col)
     )
-    kept = kept.join(exact, id_col)
+    kept = kept.join(exact, id_col).cache()
     counts["exact_dedup"] = kept.count()
 
     pairs = dedup.simhash_pairs(kept, id_col, text_col, bits=32, max_hamming=3, blocks=4)
-    comps = dedup.connected_components(pairs, "doc_a", "doc_b")
+    # connected_components / contamination_pairs emit fixed column names
+    # (doc_id/component) — rename to the caller's id_col before composing
+    comps = dedup.connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(
+        "doc_id", id_col
+    )
     non_canonical = comps.filter(F.col(id_col) != F.col("component")).select(id_col)
-    kept = kept.join(non_canonical, id_col, "left_anti")
+    kept = kept.join(non_canonical, id_col, "left_anti").cache()
     counts["near_dup"] = kept.count()
 
     if probes is not None:
-        contaminated = dedup.contamination_pairs(
-            kept, probes, id_col, text_col, n=3, min_shared=3
-        ).select(F.col("doc_id").alias(id_col)).distinct()
-        kept = kept.join(contaminated, id_col, "left_anti")
+        contaminated = (
+            dedup.contamination_pairs(kept, probes, id_col, text_col, n=3, min_shared=3)
+            .select(F.col("doc_id").alias(id_col))
+            .distinct()
+        )
+        kept = kept.join(contaminated, id_col, "left_anti").cache()
         counts["decontaminated"] = kept.count()
 
     packed = text.pack_sequences(kept, id_col, text_col, budget=512)

@@ -89,9 +89,16 @@ def probe_media(payload: bytes) -> tuple[str, int, int] | None:
                 i += 1
                 continue
             marker = payload[i + 1]
+            if marker == 0xFF:  # 0xFF fill/padding byte before a marker
+                i += 1
+                continue
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
                 return ("image/jpeg", w, h)
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                # standalone markers (TEM, RSTn, SOI, EOI) carry no length
+                i += 2
+                continue
             seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
             i += 2 + seg_len
         return None

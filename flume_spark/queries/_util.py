@@ -8,8 +8,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-_TUNED_SESSIONS: set[int] = set()
-
 _RUNTIME_CONF = {
     # The declared queries may run under a caller-built SparkSession (the
     # driver's correctness gate).  These are the runtime-settable confs our
@@ -25,15 +23,27 @@ _RUNTIME_CONF = {
 
 
 def tune_session(spark: SparkSession) -> None:
-    """Apply runtime-settable scale confs once per session (idempotent)."""
-    if id(spark) in _TUNED_SESSIONS:
-        return
+    """Apply runtime-settable scale confs once per session (idempotent).
+
+    The already-tuned check is a conf sentinel on the session itself, not a
+    driver-side id() set: a stopped session's id can be reused by a new
+    one, which would silently skip tuning (UTC timezone alone changes
+    timestamp results vs the oracles).
+    """
+    try:
+        if spark.conf.get("spark.flume_spark.tuned", None) == "1":
+            return
+    except Exception:  # pragma: no cover - exotic conf backends
+        pass
     for key, value in _RUNTIME_CONF.items():
         try:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - conf locked by the host
             pass
-    _TUNED_SESSIONS.add(id(spark))
+    try:
+        spark.conf.set("spark.flume_spark.tuned", "1")
+    except Exception:  # pragma: no cover
+        pass
 
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -73,6 +73,7 @@ class QueueManager:
         dispatch_timeout_s: float | None = None,
         telemetry: Telemetry | None = None,
         compact_max_files: int | None = 256,
+        compact_grace_s: float = 0.0,
         archive_succeeded: bool = False,
         limiter: SlidingWindowLimiter | None = None,
         idempotence: bool = False,
@@ -81,6 +82,12 @@ class QueueManager:
         self.store = store
         self.telemetry = telemetry or Telemetry()
         self.compact_max_files = compact_max_files
+        # Single-driver (default): the trigger thread serializes claims and
+        # compaction, so freshly-written files are safe to compact at once.
+        # Multi-instance on a SHARED store: set a grace (e.g. 30s) so
+        # auto-compaction never unlinks claim files another manager is still
+        # lazily reading mid-trigger.
+        self.compact_grace_s = compact_grace_s
         # True keeps the live log O(in-flight + dead) under sustained load
         # (succeeded acks move to the archive on compaction) — the setting
         # for long-running deployments; False preserves full history live.
@@ -325,9 +332,10 @@ class QueueManager:
         enforced here, in-plan, by a FIFO rank across the key's queues —
         enforcing it at admission time instead (per-pipeline reservations)
         either over-admits (everyone sees the full budget) or starves (an
-        empty queue's reservation burns budget its sibling needed).  Only
-        rows from shared-key queues enter the extra window, so the plan is
-        unchanged when no key is shared.
+        empty queue's reservation burns budget its sibling needed).  The
+        extra window exists only when a key is shared (plan unchanged
+        otherwise); inside it, unlimited queues keep per-queue partitions
+        and the whole input is already demand-bounded (≤ Σ demand rows).
         """
         ts = F.lit(_ts(now))
         lease_horizon = F.lit(_ts(now - self.visibility_timeout_s))
@@ -372,7 +380,12 @@ class QueueManager:
             budget_map = F.create_map(
                 *[x for k, b in budgets.items() for x in (F.lit(k), F.lit(b))]
             )
-            w_key = Window.partitionBy("_lk").orderBy("enqueued_at", "jid")
+            # null-key (unlimited) rows get per-queue partitions — coalescing
+            # them into the bare null partition would funnel every unlimited
+            # queue's rows through one task (their rank is discarded anyway)
+            w_key = Window.partitionBy(
+                F.coalesce(F.col("_lk"), F.concat(F.lit("__nokey__"), F.col("queue")))
+            ).orderBy("enqueued_at", "jid")
             plan = (
                 plan.withColumn("_lk", key_map[F.col("queue")])
                 .withColumn(
@@ -568,13 +581,15 @@ class QueueManager:
         ack_seq = self.store.next_seq()
         now_dt = _ts(now)
         ack_rows = []
-        worker_ms = 0.0
+        worker_ms_by_q: dict[str, float] = {}
         for c in claim_rows:
             r = result_rows.get(c["jid"])
             # a marker-skipped job already ran its side effects: ack succeeded
             ok = bool(r and r["ok"]) or c["jid"] in skipped_jids
             if r:
-                worker_ms += r["duration_ms"] or 0.0
+                worker_ms_by_q[c["queue"]] = worker_ms_by_q.get(c["queue"], 0.0) + (
+                    r["duration_ms"] or 0.0
+                )
             new_rc = c["retry_count"] + 1
             if ok:
                 status, rc_out, outcome = S.SUCCEEDED, c["retry_count"], "succeeded"
@@ -623,18 +638,27 @@ class QueueManager:
                 if row["status"] == S.SUCCEEDED:
                     self.store.clear_flag(f"processed/{row['jid']}")
 
-        # [:pipeline, :worker] telemetry (worker.ex:37-42), instrument-gated
+        # [:pipeline, :worker] telemetry (worker.ex:37-42), instrument-gated:
+        # jobs AND durations aggregate over instrumented queues only — an
+        # opted-out pipeline's metrics must not leak into the event
         if instrumented:
             self.telemetry.emit(
                 ("pipeline", "worker"),
-                {"duration_ms": worker_ms, "jobs": claimed_rows},
+                {
+                    "duration_ms": sum(
+                        worker_ms_by_q.get(q, 0.0) for q in instrumented
+                    ),
+                    "jobs": sum(per_queue[q] for q in instrumented),
+                },
                 {"queues": instrumented},
             )
 
         # bound log fragmentation so per-trigger scan cost stays flat
         if self.compact_max_files is not None:
             self.store.maybe_compact(
-                self.compact_max_files, archive_succeeded=self.archive_succeeded
+                self.compact_max_files,
+                archive_succeeded=self.archive_succeeded,
+                min_age_s=self.compact_grace_s,
             )
         return stats
 

@@ -163,15 +163,24 @@ class JobStore:
         return sum(1 for n in os.listdir(self.path) if n.endswith(".parquet"))
 
     def maybe_compact(
-        self, max_files: int = 256, archive_succeeded: bool = False
+        self,
+        max_files: int = 256,
+        archive_succeeded: bool = False,
+        min_age_s: float = 0.0,
     ) -> bool:
         """Compact when the log fragments past `max_files` — bounds the
         per-trigger scan cost under sustained enqueue/ack traffic (each
         trigger otherwise reads every small file ever written).  Delta/
-        Iceberg analog: auto-OPTIMIZE.  Returns True if compaction ran."""
+        Iceberg analog: auto-OPTIMIZE.  Returns True if compaction ran.
+
+        `min_age_s` > 0 (QueueManager's `compact_grace_s`) spares files
+        younger than the grace — required when several instances share one
+        store, since another manager may still be lazily reading the claim
+        files it just published mid-trigger.  Single-driver deployments
+        (the default) compact everything immediately."""
         if self.n_files() <= max_files:
             return False
-        self.compact(archive_succeeded=archive_succeeded)
+        self.compact(archive_succeeded=archive_succeeded, min_age_s=min_age_s)
         return True
 
     def is_empty(self) -> bool:
@@ -223,7 +232,9 @@ class JobStore:
             .drop("_rn")
         )
 
-    def compact(self, archive_succeeded: bool = False) -> None:
+    def compact(
+        self, archive_succeeded: bool = False, min_age_s: float = 0.0
+    ) -> None:
         """Rewrite the log to one record per jid (latest state).
 
         Bounds read amplification; in Delta this is OPTIMIZE + vacuum.
@@ -243,12 +254,27 @@ class JobStore:
         (identical rows; the window picks either) and removed by the next
         compact.  No whole-directory rename ever happens, so there is no
         moment without a live log dir.
+
+        `min_age_s` excludes recently-written files from BOTH the snapshot
+        and the deletions: another instance may still be lazily reading the
+        files it just published (its dispatch collects mid-trigger), and
+        unlinking them under it would kill that trigger.  Young files stay
+        live; their higher `seq` keeps winning the latest-per-jid window
+        over the compacted record, so state is unchanged.  Deletions are
+        tolerant of already-missing files (two instances compacting the
+        same snapshot race benignly).
         """
-        files = sorted(
-            os.path.join(self.path, n)
-            for n in os.listdir(self.path)
-            if n.endswith(".parquet")
-        )
+        cutoff = time.time() - min_age_s
+        files = []
+        for n in sorted(os.listdir(self.path)):
+            if not n.endswith(".parquet"):
+                continue
+            p = os.path.join(self.path, n)
+            try:
+                if os.path.getmtime(p) <= cutoff:
+                    files.append(p)
+            except OSError:  # vanished under a concurrent compact
+                continue
         if not files:
             return
         log = self.spark.read.schema(JOB_LOG_SCHEMA).parquet(*files)
@@ -266,7 +292,10 @@ class JobStore:
             snapshot = snapshot.filter(F.col("status") != "succeeded")
         self.publish(snapshot, f"compact-{self.next_seq()}")
         for p in files:
-            os.unlink(p)
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass  # a racing compact already removed it
 
     # -- control flags ------------------------------------------------------
     # Durable cluster-visible control state lives NEXT TO the log (at scale:

@@ -60,12 +60,20 @@ def merge_upsert(
         merged = _merged(target, updates, key)
         # break lineage from the files about to be overwritten
         merged = merged.localCheckpoint(eager=True)
+        # dynamic overwrite only rewrites partitions PRESENT in the output:
+        # a partition whose every key was deleted produces zero rows and
+        # would silently survive — remove those directories explicitly
+        survivors = {r[0] for r in merged.select(partition_col).distinct().collect()}
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for value in set(parts) - survivors:
+            part_dir = os.path.join(path, f"{partition_col}={value}")
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
         return
 
     target = spark.read.parquet(path)

@@ -31,9 +31,12 @@ def interval_join(
     interval."""
     lw = left.withWatermark(left_ts, left_watermark)
     rw = right.withWatermark(right_ts, right_watermark)
+    # bounds built from dataframe-qualified columns, never bare names —
+    # both sides commonly call their event-time column "ts", and a bare
+    # F.expr reference would be ambiguous over the joined plan
     cond = (
         (lw[key] == rw[key])
         & (rw[right_ts] >= lw[left_ts])
-        & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {within}"))
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, cond, how).drop(rw[key])

@@ -898,6 +898,10 @@ def test_instrument_opt_out(engine):
     deq = next(e for e in engine.telemetry.events if e[0] == ("queue", "dequeue"))
     assert deq[2]["queues"] == ["default"]
     assert deq[1]["count"] == 1
+    # the worker event must not leak the opted-out pipeline's jobs/durations
+    wrk = next(e for e in engine.telemetry.events if e[0] == ("pipeline", "worker"))
+    assert wrk[2]["queues"] == ["default"]
+    assert wrk[1]["jobs"] == 1
 
 
 def test_raw_args_stored_byte_exact(engine):
@@ -915,3 +919,57 @@ def test_raw_args_stored_byte_exact(engine):
     rows = {r["jid"]: r for r in engine.current().collect()}
     assert rows[j2]["args"] == "[]"
     assert rows[j3]["args"] == "[]"
+
+
+def test_probe_media_jpeg_with_fill_bytes():
+    """JPEG spec permits 0xFF fill bytes before markers and standalone
+    markers with no length field — the scanner must step over both and
+    still find the real SOF0."""
+    import struct as st
+
+    from flume_spark.operators.multimodal import probe_media
+
+    sof0 = b"\xff\xc0" + st.pack(">H", 17) + b"\x08" + st.pack(">HH", 7, 9) + b"\x03" + b"\x00" * 9
+    jpeg = (
+        b"\xff\xd8"                       # SOI
+        + b"\xff\xe0" + st.pack(">H", 4) + b"\x00\x00"  # APP0, len 4
+        + b"\xff\xff"                     # fill byte run before next marker
+        + b"\xff\x01"                     # TEM standalone (no length)
+        + sof0                            # SOF0: height 7, width 9
+        + b"\xff\xd9"                     # EOI
+    )
+    assert probe_media(jpeg) == ("image/jpeg", 9, 7)
+
+
+def test_compact_grace_spares_young_files(spark, tmp_path):
+    """maybe_compact must not unlink files another instance may still be
+    lazily reading: files younger than min_age_s survive; older files
+    compact; state is unchanged either way."""
+    import os
+    import time as _time
+
+    store = JobStore(spark, str(tmp_path / "jobs_grace"))
+    registry = WorkerRegistry()
+    registry.register("NoopWorker", lambda *a: None)
+    manager = QueueManager(
+        spark, store, registry,
+        pipelines=[Pipeline(name="g", queue="gq")],
+    )
+    for i in range(4):
+        manager.enqueue("gq", "NoopWorker", [i], now=T0 + i)
+    files = sorted(
+        f for f in os.listdir(store.path) if f.endswith(".parquet")
+    )
+    assert len(files) == 4
+    # age the first two files past the grace horizon
+    for f in files[:2]:
+        p = os.path.join(store.path, f)
+        os.utime(p, (_time.time() - 120, _time.time() - 120))
+    assert store.maybe_compact(max_files=1, min_age_s=60)
+    remaining = sorted(
+        f for f in os.listdir(store.path) if f.endswith(".parquet")
+    )
+    # two young files survive + one compacted snapshot; old two gone
+    assert files[2] in remaining and files[3] in remaining
+    assert files[0] not in remaining and files[1] not in remaining
+    assert manager.current().count() == 4  # state intact

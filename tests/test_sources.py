@@ -120,3 +120,23 @@ def test_merge_upsert_creates_new_partition(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.count() == 3
     assert after.filter("p = 9").first()["v"] == "new-part"
+
+
+def test_merge_upsert_removes_delete_only_partition(spark, tmp_path):
+    """A partition whose every key is deleted must disappear — dynamic
+    overwrite alone would never touch it (zero output rows)."""
+    from flume_spark.sources.merge import merge_upsert
+
+    path = str(tmp_path / "dpt")
+    spark.createDataFrame(
+        [(1, 0, "a"), (2, 1, "b"), (3, 1, "c")], "k long, p int, v string"
+    ).write.partitionBy("p").parquet(path)
+    updates = spark.createDataFrame(
+        [(1, 0, None, True)], "k long, p int, v string, _deleted boolean"
+    )
+    merge_upsert(spark, path, updates, key="k", partition_col="p")
+    after = spark.read.parquet(path)
+    assert after.count() == 2
+    assert after.filter("p = 0").count() == 0
+    import os
+    assert not os.path.isdir(f"{path}/p=0")

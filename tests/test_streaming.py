@@ -452,3 +452,49 @@ def test_two_runners_share_one_store(spark, tmp_path):
     assert sorted(processed) == sorted(
         [f"a{i}" for i in range(20)] + [f"b{i}" for i in range(20)] + ["a-late", "b-late"]
     )
+
+
+def test_interval_join_same_ts_column_names(spark, tmp_path):
+    """Both streams naming their event-time column 'ts' (the common case)
+    must not hit an ambiguous-reference analysis error."""
+    from datetime import datetime
+
+    from flume_spark.streaming.joins import interval_join
+
+    asrc, bsrc = tmp_path / "ija", tmp_path / "ijb"
+    asrc.mkdir(); bsrc.mkdir()
+    schema = "user_id long, ts timestamp, tag string"
+    t0 = datetime(2024, 1, 1, 10, 0)
+    spark.createDataFrame([(1, t0, "left")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(asrc))
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 30), "right")], schema
+    ).coalesce(1).write.mode("append").parquet(str(bsrc))
+
+    left = spark.readStream.schema(schema).parquet(str(asrc))
+    right = (
+        spark.readStream.schema(schema)
+        .parquet(str(bsrc))
+        .withColumnRenamed("tag", "rtag")
+        .withColumnRenamed("ts", "rts")
+    )
+    # same-name case: rename back to 'ts' to exercise ambiguity handling
+    right = right.withColumnRenamed("rts", "ts")
+    joined = interval_join(
+        left, right, key="user_id", left_ts="ts", right_ts="ts",
+        within="1 hour", left_watermark="2 hours", right_watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_same")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ij"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT tag, rtag FROM ij_same").collect()
+    finally:
+        q.stop()
+    assert [(r["tag"], r["rtag"]) for r in rows] == [("left", "right")]
