@@ -498,3 +498,55 @@ def test_interval_join_same_ts_column_names(spark, tmp_path):
     finally:
         q.stop()
     assert [(r["tag"], r["rtag"]) for r in rows] == [("left", "right")]
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """ST9 session windows under readStream: events arriving in separate
+    micro-batches merge into the same session in the state store, and the
+    final sessions equal the batch session_window answer."""
+    from datetime import datetime
+
+    from flume_spark.streaming.windows import streaming_session_counts
+
+    src = tmp_path / "sess_stream"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long"
+    # user 1: two events 1h apart (one session with 4h gap), then one 10h
+    # later (second session); user 2: single event
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 0), 1), (2, datetime(2024, 1, 1, 1, 0), 1)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [(3, datetime(2024, 1, 1, 11, 0), 1), (4, datetime(2024, 1, 1, 0, 30), 2)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = streaming_session_counts(
+        spark, str(src), schema, key_col="user_id", gap="4 hours"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"].hour): r["n_events"]
+            for r in spark.sql("SELECT * FROM sess_counts").collect()
+        }
+    finally:
+        q.stop()
+    from pyspark.sql import functions as F
+
+    batch = (
+        spark.read.schema(schema).parquet(str(src))
+        .groupBy(F.session_window("ts", "4 hours").alias("w"), "user_id")
+        .count()
+        .collect()
+    )
+    exp = {(r["user_id"], r["w"]["start"].hour): r["count"] for r in batch}
+    assert got == exp == {(1, 0): 2, (1, 11): 1, (2, 0): 1}
