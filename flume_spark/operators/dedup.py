@@ -17,8 +17,12 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+logger = logging.getLogger("flume_spark")
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -100,6 +104,14 @@ def ngram_jaccard_pairs(
     shingles disappear.  Choose max_df >> expected near-dup cluster size so
     only corpus-wide stop-shingles are dropped.  Leave None for exact.
     """
+    if max_df is None:
+        logger.warning(
+            "ngram_jaccard_pairs(max_df=None) is the exact/verifier "
+            "configuration: the inverted-index self-join shuffles "
+            "sum-over-shingles(df^2) rows and will not scale to a raw large "
+            "corpus.  For near-dup discovery at scale use lsh_verified_pairs "
+            "(LSH candidates -> exact-Jaccard verification) or pass max_df."
+        )
     sh = word_shingles(df, id_col, text_col, n).cache()
     if max_df is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df)
@@ -182,6 +194,70 @@ def minhash_lsh_candidates(
         )
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .distinct()
+    )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification — the
+    blessed near-dup path at 100 TB scale.
+
+    Stage 1 (`minhash_lsh_candidates`) finds candidate pairs with a banded
+    equi-join: shuffle is O(docs x bands), never all-pairs.  Stage 2 verifies
+    ONLY those candidates with exact shingle Jaccard, by joining the candidate
+    list back to the inverted index: first attach doc_a's shingles (cost =
+    sum over candidates of |shingles(doc_a)|), then probe doc_b's shingle set
+    with a (doc_b, shingle) equi-join.  Total verification cost is linear in
+    the candidate count — the sum-over-shingles(df^2) blow-up of a raw
+    inverted-index self-join (`ngram_jaccard_pairs`) never occurs.
+
+    Verification uses the same shingle space that generated the candidates,
+    so the reported jaccard is the true n-gram Jaccard of each surfaced pair
+    (no false positives; recall is the LSH band probability
+    1 - (1 - j^r)^bands).  Returns (doc_a, doc_b, jaccard) with doc_a < doc_b
+    and jaccard >= threshold, rounded 6dp.
+    """
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, shingle_n, num_hashes, bands
+    )
+    sh = word_shingles(df, id_col, text_col, shingle_n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = cands.join(
+        sh.select(F.col("id").alias("doc_a"), "shingle"), "doc_a"
+    )
+    inter = (
+        a_sh.join(
+            sh.select(F.col("id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    # No broadcast hint on the size side: at scale it is one row per doc (not
+    # broadcastable); the probe side (candidate pairs) is the small side and
+    # AQE picks the right strategy per actual sizes.
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.id"))
+        .join(sb, F.col("doc_b") == F.col("sb.id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -310,7 +386,14 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # Convergence scalar: labels only ever decrease, so the label sum strictly
+    # decreases iff any node changed.  Summed as decimal(38,0): a bigint sum
+    # wraps silently under Spark's non-ANSI mode, and with billions of nodes
+    # carrying large 64-bit ids an overflow collision could fake convergence
+    # (round-2 ADVICE).  1e10 rows x 9.2e18 max id ~ 1e29 << 1e38, so the
+    # decimal sum is exact.
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(label_sum).collect()[0][0]
     for _ in range(max_iter):
         # Min-label propagation with pointer jumping: each node takes the min
         # over {its own label, neighbor labels, its label's label}.  The
@@ -329,10 +412,7 @@ def connected_components(
         labels = (
             contrib.groupBy("node").agg(F.min("label").alias("label")).localCheckpoint()
         )
-        # Labels only ever decrease, so sum(label) strictly decreases iff any
-        # node changed — a scalar agg on the materialized result replaces the
-        # per-round changed-count join.
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = labels.agg(label_sum).collect()[0][0]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

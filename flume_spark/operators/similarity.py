@@ -257,6 +257,54 @@ def lsh_topk(
     )
 
 
+def kmeans_assign_step(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+) -> DataFrame:
+    """The assignment half of a Lloyd's iteration against FIXED deterministic
+    centroids — the k rows with smallest (md5(id), id), i.e. the same init
+    draw `kmeans` uses.  Unlike the full iterative loop (rows-only at the
+    driver), this single step is deterministic and SQL-expressible, so the
+    oracle can hash-check the core k-means math (round-2 verdict item 4).
+
+    Returns (id, cluster, dist2): cluster = argmin over centroids of the
+    squared euclidean distance rounded to 6dp (ties -> lowest cluster idx);
+    rounding BEFORE the argmin keeps both engines ranking identical values.
+    Plan shape: broadcast of the k-row centroid frame into a crossJoin
+    (broadcast nested loop) + one groupBy(id) — same as `kmeans._assign`.
+    """
+    pts = emb.select(F.col(id_col).alias("id"), _to_double(vec_col).alias("vec"))
+    init = (
+        pts.orderBy(F.md5(F.col("id").cast("string")), "id")
+        .limit(k)
+        .select("vec")
+        .collect()
+    )
+    cdf = emb.sparkSession.createDataFrame(
+        [(i, list(r["vec"])) for i, r in enumerate(init)],
+        "cluster int, cvec array<double>",
+    )
+    dist2 = F.round(
+        F.aggregate(
+            F.zip_with("vec", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    return (
+        pts.crossJoin(F.broadcast(cdf))
+        .withColumn("dist2", dist2)
+        .groupBy("id")
+        .agg(
+            F.min_by("cluster", F.struct("dist2", "cluster")).alias("cluster"),
+            F.min("dist2").alias("dist2"),
+        )
+    )
+
+
 def kmeans(
     emb: DataFrame,
     id_col: str = "vec_id",

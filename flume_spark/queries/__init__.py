@@ -23,93 +23,64 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 # The driver's correctness gate checks a bounded prefix of the declared dict
-# (round 1 recorded rows for exactly the first 50 of 90 queries, in dict
-# order).  Order therefore matters: queries that do not yet have a
-# driver-confirmed green row go FIRST (cheapest first, so a time budget also
-# admits the most rows); queries already driver-green in CORRECTNESS_r01.json
-# go last.  New queries not in either list land in the middle group and get
-# checked next round automatically.
-_NEEDS_DRIVER_ROW = [  # ascending sf0.01 runtime (measured 2026-08-13)
-    "text_fingerprint",
-    "text_token_count",
-    "text_pii_scrub",
-    "text_rolling_fingerprint",
-    "text_subword_tokens",
-    "pack_sequences",
-    "text_quality_score",
-    "text_lang_id",
-    "agg_percentiles",
-    "agg_histogram",
-    "window_range_frame",
-    "join_skew_salted",
-    "agg_count_distinct_salted",
-    "events_funnel",
-    "sample_stratified",
-    "join_asof",
-    "window_sliding",
-    "multimodal_frame_sample",
-    "embedding_centroids",
-    "multimodal_feature_extract",
-    "window_tumbling",
-    "window_session",
-    "group_args_nested",
-    "multimodal_meta",
-    "multimodal_resize",
-    "q22_dormant_customers",
-    "q19_discounted_revenue",
-    "ann_topk_ivf",
-    "q12_priority_lineclass",
-    "q17_small_quantity_revenue",
-    "q20_volume_suppliers",
-    "q15_top_supplier",
-    "q13_customer_distribution",
-    "q16_supplier_part_counts",
-    "q21_sole_returned_supplier",
-    "text_tfidf_topk",
-    "text_decontaminate",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q8_market_share",
-    "ann_topk_bruteforce",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "ann_topk_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard_capped",
-    "curation_pipeline",
-    "embedding_kmeans",
-    "dedup_components",
+# (50 entries per round, in dict order).  Order therefore matters: queries
+# that do not yet have a driver-confirmed row go FIRST (cheapest first, so a
+# time budget also admits the most rows); queries already driver-checked in
+# CORRECTNESS_r01.json / CORRECTNESS_r02.json go last.  New queries absent
+# from both lists land in the middle group and get checked next round
+# automatically.  tests/test_registry.py asserts both lists stay consistent
+# with the merged query dict (no typos, no overlap, full coverage).
+_NEEDS_DRIVER_ROW = [  # round-3 additions, ascending expected sf0.01 runtime
+    "kmeans_assign",
+    "lsh_buckets",
+    "queue_pending_counts",
+    "dedup_lsh_verified",
 ]
+
+# Union of CORRECTNESS_r01.json + CORRECTNESS_r02.json keys: every one of the
+# 99 round-1/round-2 queries has a driver row (96 hash-green, 3 rows-only by
+# design: approx_distinct, ann_topk_lsh, embedding_kmeans).
+_DRIVER_CHECKED = frozenset(
+    {
+        "agg_count_distinct_salted", "agg_cube", "agg_distinct",
+        "agg_grouping_sets", "agg_histogram", "agg_percentiles", "agg_rollup",
+        "agg_stats", "ann_topk_bruteforce", "ann_topk_ivf", "ann_topk_lsh",
+        "approx_distinct", "array_agg_sorted", "backoff_expr",
+        "case_when_bucketing", "correlated_subquery", "curation_pipeline",
+        "dedup_components", "dedup_embedding_cosine", "dedup_exact",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
+        "dedup_simhash", "due_filter", "embedding_centroids", "embedding_kmeans",
+        "events_funnel", "explode_tokens", "filter_project", "group_args_nested",
+        "job_counts", "join_anti", "join_asof", "join_broadcast", "join_outer",
+        "join_range", "join_semi", "join_skew_salted", "md5_ledger_key",
+        "multimodal_feature_extract", "multimodal_frame_sample", "multimodal_meta",
+        "multimodal_resize", "pack_sequences", "pivot_returnflag",
+        "q10_returned_items", "q12_priority_lineclass", "q13_customer_distribution",
+        "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
+        "q17_small_quantity_revenue", "q18_large_volume", "q19_discounted_revenue",
+        "q1_pricing_summary", "q20_volume_suppliers", "q21_sole_returned_supplier",
+        "q22_dormant_customers", "q2_min_cost_supplier", "q3_shipping_priority",
+        "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
+        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+        "rate_window_count", "sample_stratified", "scalar_date_funcs",
+        "scalar_json_funcs", "scalar_math_funcs", "scalar_null_funcs",
+        "scalar_string_funcs", "scalar_subquery", "set_except", "set_intersect",
+        "set_union", "text_decontaminate", "text_fingerprint", "text_lang_id",
+        "text_pii_scrub", "text_quality_score", "text_rolling_fingerprint",
+        "text_subword_tokens", "text_tfidf_topk", "text_token_count", "topk_due",
+        "topk_orders", "unpivot_orders", "visibility_timeout_scan",
+        "window_lag_lead", "window_moving_agg", "window_range_frame", "window_rank",
+        "window_running_sum", "window_session", "window_sliding", "window_tumbling",
+    }
+)
 
 
 def _reorder(merged: dict) -> dict:
     prio = [n for n in _NEEDS_DRIVER_ROW if n in merged]
     prio_set = set(prio)
-    fresh = [n for n in merged if n not in prio_set and n not in _R1_GREEN]
-    rest = [n for n in merged if n in _R1_GREEN and n not in prio_set]
+    fresh = [n for n in merged if n not in prio_set and n not in _DRIVER_CHECKED]
+    rest = [n for n in merged if n in _DRIVER_CHECKED and n not in prio_set]
     return {n: merged[n] for n in (*prio, *fresh, *rest)}
-
-
-_R1_GREEN = frozenset(
-    {
-        "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-        "filter_project", "join_broadcast", "join_semi", "join_anti",
-        "join_range", "join_outer", "agg_distinct", "agg_rollup", "agg_cube",
-        "agg_grouping_sets", "window_rank", "window_running_sum",
-        "window_moving_agg", "window_lag_lead", "scalar_null_funcs",
-        "topk_orders", "set_union", "set_intersect", "set_except",
-        "scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs",
-        "scalar_json_funcs", "case_when_bucketing", "agg_stats",
-        "approx_distinct", "q4_order_priority", "q6_forecast_revenue",
-        "q10_returned_items", "q14_promo_revenue", "q18_large_volume",
-        "scalar_subquery", "correlated_subquery", "pivot_returnflag",
-        "unpivot_orders", "explode_tokens", "array_agg_sorted", "due_filter",
-        "topk_due", "job_counts", "backoff_expr", "md5_ledger_key",
-        "rate_window_count", "visibility_timeout_scan", "dedup_exact",
-        "dedup_ngram_jaccard",
-    }
-)
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -155,6 +155,65 @@ FROM bands a JOIN bands b
 """
 
 
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blessed composed near-dup path at 100 TB: MinHash-LSH candidate
+    generation (banded join, O(docs x bands)) followed by exact-Jaccard
+    verification of ONLY the candidate pairs — verification cost is linear
+    in the candidate count, never the Σ df² of a raw inverted-index
+    self-join.  Same tuning as dedup_minhash_lsh (2-word shingles, 16
+    hashes, 4 bands); pairs kept at true Jaccard >= 0.3."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.lsh_verified_pairs(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=16, bands=4, threshold=0.3
+    )
+
+
+# Oracle: the same banded candidate set, then exact Jaccard over the same
+# 2-word shingles, restricted to candidates (verification semantics).
+DEDUP_LSH_VERIFIED_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(words)),
+                  i -> words[i] || ' ' || words[i+1])) AS shingle
+    FROM w
+  )
+),
+sig AS (
+  SELECT doc_id,
+         {_MH}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.3
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, hamming <= 3 of 32 bits (~725 pairs of the
     124,750 possible at sf0.01).  Exact under pigeonhole banding."""
@@ -351,6 +410,62 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
     assignments, _, _ = similarity.kmeans(emb, k=4, iters=3)
     return assignments
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic assignment step of Lloyd's k-means (fixed init
+    centroids = 4 rows with smallest (md5(id), id)) — hash-checkable
+    derivative of the rows-only `embedding_kmeans` (round-2 verdict #4)."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign_step(emb, "vec_id", "embedding", k=4)
+
+
+KMEANS_ASSIGN_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
+           AS cluster,
+         v AS cv
+  FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 4
+),
+scored AS (
+  SELECT e.vec_id AS id, init.cluster,
+         round(list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - init.cv[i]) * (e.v[i] - init.cv[i]))), 6) AS dist2
+  FROM e CROSS JOIN init
+)
+SELECT id, cluster, dist2 FROM (
+  SELECT id, cluster, dist2,
+         row_number() OVER (PARTITION BY id ORDER BY dist2, cluster) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+def lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket membership for every vector — the deterministic half
+    of the approximate `ann_topk_lsh` (round-2 verdict #4): hyperplanes are
+    md5-derived constants, so bucket keys are exact and hash-checkable even
+    though end-to-end ANN recall is approximate by design."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.hyperplane_lsh_buckets(emb, dim=64, n_planes=8).select(
+        "id", "bucket"
+    )
+
+
+_LSH_PLANE_CASES = " || ".join(
+    "(CASE WHEN list_dot_product(v, ["
+    + ", ".join(repr(c) for c in plane)
+    + "]) >= 0 THEN '1' ELSE '0' END)"
+    for plane in similarity._deterministic_hyperplanes(64, 8, seed="flume")
+)
+
+LSH_BUCKETS_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id AS id, {_LSH_PLANE_CASES} AS bucket FROM e
+"""
 
 
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -747,6 +862,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_simhash": dedup_simhash,
     "dedup_components": dedup_components,
     "curation_pipeline": curation_pipeline,
@@ -754,8 +870,10 @@ QUERIES = {
     "ann_topk_bruteforce": ann_topk_bruteforce,
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
+    "lsh_buckets": lsh_buckets,
     "embedding_centroids": embedding_centroids,
     "embedding_kmeans": embedding_kmeans,
+    "kmeans_assign": kmeans_assign,
     "sample_stratified": sample_stratified,
     "pack_sequences": pack_sequences_q,
     "text_pii_scrub": text_pii_scrub,
@@ -778,6 +896,7 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_ngram_jaccard_capped": DEDUP_NGRAM_CAPPED_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_lsh_verified": DEDUP_LSH_VERIFIED_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_components": DEDUP_COMPONENTS_SQL,
     "curation_pipeline": CURATION_SQL,
@@ -785,7 +904,9 @@ ORACLES = {
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     # ann_topk_lsh: no oracle (approximate by design)
     "ann_topk_ivf": ANN_IVF_SQL,
+    "lsh_buckets": LSH_BUCKETS_SQL,
     "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
+    "kmeans_assign": KMEANS_ASSIGN_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "text_pii_scrub": TEXT_PII_SQL,

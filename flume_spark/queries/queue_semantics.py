@@ -166,6 +166,44 @@ GROUP BY event_type
 """
 
 
+def queue_pending_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — pending/in-flight counts across configured pipelines
+    (flume.ex:80-83, pipeline/event.ex:57-64): per-queue count of jobs in
+    each lifecycle state.  The live API is QueueManager.pending_jobs_count;
+    this declares its relational shape: ONE partial-agg shuffle with
+    conditional counts (never a scan per status)."""
+    ev = T(spark, sf_dir, "events")
+    status = F.element_at(
+        F.array(
+            F.lit("pending"), F.lit("processing"), F.lit("succeeded"), F.lit("dead")
+        ),
+        (F.col("event_id") % 4 + 1).cast("int"),
+    )
+    return (
+        ev.select(F.col("event_type").alias("queue"), status.alias("status"))
+        .groupBy("queue")
+        .agg(
+            F.count(F.when(F.col("status") == "pending", 1)).alias("n_pending"),
+            F.count(F.when(F.col("status") == "processing", 1)).alias("n_processing"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+QUEUE_PENDING_SQL = """
+WITH j AS (
+  SELECT event_type AS queue,
+         (['pending', 'processing', 'succeeded', 'dead'])[event_id % 4 + 1] AS status
+  FROM events
+)
+SELECT queue,
+       count(CASE WHEN status = 'pending' THEN 1 END)    AS n_pending,
+       count(CASE WHEN status = 'processing' THEN 1 END) AS n_processing,
+       count(*)                                          AS n_total
+FROM j GROUP BY queue
+"""
+
+
 QUERIES = {
     "due_filter": due_filter,
     "topk_due": topk_due,
@@ -175,6 +213,7 @@ QUERIES = {
     "rate_window_count": rate_window_count,
     "group_args_nested": group_args_nested,
     "visibility_timeout_scan": visibility_timeout_scan,
+    "queue_pending_counts": queue_pending_counts,
 }
 
 ORACLES = {
@@ -186,4 +225,5 @@ ORACLES = {
     "rate_window_count": RATE_WINDOW_SQL,
     "group_args_nested": GROUP_ARGS_SQL,
     "visibility_timeout_scan": VISIBILITY_SQL,
+    "queue_pending_counts": QUEUE_PENDING_SQL,
 }
