@@ -7,8 +7,13 @@ tested elsewhere):
 
 1. quality gate         — codegen expression, fuses into the scan
 2. exact dedup          — keep min-id doc per content hash (one shuffle)
-3. near-dup drop        — SimHash pairs -> connected components -> keep
-                          canonical (min-id) member per cluster
+3. near-dup drop        — candidate pairs -> connected components -> keep
+                          canonical (min-id) member per cluster.  Default
+                          candidate source is MinHash-LSH + exact-Jaccard
+                          verification (`dedup.lsh_verified_pairs`) — the
+                          100 TB path: banded candidate join, verification
+                          linear in the candidate count, never an
+                          inverted-index self-join
 4. decontamination      — drop docs overlapping the probe/eval set
 5. tokenize + pack      — token counts, then greedy sequence packing
 6. write                — parquet, optionally Z-ordered on (pack_id, n_tokens)
@@ -35,11 +40,20 @@ def curate_corpus(
     text_col: str = "text",
     min_quality: float = 0.4,
     out_dir: str | None = None,
+    near_dup: str = "lsh_verified",
 ) -> tuple[DataFrame, dict]:
     """Run the full curation pipeline; returns (curated_df, stage_counts).
 
     `stage_counts` records survivors after each stage — the per-stage yield
     a corpus report needs.  Pass `out_dir` to also write the result.
+
+    `near_dup` picks the candidate-pair source for stage 3:
+    - "lsh_verified" (default): MinHash-LSH banding + exact-Jaccard
+      verification of candidates only — the blessed 100 TB configuration.
+    - "simhash": pigeonhole block join on SimHash fingerprints — exact
+      within the hamming budget, cheaper on token-permuted near-dups.
+    Both shuffle O(docs x bands/blocks); neither ever does a raw
+    inverted-index self-join (`ngram_jaccard_pairs` is verifier-only).
     """
     counts: dict[str, int] = {"input": docs.count()}
 
@@ -55,7 +69,16 @@ def curate_corpus(
     kept = kept.join(exact, id_col).cache()
     counts["exact_dedup"] = kept.count()
 
-    pairs = dedup.simhash_pairs(kept, id_col, text_col, bits=32, max_hamming=3, blocks=4)
+    if near_dup == "lsh_verified":
+        pairs = dedup.lsh_verified_pairs(
+            kept, id_col, text_col, shingle_n=2, num_hashes=16, bands=4, threshold=0.3
+        )
+    elif near_dup == "simhash":
+        pairs = dedup.simhash_pairs(
+            kept, id_col, text_col, bits=32, max_hamming=3, blocks=4
+        )
+    else:
+        raise ValueError(f"unknown near_dup strategy: {near_dup!r}")
     # connected_components / contamination_pairs emit fixed column names
     # (doc_id/component) — rename to the caller's id_col before composing
     comps = dedup.connected_components(pairs, "doc_a", "doc_b").withColumnRenamed(

@@ -30,11 +30,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # from both lists land in the middle group and get checked next round
 # automatically.  tests/test_registry.py asserts both lists stay consistent
 # with the merged query dict (no typos, no overlap, full coverage).
-_NEEDS_DRIVER_ROW = [  # round-3 additions, ascending expected sf0.01 runtime
+_NEEDS_DRIVER_ROW = [  # round-3 additions/changes, ascending expected sf0.01 runtime
     "kmeans_assign",
     "lsh_buckets",
     "queue_pending_counts",
     "dedup_lsh_verified",
+    # near-dup stage switched from simhash to the blessed LSH->verify path in
+    # round 3, so the r02 row is stale — re-verify.
+    "curation_pipeline",
 ]
 
 # Union of CORRECTNESS_r01.json + CORRECTNESS_r02.json keys: every one of the
@@ -46,7 +49,7 @@ _DRIVER_CHECKED = frozenset(
         "agg_grouping_sets", "agg_histogram", "agg_percentiles", "agg_rollup",
         "agg_stats", "ann_topk_bruteforce", "ann_topk_ivf", "ann_topk_lsh",
         "approx_distinct", "array_agg_sorted", "backoff_expr",
-        "case_when_bucketing", "correlated_subquery", "curation_pipeline",
+        "case_when_bucketing", "correlated_subquery",
         "dedup_components", "dedup_embedding_cosine", "dedup_exact",
         "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
         "dedup_simhash", "due_filter", "embedding_centroids", "embedding_kmeans",

@@ -292,13 +292,18 @@ FROM reach GROUP BY src
 
 
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation: drop SimHash near-dup non-canonical docs, keep
-    quality >= 0.5, report tokens — the composed filter a training-data
-    run applies before packing.  Each stage is the already-oracled operator;
-    the composition is one declarative plan (dedup anti-join + quality
-    filter + projection)."""
+    """End-to-end curation with the blessed near-dup path: MinHash-LSH
+    candidates -> exact-Jaccard verification -> connected components ->
+    drop non-canonical members; keep quality >= 0.5, report tokens — the
+    composed filter a training-data run applies before packing.  Each stage
+    is the already-oracled operator (dedup_lsh_verified, dedup_components
+    shape, text_quality_score); the composition is one declarative plan
+    (anti-join + quality filter + projection).  Mirrors
+    flume_spark.curation.curate_corpus(near_dup='lsh_verified')."""
     docs = T(spark, sf_dir, "documents")
-    pairs = dedup.simhash_pairs(docs, "doc_id", "text", bits=32, max_hamming=3, blocks=4)
+    pairs = dedup.lsh_verified_pairs(
+        docs, "doc_id", "text", shingle_n=2, num_hashes=16, bands=4, threshold=0.3
+    )
     comps = dedup.connected_components(pairs, "doc_a", "doc_b")
     dropped = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     scored = text.quality_score(docs, "doc_id", "text")
@@ -309,12 +314,58 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CURATION_SQL = (
-    DEDUP_COMPONENTS_SQL.rstrip().removesuffix(
-        "SELECT src AS doc_id, least(src, min(dst)) AS component\nFROM reach GROUP BY src"
-    )
-    + """
-, dropped AS (
+CURATION_SQL = f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(words)),
+                  i -> words[i] || ' ' || words[i+1])) AS shingle
+    FROM w
+  )
+),
+sig AS (
+  SELECT doc_id,
+         {_MH}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.3
+),
+bidir AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+),
+reach AS (
+  SELECT src, dst FROM bidir
+  UNION
+  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+),
+dropped AS (
   SELECT src AS doc_id FROM reach GROUP BY src
   HAVING least(src, min(dst)) != src
 ),
@@ -337,7 +388,6 @@ SELECT doc_id, n_tokens, quality
 FROM scored
 WHERE quality >= 0.5 AND doc_id NOT IN (SELECT doc_id FROM dropped)
 """
-)
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

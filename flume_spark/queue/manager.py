@@ -12,6 +12,7 @@ due-predicate subsumes them (`status=pending AND scheduled_at<=now`,
 from __future__ import annotations
 
 import json
+import os
 import time
 import uuid
 from contextlib import ExitStack
@@ -540,6 +541,15 @@ class QueueManager:
             if skipped_jids:
                 claimed = claimed.filter(~F.col("jid").isin(list(skipped_jids)))
 
+        # with idempotence on, markers are written from the EXECUTOR at
+        # completion time (workers._write_marker) — marker-before-result, so
+        # a crash between the worker's side effects and the ack still leaves
+        # the marker for the redelivery to skip
+        marker_dir = (
+            os.path.dirname(self.store._flag_path("processed/x"))
+            if self.idempotence
+            else None
+        )
         parts = []
         if single_queues:
             parts.append(
@@ -547,6 +557,7 @@ class QueueManager:
                     claimed.filter(F.col("queue").isin(single_queues)),
                     self.registry,
                     self.dispatch_timeout_s,
+                    marker_dir=marker_dir,
                 )
             )
         for bs in bulk_sizes:
@@ -557,6 +568,7 @@ class QueueManager:
                     self.registry,
                     bs,
                     self.dispatch_timeout_s,
+                    marker_dir=marker_dir,
                 )
             )
         results = parts[0]
@@ -568,12 +580,6 @@ class QueueManager:
             result_rows: dict[str, dict] = {}  # nothing left to dispatch
         else:
             result_rows = {r["jid"]: r for r in results.collect()}
-        if self.idempotence:
-            # record completed dispatches BEFORE the ack lands — the ordering
-            # that makes redelivery-after-crash skip the side effects
-            for jid, r in result_rows.items():
-                if r["ok"]:
-                    self.store.set_flag(f"processed/{jid}")
 
         # ack / retry / DLQ append (system_event worker + manager.ex:121-193)
         # — driver-side over the bounded claim; the only cost is one pyarrow
@@ -687,6 +693,45 @@ class QueueManager:
         self.pipelines[name].paused = False
         if not temporary:
             self.store.clear_flag(f"paused/{name}")
+
+    def pause_all(self, temporary: bool = True) -> None:
+        """Pause every configured pipeline — flume.ex:63-65 (`pause_all`
+        maps pause over Config.pipeline_names())."""
+        for name in self.pipelines:
+            self.pause(name, temporary=temporary)
+
+    def resume_all(self, temporary: bool = True) -> None:
+        """Resume every configured pipeline — flume.ex:67-69."""
+        for name in self.pipelines:
+            self.resume(name, temporary=temporary)
+
+    def pending_jobs_count(
+        self,
+        pipeline_names: list[str] | None = None,
+        now: float | None = None,
+    ) -> int:
+        """In-flight job count across the named pipelines (default: all) —
+        flume.ex:80-83 / pipeline/event.ex:57-64 sum live worker processes
+        per consumer supervisor.  The engine analog: jobs in 'processing'
+        whose lease hasn't expired — once the lease lapses no worker holds
+        the job (it is due for redelivery), exactly when the reference's
+        worker process is gone.  Unknown names count 0, matching the
+        job_counts example in flume.ex (`["queue-1", "not-a-queue-name"]`).
+        """
+        now = time.time() if now is None else now
+        names = list(self.pipelines) if pipeline_names is None else pipeline_names
+        queues = {self.pipelines[n].queue for n in names if n in self.pipelines}
+        if not queues:
+            return 0
+        lease_horizon = F.lit(_ts(now - self.visibility_timeout_s))
+        return (
+            self.store.current(prefilter=F.col("queue").isin(list(queues)))
+            .filter(
+                (F.col("status") == S.PROCESSING)
+                & (F.col("leased_at") >= lease_horizon)
+            )
+            .count()
+        )
 
     def is_paused(self, p: Pipeline) -> bool:
         """Pause gate read at trigger time: node-local flag OR the durable

@@ -51,11 +51,16 @@ _ARROW_SCHEMA = pa.schema(
 class JobStore:
     """Append-only job log with last-writer-wins current-state view.
 
-    `seq` is strictly increasing per store instance (driver-side counter —
-    the Spark driver is the single trigger scheduler, mirroring the
-    reference where dequeue is serialized per queue by a Redis lock,
-    redis/lock.ex:8-24; multi-writer deployments would take seq from the
-    Delta commit version instead).
+    `seq` is allocated from a store-shared atomic counter (an fcntl-locked
+    file next to the control flags) — the parquet-log analog of taking the
+    Delta commit version.  This makes last-writer-wins resolve by WRITE
+    order across every manager instance sharing the store: a record written
+    later always carries a higher seq, regardless of which instance (or
+    when-started instance) wrote it.  A per-process counter would instead
+    rank instances by start time, letting an older instance's claims/acks
+    lose forever to any record from a newer one (round-2 ADVICE).
+    Reference analog for the serialization itself: the per-queue Redis lock
+    at redis/lock.ex:8-24.
     """
 
     def __init__(self, spark: SparkSession, path: str):
@@ -63,12 +68,30 @@ class JobStore:
         self.path = path
         os.makedirs(path, exist_ok=True)
         self._lock = threading.Lock()
-        self._seq = int(time.time() * 1000) << 20
 
     def next_seq(self, n: int = 1) -> int:
-        with self._lock:
-            start = self._seq
-            self._seq += n
+        """Atomically allocate `n` consecutive seq values; returns the first.
+
+        The counter seeds at int(now_ms) << 20 on first use, which sorts
+        above any seq a pre-counter log produced (same time-based seed) —
+        existing logs stay correctly ordered.  One flock'd read-modify-write
+        per allocation: seq is fetched once per trigger/enqueue batch
+        (control-plane rate), so the file lock is never on a data path.
+        """
+        import fcntl
+
+        path = self._flag_path("seq")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with self._lock, open(path, "a+") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            f.seek(0)
+            raw = f.read().strip()
+            start = int(raw) if raw else int(time.time() * 1000) << 20
+            f.seek(0)
+            f.truncate()
+            f.write(str(start + n))
+            f.flush()
+            os.fsync(f.fileno())
             return start
 
     def append(self, df: DataFrame) -> None:
@@ -284,6 +307,7 @@ class JobStore:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        self._gc_processed_markers(snapshot, min_age_s)
         if archive_succeeded:
             archive = self.path.rstrip("/") + ".archive"
             snapshot.filter(F.col("status") == "succeeded").write.mode(
@@ -296,6 +320,45 @@ class JobStore:
                 os.unlink(p)
             except FileNotFoundError:
                 pass  # a racing compact already removed it
+
+    def _gc_processed_markers(self, snapshot: DataFrame, min_age_s: float) -> None:
+        """Remove idempotence markers whose job's latest record is SUCCEEDED
+        (or gone entirely, i.e. archived).  The normal path clears a marker
+        right after its ack lands; a crash between the ack append and that
+        clear would otherwise leave the marker forever (round-2 ADVICE).
+        The marker set is bounded by the crash window, so listing it and
+        collecting the matching jids is driver-cheap.
+
+        Markers younger than `min_age_s` are spared for the same reason
+        young log files are excluded from the snapshot: another instance
+        may be mid-trigger — its markers exist but its claim/ack records
+        live in young files the snapshot can't see, so the marker would
+        look orphaned when it is actually active."""
+        mdir = os.path.dirname(self._flag_path("processed/x"))
+        if not os.path.isdir(mdir):
+            return
+        cutoff = time.time() - min_age_s
+        jids = []
+        for n in os.listdir(mdir):
+            if n.startswith("."):
+                continue
+            try:
+                if os.path.getmtime(os.path.join(mdir, n)) <= cutoff:
+                    jids.append(n)
+            except OSError:  # cleared under us by the owning instance
+                continue
+        if not jids:
+            return
+        still_live = {
+            r["jid"]
+            for r in snapshot.filter(F.col("jid").isin(jids))
+            .filter(F.col("status") != "succeeded")
+            .select("jid")
+            .collect()
+        }
+        for jid in jids:
+            if jid not in still_live:
+                self.clear_flag(f"processed/{jid}")
 
     # -- control flags ------------------------------------------------------
     # Durable cluster-visible control state lives NEXT TO the log (at scale:

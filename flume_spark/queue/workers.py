@@ -83,6 +83,27 @@ class WorkerRegistry:
         return sorted(self._workers)
 
 
+def _write_marker(marker_dir: str, jid: str) -> None:
+    """Write the processed-jid idempotence marker from the EXECUTOR, at
+    completion time — before the result row ever travels back to the driver.
+    A crash anywhere after the worker's side effects (executor death, driver
+    death mid-collect) therefore still leaves the marker, and the
+    visibility-timeout redelivery skips the worker.  The only remaining
+    window is between the user function returning and this rename — the
+    minimum any non-transactional worker can achieve.  Atomic rename keeps
+    concurrent readers from seeing partial files; marker_dir lives on the
+    store's shared control path.
+    """
+    import os
+    import uuid
+
+    os.makedirs(marker_dir, exist_ok=True)
+    tmp = os.path.join(marker_dir, f".{jid}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        f.write("true")
+    os.rename(tmp, os.path.join(marker_dir, jid))
+
+
 def _call_with_timeout(fn: Callable, args: list, timeout_s: float | None):
     """Bound the worker call's wall-clock time.
 
@@ -119,10 +140,13 @@ def dispatch_single(
     claimed: DataFrame,
     registry: WorkerRegistry,
     timeout_s: float | None = None,
+    marker_dir: str | None = None,
 ) -> DataFrame:
     """Per-job dispatch with per-job crash isolation (one bad job never
     fails the batch — mirrors the rescue at pipeline/event/worker.ex:43-67
-    and the `restart: :temporary` consumer isolation)."""
+    and the `restart: :temporary` consumer isolation).  With `marker_dir`,
+    each successful job writes its processed-jid marker executor-side at
+    completion time (see `_write_marker`)."""
     workers = dict(registry._workers)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -137,6 +161,8 @@ def dispatch_single(
                     args = json.loads(row.args)
                     _set_context(_as_dict(row.context))
                     _call_with_timeout(fn, args, timeout_s)
+                    if marker_dir is not None:
+                        _write_marker(marker_dir, row.jid)
                 except Exception as exc:  # noqa: BLE001 — isolation boundary
                     err = f"{type(exc).__name__}: {exc}"
                     tb = traceback.format_exc(limit=5)
@@ -164,11 +190,13 @@ def dispatch_bulk(
     registry: WorkerRegistry,
     batch_size: int,
     timeout_s: float | None = None,
+    marker_dir: str | None = None,
 ) -> DataFrame:
     """Bulk dispatch: group by class, chunk by batch_size, one call per
     chunk with args nested [[args_1, args_2, ...]] (bulk_event.ex:42,58-64);
     a chunk failure marks every job in the chunk failed (all-or-nothing,
-    bulk_event/worker.ex:80-89)."""
+    bulk_event/worker.ex:80-89).  With `marker_dir`, a successful chunk
+    writes every member's processed-jid marker at completion time."""
     workers = dict(registry._workers)
 
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -186,6 +214,9 @@ def dispatch_bulk(
                 contexts = [_as_dict(c) for c in chunk["context"] if c is not None]
                 _set_context([c for c in contexts if c] or None)
                 _call_with_timeout(fn, [args_list], timeout_s)
+                if marker_dir is not None:
+                    for jid in chunk["jid"]:
+                        _write_marker(marker_dir, jid)
             except Exception as exc:  # noqa: BLE001 — isolation boundary
                 err = f"{type(exc).__name__}: {exc}"
                 tb = traceback.format_exc(limit=5)

@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 import shutil
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,14 +56,32 @@ def merge_upsert(
     in with two renames (crash window documented; Delta is the ACID path).
     """
     if partition_col is not None:
+        # NB: partition values must be non-null (isin() never matches NULL,
+        # so a __HIVE_DEFAULT_PARTITION__ row can't be addressed by a merge).
         parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
         target = spark.read.parquet(path).filter(F.col(partition_col).isin(parts))
+        # Encoded directory names of the touched partitions, taken from the
+        # files Spark ACTUALLY read — never a hand-built f"{col}={value}"
+        # path, whose encoding diverges from Hive's for URL-escaped chars,
+        # spaces, and date/float formatting (round-2 ADVICE).  One value per
+        # touched partition dir; bounded by the update batch.
+        dir_expr = F.element_at(F.split(F.input_file_name(), "/"), -2)
+        # input_file_name() is a URI: its path components are URL-encoded ON
+        # TOP of the on-disk Hive escaping (disk "p=a b%3Ac" appears as
+        # "p=a%20b%253Ac"), so unquote exactly once to get the dir name back
+        value_to_dir = {
+            r[0]: unquote(r[1])
+            for r in target.select(F.col(partition_col), dir_expr)
+            .distinct()
+            .collect()
+        }
         merged = _merged(target, updates, key)
         # break lineage from the files about to be overwritten
         merged = merged.localCheckpoint(eager=True)
         # dynamic overwrite only rewrites partitions PRESENT in the output:
         # a partition whose every key was deleted produces zero rows and
-        # would silently survive — remove those directories explicitly
+        # would silently survive — record the surviving values from the
+        # OUTPUT frame (a post-write re-read would still see the stale dir)
         survivors = {r[0] for r in merged.select(partition_col).distinct().collect()}
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -70,9 +89,12 @@ def merge_upsert(
             merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        for value in set(parts) - survivors:
-            part_dir = os.path.join(path, f"{partition_col}={value}")
-            if os.path.isdir(part_dir):
+        prefix = f"{partition_col}="
+        for value, d in value_to_dir.items():
+            if value in survivors:
+                continue
+            part_dir = os.path.join(path, d)
+            if d.startswith(prefix) and os.path.isdir(part_dir):
                 shutil.rmtree(part_dir)
         return
 

@@ -973,3 +973,150 @@ def test_compact_grace_spares_young_files(spark, tmp_path):
     assert files[2] in remaining and files[3] in remaining
     assert files[0] not in remaining and files[1] not in remaining
     assert manager.current().count() == 4  # state intact
+
+
+# -- pause_all / resume_all / pending_jobs_count (flume.ex:63-83) ------------
+
+
+def test_pause_all_and_resume_all(engine):
+    engine.enqueue("default", "EchoWorker", [1], now=T0)
+    engine.enqueue("batch", "BulkWorker", [2], now=T0)
+    engine.pause_all()
+    assert all(p.paused for p in engine.pipelines.values())
+    stats = engine.run_many(["default", "batch"], now=T0 + 1)
+    assert stats["claimed"] == 0
+    engine.resume_all()
+    assert not any(p.paused for p in engine.pipelines.values())
+    stats = engine.run_many(["default", "batch"], now=T0 + 2)
+    assert stats["claimed"] == 2
+
+
+def test_pause_all_persistent_sets_flags(engine):
+    engine.pause_all(temporary=False)
+    for name in engine.pipelines:
+        assert engine.store.has_flag(f"paused/{name}")
+    engine.resume_all(temporary=False)
+    for name in engine.pipelines:
+        assert not engine.store.has_flag(f"paused/{name}")
+
+
+def test_pending_jobs_count(spark, tmp_path):
+    """flume.ex:80-83: in-flight (worker-held) jobs across pipelines.  Here:
+    'processing' rows with a live lease; expired leases are redelivery-due
+    (the reference's worker process is gone) and count 0; unknown pipeline
+    names count 0 like the job_counts example."""
+    from pyspark.sql import functions as F
+
+    from flume_spark.queue.manager import _ts
+
+    registry = WorkerRegistry()
+    registry.register("EchoWorker", lambda *a: None)
+    store = JobStore(spark, str(tmp_path / "jobs_pend"))
+    m = QueueManager(
+        spark,
+        store,
+        registry,
+        pipelines=[
+            Pipeline(name="p1", queue="q1"),
+            Pipeline(name="p2", queue="q2"),
+        ],
+    )
+    m.bulk_enqueue("q1", [("EchoWorker", "perform", [i]) for i in range(3)], now=T0)
+    m.enqueue("q2", "EchoWorker", [], now=T0)
+    assert m.pending_jobs_count(now=T0 + 1) == 0  # nothing claimed yet
+
+    # claim two q1 jobs + the q2 job into processing with a live lease
+    claimed = m.due_jobs("q1", T0 + 1).limit(2).unionByName(
+        m.due_jobs("q2", T0 + 1).limit(1)
+    )
+    store.append(
+        claimed.withColumn("status", F.lit("processing"))
+        .withColumn("leased_at", F.lit(_ts(T0 + 1)))
+        .withColumn("seq", F.lit(store.next_seq()))
+    )
+    assert m.pending_jobs_count(now=T0 + 2) == 3
+    assert m.pending_jobs_count(["p1"], now=T0 + 2) == 2
+    assert m.pending_jobs_count(["p2"], now=T0 + 2) == 1
+    assert m.pending_jobs_count(["p1", "not-a-pipeline"], now=T0 + 2) == 2
+    assert m.pending_jobs_count(["not-a-pipeline"], now=T0 + 2) == 0
+    # lease expiry: the worker is gone, so the job is no longer in flight
+    assert m.pending_jobs_count(now=T0 + 700) == 0
+
+
+# -- shared seq counter (round-2 ADVICE: cross-instance write ordering) ------
+
+
+def test_seq_shared_across_store_instances(spark, tmp_path):
+    """seq must order by WRITE time across instances sharing a store, not by
+    instance start time: interleaved allocations from two stores (created at
+    different times) are strictly increasing in allocation order."""
+    path = str(tmp_path / "jobs_seq")
+    s1 = JobStore(spark, path)
+    import time as _time
+
+    _time.sleep(0.01)
+    s2 = JobStore(spark, path)  # started later
+    a = s1.next_seq()
+    b = s2.next_seq()
+    c = s1.next_seq(5)  # the EARLIER-started instance allocates after s2
+    d = s2.next_seq()
+    assert a < b < c < d
+    assert d >= c + 5  # block allocation reserved the whole range
+
+
+# -- executor-side idempotence markers (round-2 ADVICE) ----------------------
+
+
+def test_dispatch_writes_marker_at_completion_time(spark, tmp_path):
+    """Markers are written from the executor when the worker completes —
+    BEFORE the result row reaches the driver — so a crash mid-collect still
+    leaves them.  Failed jobs must not write markers."""
+    import os
+
+    from flume_spark.queue.workers import dispatch_single
+
+    registry = WorkerRegistry()
+    registry.register("OkWorker", lambda *a: None)
+
+    def boom(*a):
+        raise ValueError("no")
+
+    registry.register("BadWorker", boom)
+    claimed = spark.createDataFrame(
+        [
+            ("j-ok", "OkWorker", "perform", "[]", None),
+            ("j-bad", "BadWorker", "perform", "[]", None),
+        ],
+        "jid string, class string, function string, args string, "
+        "context map<string,string>",
+    )
+    mdir = str(tmp_path / "markers")
+    rows = {r["jid"]: r for r in dispatch_single(
+        claimed, registry, None, marker_dir=mdir
+    ).collect()}
+    assert rows["j-ok"]["ok"] and not rows["j-bad"]["ok"]
+    assert os.path.exists(os.path.join(mdir, "j-ok"))
+    assert not os.path.exists(os.path.join(mdir, "j-bad"))
+
+
+def test_marker_gc_on_compact(spark, tmp_path):
+    """A marker orphaned by a crash between ack and clear_flag is removed at
+    the next compaction; a marker whose job is still un-acked survives."""
+    registry = WorkerRegistry()
+    registry.register("EchoWorker", lambda *a: None)
+    store = JobStore(spark, str(tmp_path / "jobs_gc"))
+    m = QueueManager(
+        spark, store, registry,
+        pipelines=[Pipeline(name="p", queue="p")],
+        idempotence=True,
+    )
+    done = m.enqueue("p", "EchoWorker", [], now=T0)
+    m.run_once("p", now=T0 + 1)  # acked succeeded; its marker already cleared
+    live = m.enqueue("p", "EchoWorker", [], now=T0 + 2)
+    # simulate the crash window: ack landed for `done` but clear_flag didn't
+    store.set_flag(f"processed/{done}")
+    # and a completed-but-unacked job (dispatch done, driver died pre-ack)
+    store.set_flag(f"processed/{live}")
+    store.compact()
+    assert not store.has_flag(f"processed/{done}"), "succeeded marker not GC'd"
+    assert store.has_flag(f"processed/{live}"), "active marker must survive GC"

@@ -140,3 +140,29 @@ def test_merge_upsert_removes_delete_only_partition(spark, tmp_path):
     assert after.filter("p = 0").count() == 0
     import os
     assert not os.path.isdir(f"{path}/p=0")
+
+
+def test_merge_upsert_removes_hive_encoded_partition(spark, tmp_path):
+    """Partition values needing Hive path-encoding (spaces, ':') must still
+    have their emptied directories removed — the cleanup derives encoded dir
+    names from the files Spark read, never from f-string construction
+    (round-2 ADVICE)."""
+    import os
+
+    from flume_spark.sources.merge import merge_upsert
+
+    path = str(tmp_path / "henc")
+    spark.createDataFrame(
+        [(1, "a b:c", "x"), (2, "plain", "y")], "k long, p string, v string"
+    ).write.partitionBy("p").parquet(path)
+    encoded = [d for d in os.listdir(path) if d.startswith("p=") and "%" in d]
+    assert encoded, "fixture should produce a URL-escaped partition dir"
+    updates = spark.createDataFrame(
+        [(1, "a b:c", None, True)], "k long, p string, v string, _deleted boolean"
+    )
+    merge_upsert(spark, path, updates, key="k", partition_col="p")
+    assert not any(d.startswith(encoded[0]) for d in os.listdir(path)), (
+        "emptied encoded partition dir left behind"
+    )
+    rows = spark.read.parquet(path).collect()
+    assert [(r["k"], r["p"]) for r in rows] == [(2, "plain")]
