@@ -20,7 +20,8 @@ Everything is DataFrame/Catalyst-first; Python UDFs only where built-ins
 genuinely cannot express the semantics (and then Arrow-vectorized).
 """
 
+from flume_spark.app import FlumeApp, from_config
 from flume_spark.session import get_spark
 
-__all__ = ["get_spark"]
+__all__ = ["FlumeApp", "from_config", "get_spark"]
 __version__ = "0.1.0"

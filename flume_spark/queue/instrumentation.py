@@ -32,14 +32,41 @@ class Telemetry:
     Handler signature: (event, measurements, metadata) — mirroring
     :telemetry.execute/3.  Handlers must not raise; failures are logged and
     dropped (the reference detaches crashing handlers; we isolate instead).
+
+    Named handlers (`attach_named`/`detach`) mirror :telemetry.attach_many
+    as the reference uses it per pipeline (pipeline/event.ex:6-28 +
+    instrumentation/event_handler.ex): a handler id bound to an explicit
+    event list, receiving a 4th `config` argument, detachable by id.
     """
 
     handlers: list[Handler] = field(default_factory=list)
+    named: dict[str, tuple[frozenset[tuple[str, ...]], Callable, object]] = field(
+        default_factory=dict
+    )
     events: list[tuple[tuple[str, ...], dict, dict]] = field(default_factory=list)
     keep_events: bool = False
 
     def attach(self, handler: Handler) -> None:
         self.handlers.append(handler)
+
+    def attach_named(
+        self,
+        handler_id: str,
+        events: list[tuple[str, ...]],
+        handler: Callable[[tuple[str, ...], dict, dict, object], None],
+        config: object = None,
+    ) -> bool:
+        """Attach `handler` under `handler_id` for exactly `events`.
+        Returns False if the id is already attached (:telemetry returns
+        {:error, :already_exists}); the existing handler is kept."""
+        if handler_id in self.named:
+            return False
+        self.named[handler_id] = (frozenset(tuple(e) for e in events), handler, config)
+        return True
+
+    def detach(self, handler_id: str) -> bool:
+        """Detach by id; False if it was not attached (≙ {:error, :not_found})."""
+        return self.named.pop(handler_id, None) is not None
 
     def emit(
         self, event: tuple[str, ...], measurements: dict, metadata: dict | None = None
@@ -52,6 +79,13 @@ class Telemetry:
                 h(event, measurements, metadata)
             except Exception:  # noqa: BLE001 — handler isolation
                 logger.exception("telemetry handler failed for %s", event)
+        for hid, (evset, h, config) in list(self.named.items()):
+            if event not in evset:
+                continue
+            try:
+                h(event, measurements, metadata, config)
+            except Exception:  # noqa: BLE001 — handler isolation
+                logger.exception("telemetry handler %r failed for %s", hid, event)
 
     def span(self, event: tuple[str, ...], metadata: dict | None = None):
         """Context manager emitting `event + ('stop',)` with duration_ms."""
@@ -70,6 +104,63 @@ class _Span:
         dur = (time.perf_counter() - self.t0) * 1000.0
         self.bus.emit(self.event + ("stop",), {"duration_ms": dur}, self.metadata)
         return False
+
+
+def default_event_handler(
+    event: tuple[str, ...], measurements: dict, metadata: dict, config: object = None
+) -> None:
+    """The DefaultEventHandler analog (instrumentation/
+    default_event_handler.ex): log '<app_name>/<event-path> - <value>' per
+    measurement at INFO.  `config` may carry {'app_name': ...} like the
+    reference's `metadata: [app_name: :flume]` config entry."""
+    app = None
+    if isinstance(config, dict):
+        app = config.get("app_name")
+    prefix = f"{app}/" if app else ""
+    path = "/".join(event)
+    for key, value in measurements.items():
+        logger.info("%s%s/%s - %s", prefix, path, key, value)
+
+
+# The event names a pipeline's instrumentation observes — the repo analog of
+# the four names attach_instrumentation subscribes per pipeline
+# (pipeline/event.ex:10-18: [name,:worker], [name,:worker,:job],
+# [queue,:enqueue], [queue,:dequeue]).
+PIPELINE_EVENTS: list[tuple[str, ...]] = [
+    ("queue", "enqueue"),
+    ("queue", "dequeue"),
+    ("pipeline", "worker"),
+]
+
+
+def attach_pipeline_instrumentation(
+    telemetry: Telemetry,
+    pipeline,
+    handler: Callable[[tuple[str, ...], dict, dict, object], None] | None = None,
+    config: object = None,
+) -> bool:
+    """Attach a named per-pipeline handler (≙ EventPipeline.
+    attach_instrumentation, pipeline/event.ex:6-28): handler id is the
+    pipeline name, events are PIPELINE_EVENTS, and the handler only sees
+    events whose metadata involves the pipeline's queue (the reference gets
+    this scoping from per-pipeline event NAMES; the bus here emits shared
+    names with queue metadata, so the filter lives in the wrapper).
+    Respects `instrument: false` (pipeline.ex) by not attaching.
+    Detach with telemetry.detach(pipeline.name)."""
+    if not getattr(pipeline, "instrument", True):
+        return False
+    fn = handler or default_event_handler
+    queue = pipeline.queue
+
+    def scoped(event, measurements, metadata, cfg):
+        queues = metadata.get("queues")
+        if queues is not None and queue not in queues:
+            return
+        if metadata.get("queue") not in (None, queue) and queues is None:
+            return
+        fn(event, measurements, metadata, cfg)
+
+    return telemetry.attach_named(pipeline.name, PIPELINE_EVENTS, scoped, config)
 
 
 def attach_streaming_listener(spark, telemetry: Telemetry):

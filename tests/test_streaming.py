@@ -550,3 +550,121 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     )
     exp = {(r["user_id"], r["w"]["start"].hour): r["count"] for r in batch}
     assert got == exp == {(1, 0): 2, (1, 11): 1, (2, 0): 1}
+
+
+def test_from_config_boots_two_pipelines(spark, tmp_path):
+    """Config-driven boot (supervisor.ex:17-41 / support/pipelines.ex:11-27):
+    the whole topology from one dict; jobs enqueued into both pipelines'
+    queues get processed by their own streaming runners."""
+    import flume_spark
+
+    journal = str(tmp_path / "boot.jsonl")
+    registry = WorkerRegistry()
+
+    def work(*args):
+        with open(journal, "a") as f:
+            f.write("1\n")
+
+    registry.register("W", work)
+
+    def bulk_work(args_list):
+        with open(journal, "a") as f:
+            f.write("\n".join("1" for _ in args_list) + "\n")
+
+    registry.register("BW", bulk_work)
+
+    app = flume_spark.from_config(
+        spark,
+        {
+            "store_path": str(tmp_path / "jobs_cfg"),
+            "checkpoint_dir": str(tmp_path / "ckpt_cfg"),
+            "max_retries": 2,
+            "trigger_seconds": 0.25,
+            "pipelines": [
+                {"name": "plain", "queue": "qa", "max_demand": 100},
+                {"name": "bulky", "queue": "qb", "batch_size": 2},
+            ],
+        },
+        registry,
+    )
+    assert set(app.runners) == {"plain", "bulky"}
+    assert app.manager.pipelines["bulky"].batch_size == 2
+    app.manager.bulk_enqueue("qa", [("W", "perform", [i]) for i in range(3)])
+    app.manager.bulk_enqueue("qb", [("BW", "perform", [i]) for i in range(4)])
+    app.start()
+    try:
+        app.await_idle()
+        counts = {
+            r["status"]: r["count"]
+            for r in app.manager.current().groupBy("status").count().collect()
+        }
+        assert counts == {"succeeded": 7}
+        with open(journal) as f:
+            assert sum(1 for line in f if line.strip()) == 7
+    finally:
+        app.stop()
+
+
+def test_from_config_rejects_bad_pipeline_keys(spark, tmp_path):
+    import flume_spark
+
+    with pytest.raises(ValueError, match="unknown pipeline config keys"):
+        flume_spark.from_config(
+            spark,
+            {
+                "store_path": str(tmp_path / "jx"),
+                "pipelines": [{"name": "p", "queue": "q", "rate_limit": 5}],
+            },
+        )
+
+
+def test_named_instrumentation_handler_attach_detach(spark, tmp_path):
+    """Per-pipeline pluggable handler (pipeline/event.ex:6-28 +
+    instrumentation/event_handler.ex): an attached handler receives
+    [queue,:dequeue] with count+latency and its config; detaching by
+    pipeline name stops delivery; instrument=False pipelines never attach
+    (mirrors worker_test.exs telemetry assertions)."""
+    from flume_spark.queue.instrumentation import (
+        Telemetry,
+        attach_pipeline_instrumentation,
+    )
+
+    seen = []
+
+    def handler(event, measurements, metadata, config):
+        seen.append((event, measurements, metadata, config))
+
+    registry = WorkerRegistry()
+    registry.register("NoopWorker", lambda *a: None)
+    telemetry = Telemetry()
+    pipes = [
+        Pipeline(name="obs", queue="qo"),
+        Pipeline(name="quiet", queue="qq", instrument=False),
+    ]
+    assert attach_pipeline_instrumentation(
+        telemetry, pipes[0], handler, config={"app_name": "t"}
+    )
+    assert not attach_pipeline_instrumentation(telemetry, pipes[1], handler)
+    # duplicate id -> not re-attached (:telemetry already_exists semantics)
+    assert not attach_pipeline_instrumentation(telemetry, pipes[0], handler)
+
+    store = JobStore(spark, str(tmp_path / "jobs_instr"))
+    m = QueueManager(spark, store, registry, pipelines=pipes, telemetry=telemetry)
+    m.enqueue("qo", "NoopWorker", [])
+    m.enqueue("qq", "NoopWorker", [])
+    m.run_many(["obs", "quiet"])
+
+    dequeues = [s for s in seen if s[0] == ("queue", "dequeue")]
+    assert dequeues, "handler never saw [queue,:dequeue]"
+    ev, meas, meta, config = dequeues[0]
+    assert meas["count"] >= 1 and meas["latency_ms"] > 0
+    assert config == {"app_name": "t"}
+    assert "qo" in meta["queues"]
+    workers = [s for s in seen if s[0] == ("pipeline", "worker")]
+    assert workers and workers[0][1]["jobs"] >= 1
+
+    telemetry.detach("obs")
+    n = len(seen)
+    m.enqueue("qo", "NoopWorker", [])
+    m.run_once("obs")
+    assert len(seen) == n, "detached handler still receiving events"
