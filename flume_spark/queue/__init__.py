@@ -15,8 +15,9 @@ window function that partition-prunes on jid buckets.  Compaction
 (`JobStore.compact`) bounds read amplification.
 """
 
+from flume_spark.queue.backend import LogBackend
 from flume_spark.queue.manager import QueueManager
 from flume_spark.queue.store import JobStore
 from flume_spark.queue.workers import WorkerRegistry
 
-__all__ = ["QueueManager", "JobStore", "WorkerRegistry"]
+__all__ = ["LogBackend", "QueueManager", "JobStore", "WorkerRegistry"]

@@ -1,0 +1,117 @@
+"""LogBackend — the storage contract the queue engine writes through.
+
+The engine (QueueManager, PipelineRunner, streaming curation) never touches
+storage directly; everything goes through this interface.  The bundled
+implementation is the parquet log (`flume_spark.queue.store.JobStore`) —
+what the test container supports — but each method is specified by its
+Delta/Iceberg mapping, so a table-format backend is a drop-in:
+
+| method            | parquet-log impl                | Delta/Iceberg impl |
+|-------------------|---------------------------------|--------------------|
+| next_seq          | fcntl-locked counter file       | commit version of the txn that carries the write |
+| append / append_rows | new part file (atomic rename) | `INSERT` / small AddFile commit |
+| publish           | staged dir + per-file rename    | staged commit (the transaction log IS the stage) |
+| log / current / as_of | read + latest-per-jid window | table read / `VERSION AS OF`; with CDF, `current` is the materialized latest view |
+| compact / maybe_compact | snapshot-list rewrite + unlink | `OPTIMIZE` + `VACUUM`; archive = partition move |
+| set/clear/has_flag | flag files under <path>.control | rows in a control table (txn-visible to all writers) |
+| count_rows / read_rows | parquet footer metadata / pyarrow read | driver-side `collect()` of a bounded commit |
+
+Concurrency stance: seq ordering across instances comes from the backend's
+atomic counter (≙ Delta's serialized commits), claim serialization for
+rate-limited queues from the SharedLedgerLimiter's per-key lock (≙
+redis/lock.ex:8-24), and compaction's snapshot-list contract tolerates
+concurrent appenders (store.py::compact docstring).  A Delta backend gets
+all three from optimistic concurrency for free.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+from pyspark.sql import DataFrame
+
+
+class LogBackend(ABC):
+    """Abstract job-log storage: append-only records, last-writer-wins by
+    `seq`, durable control flags, bounded driver-side reads."""
+
+    # -- write path ---------------------------------------------------------
+
+    @abstractmethod
+    def next_seq(self, n: int = 1) -> int:
+        """Allocate `n` consecutive, globally-ordered sequence values; return
+        the first.  MUST order by allocation time across every writer of the
+        store (Delta: the commit version)."""
+
+    @abstractmethod
+    def append(self, df: DataFrame) -> None:
+        """Distributed append of log records (Delta: `append` write)."""
+
+    @abstractmethod
+    def append_rows(self, rows: list[dict]) -> None:
+        """Driver-side small append, no Spark job (Delta: one AddFile
+        commit).  Used by enqueue/ack — control-plane row counts."""
+
+    @abstractmethod
+    def publish(self, df: DataFrame, tag: str) -> list[str]:
+        """Atomically publish a distributed write; never expose partial or
+        zero-row files to concurrent readers (Delta: staged commit).
+        Returns handles to the published units ([] when df is empty)."""
+
+    # -- read path ----------------------------------------------------------
+
+    @abstractmethod
+    def log(self) -> DataFrame:
+        """Every record ever appended (post-compaction history collapses)."""
+
+    @abstractmethod
+    def current(self, prefilter=None) -> DataFrame:
+        """Latest record per jid.  `prefilter` must reach the scan and is
+        only valid on jid-immutable columns (see store.py docstring)."""
+
+    @abstractmethod
+    def as_of(self, seq: int, prefilter=None) -> DataFrame:
+        """The live table at log position `seq` (Delta: VERSION AS OF)."""
+
+    @abstractmethod
+    def count_rows(self, paths: list[str]) -> int:
+        """Row count of published units from metadata only."""
+
+    @abstractmethod
+    def read_rows(self, paths: list[str]) -> list[dict]:
+        """Driver-side read of specific published units — ONLY for
+        control-plane data bounded by construction (claim batches)."""
+
+    @abstractmethod
+    def is_empty(self) -> bool: ...
+
+    # -- maintenance --------------------------------------------------------
+
+    @abstractmethod
+    def compact(self, archive_succeeded: bool = False, min_age_s: float = 0.0) -> None:
+        """Rewrite to one record per jid (Delta: OPTIMIZE + VACUUM); with
+        `archive_succeeded`, move succeeded jobs to the archive (reference:
+        a successful ack REMOVES the job, queue/manager.ex:184-193)."""
+
+    @abstractmethod
+    def maybe_compact(
+        self,
+        max_files: int = 256,
+        archive_succeeded: bool = False,
+        min_age_s: float = 0.0,
+    ) -> bool:
+        """Compact when fragmentation passes the threshold; True if ran."""
+
+    # -- control flags ------------------------------------------------------
+
+    @abstractmethod
+    def set_flag(self, flag: str) -> None:
+        """Durable, store-scoped control flag visible to every instance
+        (Delta: a row in the control table; reference: the Redis
+        `<ns>:pipeline:<name>:paused` string)."""
+
+    @abstractmethod
+    def clear_flag(self, flag: str) -> None: ...
+
+    @abstractmethod
+    def has_flag(self, flag: str) -> bool: ...

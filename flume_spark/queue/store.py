@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from flume_spark.queue.backend import LogBackend
 from flume_spark.queue.schema import JOB_LOG_SCHEMA
 
 # Arrow twin of JOB_LOG_SCHEMA for the driver-side small-append fast path.
@@ -48,8 +49,10 @@ _ARROW_SCHEMA = pa.schema(
 )
 
 
-class JobStore:
-    """Append-only job log with last-writer-wins current-state view.
+class JobStore(LogBackend):
+    """The parquet-log implementation of `LogBackend` (see backend.py for
+    the per-method Delta/Iceberg mapping): append-only job log with
+    last-writer-wins current-state view.
 
     `seq` is allocated from a store-shared atomic counter (an fcntl-locked
     file next to the control flags) — the parquet-log analog of taking the

@@ -1,0 +1,121 @@
+"""LogBackend contract tests — exercised purely through the interface
+(flume_spark/queue/backend.py), parametrized over implementations so a
+future Delta/Iceberg backend runs the identical suite.  The parquet log
+(JobStore) is the bundled impl."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from flume_spark.queue import JobStore, LogBackend
+
+BACKENDS = {
+    "parquet_log": lambda spark, path: JobStore(spark, path),
+}
+
+
+@pytest.fixture(params=sorted(BACKENDS))
+def backend(request, spark, tmp_path):
+    make = BACKENDS[request.param]
+    b = make(spark, str(tmp_path / f"log_{request.param}"))
+    assert isinstance(b, LogBackend)
+    return b
+
+
+def _row(jid: str, status: str, seq: int, **over) -> dict:
+    base = {
+        "jid": jid,
+        "queue": "q",
+        "class": "W",
+        "function": "perform",
+        "args": "[]",
+        "context": None,
+        "status": status,
+        "retry_count": 0,
+        "enqueued_at": datetime(2024, 1, 1),
+        "scheduled_at": None,
+        "leased_at": None,
+        "retry_at": None,
+        "finished_at": None,
+        "failed_at": None,
+        "error_message": None,
+        "error_backtrace": None,
+        "seq": seq,
+    }
+    base.update(over)
+    return base
+
+
+def test_empty_then_append(backend):
+    assert backend.is_empty()
+    backend.append_rows([_row("a", "pending", backend.next_seq())])
+    assert not backend.is_empty()
+    assert backend.current().count() == 1
+
+
+def test_last_writer_wins_by_seq(backend):
+    s1 = backend.next_seq()
+    s2 = backend.next_seq()
+    # append the LATER state first: ordering must come from seq, not arrival
+    backend.append_rows([_row("a", "succeeded", s2)])
+    backend.append_rows([_row("a", "pending", s1)])
+    cur = backend.current().collect()
+    assert len(cur) == 1 and cur[0]["status"] == "succeeded"
+
+
+def test_next_seq_orders_across_instances(backend, spark):
+    # a second instance over the same store allocates AFTER the first
+    other = type(backend)(spark, backend.path)
+    a = backend.next_seq()
+    b = other.next_seq(3)
+    c = backend.next_seq()
+    assert a < b < c and c >= b + 3
+
+
+def test_as_of_time_travel(backend):
+    s1 = backend.next_seq()
+    backend.append_rows([_row("a", "pending", s1)])
+    s2 = backend.next_seq()
+    backend.append_rows([_row("a", "processing", s2)])
+    assert backend.as_of(s1).collect()[0]["status"] == "pending"
+    assert backend.as_of(s2).collect()[0]["status"] == "processing"
+
+
+def test_publish_never_exposes_empty_units(backend):
+    cur = backend.current()
+    published = backend.publish(cur.filter("1=0"), "empty-claim")
+    assert published == []
+    assert backend.is_empty()
+
+
+def test_compact_preserves_state(backend):
+    for i in range(6):
+        backend.append_rows([_row(f"j{i}", "pending", backend.next_seq())])
+    backend.append_rows([_row("j0", "succeeded", backend.next_seq())])
+    before = {
+        (r["jid"], r["status"]) for r in backend.current().collect()
+    }
+    backend.compact()
+    after = {(r["jid"], r["status"]) for r in backend.current().collect()}
+    assert after == before
+    assert backend.maybe_compact(max_files=10_000) is False  # under threshold
+
+
+def test_flags_roundtrip(backend):
+    assert not backend.has_flag("paused/p")
+    backend.set_flag("paused/p")
+    assert backend.has_flag("paused/p")
+    backend.clear_flag("paused/p")
+    assert not backend.has_flag("paused/p")
+    backend.clear_flag("paused/p")  # idempotent
+
+
+def test_read_rows_and_count(backend):
+    s = backend.next_seq()
+    backend.append_rows([_row("a", "pending", s), _row("b", "pending", s)])
+    published = backend.publish(backend.current(), "claim-test")
+    assert backend.count_rows(published) == 2
+    rows = backend.read_rows(published)
+    assert {r["jid"] for r in rows} == {"a", "b"}
