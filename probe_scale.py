@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Scale probes for the blessed 100 TB near-dup paths.
+
+Replicates the sf0.1 corpus by a factor f with PERTURBED content — half the
+tokens salted per replica (docs) / circular vector shift + alternating sign
+(embeddings) — so the corpus grows without creating cross-replica near-dup
+clusters: output size stays ~linear in the corpus and wall-clock measures
+PLAN scaling, not output explosion (the round-2 x10 probe conflated the
+two; see BASELINE.md).
+
+Probed operators (the blessed scale paths):
+- minhash_lsh_candidates  — banded candidate join, O(docs x bands)
+- lsh_verified_pairs      — the composed default: LSH candidates ->
+                            exact-Jaccard verification of candidates only
+- cosine_pairs            — block-matrix matmul similarity join; blocks
+                            chosen ~ sqrt(f) so per-group submatrices stay
+                            near-constant while group count grows ~ N
+
+Usage: python probe_scale.py [factor ...]   (default: 1 10 50)
+Prints one JSON line per (operator, factor) and a summary with the fitted
+wall-clock exponent log(t_f/t_1)/log(f) — ~1.0 = linear, 2.0 = quadratic.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flume_spark.operators import dedup  # noqa: E402
+from flume_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def scaled_docs(spark, factor: int):
+    """f perturbed replicas: every even-position token gets a per-replica
+    salt suffix, so replicas of one doc share ~no 2-gram shingles and the
+    near-dup structure of the base corpus is preserved, not multiplied."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    reps = spark.range(factor).withColumnRenamed("id", "rep")
+    out = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        F.expr(
+            "array_join(transform(split(lower(trim(text)), '\\\\s+'), "
+            "(w, j) -> IF(j % 2 = 0, concat(w, '_r', cast(rep as string)), w)), ' ')"
+        ).alias("text"),
+    )
+    return out.localCheckpoint(eager=True)  # corpus synthesis outside timings
+
+
+def scaled_embeddings(spark, factor: int):
+    """f perturbed replicas: circular shift by rep%dim positions and sign
+    flip on odd replicas — decorrelates replicas so no cross-replica pairs
+    appear at the probe threshold."""
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    reps = spark.range(factor).withColumnRenamed("id", "rep")
+    dim = len(emb.first()["embedding"])
+    shift = f"(rep % {dim})"
+    shifted = (
+        f"concat(slice(embedding, cast({shift} + 1 as int), {dim} - cast({shift} as int)), "
+        f"slice(embedding, 1, cast({shift} as int)))"
+    )
+    out = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+        F.expr(
+            f"transform({shifted}, x -> IF(rep % 2 = 1, -x, x))"
+        ).alias("embedding"),
+    )
+    return out.localCheckpoint(eager=True)
+
+
+def probe(name: str, fn) -> tuple[float, int]:
+    t0 = time.perf_counter()
+    n = fn().count()
+    dt = time.perf_counter() - t0
+    print(json.dumps({"probe": name, "sec": round(dt, 2), "rows": n}), flush=True)
+    return dt, n
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10, 50]
+    spark = get_spark(app_name="flume_probe_scale")
+    results: dict[str, dict[int, float]] = {}
+    for f in factors:
+        docs = scaled_docs(spark, f)
+        emb = scaled_embeddings(spark, f)
+        n_docs, n_vecs = docs.count(), emb.count()
+        print(json.dumps({"factor": f, "docs": n_docs, "vectors": n_vecs}), flush=True)
+        blocks = max(8, 8 * int(math.sqrt(f)))
+        ops = {
+            "minhash_lsh": lambda d=docs: dedup.minhash_lsh_candidates(
+                d, "doc_id", "text", shingle_n=2, num_hashes=16, bands=4
+            ),
+            "lsh_verified": lambda d=docs: dedup.lsh_verified_pairs(
+                d, "doc_id", "text", shingle_n=2, num_hashes=16, bands=4, threshold=0.3
+            ),
+            "cosine_block": lambda e=emb, b=blocks: dedup.cosine_pairs(
+                e, "vec_id", "embedding", threshold=0.4, blocks=b
+            ),
+        }
+        for op, make in ops.items():
+            dt, _ = probe(f"{op}@x{f}", make)
+            results.setdefault(op, {})[f] = dt
+        docs.unpersist()
+        emb.unpersist()
+    base = factors[0]
+    summary = {}
+    for op, times in results.items():
+        t1 = times[base]
+        exps = {
+            f: round(math.log(times[f] / t1) / math.log(f / base), 2)
+            for f in factors
+            if f != base and times[f] > 0
+        }
+        summary[op] = {"sec": {k: round(v, 2) for k, v in times.items()}, "exponent": exps}
+    print(json.dumps({"summary": summary}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -234,3 +234,35 @@ def test_range_frame_single_window_shuffle(spark):
     plan = explained(spark, "window_range_frame")
     assert n_nodes(plan, "Exchange") == 1  # one hash partition by o_custkey
     assert "RangeFrame" in plan
+
+
+def test_lsh_verified_no_inverted_self_join(spark):
+    """The blessed near-dup path: candidate generation is a banded equi-join
+    and verification joins the CANDIDATE list back to the shingle index —
+    never a cartesian product, and every join is an equi-join (no theta
+    explosion).  This is the plan property that keeps verification linear
+    in the candidate count at 100 TB."""
+    plan = explained(spark, "dedup_lsh_verified")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    """Assignment replicates each point against the k-row centroid frame via
+    broadcast (nested-loop over k rows), then one groupBy(id): the point
+    table is never shuffled to the centroids."""
+    plan = explained(spark, "kmeans_assign")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert n_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_lsh_buckets_is_scan_fused_map_stage(spark):
+    """Bucket assignment is pure expressions (dot products against literal
+    hyperplanes): it must fuse into the scan with zero shuffles."""
+    plan = explained(spark, "lsh_buckets")
+    assert n_nodes(plan, "Exchange") == 0, plan
+
+
+def test_queue_pending_counts_single_shuffle(spark):
+    plan = explained(spark, "queue_pending_counts")
+    assert n_nodes(plan, "Exchange") <= 1, plan
