@@ -87,7 +87,13 @@ class QueueManager:
         # compaction, so freshly-written files are safe to compact at once.
         # Multi-instance on a SHARED store: set a grace (e.g. 30s) so
         # auto-compaction never unlinks claim files another manager is still
-        # lazily reading mid-trigger.
+        # lazily reading mid-trigger.  Multi-instance claim scope: the
+        # shared ledger lock serializes claims per RATE-LIMITED key only;
+        # two instances claiming one UNLIMITED queue can double-claim — an
+        # at-least-once duplicate (one ack wins by seq), shrunk to the
+        # marker window by idempotence=True.  Run one claiming instance per
+        # unlimited queue (reference stance: per-queue dequeue lock,
+        # redis/lock.ex:8-24).
         self.compact_grace_s = compact_grace_s
         # True keeps the live log O(in-flight + dead) under sustained load
         # (succeeded acks move to the archive on compaction) — the setting
@@ -104,13 +110,14 @@ class QueueManager:
         # app instances (README "across app instances" guarantee); the
         # default driver-local ledger covers the single-driver deployment.
         self.limiter = limiter or SlidingWindowLimiter()
-        # Opt-in processed-jid ledger: completed dispatches are recorded
-        # BEFORE the ack lands, so a visibility-timeout redelivery (crash
-        # between dispatch and ack) skips the worker instead of re-running
-        # its external side effects.  The reference has the same exposure
-        # (move-then-delete, queue/manager.ex:218-220) and no such guard —
-        # this closes SURVEY "hard part 2".  Markers are cleared once the
-        # ack is durable, so the set stays O(crash window), not O(history).
+        # Opt-in processed-jid ledger: markers are written from the EXECUTOR
+        # at worker-completion time (workers._write_marker), before the
+        # result ever reaches the driver, so a visibility-timeout redelivery
+        # after ANY crash past the worker's side effects skips the worker.
+        # The reference has the same exposure (move-then-delete,
+        # queue/manager.ex:218-220) and no such guard — this closes SURVEY
+        # "hard part 2".  Markers are cleared once the ack is durable and
+        # orphans are GC'd at compaction, so the set stays O(crash window).
         self.idempotence = idempotence
 
     # ------------------------------------------------------------------
