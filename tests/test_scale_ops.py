@@ -133,3 +133,33 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     assert back.count() == counts["packed"]
     assert {"doc_id", "text", "pack_id", "n_tokens"} <= set(back.columns)
     assert back.select("doc_id").distinct().count() == back.count()
+
+
+def test_lsh_verified_is_sound_subset_of_exact(spark):
+    """Soundness of the blessed composed path: every (pair, jaccard) it
+    emits must appear with an IDENTICAL score in the exact inverted-index
+    join over the same shingle space (no false positives, no score drift) —
+    recall may be < 1 (LSH banding), precision must be 1."""
+    from flume_spark.operators import dedup
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.lsh_verified_pairs(
+            docs, "doc_id", "text", shingle_n=2, num_hashes=16, bands=4, threshold=0.3
+        ).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=2, threshold=0.3
+        ).collect()
+    }
+    assert verified, "probe corpus should contain verified near-dup pairs"
+    assert set(verified) <= set(exact), "false positives in the verified set"
+    for pair, j in verified.items():
+        assert exact[pair] == j, f"score drift for {pair}: {j} != {exact[pair]}"
+    # recall floor: banding at (16 hashes, 4 bands) keeps essentially every
+    # pair at jaccard >= 0.3 on this corpus; allow a small miss margin
+    assert len(verified) >= 0.9 * len(exact)
