@@ -240,6 +240,83 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+    seed: str = "flume",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis-
+    Spirakis A-ExpJ form): each row draws a reproducible uniform
+    u = (md5_48(seed:id)+1) / 2^48 in (0,1] and keys on the exponential
+    variate -ln(u)/w; the k SMALLEST keys are the sample — inclusion
+    probability proportional to weight, no RNG state, identical on any
+    engine.  The canonical data-mixing primitive (sample documents
+    proportional to token count / quality / source weight).
+
+    Scale: the key is a pure map expression fused into the scan and the
+    take is top-k (TakeOrderedAndProject — per-partition heaps, no global
+    sort).  Returns (id, weight, sample_key rounded 6dp).
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(1 << 48))
+    key = -F.log(u) / F.greatest(w.cast("double"), F.lit(1.0))
+    return (
+        df.select(
+            F.col(id_col),
+            w.cast("long").alias("weight"),
+            key.alias("_key"),
+        )
+        .orderBy("_key", id_col)
+        .limit(k)
+        .select(id_col, "weight", F.round(F.col("_key"), 6).alias("sample_key"))
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-scaled mixture weights per group (language/source):
+    weight_g = tokens_g^alpha / sum_h tokens_h^alpha — the standard
+    multilingual/pretraining sampling-rate formula (alpha<1 upsamples
+    low-resource groups; alpha=1 is proportional, alpha=0 uniform).
+
+    Scale: one partial-agg shuffle on the group key, then a broadcast of
+    the one-row total — group count is vocabulary-of-sources sized, never
+    data sized.  Returns (group, n_docs, n_tokens, share, weight), ratios
+    rounded 6dp.
+    """
+    toks = tokens_col(text_col)
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+    )
+    tot = g.agg(
+        F.sum("n_tokens").alias("_tot"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("_tot_a"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("_tot"), 6).alias("share"),
+        F.round(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("_tot_a"), 6
+        ).alias("weight"),
+    )
+
+
 # Training-data scrubbing patterns (RE2-safe so any engine reproduces them)
 PII_PATTERNS = {
     "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",

@@ -31,6 +31,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # automatically.  tests/test_registry.py asserts both lists stay consistent
 # with the merged query dict (no typos, no overlap, full coverage).
 _NEEDS_DRIVER_ROW = [  # round-3 additions/changes, ascending expected sf0.01 runtime
+    "sample_weighted",
+    "mixture_weights",
     "kmeans_assign",
     "lsh_buckets",
     "queue_pending_counts",

@@ -578,6 +578,58 @@ SELECT vec_id, label FROM (
 """
 
 
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted document sample (Efraimidis-Spirakis exponential
+    keys, deterministic md5 uniforms): 25 docs drawn with probability
+    proportional to token count — the data-mixing draw."""
+    docs = T(spark, sf_dir, "documents")
+    toks = text.token_count(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    return text.weighted_sample(toks, "doc_id", "n_tokens", k=25)
+
+
+SAMPLE_WEIGHTED_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS weight,
+         -ln( (('0x' || substr(md5('flume:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               + 1.0) / 281474976710656.0 )
+           / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS k
+  FROM t
+)
+SELECT doc_id, weight, round(k, 6) AS sample_key
+FROM keyed ORDER BY k, doc_id LIMIT 25
+"""
+
+
+def mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled per-language sampling weights (alpha=0.3):
+    weight_l = tokens_l^0.3 / sum tokens^0.3 — the multilingual mixture
+    formula (upsamples low-resource languages)."""
+    docs = T(spark, sf_dir, "documents")
+    return text.mixture_weights(docs, "lang", "text", alpha=0.3)
+
+
+MIXTURE_WEIGHTS_SQL = """
+WITH g AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT sum(n_tokens) AS t, sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS ta FROM g
+)
+SELECT lang, n_docs, n_tokens,
+       round(n_tokens / t, 6) AS share,
+       round(pow(CAST(n_tokens AS DOUBLE), 0.3) / ta, 6) AS weight
+FROM g CROSS JOIN tot
+"""
+
+
 def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (budget 512, 8 shards)."""
     docs = T(spark, sf_dir, "documents")
@@ -925,6 +977,8 @@ QUERIES = {
     "embedding_kmeans": embedding_kmeans,
     "kmeans_assign": kmeans_assign,
     "sample_stratified": sample_stratified,
+    "sample_weighted": sample_weighted,
+    "mixture_weights": mixture_weights_q,
     "pack_sequences": pack_sequences_q,
     "text_pii_scrub": text_pii_scrub,
     "text_subword_tokens": text_subword_tokens,
@@ -958,6 +1012,8 @@ ORACLES = {
     "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
     "kmeans_assign": KMEANS_ASSIGN_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "sample_weighted": SAMPLE_WEIGHTED_SQL,
+    "mixture_weights": MIXTURE_WEIGHTS_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "text_pii_scrub": TEXT_PII_SQL,
     "text_subword_tokens": TEXT_SUBWORD_SQL,

@@ -266,3 +266,19 @@ def test_lsh_buckets_is_scan_fused_map_stage(spark):
 def test_queue_pending_counts_single_shuffle(spark):
     plan = explained(spark, "queue_pending_counts")
     assert n_nodes(plan, "Exchange") <= 1, plan
+
+
+def test_sample_weighted_uses_take_ordered(spark):
+    """The weighted draw keys in a map stage and takes top-k via
+    per-partition heaps — never a global sort of the corpus."""
+    plan = explained(spark, "sample_weighted")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_mixture_weights_single_shuffle_broadcast_total(spark):
+    """One partial-agg shuffle on the group key; the one-row total joins
+    back by broadcast, never a second data-sized shuffle."""
+    plan = explained(spark, "mixture_weights")
+    assert n_nodes(plan, "Exchange hashpartitioning") <= 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
