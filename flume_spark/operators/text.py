@@ -317,6 +317,51 @@ def mixture_weights(
     )
 
 
+def source_cap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-source quota: keep at most k docs per group, best-quality first
+    (ties by id) — the domain-cap step every crawl-derived corpus applies
+    so no single site dominates the mixture.
+
+    One shuffle on the group key, per-group top-k window (never a global
+    sort).  Returns (id, group, quality, rank) for the survivors.
+    """
+    from pyspark.sql.window import Window
+
+    scored = df.select(
+        F.col(id_col), F.col(group_col), quality_col(text_col).alias("quality")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("quality").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, group_col, "quality", "rank")
+    )
+
+
+def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Canonical text normalization (the step before hashing/dedup):
+    lowercase, strip control characters, collapse whitespace runs, trim.
+    Pure regexp expressions — fuses into the scan; identical RE2-safe
+    patterns reproduce on any engine.  Returns (id, norm_text, n_chars_in,
+    n_chars_out).
+    """
+    c = F.col(text_col)
+    cleaned = F.regexp_replace(F.lower(c), r"[\x00-\x1f]", " ")
+    collapsed = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        collapsed.alias("norm_text"),
+        F.length(c).alias("n_chars_in"),
+        F.length(collapsed).alias("n_chars_out"),
+    )
+
+
 # Training-data scrubbing patterns (RE2-safe so any engine reproduces them)
 PII_PATTERNS = {
     "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",

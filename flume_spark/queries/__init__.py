@@ -31,8 +31,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # automatically.  tests/test_registry.py asserts both lists stay consistent
 # with the merged query dict (no typos, no overlap, full coverage).
 _NEEDS_DRIVER_ROW = [  # round-3 additions/changes, ascending expected sf0.01 runtime
+    "text_normalize",
     "sample_weighted",
     "mixture_weights",
+    "source_cap",
     "kmeans_assign",
     "lsh_buckets",
     "queue_pending_counts",

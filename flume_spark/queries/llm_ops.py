@@ -630,6 +630,57 @@ FROM g CROSS JOIN tot
 """
 
 
+def source_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-cap curation: keep the 20 best-quality docs per source —
+    the anti-dominance quota every crawl corpus applies."""
+    docs = T(spark, sf_dir, "documents")
+    return text.source_cap(docs, "doc_id", "text", "source", k=20)
+
+
+SOURCE_CAP_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         least(len(toks) / 100.0, 1.0) * 0.5
+           + least(len(list_filter(toks,
+               x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) * 1.0
+               / len(toks) * 5.0, 1.0) * 0.25
+           + len(list_distinct(toks)) * 1.0 / len(toks) * 0.25 AS quality
+  FROM t
+)
+SELECT doc_id, source, quality, "rank" FROM (
+  SELECT doc_id, source, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id) AS "rank"
+  FROM scored
+) WHERE "rank" <= 20
+"""
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return text.normalize_text(docs, "doc_id", "text")
+
+
+TEXT_NORMALIZE_SQL = r"""
+WITH c AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[\x00-\x1f]', ' ', 'g'),
+           '\s+', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, norm_text,
+       length(text) AS n_chars_in,
+       length(norm_text) AS n_chars_out
+FROM c
+"""
+
+
 def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (budget 512, 8 shards)."""
     docs = T(spark, sf_dir, "documents")
@@ -979,6 +1030,8 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "sample_weighted": sample_weighted,
     "mixture_weights": mixture_weights_q,
+    "source_cap": source_cap_q,
+    "text_normalize": text_normalize,
     "pack_sequences": pack_sequences_q,
     "text_pii_scrub": text_pii_scrub,
     "text_subword_tokens": text_subword_tokens,
@@ -1014,6 +1067,8 @@ ORACLES = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_weighted": SAMPLE_WEIGHTED_SQL,
     "mixture_weights": MIXTURE_WEIGHTS_SQL,
+    "source_cap": SOURCE_CAP_SQL,
+    "text_normalize": TEXT_NORMALIZE_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "text_pii_scrub": TEXT_PII_SQL,
     "text_subword_tokens": TEXT_SUBWORD_SQL,

@@ -282,3 +282,16 @@ def test_mixture_weights_single_shuffle_broadcast_total(spark):
     plan = explained(spark, "mixture_weights")
     assert n_nodes(plan, "Exchange hashpartitioning") <= 1, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_source_cap_single_shuffle_window(spark):
+    """Domain cap is one Exchange on the source key + per-group top-k
+    window; the quality expression stays in the map stage."""
+    plan = explained(spark, "source_cap")
+    assert n_nodes(plan, "Exchange") <= 1, plan
+    assert "SinglePartition" not in plan
+
+
+def test_text_normalize_is_scan_fused(spark):
+    plan = explained(spark, "text_normalize")
+    assert n_nodes(plan, "Exchange") == 0, plan
