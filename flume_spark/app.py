@@ -24,6 +24,10 @@ Config keys (all optional except store_path / pipelines):
       "idempotence": False,
       "trigger_seconds": 2.0,                # producer @default_interval
       "max_files_per_trigger": 100,
+      "compact_max_files": 256,              # auto-compaction threshold
+      "compact_grace_s": 30.0,               # default 30 when >1 pipeline,
+                                             # 0 for a single pipeline
+      "archive_succeeded": False,
       "instrumentation": {                   # config.exs instrumentation:
         "handler": callable(event, measurements, metadata, config) or None
                    (None -> default_event_handler),
@@ -39,6 +43,7 @@ Config keys (all optional except store_path / pipelines):
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -52,17 +57,27 @@ from flume_spark.queue.store import JobStore
 from flume_spark.queue.workers import WorkerRegistry
 from flume_spark.streaming.pipeline import PipelineRunner
 
-_PIPELINE_KEYS = {
-    "name",
-    "queue",
-    "max_demand",
-    "batch_size",
-    "rate_limit_count",
-    "rate_limit_scale",
-    "rate_limit_key",
-    "paused",
-    "instrument",
-}
+# derived from the dataclass so a new Pipeline field never drifts out of sync
+_PIPELINE_KEYS = frozenset(f.name for f in dataclasses.fields(Pipeline))
+
+_TOP_LEVEL_KEYS = frozenset(
+    {
+        "store_path",
+        "checkpoint_dir",
+        "max_retries",
+        "visibility_timeout_s",
+        "backoff_initial_ms",
+        "backoff_max_ms",
+        "idempotence",
+        "trigger_seconds",
+        "max_files_per_trigger",
+        "compact_max_files",
+        "compact_grace_s",
+        "archive_succeeded",
+        "instrumentation",
+        "pipelines",
+    }
+)
 
 
 @dataclass
@@ -102,6 +117,9 @@ def from_config(
     Call .start() to launch the streaming queries; manager-level batch APIs
     (enqueue, run_once, job_counts, pause_all, ...) work either way.
     """
+    unknown_top = set(config) - _TOP_LEVEL_KEYS
+    if unknown_top:
+        raise ValueError(f"unknown config keys: {sorted(unknown_top)}")
     if "store_path" not in config:
         raise ValueError("config requires 'store_path'")
     pipeline_cfgs = config.get("pipelines") or []
@@ -126,6 +144,12 @@ def from_config(
             )
 
     store = JobStore(spark, config["store_path"])
+    # Multiple streaming runners share ONE store: one runner's end-of-trigger
+    # auto-compaction must not unlink claim files (or GC markers) a sibling's
+    # in-flight dispatch is still reading, so a shared-store deployment
+    # defaults to a 30 s compaction grace (QueueManager docstring contract);
+    # a single pipeline keeps the immediate-compact default.
+    default_grace = 30.0 if len(pipelines) > 1 else 0.0
     manager = QueueManager(
         spark,
         store,
@@ -137,6 +161,9 @@ def from_config(
         backoff_max_ms=config.get("backoff_max_ms", 10_000),
         telemetry=telemetry,
         idempotence=config.get("idempotence", False),
+        compact_max_files=config.get("compact_max_files", 256),
+        compact_grace_s=config.get("compact_grace_s", default_grace),
+        archive_succeeded=config.get("archive_succeeded", False),
     )
     checkpoint_dir = config.get(
         "checkpoint_dir", config["store_path"].rstrip("/") + ".checkpoints"

@@ -159,6 +159,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 1,
     num_hashes: int = 8,
     bands: int = 4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding candidate pairs: (doc_a, doc_b) sharing >= 1 band.
 
@@ -166,10 +167,19 @@ def minhash_lsh_candidates(
     Jaccard j is 1 - (1 - j^r)^bands.  The join is keyed on
     (band_idx, band_hash) so shuffle volume is O(docs * bands), never
     all-pairs.
+
+    `shingles` (an (id, shingle) frame for the same corpus/shingle_n) lets a
+    caller that already built the index reuse it — min over a multiset
+    equals min over its set, so a distinct or non-distinct frame gives
+    identical signatures.  Default: non-distinct (skips a shuffle).
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sh = word_shingles(df, id_col, text_col, shingle_n, distinct=False)
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(df, id_col, text_col, shingle_n, distinct=False)
+    )
     sigs = sh.groupBy("id").agg(*_minhash_sig_cols(num_hashes))
     band_cols = []
     for bidx in range(bands):
@@ -224,10 +234,13 @@ def lsh_verified_pairs(
     1 - (1 - j^r)^bands).  Returns (doc_a, doc_b, jaccard) with doc_a < doc_b
     and jaccard >= threshold, rounded 6dp.
     """
-    cands = minhash_lsh_candidates(
-        df, id_col, text_col, shingle_n, num_hashes, bands
-    )
+    # ONE shingle index feeds both stages (signatures are invariant to the
+    # distinct, verification requires it) — a separate non-distinct explode
+    # for the signatures would double the corpus scan + explode cost.
     sh = word_shingles(df, id_col, text_col, shingle_n).cache()
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, shingle_n, num_hashes, bands, shingles=sh
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a_sh = cands.join(
         sh.select(F.col("id").alias("doc_a"), "shingle"), "doc_a"
@@ -370,6 +383,15 @@ def connected_components(
     changed-count scalar.  localCheckpoint() per round truncates the
     exponentially-growing lineage.
     """
+    # The min-label algorithm and its decimal convergence sum both require
+    # NUMERIC node ids (a string id would cast to NULL and fake instant
+    # convergence) — fail loudly instead.
+    src_type = dict(edges.dtypes)[src_col]
+    if src_type not in {"tinyint", "smallint", "int", "bigint"}:
+        raise TypeError(
+            f"connected_components requires integer node ids; {src_col} is "
+            f"{src_type} — hash string keys to int64 (e.g. xxhash64) first"
+        )
     # Materialize the (possibly expensive) edge plan once — the two-sided
     # union below would otherwise recompute it twice in the same job.
     edges = edges.select(

@@ -268,11 +268,15 @@ def weighted_sample(
         10,
     ).cast("double")
     u = (h + F.lit(1.0)) / F.lit(float(1 << 48))
-    key = -F.log(u) / F.greatest(w.cast("double"), F.lit(1.0))
+    # Rows with weight <= 0 are unsampleable by definition (E-S gives them
+    # key = +inf) — filter them out rather than clamping, which would
+    # silently turn fractional weights (quality scores) into a uniform draw.
+    key = -F.log(u) / w.cast("double")
     return (
-        df.select(
+        df.filter(w.cast("double") > 0)
+        .select(
             F.col(id_col),
-            w.cast("long").alias("weight"),
+            w.cast("double").alias("weight"),
             key.alias("_key"),
         )
         .orderBy("_key", id_col)

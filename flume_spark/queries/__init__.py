@@ -44,9 +44,11 @@ _NEEDS_DRIVER_ROW = [  # round-3 additions/changes, ascending expected sf0.01 ru
     "curation_pipeline",
 ]
 
-# Union of CORRECTNESS_r01.json + CORRECTNESS_r02.json keys: every one of the
-# 99 round-1/round-2 queries has a driver row (96 hash-green, 3 rows-only by
-# design: approx_distinct, ann_topk_lsh, embedding_kmeans).
+# Union of CORRECTNESS_r01.json + CORRECTNESS_r02.json keys (96 hash-green,
+# 3 rows-only by design: approx_distinct, ann_topk_lsh, embedding_kmeans),
+# MINUS any query whose semantics changed since its driver row — those move
+# back into _NEEDS_DRIVER_ROW (round 3: curation_pipeline).  Do NOT "restore"
+# a name to this set without removing it from the re-verify list.
 _DRIVER_CHECKED = frozenset(
     {
         "agg_count_distinct_salted", "agg_cube", "agg_distinct",

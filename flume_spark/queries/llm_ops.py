@@ -594,11 +594,11 @@ WITH t AS (
   FROM documents
 ),
 keyed AS (
-  SELECT doc_id, CAST(n_tokens AS BIGINT) AS weight,
+  SELECT doc_id, CAST(n_tokens AS DOUBLE) AS weight,
          -ln( (('0x' || substr(md5('flume:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
                + 1.0) / 281474976710656.0 )
-           / greatest(CAST(n_tokens AS DOUBLE), 1.0) AS k
-  FROM t
+           / CAST(n_tokens AS DOUBLE) AS k
+  FROM t WHERE n_tokens > 0
 )
 SELECT doc_id, weight, round(k, 6) AS sample_key
 FROM keyed ORDER BY k, doc_id LIMIT 25

@@ -158,7 +158,10 @@ def attach_pipeline_instrumentation(
             return
         if metadata.get("queue") not in (None, queue) and queues is None:
             return
-        fn(event, measurements, metadata, cfg)
+        # aggregate events carry a per-queue breakdown: deliver THIS
+        # pipeline's slice, not the trigger-wide totals
+        mine = metadata.get("per_queue", {}).get(queue)
+        fn(event, mine if mine is not None else measurements, metadata, cfg)
 
     return telemetry.attach_named(pipeline.name, PIPELINE_EVENTS, scoped, config)
 

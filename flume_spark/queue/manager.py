@@ -516,13 +516,24 @@ class QueueManager:
                 q for q in per_queue if demands[q][0].instrument
             )
             if instrumented:
+                claim_ms = (time.perf_counter() - claim_t0) * 1000.0
                 self.telemetry.emit(
                     ("queue", "dequeue"),
                     {
                         "count": sum(per_queue[q] for q in instrumented),
-                        "latency_ms": (time.perf_counter() - claim_t0) * 1000.0,
+                        "latency_ms": claim_ms,
                     },
-                    {"queues": instrumented},
+                    {
+                        "queues": instrumented,
+                        # per-queue breakdown so queue-scoped (per-pipeline)
+                        # handlers report THEIR counts, not the trigger total
+                        # (reference per-pipeline event names carry
+                        # per-pipeline measurements)
+                        "per_queue": {
+                            q: {"count": per_queue[q], "latency_ms": claim_ms}
+                            for q in instrumented
+                        },
+                    },
                 )
             for q, n in per_queue.items():
                 if demands[q][0].rate_limit_count is not None:
@@ -663,7 +674,16 @@ class QueueManager:
                     ),
                     "jobs": sum(per_queue[q] for q in instrumented),
                 },
-                {"queues": instrumented},
+                {
+                    "queues": instrumented,
+                    "per_queue": {
+                        q: {
+                            "jobs": per_queue[q],
+                            "duration_ms": worker_ms_by_q.get(q, 0.0),
+                        }
+                        for q in instrumented
+                    },
+                },
             )
 
         # bound log fragmentation so per-trigger scan cost stays flat

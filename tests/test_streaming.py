@@ -639,29 +639,35 @@ def test_named_instrumentation_handler_attach_detach(spark, tmp_path):
     telemetry = Telemetry()
     pipes = [
         Pipeline(name="obs", queue="qo"),
+        Pipeline(name="other", queue="qx"),
         Pipeline(name="quiet", queue="qq", instrument=False),
     ]
     assert attach_pipeline_instrumentation(
         telemetry, pipes[0], handler, config={"app_name": "t"}
     )
-    assert not attach_pipeline_instrumentation(telemetry, pipes[1], handler)
+    assert not attach_pipeline_instrumentation(telemetry, pipes[2], handler)
     # duplicate id -> not re-attached (:telemetry already_exists semantics)
     assert not attach_pipeline_instrumentation(telemetry, pipes[0], handler)
 
     store = JobStore(spark, str(tmp_path / "jobs_instr"))
     m = QueueManager(spark, store, registry, pipelines=pipes, telemetry=telemetry)
     m.enqueue("qo", "NoopWorker", [])
+    # 2 jobs on ANOTHER instrumented queue in the same trigger: obs's
+    # handler must see ITS count (1), not the trigger total (3)
+    m.enqueue("qx", "NoopWorker", [])
+    m.enqueue("qx", "NoopWorker", [])
     m.enqueue("qq", "NoopWorker", [])
-    m.run_many(["obs", "quiet"])
+    m.run_many(["obs", "other", "quiet"])
 
     dequeues = [s for s in seen if s[0] == ("queue", "dequeue")]
     assert dequeues, "handler never saw [queue,:dequeue]"
     ev, meas, meta, config = dequeues[0]
-    assert meas["count"] >= 1 and meas["latency_ms"] > 0
+    assert meas["count"] == 1, "handler got trigger-wide count, not its own"
+    assert meas["latency_ms"] > 0
     assert config == {"app_name": "t"}
     assert "qo" in meta["queues"]
     workers = [s for s in seen if s[0] == ("pipeline", "worker")]
-    assert workers and workers[0][1]["jobs"] >= 1
+    assert workers and workers[0][1]["jobs"] == 1
 
     telemetry.detach("obs")
     n = len(seen)
