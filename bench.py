@@ -213,13 +213,18 @@ def bench_stream_latency(spark) -> dict[str, float]:
             assert len(rows) == n_jobs, f"acked {len(rows)}/{n_jobs}"
         finally:
             runner.stop()
+        import math
+
         lats = sorted(
             r["finished_at"].replace(tzinfo=timezone.utc).timestamp() - enq_at[r["jid"]]
             for r in rows
         )
+        # ceil-based order statistic: index ceil(q*n)-1 (int(q*n)-1 would
+        # report ~p90 at n=24)
+        p95_idx = max(0, math.ceil(len(lats) * 0.95) - 1)
         return {
             "queue_stream_latency_p50": round(lats[len(lats) // 2], 3),
-            "queue_stream_latency_p95": round(lats[int(len(lats) * 0.95) - 1], 3),
+            "queue_stream_latency_p95": round(lats[p95_idx], 3),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

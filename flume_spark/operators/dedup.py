@@ -237,6 +237,9 @@ def lsh_verified_pairs(
     # ONE shingle index feeds both stages (signatures are invariant to the
     # distinct, verification requires it) — a separate non-distinct explode
     # for the signatures would double the corpus scan + explode cost.
+    # Cache ownership: the cached index lives until Spark's LRU evicts it or
+    # the caller clears the catalog cache — it cannot be unpersisted here
+    # because the returned plan is lazy and still references it.
     sh = word_shingles(df, id_col, text_col, shingle_n).cache()
     cands = minhash_lsh_candidates(
         df, id_col, text_col, shingle_n, num_hashes, bands, shingles=sh
@@ -384,14 +387,16 @@ def connected_components(
     exponentially-growing lineage.
     """
     # The min-label algorithm and its decimal convergence sum both require
-    # NUMERIC node ids (a string id would cast to NULL and fake instant
-    # convergence) — fail loudly instead.
-    src_type = dict(edges.dtypes)[src_col]
-    if src_type not in {"tinyint", "smallint", "int", "bigint"}:
-        raise TypeError(
-            f"connected_components requires integer node ids; {src_col} is "
-            f"{src_type} — hash string keys to int64 (e.g. xxhash64) first"
-        )
+    # NUMERIC node ids on BOTH sides (a string id would widen the union to
+    # string — lexicographic min — and cast to NULL in the convergence sum,
+    # faking instant convergence) — fail loudly instead.
+    dtypes = dict(edges.dtypes)
+    for col in (src_col, dst_col):
+        if dtypes[col] not in {"tinyint", "smallint", "int", "bigint"}:
+            raise TypeError(
+                f"connected_components requires integer node ids; {col} is "
+                f"{dtypes[col]} — hash string keys to int64 (e.g. xxhash64) first"
+            )
     # Materialize the (possibly expensive) edge plan once — the two-sided
     # union below would otherwise recompute it twice in the same job.
     edges = edges.select(

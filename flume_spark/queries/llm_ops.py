@@ -168,10 +168,11 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Oracle: the same banded candidate set, then exact Jaccard over the same
-# 2-word shingles, restricted to candidates (verification semantics).
-DEDUP_LSH_VERIFIED_SQL = f"""
-WITH w AS (
+# Shared CTE chain for the LSH->exact-verify oracles: 2-word shingle index,
+# minhash signatures, bands, candidate pairs, sizes, intersections.  Used by
+# BOTH DEDUP_LSH_VERIFIED_SQL and CURATION_SQL so tuning changes (shingle_n,
+# bands, threshold) cannot silently desynchronize the two oracles.
+_LSH_VERIFY_CTES = f"""w AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
   FROM documents
 ),
@@ -204,7 +205,12 @@ inter AS (
   JOIN sh x ON x.doc_id = c.doc_a
   JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
   GROUP BY 1, 2
-)
+)"""
+
+# Oracle: the same banded candidate set, then exact Jaccard over the same
+# 2-word shingles, restricted to candidates (verification semantics).
+DEDUP_LSH_VERIFIED_SQL = f"""
+WITH {_LSH_VERIFY_CTES}
 SELECT i.doc_a, i.doc_b,
        round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
 FROM inter i
@@ -315,40 +321,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CURATION_SQL = f"""
-WITH RECURSIVE w AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
-  FROM documents
-),
-sh AS (
-  SELECT DISTINCT doc_id, shingle FROM (
-    SELECT doc_id,
-           unnest(list_transform(range(1, len(words)),
-                  i -> words[i] || ' ' || words[i+1])) AS shingle
-    FROM w
-  )
-),
-sig AS (
-  SELECT doc_id,
-         {_MH}
-  FROM sh GROUP BY doc_id
-),
-bands AS (
-{_BANDS}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-   AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-  FROM cand c
-  JOIN sh x ON x.doc_id = c.doc_a
-  JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-  GROUP BY 1, 2
-),
+WITH RECURSIVE {_LSH_VERIFY_CTES},
 edges AS (
   SELECT i.doc_a, i.doc_b
   FROM inter i

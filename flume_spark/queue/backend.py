@@ -115,3 +115,14 @@ class LogBackend(ABC):
 
     @abstractmethod
     def has_flag(self, flag: str) -> bool: ...
+
+    @abstractmethod
+    def processed_marker_dir(self) -> str:
+        """A storage location EXECUTORS can write per-jid completion markers
+        to (idempotence: marker-before-result, workers._write_marker).  The
+        contract: after an executor writes file/object `<dir>/<jid>`,
+        `has_flag(f"processed/{jid}")` is true on every instance and
+        `clear_flag` removes it.  Parquet-log impl: the shared control dir;
+        a Delta/Iceberg impl returns an object-store prefix (markers must be
+        writable WITHOUT a driver-side transaction — the whole point is that
+        the executor records completion even if the driver dies)."""

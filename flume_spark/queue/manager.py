@@ -12,7 +12,6 @@ due-predicate subsumes them (`status=pending AND scheduled_at<=now`,
 from __future__ import annotations
 
 import json
-import os
 import time
 import uuid
 from contextlib import ExitStack
@@ -563,11 +562,7 @@ class QueueManager:
         # completion time (workers._write_marker) — marker-before-result, so
         # a crash between the worker's side effects and the ack still leaves
         # the marker for the redelivery to skip
-        marker_dir = (
-            os.path.dirname(self.store._flag_path("processed/x"))
-            if self.idempotence
-            else None
-        )
+        marker_dir = self.store.processed_marker_dir() if self.idempotence else None
         parts = []
         if single_queues:
             parts.append(

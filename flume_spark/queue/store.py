@@ -337,7 +337,7 @@ class JobStore(LogBackend):
         may be mid-trigger — its markers exist but its claim/ack records
         live in young files the snapshot can't see, so the marker would
         look orphaned when it is actually active."""
-        mdir = os.path.dirname(self._flag_path("processed/x"))
+        mdir = self.processed_marker_dir()
         if not os.path.isdir(mdir):
             return
         cutoff = time.time() - min_age_s
@@ -388,6 +388,9 @@ class JobStore(LogBackend):
 
     def has_flag(self, flag: str) -> bool:
         return os.path.exists(self._flag_path(flag))
+
+    def processed_marker_dir(self) -> str:
+        return os.path.dirname(self._flag_path("processed/x"))
 
     def archive(self) -> DataFrame:
         """Archived (succeeded) job records, if any were compacted out."""

@@ -58,23 +58,22 @@ def scaled_docs(spark, factor: int):
 
 
 def scaled_embeddings(spark, factor: int):
-    """f perturbed replicas: circular shift by rep%dim positions and sign
-    flip on odd replicas — decorrelates replicas so no cross-replica pairs
-    appear at the probe threshold."""
+    """f perturbed replicas via a per-replica Rademacher (diagonal ±1)
+    transform: element i of replica r flips sign iff xxhash64(r, i) is odd.
+    A shared diagonal ±1 preserves every within-replica pairwise cosine
+    (cos(Da, Db) = cos(a, b) since D² = I), while two replicas' different
+    sign patterns decorrelate cross-replica cosines for EVERY pair of
+    replicas — unlike a circular shift, which repeats every `dim` replicas
+    and silently duplicated vectors at factors > dim (earlier probe bug)."""
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
         "vec_id", "embedding"
     )
     reps = spark.range(factor).withColumnRenamed("id", "rep")
-    dim = len(emb.first()["embedding"])
-    shift = f"(rep % {dim})"
-    shifted = (
-        f"concat(slice(embedding, cast({shift} + 1 as int), {dim} - cast({shift} as int)), "
-        f"slice(embedding, 1, cast({shift} as int)))"
-    )
     out = emb.crossJoin(reps).select(
         (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
         F.expr(
-            f"transform({shifted}, x -> IF(rep % 2 = 1, -x, x))"
+            "transform(embedding, (x, i) -> "
+            "IF(pmod(xxhash64(rep, i), 2) = 1, -x, x))"
         ).alias("embedding"),
     )
     return out.localCheckpoint(eager=True)
@@ -114,6 +113,9 @@ def main() -> None:
             results.setdefault(op, {})[f] = dt
         docs.unpersist()
         emb.unpersist()
+        # release the shingle index lsh_verified_pairs cached for this factor
+        # so later factors' timings aren't skewed by LRU churn
+        spark.catalog.clearCache()
     base = factors[0]
     summary = {}
     for op, times in results.items():

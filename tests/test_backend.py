@@ -119,3 +119,19 @@ def test_read_rows_and_count(backend):
     assert backend.count_rows(published) == 2
     rows = backend.read_rows(published)
     assert {r["jid"] for r in rows} == {"a", "b"}
+
+
+def test_processed_marker_contract(backend):
+    """Executor-side marker writes must be visible via has_flag and
+    removable via clear_flag (the idempotence contract every backend must
+    honor — see LogBackend.processed_marker_dir)."""
+    import os
+
+    from flume_spark.queue.workers import _write_marker
+
+    mdir = backend.processed_marker_dir()
+    _write_marker(mdir, "jid-123")
+    assert backend.has_flag("processed/jid-123")
+    backend.clear_flag("processed/jid-123")
+    assert not backend.has_flag("processed/jid-123")
+    assert not os.listdir(mdir) or "jid-123" not in os.listdir(mdir)
