@@ -589,6 +589,9 @@ def test_from_config_boots_two_pipelines(spark, tmp_path):
     )
     assert set(app.runners) == {"plain", "bulky"}
     assert app.manager.pipelines["bulky"].batch_size == 2
+    # >1 runner sharing the store: compaction must default to a grace so one
+    # pipeline's compact never unlinks a sibling's in-flight claim files
+    assert app.manager.compact_grace_s == 30.0
     app.manager.bulk_enqueue("qa", [("W", "perform", [i]) for i in range(3)])
     app.manager.bulk_enqueue("qb", [("BW", "perform", [i]) for i in range(4)])
     app.start()
