@@ -80,3 +80,54 @@ def asof_join(
             *[F.col(f"__match.{c}").alias(c) for c in right_cols],
         )
     )
+
+
+def interval_join(
+    intervals: DataFrame,
+    events: DataFrame,
+    start_col: str,
+    end_col: str,
+    ts_col: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """Overlap join with NO equi-key: every (interval, event) pair where
+    `start <= ts < end` — the shape Catalyst can only plan as a nested-loop
+    (cartesian with a range filter) when no equality condition exists.
+
+    Scale strategy (the classic range-join binning optimization): time is
+    cut into `bin_seconds` buckets; each interval explodes to one row per
+    bucket it covers, each event maps to its single bucket, and the pair
+    space is an EQUI-join on the bucket id followed by the exact range
+    filter.  Shuffle volume is O(Σ interval_span / bin + |events|) — linear,
+    never |intervals| x |events|.  Choose bin_seconds near the median
+    interval span: too small explodes intervals, too large fattens buckets
+    (both still correct; distinct below dedupes nothing since an event's
+    single bin meets each interval's covering row at most once).
+
+    Returns all interval columns + all event columns (inner join).
+    """
+    # double-precision epoch seconds: a long cast truncates sub-second
+    # boundaries and can drop the final covered bin of a fractional-second
+    # interval end.  Last covered bin of half-open [s, e) is ceil(e/bin)-1
+    # (exact both when e sits on a bin boundary and when it doesn't).
+    # TIMESTAMP_NTZ has no direct double cast — hop through timestamp
+    # (session tz is UTC, so the epoch value is unambiguous).
+    def _secs(col: str):
+        return F.col(col).cast("timestamp").cast("double")
+
+    s = _secs(start_col)
+    e = _secs(end_col)
+    ivl_bins = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(F.floor(s / bin_seconds), F.ceil(e / bin_seconds) - F.lit(1))
+        ),
+    )
+    ev_bins = events.withColumn("__bin", F.floor(_secs(ts_col) / bin_seconds))
+    return (
+        ivl_bins.join(ev_bins, "__bin")
+        .filter(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
+        )
+        .drop("__bin")
+    )

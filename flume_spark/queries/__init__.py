@@ -32,6 +32,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # with the merged query dict (no typos, no overlap, full coverage).
 _NEEDS_DRIVER_ROW = [  # round-3 additions/changes, ascending expected sf0.01 runtime
     "text_normalize",
+    "join_interval",
     "sample_weighted",
     "mixture_weights",
     "source_cap",

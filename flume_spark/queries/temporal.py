@@ -269,7 +269,52 @@ LEFT JOIN p ON v.user_id = p.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Interval (overlap) join — binned equi-join, no cartesian
+# ---------------------------------------------------------------------------
+
+
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution pairs with NO equi-key: every click inside any purchase's
+    1-hour window [purchase_ts, purchase_ts + 1h).  Catalyst would plan a
+    pure range join as a nested loop; `temporal.interval_join` bins time
+    into 1-hour buckets so the pair space is an equi-join on the bucket id
+    (shuffle linear in rows, never |purchases| x |clicks|) — plan-gated in
+    tests/test_plans.py."""
+    from flume_spark.operators.temporal import interval_join
+
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    pairs = interval_join(
+        purchases, clicks, "start_ts", "end_ts", "click_ts", bin_seconds=3600
+    )
+    return pairs.select("purchase_id", "click_id", "click_ts")
+
+
+JOIN_INTERVAL_SQL = """
+WITH p AS (
+  SELECT event_id AS purchase_id, ts AS start_ts,
+         ts + INTERVAL 1 HOUR AS end_ts
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id, c.click_id, c.click_ts
+FROM p JOIN c ON c.click_ts >= p.start_ts AND c.click_ts < p.end_ts
+"""
+
+
 QUERIES = {
+    "join_interval": join_interval,
     "window_tumbling": window_tumbling,
     "events_funnel": events_funnel,
     "window_sliding": window_sliding,
@@ -279,6 +324,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_interval": JOIN_INTERVAL_SQL,
     "window_tumbling": WINDOW_TUMBLING_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "window_sliding": WINDOW_SLIDING_SQL,

@@ -295,3 +295,15 @@ def test_source_cap_single_shuffle_window(spark):
 def test_text_normalize_is_scan_fused(spark):
     plan = explained(spark, "text_normalize")
     assert n_nodes(plan, "Exchange") == 0, plan
+
+
+def test_interval_join_is_binned_equi_join(spark):
+    """The overlap join must plan as an equi-join on the time-bin key —
+    never the cartesian/nested-loop Catalyst produces for a pure range
+    condition (|L|x|R| at scale)."""
+    plan = explained(spark, "join_interval")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )

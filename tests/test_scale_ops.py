@@ -163,3 +163,33 @@ def test_lsh_verified_is_sound_subset_of_exact(spark):
     # recall floor: banding at (16 hashes, 4 bands) keeps essentially every
     # pair at jaccard >= 0.3 on this corpus; allow a small miss margin
     assert len(verified) >= 0.9 * len(exact)
+
+
+def test_interval_join_fractional_bin_boundaries(spark):
+    """The last covered bin of a half-open [s, e) interval is ceil(e/bin)-1:
+    a fractional-second end spilling just past a bin boundary must still
+    match events in that bin, and an end exactly ON a boundary must not
+    reach into the next bin."""
+    from pyspark.sql import functions as F
+
+    from flume_spark.operators.temporal import interval_join
+
+    ivl = spark.createDataFrame(
+        [(1, 10.5, 3600.7), (2, 0.0, 7200.0)], "ivl_id long, s double, e double"
+    ).select(
+        "ivl_id",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    ev = spark.createDataFrame(
+        [(10, 3600.5), (11, 3600.8), (12, 7200.0), (13, 7199.9)],
+        "ev_id long, t double",
+    ).select("ev_id", F.col("t").cast("timestamp").alias("t"))
+    pairs = {
+        (r["ivl_id"], r["ev_id"])
+        for r in interval_join(ivl, ev, "s", "e", "t", bin_seconds=3600).collect()
+    }
+    assert (1, 10) in pairs      # 3600.5 < 3600.7: bin 1 covered by ceil-1
+    assert (1, 11) not in pairs  # 3600.8 >= end
+    assert (2, 12) not in pairs  # end 7200.0 is exclusive
+    assert (2, 13) in pairs and (2, 10) in pairs and (2, 11) in pairs
