@@ -193,3 +193,41 @@ def test_interval_join_fractional_bin_boundaries(spark):
     assert (1, 11) not in pairs  # 3600.8 >= end
     assert (2, 12) not in pairs  # end 7200.0 is exclusive
     assert (2, 13) in pairs and (2, 10) in pairs and (2, 11) in pairs
+
+
+def test_interval_join_matches_bruteforce_random(spark):
+    """Randomized equivalence: for random fractional intervals and events,
+    the binned equi-join must produce EXACTLY the brute-force overlap set at
+    every bin width (bin size is a performance knob, never a semantics
+    knob)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flume_spark.operators.temporal import interval_join
+
+    rnd = random.Random(42)
+    ivls = []
+    for i in range(150):
+        s = rnd.uniform(0, 5000)
+        ivls.append((i, s, s + rnd.uniform(0.1, 800)))
+    evs = [(j, rnd.uniform(-100, 6000)) for j in range(250)]
+    expected = {
+        (i, j) for i, s, e in ivls for j, t in evs if s <= t < e
+    }
+    ivl_df = spark.createDataFrame(ivls, "ivl_id long, s double, e double").select(
+        "ivl_id",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+    )
+    ev_df = spark.createDataFrame(evs, "ev_id long, t double").select(
+        "ev_id", F.col("t").cast("timestamp").alias("t")
+    )
+    for bin_seconds in (1, 7, 100, 4096):
+        got = {
+            (r["ivl_id"], r["ev_id"])
+            for r in interval_join(
+                ivl_df, ev_df, "s", "e", "t", bin_seconds=bin_seconds
+            ).collect()
+        }
+        assert got == expected, f"bin={bin_seconds}: {len(got)} vs {len(expected)}"
