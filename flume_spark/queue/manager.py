@@ -12,6 +12,7 @@ due-predicate subsumes them (`status=pending AND scheduled_at<=now`,
 from __future__ import annotations
 
 import json
+import threading
 import time
 import uuid
 from contextlib import ExitStack
@@ -118,6 +119,10 @@ class QueueManager:
         # "hard part 2".  Markers are cleared once the ack is durable and
         # orphans are GC'd at compaction, so the set stays O(crash window).
         self.idempotence = idempotence
+        # trigger/compaction coordination (see run_many docstring)
+        self._trigger_cv = threading.Condition()
+        self._active_triggers = 0
+        self._compacting = False
 
     # ------------------------------------------------------------------
     # write path (S1-S3): queue/manager.ex:12-67
@@ -277,11 +282,13 @@ class QueueManager:
         return self.store.current()
 
     def job_counts(self, queues: list[str]) -> dict[str, int]:
-        """S7 — pending-job count per queue (queue/manager.ex:69-81)."""
+        """S7 — pending-job count per queue (queue/manager.ex:69-81).
+        queue is jid-immutable, so it prefilters BELOW the latest-per-jid
+        window and reaches the scan (a full-log window would otherwise run
+        over every queue)."""
         rows = (
-            self.current()
+            self.store.current(prefilter=F.col("queue").isin(queues))
             .filter(F.col("status") == S.PENDING)
-            .filter(F.col("queue").isin(queues))
             .groupBy("queue")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
@@ -296,15 +303,14 @@ class QueueManager:
         df = self.store.current(prefilter=F.col("queue") == queue)
         return df.filter(F.col("status") == status) if status else df
 
-    def due_jobs(self, queue: str | list[str], now: float) -> DataFrame:
-        """The per-trigger due predicate (subsumes scheduler + processing
-        reclaim loops — SURVEY.md §3.3)."""
+    def _due_pred(self, now: float):
+        """THE due predicate — pending-and-scheduled-due OR retry-due OR
+        lease-expired (subsumes the reference's scheduler + processing
+        reclaim loops, SURVEY.md §3.3).  Single definition shared by
+        due_jobs (the observational API) and claim_plan (the engine), so
+        what users see as due is exactly what triggers claim."""
         ts = F.lit(_ts(now))
         lease_horizon = F.lit(_ts(now - self.visibility_timeout_s))
-        queues = [queue] if isinstance(queue, str) else queue
-        # queue is immutable per jid, so the predicate pushes below the
-        # latest-per-jid window all the way to the parquet scan
-        cur = self.store.current(prefilter=F.col("queue").isin(queues))
         pending_due = (F.col("status") == S.PENDING) & (
             F.col("scheduled_at").isNull() | (F.col("scheduled_at") <= ts)
         )
@@ -312,7 +318,14 @@ class QueueManager:
         lease_expired = (F.col("status") == S.PROCESSING) & (
             F.col("leased_at") < lease_horizon
         )
-        return cur.filter(pending_due | retry_due | lease_expired)
+        return pending_due | retry_due | lease_expired
+
+    def due_jobs(self, queue: str | list[str], now: float) -> DataFrame:
+        queues = [queue] if isinstance(queue, str) else queue
+        # queue is immutable per jid, so the predicate pushes below the
+        # latest-per-jid window all the way to the parquet scan
+        cur = self.store.current(prefilter=F.col("queue").isin(queues))
+        return cur.filter(self._due_pred(now))
 
     # ------------------------------------------------------------------
     # trigger (claim -> dispatch -> ack): the GenStage pipeline collapsed
@@ -344,19 +357,7 @@ class QueueManager:
         otherwise); inside it, unlimited queues keep per-queue partitions
         and the whole input is already demand-bounded (≤ Σ demand rows).
         """
-        ts = F.lit(_ts(now))
-        lease_horizon = F.lit(_ts(now - self.visibility_timeout_s))
-        due_pred = (
-            (
-                (F.col("status") == S.PENDING)
-                & (F.col("scheduled_at").isNull() | (F.col("scheduled_at") <= ts))
-            )
-            | ((F.col("status") == S.RETRY) & (F.col("retry_at") <= ts))
-            | (
-                (F.col("status") == S.PROCESSING)
-                & (F.col("leased_at") < lease_horizon)
-            )
-        )
+        due_pred = self._due_pred(now)
         demand_map = F.create_map(
             *[x for q, d in demand_by_queue.items() for x in (F.lit(q), F.lit(d))]
         )
@@ -423,13 +424,62 @@ class QueueManager:
         pass for every queue (per-queue demand enforced by a windowed rank),
         instead of a full log scan per pipeline.  At 1000-executor scale this
         is the difference between one shuffle per trigger and one per queue.
+
+        Concurrency (multiple PipelineRunner threads on one manager):
+        triggers run concurrently; compaction is exclusive — it waits for
+        zero in-flight triggers and blocks new ones while it rewrites the
+        log, because a concurrent trigger's Spark jobs would otherwise read
+        the exact files compaction unlinks.  (Cross-INSTANCE compaction
+        safety is the separate `compact_grace_s` contract.)
         """
+        with self._trigger_cv:
+            while self._compacting:
+                self._trigger_cv.wait()
+            self._active_triggers += 1
+        try:
+            stats = self._run_trigger(pipelines, now)
+        finally:
+            with self._trigger_cv:
+                self._active_triggers -= 1
+                self._trigger_cv.notify_all()
+        # opportunistic compaction, exclusive vs this process's triggers; a
+        # busy moment just defers it to the next trigger
+        if self.compact_max_files is not None:
+            with self._trigger_cv:
+                if self._active_triggers or self._compacting:
+                    return stats
+                self._compacting = True
+            try:
+                self.store.maybe_compact(
+                    self.compact_max_files,
+                    archive_succeeded=self.archive_succeeded,
+                    min_age_s=self.compact_grace_s,
+                )
+            finally:
+                with self._trigger_cv:
+                    self._compacting = False
+                    self._trigger_cv.notify_all()
+        return stats
+
+    def _run_trigger(
+        self, pipelines: list[str | Pipeline], now: float | None = None
+    ) -> dict:
         now = time.time() if now is None else now
         stats = {"claimed": 0, "succeeded": 0, "retried": 0, "dead": 0}
 
         resolved = [
             self.pipelines[pl] if isinstance(pl, str) else pl for pl in pipelines
         ]
+        seen_queues: dict[str, str] = {}
+        for p in resolved:
+            if p.queue in seen_queues and seen_queues[p.queue] != p.name:
+                raise ValueError(
+                    f"pipelines {seen_queues[p.queue]!r} and {p.name!r} both "
+                    f"consume queue {p.queue!r} in one trigger — admission is "
+                    "keyed by queue, so their settings would silently collide; "
+                    "run them in separate triggers or merge the pipelines"
+                )
+            seen_queues[p.queue] = p.name
         # Each rate-limited key's lock is held across the whole
         # remaining->claim->record span: with a SharedLedgerLimiter this is
         # the reference's bulk_dequeue_lock (redis/lock.ex:8-24) — two app
@@ -534,6 +584,10 @@ class QueueManager:
                         },
                     },
                 )
+            # the ledger records CLAIMS, including idempotence-skipped
+            # redeliveries: the reference records every dequeued job's md5
+            # into the limit zset (bulk_dequeue.ex:242-247), redeliveries
+            # included — the window governs dequeue rate, not worker runs
             for q, n in per_queue.items():
                 if demands[q][0].rate_limit_count is not None:
                     self.limiter.record(demands[q][0].limit_key, n, now)
@@ -661,19 +715,28 @@ class QueueManager:
         # jobs AND durations aggregate over instrumented queues only — an
         # opted-out pipeline's metrics must not leak into the event
         if instrumented:
+            # jobs = DISPATCHED work only: idempotence-skipped redeliveries
+            # never ran a worker, so they must not inflate worker telemetry
+            # (they do appear in [:queue,:dequeue] — they were claimed)
+            dispatched_by_q: dict[str, int] = {}
+            for c in claim_rows:
+                if c["jid"] not in skipped_jids:
+                    dispatched_by_q[c["queue"]] = (
+                        dispatched_by_q.get(c["queue"], 0) + 1
+                    )
             self.telemetry.emit(
                 ("pipeline", "worker"),
                 {
                     "duration_ms": sum(
                         worker_ms_by_q.get(q, 0.0) for q in instrumented
                     ),
-                    "jobs": sum(per_queue[q] for q in instrumented),
+                    "jobs": sum(dispatched_by_q.get(q, 0) for q in instrumented),
                 },
                 {
                     "queues": instrumented,
                     "per_queue": {
                         q: {
-                            "jobs": per_queue[q],
+                            "jobs": dispatched_by_q.get(q, 0),
                             "duration_ms": worker_ms_by_q.get(q, 0.0),
                         }
                         for q in instrumented
@@ -681,13 +744,6 @@ class QueueManager:
                 },
             )
 
-        # bound log fragmentation so per-trigger scan cost stays flat
-        if self.compact_max_files is not None:
-            self.store.maybe_compact(
-                self.compact_max_files,
-                archive_succeeded=self.archive_succeeded,
-                min_age_s=self.compact_grace_s,
-            )
         return stats
 
     def backoff_s(self, retry_count: int) -> float:

@@ -168,6 +168,10 @@ class JobStore(LogBackend):
         so readers never see partial files (Delta's staged-commit, in
         miniature).
         """
+        return self._publish_to(df, tag, self.path)
+
+    def _publish_to(self, df: DataFrame, tag: str, dest: str) -> list[str]:
+        os.makedirs(dest, exist_ok=True)
         staging = f"{self.path.rstrip('/')}.staging/{tag}"
         df.write.mode("overwrite").parquet(staging)
         published = []
@@ -177,7 +181,7 @@ class JobStore(LogBackend):
             src = os.path.join(staging, name)
             if pq.ParquetFile(src).metadata.num_rows == 0:
                 continue
-            dst = os.path.join(self.path, f"{tag}-{i}.parquet")
+            dst = os.path.join(dest, f"{tag}-{i}.parquet")
             os.rename(src, dst)
             published.append(dst)
         import shutil
@@ -305,19 +309,35 @@ class JobStore(LogBackend):
             return
         log = self.spark.read.schema(JOB_LOG_SCHEMA).parquet(*files)
         w = Window.partitionBy("jid").orderBy(F.col("seq").desc())
+        # persist: marker GC, the archive write, and the live publish are
+        # separate actions — uncached they would each re-scan the inputs and
+        # re-run the window shuffle (3x I/O for one logical pass)
         snapshot = (
             log.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
-        )
-        self._gc_processed_markers(snapshot, min_age_s)
-        if archive_succeeded:
-            archive = self.path.rstrip("/") + ".archive"
-            snapshot.filter(F.col("status") == "succeeded").write.mode(
-                "append"
-            ).parquet(archive)
-            snapshot = snapshot.filter(F.col("status") != "succeeded")
-        self.publish(snapshot, f"compact-{self.next_seq()}")
+        ).persist()
+        try:
+            self._gc_processed_markers(snapshot, min_age_s)
+            tag = self.next_seq()
+            if archive_succeeded:
+                # staged publish (skips zero-row files) rather than a plain
+                # append: an empty succeeded set must not litter the archive.
+                # A crash between this write and the unlinks below leaves the
+                # succeeded rows BOTH archived and live, so the next compact
+                # re-archives them — archive() dedupes on (jid, seq) at read
+                # time, which makes the crash-window duplicate harmless.
+                self._publish_to(
+                    snapshot.filter(F.col("status") == "succeeded"),
+                    f"archive-{tag}",
+                    self.path.rstrip("/") + ".archive",
+                )
+                live = snapshot.filter(F.col("status") != "succeeded")
+            else:
+                live = snapshot
+            self.publish(live, f"compact-{tag}")
+        finally:
+            snapshot.unpersist()
         for p in files:
             try:
                 os.unlink(p)
@@ -393,7 +413,12 @@ class JobStore(LogBackend):
         return os.path.dirname(self._flag_path("processed/x"))
 
     def archive(self) -> DataFrame:
-        """Archived (succeeded) job records, if any were compacted out."""
-        return self.spark.read.schema(JOB_LOG_SCHEMA).parquet(
-            self.path.rstrip("/") + ".archive"
+        """Archived (succeeded) job records, if any were compacted out.
+        Deduped on (jid, seq): a crash between the archive write and the
+        input unlinks makes the next compact re-archive the same records
+        (see compact) — identical rows, collapsed here."""
+        return (
+            self.spark.read.schema(JOB_LOG_SCHEMA)
+            .parquet(self.path.rstrip("/") + ".archive")
+            .dropDuplicates(["jid", "seq"])
         )

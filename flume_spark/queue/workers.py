@@ -58,9 +58,33 @@ def _as_dict(context) -> dict | None:
         return None
 
 
+def _resolve_worker(workers: dict, cls: str, fn_name: str):
+    """class.function dispatch (worker.ex:81-87: apply(class, function, args)).
+
+    Resolution order: an explicit "Cls.func" registration wins; otherwise the
+    "Cls" registration is called directly for the default function
+    ("perform") or via getattr for any other name (class-instance workers
+    with methods).  An unknown combination raises KeyError, which the
+    per-job isolation path converts into a failed job with the message —
+    silently running the wrong routine is never an option.
+    """
+    key = f"{cls}.{fn_name}"
+    if key in workers:
+        return workers[key]
+    obj = workers[cls]
+    if fn_name == "perform":
+        return obj
+    attr = getattr(obj, fn_name, None)
+    if callable(attr):
+        return attr
+    raise KeyError(f"no worker registered for {cls}.{fn_name}")
+
+
 class WorkerRegistry:
     """class-name -> callable. Callables take positional args (single mode)
-    or a list-of-args-lists (bulk mode, reference nesting [[args...]])."""
+    or a list-of-args-lists (bulk mode, reference nesting [[args...]]).
+    Register "Cls" for the default `perform` function or "Cls.func" for a
+    named function (≙ the reference's apply(class, function, args))."""
 
     def __init__(self) -> None:
         self._workers: dict[str, Callable] = {}
@@ -157,7 +181,7 @@ def dispatch_single(
                 err = None
                 tb = None
                 try:
-                    fn = workers[row.c_class]
+                    fn = _resolve_worker(workers, row.c_class, row.function)
                     args = json.loads(row.args)
                     _set_context(_as_dict(row.context))
                     _call_with_timeout(fn, args, timeout_s)
@@ -196,11 +220,18 @@ def dispatch_bulk(
     chunk with args nested [[args_1, args_2, ...]] (bulk_event.ex:42,58-64);
     a chunk failure marks every job in the chunk failed (all-or-nothing,
     bulk_event/worker.ex:80-89).  With `marker_dir`, a successful chunk
-    writes every member's processed-jid marker at completion time."""
+    writes every member's processed-jid marker at completion time.
+
+    Groups are (queue, class, function): reference batches are built inside
+    ONE pipeline (producer_consumer.ex:51-61 groups a single queue's
+    events), so jobs from two pipelines that share a worker class must
+    never land in one all-or-nothing chunk — a poison job in queue A would
+    fail queue B's jobs, and chunk durations would cross queues."""
     workers = dict(registry._workers)
 
     def run_group(pdf: pd.DataFrame) -> pd.DataFrame:
         cls = pdf["c_class"].iloc[0]
+        fn_name = pdf["function"].iloc[0]
         pdf = pdf.sort_values("jid", kind="stable")
         out = []
         for lo in range(0, len(pdf), batch_size):
@@ -209,7 +240,7 @@ def dispatch_bulk(
             err = None
             tb = None
             try:
-                fn = workers[cls]
+                fn = _resolve_worker(workers, cls, fn_name)
                 args_list = [json.loads(a) for a in chunk["args"]]
                 contexts = [_as_dict(c) for c in chunk["context"] if c is not None]
                 _set_context([c for c in contexts if c] or None)
@@ -222,7 +253,10 @@ def dispatch_bulk(
                 tb = traceback.format_exc(limit=5)
             finally:
                 _set_context(None)
-            dur = (time.perf_counter() - started) * 1e3
+            # amortize the one worker call over its chunk so summed per-job
+            # durations equal real worker wall-clock (a chunk-duration per
+            # row would inflate [:pipeline,:worker] by ~batch_size x)
+            dur = (time.perf_counter() - started) * 1e3 / max(len(chunk), 1)
             for jid in chunk["jid"]:
                 out.append(
                     {
@@ -236,8 +270,8 @@ def dispatch_bulk(
         return pd.DataFrame(out)
 
     prepared = claimed.selectExpr(
-        "jid", "class as c_class", "function", "args", "context"
+        "queue", "jid", "class as c_class", "function", "args", "context"
     )
-    return prepared.groupBy("c_class").applyInPandas(
+    return prepared.groupBy("queue", "c_class", "function").applyInPandas(
         run_group, schema=DISPATCH_RESULT_SCHEMA
     )

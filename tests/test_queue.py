@@ -1120,3 +1120,57 @@ def test_marker_gc_on_compact(spark, tmp_path):
     store.compact()
     assert not store.has_flag(f"processed/{done}"), "succeeded marker not GC'd"
     assert store.has_flag(f"processed/{live}"), "active marker must survive GC"
+
+
+# -- class.function dispatch (worker.ex:81-87) -------------------------------
+
+
+def test_function_dispatch_routes_to_named_function(spark, tmp_path):
+    """apply(class, function, args) parity: a job's `function` selects the
+    registered "Cls.func" callable; an unregistered function FAILS the job
+    (never silently runs the wrong routine); default stays "perform"."""
+    journal = str(tmp_path / "fn.jsonl")
+    registry = WorkerRegistry()
+
+    def perform(*a):
+        with open(journal, "a") as f:
+            f.write("perform\n")
+
+    def cleanup(*a):
+        with open(journal, "a") as f:
+            f.write("cleanup\n")
+
+    registry.register("Reports", perform)
+    registry.register("Reports.cleanup", cleanup)
+    store = JobStore(spark, str(tmp_path / "jobs_fn"))
+    m = QueueManager(spark, store, registry, pipelines=[Pipeline(name="p", queue="p")])
+    m.enqueue("p", "Reports", [], now=T0)
+    m.enqueue("p", "Reports", [], function="cleanup", now=T0)
+    m.enqueue("p", "Reports", [], function="nope", now=T0)
+    stats = m.run_once("p", now=T0 + 1)
+    assert stats["claimed"] == 3
+    assert stats["succeeded"] == 2 and stats["retried"] == 1
+    with open(journal) as f:
+        lines = sorted(line.strip() for line in f)
+    assert lines == ["cleanup", "perform"]
+    failed = m.current().filter("status = 'retry'").collect()[0]
+    assert "no worker registered for Reports.nope" in failed["error_message"]
+
+
+def test_run_many_rejects_same_queue_pipelines(spark, tmp_path):
+    registry = WorkerRegistry()
+    registry.register("W", lambda *a: None)
+    store = JobStore(spark, str(tmp_path / "jobs_dupq"))
+    m = QueueManager(
+        spark,
+        store,
+        registry,
+        pipelines=[
+            Pipeline(name="p1", queue="shared"),
+            Pipeline(name="p2", queue="shared", batch_size=2),
+        ],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="both consume queue"):
+        m.run_many(["p1", "p2"], now=T0)
