@@ -27,19 +27,24 @@ def read_table(
 ) -> DataFrame:
     """Batch read with format-appropriate defaults.
 
-    CSV/JSON get a corrupt-record column (PERMISSIVE mode) so malformed
-    rows are quarantined, not fatal — the relational analog of the job
-    decoder's reject-don't-crash rule (SURVEY.md §2.2 F4).
+    CSV/JSON run PERMISSIVE so malformed rows never fail the job — the
+    relational analog of the job decoder's reject-don't-crash rule
+    (SURVEY.md §2.2 F4).  To actually QUARANTINE malformed payloads
+    (rather than have their fields nulled), the caller-supplied schema must
+    include a `_corrupt_record` string field — Spark only captures the raw
+    line when the column exists in the schema; the column name is
+    pre-wired via columnNameOfCorruptRecord below.
     """
-    assert fmt in _BATCH_FORMATS, f"unsupported format {fmt}"
+    if fmt not in _BATCH_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_BATCH_FORMATS)}")
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)
     if fmt == "csv":
         options.setdefault("header", "true")
+    if fmt in ("csv", "json"):
         options.setdefault("mode", "PERMISSIVE")
-    if fmt == "json":
-        options.setdefault("mode", "PERMISSIVE")
+        options.setdefault("columnNameOfCorruptRecord", "_corrupt_record")
     return reader.options(**options).load(path)
 
 

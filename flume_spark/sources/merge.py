@@ -58,8 +58,19 @@ def merge_upsert(
     if partition_col is not None:
         # NB: partition values must be non-null (isin() never matches NULL,
         # so a __HIVE_DEFAULT_PARTITION__ row can't be addressed by a merge).
+        full_target = spark.read.parquet(path)
+        t_type = dict(full_target.dtypes).get(partition_col)
+        u_type = dict(updates.dtypes)[partition_col]
+        if t_type != u_type:
+            # A widening union would put survivor values and value_to_dir
+            # keys in different type domains, so every touched partition
+            # would look emptied and be rmtree'd WITH live data — refuse.
+            raise TypeError(
+                f"partition_col {partition_col!r} type mismatch: target is "
+                f"{t_type}, updates is {u_type} — cast the updates frame"
+            )
         parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-        target = spark.read.parquet(path).filter(F.col(partition_col).isin(parts))
+        target = full_target.filter(F.col(partition_col).isin(parts))
         # Encoded directory names of the touched partitions, taken from the
         # files Spark ACTUALLY read — never a hand-built f"{col}={value}"
         # path, whose encoding diverges from Hive's for URL-escaped chars,

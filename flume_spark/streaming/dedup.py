@@ -35,7 +35,6 @@ def streaming_exact_dedup(
 
 def streaming_curation(
     stream_df: DataFrame,
-    id_col: str,
     text_col: str,
     ts_col: str,
     watermark: str = "1 hour",
@@ -45,6 +44,10 @@ def streaming_curation(
     (stateless — fuses into the scan stage) then exact dedup (the only
     stateful operator, watermark-bounded).  Order matters: filtering first
     means rejected docs never enter dedup state.
+
+    Dedup identity is CONTENT (md5 of text_col), never a document id —
+    that is the point of dedup — so no id column is taken (a former id_col
+    parameter was dead and invited the per-id misreading).
 
     Near-dup (SimHash/LSH) stages stay batch — they need corpus-global
     joins; the streaming path curates each arriving micro-batch, and a

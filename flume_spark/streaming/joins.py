@@ -39,4 +39,13 @@ def interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond, how).drop(rw[key])
+    joined = lw.join(rw, cond, how)
+    # single output key: in right/full outer joins an unmatched right row
+    # has lw[key] = NULL, so dropping rw[key] alone would lose WHICH key the
+    # row belonged to — coalesce both sides into one column instead
+    return (
+        joined.withColumn("__key", F.coalesce(lw[key], rw[key]))
+        .drop(lw[key])
+        .drop(rw[key])
+        .withColumnRenamed("__key", key)
+    )

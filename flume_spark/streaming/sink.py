@@ -32,6 +32,14 @@ def idempotent_foreach_batch(
     location derived from batch_id, or overwrite): the marker is committed
     only AFTER write_fn returns, so a crash mid-write leaves the batch
     unmarked and the replay re-runs write_fn over the same data.
+
+    LIFECYCLE CONTRACT: `ledger_dir` must live and die with the query's
+    CHECKPOINT — batch_ids are only unique within one checkpoint lineage.
+    Resetting the checkpoint while keeping the ledger makes restarted
+    batch_ids 0..N collide with old markers and silently drop new data;
+    sharing one ledger_dir between two queries does the same.  One ledger
+    per (query, checkpoint), deleted together.  (Delta's txnAppId/
+    txnVersion option carries the same per-writer scoping.)
     """
     os.makedirs(ledger_dir, exist_ok=True)
 

@@ -34,10 +34,12 @@ def streaming_tumbling_counts(
     only once the watermark passes its end — the correct semantics for
     downstream exactly-once consumers.
     """
+    from flume_spark.sources import read_stream
+
     return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(source_dir)
+        read_stream(
+            spark, source_dir, schema, max_files_per_trigger=max_files_per_trigger
+        )
         .withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -58,12 +60,16 @@ def streaming_session_counts(
     key_col: str = "user_id",
     gap: str = "4 hours",
     watermark: str = "8 hours",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Session windows (inactivity gap) per key over a parquet-file stream —
     Spark merges open sessions in the state store as events arrive."""
+    from flume_spark.sources import read_stream
+
     return (
-        spark.readStream.schema(schema)
-        .parquet(source_dir)
+        read_stream(
+            spark, source_dir, schema, max_files_per_trigger=max_files_per_trigger
+        )
         .withWatermark(ts_col, watermark)
         .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n_events"))

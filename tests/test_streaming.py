@@ -326,7 +326,7 @@ def test_streaming_curation_filters_and_dedups(spark, tmp_path):
         .parquet(str(src))
     )
     out = streaming_curation(
-        stream, "doc_id", "text", "ts", watermark="1 hour", min_quality=0.3
+        stream, "text", "ts", watermark="1 hour", min_quality=0.3
     )
     q = (
         out.writeStream.format("memory")
@@ -677,3 +677,92 @@ def test_named_instrumentation_handler_attach_detach(spark, tmp_path):
     m.enqueue("qo", "NoopWorker", [])
     m.run_once("obs")
     assert len(seen) == n, "detached handler still receiving events"
+
+
+def test_resume_drains_without_new_arrivals(runner_env):
+    """Liveness (reference producer polls every 2s regardless of arrivals):
+    jobs enqueued while paused must be processed after resume WITHOUT any
+    new enqueue — the poll timer, not a fresh file, drives the drain."""
+    manager, runner = runner_env
+    manager.pause("stream")
+    manager.bulk_enqueue("sq", [("NoopWorker", "perform", [i]) for i in range(3)])
+    runner.start()
+    runner.await_idle()
+    assert _status_counts(manager) == {"pending": 3}
+    manager.resume("stream")
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        if _status_counts(manager).get("succeeded") == 3:
+            break
+        time.sleep(0.2)
+    assert _status_counts(manager) == {"succeeded": 3}
+
+
+def test_scheduled_job_runs_when_due_without_arrivals(runner_env):
+    """A job scheduled for the future becomes due with NO new file arriving;
+    the poll timer must claim it (≙ the reference scheduler loop)."""
+    manager, runner = runner_env
+    manager.enqueue_in("sq", 2.0, "NoopWorker", ["later"])
+    runner.start()
+    runner.await_idle()  # arrival processed, but the job is not yet due
+    assert _status_counts(manager) == {"pending": 1}
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        if _status_counts(manager).get("succeeded") == 1:
+            break
+        time.sleep(0.2)
+    assert _status_counts(manager) == {"succeeded": 1}
+
+
+def test_stream_interval_join_outer_keeps_right_key(spark, tmp_path):
+    """Outer stream-stream interval join: an unmatched right row must keep
+    its key (coalesced output column), not emit key=NULL."""
+    from datetime import datetime
+
+    from flume_spark.streaming.joins import interval_join
+
+    schema = "user_id long, ts timestamp, v string"
+    src_l = tmp_path / "lhs"
+    src_r = tmp_path / "rhs"
+    spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 0), "L1")], schema
+    ).coalesce(1).write.parquet(str(src_l))
+    spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 30), "R1"),   # joins L1
+            (7, datetime(2024, 1, 1, 0, 10), "Rx"),   # no left match
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src_r))
+    lhs = spark.readStream.schema(schema).parquet(str(src_l)).withColumnRenamed("v", "lv")
+    rhs = (
+        spark.readStream.schema(schema)
+        .parquet(str(src_r))
+        .withColumnRenamed("v", "rv")
+        .withColumnRenamed("ts", "rts")
+    )
+    out = interval_join(
+        lhs, rhs, "user_id", "ts", "rts",
+        within="1 hour", left_watermark="2 hours", right_watermark="2 hours",
+        how="full_outer",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ivj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivj"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            (r["user_id"], r["rv"])
+            for r in spark.sql("SELECT user_id, rv FROM ivj").collect()
+        }
+    finally:
+        q.stop()
+    assert (1, "R1") in rows
+    # outer-join completeness for unmatched rows needs the watermark to
+    # advance past them; at minimum the matched row must carry its key and
+    # no row may have a NULL key
+    assert all(k is not None for k, _ in rows)
