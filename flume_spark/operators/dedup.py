@@ -549,3 +549,48 @@ def contamination_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def canonical_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    quality_col: Column,
+    prefix_tokens: int = 16,
+) -> DataFrame:
+    """Quality-aware canonical selection: cluster documents by the hash of
+    their first `prefix_tokens` tokens (cheap prefix-dup clustering — the
+    common head-boilerplate / truncated-mirror case), then keep the highest
+    `quality_col` member per cluster (ties -> lowest id).
+
+    This is the "which copy survives" policy layer on top of dedup: exact /
+    LSH dedup pick a canonical by id; curation pipelines usually want the
+    LONGEST or highest-quality copy instead (e.g. keep the full article,
+    drop the truncated syndication).
+
+    Scale: one map stage to hash the prefix + one groupBy shuffle on the
+    16-byte hash; max_by carries a single (quality, id, ...) struct per
+    group through the partial aggregate, so memory per key is O(1).
+
+    Returns (cluster_hash, keep_id, n_members, best_quality).
+    """
+    from flume_spark.operators.text import tokens_col
+
+    prefix = F.array_join(F.slice(tokens_col(text_col), 1, prefix_tokens), " ")
+    scored = df.select(
+        F.md5(prefix).alias("cluster_hash"),
+        F.col(id_col).alias("id"),
+        quality_col.alias("q"),
+    )
+    # max_by over a struct: (q desc, id asc) -> encode id descending-proof by
+    # negating it inside the ordering struct so ONE max_by resolves ties.
+    return (
+        scored.groupBy("cluster_hash")
+        .agg(
+            F.max_by(F.col("id"), F.struct(F.col("q"), (-F.col("id")).alias("nid"))).alias(
+                "keep_id"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.max("q"), 6).alias("best_quality"),
+        )
+    )

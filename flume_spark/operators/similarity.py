@@ -387,3 +387,75 @@ def kmeans(
         history.append(sum(r["obj_part"] for r in stats))
         centroids = [(r["cluster"], list(r["cvec"])) for r in stats]
     return assignments.select("id", "cluster", "dist2"), centroids, history
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: int8 quantization, cosine range search
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max(|x|), q_i =
+    floor(x_i / scale * 127 + 0.5) in [-127, 127].
+
+    The standard storage/bandwidth shrink for ANN at scale (4x smaller than
+    float32, 8x than float64): map-only codegen, no shuffle, no UDF.
+    floor(x + 0.5) is used instead of round() so the half-up rule is
+    explicit and identical across engines.
+
+    Returns (id, scale, q_csv) — the quantized vector serialized as a CSV
+    string so the value is hashable across engines regardless of their
+    array-encoding differences.
+    """
+    v = _to_double(vec_col)
+    scale = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda acc, x: F.greatest(acc, x)
+    )
+    out = emb.select(
+        F.col(id_col), v.alias("_v"), scale.alias("_scale")
+    )
+    q = F.transform(
+        F.col("_v"),
+        lambda x: F.floor(x / F.col("_scale") * 127.0 + 0.5).cast("int"),
+    )
+    return out.select(
+        F.col(id_col),
+        F.round(F.col("_scale"), 6).alias("scale"),
+        F.array_join(q, ",").alias("q_csv"),
+    )
+
+
+def range_search(
+    emb: DataFrame,
+    query_pred: Column,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All neighbors with cosine >= threshold for each query vector (exact).
+
+    The radius-query counterpart of brute_force_topk and, like it, the
+    CORRECTNESS BASELINE: broadcast-Q nested loop, |Q|·|N| by definition.
+    The scale path for radius queries is the same bucketing the top-k ops
+    use (ivf_topk's cell join / lsh buckets) with the threshold filter
+    applied inside each cell.
+
+    The cosine is rounded to 6 BEFORE the threshold compare in both engines,
+    so a boundary value cannot flip membership across engines.
+    """
+    from flume_spark.operators.dedup import _spread
+
+    q = emb.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    n = _spread(emb).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    pairs = F.broadcast(q).join(n, F.col("query_id") != F.col("neighbor_id"))
+    return pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr("qv", "nv"), 6).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)

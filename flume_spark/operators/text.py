@@ -446,3 +446,148 @@ def corpus_stats_observed(df: DataFrame, id_col: str, text_col: str):
         F.avg("quality").alias("mean_quality"),
     )
     return observed, obs
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: chunking, repetition, vocabulary, BM25 search scoring
+# ---------------------------------------------------------------------------
+
+
+def chunk_sliding(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """RAG-style overlapping token chunker: window `size` tokens, step
+    `stride` (overlap = size - stride).
+
+    Pure Catalyst — sequence + explode + slice, a map-only stage with no
+    shuffle: at 100 TB this fuses into the parquet scan and scales linearly
+    with the token count.  Chunk count uses exact integer math
+    ((n - size + stride - 1) div stride + 1) so both engines agree without
+    floating point.
+
+    Returns (id, chunk_idx, n_chunk_tokens, chunk_text).
+    """
+    assert 0 < stride <= size
+    words = tokens_col(text_col)
+    out = df.select(F.col(id_col), words.alias("_words"))
+    n = F.size("_words")
+    # integer division (`div`), not `/`: Spark's `/` on longs is double division
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.expr(f"(size(_words) - {size} + {stride} - 1) div {stride} + 1")
+    )
+    out = out.select(
+        id_col,
+        "_words",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride  # 0-based
+    chunk = F.slice("_words", start + 1, F.lit(size))
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def repetition_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of duplicate word bigrams per
+    document (1 - distinct/total).  High values flag boilerplate/spam for
+    quality filtering.
+
+    Map-only codegen (no shuffle, no UDF).  The single division of two small
+    ints is IEEE-identical across engines; rounded to 6 for the oracle hash.
+    """
+    out = df.select(F.col(id_col), tokens_col(text_col).alias("_words"))
+    # NB sequence(0, -1) DESCENDS in Spark, so guard short docs explicitly
+    bigrams = F.expr(
+        "CASE WHEN size(_words) < 2 THEN slice(_words, 1, 0) ELSE"
+        " transform(sequence(0, size(_words) - 2),"
+        " i -> concat(_words[i], ' ', _words[i + 1])) END"
+    )
+    out = out.select(F.col(id_col), bigrams.alias("_bi"))
+    n = F.size("_bi")
+    nd = F.size(F.array_distinct("_bi"))
+    return out.select(
+        F.col(id_col),
+        n.alias("n_bigrams"),
+        nd.alias("n_distinct_bigrams"),
+        F.when(n > 0, F.round(F.lit(1.0) - nd.cast("double") / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_ratio"),
+    )
+
+
+def vocab_topk(df: DataFrame, text_col: str, k: int = 50) -> DataFrame:
+    """Corpus vocabulary: top-k words by frequency (ties -> lexicographic).
+
+    Classic wordcount: explode + partial-agg groupBy (map-side combine), then
+    a deterministic TakeOrderedAndProject — the driver only ever sees k rows.
+    """
+    words = df.select(F.explode(tokens_col(text_col)).alias("word"))
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(k)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """BM25-style relevance of every document to a fixed term set, top-k.
+
+    Scale design: ONE pass over the corpus.  Per-term tf comes from a
+    `filter(words, ...)` size expression (no explode, no shuffle); the three
+    corpus statistics (N, avgdl, per-term df) reduce to a single 1-row
+    aggregate that broadcasts back via crossJoin.  Total cost = one map stage
+    + one scalar agg + TakeOrdered — at 100 TB the driver sees k rows and two
+    aggregate rows, nothing else.
+
+    Determinism: idf uses the RATIONAL form (N - df + 0.5)/(df + 0.5) rather
+    than its log (same ranking — log is monotone; avoids cross-engine libm
+    differences, the same trade documented in tfidf_topk).  The per-term
+    scores are added in fixed written order, not via an aggregate, so the
+    double result is bit-identical across engines; rounded to 6.
+    """
+    words = tokens_col(text_col)
+    base = df.select(F.col(id_col), words.alias("_words"), F.size(words).alias("dl"))
+    for i, t in enumerate(terms):
+        tf = F.expr(f"size(filter(_words, w -> w = '{t}'))")
+        base = base.withColumn(f"_tf{i}", tf)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = (F.col("n_docs") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
+        part = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+        score = part if score is None else score + part
+    return (
+        scored.select(
+            F.col(id_col),
+            F.col("dl").alias("doc_len"),
+            F.round(score, 6).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )

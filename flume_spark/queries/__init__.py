@@ -17,7 +17,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from flume_spark.queries import llm_ops, queue_semantics, relational, temporal, tpch_extra
+from flume_spark.queries import (
+    analytics,
+    llm_ext,
+    llm_ops,
+    queue_semantics,
+    relational,
+    relational_ext,
+    temporal,
+    tpch_extra,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -95,13 +104,31 @@ def _reorder(merged: dict) -> dict:
 
 def all_queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {}
-    for mod in (relational, queue_semantics, llm_ops, temporal, tpch_extra):
+    for mod in (
+        relational,
+        queue_semantics,
+        llm_ops,
+        temporal,
+        tpch_extra,
+        analytics,
+        llm_ext,
+        relational_ext,
+    ):
         out.update(mod.QUERIES)
     return _reorder(out)
 
 
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
-    for mod in (relational, queue_semantics, llm_ops, temporal, tpch_extra):
+    for mod in (
+        relational,
+        queue_semantics,
+        llm_ops,
+        temporal,
+        tpch_extra,
+        analytics,
+        llm_ext,
+        relational_ext,
+    ):
         out.update(mod.ORACLES)
     return _reorder(out)

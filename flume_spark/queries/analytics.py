@@ -1,0 +1,282 @@
+"""Product-analytics queries over `events` / `orders`, with DuckDB oracles.
+
+Engine-native (the reference processes jobs, not analytics — SURVEY.md §2.3
+"joins: none"): classic warehouse shapes a queue-fed events table gets asked
+— cohort retention, transition matrices, gap-and-island streaks, time-weighted
+averages, RFM segmentation.  All pure Catalyst; scale notes per query.
+
+Float policy (same as relational.py): computed doubles come from a SINGLE
+division of exactly-aggregated integers (cents / microseconds as bigint), so
+the value is bit-identical across engines regardless of aggregation order;
+rounding is belt-and-braces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flume_spark.queries._util import T
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users cohorted by first-activity week; for each
+# (cohort_week, week_offset) count distinct active users.
+# ---------------------------------------------------------------------------
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two shuffles, both on user_id (first-touch agg, then the
+    activity-week distinct) — co-partitioned, so AQE fuses them into one
+    exchange; the final (cohort, offset) agg has ~weeks² groups, tiny."""
+    ev = T(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    joined = weeks.join(first, "user_id")
+    return (
+        joined.groupBy(
+            "cohort_week",
+            ((F.datediff("week", "cohort_week")) / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY 1
+),
+weeks AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, w.week) // 7 AS INT) AS week_offset,
+       count(DISTINCT w.user_id) AS n_users
+FROM weeks w JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (markov-ish): count consecutive pairs per user.
+# ---------------------------------------------------------------------------
+
+
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on user_id for the lag window (sort within partition),
+    then a 25-group agg.  At scale the window partitions by user — no
+    global sort, no skew beyond the busiest user."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    return pairs.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+EVENTS_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type
+  FROM events
+)
+SELECT prev_type, event_type, count(*) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: per-user consecutive-active-day streaks.
+# ---------------------------------------------------------------------------
+
+
+def events_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic island trick: day_number - row_number is constant within a
+    consecutive run.  Integer day numbers from a fixed anchor keep the
+    grouping key engine-agnostic (no date-interval arithmetic).  Two
+    user-keyed shuffles (distinct days, then the window) — co-partitioned."""
+    ev = T(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    daynum = F.datediff("day", F.lit("2024-01-01").cast("date"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = (daynum - F.row_number().over(w)).alias("grp")
+    islands = (
+        days.select("user_id", "day", grp)
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("streak_len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_len").alias("longest_streak"),
+    )
+
+
+EVENTS_GAP_ISLANDS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+islands AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', day)
+           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+),
+streaks AS (
+  SELECT user_id, grp, count(*) AS streak_len
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+       count(*)                        AS n_streaks,
+       max(streak_len)                 AS longest_streak
+FROM streaks GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average: per-user TWA of `value` between first and last event.
+# ---------------------------------------------------------------------------
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each sample holds until the next one (step interpolation, the
+    timeseries-rollup standard).  Exact integer core: cents x microseconds
+    summed as bigints, ONE double division at the end — bit-identical
+    across engines whatever the partial-agg order.  One user-keyed window
+    shuffle, partial agg after."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (
+            F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    agg = stepped.groupBy("user_id").agg(
+        F.sum("dt_us").alias("span_us"),
+        F.sum(F.col("cents") * F.col("dt_us")).alias("wsum"),
+    )
+    return agg.select(
+        "user_id",
+        F.round(F.col("span_us") / 1e6, 3).alias("span_s"),
+        F.round(F.col("wsum") / (F.col("span_us") * 100.0), 4).alias("twa_value"),
+    )
+
+
+TIME_WEIGHTED_AVG_SQL = """
+WITH stepped AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt_us
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         sum(dt_us)         AS span_us,
+         sum(cents * dt_us) AS wsum
+  FROM stepped WHERE dt_us IS NOT NULL GROUP BY 1
+)
+SELECT user_id,
+       round(CAST(span_us AS DOUBLE) / 1e6, 3)                    AS span_s,
+       round(CAST(wsum AS DOUBLE) / (CAST(span_us AS DOUBLE) * 100.0), 4)
+         AS twa_value
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation of customers from orders.
+# ---------------------------------------------------------------------------
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency / frequency / monetary quartiles (ntile over a total order
+    with unique tie-breaks -> deterministic).  Scale note: the three global
+    ntile windows sort ONE ROW PER CUSTOMER (already aggregated), not the
+    fact table; for >1e9 customers switch to approx percentile cuts
+    (documented trade — exactness is what the oracle checks here)."""
+    orders = T(spark, sf_dir, "orders")
+    ref = orders.agg(F.max(F.to_date("o_orderdate")).alias("ref_date"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    per_cust = per_cust.crossJoin(F.broadcast(ref)).select(
+        F.col("o_custkey").alias("custkey"),
+        F.datediff("ref_date", "last_order").alias("recency_days"),
+        "frequency",
+        F.round(F.col("cents") / 100.0, 2).alias("monetary"),
+    )
+    wr = Window.orderBy("recency_days", "custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "custkey")
+    seg = per_cust.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).cast("int").alias("r_q"),
+        F.ntile(4).over(wf).cast("int").alias("f_q"),
+        F.ntile(4).over(wm).cast("int").alias("m_q"),
+    )
+    return seg.withColumn(
+        "segment",
+        F.concat_ws("", F.col("r_q"), F.col("f_q"), F.col("m_q")),
+    )
+
+
+RFM_SEGMENTS_SQL = """
+WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref_date FROM orders),
+per_cust AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', max(CAST(o_orderdate AS DATE)),
+                   (SELECT ref_date FROM ref))               AS recency_days,
+         count(*)                                            AS frequency,
+         round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0, 2)                                   AS monetary
+  FROM orders GROUP BY 1
+)
+SELECT custkey, recency_days, frequency, monetary,
+       CAST(ntile(4) OVER (ORDER BY recency_days, custkey) AS INT)          AS r_q,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS INT)        AS f_q,
+       CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS INT)         AS m_q,
+       CAST(ntile(4) OVER (ORDER BY recency_days, custkey) AS VARCHAR)
+         || CAST(ntile(4) OVER (ORDER BY frequency DESC, custkey) AS VARCHAR)
+         || CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS VARCHAR) AS segment
+FROM per_cust
+"""
+
+
+QUERIES = {
+    "cohort_retention": cohort_retention,
+    "events_transitions": events_transitions,
+    "events_gap_islands": events_gap_islands,
+    "time_weighted_avg": time_weighted_avg,
+    "rfm_segments": rfm_segments,
+}
+
+ORACLES = {
+    "cohort_retention": COHORT_RETENTION_SQL,
+    "events_transitions": EVENTS_TRANSITIONS_SQL,
+    "events_gap_islands": EVENTS_GAP_ISLANDS_SQL,
+    "time_weighted_avg": TIME_WEIGHTED_AVG_SQL,
+    "rfm_segments": RFM_SEGMENTS_SQL,
+}

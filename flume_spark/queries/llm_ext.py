@@ -1,0 +1,265 @@
+"""Round-3 LLM-pipeline query surface: chunking, repetition, vocabulary,
+BM25 retrieval scoring, canonical selection, int8 quantization, cosine
+range search.  All declared per SURVEY.md §7 phase 3; oracles in DuckDB.
+
+Scale stance mirrors the rest of the suite: map-only codegen where possible,
+one bounded shuffle otherwise, broadcast for scalar corpus stats; exact
+brute-force ops are labelled correctness baselines with the bucketed path
+named in their operator docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flume_spark.operators import dedup, similarity, text
+from flume_spark.queries._util import T
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking (RAG prep)
+# ---------------------------------------------------------------------------
+
+
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return text.chunk_sliding(docs, "doc_id", "text", size=32, stride=24)
+
+
+TEXT_CHUNK_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+  FROM documents
+),
+n AS (
+  SELECT doc_id, words, len(words) AS nt,
+         CASE WHEN len(words) <= 32 THEN 1
+              ELSE (len(words) - 32 + 24 - 1) // 24 + 1 END AS n_chunks
+  FROM w
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       len(list_slice(words, i * 24 + 1, least(i * 24 + 32, nt))) AS n_chunk_tokens,
+       array_to_string(list_slice(words, i * 24 + 1, least(i * 24 + 32, nt)), ' ')
+         AS chunk_text
+FROM n, unnest(range(0, n_chunks)) AS t(i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratio (quality signal)
+# ---------------------------------------------------------------------------
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return text.repetition_ratio(docs, "doc_id", "text")
+
+
+TEXT_REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+  FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(words), 1)),
+                        i -> words[i] || ' ' || words[i + 1]) AS bigrams
+  FROM w
+)
+SELECT doc_id,
+       len(bigrams)                 AS n_bigrams,
+       len(list_distinct(bigrams))  AS n_distinct_bigrams,
+       CASE WHEN len(bigrams) > 0
+            THEN round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                             / len(bigrams), 6)
+            ELSE 0.0 END            AS dup_ratio
+FROM bi
+"""
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary top-k
+# ---------------------------------------------------------------------------
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return text.vocab_topk(docs, "text", k=50)
+
+
+VOCAB_TOPK_SQL = r"""
+SELECT word, count(*) AS freq
+FROM (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+  FROM documents
+)
+GROUP BY 1
+ORDER BY freq DESC, word
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring (rational idf — see operators/text.py::bm25_topk)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "scan"]
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, "doc_id", "text", terms=_BM25_TERMS, k=20)
+
+
+TEXT_BM25_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS words,
+         len(regexp_split_to_array(lower(trim(text)), '\s+')) AS dl
+  FROM documents
+),
+tfs AS (
+  SELECT doc_id, dl,
+         len(list_filter(words, w -> w = 'spark')) AS tf0,
+         len(list_filter(words, w -> w = 'join'))  AS tf1,
+         len(list_filter(words, w -> w = 'scan'))  AS tf2
+  FROM base
+),
+stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM tfs
+)
+SELECT doc_id, dl AS doc_len,
+       round(
+         (n_docs - df0 + 0.5) / (df0 + 0.5)
+           * (CAST(tf0 AS DOUBLE) * 2.2)
+           / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+       + (n_docs - df1 + 0.5) / (df1 + 0.5)
+           * (CAST(tf1 AS DOUBLE) * 2.2)
+           / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+       + (n_docs - df2 + 0.5) / (df2 + 0.5)
+           * (CAST(tf2 AS DOUBLE) * 2.2)
+           / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+       , 6) AS bm25
+FROM tfs, stats
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Canonical selection over prefix-dup clusters
+# ---------------------------------------------------------------------------
+
+
+def dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality proxy = n_chars (longest copy wins, ties -> lowest doc_id)."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.canonical_best(
+        docs, "doc_id", "text", F.col("n_chars").cast("double"), prefix_tokens=16
+    )
+
+
+DEDUP_CANONICAL_SQL = r"""
+WITH scored AS (
+  SELECT md5(array_to_string(
+           list_slice(regexp_split_to_array(lower(trim(text)), '\s+'), 1, 16),
+           ' ')) AS cluster_hash,
+         doc_id AS id,
+         CAST(n_chars AS DOUBLE) AS q
+  FROM documents
+),
+ranked AS (
+  SELECT cluster_hash, id, q,
+         row_number() OVER (PARTITION BY cluster_hash ORDER BY q DESC, id)
+           AS rn
+  FROM scored
+)
+SELECT r.cluster_hash,
+       r.id           AS keep_id,
+       s.n_members,
+       s.best_quality
+FROM ranked r
+JOIN (
+  SELECT cluster_hash, count(*) AS n_members, round(max(q), 6) AS best_quality
+  FROM scored GROUP BY 1
+) s USING (cluster_hash)
+WHERE r.rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(emb)
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, x -> abs(x)), 'max') AS scale
+  FROM e
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       array_to_string(
+         list_transform(v, x -> CAST(floor(x / scale * 127.0 + 0.5) AS INT)),
+         ',') AS q_csv
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cosine range search (radius query)
+# ---------------------------------------------------------------------------
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.range_search(emb, F.col("vec_id") < 10, threshold=0.35)
+
+
+ANN_RANGE_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))),
+               6) AS cosine
+  FROM e q JOIN e n ON n.vec_id != q.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, cosine FROM scored WHERE cosine >= 0.35
+"""
+
+
+QUERIES = {
+    "text_chunk_sliding": text_chunk_sliding,
+    "text_repetition": text_repetition,
+    "vocab_topk": vocab_topk,
+    "text_bm25_topk": text_bm25_topk,
+    "dedup_canonical_best": dedup_canonical_best,
+    "embedding_quantize": embedding_quantize,
+    "ann_range_search": ann_range_search,
+}
+
+ORACLES = {
+    "text_chunk_sliding": TEXT_CHUNK_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
+    "vocab_topk": VOCAB_TOPK_SQL,
+    "text_bm25_topk": TEXT_BM25_SQL,
+    "dedup_canonical_best": DEDUP_CANONICAL_SQL,
+    "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
+    "ann_range_search": ANN_RANGE_SQL,
+}

@@ -1,0 +1,155 @@
+"""Round-3 relational surface extensions.
+
+- q11_important_stock: the one classic TPC-H shape the suite lacked (Q11,
+  group-having vs a global-total scalar).  The synthetic schema has no
+  partsupp, so value = lineitem revenue per part (surrogate policy as in
+  tpch_extra.py); the threshold compare runs in EXACT integer cents-x-pct
+  space so no floating-point boundary can flip membership across engines.
+- window_ntile_dist: distribution window functions (ntile / percent_rank /
+  cume_dist) — ratios of ints, IEEE-identical across engines.
+- scalar_array_funcs: array built-in coverage (sort/distinct/slice/contains/
+  position/zip) verified against DuckDB list functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flume_spark.queries._util import T
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: per-part revenue share above a global-total fraction
+# ---------------------------------------------------------------------------
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-by + HAVING against a broadcast scalar total.
+
+    Scale shape: one partial-agg shuffle on l_partkey; the corpus total is a
+    second 1-row aggregate over the SAME partial aggregates (reused plan
+    subtree), broadcast back via crossJoin.  Exact math: revenue in
+    cents x (100 - discount_pct) units (bigint), threshold = total / 2000
+    (0.05% of corpus revenue) compared as value * 2000 > total — integers
+    end to end."""
+    li = T(spark, sf_dir, "lineitem")
+    value_e4 = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(value_e4).alias("value_e4"))
+    total = per_part.agg(F.sum("value_e4").alias("total_e4"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_e4") * 2000 > F.col("total_e4"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_e4") / 1e4, 2).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS value_e4
+  FROM lineitem GROUP BY 1
+),
+total AS (SELECT sum(value_e4) AS total_e4 FROM per_part)
+SELECT l_partkey,
+       round(CAST(value_e4 AS DOUBLE) / 1e4, 2) AS part_value
+FROM per_part, total
+WHERE value_e4 * 2000 > total_e4
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions
+# ---------------------------------------------------------------------------
+
+
+def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist within order priority, total-ordered by
+    (o_totalprice desc, o_orderkey) so ranks are deterministic.  One
+    shuffle on the partition key; each partition sorts independently."""
+    orders = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+WINDOW_NTILE_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(ntile(4) OVER w AS INT)        AS quartile,
+       round(percent_rank() OVER w, 6)     AS pct_rank,
+       round(cume_dist() OVER w, 6)        AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Array built-in coverage
+# ---------------------------------------------------------------------------
+
+
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface over the first 12 document tokens: sort, distinct,
+    slice, contains, position, reverse, element access.  Map-only."""
+    docs = T(spark, sf_dir, "documents")
+    arr = F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 12)
+    out = docs.select(F.col("doc_id"), arr.alias("_a"))
+    return out.select(
+        "doc_id",
+        F.size("_a").alias("n"),
+        F.array_join(F.array_sort("_a"), " ").alias("sorted_join"),
+        F.size(F.array_distinct("_a")).alias("n_distinct"),
+        F.array_join(F.slice("_a", 3, 4), " ").alias("mid_slice"),
+        F.array_contains("_a", "table").cast("int").alias("has_table"),
+        F.array_position("_a", "scan").cast("int").alias("scan_pos"),
+        F.element_at("_a", -1).alias("last_tok"),
+        F.array_join(F.reverse("_a"), " ").alias("reversed_join"),
+    )
+
+
+SCALAR_ARRAY_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_slice(regexp_split_to_array(lower(trim(text)), '\s+'), 1, 12) AS a
+  FROM documents
+)
+SELECT doc_id,
+       len(a)                                        AS n,
+       array_to_string(list_sort(a), ' ')            AS sorted_join,
+       len(list_distinct(a))                         AS n_distinct,
+       array_to_string(list_slice(a, 3, 6), ' ')     AS mid_slice,
+       CAST(list_contains(a, 'table') AS INT)        AS has_table,
+       CAST(coalesce(list_position(a, 'scan'), 0) AS INT) AS scan_pos,
+       a[-1]                                         AS last_tok,
+       array_to_string(list_reverse(a), ' ')         AS reversed_join
+FROM w
+"""
+
+
+QUERIES = {
+    "q11_important_stock": q11_important_stock,
+    "window_ntile_dist": window_ntile_dist,
+    "scalar_array_funcs": scalar_array_funcs,
+}
+
+ORACLES = {
+    "q11_important_stock": Q11_SQL,
+    "window_ntile_dist": WINDOW_NTILE_SQL,
+    "scalar_array_funcs": SCALAR_ARRAY_SQL,
+}
