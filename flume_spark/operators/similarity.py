@@ -459,3 +459,52 @@ def range_search(
         "neighbor_id",
         F.round(cosine_expr("qv", "nv"), 6).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+def int8_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors scored on symmetric-int8 quantized vectors.
+
+    The production ANN pattern quantize_int8 exists for: score candidates on
+    int8 codes (4-8x less memory traffic than floats), re-rank the survivors
+    in full precision if needed.  Here the scoring itself: per-vector scale =
+    max|x|, codes = floor(x/scale*127+0.5), similarity = integer dot product
+    of the codes — EXACT int64 arithmetic, so ranking is bit-reproducible
+    across engines (no cosine float fold at all).
+
+    Same broadcast-Q nested-loop shape as brute_force_topk; the bucketed
+    variants (ivf/lsh) compose with the same scoring expression.
+
+    Returns (query_id, neighbor_id, rank, qdot) with qdot the int dot.
+    """
+    from flume_spark.operators.dedup import _spread
+
+    v = _to_double(vec_col)
+    scale = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda acc, x: F.greatest(acc, x)
+    )
+    codes = F.transform(v, lambda x: F.floor(x / scale * 127.0 + 0.5).cast("long"))
+    quantized = emb.select(F.col(id_col), codes.alias("code"))
+    q = quantized.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col("code").alias("qc")
+    )
+    n = _spread(quantized).select(
+        F.col(id_col).alias("neighbor_id"), F.col("code").alias("nc")
+    )
+    pairs = F.broadcast(q).join(n, F.col("query_id") != F.col("neighbor_id"))
+    qdot = F.aggregate(
+        F.zip_with("qc", "nc", lambda x, y: x * y), F.lit(0).cast("long"),
+        lambda acc, p: acc + p,
+    )
+    scored = pairs.select("query_id", "neighbor_id", qdot.alias("qdot"))
+    w = Window.partitionBy("query_id").orderBy(F.col("qdot").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "qdot")
+    )

@@ -265,8 +265,100 @@ FROM per_cust
 """
 
 
+# ---------------------------------------------------------------------------
+# Robust anomaly detection: median/MAD outliers per event type.
+# ---------------------------------------------------------------------------
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value deviates from the per-type median by more than
+    3x the median absolute deviation (robust to the outliers themselves,
+    unlike stddev-based z-scores).
+
+    Two passes over events (median, then MAD of residuals) reducing to a
+    5-row stats frame that broadcasts back; the flagging pass is map-only.
+    Exact percentiles over 2-decimal values interpolate as (a+b)/2 —
+    IEEE-identical across engines (same discipline as agg_percentiles);
+    the compare uses the raw doubles, display columns are rounded."""
+    ev = T(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    resid = ev.join(F.broadcast(med), "event_type")
+    mad = resid.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        F.first("med").alias("med"),
+    )
+    flagged = ev.join(F.broadcast(mad), "event_type").filter(
+        F.abs(F.col("value") - F.col("med")) > 3.0 * F.col("mad")
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("med", 4).alias("median_value"),
+        F.round(F.abs(F.col("value") - F.col("med")) / F.col("mad"), 4).alias(
+            "mad_score"
+        ),
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+),
+mad AS (
+  SELECT e.event_type,
+         quantile_cont(abs(e.value - m.med), 0.5) AS mad,
+         any_value(m.med) AS med
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(m.med, 4)                              AS median_value,
+       round(abs(e.value - m.med) / m.mad, 4)       AS mad_score
+FROM events e JOIN mad m USING (event_type)
+WHERE abs(e.value - m.med) > 3.0 * m.mad
+"""
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence: part pairs bought in the same order.
+# ---------------------------------------------------------------------------
+
+
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs by co-purchase support.  The self-join keys on
+    l_orderkey so per-order pair fan-out is C(lines, 2) with lines bounded
+    by basket size (~7) — linear-in-orders shuffle, never corpus-quadratic;
+    distinct (order, part) first so duplicate lines don't inflate support."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = a.join(b, "l_orderkey").filter(F.col("part_a") < F.col("part_b"))
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+ORDERS_BASKET_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS support
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY support DESC, part_a, part_b
+LIMIT 20
+"""
+
+
 QUERIES = {
     "cohort_retention": cohort_retention,
+    "events_anomaly_mad": events_anomaly_mad,
+    "orders_market_basket": orders_market_basket,
     "events_transitions": events_transitions,
     "events_gap_islands": events_gap_islands,
     "time_weighted_avg": time_weighted_avg,
@@ -275,6 +367,8 @@ QUERIES = {
 
 ORACLES = {
     "cohort_retention": COHORT_RETENTION_SQL,
+    "events_anomaly_mad": EVENTS_ANOMALY_SQL,
+    "orders_market_basket": ORDERS_BASKET_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,
     "events_gap_islands": EVENTS_GAP_ISLANDS_SQL,
     "time_weighted_avg": TIME_WEIGHTED_AVG_SQL,

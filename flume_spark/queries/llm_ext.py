@@ -244,8 +244,99 @@ SELECT query_id, neighbor_id, cosine FROM scored WHERE cosine >= 0.35
 """
 
 
+# ---------------------------------------------------------------------------
+# int8-quantized ANN top-k (exact integer scoring — no float fold at all)
+# ---------------------------------------------------------------------------
+
+
+def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.int8_topk(emb, F.col("vec_id") < 15, k=5)
+
+
+ANN_INT8_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+qz AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(floor(
+           x / list_aggregate(list_transform(v, y -> abs(y)), 'max')
+             * 127.0 + 0.5) AS BIGINT)) AS code
+  FROM e
+),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         CAST(list_dot_product(CAST(q.code AS DOUBLE[]),
+                               CAST(n.code AS DOUBLE[])) AS BIGINT) AS qdot
+  FROM qz q JOIN qz n ON n.vec_id != q.vec_id
+  WHERE q.vec_id < 15
+),
+ranked AS (
+  SELECT query_id, neighbor_id, qdot,
+         row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id)
+           AS "rank"
+  FROM scored
+)
+SELECT query_id, neighbor_id, "rank", qdot FROM ranked WHERE "rank" <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-commonness score (rarity signal for quality filtering)
+# ---------------------------------------------------------------------------
+
+
+def text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean corpus document-frequency of each doc's distinct tokens — low
+    values mean rare vocabulary (OCR noise, code, non-language), a cheap
+    perplexity proxy with no model.
+
+    Scale: explode distinct tokens (bounded by doc length), one groupBy on
+    token for the df table (vocab-sized — broadcasts), one groupBy back on
+    doc_id.  Exact bigint sums; the mean is a SINGLE unrounded division of
+    two ints, bit-identical across engines (rounding could flip a half
+    boundary — see verify-skill gotchas)."""
+    docs = T(spark, sf_dir, "documents")
+    from flume_spark.operators.text import tokens_col
+
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("token")
+    )
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = toks.join(F.broadcast(dfreq), "token").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.sum("df").alias("df_sum"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_distinct_tokens",
+        "df_sum",
+        (F.col("df_sum").cast("double") / F.col("n_distinct_tokens")).alias("mean_df"),
+    )
+
+
+TEXT_COMMONNESS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\s+')))
+           AS token
+  FROM documents
+),
+dfreq AS (SELECT token, count(*) AS df FROM toks GROUP BY 1)
+SELECT doc_id,
+       count(*)                        AS n_distinct_tokens,
+       CAST(sum(df) AS BIGINT)         AS df_sum,
+       CAST(sum(df) AS DOUBLE) / count(*) AS mean_df
+FROM toks JOIN dfreq USING (token)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "text_chunk_sliding": text_chunk_sliding,
+    "ann_topk_int8": ann_topk_int8,
+    "text_commonness": text_commonness,
     "text_repetition": text_repetition,
     "vocab_topk": vocab_topk,
     "text_bm25_topk": text_bm25_topk,
@@ -256,6 +347,8 @@ QUERIES = {
 
 ORACLES = {
     "text_chunk_sliding": TEXT_CHUNK_SQL,
+    "ann_topk_int8": ANN_INT8_SQL,
+    "text_commonness": TEXT_COMMONNESS_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "text_bm25_topk": TEXT_BM25_SQL,

@@ -222,3 +222,78 @@ def test_rfm_segments_quartiles_are_int(spark):
     df = QUERIES["rfm_segments"](spark, SF_ORACLE)
     types = dict(df.dtypes)
     assert types["r_q"] == "int" and types["f_q"] == "int" and types["m_q"] == "int"
+
+
+# ---------------------------------------------------------------------------
+# batch 2: int8 ANN, commonness, anomaly MAD, market basket
+# ---------------------------------------------------------------------------
+
+
+def test_int8_topk_matches_obvious_neighbor(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.int8_topk(df, F.col("vec_id") == 0, k=2).collect()
+    assert [r.neighbor_id for r in out] == [1, 2]
+    # integer dot: codes(0)=[127,0], codes(1)=[127,14] -> 127*127
+    assert out[0].qdot == 127 * 127
+
+
+def test_int8_topk_broadcasts_queries(spark):
+    df = QUERIES["ann_topk_int8"](spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_commonness_rare_vocab_scores_low(spark):
+    df = spark.createDataFrame(
+        [(1, "common common words"), (2, "common words"), (3, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    # micro-check of the same expression pipeline text_commonness declares
+    from flume_spark.operators.text import tokens_col
+
+    toks = df.select("doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("token"))
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = toks.join(F.broadcast(dfreq), "token").groupBy("doc_id").agg(
+        (F.sum("df").cast("double") / F.count(F.lit(1))).alias("mean_df")
+    )
+    got = {r.doc_id: r.mean_df for r in per_doc.collect()}
+    assert got[3] == 1.0          # unique vocabulary
+    assert got[1] == 2.0 and got[2] == 2.0  # both tokens appear in 2 docs
+    assert got[3] < got[1]
+
+
+def test_anomaly_mad_flags_planted_outlier(spark):
+    rows = [(i, "click", 10.0 + (i % 3) * 0.01) for i in range(20)]
+    rows.append((99, "click", 500.0))
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    med = df.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    mad = (
+        df.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"), F.first("med").alias("med"))
+    )
+    flagged = df.join(F.broadcast(mad), "event_type").filter(
+        F.abs(F.col("value") - F.col("med")) > 3.0 * F.col("mad")
+    )
+    assert [r.event_id for r in flagged.collect()] == [99]
+
+
+def test_market_basket_pairs_are_ordered_and_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 10), (2, 10), (2, 20), (3, 30)],
+        "l_orderkey long, l_partkey long",
+    )
+    d = df.distinct()
+    a = d.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = d.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .collect()
+    )
+    assert [(r.part_a, r.part_b, r.support) for r in pairs] == [(10, 20, 2)]
