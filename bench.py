@@ -53,6 +53,13 @@ HEADLINE = [
     "window_session",
     "join_asof",
     "agg_percentiles",
+    # round-3 session-2 additions (absent from earlier BENCH rounds — the
+    # like-for-like baseline comparison excludes them; see BASELINE.md)
+    "text_bm25_topk",
+    "dedup_passage",
+    "ann_topk_int8",
+    "cohort_retention",
+    "orders_market_basket",
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

@@ -594,3 +594,54 @@ def canonical_best(
             F.round(F.max("q"), 6).alias("best_quality"),
         )
     )
+
+
+def passage_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 32,
+) -> DataFrame:
+    """Passage-level duplication: chunk each document into NON-overlapping
+    `chunk_tokens` windows, hash each chunk, and report per document how
+    many of its chunks also appear (byte-identical) in OTHER documents.
+
+    This is the scalable stand-in for suffix-array substring dedup (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"): exact
+    substring matching is quadratic/suffix-automaton territory, but shared
+    fixed-width passages catch the dominant case (boilerplate paragraphs,
+    syndicated blocks) with one chunk-hash shuffle — cost linear in corpus
+    tokens, partial-agg friendly, no UDF.
+
+    Returns (id, n_chunks, n_shared_chunks, shared_ratio): shared_ratio is
+    the fraction of the doc's chunks that some other document also
+    contains (1.0 = fully reconstructable from elsewhere in the corpus).
+    """
+    from flume_spark.operators.text import chunk_sliding
+
+    chunks = chunk_sliding(
+        _spread(df), id_col, text_col, size=chunk_tokens, stride=chunk_tokens
+    ).select(F.col(id_col).alias("id"), F.md5("chunk_text").alias("h"))
+    # distinct docs per chunk-hash; a chunk is "shared" when >= 2 docs hold it
+    per_hash = chunks.distinct().groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_docs_with_chunk")
+    )
+    joined = chunks.join(per_hash, "h")
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_docs_with_chunk") >= 2).cast("long")).alias(
+                "n_shared_chunks"
+            ),
+        )
+        .select(
+            "id",
+            "n_chunks",
+            "n_shared_chunks",
+            # ratio of small ints: one IEEE division, identical cross-engine
+            (F.col("n_shared_chunks").cast("double") / F.col("n_chunks")).alias(
+                "shared_ratio"
+            ),
+        )
+    )

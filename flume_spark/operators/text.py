@@ -561,11 +561,19 @@ def bm25_topk(
     scores are added in fixed written order, not via an aggregate, so the
     double result is bit-identical across engines; rounded to 6.
     """
-    words = tokens_col(text_col)
-    base = df.select(F.col(id_col), words.alias("_words"), F.size(words).alias("dl"))
-    for i, t in enumerate(terms):
-        tf = F.expr(f"size(filter(_words, w -> w = '{t}'))")
-        base = base.withColumn(f"_tf{i}", tf)
+    # tokenize ONCE and reuse the aliased array for dl and every tf — the
+    # regex split dominates the map stage, so recomputing it per derived
+    # column would double-to-quadruple the pass cost
+    base = df.select(F.col(id_col), tokens_col(text_col).alias("_words"))
+    base = base.select(
+        id_col,
+        "_words",
+        F.size("_words").alias("dl"),
+        *[
+            F.expr(f"size(filter(_words, w -> w = '{t}'))").alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),

@@ -333,10 +333,53 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Passage-level dedup (scalable substring-dedup analog)
+# ---------------------------------------------------------------------------
+
+
+def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return dedup.passage_dedup_stats(docs, "doc_id", "text", chunk_tokens=16)
+
+
+DEDUP_PASSAGE_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS words
+  FROM documents
+),
+n AS (
+  SELECT doc_id, words, len(words) AS nt,
+         CASE WHEN len(words) <= 16 THEN 1
+              ELSE (len(words) - 16 + 16 - 1) // 16 + 1 END AS n_chunks
+  FROM w
+),
+chunks AS (
+  SELECT doc_id AS id,
+         md5(array_to_string(
+           list_slice(words, i * 16 + 1, least(i * 16 + 16, nt)), ' ')) AS h
+  FROM n, unnest(range(0, n_chunks)) AS t(i)
+),
+per_hash AS (
+  SELECT h, count(*) AS n_docs_with_chunk
+  FROM (SELECT DISTINCT id, h FROM chunks) GROUP BY 1
+)
+SELECT id,
+       count(*)                                              AS n_chunks,
+       CAST(sum(CASE WHEN n_docs_with_chunk >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks,
+       CAST(sum(CASE WHEN n_docs_with_chunk >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*)                                          AS shared_ratio
+FROM chunks JOIN per_hash USING (h)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "text_chunk_sliding": text_chunk_sliding,
     "ann_topk_int8": ann_topk_int8,
     "text_commonness": text_commonness,
+    "dedup_passage": dedup_passage,
     "text_repetition": text_repetition,
     "vocab_topk": vocab_topk,
     "text_bm25_topk": text_bm25_topk,
@@ -349,6 +392,7 @@ ORACLES = {
     "text_chunk_sliding": TEXT_CHUNK_SQL,
     "ann_topk_int8": ANN_INT8_SQL,
     "text_commonness": TEXT_COMMONNESS_SQL,
+    "dedup_passage": DEDUP_PASSAGE_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "text_bm25_topk": TEXT_BM25_SQL,

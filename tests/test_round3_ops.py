@@ -297,3 +297,35 @@ def test_market_basket_pairs_are_ordered_and_distinct(spark):
         .collect()
     )
     assert [(r.part_a, r.part_b, r.support) for r in pairs] == [(10, 20, 2)]
+
+
+# ---------------------------------------------------------------------------
+# passage dedup
+# ---------------------------------------------------------------------------
+
+
+def test_passage_dedup_detects_shared_block(spark):
+    block = " ".join(f"b{i}" for i in range(16))
+    unique1 = " ".join(f"u{i}" for i in range(16))
+    unique2 = " ".join(f"v{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [
+            (1, block + " " + unique1),   # chunk0 = block (shared), chunk1 unique
+            (2, block + " " + unique2),
+            (3, "totally separate words only here"),
+        ],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in dedup.passage_dedup_stats(df, "id", "text", 16).collect()}
+    assert rows[1].n_chunks == 2 and rows[1].n_shared_chunks == 1
+    assert rows[1].shared_ratio == 0.5
+    assert rows[2].shared_ratio == 0.5
+    assert rows[3].n_shared_chunks == 0
+
+
+def test_passage_dedup_internal_repeat_not_cross_doc(spark):
+    """A doc repeating its own passage is NOT flagged (shared = other docs)."""
+    block = " ".join(f"r{i}" for i in range(16))
+    df = spark.createDataFrame([(1, block + " " + block)], "id long, text string")
+    row = dedup.passage_dedup_stats(df, "id", "text", 16).collect()[0]
+    assert row.n_chunks == 2 and row.n_shared_chunks == 0
