@@ -52,6 +52,26 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def shingle_array_expr(words_sql: str, n: int) -> Column:
+    """Space-joined n-gram array over a words-array SQL expression.
+
+    `words_sql` is any SQL expression yielding array<string> (a `split(...)`
+    call, or the name of an already-tokenized column to avoid re-splitting).
+    Positions 0..len-n build the n-grams in codegen; short inputs are
+    guarded because Spark's sequence(0, -1) yields a DESCENDING sequence.
+    Shared by word_shingles and text.repetition_ratio so the tricky guard
+    lives in exactly one place.
+    """
+    if n == 1:
+        return F.expr(words_sql)
+    return F.expr(
+        f"CASE WHEN size({words_sql}) >= {n} "
+        f"THEN transform(sequence(0, size({words_sql}) - {n}), "
+        f"     i -> concat_ws(' ', slice({words_sql}, i + 1, {n}))) "
+        f"ELSE cast(array() AS array<string>) END"
+    )
+
+
 def word_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
@@ -63,18 +83,7 @@ def word_shingles(
     min over its set) — it removes a full shuffle of the exploded table,
     the largest intermediate in the pipeline.
     """
-    words_sql = f"split(lower(trim({text_col})), '\\\\s+')"
-    if n == 1:
-        shingle_arr = F.expr(words_sql)
-    else:
-        # positions 0..len-n building space-joined n-grams; guard short docs
-        # (Spark's sequence(0, -1) would yield a descending sequence).
-        shingle_arr = F.expr(
-            f"CASE WHEN size({words_sql}) >= {n} "
-            f"THEN transform(sequence(0, size({words_sql}) - {n}), "
-            f"     i -> concat_ws(' ', slice({words_sql}, i + 1, {n}))) "
-            f"ELSE cast(array() AS array<string>) END"
-        )
+    shingle_arr = shingle_array_expr(f"split(lower(trim({text_col})), '\\\\s+')", n)
     exploded = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(shingle_arr).alias("shingle")
     )
@@ -582,14 +591,16 @@ def canonical_best(
         F.col(id_col).alias("id"),
         quality_col.alias("q"),
     )
-    # max_by over a struct: (q desc, id asc) -> encode id descending-proof by
-    # negating it inside the ordering struct so ONE max_by resolves ties.
+    # min_by over (-q, id): min of negated quality = max quality, ties fall
+    # through to the id's OWN ordering — works for numeric AND string ids
+    # (negating the id instead would implicit-cast strings to NULL and make
+    # the pick nondeterministic).
     return (
         scored.groupBy("cluster_hash")
         .agg(
-            F.max_by(F.col("id"), F.struct(F.col("q"), (-F.col("id")).alias("nid"))).alias(
-                "keep_id"
-            ),
+            F.min_by(
+                F.col("id"), F.struct((-F.col("q")).alias("nq"), F.col("id"))
+            ).alias("keep_id"),
             F.count(F.lit(1)).alias("n_members"),
             F.round(F.max("q"), 6).alias("best_quality"),
         )
@@ -616,15 +627,27 @@ def passage_dedup_stats(
     Returns (id, n_chunks, n_shared_chunks, shared_ratio): shared_ratio is
     the fraction of the doc's chunks that some other document also
     contains (1.0 = fully reconstructable from elsewhere in the corpus).
+
+    Plan shape: the chunk/md5 map stage feeds ONE explicit Exchange on h;
+    both consumers (the per-hash distinct-doc count and the join probe)
+    read that same exchange (ReusedExchange — tokenize/hash runs once),
+    the h-join adds no exchange of its own, and the per-doc rollup is the
+    second and final shuffle.  Gated in tests/test_round3_ops.py.
     """
     from flume_spark.operators.text import chunk_sliding
 
-    chunks = chunk_sliding(
-        _spread(df), id_col, text_col, size=chunk_tokens, stride=chunk_tokens
-    ).select(F.col(id_col).alias("id"), F.md5("chunk_text").alias("h"))
-    # distinct docs per chunk-hash; a chunk is "shared" when >= 2 docs hold it
-    per_hash = chunks.distinct().groupBy("h").agg(
-        F.count(F.lit(1)).alias("n_docs_with_chunk")
+    chunks = (
+        chunk_sliding(
+            _spread(df), id_col, text_col, size=chunk_tokens, stride=chunk_tokens
+        )
+        .select(F.col(id_col).alias("id"), F.md5("chunk_text").alias("h"))
+        .repartition("h")
+    )
+    # distinct docs per chunk-hash; a chunk is "shared" when >= 2 docs hold
+    # it.  count_distinct AFTER the h-repartition aggregates locally (all
+    # rows of an h share a partition) instead of re-shuffling a distinct.
+    per_hash = chunks.groupBy("h").agg(
+        F.count_distinct("id").alias("n_docs_with_chunk")
     )
     joined = chunks.join(per_hash, "h")
     return (

@@ -394,6 +394,19 @@ def kmeans(
 # ---------------------------------------------------------------------------
 
 
+def _int8_scale_and_codes(vec_col: str | Column, code_type: str = "int"):
+    """The single definition of the quantization rule: scale = max(|x|),
+    code_i = floor(x_i / scale * 127 + 0.5).  Shared by quantize_int8
+    (storage) and int8_topk (scoring) so the stored codes can never
+    de-synchronize from the search path."""
+    v = _to_double(vec_col)
+    scale = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda acc, x: F.greatest(acc, x)
+    )
+    codes = F.transform(v, lambda x: F.floor(x / scale * 127.0 + 0.5).cast(code_type))
+    return scale, codes
+
+
 def quantize_int8(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -409,21 +422,11 @@ def quantize_int8(
     string so the value is hashable across engines regardless of their
     array-encoding differences.
     """
-    v = _to_double(vec_col)
-    scale = F.aggregate(
-        F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda acc, x: F.greatest(acc, x)
-    )
-    out = emb.select(
-        F.col(id_col), v.alias("_v"), scale.alias("_scale")
-    )
-    q = F.transform(
-        F.col("_v"),
-        lambda x: F.floor(x / F.col("_scale") * 127.0 + 0.5).cast("int"),
-    )
-    return out.select(
+    scale, codes = _int8_scale_and_codes(vec_col)
+    return emb.select(
         F.col(id_col),
-        F.round(F.col("_scale"), 6).alias("scale"),
-        F.array_join(q, ",").alias("q_csv"),
+        F.round(scale, 6).alias("scale"),
+        F.array_join(codes, ",").alias("q_csv"),
     )
 
 
@@ -484,11 +487,7 @@ def int8_topk(
     """
     from flume_spark.operators.dedup import _spread
 
-    v = _to_double(vec_col)
-    scale = F.aggregate(
-        F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda acc, x: F.greatest(acc, x)
-    )
-    codes = F.transform(v, lambda x: F.floor(x / scale * 127.0 + 0.5).cast("long"))
+    _, codes = _int8_scale_and_codes(vec_col, code_type="long")
     quantized = emb.select(F.col(id_col), codes.alias("code"))
     q = quantized.filter(query_pred).select(
         F.col(id_col).alias("query_id"), F.col("code").alias("qc")

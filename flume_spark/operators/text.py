@@ -502,14 +502,12 @@ def repetition_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Map-only codegen (no shuffle, no UDF).  The single division of two small
     ints is IEEE-identical across engines; rounded to 6 for the oracle hash.
     """
+    from flume_spark.operators.dedup import shingle_array_expr
+
     out = df.select(F.col(id_col), tokens_col(text_col).alias("_words"))
-    # NB sequence(0, -1) DESCENDS in Spark, so guard short docs explicitly
-    bigrams = F.expr(
-        "CASE WHEN size(_words) < 2 THEN slice(_words, 1, 0) ELSE"
-        " transform(sequence(0, size(_words) - 2),"
-        " i -> concat(_words[i], ' ', _words[i + 1])) END"
-    )
-    out = out.select(F.col(id_col), bigrams.alias("_bi"))
+    # shared bigram builder; "_words" passes the pre-tokenized column so the
+    # regex split runs once per row
+    out = out.select(F.col(id_col), shingle_array_expr("_words", 2).alias("_bi"))
     n = F.size("_bi")
     nd = F.size(F.array_distinct("_bi"))
     return out.select(
@@ -556,11 +554,27 @@ def bm25_topk(
     aggregate rows, nothing else.
 
     Determinism: idf uses the RATIONAL form (N - df + 0.5)/(df + 0.5) rather
-    than its log (same ranking — log is monotone; avoids cross-engine libm
-    differences, the same trade documented in tfidf_topk).  The per-term
-    scores are added in fixed written order, not via an aggregate, so the
-    double result is bit-identical across engines; rounded to 6.
+    than its log, avoiding cross-engine libm differences (the tfidf_topk
+    trade).  NB this preserves PER-TERM ordering (log is monotone) but the
+    multi-term SUM can rank differently than log-idf BM25 — rare terms
+    weigh relatively heavier.  It is a deterministic BM25-family score,
+    not textbook BM25; callers needing the textbook ranking should apply
+    ln() to the idf factor and accept last-ulp engine divergence.  The
+    per-term scores are added in fixed written order, not via an
+    aggregate, so the double result is bit-identical across engines;
+    rounded to 6.
+
+    `terms` must be non-empty lowercase tokens matching [a-z0-9_-]+ — they
+    are inlined into a SQL lambda, so arbitrary strings are rejected
+    rather than parsed.
     """
+    import re
+
+    if not terms:
+        raise ValueError("bm25_topk requires at least one query term")
+    for t in terms:
+        if not re.fullmatch(r"[a-z0-9_-]+", t):
+            raise ValueError(f"unsupported query term {t!r} (need [a-z0-9_-]+)")
     # tokenize ONCE and reuse the aliased array for dl and every tf — the
     # regex split dominates the map stage, so recomputing it per derived
     # column would double-to-quadruple the pass cost

@@ -26,24 +26,24 @@ from flume_spark.queries._util import T
 
 
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two shuffles, both on user_id (first-touch agg, then the
-    activity-week distinct) — co-partitioned, so AQE fuses them into one
-    exchange; the final (cohort, offset) agg has ~weeks² groups, tiny."""
+    """ONE user-keyed shuffle computes both the first-touch cohort (min)
+    and the distinct active weeks (collect_set, bounded by the corpus time
+    span — weeks, not events) in a single aggregate; exploding the set
+    yields at most one row per (user, week) by construction, so the final
+    tiny (cohort, offset) rollup is a plain count.  No join, no second
+    distinct exchange."""
     ev = T(spark, sf_dir, "events")
-    first = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    per_user = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"),
+        F.collect_set(F.date_trunc("week", "ts")).alias("weeks"),
     )
-    weeks = ev.select(
-        "user_id", F.date_trunc("week", "ts").alias("week")
-    ).distinct()
-    joined = weeks.join(first, "user_id")
-    return (
-        joined.groupBy(
-            "cohort_week",
-            ((F.datediff("week", "cohort_week")) / 7).cast("int").alias("week_offset"),
-        )
-        .agg(F.count_distinct("user_id").alias("n_users"))
+    activity = per_user.select(
+        "user_id", "cohort_week", F.explode("weeks").alias("week")
     )
+    return activity.groupBy(
+        "cohort_week",
+        ((F.datediff("week", "cohort_week")) / 7).cast("int").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
 
 
 COHORT_RETENTION_SQL = """
@@ -104,24 +104,39 @@ GROUP BY 1, 2
 
 
 def events_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classic island trick: day_number - row_number is constant within a
-    consecutive run.  Integer day numbers from a fixed anchor keep the
-    grouping key engine-agnostic (no date-interval arithmetic).  Two
-    user-keyed shuffles (distinct days, then the window) — co-partitioned."""
+    """Consecutive-active-day streaks in ONE user-keyed shuffle: collect
+    the distinct day-number set per user (bounded by the time span, not
+    the event count), sort it, and fold streaks with array expressions —
+    a run break is every position where day[i] != day[i-1] + 1, so
+    n_streaks = breaks + 1 and the longest streak falls out of one
+    sequential aggregate.  Replaces the classic 3-shuffle
+    distinct + row_number-island formulation with map-side array math."""
     ev = T(spark, sf_dir, "events")
-    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
-    daynum = F.datediff("day", F.lit("2024-01-01").cast("date"))
-    w = Window.partitionBy("user_id").orderBy("day")
-    grp = (daynum - F.row_number().over(w)).alias("grp")
-    islands = (
-        days.select("user_id", "day", grp)
-        .groupBy("user_id", "grp")
-        .agg(F.count(F.lit(1)).alias("streak_len"))
+    daynum = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set(daynum)).alias("days")
     )
-    return islands.groupBy("user_id").agg(
-        F.sum("streak_len").alias("n_active_days"),
-        F.count(F.lit(1)).alias("n_streaks"),
-        F.max("streak_len").alias("longest_streak"),
+    # streak lengths via a fold over the sorted day numbers: carry
+    # (current_run, best_run); a gap resets the run.
+    streaks = F.expr(
+        """
+        aggregate(
+          slice(days, 2, size(days)),
+          struct(1 AS run, 1 AS best, days[0] AS prev, 1 AS n_streaks),
+          (acc, d) -> struct(
+            IF(d = acc.prev + 1, acc.run + 1, 1)                    AS run,
+            greatest(acc.best, IF(d = acc.prev + 1, acc.run + 1, 1)) AS best,
+            d                                                        AS prev,
+            acc.n_streaks + IF(d = acc.prev + 1, 0, 1)               AS n_streaks
+          )
+        )
+        """
+    )
+    return per_user.select(
+        "user_id",
+        F.size("days").cast("long").alias("n_active_days"),
+        streaks.getField("n_streaks").cast("long").alias("n_streaks"),
+        streaks.getField("best").cast("long").alias("longest_streak"),
     )
 
 

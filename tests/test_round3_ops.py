@@ -181,41 +181,26 @@ def test_cohort_retention_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_time_weighted_avg_exact_integer_core(spark):
-    """TWA equals the hand-computed step integral on a micro input."""
+def test_time_weighted_avg_exact_integer_core(spark, monkeypatch):
+    """The SHIPPED time_weighted_avg equals the hand-computed step integral
+    on a micro input (T monkeypatched so the real query body runs):
+    10s @ 10.0 + 30s @ 20.0 over 40s = (100 + 600) / 40 = 17.5."""
     import datetime as dt
 
-    rows = [
-        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 10.0),
-        (1, dt.datetime(2024, 1, 1, 0, 0, 10), 20.0),
-        (1, dt.datetime(2024, 1, 1, 0, 0, 40), 0.0),
-    ]
-    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
-    df = df.withColumn("event_id", F.col("user_id"))
-    df.createOrReplaceTempView("_twa_events")
     from flume_spark.queries import analytics
 
-    ev = df
-    # reuse the query body by monkeypatching T is overkill; inline the math:
-    # 10s @ 10.0 + 30s @ 20.0 over 40s = (100 + 600) / 40 = 17.5
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    stepped = ev.select(
-        "user_id",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-        (
-            F.unix_micros(F.lead("ts").over(w).cast("timestamp"))
-            - F.unix_micros(F.col("ts").cast("timestamp"))
-        ).alias("dt_us"),
-    ).filter(F.col("dt_us").isNotNull())
-    agg = stepped.groupBy("user_id").agg(
-        F.sum("dt_us").alias("span_us"), F.sum(F.col("cents") * F.col("dt_us")).alias("wsum")
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 0, 0, 0), 10.0),
+        (2, 1, dt.datetime(2024, 1, 1, 0, 0, 10), 20.0),
+        (3, 1, dt.datetime(2024, 1, 1, 0, 0, 40), 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
     )
-    out = agg.select(
-        F.round(F.col("wsum") / (F.col("span_us") * 100.0), 4).alias("twa")
-    ).collect()
-    assert out[0].twa == 17.5
+    monkeypatch.setattr(analytics, "T", lambda s, d, n: df)
+    out = analytics.time_weighted_avg(spark, "ignored").collect()
+    assert len(out) == 1
+    assert out[0].twa_value == 17.5 and out[0].span_s == 40.0
 
 
 def test_rfm_segments_quartiles_are_int(spark):
@@ -246,56 +231,45 @@ def test_int8_topk_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan and "SortMergeJoin" not in plan
 
 
-def test_commonness_rare_vocab_scores_low(spark):
+def test_commonness_rare_vocab_scores_low(spark, monkeypatch):
+    from flume_spark.queries import llm_ext
+
     df = spark.createDataFrame(
         [(1, "common common words"), (2, "common words"), (3, "zzz qqq")],
         "doc_id long, text string",
     )
-    # micro-check of the same expression pipeline text_commonness declares
-    from flume_spark.operators.text import tokens_col
-
-    toks = df.select("doc_id", F.explode(F.array_distinct(tokens_col("text"))).alias("token"))
-    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    per_doc = toks.join(F.broadcast(dfreq), "token").groupBy("doc_id").agg(
-        (F.sum("df").cast("double") / F.count(F.lit(1))).alias("mean_df")
-    )
-    got = {r.doc_id: r.mean_df for r in per_doc.collect()}
+    monkeypatch.setattr(llm_ext, "T", lambda s, d, n: df)
+    got = {
+        r.doc_id: r.mean_df
+        for r in llm_ext.text_commonness(spark, "ignored").collect()
+    }
     assert got[3] == 1.0          # unique vocabulary
     assert got[1] == 2.0 and got[2] == 2.0  # both tokens appear in 2 docs
     assert got[3] < got[1]
 
 
-def test_anomaly_mad_flags_planted_outlier(spark):
+def test_anomaly_mad_flags_planted_outlier(spark, monkeypatch):
+    from flume_spark.queries import analytics
+
     rows = [(i, "click", 10.0 + (i % 3) * 0.01) for i in range(20)]
     rows.append((99, "click", 500.0))
     df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
-    med = df.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
-    mad = (
-        df.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"), F.first("med").alias("med"))
-    )
-    flagged = df.join(F.broadcast(mad), "event_type").filter(
-        F.abs(F.col("value") - F.col("med")) > 3.0 * F.col("mad")
-    )
-    assert [r.event_id for r in flagged.collect()] == [99]
+    monkeypatch.setattr(analytics, "T", lambda s, d, n: df)
+    out = analytics.events_anomaly_mad(spark, "ignored").collect()
+    assert [r.event_id for r in out] == [99]
+    assert out[0].median_value == 10.01
 
 
-def test_market_basket_pairs_are_ordered_and_distinct(spark):
+def test_market_basket_pairs_are_ordered_and_distinct(spark, monkeypatch):
+    from flume_spark.queries import analytics
+
     df = spark.createDataFrame(
         [(1, 10), (1, 20), (1, 10), (2, 10), (2, 20), (3, 30)],
         "l_orderkey long, l_partkey long",
     )
-    d = df.distinct()
-    a = d.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = d.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .collect()
-    )
+    monkeypatch.setattr(analytics, "T", lambda s, d, n: df)
+    pairs = analytics.orders_market_basket(spark, "ignored").collect()
+    # duplicate (1, 10) line must not inflate support; pair emitted once a<b
     assert [(r.part_a, r.part_b, r.support) for r in pairs] == [(10, 20, 2)]
 
 
@@ -329,3 +303,75 @@ def test_passage_dedup_internal_repeat_not_cross_doc(spark):
     df = spark.createDataFrame([(1, block + " " + block)], "id long, text string")
     row = dedup.passage_dedup_stats(df, "id", "text", 16).collect()[0]
     assert row.n_chunks == 2 and row.n_shared_chunks == 0
+
+
+# ---------------------------------------------------------------------------
+# review-fix regression tests
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_best_works_with_string_ids(spark):
+    """Tie-break must stay deterministic for non-numeric ids (negating a
+    string id would implicit-cast to NULL)."""
+    prefix = " ".join(f"p{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [("doc-b", prefix, 1.0), ("doc-a", prefix, 1.0), ("doc-c", prefix, 9.0)],
+        "id string, text string, q double",
+    )
+    out = dedup.canonical_best(df, "id", "text", F.col("q")).collect()
+    assert len(out) == 1 and out[0].keep_id == "doc-c"
+    tie = df.filter(F.col("q") == 1.0)
+    out2 = dedup.canonical_best(tie, "id", "text", F.col("q")).collect()
+    assert out2[0].keep_id == "doc-a"
+
+
+def test_bm25_rejects_bad_terms(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(ValueError):
+        text.bm25_topk(df, "id", "text", terms=[])
+    with pytest.raises(ValueError):
+        text.bm25_topk(df, "id", "text", terms=["don't"])
+
+
+def test_passage_dedup_reuses_chunk_exchange(spark):
+    """The chunk/md5 map stage must run ONCE: both consumers read the same
+    h-exchange (ReusedExchange in the AQE final plan)."""
+    df = QUERIES["dedup_passage"](spark, SF_ORACLE)
+    df.collect()
+    plan = explain_str(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+
+
+def test_gap_islands_fold_multi_streak(spark, monkeypatch):
+    """Shipped gap-islands query: days {1,2,3, 7, 9,10} -> 3 streaks,
+    longest 3, via the single-shuffle array fold."""
+    import datetime as dt
+
+    from flume_spark.queries import analytics
+
+    days = [1, 2, 3, 7, 9, 10]
+    rows = [
+        (i, 5, dt.datetime(2024, 1, d, 12, 0, 0), 1.0) for i, d in enumerate(days)
+    ]
+    # duplicate events on one day must not affect streaks
+    rows.append((99, 5, dt.datetime(2024, 1, 2, 18, 0, 0), 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    monkeypatch.setattr(analytics, "T", lambda s, d, n: df)
+    out = analytics.events_gap_islands(spark, "ignored").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_active_days == 6 and r.n_streaks == 3 and r.longest_streak == 3
+
+
+def test_gap_islands_single_user_shuffle(spark):
+    """One exchange for the per-user fold + nothing else on the agg path."""
+    df = QUERIES["events_gap_islands"](spark, SF_ORACLE)
+    assert n_shuffles(df) == 1
+
+
+def test_cohort_retention_single_user_shuffle_plus_rollup(spark):
+    df = QUERIES["cohort_retention"](spark, SF_ORACLE)
+    assert n_shuffles(df) == 2  # user agg + tiny (cohort, offset) rollup
