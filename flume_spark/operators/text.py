@@ -459,6 +459,7 @@ def chunk_sliding(
     text_col: str,
     size: int = 32,
     stride: int = 24,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """RAG-style overlapping token chunker: window `size` tokens, step
     `stride` (overlap = size - stride).
@@ -469,11 +470,14 @@ def chunk_sliding(
     ((n - size + stride - 1) div stride + 1) so both engines agree without
     floating point.
 
-    Returns (id, chunk_idx, n_chunk_tokens, chunk_text).
+    Returns (id, *keep, chunk_idx, n_chunk_tokens, chunk_text); `keep`
+    names extra input columns carried through unchanged (e.g. an event-time
+    column so streaming consumers stay join-free — a post-hoc stream
+    self-join would be stateful).
     """
     assert 0 < stride <= size
     words = tokens_col(text_col)
-    out = df.select(F.col(id_col), words.alias("_words"))
+    out = df.select(F.col(id_col), *[F.col(c) for c in keep], words.alias("_words"))
     n = F.size("_words")
     # integer division (`div`), not `/`: Spark's `/` on longs is double division
     n_chunks = F.when(n <= size, F.lit(1)).otherwise(
@@ -481,6 +485,7 @@ def chunk_sliding(
     )
     out = out.select(
         id_col,
+        *keep,
         "_words",
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
     )
@@ -488,6 +493,7 @@ def chunk_sliding(
     chunk = F.slice("_words", start + 1, F.lit(size))
     return out.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         F.size(chunk).alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),

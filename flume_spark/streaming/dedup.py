@@ -60,3 +60,49 @@ def streaming_curation(
         F.col("quality") >= min_quality
     )
     return streaming_exact_dedup(kept, text_col, ts_col, watermark)
+
+
+def streaming_passage_dedup(
+    stream_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ts_col: str,
+    chunk_tokens: int = 16,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of operators/dedup.passage_dedup_stats: emit each
+    document's passages with the corpus-first-seen ones marked — arriving
+    docs keep only chunks whose hash has not been seen within the
+    watermark horizon.
+
+    Mechanics: chunk the arriving doc (map-only, same chunker as batch),
+    explode to (doc, chunk_idx, hash, ts), then
+    `dropDuplicatesWithinWatermark` on the chunk hash — the surviving rows
+    ARE the first-seen passages; a later batch rollup (or the consumer)
+    treats dropped chunks as boilerplate.  State is one row per distinct
+    chunk hash inside the horizon, watermark-evicted — bounded on an
+    infinite stream, the property plain dropDuplicates lacks.
+
+    Returns the first-seen passage rows (id, chunk_idx, chunk_hash, ts).
+    """
+    from flume_spark.operators.text import chunk_sliding
+
+    # ts rides through the chunker (`keep`) — a post-hoc self-join to
+    # re-attach it would be a STATEFUL stream-stream join
+    chunks = chunk_sliding(
+        stream_df,
+        id_col,
+        text_col,
+        size=chunk_tokens,
+        stride=chunk_tokens,
+        keep=(ts_col,),
+    )
+    exploded = chunks.select(
+        F.col(id_col),
+        "chunk_idx",
+        F.md5("chunk_text").alias("chunk_hash"),
+        F.col(ts_col),
+    )
+    return exploded.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["chunk_hash"]
+    )

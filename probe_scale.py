@@ -107,6 +107,12 @@ def main() -> None:
             "cosine_block": lambda e=emb, b=blocks: dedup.cosine_pairs(
                 e, "vec_id", "embedding", threshold=0.4, blocks=b
             ),
+            # passage-level dedup (round-3): chunk-hash shuffle should be
+            # ~linear in corpus tokens; the salted perturbation keeps
+            # cross-replica chunks distinct so output stays ~linear too
+            "passage_dedup": lambda d=docs: dedup.passage_dedup_stats(
+                d, "doc_id", "text", chunk_tokens=16
+            ),
         }
         for op, make in ops.items():
             dt, _ = probe(f"{op}@x{f}", make)

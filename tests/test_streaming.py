@@ -766,3 +766,52 @@ def test_stream_interval_join_outer_keeps_right_key(spark, tmp_path):
     # advance past them; at minimum the matched row must carry its key and
     # no row may have a NULL key
     assert all(k is not None for k, _ in rows)
+
+
+def test_streaming_passage_dedup_first_seen_chunks(spark, tmp_path):
+    """Streaming passage dedup: a later doc re-using an earlier doc's
+    passage keeps only its NOVEL chunks; the first-seen doc keeps all."""
+    from datetime import datetime
+
+    from flume_spark.streaming.dedup import streaming_passage_dedup
+
+    src = tmp_path / "passage_stream"
+    src.mkdir()
+    schema = "doc_id long, ts timestamp, text string"
+    block = " ".join(f"b{i}" for i in range(16))
+    fresh = " ".join(f"n{i}" for i in range(16))
+    t = datetime(2024, 1, 1, 0, 0)
+    spark.createDataFrame([(1, t, block)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = streaming_passage_dedup(
+        stream, "doc_id", "text", "ts", chunk_tokens=16, watermark="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("passage_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_p"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # doc 2 = copied block + a fresh chunk, arriving 30 min later
+        spark.createDataFrame(
+            [(2, datetime(2024, 1, 1, 0, 30), block + " " + fresh)], schema
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT doc_id, chunk_idx FROM passage_stream"
+        ).collect()
+    finally:
+        q.stop()
+    got = {(r["doc_id"], r["chunk_idx"]) for r in rows}
+    # doc 1's single chunk survives; doc 2 keeps only its novel chunk 1
+    assert got == {(1, 0), (2, 1)}
