@@ -578,7 +578,7 @@ def canonical_best(
     drop the truncated syndication).
 
     Scale: one map stage to hash the prefix + one groupBy shuffle on the
-    16-byte hash; max_by carries a single (quality, id, ...) struct per
+    16-byte hash; min_by carries a single (neg-quality, id) struct per
     group through the partial aggregate, so memory per key is O(1).
 
     Returns (cluster_hash, keep_id, n_members, best_quality).
@@ -594,12 +594,15 @@ def canonical_best(
     # min_by over (-q, id): min of negated quality = max quality, ties fall
     # through to the id's OWN ordering — works for numeric AND string ids
     # (negating the id instead would implicit-cast strings to NULL and make
-    # the pick nondeterministic).
+    # the pick nondeterministic).  NULL quality coalesces to -inf so a
+    # NULL-quality member can never beat a scored one (struct comparison
+    # would otherwise sort the NULL field FIRST and min_by would pick it).
+    neg_q = -F.coalesce(F.col("q"), F.lit(float("-inf")))
     return (
         scored.groupBy("cluster_hash")
         .agg(
             F.min_by(
-                F.col("id"), F.struct((-F.col("q")).alias("nq"), F.col("id"))
+                F.col("id"), F.struct(neg_q.alias("nq"), F.col("id"))
             ).alias("keep_id"),
             F.count(F.lit(1)).alias("n_members"),
             F.round(F.max("q"), 6).alias("best_quality"),

@@ -394,17 +394,33 @@ def kmeans(
 # ---------------------------------------------------------------------------
 
 
-def _int8_scale_and_codes(vec_col: str | Column, code_type: str = "int"):
+def _quantized_frame(
+    emb: DataFrame, id_col: str, vec_col: str, code_type: str = "int"
+) -> DataFrame:
     """The single definition of the quantization rule: scale = max(|x|),
     code_i = floor(x_i / scale * 127 + 0.5).  Shared by quantize_int8
     (storage) and int8_topk (scoring) so the stored codes can never
-    de-synchronize from the search path."""
+    de-synchronize from the search path.
+
+    The scale MUST be materialized in its own projection before the code
+    lambda consumes it: writing the O(d) max-abs aggregate inline inside
+    the per-element transform makes quantization O(d²) per row (Catalyst
+    does not hoist loop-invariant subexpressions out of higher-order
+    lambdas).  The two-step select keeps it a real column — pinned by
+    test_quantize_plan_materializes_scale_once.
+
+    Returns (id_col, _scale, _code).
+    """
     v = _to_double(vec_col)
     scale = F.aggregate(
         F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda acc, x: F.greatest(acc, x)
     )
-    codes = F.transform(v, lambda x: F.floor(x / scale * 127.0 + 0.5).cast(code_type))
-    return scale, codes
+    tmp = emb.select(F.col(id_col), v.alias("_v"), scale.alias("_scale"))
+    codes = F.transform(
+        F.col("_v"),
+        lambda x: F.floor(x / F.col("_scale") * 127.0 + 0.5).cast(code_type),
+    )
+    return tmp.select(F.col(id_col), F.col("_scale"), codes.alias("_code"))
 
 
 def quantize_int8(
@@ -422,11 +438,11 @@ def quantize_int8(
     string so the value is hashable across engines regardless of their
     array-encoding differences.
     """
-    scale, codes = _int8_scale_and_codes(vec_col)
-    return emb.select(
+    qf = _quantized_frame(emb, id_col, vec_col)
+    return qf.select(
         F.col(id_col),
-        F.round(scale, 6).alias("scale"),
-        F.array_join(codes, ",").alias("q_csv"),
+        F.round("_scale", 6).alias("scale"),
+        F.array_join("_code", ",").alias("q_csv"),
     )
 
 
@@ -487,8 +503,9 @@ def int8_topk(
     """
     from flume_spark.operators.dedup import _spread
 
-    _, codes = _int8_scale_and_codes(vec_col, code_type="long")
-    quantized = emb.select(F.col(id_col), codes.alias("code"))
+    quantized = _quantized_frame(emb, id_col, vec_col, code_type="long").select(
+        F.col(id_col), F.col("_code").alias("code")
+    )
     q = quantized.filter(query_pred).select(
         F.col(id_col).alias("query_id"), F.col("code").alias("qc")
     )

@@ -570,17 +570,14 @@ def bm25_topk(
     aggregate, so the double result is bit-identical across engines;
     rounded to 6.
 
-    `terms` must be non-empty lowercase tokens matching [a-z0-9_-]+ — they
-    are inlined into a SQL lambda, so arbitrary strings are rejected
-    rather than parsed.
+    `terms` must be non-empty; each term is parameterized via F.lit (never
+    inlined into SQL text), so any token the whitespace tokenizer can
+    produce — unicode, punctuation, quotes — is a valid query term.  Terms
+    are lowercased to match the tokenizer's casefold.
     """
-    import re
-
     if not terms:
         raise ValueError("bm25_topk requires at least one query term")
-    for t in terms:
-        if not re.fullmatch(r"[a-z0-9_-]+", t):
-            raise ValueError(f"unsupported query term {t!r} (need [a-z0-9_-]+)")
+    terms = [t.lower() for t in terms]
     # tokenize ONCE and reuse the aliased array for dl and every tf — the
     # regex split dominates the map stage, so recomputing it per derived
     # column would double-to-quadruple the pass cost
@@ -590,7 +587,11 @@ def bm25_topk(
         "_words",
         F.size("_words").alias("dl"),
         *[
-            F.expr(f"size(filter(_words, w -> w = '{t}'))").alias(f"_tf{i}")
+            # closure factory keeps the lambda UNARY — a `t=t` default would
+            # make Spark treat it as the (element, index) two-arg form
+            F.size(F.filter("_words", (lambda term: lambda w: w == F.lit(term))(t))).alias(
+                f"_tf{i}"
+            )
             for i, t in enumerate(terms)
         ],
     )

@@ -111,7 +111,10 @@ def events_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_streaks = breaks + 1 and the longest streak falls out of one
     sequential aggregate.  Replaces the classic 3-shuffle
     distinct + row_number-island formulation with map-side array math."""
-    ev = T(spark, sf_dir, "events")
+    # NULL event times carry no day information — drop them up front so a
+    # user with only NULL ts cannot leak the fold's init struct (0 active
+    # days yet 1 "streak")
+    ev = T(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daynum = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
     per_user = ev.groupBy("user_id").agg(
         F.array_sort(F.collect_set(daynum)).alias("days")
@@ -143,6 +146,7 @@ def events_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_GAP_ISLANDS_SQL = """
 WITH days AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+  WHERE ts IS NOT NULL
 ),
 islands AS (
   SELECT user_id,

@@ -70,10 +70,17 @@ def streaming_passage_dedup(
     chunk_tokens: int = 16,
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Streaming twin of operators/dedup.passage_dedup_stats: emit each
-    document's passages with the corpus-first-seen ones marked — arriving
-    docs keep only chunks whose hash has not been seen within the
+    """Streaming complement of operators/dedup.passage_dedup_stats:
+    arriving docs keep only chunks whose hash has not been seen within the
     watermark horizon.
+
+    SEMANTIC DIVERGENCE from the batch stats, by design: dedup keys on
+    the chunk hash ALONE, so a document's own internal repeat of a chunk
+    also collapses to its first instance — the batch operator instead
+    reports internal repeats as NOT shared (it measures cross-document
+    duplication; this operator emits a first-seen passage stream).  A
+    consumer needing the batch semantics should group the emitted rows
+    back by document and compare against the doc's own chunk multiset.
 
     Mechanics: chunk the arriving doc (map-only, same chunker as batch),
     explode to (doc, chunk_idx, hash, ts), then

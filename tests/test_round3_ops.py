@@ -325,12 +325,16 @@ def test_canonical_best_works_with_string_ids(spark):
     assert out2[0].keep_id == "doc-a"
 
 
-def test_bm25_rejects_bad_terms(spark):
-    df = spark.createDataFrame([(1, "x")], "id long, text string")
+def test_bm25_rejects_empty_terms_and_accepts_any_token(spark):
+    df = spark.createDataFrame(
+        [(1, "don't stop c++ café"), (2, "plain words only here")],
+        "id long, text string",
+    )
     with pytest.raises(ValueError):
         text.bm25_topk(df, "id", "text", terms=[])
-    with pytest.raises(ValueError):
-        text.bm25_topk(df, "id", "text", terms=["don't"])
+    # quoted/unicode/punctuated tokens are parameterized, not SQL-inlined
+    out = text.bm25_topk(df, "id", "text", terms=["don't", "c++", "café"], k=2).collect()
+    assert out[0].id == 1 and out[0].bm25 > out[1].bm25
 
 
 def test_passage_dedup_reuses_chunk_exchange(spark):
@@ -375,3 +379,25 @@ def test_gap_islands_single_user_shuffle(spark):
 def test_cohort_retention_single_user_shuffle_plus_rollup(spark):
     df = QUERIES["cohort_retention"](spark, SF_ORACLE)
     assert n_shuffles(df) == 2  # user agg + tiny (cohort, offset) rollup
+
+
+def test_canonical_best_null_quality_never_wins(spark):
+    """A NULL-quality member must not beat scored members (struct compare
+    sorts NULL first ascending — guarded by the -inf coalesce)."""
+    prefix = " ".join(f"p{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(1, prefix, 1.0), (2, prefix, 5.0), (3, prefix, None)],
+        "id long, text string, q double",
+    )
+    out = dedup.canonical_best(df, "id", "text", F.col("q")).collect()
+    assert len(out) == 1
+    assert out[0].keep_id == 2 and out[0].best_quality == 5.0
+
+
+def test_quantize_plan_materializes_scale_once(spark):
+    """The max-abs aggregate must appear ONCE in the optimized plan —
+    inlined into the code lambda it re-runs per vector element (O(d²))."""
+    df = spark.createDataFrame([(1, [0.5, -1.0])], "vec_id long, embedding array<float>")
+    out = similarity.quantize_int8(df)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("aggregate(") == 1
