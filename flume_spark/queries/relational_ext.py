@@ -142,14 +142,119 @@ FROM w
 """
 
 
+# ---------------------------------------------------------------------------
+# first/last/nth_value window frame coverage
+# ---------------------------------------------------------------------------
+
+
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over a full-partition frame — the explicit
+    UNBOUNDED FOLLOWING bound matters: the default frame ends at CURRENT
+    ROW, which silently turns last_value into the current row's value."""
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first_value("o_orderkey").over(w).alias("first_key"),
+        F.last_value("o_orderkey").over(w).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+WINDOW_FIRST_LAST_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       first_value(o_orderkey) OVER w  AS first_key,
+       last_value(o_orderkey) OVER w   AS last_key,
+       nth_value(o_orderkey, 2) OVER w AS second_key
+FROM orders
+WHERE o_orderkey < 500
+WINDOW w AS (
+  PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bitwise scalar coverage
+# ---------------------------------------------------------------------------
+
+
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("and_255"),
+        k.bitwiseOR(F.lit(4096)).alias("or_4096"),
+        k.bitwiseXOR(F.lit(1234)).alias("xor_1234"),
+        F.bit_count(k).cast("int").alias("popcount"),
+        F.shiftleft(k, 3).alias("shl_3"),
+        F.shiftright(k, 2).alias("shr_2"),
+    )
+
+
+SCALAR_BITWISE_SQL = """
+SELECT o_orderkey,
+       o_orderkey & 255                  AS and_255,
+       o_orderkey | 4096                 AS or_4096,
+       xor(o_orderkey, 1234)             AS xor_1234,
+       CAST(bit_count(o_orderkey) AS INT) AS popcount,
+       o_orderkey << 3                   AS shl_3,
+       o_orderkey >> 2                   AS shr_2
+FROM orders WHERE o_orderkey < 200
+"""
+
+
+# ---------------------------------------------------------------------------
+# Regex scalar coverage
+# ---------------------------------------------------------------------------
+
+
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple patterns only — Spark compiles Java regex, DuckDB RE2; the
+    subset here (char classes, groups, anchors) behaves identically.
+    DuckDB's regexp_replace needs the 'g' flag to match Spark's
+    replace-all default."""
+    part = T(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("gear|bolt").cast("int").alias("is_hardware"),
+        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("type_tail"),
+    )
+
+
+SCALAR_REGEX_SQL = """
+SELECT p_partkey,
+       regexp_extract(p_name, '^([a-z]+)', 1)          AS first_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g')     AS devoweled,
+       CAST(regexp_matches(p_name, 'gear|bolt') AS INT) AS is_hardware,
+       regexp_extract(p_type, '([A-Z]+)$', 1)          AS type_tail
+FROM part
+"""
+
+
 QUERIES = {
     "q11_important_stock": q11_important_stock,
+    "window_first_last": window_first_last,
+    "scalar_bitwise_funcs": scalar_bitwise_funcs,
+    "scalar_regex_funcs": scalar_regex_funcs,
     "window_ntile_dist": window_ntile_dist,
     "scalar_array_funcs": scalar_array_funcs,
 }
 
 ORACLES = {
     "q11_important_stock": Q11_SQL,
+    "window_first_last": WINDOW_FIRST_LAST_SQL,
+    "scalar_bitwise_funcs": SCALAR_BITWISE_SQL,
+    "scalar_regex_funcs": SCALAR_REGEX_SQL,
     "window_ntile_dist": WINDOW_NTILE_SQL,
     "scalar_array_funcs": SCALAR_ARRAY_SQL,
 }
