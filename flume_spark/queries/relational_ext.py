@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from flume_spark.queries._util import T
+from flume_spark.queries._util import T, register_views
 
 # ---------------------------------------------------------------------------
 # TPC-H Q11 shape: per-part revenue share above a global-total fraction
@@ -241,8 +241,87 @@ FROM part
 """
 
 
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery (top-N per key without a window)
+# ---------------------------------------------------------------------------
+
+
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer via LATERAL — the correlated-subquery
+    formulation of top-N-per-group.  Catalyst rewrites it to the same
+    shuffle+rank the window form plans, so this is API coverage, not a
+    new physical strategy; customers without orders drop (inner lateral
+    semantics in both engines)."""
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        WHERE c.c_custkey < 50
+        """
+    )
+
+
+JOIN_LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) o
+WHERE c.c_custkey < 50
+"""
+
+
+# ---------------------------------------------------------------------------
+# min_by / max_by aggregates with deterministic composite tie-breaks
+# ---------------------------------------------------------------------------
+
+
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-min/max per segment: ONE partial-aggregable struct per group
+    (the 1e9-group-safe alternative to a rank window); ties resolved
+    inside the ordering struct — max side tie -> LOWEST custkey via
+    negation (numeric keys), min side naturally ascending."""
+    cust = T(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.max_by(
+            "c_custkey", F.struct(F.col("c_acctbal"), (-F.col("c_custkey")).alias("nk"))
+        ).alias("top_custkey"),
+        F.max("c_acctbal").alias("top_acctbal"),
+        F.min_by(
+            "c_custkey", F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+        ).alias("bottom_custkey"),
+    )
+
+
+AGG_MINMAX_BY_SQL = """
+WITH ranked AS (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn_max,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal ASC, c_custkey)  AS rn_min
+  FROM customer
+)
+SELECT c_mktsegment,
+       max(CASE WHEN rn_max = 1 THEN c_custkey END) AS top_custkey,
+       max(c_acctbal)                               AS top_acctbal,
+       max(CASE WHEN rn_min = 1 THEN c_custkey END) AS bottom_custkey
+FROM ranked GROUP BY 1
+"""
+
+
 QUERIES = {
     "q11_important_stock": q11_important_stock,
+    "join_lateral": join_lateral,
+    "agg_minmax_by": agg_minmax_by,
     "window_first_last": window_first_last,
     "scalar_bitwise_funcs": scalar_bitwise_funcs,
     "scalar_regex_funcs": scalar_regex_funcs,
@@ -252,6 +331,8 @@ QUERIES = {
 
 ORACLES = {
     "q11_important_stock": Q11_SQL,
+    "join_lateral": JOIN_LATERAL_SQL,
+    "agg_minmax_by": AGG_MINMAX_BY_SQL,
     "window_first_last": WINDOW_FIRST_LAST_SQL,
     "scalar_bitwise_funcs": SCALAR_BITWISE_SQL,
     "scalar_regex_funcs": SCALAR_REGEX_SQL,
