@@ -290,13 +290,20 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the ordering struct — max side tie -> LOWEST custkey via
     negation (numeric keys), min side naturally ascending."""
     cust = T(spark, sf_dir, "customer")
+    # NULL balances coalesce toward "never wins" on BOTH extremes: Spark
+    # struct ordering is NULLS FIRST while the oracle's ORDER BY defaults
+    # to NULLS LAST, so an uncoalesced NULL would win min_by here but lose
+    # the oracle's rn_min — a latent cross-engine divergence even though
+    # the current fixtures carry no NULLs.
+    bal_min = F.coalesce(F.col("c_acctbal"), F.lit(float("inf")))
+    bal_max = F.coalesce(F.col("c_acctbal"), F.lit(float("-inf")))
     return cust.groupBy("c_mktsegment").agg(
         F.max_by(
-            "c_custkey", F.struct(F.col("c_acctbal"), (-F.col("c_custkey")).alias("nk"))
+            "c_custkey", F.struct(bal_max.alias("b"), (-F.col("c_custkey")).alias("nk"))
         ).alias("top_custkey"),
         F.max("c_acctbal").alias("top_acctbal"),
         F.min_by(
-            "c_custkey", F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+            "c_custkey", F.struct(bal_min.alias("b"), F.col("c_custkey"))
         ).alias("bottom_custkey"),
     )
 
