@@ -307,3 +307,22 @@ def test_interval_join_is_binned_equi_join(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_no_declared_query_plans_a_cartesian_product(spark):
+    """Global plan-hygiene gate: across the ENTIRE declared surface no
+    query may plan a CartesianProduct (broadcast-nested-loop with a
+    bounded broadcast side is the accepted non-equi form), and none may
+    exceed 10 exchanges — a regression here is a scale bug even when the
+    sf0.01 answer stays correct."""
+    from flume_spark.plans import n_nodes
+
+    offenders, heavy = [], []
+    for name, fn in QUERIES.items():
+        plan = explain_str(fn(spark, SF_ORACLE))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+        if n_nodes(plan, "Exchange") > 10:
+            heavy.append(name)
+    assert not offenders, f"cartesian product planned by: {offenders}"
+    assert not heavy, f"more than 10 exchanges in: {heavy}"
