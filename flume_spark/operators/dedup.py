@@ -161,6 +161,45 @@ def _minhash_sig_cols(num_hashes: int) -> list[Column]:
     ]
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 1,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """The LSH index rows: (id, band_idx, band_hash) per document.
+
+    This frame IS what a production pipeline persists (partitioned by
+    band_idx, bucketed by band_hash): candidate generation for any future
+    batch is then an equi-join probe against it — see
+    incremental_lsh_candidates.  Factored out of minhash_lsh_candidates so
+    batch and incremental paths share one signature definition.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(df, id_col, text_col, shingle_n, distinct=False)
+    )
+    sigs = sh.groupBy("id").agg(*_minhash_sig_cols(num_hashes))
+    band_cols = []
+    for bidx in range(bands):
+        parts = [F.col(f"mh{bidx * r + j}") for j in range(r)]
+        band_cols.append(
+            F.struct(
+                F.lit(bidx).alias("band_idx"),
+                F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
+            )
+        )
+    return sigs.select(
+        "id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("id", "band.band_idx", "band.band_hash")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -182,26 +221,9 @@ def minhash_lsh_candidates(
     equals min over its set, so a distinct or non-distinct frame gives
     identical signatures.  Default: non-distinct (skips a shuffle).
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    sh = (
-        shingles
-        if shingles is not None
-        else word_shingles(df, id_col, text_col, shingle_n, distinct=False)
+    banded = banded_signatures(
+        df, id_col, text_col, shingle_n, num_hashes, bands, shingles
     )
-    sigs = sh.groupBy("id").agg(*_minhash_sig_cols(num_hashes))
-    band_cols = []
-    for bidx in range(bands):
-        parts = [F.col(f"mh{bidx * r + j}") for j in range(r)]
-        band_cols.append(
-            F.struct(
-                F.lit(bidx).alias("band_idx"),
-                F.md5(F.concat_ws("|", *parts)).alias("band_hash"),
-            )
-        )
-    banded = sigs.select(
-        "id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("id", "band.band_idx", "band.band_hash")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -670,4 +692,52 @@ def passage_dedup_stats(
                 "shared_ratio"
             ),
         )
+    )
+
+
+def incremental_lsh_candidates(
+    history: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 1,
+    num_hashes: int = 8,
+    bands: int = 4,
+    history_banded: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental-ingest near-dup candidates: every pair linking a NEW
+    document to the existing corpus or to another new document, via the
+    banded LSH index — WITHOUT ever re-pairing history against itself.
+
+    This is the production shape at 100 TB: the historical corpus is never
+    rescanned per ingest.  Pass `history_banded` (the persisted
+    banded_signatures frame, appended to at every ingest) and per-batch
+    cost is banding the new docs (O(new x bands) rows) plus one equi-join
+    probe into the index; omitted, the history frame is banded in-plan
+    (correct, but pays the full history scan this call).
+
+    Returns (doc_new, doc_match) distinct: doc_new from `new`, doc_match
+    from history or new; new-new pairs emitted once (doc_new < doc_match).
+    ids must be disjoint across the two frames.
+    """
+    hb = (
+        history_banded
+        if history_banded is not None
+        else banded_signatures(history, id_col, text_col, shingle_n, num_hashes, bands)
+    ).withColumn("is_new", F.lit(False))
+    nb = banded_signatures(
+        new, id_col, text_col, shingle_n, num_hashes, bands
+    ).withColumn("is_new", F.lit(True))
+    index = hb.unionByName(nb).alias("b")
+    probe = nb.alias("a")
+    return (
+        probe.join(
+            index,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            # history matches always count; new-new pairs once, ordered
+            & (~F.col("b.is_new") | (F.col("a.id") < F.col("b.id"))),
+        )
+        .select(F.col("a.id").alias("doc_new"), F.col("b.id").alias("doc_match"))
+        .distinct()
     )

@@ -375,11 +375,68 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental-ingest near-dup candidates (new batch vs persisted LSH index)
+# ---------------------------------------------------------------------------
+
+_INC_MH = ",\n         ".join(
+    f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(16)
+)
+_INC_BANDS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_hash FROM sig".format(
+        b=b, parts=" || '|' || ".join(f"mh{4 * b + j}" for j in range(4))
+    )
+    for b in range(4)
+)
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New batch = doc_id % 3 == 0; history = the rest.  Candidates link
+    new docs to history or to each other; history x history is never
+    probed — the per-ingest cost a production pipeline actually pays."""
+    docs = T(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    return dedup.incremental_lsh_candidates(
+        history, new, "doc_id", "text", shingle_n=2, num_hashes=16, bands=4
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(words)),
+                  i -> words[i] || ' ' || words[i+1])) AS shingle
+    FROM w
+  )
+),
+sig AS (
+  SELECT doc_id,
+         {_INC_MH}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{_INC_BANDS}
+)
+SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_match
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+WHERE a.doc_id % 3 = 0
+  AND (b.doc_id % 3 != 0 OR a.doc_id < b.doc_id)
+"""
+
+
 QUERIES = {
     "text_chunk_sliding": text_chunk_sliding,
     "ann_topk_int8": ann_topk_int8,
     "text_commonness": text_commonness,
     "dedup_passage": dedup_passage,
+    "dedup_incremental": dedup_incremental,
     "text_repetition": text_repetition,
     "vocab_topk": vocab_topk,
     "text_bm25_topk": text_bm25_topk,
@@ -393,6 +450,7 @@ ORACLES = {
     "ann_topk_int8": ANN_INT8_SQL,
     "text_commonness": TEXT_COMMONNESS_SQL,
     "dedup_passage": DEDUP_PASSAGE_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "text_bm25_topk": TEXT_BM25_SQL,

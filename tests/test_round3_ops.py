@@ -401,3 +401,58 @@ def test_quantize_plan_materializes_scale_once(spark):
     out = similarity.quantize_int8(df)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("aggregate(") == 1
+
+
+# ---------------------------------------------------------------------------
+# incremental LSH dedup
+# ---------------------------------------------------------------------------
+
+
+def _near_dup_corpus(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    variant = base.replace("w3 ", "w3x ")
+    other = " ".join(f"z{i}" for i in range(40))
+    hist = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, variant), (11, variant + " tail"), (12, "unrelated words entirely qq")],
+        "doc_id long, text string",
+    )
+    return hist, new
+
+
+def test_incremental_lsh_links_new_to_history_and_new(spark):
+    hist, new = _near_dup_corpus(spark)
+    pairs = {
+        (r.doc_new, r.doc_match)
+        for r in dedup.incremental_lsh_candidates(
+            hist, new, "doc_id", "text", shingle_n=2, num_hashes=16, bands=4
+        ).collect()
+    }
+    assert (10, 1) in pairs           # new near-dup of a history doc
+    assert (10, 11) in pairs          # new-new pair, emitted once, ordered
+    assert (11, 10) not in pairs
+    assert not any(m == 2 and n == 12 for n, m in pairs)  # unrelated stays out
+    # history x history never appears as a result pair
+    assert all(n in (10, 11, 12) for n, _ in pairs)
+
+
+def test_incremental_lsh_precomputed_index_matches_inline(spark):
+    """Passing the persisted banded index must give identical candidates
+    to banding history in-plan (the compute-once contract)."""
+    hist, new = _near_dup_corpus(spark)
+    idx = dedup.banded_signatures(hist, "doc_id", "text", 2, 16, 4)
+    inline = {
+        (r.doc_new, r.doc_match)
+        for r in dedup.incremental_lsh_candidates(
+            hist, new, "doc_id", "text", 2, 16, 4
+        ).collect()
+    }
+    precomp = {
+        (r.doc_new, r.doc_match)
+        for r in dedup.incremental_lsh_candidates(
+            hist, new, "doc_id", "text", 2, 16, 4, history_banded=idx
+        ).collect()
+    }
+    assert inline == precomp and inline
