@@ -718,16 +718,23 @@ def incremental_lsh_candidates(
 
     Returns (doc_new, doc_match) distinct: doc_new from `new`, doc_match
     from history or new; new-new pairs emitted once (doc_new < doc_match).
-    ids must be disjoint across the two frames.
+    ids should be disjoint across the two frames; a re-ingested id is
+    guarded against matching itself, but its history/new rows are
+    otherwise treated as distinct documents.
     """
     hb = (
         history_banded
         if history_banded is not None
         else banded_signatures(history, id_col, text_col, shingle_n, num_hashes, bands)
     ).withColumn("is_new", F.lit(False))
-    nb = banded_signatures(
-        new, id_col, text_col, shingle_n, num_hashes, bands
-    ).withColumn("is_new", F.lit(True))
+    # cache: the new batch's banding feeds BOTH the probe side and the index
+    # union — uncached, the explode + k-minhash aggregation runs twice
+    # (same convention as lsh_verified_pairs caching its shingle index)
+    nb = (
+        banded_signatures(new, id_col, text_col, shingle_n, num_hashes, bands)
+        .withColumn("is_new", F.lit(True))
+        .cache()
+    )
     index = hb.unionByName(nb).alias("b")
     probe = nb.alias("a")
     return (
@@ -735,8 +742,12 @@ def incremental_lsh_candidates(
             index,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
-            # history matches always count; new-new pairs once, ordered
-            & (~F.col("b.is_new") | (F.col("a.id") < F.col("b.id"))),
+            # history matches always count (id-disjointness is documented,
+            # but a re-ingested id must not match itself); new-new once
+            & (
+                (~F.col("b.is_new") & (F.col("a.id") != F.col("b.id")))
+                | (F.col("b.is_new") & (F.col("a.id") < F.col("b.id")))
+            ),
         )
         .select(F.col("a.id").alias("doc_new"), F.col("b.id").alias("doc_match"))
         .distinct()

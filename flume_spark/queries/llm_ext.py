@@ -379,15 +379,11 @@ GROUP BY 1
 # Incremental-ingest near-dup candidates (new batch vs persisted LSH index)
 # ---------------------------------------------------------------------------
 
-_INC_MH = ",\n         ".join(
-    f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(16)
-)
-_INC_BANDS = "\n  UNION ALL\n".join(
-    "  SELECT doc_id, {b} AS band_idx, md5({parts}) AS band_hash FROM sig".format(
-        b=b, parts=" || '|' || ".join(f"mh{4 * b + j}" for j in range(4))
-    )
-    for b in range(4)
-)
+# reuse llm_ops' minhash/band SQL fragments so a tuning change there cannot
+# silently desynchronize this oracle from the batch oracles (same guard the
+# shared _LSH_VERIFY_CTES provide)
+from flume_spark.queries.llm_ops import _BANDS as _INC_BANDS  # noqa: E402
+from flume_spark.queries.llm_ops import _MH as _INC_MH  # noqa: E402
 
 
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

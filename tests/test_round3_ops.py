@@ -456,3 +456,15 @@ def test_incremental_lsh_precomputed_index_matches_inline(spark):
         ).collect()
     }
     assert inline == precomp and inline
+
+
+def test_incremental_lsh_reingested_id_no_self_pair(spark):
+    """A doc re-ingested under its OWN id (disjointness violated) must not
+    emit the degenerate (X, X) pair."""
+    base = " ".join(f"w{i}" for i in range(40))
+    hist = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    new = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    pairs = dedup.incremental_lsh_candidates(
+        hist, new, "doc_id", "text", shingle_n=2, num_hashes=16, bands=4
+    ).collect()
+    assert pairs == []
