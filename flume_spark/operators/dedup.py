@@ -704,6 +704,7 @@ def incremental_lsh_candidates(
     num_hashes: int = 8,
     bands: int = 4,
     history_banded: DataFrame | None = None,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingest near-dup candidates: every pair linking a NEW
     document to the existing corpus or to another new document, via the
@@ -729,12 +730,14 @@ def incremental_lsh_candidates(
     ).withColumn("is_new", F.lit(False))
     # cache: the new batch's banding feeds BOTH the probe side and the index
     # union — uncached, the explode + k-minhash aggregation runs twice
-    # (same convention as lsh_verified_pairs caching its shingle index)
+    # (same convention as lsh_verified_pairs caching its shingle index).
+    # `new_banded` lets a caller that already banded the batch (e.g. the
+    # streaming ingestor, which also appends it to the index) pass it in.
     nb = (
-        banded_signatures(new, id_col, text_col, shingle_n, num_hashes, bands)
-        .withColumn("is_new", F.lit(True))
-        .cache()
-    )
+        new_banded
+        if new_banded is not None
+        else banded_signatures(new, id_col, text_col, shingle_n, num_hashes, bands)
+    ).withColumn("is_new", F.lit(True)).cache()
     index = hb.unionByName(nb).alias("b")
     probe = nb.alias("a")
     return (

@@ -113,3 +113,119 @@ def streaming_passage_dedup(
     return exploded.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["chunk_hash"]
     )
+
+
+class LshIngestor:
+    """Streaming incremental near-dup ingest: each arriving micro-batch is
+    probed against the PERSISTED banded-signature index (history is never
+    re-scanned), its candidate pairs appended to a results table, and its
+    own signatures appended to the index — the foreachBatch realization of
+    operators/dedup.incremental_lsh_candidates for a continuously-fed
+    corpus.
+
+    State is two parquet directories, not stream state: the index grows by
+    O(batch x bands) rows per trigger and lives outside the checkpoint, so
+    it is shared across queries and survives checkpoint resets (at scale:
+    a Delta table partitioned by band_idx).  Exactly-once comes from the
+    batch-id ledger (streaming/sink.py contract) — a replayed batch
+    re-probes but its appends are skipped.
+
+    Usage:
+        ing = LshIngestor(spark, index_dir, pairs_dir, ledger_dir)
+        stream.writeStream.foreachBatch(ing.process).start()
+    """
+
+    def __init__(
+        self,
+        spark,
+        index_dir: str,
+        pairs_dir: str,
+        ledger_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        shingle_n: int = 2,
+        num_hashes: int = 16,
+        bands: int = 4,
+    ) -> None:
+        import os
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.pairs_dir = pairs_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.shingle_n = shingle_n
+        self.num_hashes = num_hashes
+        self.bands = bands
+        os.makedirs(index_dir, exist_ok=True)
+        os.makedirs(pairs_dir, exist_ok=True)
+        from flume_spark.streaming.sink import idempotent_foreach_batch
+
+        self.process = idempotent_foreach_batch(self._process, ledger_dir)
+
+    @staticmethod
+    def _has_parquet(root: str) -> bool:
+        import os
+
+        return any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(root)
+            for f in files
+        )
+
+    def _read_index(self):
+        if not self._has_parquet(self.index_dir):
+            return None
+        # select the index columns only: the Hive-style ingest_batch
+        # partition column would otherwise leak into the union
+        return self.spark.read.parquet(self.index_dir).select(
+            "id", "band_idx", "band_hash"
+        )
+
+    def _process(self, batch_df, batch_id: int) -> None:
+        from flume_spark.operators.dedup import (
+            banded_signatures,
+            incremental_lsh_candidates,
+        )
+
+        nb = banded_signatures(
+            batch_df, self.id_col, self.text_col,
+            self.shingle_n, self.num_hashes, self.bands,
+        ).cache()
+        history = self._read_index()
+        if history is None:
+            # first batch: empty index of the right shape -> within-batch
+            # pairs only
+            history = nb.filter("1 = 0")
+        pairs = incremental_lsh_candidates(
+            history=None,  # unused: history_banded supplied
+            new=None,  # unused: new_banded supplied
+            id_col=self.id_col,
+            text_col=self.text_col,
+            shingle_n=self.shingle_n,
+            num_hashes=self.num_hashes,
+            bands=self.bands,
+            history_banded=history,
+            new_banded=nb,
+        )
+        # per-batch OVERWRITE locations, not appends: the ledger marks the
+        # batch done only after _process returns, so a crash between the
+        # two writes replays the whole batch — appends would then
+        # duplicate rows, overwrites converge (sink.py's determinism
+        # contract).  Hive-style dir names keep root reads partition-aware.
+        import os
+
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(self.pairs_dir, f"ingest_batch={batch_id}")
+        )
+        nb.write.mode("overwrite").parquet(
+            os.path.join(self.index_dir, f"ingest_batch={batch_id}")
+        )
+
+    def candidate_pairs(self):
+        """All (doc_new, doc_match) pairs found so far (None if none)."""
+        if not self._has_parquet(self.pairs_dir):
+            return None
+        return self.spark.read.parquet(self.pairs_dir).select(
+            "doc_new", "doc_match"
+        )

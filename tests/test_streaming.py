@@ -815,3 +815,55 @@ def test_streaming_passage_dedup_first_seen_chunks(spark, tmp_path):
     got = {(r["doc_id"], r["chunk_idx"]) for r in rows}
     # doc 1's single chunk survives; doc 2 keeps only its novel chunk 1
     assert got == {(1, 0), (2, 1)}
+
+
+def test_streaming_lsh_ingest_links_across_batches(spark, tmp_path):
+    """LshIngestor: a near-dup arriving in a LATER micro-batch is linked to
+    the earlier doc via the persisted band index; history is probed, never
+    re-paired."""
+    from flume_spark.streaming.dedup import LshIngestor
+
+    src = tmp_path / "lsh_stream"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(40))
+    other = " ".join(f"z{i}" for i in range(40))
+    variant = base.replace("w3 ", "w3x ")
+    spark.createDataFrame([(1, base), (2, other)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    ing = LshIngestor(
+        spark,
+        index_dir=str(tmp_path / "lsh_index"),
+        pairs_dir=str(tmp_path / "lsh_pairs"),
+        ledger_dir=str(tmp_path / "lsh_ledger"),
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(ing.process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lsh"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = ing.candidate_pairs()
+        assert first is None or first.count() == 0  # batch 1: no near-dups yet
+        spark.createDataFrame([(10, variant)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+        pairs = {
+            (r.doc_new, r.doc_match) for r in ing.candidate_pairs().collect()
+        }
+    finally:
+        q.stop()
+    assert (10, 1) in pairs
+    assert all(n == 10 for n, _ in pairs)  # only the new batch probes
+    # the index now carries signatures for every ingested doc
+    idx_ids = {r.id for r in spark.read.parquet(str(tmp_path / "lsh_index")).collect()}
+    assert idx_ids == {1, 2, 10}
