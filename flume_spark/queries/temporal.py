@@ -313,7 +313,31 @@ FROM p JOIN c ON c.click_ts >= p.start_ts AND c.click_ts < p.end_ts
 """
 
 
+
+
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (approx_percentile) per event type — the
+    sketch-family counterpart of approx_distinct's HLL.  Approximate by
+    design, so NO oracle (driver records rows-only); the repo's own gate
+    is test_approx_percentiles_within_tolerance, which bounds the sketch
+    against the exact percentiles.  At 100 TB this is the path: the
+    sketch is partial-aggregable and mergeable, so percentiles come from
+    one map-side-combined pass instead of a full sort."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr(
+            "approx_percentile(value, array(0.5D, 0.9D, 0.99D), 10000)"
+        ).alias("approx_p"),
+    ).select(
+        "event_type",
+        F.col("approx_p")[0].alias("ap50"),
+        F.col("approx_p")[1].alias("ap90"),
+        F.col("approx_p")[2].alias("ap99"),
+    )
+
+
 QUERIES = {
+    "approx_percentiles": approx_percentiles,
     "join_interval": join_interval,
     "window_tumbling": window_tumbling,
     "events_funnel": events_funnel,

@@ -468,3 +468,22 @@ def test_incremental_lsh_reingested_id_no_self_pair(spark):
         hist, new, "doc_id", "text", shingle_n=2, num_hashes=16, bands=4
     ).collect()
     assert pairs == []
+
+
+def test_approx_percentiles_within_tolerance(spark):
+    """The quantile sketch must land within 1% relative error of the exact
+    percentiles at accuracy=10000 (its documented bound is far looser —
+    this pins the practical quality the pipeline relies on)."""
+    exact = {
+        r.event_type: r
+        for r in QUERIES["agg_percentiles"](spark, SF_ORACLE).collect()
+    }
+    approx = {
+        r.event_type: r
+        for r in QUERIES["approx_percentiles"](spark, SF_ORACLE).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, ex in exact.items():
+        ap = approx[et]
+        for e, a in [(ex.p50, ap.ap50), (ex.p90, ap.ap90), (ex.p99, ap.ap99)]:
+            assert abs(a - e) <= max(0.01 * abs(e), 0.05), (et, e, a)
