@@ -732,12 +732,16 @@ def incremental_lsh_candidates(
     # union — uncached, the explode + k-minhash aggregation runs twice
     # (same convention as lsh_verified_pairs caching its shingle index).
     # `new_banded` lets a caller that already banded the batch (e.g. the
-    # streaming ingestor, which also appends it to the index) pass it in.
-    nb = (
-        new_banded
-        if new_banded is not None
-        else banded_signatures(new, id_col, text_col, shingle_n, num_hashes, bands)
-    ).withColumn("is_new", F.lit(True)).cache()
+    # streaming ingestor, which also appends it to the index) pass it in —
+    # that caller owns persistence, so no second cache is layered on top.
+    if new_banded is not None:
+        nb = new_banded.withColumn("is_new", F.lit(True))
+    else:
+        nb = (
+            banded_signatures(new, id_col, text_col, shingle_n, num_hashes, bands)
+            .withColumn("is_new", F.lit(True))
+            .cache()
+        )
     index = hb.unionByName(nb).alias("b")
     probe = nb.alias("a")
     return (

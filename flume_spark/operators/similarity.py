@@ -416,9 +416,13 @@ def _quantized_frame(
         F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda acc, x: F.greatest(acc, x)
     )
     tmp = emb.select(F.col(id_col), v.alias("_v"), scale.alias("_scale"))
+    # zero-vector guard: scale = 0 would make every code NULL (x/0); divide
+    # by 1 instead so an all-zero vector quantizes to all-zero codes with
+    # its dimensionality intact (reported scale stays the truthful 0.0)
+    safe = F.when(F.col("_scale") == 0.0, F.lit(1.0)).otherwise(F.col("_scale"))
     codes = F.transform(
         F.col("_v"),
-        lambda x: F.floor(x / F.col("_scale") * 127.0 + 0.5).cast(code_type),
+        lambda x: F.floor(x / safe * 127.0 + 0.5).cast(code_type),
     )
     return tmp.select(F.col(id_col), F.col("_scale"), codes.alias("_code"))
 
@@ -491,36 +495,49 @@ def int8_topk(
 
     The production ANN pattern quantize_int8 exists for: score candidates on
     int8 codes (4-8x less memory traffic than floats), re-rank the survivors
-    in full precision if needed.  Here the scoring itself: per-vector scale =
-    max|x|, codes = floor(x/scale*127+0.5), similarity = integer dot product
-    of the codes — EXACT int64 arithmetic, so ranking is bit-reproducible
-    across engines (no cosine float fold at all).
+    in full precision if needed.  The integer code dot product is EXACT
+    int64 arithmetic; it is then rescaled by both vectors' quantization
+    scales (score = qdot * scale_q * scale_n / 127²), recovering an
+    approximation of the true float dot product — WITHOUT the rescale,
+    codes are max-norm-normalized directions and a small-magnitude neighbor
+    could outrank a genuinely closer one.  The rescale is two double
+    multiplications of an exact integer in fixed written order, so the
+    value stays bit-reproducible across engines.
 
     Same broadcast-Q nested-loop shape as brute_force_topk; the bucketed
     variants (ivf/lsh) compose with the same scoring expression.
 
-    Returns (query_id, neighbor_id, rank, qdot) with qdot the int dot.
+    Returns (query_id, neighbor_id, rank, score) with score ≈ dot(q, n).
     """
     from flume_spark.operators.dedup import _spread
 
     quantized = _quantized_frame(emb, id_col, vec_col, code_type="long").select(
-        F.col(id_col), F.col("_code").alias("code")
+        F.col(id_col), F.col("_scale").alias("s"), F.col("_code").alias("code")
     )
     q = quantized.filter(query_pred).select(
-        F.col(id_col).alias("query_id"), F.col("code").alias("qc")
+        F.col(id_col).alias("query_id"),
+        F.col("s").alias("sq"),
+        F.col("code").alias("qc"),
     )
     n = _spread(quantized).select(
-        F.col(id_col).alias("neighbor_id"), F.col("code").alias("nc")
+        F.col(id_col).alias("neighbor_id"),
+        F.col("s").alias("sn"),
+        F.col("code").alias("nc"),
     )
     pairs = F.broadcast(q).join(n, F.col("query_id") != F.col("neighbor_id"))
     qdot = F.aggregate(
         F.zip_with("qc", "nc", lambda x, y: x * y), F.lit(0).cast("long"),
         lambda acc, p: acc + p,
     )
-    scored = pairs.select("query_id", "neighbor_id", qdot.alias("qdot"))
-    w = Window.partitionBy("query_id").orderBy(F.col("qdot").desc(), F.col("neighbor_id"))
+    score = F.round(
+        qdot.cast("double") * F.col("sq") * F.col("sn") / F.lit(127.0 * 127.0), 6
+    )
+    scored = pairs.select("query_id", "neighbor_id", score.alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "qdot")
+        .select("query_id", "neighbor_id", "rank", "score")
     )

@@ -31,8 +31,10 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     span — weeks, not events) in a single aggregate; exploding the set
     yields at most one row per (user, week) by construction, so the final
     tiny (cohort, offset) rollup is a plain count.  No join, no second
-    distinct exchange."""
-    ev = T(spark, sf_dir, "events")
+    distinct exchange.  NULL event times are dropped up front on both
+    sides — Spark's collect_set skips NULLs while a SQL DISTINCT keeps
+    them, the cross-engine divergence class fixed in agg_minmax_by."""
+    ev = T(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     per_user = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week"),
         F.collect_set(F.date_trunc("week", "ts")).alias("weeks"),
@@ -47,13 +49,14 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COHORT_RETENTION_SQL = """
-WITH first AS (
+WITH nn AS (SELECT user_id, ts FROM events WHERE ts IS NOT NULL),
+first AS (
   SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
-  FROM events GROUP BY 1
+  FROM nn GROUP BY 1
 ),
 weeks AS (
   SELECT DISTINCT user_id, date_trunc('week', ts) AS week
-  FROM events
+  FROM nn
 )
 SELECT f.cohort_week,
        CAST(date_diff('day', f.cohort_week, w.week) // 7 AS INT) AS week_offset,
@@ -71,8 +74,11 @@ GROUP BY 1, 2
 def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One shuffle on user_id for the lag window (sort within partition),
     then a 25-group agg.  At scale the window partitions by user — no
-    global sort, no skew beyond the busiest user."""
-    ev = T(spark, sf_dir, "events")
+    global sort, no skew beyond the busiest user.  NULL event times are
+    dropped on both sides: Spark windows sort NULLS FIRST, SQL engines
+    default NULLS LAST, so an unfiltered NULL row would reorder the
+    transition chain differently per engine."""
+    ev = T(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = ev.select(
         "user_id",
@@ -90,7 +96,7 @@ WITH seq AS (
          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS prev_type,
          event_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT prev_type, event_type, count(*) AS n_transitions
 FROM seq WHERE prev_type IS NOT NULL

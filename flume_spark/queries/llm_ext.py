@@ -214,7 +214,9 @@ s AS (
 SELECT vec_id,
        round(scale, 6) AS scale,
        array_to_string(
-         list_transform(v, x -> CAST(floor(x / scale * 127.0 + 0.5) AS INT)),
+         list_transform(v, x -> CAST(floor(
+           x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END)
+             * 127.0 + 0.5) AS INT)),
          ',') AS q_csv
 FROM s
 """
@@ -258,27 +260,34 @@ ANN_INT8_SQL = """
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
-qz AS (
-  SELECT vec_id,
-         list_transform(v, x -> CAST(floor(
-           x / list_aggregate(list_transform(v, y -> abs(y)), 'max')
-             * 127.0 + 0.5) AS BIGINT)) AS code
+s AS (
+  SELECT vec_id, v,
+         list_aggregate(list_transform(v, y -> abs(y)), 'max') AS scale
   FROM e
+),
+qz AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> CAST(floor(
+           x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END)
+             * 127.0 + 0.5) AS BIGINT)) AS code
+  FROM s
 ),
 scored AS (
   SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-         CAST(list_dot_product(CAST(q.code AS DOUBLE[]),
-                               CAST(n.code AS DOUBLE[])) AS BIGINT) AS qdot
+         round(CAST(CAST(list_dot_product(CAST(q.code AS DOUBLE[]),
+                                          CAST(n.code AS DOUBLE[])) AS BIGINT)
+                    AS DOUBLE)
+               * q.scale * n.scale / (127.0 * 127.0), 6) AS score
   FROM qz q JOIN qz n ON n.vec_id != q.vec_id
   WHERE q.vec_id < 15
 ),
 ranked AS (
-  SELECT query_id, neighbor_id, qdot,
-         row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id)
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)
            AS "rank"
   FROM scored
 )
-SELECT query_id, neighbor_id, "rank", qdot FROM ranked WHERE "rank" <= 5
+SELECT query_id, neighbor_id, "rank", score FROM ranked WHERE "rank" <= 5
 """
 
 

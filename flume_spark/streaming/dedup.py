@@ -167,19 +167,28 @@ class LshIngestor:
     def _has_parquet(root: str) -> bool:
         import os
 
+        # ignore in-flight _temporary dirs: a crash mid-write leaves them
+        # behind with no committed data files, and counting them would make
+        # a replay read an unreadable "index"
         return any(
             f.endswith(".parquet")
-            for _, _, files in os.walk(root)
+            for dirpath, _, files in os.walk(root)
+            if "_temporary" not in dirpath
             for f in files
         )
 
-    def _read_index(self):
+    def _read_index(self, exclude_batch_id: int):
         if not self._has_parquet(self.index_dir):
             return None
-        # select the index columns only: the Hive-style ingest_batch
-        # partition column would otherwise leak into the union
-        return self.spark.read.parquet(self.index_dir).select(
-            "id", "band_idx", "band_hash"
+        # exclude THIS batch's partition: a replay after a crash between
+        # the index write and the ledger marker would otherwise see the
+        # batch's own signatures as history and emit reversed duplicate
+        # new-new pairs.  Then drop the partition column so it can't leak
+        # into the probe union.
+        return (
+            self.spark.read.parquet(self.index_dir)
+            .filter(F.col("ingest_batch") != exclude_batch_id)
+            .select("id", "band_idx", "band_hash")
         )
 
     def _process(self, batch_df, batch_id: int) -> None:
@@ -192,35 +201,41 @@ class LshIngestor:
             batch_df, self.id_col, self.text_col,
             self.shingle_n, self.num_hashes, self.bands,
         ).cache()
-        history = self._read_index()
-        if history is None:
-            # first batch: empty index of the right shape -> within-batch
-            # pairs only
-            history = nb.filter("1 = 0")
-        pairs = incremental_lsh_candidates(
-            history=None,  # unused: history_banded supplied
-            new=None,  # unused: new_banded supplied
-            id_col=self.id_col,
-            text_col=self.text_col,
-            shingle_n=self.shingle_n,
-            num_hashes=self.num_hashes,
-            bands=self.bands,
-            history_banded=history,
-            new_banded=nb,
-        )
-        # per-batch OVERWRITE locations, not appends: the ledger marks the
-        # batch done only after _process returns, so a crash between the
-        # two writes replays the whole batch — appends would then
-        # duplicate rows, overwrites converge (sink.py's determinism
-        # contract).  Hive-style dir names keep root reads partition-aware.
-        import os
+        try:
+            history = self._read_index(exclude_batch_id=batch_id)
+            if history is None:
+                # first batch: empty index of the right shape -> within-batch
+                # pairs only
+                history = nb.filter("1 = 0")
+            pairs = incremental_lsh_candidates(
+                history=None,  # unused: history_banded supplied
+                new=None,  # unused: new_banded supplied
+                id_col=self.id_col,
+                text_col=self.text_col,
+                shingle_n=self.shingle_n,
+                num_hashes=self.num_hashes,
+                bands=self.bands,
+                history_banded=history,
+                new_banded=nb,
+            )
+            # per-batch OVERWRITE locations, not appends: the ledger marks
+            # the batch done only after _process returns, so a crash between
+            # the two writes replays the whole batch — appends would then
+            # duplicate rows, overwrites converge (sink.py's determinism
+            # contract).  Hive-style dir names keep root reads
+            # partition-aware.
+            import os
 
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(self.pairs_dir, f"ingest_batch={batch_id}")
-        )
-        nb.write.mode("overwrite").parquet(
-            os.path.join(self.index_dir, f"ingest_batch={batch_id}")
-        )
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(self.pairs_dir, f"ingest_batch={batch_id}")
+            )
+            nb.write.mode("overwrite").parquet(
+                os.path.join(self.index_dir, f"ingest_batch={batch_id}")
+            )
+        finally:
+            # a long-running stream would otherwise accumulate one dead
+            # cached frame per trigger
+            nb.unpersist()
 
     def candidate_pairs(self):
         """All (doc_new, doc_match) pairs found so far (None if none)."""

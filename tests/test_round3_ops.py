@@ -221,8 +221,29 @@ def test_int8_topk_matches_obvious_neighbor(spark):
     )
     out = similarity.int8_topk(df, F.col("vec_id") == 0, k=2).collect()
     assert [r.neighbor_id for r in out] == [1, 2]
-    # integer dot: codes(0)=[127,0], codes(1)=[127,14] -> 127*127
-    assert out[0].qdot == 127 * 127
+    # codes(0)=[127,0] s=1.0, codes(1)=[127,14] s=0.9 -> score recovers
+    # the approximate float dot: 127*127 * 1.0 * 0.9 / 127^2 = 0.9
+    assert abs(out[0].score - 0.9) < 1e-6
+    assert abs(out[1].score - (-1.0)) < 1e-6
+
+
+def test_int8_topk_scale_aware_ranking(spark):
+    """A small-magnitude neighbor must NOT outrank a truly closer one
+    (codes alone are max-norm directions; the scale rescale fixes it)."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.1]), (1, [1.0, 0.0]), (2, [0.05, 0.05])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.int8_topk(df, F.col("vec_id") == 0, k=2).collect()
+    assert [r.neighbor_id for r in out] == [1, 2]
+
+
+def test_quantize_zero_vector_keeps_dimensionality(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    row = similarity.quantize_int8(df).collect()[0]
+    assert row.scale == 0.0 and row.q_csv == "0,0,0"
 
 
 def test_int8_topk_broadcasts_queries(spark):
