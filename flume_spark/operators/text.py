@@ -620,3 +620,66 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def corpus_shuffle(
+    df: DataFrame, id_col: str, seed: str = "flume", buckets: int = 1024
+) -> DataFrame:
+    """Deterministic pseudo-random permutation of a corpus — the global
+    shuffle training pipelines need before sharding, reproducible across
+    runs/engines (no RNG state): order by md5(seed || id).
+
+    Scale: rank assignment is a SORT, not a single-partition window —
+    at 100 TB use the (shuffle_bucket, shuffle_key) pair this emits:
+    range-partition by bucket, sort within partitions by key, write — a
+    total order across shard files without any global bottleneck.  The
+    dense global rank column here exists for the oracle check and small
+    corpora; it IS a single-partition window, so large corpora should
+    project it away (documented trade).
+
+    Returns (id, shuffle_bucket, shuffle_key, shuffle_rank).
+    """
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    out = df.select(
+        F.col(id_col),
+        F.pmod(F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), F.lit(buckets))
+        .cast("int")
+        .alias("shuffle_bucket"),
+        key.alias("shuffle_key"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("shuffle_key", id_col)
+    return out.withColumn("shuffle_rank", F.row_number().over(w))
+
+
+def write_shards(
+    df: DataFrame,
+    out_dir: str,
+    shard_col: str = "shuffle_bucket",
+    order_col: str = "shuffle_key",
+    max_records_per_file: int = 100_000,
+) -> int:
+    """Deterministic training-shard export: range-partition by the shuffle
+    bucket, sort within partitions by the shuffle key, and bound every
+    output file with maxRecordsPerFile — the writer side of
+    corpus_shuffle.  Rows land in a stable global order across shard
+    files (bucket-major, key-minor) without any single-partition stage.
+
+    Returns the number of files written.
+    """
+    import os
+
+    (
+        df.repartitionByRange(F.col(shard_col))
+        .sortWithinPartitions(shard_col, order_col)
+        .write.option("maxRecordsPerFile", max_records_per_file)
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    return sum(
+        1
+        for _, _, files in os.walk(out_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )

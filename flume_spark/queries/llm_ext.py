@@ -436,12 +436,39 @@ WHERE a.doc_id % 3 = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle (export-side global permutation)
+# ---------------------------------------------------------------------------
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    return text.corpus_shuffle(docs, "doc_id", seed="flume", buckets=1024)
+
+
+CORPUS_SHUFFLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5('flume:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CAST('0x' || substring(shuffle_key, 1, 8) AS BIGINT) % 1024 AS INT)
+         AS shuffle_bucket,
+       shuffle_key,
+       CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS INT)
+         AS shuffle_rank
+FROM keyed
+"""
+
+
 QUERIES = {
     "text_chunk_sliding": text_chunk_sliding,
     "ann_topk_int8": ann_topk_int8,
     "text_commonness": text_commonness,
     "dedup_passage": dedup_passage,
     "dedup_incremental": dedup_incremental,
+    "corpus_shuffle": corpus_shuffle,
     "text_repetition": text_repetition,
     "vocab_topk": vocab_topk,
     "text_bm25_topk": text_bm25_topk,
@@ -456,6 +483,7 @@ ORACLES = {
     "text_commonness": TEXT_COMMONNESS_SQL,
     "dedup_passage": DEDUP_PASSAGE_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "corpus_shuffle": CORPUS_SHUFFLE_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "text_bm25_topk": TEXT_BM25_SQL,

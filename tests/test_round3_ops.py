@@ -508,3 +508,39 @@ def test_approx_percentiles_within_tolerance(spark):
         ap = approx[et]
         for e, a in [(ex.p50, ap.ap50), (ex.p90, ap.ap90), (ex.p99, ap.ap99)]:
             assert abs(a - e) <= max(0.01 * abs(e), 0.05), (et, e, a)
+
+
+# ---------------------------------------------------------------------------
+# corpus shuffle + shard export
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_shuffle_is_deterministic_permutation(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = text.corpus_shuffle(df, "doc_id").collect()
+    b = text.corpus_shuffle(df, "doc_id").collect()
+    ranks_a = {r.doc_id: r.shuffle_rank for r in a}
+    ranks_b = {r.doc_id: r.shuffle_rank for r in b}
+    assert ranks_a == ranks_b                       # reproducible
+    assert sorted(ranks_a.values()) == list(range(1, 201))  # a permutation
+    assert ranks_a != {i: i + 1 for i in range(200)}        # actually shuffled
+    # a different seed yields a different permutation
+    c = {r.doc_id: r.shuffle_rank for r in text.corpus_shuffle(df, "doc_id", seed="other").collect()}
+    assert c != ranks_a
+
+
+def test_write_shards_bounds_files_and_orders_rows(spark, tmp_path):
+    df = spark.createDataFrame([(i, f"doc {i}") for i in range(500)], "doc_id long, text string")
+    shuffled = text.corpus_shuffle(df, "doc_id", buckets=8).join(df, "doc_id")
+    out = str(tmp_path / "shards")
+    n_files = text.write_shards(shuffled, out, max_records_per_file=100)
+    assert n_files >= 5  # 500 rows / 100-row cap
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    # per-file row bound holds
+    import pyarrow.parquet as pq
+    import os
+    for dirpath, _, files in os.walk(out):
+        for f in files:
+            if f.endswith(".parquet"):
+                assert pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows <= 100
