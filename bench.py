@@ -78,13 +78,22 @@ def bench_queries(spark) -> dict[str, float]:
     # timed numbers then measure execution at SF_DIR, not first-call
     # compilation (which dominated the expression-heavy queries: bm25
     # measured 18s cold vs 0.7s warm on an idle host; see BASELINE.md).
-    warm_dir = "/root/testdata/sf0.001"
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARM_DIR",
+        os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001"),
+    )
     if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(SF_DIR):
         for name in HEADLINE:
             try:
                 queries[name](spark, warm_dir).collect()
             except Exception:
                 pass  # warm-up is best-effort; the timed run surfaces errors
+    else:
+        print(
+            f"WARNING: warm-up dir {warm_dir} unavailable — timings include "
+            "first-call codegen (see BASELINE.md methodology note)",
+            file=sys.stderr,
+        )
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

@@ -214,6 +214,15 @@ def pack_sequences(
     )
 
 
+def seeded_key(seed: str, id_col: str) -> Column:
+    """The determinism-critical seeded draw every sampling/shuffle operator
+    keys on: md5('<seed>:' || id).  ONE definition — stratified_sample,
+    weighted_sample, and corpus_shuffle (and their DuckDB oracles' literal
+    md5('<seed>:' || id) text) must stay byte-compatible, so the separator
+    and casting live here only."""
+    return F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
@@ -231,7 +240,7 @@ def stratified_sample(
     """
     from pyspark.sql.window import Window
 
-    order = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    order = seeded_key(seed, id_col)
     w = Window.partitionBy(strata_col).orderBy(order, F.col(id_col))
     return (
         df.withColumn("_rk", F.row_number().over(w))
@@ -261,11 +270,7 @@ def weighted_sample(
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))), 1, 12
-        ),
-        16,
-        10,
+        F.substring(seeded_key(seed, id_col), 1, 12), 16, 10
     ).cast("double")
     u = (h + F.lit(1.0)) / F.lit(float(1 << 48))
     # Rows with weight <= 0 are unsampleable by definition (E-S gives them
@@ -633,16 +638,24 @@ def corpus_shuffle(
     at 100 TB use the (shuffle_bucket, shuffle_key) pair this emits:
     range-partition by bucket, sort within partitions by key, write — a
     total order across shard files without any global bottleneck.  The
+    bucket is the TOP bits of the key's leading 32-bit value, i.e. an
+    ORDER-PRESERVING prefix of the sort key, so bucket-major/key-minor
+    shard order IS key order IS shuffle_rank order (a mod-hash bucket
+    would scatter key order across buckets and the sharded permutation
+    would silently differ from the ranked one — gated in
+    test_write_shards).  `buckets` must be a power of two ≤ 2^32.  The
     dense global rank column here exists for the oracle check and small
     corpora; it IS a single-partition window, so large corpora should
     project it away (documented trade).
 
     Returns (id, shuffle_bucket, shuffle_key, shuffle_rank).
     """
-    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    assert buckets & (buckets - 1) == 0 and 0 < buckets <= (1 << 32)
+    shift = 32 - (buckets.bit_length() - 1)
+    key = seeded_key(seed, id_col)
     out = df.select(
         F.col(id_col),
-        F.pmod(F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), F.lit(buckets))
+        F.shiftright(F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), shift)
         .cast("int")
         .alias("shuffle_bucket"),
         key.alias("shuffle_key"),
@@ -663,13 +676,14 @@ def write_shards(
     """Deterministic training-shard export: range-partition by the shuffle
     bucket, sort within partitions by the shuffle key, and bound every
     output file with maxRecordsPerFile — the writer side of
-    corpus_shuffle.  Rows land in a stable global order across shard
-    files (bucket-major, key-minor) without any single-partition stage.
+    corpus_shuffle.  Because the bucket is an order-preserving prefix of
+    the key, concatenating part files in filename order reproduces the
+    exact shuffle_rank permutation — without any single-partition stage.
 
-    Returns the number of files written.
+    Returns the number of files written (counted via Spark's own file
+    listing, so any Hadoop-compatible out_dir — HDFS/S3/local — works).
     """
-    import os
-
+    spark = df.sparkSession
     (
         df.repartitionByRange(F.col(shard_col))
         .sortWithinPartitions(shard_col, order_col)
@@ -677,9 +691,4 @@ def write_shards(
         .mode("overwrite")
         .parquet(out_dir)
     )
-    return sum(
-        1
-        for _, _, files in os.walk(out_dir)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    return len(spark.read.parquet(out_dir).inputFiles())

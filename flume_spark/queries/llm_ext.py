@@ -453,7 +453,8 @@ WITH keyed AS (
   FROM documents
 )
 SELECT doc_id,
-       CAST(CAST('0x' || substring(shuffle_key, 1, 8) AS BIGINT) % 1024 AS INT)
+       -- order-preserving prefix bucket: top 10 bits of the leading 32
+       CAST(CAST('0x' || substring(shuffle_key, 1, 8) AS BIGINT) >> 22 AS INT)
          AS shuffle_bucket,
        shuffle_key,
        CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS INT)

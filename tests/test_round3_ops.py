@@ -532,15 +532,29 @@ def test_corpus_shuffle_is_deterministic_permutation(spark):
 def test_write_shards_bounds_files_and_orders_rows(spark, tmp_path):
     df = spark.createDataFrame([(i, f"doc {i}") for i in range(500)], "doc_id long, text string")
     shuffled = text.corpus_shuffle(df, "doc_id", buckets=8).join(df, "doc_id")
+    ranks = {r.doc_id: r.shuffle_rank for r in shuffled.collect()}
     out = str(tmp_path / "shards")
     n_files = text.write_shards(shuffled, out, max_records_per_file=100)
     assert n_files >= 5  # 500 rows / 100-row cap
     back = spark.read.parquet(out)
     assert back.count() == 500
-    # per-file row bound holds
-    import pyarrow.parquet as pq
+    # per-file row bound holds, and concatenating part files in filename
+    # order reproduces the shuffle_rank permutation EXACTLY (the bucket is
+    # an order-preserving key prefix — a mod-hash bucket would break this)
     import os
-    for dirpath, _, files in os.walk(out):
-        for f in files:
-            if f.endswith(".parquet"):
-                assert pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows <= 100
+
+    import pyarrow.parquet as pq
+
+    concat_ids = []
+    part_files = sorted(
+        os.path.join(dirpath, f)
+        for dirpath, _, files in os.walk(out)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    for path in part_files:
+        pf = pq.ParquetFile(path)
+        assert pf.metadata.num_rows <= 100
+        concat_ids.extend(pf.read(columns=["doc_id"])["doc_id"].to_pylist())
+    expected = [doc for doc, _ in sorted(ranks.items(), key=lambda kv: kv[1])]
+    assert concat_ids == expected
