@@ -867,3 +867,30 @@ def test_streaming_lsh_ingest_links_across_batches(spark, tmp_path):
     # the index now carries signatures for every ingested doc
     idx_ids = {r.id for r in spark.read.parquet(str(tmp_path / "lsh_index")).collect()}
     assert idx_ids == {1, 2, 10}
+
+
+def test_streaming_lsh_ingest_replay_converges(spark, tmp_path):
+    """Crash-replay safety: re-running a batch whose index write landed but
+    whose ledger marker did not must converge to the SAME pairs — no
+    reversed duplicates from reading the batch's own signatures as
+    history."""
+    from flume_spark.streaming.dedup import LshIngestor
+
+    base = " ".join(f"w{i}" for i in range(40))
+    variant = base.replace("w3 ", "w3x ")
+    batch = spark.createDataFrame(
+        [(10, base), (11, variant)], "doc_id long, text string"
+    )
+    ing = LshIngestor(
+        spark,
+        index_dir=str(tmp_path / "idx"),
+        pairs_dir=str(tmp_path / "pairs"),
+        ledger_dir=str(tmp_path / "ledger"),
+    )
+    ing._process(batch, batch_id=0)
+    first = {(r.doc_new, r.doc_match) for r in ing.candidate_pairs().collect()}
+    # simulate the crash window: index + pairs written, marker never
+    # committed -> the wrapper would re-invoke _process with the same id
+    ing._process(batch, batch_id=0)
+    replay = {(r.doc_new, r.doc_match) for r in ing.candidate_pairs().collect()}
+    assert first == replay == {(10, 11)}
