@@ -558,3 +558,25 @@ def test_write_shards_bounds_files_and_orders_rows(spark, tmp_path):
         concat_ids.extend(pf.read(columns=["doc_id"])["doc_id"].to_pylist())
     expected = [doc for doc, _ in sorted(ranks.items(), key=lambda kv: kv[1])]
     assert concat_ids == expected
+
+
+# ---------------------------------------------------------------------------
+# remaining plan gates for session queries
+# ---------------------------------------------------------------------------
+
+
+def test_anomaly_mad_broadcasts_stats(spark):
+    """The 5-row median/MAD stats must broadcast back — an SMJ here would
+    shuffle the full events table twice for a handful of scalars."""
+    plan = explain_str(QUERIES["events_anomaly_mad"](spark, SF_ORACLE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_dedup_band_equijoin_no_smj_explosion(spark):
+    """The incremental probe must stay a band-keyed equi-join: no
+    cartesian, and the probe side joins on (band_idx, band_hash)."""
+    df = QUERIES["dedup_incremental"](spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "band_hash" in plan  # the equi-key reached the join
