@@ -60,6 +60,10 @@ HEADLINE = [
     "ann_topk_int8",
     "cohort_retention",
     "orders_market_basket",
+    # the two flagship near-dup paths (blessed composed default +
+    # incremental ingest) — no earlier-round baseline rows
+    "dedup_lsh_verified",
+    "dedup_incremental",
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))
