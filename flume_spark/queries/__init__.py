@@ -39,6 +39,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # from both lists land in the middle group and get checked next round
 # automatically.  tests/test_registry.py asserts both lists stay consistent
 # with the merged query dict (no typos, no overlap, full coverage).
+# ROUND-4 RE-TIERING (do this first next round): once CORRECTNESS_r03.json
+# lands, fold its green rows into _DRIVER_CHECKED — that is every name in
+# this list plus the 28 session-2 additions (all of analytics.py, llm_ext.py,
+# relational_ext.py, plus approx_percentiles which is rows-only by design) —
+# then rebuild this list from round-4 changes.  tests/test_registry.py will
+# fail loudly on typos/overlap.
 _NEEDS_DRIVER_ROW = [  # round-3 additions/changes, ascending expected sf0.01 runtime
     "text_normalize",
     "join_interval",
