@@ -380,10 +380,60 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Monthly seasonality: revenue trend with month-over-month growth.
+# ---------------------------------------------------------------------------
+
+
+def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue + MoM growth.  Exact integer cents through the
+    aggregate; growth is ONE division of exact cents (bit-identical across
+    engines) rounded for display.  The trend window orders ~tens of month
+    rows — a single-partition window over an already-tiny aggregate, not
+    the fact table."""
+    orders = T(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("cents").over(w)
+    return monthly.select(
+        "month",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        "n_orders",
+        F.when(
+            prev.isNotNull(),
+            F.round((F.col("cents") - prev) * 100.0 / prev, 4),
+        ).alias("mom_growth_pct"),
+    )
+
+
+ORDERS_SEASONALITY_SQL = """
+WITH monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT month,
+       round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+       n_orders,
+       CASE WHEN lag(cents) OVER (ORDER BY month) IS NOT NULL
+            THEN round((CAST(cents AS DOUBLE) - lag(CAST(cents AS DOUBLE)) OVER (ORDER BY month))
+                       * 100.0 / lag(CAST(cents AS DOUBLE)) OVER (ORDER BY month), 4)
+       END AS mom_growth_pct
+FROM monthly
+"""
+
+
 QUERIES = {
     "cohort_retention": cohort_retention,
     "events_anomaly_mad": events_anomaly_mad,
     "orders_market_basket": orders_market_basket,
+    "orders_seasonality": orders_seasonality,
     "events_transitions": events_transitions,
     "events_gap_islands": events_gap_islands,
     "time_weighted_avg": time_weighted_avg,
@@ -394,6 +444,7 @@ ORACLES = {
     "cohort_retention": COHORT_RETENTION_SQL,
     "events_anomaly_mad": EVENTS_ANOMALY_SQL,
     "orders_market_basket": ORDERS_BASKET_SQL,
+    "orders_seasonality": ORDERS_SEASONALITY_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,
     "events_gap_islands": EVENTS_GAP_ISLANDS_SQL,
     "time_weighted_avg": TIME_WEIGHTED_AVG_SQL,

@@ -463,6 +463,45 @@ FROM keyed
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus length histogram (log2 buckets — the standard curation diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length distribution in power-of-two buckets: bucket = number of
+    binary digits of the token count (floor(log2)+1) — computed as
+    length(bin(n)), EXACT integer string math in both engines, no
+    transcendental log.  One map stage + a ~30-group agg; the first chart
+    anyone draws over a new corpus."""
+    docs = T(spark, sf_dir, "documents")
+    from flume_spark.operators.text import tokens_col
+
+    n = F.size(tokens_col("text"))
+    per_doc = docs.select(n.alias("n_tokens"))
+    return (
+        per_doc.groupBy(F.length(F.bin("n_tokens")).cast("int").alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+TEXT_LENGTH_HIST_SQL = r"""
+WITH t AS (
+  SELECT len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT CAST(length(bin(n_tokens)) AS INT) AS log2_bucket,
+       count(*)       AS n_docs,
+       min(n_tokens)  AS min_tokens,
+       max(n_tokens)  AS max_tokens
+FROM t GROUP BY 1
+"""
+
+
 QUERIES = {
     "text_chunk_sliding": text_chunk_sliding,
     "ann_topk_int8": ann_topk_int8,
@@ -470,6 +509,7 @@ QUERIES = {
     "dedup_passage": dedup_passage,
     "dedup_incremental": dedup_incremental,
     "corpus_shuffle": corpus_shuffle,
+    "text_length_histogram": text_length_histogram,
     "text_repetition": text_repetition,
     "vocab_topk": vocab_topk,
     "text_bm25_topk": text_bm25_topk,
@@ -485,6 +525,7 @@ ORACLES = {
     "dedup_passage": DEDUP_PASSAGE_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "corpus_shuffle": CORPUS_SHUFFLE_SQL,
+    "text_length_histogram": TEXT_LENGTH_HIST_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "text_bm25_topk": TEXT_BM25_SQL,
