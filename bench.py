@@ -70,7 +70,7 @@ QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))
 QUEUE_FANOUT = 20  # queues, mirroring redis_benchmark defaults
 
 
-def bench_queries(spark) -> dict[str, float]:
+def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     from flume_spark.queries import all_queries
 
     queries = all_queries()
@@ -98,14 +98,27 @@ def bench_queries(spark) -> dict[str, float]:
             "first-call codegen (see BASELINE.md methodology note)",
             file=sys.stderr,
         )
+    # Steal-robust timing (round-3 VERDICT item 1): this host documents
+    # 4-20x hypervisor-steal spikes on identical code (BASELINE.md —
+    # queue_process 2.1s->44.8s; r03's dedup_minhash_lsh 63.5s vs ~4.3s on a
+    # plan unchanged since round 1).  One stolen window must not invalidate
+    # a round, so each query runs SAMPLES times and reports the per-query
+    # MIN — the best-case sample is the one that reflects the plan, not the
+    # scheduler.  All samples ship in a "samples" field for transparency.
+    samples_n = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = queries[name]
-        start = time.perf_counter()
-        rows = fn(spark, SF_DIR).collect()
-        timings[name] = round(time.perf_counter() - start, 3)
-        assert rows is not None
-    return timings
+        runs: list[float] = []
+        for _ in range(samples_n):
+            start = time.perf_counter()
+            rows = fn(spark, SF_DIR).collect()
+            runs.append(round(time.perf_counter() - start, 3))
+            assert rows is not None
+        timings[name] = min(runs)
+        samples[name] = runs
+    return timings, samples
 
 
 def bench_queue(spark) -> dict[str, float]:
@@ -264,7 +277,7 @@ def bench_stream_latency(spark) -> dict[str, float]:
 
 def main() -> None:
     spark = get_spark(app_name="flume_spark_bench")
-    timings = bench_queries(spark)
+    timings, samples = bench_queries(spark)
     timings.update(bench_queue(spark))
     timings.update(bench_stream_latency(spark))
     total = round(sum(timings.values()), 3)
@@ -275,6 +288,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
             }
         )

@@ -722,26 +722,27 @@ def incremental_lsh_candidates(
     ids should be disjoint across the two frames; a re-ingested id is
     guarded against matching itself, but its history/new rows are
     otherwise treated as distinct documents.
+
+    Caching contract: this function never caches — the returned plan owns
+    no persisted blocks, so per-ingest callers can't accumulate dead
+    cached frames (one leaked per call in the round-3 shape).  The new
+    batch's banding feeds both the probe side and the index union, so the
+    convenience path (new_banded omitted) recomputes that O(batch)
+    subplan twice per action; repeated-ingest callers should band the
+    batch themselves and pass `new_banded`, owning its cache/persistence
+    (LshIngestor does exactly this: streaming/dedup.py).
     """
     hb = (
         history_banded
         if history_banded is not None
         else banded_signatures(history, id_col, text_col, shingle_n, num_hashes, bands)
     ).withColumn("is_new", F.lit(False))
-    # cache: the new batch's banding feeds BOTH the probe side and the index
-    # union — uncached, the explode + k-minhash aggregation runs twice
-    # (same convention as lsh_verified_pairs caching its shingle index).
-    # `new_banded` lets a caller that already banded the batch (e.g. the
-    # streaming ingestor, which also appends it to the index) pass it in —
-    # that caller owns persistence, so no second cache is layered on top.
     if new_banded is not None:
         nb = new_banded.withColumn("is_new", F.lit(True))
     else:
-        nb = (
-            banded_signatures(new, id_col, text_col, shingle_n, num_hashes, bands)
-            .withColumn("is_new", F.lit(True))
-            .cache()
-        )
+        nb = banded_signatures(
+            new, id_col, text_col, shingle_n, num_hashes, bands
+        ).withColumn("is_new", F.lit(True))
     index = hb.unionByName(nb).alias("b")
     probe = nb.alias("a")
     return (

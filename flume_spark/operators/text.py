@@ -643,14 +643,17 @@ def corpus_shuffle(
     shard order IS key order IS shuffle_rank order (a mod-hash bucket
     would scatter key order across buckets and the sharded permutation
     would silently differ from the ranked one — gated in
-    test_write_shards).  `buckets` must be a power of two ≤ 2^32.  The
+    test_write_shards).  `buckets` must be a power of two ≤ 2^31: the
+    bucket column is a 32-bit int, and a 2^32 bucket count would shift
+    nothing and wrap the top key bit negative (non-ANSI cast), breaking
+    the order-preserving prefix invariant write_shards depends on.  The
     dense global rank column here exists for the oracle check and small
     corpora; it IS a single-partition window, so large corpora should
     project it away (documented trade).
 
     Returns (id, shuffle_bucket, shuffle_key, shuffle_rank).
     """
-    assert buckets & (buckets - 1) == 0 and 0 < buckets <= (1 << 32)
+    assert buckets & (buckets - 1) == 0 and 0 < buckets <= (1 << 31)
     shift = 32 - (buckets.bit_length() - 1)
     key = seeded_key(seed, id_col)
     out = df.select(

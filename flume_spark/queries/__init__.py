@@ -39,63 +39,64 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # from both lists land in the middle group and get checked next round
 # automatically.  tests/test_registry.py asserts both lists stay consistent
 # with the merged query dict (no typos, no overlap, full coverage).
-# ROUND-4 RE-TIERING (do this first next round): once CORRECTNESS_r03.json
-# lands, fold its green rows into _DRIVER_CHECKED — that is every name in
-# this list plus the 28 session-2 additions (all of analytics.py, llm_ext.py,
-# relational_ext.py, plus approx_percentiles which is rows-only by design) —
-# then rebuild this list from round-4 changes.  tests/test_registry.py will
-# fail loudly on typos/overlap.
-_NEEDS_DRIVER_ROW = [  # round-3 additions/changes, ascending expected sf0.01 runtime
-    "text_normalize",
-    "join_interval",
-    "sample_weighted",
-    "mixture_weights",
-    "source_cap",
-    "kmeans_assign",
-    "lsh_buckets",
-    "queue_pending_counts",
-    "dedup_lsh_verified",
-    # near-dup stage switched from simhash to the blessed LSH->verify path in
-    # round 3, so the r02 row is stale — re-verify.
-    "curation_pipeline",
+# Round-4 re-tier done: all 50 CORRECTNESS_r03 rows folded into
+# _DRIVER_CHECKED (49 hash-green + approx_percentiles, rows-only by design).
+_NEEDS_DRIVER_ROW = [  # round-4 additions/changes, ascending expected sf0.01 runtime
+    # MAD=0 guard added both sides (round-3 ADVICE) — semantics changed
+    # since the r03 row, so re-verify.
+    "events_anomaly_mad",
 ]
 
-# Union of CORRECTNESS_r01.json + CORRECTNESS_r02.json keys (96 hash-green,
-# 3 rows-only by design: approx_distinct, ann_topk_lsh, embedding_kmeans),
+# Union of CORRECTNESS_r01+r02+r03 keys: 133 hash-green, 4 rows-only by
+# design (approx_distinct, ann_topk_lsh, embedding_kmeans, approx_percentiles),
 # MINUS any query whose semantics changed since its driver row — those move
-# back into _NEEDS_DRIVER_ROW (round 3: curation_pipeline).  Do NOT "restore"
+# back into _NEEDS_DRIVER_ROW (round 4: events_anomaly_mad).  Do NOT "restore"
 # a name to this set without removing it from the re-verify list.
 _DRIVER_CHECKED = frozenset(
     {
         "agg_count_distinct_salted", "agg_cube", "agg_distinct",
-        "agg_grouping_sets", "agg_histogram", "agg_percentiles", "agg_rollup",
-        "agg_stats", "ann_topk_bruteforce", "ann_topk_ivf", "ann_topk_lsh",
-        "approx_distinct", "array_agg_sorted", "backoff_expr",
-        "case_when_bucketing", "correlated_subquery",
+        "agg_grouping_sets", "agg_histogram", "agg_minmax_by", "agg_percentiles",
+        "agg_rollup", "agg_stats", "ann_range_search", "ann_topk_bruteforce",
+        "ann_topk_int8", "ann_topk_ivf", "ann_topk_lsh", "approx_distinct",
+        "approx_percentiles", "array_agg_sorted", "backoff_expr",
+        "case_when_bucketing", "cohort_retention", "corpus_shuffle",
+        "correlated_subquery", "curation_pipeline", "dedup_canonical_best",
         "dedup_components", "dedup_embedding_cosine", "dedup_exact",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
+        "dedup_incremental", "dedup_lsh_verified", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_passage",
         "dedup_simhash", "due_filter", "embedding_centroids", "embedding_kmeans",
-        "events_funnel", "explode_tokens", "filter_project", "group_args_nested",
-        "job_counts", "join_anti", "join_asof", "join_broadcast", "join_outer",
-        "join_range", "join_semi", "join_skew_salted", "md5_ledger_key",
+        "embedding_quantize", "events_funnel", "events_gap_islands",
+        "events_transitions", "explode_tokens", "filter_project",
+        "group_args_nested", "job_counts", "join_anti", "join_asof",
+        "join_broadcast", "join_interval", "join_lateral", "join_outer",
+        "join_range", "join_semi", "join_skew_salted", "kmeans_assign",
+        "lsh_buckets", "md5_ledger_key", "mixture_weights",
         "multimodal_feature_extract", "multimodal_frame_sample", "multimodal_meta",
-        "multimodal_resize", "pack_sequences", "pivot_returnflag",
-        "q10_returned_items", "q12_priority_lineclass", "q13_customer_distribution",
-        "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
-        "q17_small_quantity_revenue", "q18_large_volume", "q19_discounted_revenue",
-        "q1_pricing_summary", "q20_volume_suppliers", "q21_sole_returned_supplier",
+        "multimodal_resize", "orders_market_basket", "orders_seasonality",
+        "pack_sequences", "pivot_returnflag", "q10_returned_items",
+        "q11_important_stock", "q12_priority_lineclass",
+        "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+        "q16_supplier_part_counts", "q17_small_quantity_revenue",
+        "q18_large_volume", "q19_discounted_revenue", "q1_pricing_summary",
+        "q20_volume_suppliers", "q21_sole_returned_supplier",
         "q22_dormant_customers", "q2_min_cost_supplier", "q3_shipping_priority",
         "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
         "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-        "rate_window_count", "sample_stratified", "scalar_date_funcs",
-        "scalar_json_funcs", "scalar_math_funcs", "scalar_null_funcs",
+        "queue_pending_counts", "rate_window_count", "rfm_segments",
+        "sample_stratified", "sample_weighted", "scalar_array_funcs",
+        "scalar_bitwise_funcs", "scalar_date_funcs", "scalar_json_funcs",
+        "scalar_math_funcs", "scalar_null_funcs", "scalar_regex_funcs",
         "scalar_string_funcs", "scalar_subquery", "set_except", "set_intersect",
-        "set_union", "text_decontaminate", "text_fingerprint", "text_lang_id",
-        "text_pii_scrub", "text_quality_score", "text_rolling_fingerprint",
-        "text_subword_tokens", "text_tfidf_topk", "text_token_count", "topk_due",
-        "topk_orders", "unpivot_orders", "visibility_timeout_scan",
-        "window_lag_lead", "window_moving_agg", "window_range_frame", "window_rank",
-        "window_running_sum", "window_session", "window_sliding", "window_tumbling",
+        "set_union", "source_cap", "text_bm25_topk", "text_chunk_sliding",
+        "text_commonness", "text_decontaminate", "text_fingerprint", "text_lang_id",
+        "text_length_histogram", "text_normalize", "text_pii_scrub",
+        "text_quality_score", "text_repetition", "text_rolling_fingerprint",
+        "text_subword_tokens", "text_tfidf_topk", "text_token_count",
+        "time_weighted_avg", "topk_due", "topk_orders", "unpivot_orders",
+        "visibility_timeout_scan", "vocab_topk", "window_first_last",
+        "window_lag_lead", "window_moving_agg", "window_ntile_dist",
+        "window_range_frame", "window_rank", "window_running_sum", "window_session",
+        "window_sliding", "window_tumbling",
     }
 )
 

@@ -304,7 +304,13 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-row stats frame that broadcasts back; the flagging pass is map-only.
     Exact percentiles over 2-decimal values interpolate as (a+b)/2 —
     IEEE-identical across engines (same discipline as agg_percentiles);
-    the compare uses the raw doubles, display columns are rounded."""
+    the compare uses the raw doubles, display columns are rounded.
+
+    MAD = 0 (>= half the type's values equal the median — realistic for
+    discrete data) would make mad_score diverge cross-engine: Spark
+    division yields NULL, DuckDB IEEE float yields inf.  Both sides guard
+    with an explicit NULL (Spark when(mad > 0), DuckDB nullif) so a
+    flagged row with zero MAD hashes identically in both engines."""
     ev = T(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med")
@@ -322,9 +328,13 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
         F.round("med", 4).alias("median_value"),
-        F.round(F.abs(F.col("value") - F.col("med")) / F.col("mad"), 4).alias(
-            "mad_score"
-        ),
+        F.round(
+            F.when(
+                F.col("mad") > 0,
+                F.abs(F.col("value") - F.col("med")) / F.col("mad"),
+            ),
+            4,
+        ).alias("mad_score"),
     )
 
 
@@ -342,7 +352,7 @@ mad AS (
 )
 SELECT e.event_id, e.event_type, e.value,
        round(m.med, 4)                              AS median_value,
-       round(abs(e.value - m.med) / m.mad, 4)       AS mad_score
+       round(abs(e.value - m.med) / nullif(m.mad, 0), 4) AS mad_score
 FROM events e JOIN mad m USING (event_type)
 WHERE abs(e.value - m.med) > 3.0 * m.mad
 """

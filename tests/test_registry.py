@@ -10,10 +10,26 @@ from flume_spark import queries as Q
 
 
 def _merged_queries() -> dict:
+    # Mirror all_queries()'s module list exactly (round-3 VERDICT: omitting
+    # modules made the name-existence gates vacuous for their queries).
     out = {}
-    for mod in (Q.relational, Q.queue_semantics, Q.llm_ops, Q.temporal, Q.tpch_extra):
+    for mod in (
+        Q.relational,
+        Q.queue_semantics,
+        Q.llm_ops,
+        Q.temporal,
+        Q.tpch_extra,
+        Q.analytics,
+        Q.llm_ext,
+        Q.relational_ext,
+    ):
         out.update(mod.QUERIES)
     return out
+
+
+def test_merged_module_list_matches_all_queries():
+    """If all_queries() grows a module, this file must too — compare names."""
+    assert set(_merged_queries()) == set(Q.all_queries())
 
 
 def test_needs_driver_row_names_all_exist():
