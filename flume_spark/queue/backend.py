@@ -17,11 +17,14 @@ Delta/Iceberg mapping, so a table-format backend is a drop-in:
 | count_rows / read_rows | parquet footer metadata / pyarrow read | driver-side `collect()` of a bounded commit |
 
 Concurrency stance: seq ordering across instances comes from the backend's
-atomic counter (≙ Delta's serialized commits), claim serialization for
-rate-limited queues from the SharedLedgerLimiter's per-key lock (≙
-redis/lock.ex:8-24), and compaction's snapshot-list contract tolerates
-concurrent appenders (store.py::compact docstring).  A Delta backend gets
-all three from optimistic concurrency for free.
+atomic counter (≙ Delta's serialized commits), claim serialization from
+`claim_lock` — one exclusive per-queue lock held across every trigger's
+due-read→claim-publish span (≙ the reference's bulk-dequeue lock,
+redis/lock.ex:8-41) — rate-limit window atomicity from the
+SharedLedgerLimiter's per-key lock, and compaction's snapshot-list contract
+tolerates concurrent appenders (store.py::compact docstring).  A Delta
+backend gets all four from optimistic concurrency for free (claim_lock
+becomes a no-op: a conflicting claim commit simply retries).
 """
 
 from __future__ import annotations
@@ -103,6 +106,16 @@ class LogBackend(ABC):
         """Compact when fragmentation passes the threshold; True if ran."""
 
     # -- control flags ------------------------------------------------------
+
+    @abstractmethod
+    def claim_lock(self, queue: str):
+        """Context manager: exclusive per-queue claim lock, shared across
+        every manager instance of this store — the reference's bulk-dequeue
+        lock (redis/lock.ex:8-41).  Held across a trigger's due-read →
+        claim-publish span so two instances can never both observe the same
+        job as due (double-claim).  Parquet-log impl: flock on a control
+        file; a Delta/Iceberg impl may return a no-op guard and rely on
+        optimistic commit conflicts instead."""
 
     @abstractmethod
     def set_flag(self, flag: str) -> None:

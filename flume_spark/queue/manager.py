@@ -87,13 +87,11 @@ class QueueManager:
         # compaction, so freshly-written files are safe to compact at once.
         # Multi-instance on a SHARED store: set a grace (e.g. 30s) so
         # auto-compaction never unlinks claim files another manager is still
-        # lazily reading mid-trigger.  Multi-instance claim scope: the
-        # shared ledger lock serializes claims per RATE-LIMITED key only;
-        # two instances claiming one UNLIMITED queue can double-claim — an
-        # at-least-once duplicate (one ack wins by seq), shrunk to the
-        # marker window by idempotence=True.  Run one claiming instance per
-        # unlimited queue (reference stance: per-queue dequeue lock,
-        # redis/lock.ex:8-24).
+        # lazily reading mid-trigger.  Claims themselves are multi-instance
+        # safe for EVERY queue: each trigger holds the store's per-queue
+        # claim_lock across its due-read -> claim-publish span (the
+        # reference's bulk-dequeue lock, redis/lock.ex:8-41), so two
+        # instances can never both observe a job as due.
         self.compact_grace_s = compact_grace_s
         # True keeps the live log O(in-flight + dead) under sustained load
         # (succeeded acks move to the archive on compaction) — the setting
@@ -480,12 +478,22 @@ class QueueManager:
                     "run them in separate triggers or merge the pipelines"
                 )
             seen_queues[p.queue] = p.name
-        # Each rate-limited key's lock is held across the whole
-        # remaining->claim->record span: with a SharedLedgerLimiter this is
-        # the reference's bulk_dequeue_lock (redis/lock.ex:8-24) — two app
-        # instances can't both read the same window budget and jointly
-        # overshoot.  Keys sorted for deadlock-free ordering; the local
-        # limiter's lock serializes concurrent runner threads in-process.
+        # Two lock families guard the claim, acquired in one deterministic
+        # global order (queue locks sorted, then ledger keys sorted —
+        # deadlock-free because every trigger in every instance uses the
+        # same order):
+        #  1. the store's per-queue claim_lock, held across the due-read ->
+        #     claim-publish span for EVERY admitted queue — the reference's
+        #     bulk_dequeue_lock (redis/lock.ex:8-41): two instances can
+        #     never both observe a job as due, so no queue (rate-limited or
+        #     not) can be double-claimed;
+        #  2. each rate-limited key's ledger lock across the whole
+        #     remaining->claim->record span: with a SharedLedgerLimiter two
+        #     app instances can't both read the same window budget and
+        #     jointly overshoot (redis/bulk_dequeue.ex:196-224).
+        active_queues = sorted(
+            {p.queue for p in resolved if not self.is_paused(p)}
+        )
         limited_keys = sorted(
             {
                 p.limit_key
@@ -494,6 +502,8 @@ class QueueManager:
             }
         )
         with ExitStack() as ledger_locks:
+            for q in active_queues:
+                ledger_locks.enter_context(self.store.claim_lock(q))
             for key in limited_keys:
                 ledger_locks.enter_context(self.limiter.lock(key))
 

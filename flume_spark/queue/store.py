@@ -13,6 +13,7 @@ import os
 import threading
 import time
 import uuid
+from contextlib import contextmanager
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -382,6 +383,31 @@ class JobStore(LogBackend):
         for jid in jids:
             if jid not in still_live:
                 self.clear_flag(f"processed/{jid}")
+
+    # -- claim lock ---------------------------------------------------------
+
+    @contextmanager
+    def claim_lock(self, queue: str):
+        """Exclusive per-queue claim lock shared by every instance of this
+        store — the reference's bulk-dequeue lock (redis/lock.ex:8-41,
+        mutual-exclusion test test/flume/redis/lock_test.exs:9-44).  An
+        flock on a control file next to the log, held across the trigger's
+        due-read → claim-publish span: the second claimer's log listing
+        happens only after the first's claim files are renamed in, so it
+        sees status=processing with a fresh lease and claims nothing.
+        flock is per-open-file-description, so it also serializes
+        concurrent runner threads inside one process."""
+        import fcntl
+        from urllib.parse import quote
+
+        path = self._flag_path(f"locks/queue-{quote(queue, safe='')}")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fd:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
 
     # -- control flags ------------------------------------------------------
     # Durable cluster-visible control state lives NEXT TO the log (at scale:

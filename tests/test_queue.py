@@ -1178,3 +1178,75 @@ def test_run_many_rejects_same_queue_pipelines(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="both consume queue"):
         m.run_many(["p1", "p2"], now=T0)
+
+
+# -- per-queue claim lock (S6, multi-instance) -------------------------------
+# Reference: redis/lock.ex:8-41 holds a per-queue dequeue lock so two app
+# instances never double-claim; mirrored by test/flume/redis/lock_test.exs.
+
+
+def test_claim_lock_mutual_exclusion(spark, tmp_path):
+    """store.claim_lock blocks a second acquirer (thread or instance) until
+    the first releases — the lock_test.exs:9-44 contract."""
+    import threading
+    import time as _time
+
+    store = JobStore(spark, str(tmp_path / "jobs_lock"))
+    order = []
+
+    def holder():
+        with store.claim_lock("q"):
+            order.append("acquired-1")
+            _time.sleep(0.4)
+            order.append("releasing-1")
+
+    t = threading.Thread(target=holder)
+    t.start()
+    _time.sleep(0.1)  # let the holder acquire first
+    with store.claim_lock("q"):
+        order.append("acquired-2")
+    t.join()
+    assert order == ["acquired-1", "releasing-1", "acquired-2"]
+
+
+def test_unlimited_queue_never_double_claimed_across_instances(spark, tmp_path):
+    """Two managers sharing one store, claiming one UNLIMITED queue
+    concurrently: every jid is claimed exactly once (the round-3 gap — the
+    ledger lock only covered rate-limited keys)."""
+    import threading
+
+    registry = WorkerRegistry()
+    registry.register("NoopWorker", lambda *a: None)
+    store_path = str(tmp_path / "jobs_nolock")
+    pipes = [Pipeline(name="u", queue="u", max_demand=30)]
+    m1 = QueueManager(
+        spark, JobStore(spark, store_path), registry, pipelines=pipes
+    )
+    m2 = QueueManager(
+        spark, JobStore(spark, store_path), registry, pipelines=pipes
+    )
+    n = 40  # demand 30 < n: with exclusion, the claims partition 30/10
+    m1.bulk_enqueue("u", [("NoopWorker", "perform", [i]) for i in range(n)], now=T0)
+
+    results = {}
+
+    def trigger(name, mgr):
+        results[name] = mgr.run_once("u", now=T0 + 1)
+
+    t1 = threading.Thread(target=trigger, args=("m1", m1))
+    t2 = threading.Thread(target=trigger, args=("m2", m2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    assert results["m1"]["claimed"] + results["m2"]["claimed"] == n
+    # log history: exactly ONE processing record per jid ever written
+    from pyspark.sql import functions as F
+
+    per_jid = (
+        m1.store.log()
+        .filter(F.col("status") == "processing")
+        .groupBy("jid")
+        .count()
+        .collect()
+    )
+    assert len(per_jid) == n
+    assert max(r["count"] for r in per_jid) == 1
