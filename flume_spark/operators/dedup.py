@@ -695,6 +695,77 @@ def passage_dedup_stats(
     )
 
 
+def with_band_key(banded: DataFrame) -> DataFrame:
+    """Attach the single-column join key `band_key` = band_idx ':' band_hash.
+
+    (band_idx, band_hash) equality ⇔ band_key equality: band_hash is a
+    fixed-width md5 hex string, so the ':' separator makes the concat
+    injective.  One key column is what lets the PERSISTED index be
+    bucketed on it — Spark's planner only keeps a bucketed scan
+    exchange-free when the join keys equal the bucket column (a two-key
+    join over a one-column bucketing gets 'Bucketed: false (disabled by
+    query planner)').  Frames that already carry band_key pass through.
+    """
+    if "band_key" in banded.columns:
+        return banded
+    return banded.withColumn(
+        "band_key",
+        F.concat(F.col("band_idx").cast("string"), F.lit(":"), F.col("band_hash")),
+    )
+
+
+def write_band_index(
+    banded: DataFrame,
+    table_name: str,
+    path: str,
+    buckets: int = 64,
+    ingest_batch: int = 0,
+    mode: str = "overwrite",
+) -> None:
+    """Persist banded signatures in the production index layout: a table
+    partitioned by `ingest_batch`, bucketed AND sorted by `band_key`.
+
+    This is the layout BASELINE.md names for the 100 TB ingest story: the
+    per-ingest probe join keys on band_key, so the index side of the join
+    is read straight from its buckets — zero Exchange above the index
+    scan, gated by test_round4_ops.py — while only the O(batch x bands)
+    probe side shuffles (to the bucket count).  `ingest_batch`
+    partitioning serves the replay-exclusion filter (partition-pruned)
+    and lets compaction target old partitions.
+
+    `mode="append"` adds a batch to an existing index (Spark verifies the
+    bucket spec matches); "overwrite" (re)creates the table at `path`.
+    At cluster scale the same layout is a Delta/Iceberg table with a
+    band_key clustering; bucket count should scale with corpus size
+    (64 here is test-scale).
+    """
+    rows = with_band_key(banded).select(
+        "id", "band_key", F.lit(ingest_batch).alias("ingest_batch")
+    )
+    writer = (
+        rows.write.partitionBy("ingest_batch")
+        .bucketBy(buckets, "band_key")
+        .sortBy("band_key")
+        .mode(mode)
+    )
+    if mode == "overwrite":
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def read_band_index(
+    spark, table_name: str, exclude_batch: int | None = None
+) -> DataFrame:
+    """The persisted band index as (id, band_key), optionally excluding one
+    ingest batch (replay safety: a crashed batch's own signatures must not
+    be seen as history — the exclusion is a partition filter, pruned at
+    the scan)."""
+    idx = spark.table(table_name)
+    if exclude_batch is not None:
+        idx = idx.filter(F.col("ingest_batch") != exclude_batch)
+    return idx.select("id", "band_key")
+
+
 def incremental_lsh_candidates(
     history: DataFrame,
     new: DataFrame,
@@ -712,10 +783,19 @@ def incremental_lsh_candidates(
 
     This is the production shape at 100 TB: the historical corpus is never
     rescanned per ingest.  Pass `history_banded` (the persisted
-    banded_signatures frame, appended to at every ingest) and per-batch
-    cost is banding the new docs (O(new x bands) rows) plus one equi-join
-    probe into the index; omitted, the history frame is banded in-plan
-    (correct, but pays the full history scan this call).
+    banded_signatures frame — ideally the bucketed band-key table from
+    `write_band_index`, appended to at every ingest) and per-batch cost is
+    banding the new docs (O(new x bands) rows) plus one equi-join probe
+    into the index; omitted, the history frame is banded in-plan (correct,
+    but pays the full history scan this call).
+
+    The probe is structured as TWO joins unioned — probe x history and
+    probe x probe — rather than probe x (history ∪ probe): a union would
+    discard the history side's bucketed output partitioning and force a
+    full index-side shuffle per ingest.  Kept separate, a band-key-bucketed
+    history table joins exchange-free on its side (only the small probe
+    shuffles), and both joins key on the single `band_key` column
+    (see with_band_key for why one column).
 
     Returns (doc_new, doc_match) distinct: doc_new from `new`, doc_match
     from history or new; new-new pairs emitted once (doc_new < doc_match).
@@ -726,37 +806,37 @@ def incremental_lsh_candidates(
     Caching contract: this function never caches — the returned plan owns
     no persisted blocks, so per-ingest callers can't accumulate dead
     cached frames (one leaked per call in the round-3 shape).  The new
-    batch's banding feeds both the probe side and the index union, so the
-    convenience path (new_banded omitted) recomputes that O(batch)
-    subplan twice per action; repeated-ingest callers should band the
+    batch's banding feeds the history probe AND both sides of the new-new
+    self-join, so the convenience path (new_banded omitted) recomputes
+    that O(batch) subplan per use; repeated-ingest callers should band the
     batch themselves and pass `new_banded`, owning its cache/persistence
     (LshIngestor does exactly this: streaming/dedup.py).
     """
-    hb = (
+    hb = with_band_key(
         history_banded
         if history_banded is not None
         else banded_signatures(history, id_col, text_col, shingle_n, num_hashes, bands)
-    ).withColumn("is_new", F.lit(False))
-    if new_banded is not None:
-        nb = new_banded.withColumn("is_new", F.lit(True))
-    else:
-        nb = banded_signatures(
-            new, id_col, text_col, shingle_n, num_hashes, bands
-        ).withColumn("is_new", F.lit(True))
-    index = hb.unionByName(nb).alias("b")
-    probe = nb.alias("a")
+    ).select("id", "band_key")
+    nb = with_band_key(
+        new_banded
+        if new_banded is not None
+        else banded_signatures(new, id_col, text_col, shingle_n, num_hashes, bands)
+    ).select("id", "band_key")
+    # history matches always count (id-disjointness is documented, but a
+    # re-ingested id must not match itself); new-new pairs once (a < b)
+    hist_pairs = nb.alias("a").join(
+        hb.alias("b"),
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.id") != F.col("b.id")),
+    )
+    new_pairs = nb.alias("a").join(
+        nb.alias("b"),
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.id") < F.col("b.id")),
+    )
+    out_cols = [F.col("a.id").alias("doc_new"), F.col("b.id").alias("doc_match")]
     return (
-        probe.join(
-            index,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            # history matches always count (id-disjointness is documented,
-            # but a re-ingested id must not match itself); new-new once
-            & (
-                (~F.col("b.is_new") & (F.col("a.id") != F.col("b.id")))
-                | (F.col("b.is_new") & (F.col("a.id") < F.col("b.id")))
-            ),
-        )
-        .select(F.col("a.id").alias("doc_new"), F.col("b.id").alias("doc_match"))
+        hist_pairs.select(*out_cols)
+        .unionByName(new_pairs.select(*out_cols))
         .distinct()
     )

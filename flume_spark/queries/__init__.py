@@ -45,6 +45,9 @@ _NEEDS_DRIVER_ROW = [  # round-4 additions/changes, ascending expected sf0.01 ru
     # MAD=0 guard added both sides (round-3 ADVICE) — semantics changed
     # since the r03 row, so re-verify.
     "events_anomaly_mad",
+    # new round-4 queries
+    "percentiles_exact",
+    "ann_range_cells",
 ]
 
 # Union of CORRECTNESS_r01+r02+r03 keys: 133 hash-green, 4 rows-only by

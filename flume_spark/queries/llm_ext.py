@@ -246,6 +246,36 @@ SELECT query_id, neighbor_id, cosine FROM scored WHERE cosine >= 0.35
 """
 
 
+def ann_range_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-cell SCALE path for radius search: candidates come from
+    an equi-join on the IVF cell (label), so shuffle is bounded by cell
+    sizes instead of |Q|·|N| — `ann_range_search` above stays the
+    broadcast-Q correctness baseline.  The oracle computes the identical
+    same-cell semantics exactly, so this query hash-checks the cell-join
+    math; the recall-vs-exhaustive trade is the operator's documented
+    contract (similarity.range_search_cells), not a divergence."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.range_search_cells(
+        emb, F.col("vec_id") < 25, threshold=0.3
+    )
+
+
+ANN_RANGE_CELLS_SQL = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))),
+               6) AS cosine
+  FROM e q JOIN e n ON q.label = n.label AND n.vec_id != q.vec_id
+  WHERE q.vec_id < 25
+)
+SELECT query_id, neighbor_id, cosine FROM scored WHERE cosine >= 0.3
+"""
+
+
 # ---------------------------------------------------------------------------
 # int8-quantized ANN top-k (exact integer scoring — no float fold at all)
 # ---------------------------------------------------------------------------
@@ -502,6 +532,40 @@ FROM t GROUP BY 1
 """
 
 
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source percentiles of document length — the hash-checkable
+    deterministic core of the percentile family (round-3 verdict item 6:
+    the sketch-based approx_percentiles is rows-only by design; this and
+    temporal.agg_percentiles pin the exact math the sketch approximates,
+    Spark percentile() vs DuckDB quantile_cont).  Both engines use linear
+    interpolation lower + f*(higher-lower) over integer n_chars; results
+    rounded to 4dp AFTER (same discipline as agg_percentiles).
+
+    At scale this is the full-sort path (exact percentile is not
+    partial-aggregable) — production corpus profiling uses the sketch;
+    this exists to verify it."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 4).alias("p95"),
+    )
+
+
+PERCENTILES_EXACT_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 4) AS p25,
+       round(quantile_cont(n_chars, 0.5), 4)  AS p50,
+       round(quantile_cont(n_chars, 0.75), 4) AS p75,
+       round(quantile_cont(n_chars, 0.95), 4) AS p95
+FROM documents
+GROUP BY source
+"""
+
+
 QUERIES = {
     "text_chunk_sliding": text_chunk_sliding,
     "ann_topk_int8": ann_topk_int8,
@@ -516,6 +580,8 @@ QUERIES = {
     "dedup_canonical_best": dedup_canonical_best,
     "embedding_quantize": embedding_quantize,
     "ann_range_search": ann_range_search,
+    "ann_range_cells": ann_range_cells,
+    "percentiles_exact": percentiles_exact,
 }
 
 ORACLES = {
@@ -532,4 +598,6 @@ ORACLES = {
     "dedup_canonical_best": DEDUP_CANONICAL_SQL,
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "ann_range_search": ANN_RANGE_SQL,
+    "ann_range_cells": ANN_RANGE_CELLS_SQL,
+    "percentiles_exact": PERCENTILES_EXACT_SQL,
 }

@@ -318,11 +318,13 @@ FROM p JOIN c ON c.click_ts >= p.start_ts AND c.click_ts < p.end_ts
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (approx_percentile) per event type — the
     sketch-family counterpart of approx_distinct's HLL.  Approximate by
-    design, so NO oracle (driver records rows-only); the repo's own gate
-    is test_approx_percentiles_within_tolerance, which bounds the sketch
-    against the exact percentiles.  At 100 TB this is the path: the
-    sketch is partial-aggregable and mergeable, so percentiles come from
-    one map-side-combined pass instead of a full sort."""
+    design, so NO oracle (driver records rows-only); its deterministic
+    core IS hash-checked, twice: agg_percentiles (exact percentile over
+    the same grouping and points) and llm_ext.percentiles_exact, plus
+    test_approx_percentiles_within_tolerance bounds this sketch against
+    the exact values.  At 100 TB this is the path: the sketch is
+    partial-aggregable and mergeable, so percentiles come from one
+    map-side-combined pass instead of a full sort."""
     ev = T(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.expr(

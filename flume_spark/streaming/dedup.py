@@ -123,12 +123,26 @@ class LshIngestor:
     operators/dedup.incremental_lsh_candidates for a continuously-fed
     corpus.
 
-    State is two parquet directories, not stream state: the index grows by
+    State is two parquet locations, not stream state: the index grows by
     O(batch x bands) rows per trigger and lives outside the checkpoint, so
-    it is shared across queries and survives checkpoint resets (at scale:
-    a Delta table partitioned by band_idx).  Exactly-once comes from the
-    batch-id ledger (streaming/sink.py contract) — a replayed batch
-    re-probes but its appends are skipped.
+    it is shared across queries and survives checkpoint resets.
+    Exactly-once comes from the batch-id ledger (streaming/sink.py
+    contract) — a replayed batch re-probes but its appends are skipped.
+
+    Index layout, by `index_table`:
+    - None (default): plain parquet dir, one `ingest_batch=<id>` partition
+      per trigger, OVERWRITTEN on replay.  The probe join shuffles BOTH
+      sides every trigger.
+    - a table name: the band-key-bucketed table from
+      `operators.dedup.write_band_index` (partitioned by ingest_batch,
+      bucketed by band_key) — the 100 TB layout: the index side of every
+      probe join reads straight from its buckets, zero Exchange, only the
+      O(batch x bands) probe side shuffles.  Appends are append-mode (a
+      bucketed table cannot overwrite one partition), so a crash between
+      the index write and the ledger marker can leave ONE duplicated
+      batch partition; results stay exact — the batch's own partition is
+      excluded from its replay probe, and duplicate index rows only
+      duplicate candidate rows that the final distinct() collapses.
 
     Usage:
         ing = LshIngestor(spark, index_dir, pairs_dir, ledger_dir)
@@ -146,6 +160,8 @@ class LshIngestor:
         shingle_n: int = 2,
         num_hashes: int = 16,
         bands: int = 4,
+        index_table: str | None = None,
+        index_buckets: int = 8,
     ) -> None:
         import os
 
@@ -157,6 +173,8 @@ class LshIngestor:
         self.shingle_n = shingle_n
         self.num_hashes = num_hashes
         self.bands = bands
+        self.index_table = index_table
+        self.index_buckets = index_buckets
         os.makedirs(index_dir, exist_ok=True)
         os.makedirs(pairs_dir, exist_ok=True)
         from flume_spark.streaming.sink import idempotent_foreach_batch
@@ -178,17 +196,56 @@ class LshIngestor:
         )
 
     def _read_index(self, exclude_batch_id: int):
-        if not self._has_parquet(self.index_dir):
-            return None
         # exclude THIS batch's partition: a replay after a crash between
         # the index write and the ledger marker would otherwise see the
         # batch's own signatures as history and emit reversed duplicate
-        # new-new pairs.  Then drop the partition column so it can't leak
-        # into the probe union.
+        # new-new pairs.
+        if self.index_table is not None:
+            from flume_spark.operators.dedup import read_band_index
+
+            if not self.spark.catalog.tableExists(self.index_table):
+                return None
+            return read_band_index(
+                self.spark, self.index_table, exclude_batch=exclude_batch_id
+            )
+        if not self._has_parquet(self.index_dir):
+            return None
+        # drop the partition column so it can't leak into the probe
         return (
             self.spark.read.parquet(self.index_dir)
             .filter(F.col("ingest_batch") != exclude_batch_id)
             .select("id", "band_idx", "band_hash")
+        )
+
+    def _write_index(self, nb, batch_id: int) -> None:
+        import os
+
+        if self.index_table is not None:
+            from flume_spark.operators.dedup import write_band_index
+
+            # append-mode into the bucketed table (overwrite would drop the
+            # whole table); replay duplication is exact — see class docstring
+            mode = (
+                "append"
+                if self.spark.catalog.tableExists(self.index_table)
+                else "overwrite"
+            )
+            write_band_index(
+                nb,
+                self.index_table,
+                self.index_dir,
+                buckets=self.index_buckets,
+                ingest_batch=batch_id,
+                mode=mode,
+            )
+            return
+        # per-batch OVERWRITE location, not append: the ledger marks the
+        # batch done only after _process returns, so a crash between the
+        # two writes replays the whole batch — an append would then
+        # duplicate rows, the overwrite converges (sink.py's determinism
+        # contract).  Hive-style dir names keep root reads partition-aware.
+        nb.write.mode("overwrite").parquet(
+            os.path.join(self.index_dir, f"ingest_batch={batch_id}")
         )
 
     def _process(self, batch_df, batch_id: int) -> None:
@@ -218,20 +275,12 @@ class LshIngestor:
                 history_banded=history,
                 new_banded=nb,
             )
-            # per-batch OVERWRITE locations, not appends: the ledger marks
-            # the batch done only after _process returns, so a crash between
-            # the two writes replays the whole batch — appends would then
-            # duplicate rows, overwrites converge (sink.py's determinism
-            # contract).  Hive-style dir names keep root reads
-            # partition-aware.
             import os
 
             pairs.write.mode("overwrite").parquet(
                 os.path.join(self.pairs_dir, f"ingest_batch={batch_id}")
             )
-            nb.write.mode("overwrite").parquet(
-                os.path.join(self.index_dir, f"ingest_batch={batch_id}")
-            )
+            self._write_index(nb, batch_id)
         finally:
             # a long-running stream would otherwise accumulate one dead
             # cached frame per trigger

@@ -19,6 +19,13 @@ Probed operators (the blessed scale paths):
 Usage: python probe_scale.py [factor ...]   (default: 1 10 50)
 Prints one JSON line per (operator, factor) and a summary with the fitted
 wall-clock exponent log(t_f/t_1)/log(f) — ~1.0 = linear, 2.0 = quadratic.
+
+`python probe_scale.py --ingest [factor ...]` runs the incremental-ingest
+amortization probe instead: per-ingest cost of probing a fixed 5k-doc
+batch against a PERSISTED band index at each history factor, comparing
+the plain-parquet index (probe join shuffles both sides) against the
+band-key-bucketed table (index side exchange-free — the layout
+BASELINE.md names for 100 TB).
 """
 
 from __future__ import annotations
@@ -135,5 +142,71 @@ def main() -> None:
     print(json.dumps({"summary": summary}), flush=True)
 
 
+def main_ingest() -> None:
+    """Per-ingest cost vs history size, plain vs bucketed persisted index.
+
+    Timed span per ingest = band the batch in-plan + probe the persisted
+    index (the work a pipeline pays per arriving batch); min-of-3 after a
+    warm run, so one stolen scheduler window can't fake a regression.
+    Index build time is reported separately (the amortized one-time cost).
+    """
+    import tempfile
+
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
+    spark = get_spark(app_name="flume_probe_ingest")
+    tmp = tempfile.mkdtemp(prefix="ingest_probe_")
+    batch = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select((F.col("doc_id") + 900_000_000).alias("doc_id"), "text")
+        .limit(5000)
+        .localCheckpoint(eager=True)
+    )
+    for f in factors:
+        hist = scaled_docs(spark, f)
+        hb = dedup.banded_signatures(hist, "doc_id", "text", 2, 16, 4)
+        plain_path = os.path.join(tmp, f"idx_plain_x{f}")
+        t0 = time.perf_counter()
+        dedup.with_band_key(hb).select("id", "band_key").write.parquet(plain_path)
+        build_plain = time.perf_counter() - t0
+        tbl = f"ingest_probe_idx_x{f}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        t0 = time.perf_counter()
+        dedup.write_band_index(
+            hb, tbl, os.path.join(tmp, f"idx_bucket_x{f}"), buckets=32
+        )
+        build_bucket = time.perf_counter() - t0
+        variants = {
+            "plain": lambda: spark.read.parquet(plain_path),
+            "bucketed": lambda: dedup.read_band_index(spark, tbl),
+        }
+        out = {"factor": f, "index_rows": dedup.read_band_index(spark, tbl).count(),
+               "build_plain_s": round(build_plain, 2),
+               "build_bucket_s": round(build_bucket, 2)}
+        for name, idx in variants.items():
+            samples = []
+            for i in range(4):  # first run warms; min of the last 3
+                t0 = time.perf_counter()
+                n = dedup.incremental_lsh_candidates(
+                    None, None, "doc_id", "text", 2, 16, 4,
+                    history_banded=idx(),
+                    new_banded=dedup.banded_signatures(
+                        batch, "doc_id", "text", 2, 16, 4
+                    ),
+                ).count()
+                samples.append(round(time.perf_counter() - t0, 2))
+            out[f"ingest_{name}_s"] = min(samples[1:])
+            out[f"ingest_{name}_samples"] = samples
+            out["pairs"] = n
+        print(json.dumps(out), flush=True)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        hist.unpersist()
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--ingest":
+        main_ingest()
+    else:
+        main()

@@ -1,0 +1,191 @@
+"""Round-4 additions: the persisted band-key-bucketed LSH index (the last
+unbuilt piece of the 100 TB ingest story named by BASELINE.md), its plan
+gate (index-side exchange-free probe), and the ingestor's bucketed mode.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flume_spark.operators import dedup
+from flume_spark.plans import explain_str, n_shuffles
+
+
+def _corpus(spark, lo: int, hi: int):
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 97}" for j in range(30))) for i in range(lo, hi)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ---------------------------------------------------------------------------
+# persisted bucketed band index
+# ---------------------------------------------------------------------------
+
+
+def test_band_index_roundtrip_and_append(spark, tmp_path):
+    hist = _corpus(spark, 0, 50)
+    more = _corpus(spark, 50, 80)
+    hb = dedup.banded_signatures(hist, "doc_id", "text", 2, 16, 4)
+    mb = dedup.banded_signatures(more, "doc_id", "text", 2, 16, 4)
+    try:
+        dedup.write_band_index(
+            hb, "r4_idx", str(tmp_path / "idx"), buckets=4, ingest_batch=0
+        )
+        dedup.write_band_index(
+            mb, "r4_idx", str(tmp_path / "idx"), buckets=4, ingest_batch=1,
+            mode="append",
+        )
+        idx = dedup.read_band_index(spark, "r4_idx")
+        # every (id, band) row survives, as single-column band keys
+        assert idx.count() == hb.count() + mb.count()
+        assert set(idx.columns) == {"id", "band_key"}
+        # exclusion drops exactly the excluded batch's rows (partition-pruned)
+        excl = dedup.read_band_index(spark, "r4_idx", exclude_batch=1)
+        assert excl.count() == hb.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r4_idx")
+
+
+def test_band_index_probe_is_index_side_exchange_free(
+    spark, tmp_path, no_broadcast
+):
+    """THE plan gate for the 100 TB ingest shape (BASELINE.md: 'bucketing
+    by band_hash removes the remaining index-side shuffle from the probe
+    join'): with the history side read from storage either way, the
+    bucketed table loses exactly the index-side Exchange — only the small
+    batch side shuffles."""
+    hist = _corpus(spark, 0, 200)
+    new = _corpus(spark, 200, 220)
+    hb = dedup.banded_signatures(hist, "doc_id", "text", 2, 16, 4)
+    nb = dedup.banded_signatures(new, "doc_id", "text", 2, 16, 4)
+    try:
+        dedup.write_band_index(hb, "r4_idx_gate", str(tmp_path / "idx"), buckets=4)
+        # the round-3 shape: the same index persisted as PLAIN parquet
+        dedup.with_band_key(hb).select("id", "band_key").write.parquet(
+            str(tmp_path / "idx_plain")
+        )
+        probe = dedup.with_band_key(nb).select("id", "band_key")
+
+        def hist_join(history):
+            return probe.alias("a").join(
+                history.alias("b"),
+                (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+
+        bucketed = hist_join(dedup.read_band_index(spark, "r4_idx_gate"))
+        plain = hist_join(spark.read.parquet(str(tmp_path / "idx_plain")))
+        plan = explain_str(bucketed)
+        assert "SelectedBucketsCount" in plan  # bucketed scan engaged
+        # identical plans except the index side's Exchange is GONE
+        assert n_shuffles(bucketed) == n_shuffles(plain) - 1
+        # the full incremental path engages the bucketed scan too, and the
+        # candidate results agree with the in-plan history baseline
+        full = dedup.incremental_lsh_candidates(
+            None, None, "doc_id", "text", 2, 16, 4,
+            history_banded=dedup.read_band_index(spark, "r4_idx_gate"),
+            new_banded=nb,
+        )
+        assert "SelectedBucketsCount" in explain_str(full)
+        baseline = dedup.incremental_lsh_candidates(
+            None, None, "doc_id", "text", 2, 16, 4,
+            history_banded=hb, new_banded=nb,
+        )
+        assert sorted(map(tuple, full.collect())) == sorted(
+            map(tuple, baseline.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r4_idx_gate")
+
+
+def test_band_key_is_injective_on_band_pairs(spark):
+    """(band_idx, band_hash) equality must be exactly band_key equality —
+    the md5 is fixed-width, so ':' makes the concat injective."""
+    df = spark.createDataFrame(
+        [(1, 0, "a" * 32), (2, 0, "a" * 32), (3, 1, "a" * 32)],
+        "id long, band_idx int, band_hash string",
+    )
+    keyed = dedup.with_band_key(df).collect()
+    keys = {r.id: r.band_key for r in keyed}
+    assert keys[1] == keys[2]
+    assert keys[1] != keys[3]  # same hash, different band -> different key
+
+
+# ---------------------------------------------------------------------------
+# bucketed-cell range search (the radius-query scale path)
+# ---------------------------------------------------------------------------
+
+
+def test_range_cells_is_cell_equijoin(spark):
+    """ann_range_cells must be a hash equi-join on the IVF cell key — never
+    the |Q|·|N| nested loop of the broadcast-Q baseline."""
+    from tests.conftest import SF_ORACLE
+    from flume_spark.queries import all_queries
+
+    plan = explain_str(all_queries()["ann_range_cells"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan  # hash join, keyed
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "__cell" in plan  # the cell key reached the join
+
+
+def test_range_cells_subset_of_exact_range(spark):
+    """Every cell-path hit is a true within-radius pair (precision 1.0);
+    recall loss is only cross-cell neighbors — the documented trade."""
+    from tests.conftest import SF_ORACLE
+    from flume_spark.operators import similarity
+
+    emb = spark.read.parquet(SF_ORACLE + "/embeddings.parquet")
+    pred = F.col("vec_id") < 25
+    cells = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.range_search_cells(emb, pred, 0.3).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.range_search(emb, pred, 0.3).collect()
+    }
+    assert cells and cells <= exact
+
+
+def test_lsh_ingestor_bucketed_table_matches_plain(spark, tmp_path):
+    """The bucketed-index ingestor mode finds EXACTLY the pairs the plain
+    parquet mode finds, across multiple ingests."""
+    from flume_spark.streaming.dedup import LshIngestor
+
+    batches = [_corpus(spark, 0, 30), _corpus(spark, 30, 50), _corpus(spark, 50, 60)]
+    plain = LshIngestor(
+        spark,
+        str(tmp_path / "idx_plain"),
+        str(tmp_path / "pairs_plain"),
+        str(tmp_path / "ledger_plain"),
+        shingle_n=2, num_hashes=16, bands=4,
+    )
+    try:
+        bucketed = LshIngestor(
+            spark,
+            str(tmp_path / "idx_bk"),
+            str(tmp_path / "pairs_bk"),
+            str(tmp_path / "ledger_bk"),
+            shingle_n=2, num_hashes=16, bands=4,
+            index_table="r4_ing_idx", index_buckets=4,
+        )
+        for i, b in enumerate(batches):
+            plain.process(b, i)
+            bucketed.process(b, i)
+        p = {tuple(r) for r in plain.candidate_pairs().collect()}
+        q = {tuple(r) for r in bucketed.candidate_pairs().collect()}
+        assert p == q and p  # identical, non-empty
+        # replay of the last batch converges (no new/duplicated pairs)
+        bucketed._process(batches[-1], 2)
+        q2 = {tuple(r) for r in bucketed.candidate_pairs().collect()}
+        assert q2 == q
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r4_ing_idx")
