@@ -33,6 +33,11 @@ Config keys (all optional except store_path / pipelines):
                    (None -> default_event_handler),
         "config": {"app_name": "myapp"},     # ≙ metadata: [app_name: ...]
       },
+      "logger": <FlumeLogger impl>,          # config.ex:7 `logger:` —
+                                             # default DefaultLogger
+      "debug_log": False,                    # config.ex debug_log gate
+                                             # (applies to the default
+                                             # logger only)
       "pipelines": [                         # config.exs pipelines:
         {"name": "default_pipeline", "queue": "default", "max_demand": 1000,
          "batch_size": 10, "rate_limit_count": 1000, "rate_limit_scale": 5000,
@@ -52,6 +57,7 @@ from flume_spark.queue.instrumentation import (
     Telemetry,
     attach_pipeline_instrumentation,
 )
+from flume_spark.queue.logger import DefaultLogger
 from flume_spark.queue.manager import Pipeline, QueueManager
 from flume_spark.queue.store import JobStore
 from flume_spark.queue.workers import WorkerRegistry
@@ -75,6 +81,8 @@ _TOP_LEVEL_KEYS = frozenset(
         "compact_grace_s",
         "archive_succeeded",
         "instrumentation",
+        "logger",
+        "debug_log",
         "pipelines",
     }
 )
@@ -164,6 +172,8 @@ def from_config(
         compact_max_files=config.get("compact_max_files", 256),
         compact_grace_s=config.get("compact_grace_s", default_grace),
         archive_succeeded=config.get("archive_succeeded", False),
+        logger=config.get("logger")
+        or DefaultLogger(debug_log=config.get("debug_log", False)),
     )
     checkpoint_dir = config.get(
         "checkpoint_dir", config["store_path"].rstrip("/") + ".checkpoints"

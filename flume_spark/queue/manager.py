@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 from flume_spark.queue import schema as S
 from flume_spark.queue.backoff import DEFAULT_INITIAL_MS, DEFAULT_MAX_MS, backoff_ms
 from flume_spark.queue.instrumentation import Telemetry
+from flume_spark.queue.logger import DefaultLogger, FlumeLogger
 from flume_spark.queue.ratelimit import SlidingWindowLimiter
 from flume_spark.queue.store import JobStore
 from flume_spark.queue.workers import WorkerRegistry, dispatch_bulk, dispatch_single
@@ -78,10 +79,15 @@ class QueueManager:
         archive_succeeded: bool = False,
         limiter: SlidingWindowLimiter | None = None,
         idempotence: bool = False,
+        logger: FlumeLogger | None = None,
     ):
         self.spark = spark
         self.store = store
         self.telemetry = telemetry or Telemetry()
+        # Pluggable logger behaviour (logger.ex:1-59 via config.ex:7): any
+        # object with debug/info/warn/error(message, opts) callbacks; the
+        # default bridges to std logging like default_logger.ex.
+        self.logger = logger or DefaultLogger()
         self.compact_max_files = compact_max_files
         # Single-driver (default): the trigger thread serializes claims and
         # compaction, so freshly-written files are safe to compact at once.
@@ -561,6 +567,12 @@ class QueueManager:
             # its whole claim travels through one Redis reply), so the
             # control-plane bookkeeping is driver-side: zero extra Spark jobs
             claim_rows = self.store.read_rows(claim_paths)
+            # producer.ex:156 pulled-count line (debug-gated)
+            self.logger.debug(
+                f"[{','.join(sorted(demands))}] [Producer] pulled "
+                f"{len(claim_rows)} events from source",
+                {},
+            )
             claimed = self.spark.read.schema(self.store.log().schema).parquet(
                 *claim_paths
             )
@@ -676,10 +688,27 @@ class QueueManager:
             new_rc = c["retry_count"] + 1
             if ok:
                 status, rc_out, outcome = S.SUCCEEDED, c["retry_count"], "succeeded"
+                # worker.ex:69 Consumer processed-event line (debug-gated)
+                self.logger.debug(
+                    f"{c['queue']} [Consumer] processed event: "
+                    f"{c['class']} - {c['jid']}",
+                    {},
+                )
             elif new_rc > self.max_retries:
                 status, rc_out, outcome = S.DEAD, new_rc, "dead"
+                # queue/manager.ex:129 max-retries line
+                self.logger.info(
+                    f"Max retries on job {c['jid']} exceeded", {}
+                )
             else:
                 status, rc_out, outcome = S.RETRY, new_rc, "retried"
+            if not ok:
+                # worker.ex:94 Consumer failure line with job metadata
+                self.logger.error(
+                    f"{c['queue']} [Consumer] failed with error: "
+                    f"{(r['error_message'] if r else 'no dispatch result')}",
+                    {"jid": c["jid"], "class": c["class"], "queue": c["queue"]},
+                )
             stats[outcome] += 1
             retry_at = None
             if status == S.RETRY:

@@ -1250,3 +1250,103 @@ def test_unlimited_queue_never_double_claimed_across_instances(spark, tmp_path):
     )
     assert len(per_jid) == n
     assert max(r["count"] for r in per_jid) == 1
+
+
+# -- pluggable logger behaviour (logger.ex:1-59, default_logger.ex) ----------
+
+
+def test_recording_logger_sees_worker_failure_lines(spark, tmp_path):
+    """Swapping in a custom FlumeLogger routes the engine's log points
+    through it — mirroring default_logger.ex semantics: a worker failure
+    logs error with job metadata; max-retries exhaustion logs info."""
+    from flume_spark.queue.logger import RecordingLogger
+
+    registry = WorkerRegistry()
+    registry.register("FailWorker", lambda *a: (_ for _ in ()).throw(ValueError("boom")))
+    rec = RecordingLogger()
+    store = JobStore(spark, str(tmp_path / "jobs_logger"))
+    m = QueueManager(
+        spark, store, registry,
+        pipelines=[Pipeline(name="p", queue="p")],
+        max_retries=1, logger=rec,
+    )
+    jid = m.enqueue("p", "FailWorker", [1], now=T0)
+    m.run_once("p", now=T0 + 1)  # -> retry (error line)
+    errors = [line for line in rec.lines if line[0] == "error"]
+    assert errors and "[Consumer] failed with error" in errors[0][1]
+    assert errors[0][2]["jid"] == jid and errors[0][2]["queue"] == "p"
+    # drain retries until the job goes dead -> info max-retries line
+    now = T0 + 1
+    for _ in range(3):
+        now += m.backoff_s(2) + 60
+        m.run_once("p", now=now)
+    infos = [line for line in rec.lines if line[0] == "info"]
+    assert any(f"Max retries on job {jid} exceeded" == line[1] for line in infos)
+
+
+def test_default_logger_formats_and_gates_debug(caplog):
+    """default_logger.ex contract: '<msg> - <opts>' when opts non-empty,
+    debug suppressed unless debug_log."""
+    import logging
+
+    from flume_spark.queue.logger import DefaultLogger
+
+    quiet = DefaultLogger(debug_log=False)
+    loud = DefaultLogger(debug_log=True)
+    with caplog.at_level(logging.DEBUG, logger="flume_spark"):
+        quiet.debug("hidden", {})
+        loud.debug("shown", {})
+        loud.error("bad", {"jid": "x"})
+    messages = [r.getMessage() for r in caplog.records]
+    assert "hidden" not in messages
+    assert "shown" in messages
+    assert "bad - {'jid': 'x'}" in messages
+
+
+def test_from_config_accepts_logger(spark, tmp_path):
+    from flume_spark import from_config
+    from flume_spark.queue.logger import RecordingLogger
+
+    rec = RecordingLogger()
+    app = from_config(
+        spark,
+        {
+            "store_path": str(tmp_path / "jobs_cfg_logger"),
+            "logger": rec,
+            "pipelines": [{"name": "p", "queue": "p"}],
+        },
+    )
+    assert app.manager.logger is rec
+
+
+# -- pipeline-side mock (pipeline/mock_api.ex:1-13) --------------------------
+
+
+def test_mock_records_pause_resume(engine):
+    """The Pipeline.MockAPI analog: inside mock(), pause/resume are
+    recorded (pipeline_name, action, options) and touch no real state."""
+    from flume_spark.queue.mock import mock
+
+    with mock(engine) as recorder:
+        engine.pause("default", temporary=False)
+        engine.resume("default")
+        recorder.assert_control("default", "pause")
+        recorder.assert_control("default", "resume")
+        assert recorder.control[0].options == {"temporary": False}
+    # no real pause state or durable flag was touched
+    assert not engine.pipelines["default"].paused
+    assert not engine.store.has_flag("paused/default")
+    # real control path restored after the block
+    engine.pause("default")
+    assert engine.pipelines["default"].paused
+    engine.resume("default")
+
+
+def test_mock_enqueue_in_records_schedule(engine):
+    """The enqueue_in 'mock works' block (test/flume_test.exs:176-190):
+    the schedule offset is captured and assertable."""
+    from flume_spark.queue.mock import mock
+
+    with mock(engine) as recorder:
+        engine.enqueue_in("default", 10, "EchoWorker", [1])
+        recorder.assert_enqueued("default", "EchoWorker", [1], delay_s=10)
