@@ -151,6 +151,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT: C(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|.
+
+    Catches doc-in-doc duplication that symmetric Jaccard under-scores —
+    a 100-shingle quote fully embedded in a 10k-shingle article has
+    Jaccard ~0.01 but containment 1.0 — the signal for "copy with
+    additions" filtering in training-data curation (Broder's resemblance
+    vs containment distinction).
+
+    Same inverted-index join and `max_df` hot-shingle cap as
+    ngram_jaccard_pairs, with the same scale stance: shuffle is
+    Σ_shingle df², so at corpus scale run it capped, or as a verifier on
+    LSH candidates.  Ratios are exact-integer divisions rounded to 6dp —
+    engine-reproducible.
+
+    Returns (doc_a, doc_b, containment_a, containment_b) with
+    doc_a < doc_b, kept when EITHER direction >= threshold:
+    containment_a = n_inter / |sh(doc_a)| (how much of A is inside B).
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_df)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sh = sh.cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    cont_a = F.round(F.col("n_inter") / F.col("sa.n_sh"), 6)
+    cont_b = F.round(F.col("n_inter") / F.col("sb.n_sh"), 6)
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            cont_a.alias("containment_a"),
+            cont_b.alias("containment_b"),
+        )
+        .filter(
+            (F.col("containment_a") >= threshold)
+            | (F.col("containment_b") >= threshold)
+        )
+    )
+
+
 def _minhash_sig_cols(num_hashes: int) -> list[Column]:
     """k deterministic min-hash aggregates: min over shingles of
     md5('<seed>:' || shingle).  Lexicographic min over md5 hex strings is a

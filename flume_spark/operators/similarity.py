@@ -483,6 +483,80 @@ def range_search(
     ).filter(F.col("cosine") >= threshold)
 
 
+def ivf_multiprobe_topk(
+    emb: DataFrame,
+    query_pred: Column,
+    k: int = 3,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """Multi-probe IVF ANN: each query probes its `probes` nearest cells
+    (by centroid distance) instead of only its own — the standard recall
+    knob for inverted-file search: miss probability needs the true
+    neighbor to be outside ALL probed cells, at `probes`-times the
+    candidate cost, while candidate generation stays an equi-join on the
+    cell key (shuffle bounded by probed-cell sizes, never |Q|·|N|).
+
+    Cell ranking is deterministic: dist2 to each centroid is the same
+    rounded-6dp zip_with fold kmeans_assign_step uses, ties broken by
+    cell id; centroids come from label_centroids (avg rounded 6dp), so
+    the whole plan is engine-reproducible and hash-checkable.  The
+    centroid frame is tiny (one row per cell) and broadcasts into the
+    ranking cross join; the probed (query, cell) frame broadcasts into
+    the candidate join.  A (query, neighbor) pair appears at most once —
+    a neighbor lives in exactly one cell — so no dedup pass is needed.
+
+    Returns (query_id, neighbor_id, rank, cosine) with rank <= k.
+    """
+    cents = label_centroids(emb, id_col, vec_col, bucket_col).select(
+        F.col("bucket").alias("__cell"), F.col("centroid").alias("cvec")
+    )
+    q = emb.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), _to_double(vec_col).alias("qv")
+    )
+    dist2 = F.round(
+        F.aggregate(
+            F.zip_with("qv", "cvec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    w_cell = Window.partitionBy("query_id").orderBy("dist2", "__cell")
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("dist2", dist2)
+        .withColumn("_cr", F.row_number().over(w_cell))
+        .filter(F.col("_cr") <= probes)
+        .select("query_id", "__cell", "qv")
+    )
+    from flume_spark.operators.dedup import _spread
+
+    n = _spread(emb).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(bucket_col).alias("__cell"),
+        F.col(vec_col).alias("nv"),
+    )
+    pairs = F.broadcast(probed).join(n, "__cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_expr("qv", "nv"), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def range_search_cells(
     emb: DataFrame,
     query_pred: Column,

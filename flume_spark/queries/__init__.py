@@ -48,6 +48,8 @@ _NEEDS_DRIVER_ROW = [  # round-4 additions/changes, ascending expected sf0.01 ru
     # new round-4 queries
     "percentiles_exact",
     "ann_range_cells",
+    "ann_topk_multiprobe",
+    "dedup_containment",
 ]
 
 # Union of CORRECTNESS_r01+r02+r03 keys: 133 hash-green, 4 rows-only by

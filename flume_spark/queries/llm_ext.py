@@ -532,6 +532,59 @@ FROM t GROUP BY 1
 """
 
 
+def ann_topk_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF top-k (similarity.ivf_multiprobe_topk, probes=2):
+    each query searches its TWO nearest cells by centroid distance — the
+    standard IVF recall knob, still an equi-join on the cell key.  Every
+    stage is deterministic (rounded-6dp centroid avgs, rounded dist2 cell
+    ranking with cell-id tie-break, rounded cosine), so the full
+    multi-probe pipeline is hash-checkable end to end — unlike
+    ann_topk_lsh, whose bucket recall is sampled."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.ivf_multiprobe_topk(
+        emb, F.col("vec_id") < 15, k=3, probes=2
+    )
+
+
+ANN_MULTIPROBE_SQL = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+byp AS (
+  SELECT label, CAST(i AS INT) AS pos, round(avg(v[i]), 6) AS cavg
+  FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+  GROUP BY 1, 2
+),
+cent AS (
+  SELECT label AS cell, list(cavg ORDER BY pos) AS cvec FROM byp GROUP BY 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 15),
+ranked_cells AS (
+  SELECT query_id, cell, qv,
+         row_number() OVER (PARTITION BY query_id ORDER BY
+           round(list_sum(list_transform(range(1, len(qv) + 1),
+                 i -> (qv[i] - cvec[i]) * (qv[i] - cvec[i]))), 6),
+           cell) AS cr
+  FROM q CROSS JOIN cent
+),
+probed AS (SELECT query_id, cell, qv FROM ranked_cells WHERE cr <= 2),
+scored AS (
+  SELECT p.query_id, n.vec_id AS neighbor_id,
+         round(list_dot_product(p.qv, n.v)
+               / (sqrt(list_dot_product(p.qv, p.qv))
+                  * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine
+  FROM probed p JOIN e n ON n.label = p.cell AND n.vec_id != p.query_id
+),
+rk AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS "rank"
+  FROM scored
+)
+SELECT query_id, neighbor_id, "rank", cosine FROM rk WHERE "rank" <= 3
+"""
+
+
 def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-source percentiles of document length — the hash-checkable
     deterministic core of the percentile family (round-3 verdict item 6:
@@ -581,6 +634,7 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "ann_range_search": ann_range_search,
     "ann_range_cells": ann_range_cells,
+    "ann_topk_multiprobe": ann_topk_multiprobe,
     "percentiles_exact": percentiles_exact,
 }
 
@@ -599,5 +653,6 @@ ORACLES = {
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "ann_range_search": ANN_RANGE_SQL,
     "ann_range_cells": ANN_RANGE_CELLS_SQL,
+    "ann_topk_multiprobe": ANN_MULTIPROBE_SQL,
     "percentiles_exact": PERCENTILES_EXACT_SQL,
 }

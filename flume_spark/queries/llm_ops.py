@@ -109,6 +109,54 @@ WHERE round(n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.1
 """
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment (operators/dedup.containment_pairs):
+    doc-in-doc duplication that symmetric Jaccard under-scores (Broder's
+    containment vs resemblance).  Run in the capped configuration (same
+    max_df=5 inverted index as the capped Jaccard query) — the scale
+    stance; kept when either direction's containment >= 0.5."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=5
+    )
+
+
+DEDUP_CONTAINMENT_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(words) - 1),
+                  i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+    FROM w
+  )
+),
+freq AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1),
+sh AS (
+  SELECT sh0.doc_id, sh0.shingle
+  FROM sh0 JOIN freq ON sh0.shingle = freq.shingle
+  WHERE freq.df <= 5
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter * 1.0 / sa.n_sh, 6) AS containment_a,
+       round(n_inter * 1.0 / sb.n_sh, 6) AS containment_b
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE round(n_inter * 1.0 / sa.n_sh, 6) >= 0.5
+   OR round(n_inter * 1.0 / sb.n_sh, 6) >= 0.5
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-word shingles, 16 min-hashes, 4 bands of 4 — tuned so candidates are
     the genuinely-similar tail (P(candidate) ≈ 1 for j>0.9, ~4e-4 for j=0.1)."""
@@ -987,6 +1035,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
+    "dedup_containment": dedup_containment,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_simhash": dedup_simhash,
@@ -1025,6 +1074,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_ngram_jaccard_capped": DEDUP_NGRAM_CAPPED_SQL,
+    "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_lsh_verified": DEDUP_LSH_VERIFIED_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,

@@ -189,3 +189,68 @@ def test_lsh_ingestor_bucketed_table_matches_plain(spark, tmp_path):
         assert q2 == q
     finally:
         spark.sql("DROP TABLE IF EXISTS r4_ing_idx")
+
+
+# ---------------------------------------------------------------------------
+# multi-probe IVF + containment dedup
+# ---------------------------------------------------------------------------
+
+
+def test_multiprobe_recall_at_least_single_probe(spark):
+    """probes=2 must find every pair probes=1 finds per query (superset
+    candidates), and probes=1 must equal plain ivf_topk's cell semantics
+    for queries whose nearest centroid IS their own cell."""
+    from tests.conftest import SF_ORACLE
+    from flume_spark.operators import similarity
+
+    emb = spark.read.parquet(SF_ORACLE + "/embeddings.parquet")
+    pred = F.col("vec_id") < 15
+
+    def pairs(probes):
+        # k beyond any cell size -> no top-k truncation, so the comparison
+        # is over the raw candidate sets (truncated top-k sets are NOT
+        # monotone in probes: better candidates can displace old ones)
+        return {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_multiprobe_topk(
+                emb, pred, k=100_000, probes=probes
+            ).collect()
+        }
+
+    p1, p2 = pairs(1), pairs(2)
+    assert p1 <= p2        # widening probes only adds candidates
+    assert len(p2) > len(p1)  # and it actually does on this corpus
+
+
+def test_multiprobe_is_cell_equijoin(spark):
+    from tests.conftest import SF_ORACLE
+    from flume_spark.queries import all_queries
+
+    plan = explain_str(all_queries()["ann_topk_multiprobe"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in plan
+    # the candidate join keys on the cell; only the tiny centroid frame is
+    # allowed a nested-loop (broadcast cross join against <=cells rows)
+    assert "__cell" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_containment_detects_doc_in_doc(spark):
+    """A short doc fully embedded in a long one: containment_a = 1.0 even
+    though Jaccard is far below any useful threshold."""
+    from flume_spark.operators import dedup
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    article = quote + " " + " ".join(f"w{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [(1, quote), (2, article), (3, "totally unrelated text corpus")],
+        "doc_id long, text string",
+    )
+    rows = dedup.containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.containment_a == 1.0     # all of the quote's shingles are in the article
+    assert r.containment_b < 0.1      # the article is NOT contained in the quote
+    # symmetric Jaccard would have rejected this pair at any real threshold
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert jac == []
