@@ -646,10 +646,20 @@ def corpus_shuffle(
     test_write_shards).  `buckets` must be a power of two ≤ 2^31: the
     bucket column is a 32-bit int, and a 2^32 bucket count would shift
     nothing and wrap the top key bit negative (non-ANSI cast), breaking
-    the order-preserving prefix invariant write_shards depends on.  The
-    dense global rank column here exists for the oracle check and small
-    corpora; it IS a single-partition window, so large corpora should
-    project it away (documented trade).
+    the order-preserving prefix invariant write_shards depends on.
+
+    The dense global rank is computed WITHOUT a single-partition window
+    (the round-3 shape; WindowExec warned and every row funneled through
+    one task): because the bucket is an order-preserving prefix of the
+    key, global rank = (rows in lower buckets) + (rank within my
+    bucket).  Pass 1 counts rows per bucket (≤ `buckets` rows collect to
+    the driver — bounded by construction); pass 2 is a per-bucket local
+    window plus a broadcast offset lookup.  Every stage is partitioned by
+    bucket, so the plan scales with the widest BUCKET, not the corpus.
+    Values are identical to the single-window rank (oracle unchanged,
+    equality gated in test_corpus_shuffle_rank_matches_global_window).
+    Rank stays a 32-bit int like the round-3 column; corpora beyond 2^31
+    rows should rank into a long (documented, as before).
 
     Returns (id, shuffle_bucket, shuffle_key, shuffle_rank).
     """
@@ -665,8 +675,20 @@ def corpus_shuffle(
     )
     from pyspark.sql.window import Window
 
-    w = Window.orderBy("shuffle_key", id_col)
-    return out.withColumn("shuffle_rank", F.row_number().over(w))
+    counts = out.groupBy("shuffle_bucket").count().collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["shuffle_bucket"]):
+        offsets[row["shuffle_bucket"]] = acc
+        acc += row["count"]
+    off_map = F.create_map(
+        *[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]
+    )
+    w = Window.partitionBy("shuffle_bucket").orderBy("shuffle_key", id_col)
+    return out.withColumn(
+        "shuffle_rank",
+        (off_map[F.col("shuffle_bucket")] + F.row_number().over(w)).cast("int"),
+    )
 
 
 def write_shards(

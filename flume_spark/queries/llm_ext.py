@@ -585,6 +585,64 @@ SELECT query_id, neighbor_id, "rank", cosine FROM rk WHERE "rank" <= 3
 """
 
 
+def embedding_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimensionality reduction: keep the first 16 dims
+    and L2-renormalize — the standard cheap-ANN trade for MRL-trained
+    embeddings (search the truncated prefix, re-rank on the full vector).
+    Map-only, zero shuffle; components are serialized as fixed-point
+    integer micro-units (floor(x/norm * 1e6 + 0.5) — the explicit half-up
+    rule quantize_int8 uses) so the CSV value is engine-independent:
+    double→string formatting differs across engines, integers don't.
+    IEEE sqrt is exactly rounded, so the norm is bit-identical both
+    sides; a zero-norm prefix divides by NULL (nullif) → 'null' cells."""
+    emb = T(spark, sf_dir, "embeddings")
+    prefix = F.expr(
+        "transform(slice(embedding, 1, 16), x -> cast(x as double))"
+    )
+    tmp = emb.select(F.col("vec_id"), prefix.alias("_p"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("_p"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    tmp = tmp.select("vec_id", "_p", norm.alias("_n"))
+    micro = F.transform(
+        F.col("_p"),
+        lambda x: F.floor(
+            x / F.nullif(F.col("_n"), F.lit(0.0)) * 1_000_000.0 + 0.5
+        ).cast("long"),
+    )
+    return tmp.select(
+        "vec_id",
+        F.round("_n", 6).alias("prefix_norm"),
+        F.array_join(
+            F.transform(micro, lambda c: c.cast("string")), ",", "null"
+        ).alias("t_csv"),
+    )
+
+
+EMBEDDING_TRUNCATE_SQL = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS p
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, p, sqrt(list_dot_product(p, p)) AS pn FROM e
+)
+SELECT vec_id,
+       round(pn, 6) AS prefix_norm,
+       array_to_string(
+         list_transform(p, x -> coalesce(CAST(CAST(floor(
+           x / nullif(pn, 0.0) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR),
+           'null')),
+         ',') AS t_csv
+FROM n
+"""
+
+
 def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-source percentiles of document length — the hash-checkable
     deterministic core of the percentile family (round-3 verdict item 6:
@@ -635,6 +693,7 @@ QUERIES = {
     "ann_range_search": ann_range_search,
     "ann_range_cells": ann_range_cells,
     "ann_topk_multiprobe": ann_topk_multiprobe,
+    "embedding_truncate": embedding_truncate,
     "percentiles_exact": percentiles_exact,
 }
 
@@ -654,5 +713,6 @@ ORACLES = {
     "ann_range_search": ANN_RANGE_SQL,
     "ann_range_cells": ANN_RANGE_CELLS_SQL,
     "ann_topk_multiprobe": ANN_MULTIPROBE_SQL,
+    "embedding_truncate": EMBEDDING_TRUNCATE_SQL,
     "percentiles_exact": PERCENTILES_EXACT_SQL,
 }

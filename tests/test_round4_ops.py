@@ -254,3 +254,28 @@ def test_containment_detects_doc_in_doc(spark):
     # symmetric Jaccard would have rejected this pair at any real threshold
     jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
     assert jac == []
+
+
+# ---------------------------------------------------------------------------
+# scalable corpus-shuffle rank (no single-partition window)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_shuffle_rank_matches_global_window(spark):
+    """The two-pass bucket-offset rank must equal the single-partition
+    global-window rank row for row — same values, scalable plan."""
+    from pyspark.sql.window import Window
+
+    from flume_spark.operators import text
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = text.corpus_shuffle(df, "doc_id", buckets=8)
+    w = Window.orderBy("shuffle_key", "doc_id")
+    check = out.withColumn("global_rank", F.row_number().over(w))
+    mismatches = check.filter(F.col("shuffle_rank") != F.col("global_rank")).count()
+    assert mismatches == 0
+    # and the plan's windows are all bucket-partitioned (the global-window
+    # probe above is test-only): re-derive and inspect
+    plan = explain_str(out)
+    assert "Window" in plan
+    assert plan.count("Exchange SinglePartition") == 0

@@ -894,3 +894,96 @@ def test_streaming_lsh_ingest_replay_converges(spark, tmp_path):
     ing._process(batch, batch_id=0)
     replay = {(r.doc_new, r.doc_match) for r in ing.candidate_pairs().collect()}
     assert first == replay == {(10, 11)}
+
+
+# -- stream-static dimension enrichment (streaming/joins.enrich_stream) ------
+
+
+def test_enrich_stream_dim_snapshot_per_query(spark, tmp_path):
+    """Stream-static enrichment semantics, both halves of the classic trap:
+    (a) unmatched stream rows survive with NULL enrichment (left join);
+    (b) the dim is SNAPSHOTTED for the query lifetime — files added to
+    the dim dir stay invisible (even after refreshByPath); a restarted
+    query re-lists and sees them."""
+    from flume_spark.streaming.joins import enrich_stream
+
+    src, dim = tmp_path / "ev_src", tmp_path / "dim"
+    src.mkdir(); dim.mkdir()
+    eschema = "user_id long, action string"
+    dschema = "user_id long, tier string"
+    spark.createDataFrame([(1, "gold")], dschema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(dim))
+
+    stream = spark.readStream.schema(eschema).parquet(str(src))
+    enriched = enrich_stream(
+        stream, spark.read.schema(dschema).parquet(str(dim)), key="user_id"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_ev")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .start()
+    )
+    try:
+        spark.createDataFrame([(1, "click"), (2, "view")], eschema).coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        # user 2 has no dim row yet -> NULL tier, row NOT dropped
+        got = {
+            (r.user_id, r.action, r.tier)
+            for r in spark.sql("SELECT * FROM enriched_ev").collect()
+        }
+        assert got == {(1, "click", "gold"), (2, "view", None)}
+        # dim grows between triggers: WITHOUT a refresh the cached file
+        # listing hides the new file from the next batch (the trap)
+        spark.createDataFrame([(2, "silver")], dschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(dim))
+        spark.createDataFrame([(2, "buy")], eschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+        got2 = {
+            (r.user_id, r.action, r.tier)
+            for r in spark.sql("SELECT * FROM enriched_ev").collect()
+        }
+        assert (2, "buy", None) in got2  # stale snapshot — documented
+        # even an explicit refresh does not reach the RUNNING query's plan
+        spark.catalog.refreshByPath(str(dim))
+        spark.createDataFrame([(2, "pay")], eschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+        got3 = {
+            (r.user_id, r.action, r.tier)
+            for r in spark.sql("SELECT * FROM enriched_ev").collect()
+        }
+        assert (2, "pay", None) in got3
+    finally:
+        q.stop()
+    # a RESTARTED query builds a fresh plan -> new listing, dim visible
+    enriched2 = enrich_stream(
+        stream, spark.read.schema(dschema).parquet(str(dim)), key="user_id"
+    )
+    q2 = (
+        enriched2.writeStream.format("memory")
+        .queryName("enriched_ev2")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich2"))
+        .start()
+    )
+    try:
+        spark.createDataFrame([(2, "renew")], eschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        q2.processAllAvailable()
+        got4 = {
+            (r.user_id, r.action, r.tier)
+            for r in spark.sql("SELECT * FROM enriched_ev2").collect()
+        }
+        assert (2, "renew", "silver") in got4
+    finally:
+        q2.stop()
