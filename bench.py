@@ -121,10 +121,11 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     return timings, samples
 
 
-def bench_queue(spark) -> dict[str, float]:
+def bench_queue(spark, jobs: int | None = None) -> dict[str, float]:
     from flume_spark.queue import JobStore, QueueManager, WorkerRegistry
     from flume_spark.queue.manager import Pipeline
 
+    jobs = QUEUE_JOBS if jobs is None else jobs
     tmp = tempfile.mkdtemp(prefix="flume_bench_")
     try:
         registry = WorkerRegistry()
@@ -137,7 +138,7 @@ def bench_queue(spark) -> dict[str, float]:
         manager = QueueManager(spark, store, registry, pipelines)
 
         start = time.perf_counter()
-        per_queue = QUEUE_JOBS // QUEUE_FANOUT
+        per_queue = jobs // QUEUE_FANOUT
         payload = ["x" * 500]  # ~0.5 kB payload tier from the reference bench
         for i in range(QUEUE_FANOUT):
             manager.bulk_enqueue(
@@ -148,13 +149,13 @@ def bench_queue(spark) -> dict[str, float]:
         start = time.perf_counter()
         names = [f"p{i}" for i in range(QUEUE_FANOUT)]
         done = 0
-        while done < QUEUE_JOBS:  # drain: demand caps each trigger at 500/queue
+        while done < jobs:  # drain: demand caps each trigger at 500/queue
             got = manager.run_many(names)["succeeded"]
             if got == 0:
                 break
             done += got
         process_s = time.perf_counter() - start
-        assert done == QUEUE_JOBS, f"processed {done}/{QUEUE_JOBS}"
+        assert done == jobs, f"processed {done}/{jobs}"
 
         # interleaved enqueue/dequeue — the contended third scenario of the
         # reference bench (redis_benchmark.ex:48-89): producers keep
@@ -164,14 +165,14 @@ def bench_queue(spark) -> dict[str, float]:
 
         store2 = JobStore(spark, os.path.join(tmp, "jobs_interleaved"))
         manager2 = QueueManager(spark, store2, registry, pipelines)
-        pre = QUEUE_JOBS // 2  # pre-seed x1 tier, half the volume up front
+        pre = jobs // 2  # pre-seed x1 tier, half the volume up front
         for i in range(QUEUE_FANOUT):
             manager2.bulk_enqueue(
                 f"q{i}", [("NoopWorker", "perform", payload)] * (pre // QUEUE_FANOUT)
             )
 
         def producer() -> None:
-            remaining, qi, chunk = QUEUE_JOBS - pre, 0, 100
+            remaining, qi, chunk = jobs - pre, 0, 100
             while remaining > 0:
                 n = min(chunk, remaining)
                 manager2.bulk_enqueue(
@@ -187,11 +188,11 @@ def bench_queue(spark) -> dict[str, float]:
         done2 = 0
         for _ in range(1000):  # bounded; normally exits by the break below
             done2 += manager2.run_many(names)["succeeded"]
-            if done2 >= QUEUE_JOBS and not t.is_alive():
+            if done2 >= jobs and not t.is_alive():
                 break
         t.join()
         interleaved_s = time.perf_counter() - start
-        assert done2 == QUEUE_JOBS, f"interleaved processed {done2}/{QUEUE_JOBS}"
+        assert done2 == jobs, f"interleaved processed {done2}/{jobs}"
         return {
             "queue_enqueue": round(enqueue_s, 3),
             "queue_process": round(process_s, 3),
@@ -278,6 +279,11 @@ def bench_stream_latency(spark) -> dict[str, float]:
 def main() -> None:
     spark = get_spark(app_name="flume_spark_bench")
     timings, samples = bench_queries(spark)
+    # warm the queue engine's codegen/claim path at 1/10 volume first — the
+    # query warm-up above doesn't touch it, and cold-JIT inflates
+    # queue_process ~7x (10.7s cold vs 1.4s warm on an idle host), the same
+    # execution-not-compilation methodology as the sf0.001 query warm-up
+    bench_queue(spark, jobs=max(QUEUE_FANOUT, QUEUE_JOBS // 10))
     timings.update(bench_queue(spark))
     timings.update(bench_stream_latency(spark))
     total = round(sum(timings.values()), 3)
