@@ -51,6 +51,7 @@ _NEEDS_DRIVER_ROW = [  # round-4 additions/changes, ascending expected sf0.01 ru
     "ann_topk_multiprobe",
     "dedup_containment",
     "embedding_truncate",
+    "zorder_orders",
 ]
 
 # Union of CORRECTNESS_r01+r02+r03 keys: 133 hash-green, 4 rows-only by

@@ -325,8 +325,63 @@ FROM ranked GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-order clustering key (operators/zorder.py)
+# ---------------------------------------------------------------------------
+
+
+def zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-interleaved clustering key over (custkey, orderdate) — the
+    multi-dimensional layout key OPTIMIZE...ZORDER computes, as pure
+    integer shift/and/or Catalyst arithmetic (oracle runs the IDENTICAL
+    generated expression, z_value_sql/bucketize_sql share the loop with
+    the Spark builder).  Fixed bucketize bounds — not per-corpus min/max —
+    so the key is stable across ingests at any scale factor; writing is
+    zorder.zorder_write (range-partition + sort-within, file pruning
+    gated in test_round4_ops.py::test_zorder_layout_prunes_both_dims)."""
+    from flume_spark.operators import zorder
+
+    orders = T(spark, sf_dir, "orders")
+    xb = zorder.bucketize(F.col("o_custkey"), 0, 1_000_000, bits=16)
+    yb = zorder.bucketize(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")),
+        0,
+        4000,  # 1992..~2002 — covers the synthetic 1995-2001 date range
+        bits=16,
+    )
+    keyed = orders.select(
+        "o_orderkey", xb.alias("xb"), yb.alias("yb")
+    )
+    return keyed.select(
+        "o_orderkey",
+        "xb",
+        "yb",
+        zorder.z_value(F.col("xb"), F.col("yb"), bits=16).alias("z_key"),
+    )
+
+
+def _zorder_sql() -> str:
+    from flume_spark.operators import zorder
+
+    xb = zorder.bucketize_sql("o_custkey", 0, 1_000_000, bits=16)
+    yb = zorder.bucketize_sql(
+        "date_diff('day', DATE '1992-01-01', o_orderdate)", 0, 4000, bits=16
+    )
+    return f"""
+WITH b AS (
+  SELECT o_orderkey, {xb} AS xb, {yb} AS yb FROM orders
+)
+SELECT o_orderkey, xb, yb, {zorder.z_value_sql("xb", "yb", bits=16)} AS z_key
+FROM b
+"""
+
+
+ZORDER_ORDERS_SQL = _zorder_sql()
+
+
 QUERIES = {
     "q11_important_stock": q11_important_stock,
+    "zorder_orders": zorder_orders,
     "join_lateral": join_lateral,
     "agg_minmax_by": agg_minmax_by,
     "window_first_last": window_first_last,
@@ -338,6 +393,7 @@ QUERIES = {
 
 ORACLES = {
     "q11_important_stock": Q11_SQL,
+    "zorder_orders": ZORDER_ORDERS_SQL,
     "join_lateral": JOIN_LATERAL_SQL,
     "agg_minmax_by": AGG_MINMAX_BY_SQL,
     "window_first_last": WINDOW_FIRST_LAST_SQL,

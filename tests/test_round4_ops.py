@@ -279,3 +279,105 @@ def test_corpus_shuffle_rank_matches_global_window(spark):
     plan = explain_str(out)
     assert "Window" in plan
     assert plan.count("Exchange SinglePartition") == 0
+
+
+# ---------------------------------------------------------------------------
+# z-order clustering (operators/zorder.py)
+# ---------------------------------------------------------------------------
+
+
+def test_z_value_interleave_exact():
+    """Morton key ground truth: z(0b11, 0b00)=0b0101, z(0,y) puts y's bits
+    at odd positions, and the key preserves box locality ordering."""
+    from flume_spark.operators import zorder
+
+    import pyspark.sql.functions as Fx
+
+    # evaluate through a tiny local frame (z_value is a Column expr)
+    from flume_spark.session import get_spark
+
+    spark = get_spark(app_name="flume_spark_tests", shuffle_partitions=8)
+    df = spark.createDataFrame(
+        [(3, 0), (0, 3), (5, 2), (65535, 65535)], "x long, y long"
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder.z_value(Fx.col("x"), Fx.col("y")).alias("z")
+        ).collect()
+    }
+    assert got[(3, 0)] == 0b0101
+    assert got[(0, 3)] == 0b1010
+    assert got[(5, 2)] == 0b011001  # x=101, y=010 -> y2x2 y1x1 y0x0 = 01 10 01
+    assert got[(65535, 65535)] == (1 << 32) - 1
+
+
+def test_zorder_layout_prunes_both_dims(spark, tmp_path):
+    """The point of z-ordering, measured on real parquet footers: files
+    written in z-order each cover a bounded rectangle in (custkey, date)
+    space, so a 2-d box predicate overlaps FEW files on BOTH dimensions —
+    while a custkey-only sort leaves every file spanning all dates (a date
+    filter prunes nothing)."""
+    from tests.conftest import SF_ORACLE
+
+    import pyarrow.parquet as pq
+
+    from flume_spark.operators import zorder
+    from flume_spark.queries import all_queries
+
+    keyed = all_queries()["zorder_orders"](spark, SF_ORACLE)
+    orders = spark.read.parquet(SF_ORACLE + "/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    full = keyed.join(orders, "o_orderkey")
+
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "linear")
+    n_z = zorder.zorder_write(full, zdir, "z_key", max_records_per_file=1000)
+    (
+        full.repartitionByRange(F.col("xb"))
+        .sortWithinPartitions("xb")
+        .write.option("maxRecordsPerFile", 1000)
+        .mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def overlap_fraction(path):
+        import os
+
+        files = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        hit = 0
+        for p in files:
+            md = pq.ParquetFile(p).metadata
+            lo_x = hi_x = lo_y = hi_y = None
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if st is None:
+                        continue
+                    if name == "xb":
+                        lo_x = st.min if lo_x is None else min(lo_x, st.min)
+                        hi_x = st.max if hi_x is None else max(hi_x, st.max)
+                    if name == "yb":
+                        lo_y = st.min if lo_y is None else min(lo_y, st.min)
+                        hi_y = st.max if hi_y is None else max(hi_y, st.max)
+            # 2-d box inside the data: custkey ~458-916 x ~1995-1996 dates
+            if not (hi_x < 30 or lo_x > 60 or hi_y < 20000 or lo_y > 25000):
+                hit += 1
+        return hit / len(files), len(files)
+
+    z_frac, zn = overlap_fraction(zdir)
+    l_frac, ln = overlap_fraction(ldir)
+    assert zn >= 8 and ln >= 8  # enough files for pruning to be meaningful
+    # z-order: both dims bounded per file -> the box touches a minority;
+    # custkey-sort: date unbounded per file -> custkey alone decides, and
+    # within the matching custkey files NOTHING else prunes
+    assert z_frac < l_frac
+    assert z_frac < 0.5
