@@ -64,6 +64,12 @@ HEADLINE = [
     # incremental ingest) — no earlier-round baseline rows
     "dedup_lsh_verified",
     "dedup_incremental",
+    # round-4 additions — no earlier-round baseline rows
+    "dedup_containment",
+    "ann_topk_multiprobe",
+    "ann_range_cells",
+    "zorder_orders",
+    "corpus_split",
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

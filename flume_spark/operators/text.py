@@ -249,6 +249,39 @@ def stratified_sample(
     )
 
 
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    seed: str = "flume",
+) -> DataFrame:
+    """Deterministic corpus split by seeded hash — the standard way to
+    split training data so membership is a pure function of (seed, id):
+    stable across runs/engines/re-ingests (a doc can never migrate
+    between splits when the corpus grows, unlike fraction-based
+    randomSplit), and map-only (no shuffle, no RNG state).
+
+    The draw is the leading 32 bits of md5(seed:id) as a uniform integer
+    in [0, 2^32); split boundaries compare INTEGERS (frac scaled by 2^32,
+    floor'd) so no floating-point boundary can flip membership across
+    engines.  Returns df + (split_draw, split) with split in
+    {'train','val','test'}.
+    """
+    assert 0 <= val_frac and 0 <= test_frac and val_frac + test_frac < 1
+    draw = F.conv(F.substring(seeded_key(seed, id_col), 1, 8), 16, 10).cast(
+        "long"
+    )
+    test_hi = int(test_frac * (1 << 32))
+    val_hi = test_hi + int(val_frac * (1 << 32))
+    split = (
+        F.when(F.col("split_draw") < test_hi, F.lit("test"))
+        .when(F.col("split_draw") < val_hi, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split_draw", draw).withColumn("split", split)
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,

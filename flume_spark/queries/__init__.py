@@ -52,6 +52,7 @@ _NEEDS_DRIVER_ROW = [  # round-4 additions/changes, ascending expected sf0.01 ru
     "dedup_containment",
     "embedding_truncate",
     "zorder_orders",
+    "corpus_split",
 ]
 
 # Union of CORRECTNESS_r01+r02+r03 keys: 133 hash-green, 4 rows-only by

@@ -643,6 +643,34 @@ FROM n
 """
 
 
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (text.train_val_test_split,
+    80/10/10): membership is a pure function of (seed, doc_id) — stable
+    across runs, engines, and corpus growth, unlike fraction-based random
+    splits.  Integer boundary compares (hash scaled by 2^32) so no float
+    boundary can flip a doc's split cross-engine.  Map-only."""
+    docs = T(spark, sf_dir, "documents")
+    return text.train_val_test_split(docs, "doc_id").select(
+        "doc_id", "split_draw", "split"
+    )
+
+
+CORPUS_SPLIT_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substring(
+           md5('flume:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           AS BIGINT) AS split_draw
+  FROM documents
+)
+SELECT doc_id, split_draw,
+       CASE WHEN split_draw < {int(0.1 * (1 << 32))} THEN 'test'
+            WHEN split_draw < {2 * int(0.1 * (1 << 32))} THEN 'val'
+            ELSE 'train' END AS split
+FROM d
+"""
+
+
 def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-source percentiles of document length — the hash-checkable
     deterministic core of the percentile family (round-3 verdict item 6:
@@ -694,6 +722,7 @@ QUERIES = {
     "ann_range_cells": ann_range_cells,
     "ann_topk_multiprobe": ann_topk_multiprobe,
     "embedding_truncate": embedding_truncate,
+    "corpus_split": corpus_split,
     "percentiles_exact": percentiles_exact,
 }
 
@@ -714,5 +743,6 @@ ORACLES = {
     "ann_range_cells": ANN_RANGE_CELLS_SQL,
     "ann_topk_multiprobe": ANN_MULTIPROBE_SQL,
     "embedding_truncate": EMBEDDING_TRUNCATE_SQL,
+    "corpus_split": CORPUS_SPLIT_SQL,
     "percentiles_exact": PERCENTILES_EXACT_SQL,
 }
