@@ -7,10 +7,13 @@ Z-ordering (Morton-interleaving the bits of several columns) gives every
 interleaved column locality, so row-group stats stay tight for each and
 multi-dimensional filters skip most of the file.
 
-`cluster_by` is the writer-side half: compute the Morton key, range-
-partition on it (so files cover disjoint key ranges), sort within
-partitions, then write.  The reader-side half is free — Spark's parquet
-scan consults row-group stats for any pushed filter.
+This module is the convenience wrapper for ONE-SHOT layout jobs: bounds
+are derived from the data (one 4-scalar aggregate).  The canonical
+interleave lives in `operators/zorder.py` (single definition, shared with
+its SQL twin so the `zorder_orders` oracle can hash-check the math);
+`zorder.bucketize` with FIXED bounds is the ingest-stable variant — use
+it when batches append to one clustered table, because data-derived
+bounds re-map old keys whenever the corpus's min/max moves.
 
 No reference analog (Redis has no columnar layout); engine-native per the
 scale mandate.
@@ -18,10 +21,10 @@ scale mandate.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from flume_spark.operators.zorder import z_value
 
 _BITS = 16  # per-column resolution; 2 cols x 16 bits = 32-bit Morton key
 
@@ -38,12 +41,9 @@ def _bucket(c: Column, lo: Column, hi: Column) -> Column:
 
 def morton_key(b1: Column, b2: Column) -> Column:
     """Interleave the low _BITS bits of two bucket ids: b1 on even bit
-    positions, b2 on odd — pure codegen bit arithmetic, no UDF."""
-    parts = []
-    for i in range(_BITS):
-        parts.append(F.shiftleft(F.shiftright(b1, i).bitwiseAND(F.lit(1)), 2 * i))
-        parts.append(F.shiftleft(F.shiftright(b2, i).bitwiseAND(F.lit(1)), 2 * i + 1))
-    return reduce(lambda a, b: a.bitwiseOR(b), parts)
+    positions, b2 on odd.  Delegates to zorder.z_value — one interleave
+    definition in the package (its SQL twin is what the oracle checks)."""
+    return z_value(b1, b2, bits=_BITS)
 
 
 def cluster_by(df: DataFrame, col1: str, col2: str, n_partitions: int) -> DataFrame:
@@ -51,7 +51,9 @@ def cluster_by(df: DataFrame, col1: str, col2: str, n_partitions: int) -> DataFr
     Morton key so every output file covers a tight range of BOTH columns.
 
     The min/max bounds come from one bounded aggregate (4 scalars to the
-    driver).  Write the result with `df.write.parquet(...)` — one file per
+    driver) — convenient for one-shot jobs; incremental tables should use
+    zorder.bucketize with fixed bounds instead (see module docstring).
+    Write the result with `df.write.parquet(...)` — one file per
     partition, row-group stats tight in both dimensions.
     """
     lo1, hi1, lo2, hi2 = df.agg(

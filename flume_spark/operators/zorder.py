@@ -16,6 +16,12 @@ At 100 TB: z-ordering is a one-time (or per-compaction) layout cost — one
 range-partitioned sort — paid to turn every subsequent 2-d scan into a
 file-pruned scan.  The interleave is exact integer math, so the key can
 also serve as a deterministic bucketing/sampling key.
+
+This is the CANONICAL interleave definition (operators/layout.py's
+morton_key/cluster_by delegate here): z_value_sql is generated from the
+same loop, which is what lets the `zorder_orders` oracle hash-check the
+key math cross-engine.  `bucketize` uses FIXED bounds (ingest-stable);
+layout.cluster_by derives bounds from the data (one-shot convenience).
 """
 
 from __future__ import annotations
