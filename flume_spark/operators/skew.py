@@ -98,6 +98,112 @@ def sketch_distinct(
     )
 
 
+def _cm_bucket(key_col: str, r: int, width: int, seed: str):
+    """Row r's bucket for a key: leading 32 md5 bits mod width.  ONE
+    definition shared by build and probe; countmin_bucket_sql generates
+    the identical DuckDB text so the oracle can't drift."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}:{r}:"), F.col(key_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(width),
+    )
+
+
+def countmin_bucket_sql(key_sql: str, r: int, width: int, seed: str) -> str:
+    return (
+        f"CAST(CAST('0x' || substring(md5('{seed}:{r}:' || "
+        f"CAST({key_sql} AS VARCHAR)), 1, 8) AS BIGINT) % {width} AS BIGINT)"
+    )
+
+
+def countmin_table(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    seed: str = "flume",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch as a (row, bucket, counter) table — the mergeable
+    frequency-sketch counterpart of the HLL distinct sketch: d x w
+    counters answer "how often did key k appear" within additive error
+    εN (ε = e/width) at confidence 1-δ (δ = e^-depth), in O(d*w) space
+    regardless of cardinality.  Merging slices = summing counter tables
+    cell-wise (countmin_merge) — the property that lets a 100 TB pipeline
+    keep per-day sketches and answer over any date range without rescans.
+
+    Unlike the estimate (approximate by design), the TABLE is fully
+    deterministic: row r's bucket for key k is the leading 32 bits of
+    md5('<seed>:r:' || k) mod width — engine-reproducible, so the oracle
+    hash-checks the whole sketch build.  `weight_col` makes it a weighted
+    frequency sketch (e.g. token counts); default counts rows.
+
+    Returns (row, bucket, counter): depth*width rows max (absent cells
+    are zero — consumers take min over present rows, missing row => 0).
+    """
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rows = []
+    for r in range(depth):
+        bucket = _cm_bucket(key_col, r, width, seed)
+        rows.append(
+            df.select(
+                F.lit(r).alias("row"), bucket.alias("bucket"), w.alias("_w")
+            )
+        )
+    union = rows[0]
+    for extra in rows[1:]:
+        union = union.unionByName(extra)
+    # one shuffle on (row, bucket) — d*w groups, never data-sized
+    return union.groupBy("row", "bucket").agg(F.sum("_w").alias("counter"))
+
+
+def countmin_estimate(
+    table: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    seed: str = "flume",
+) -> DataFrame:
+    """Point-query the sketch for each key in `keys`: min over rows of the
+    key's counter (missing cell = 0).  The estimate over-counts only
+    (hash collisions add), bounded by εN — both properties are tested.
+    The sketch table broadcasts (d*w cells), so estimation is map-side."""
+    probes = []
+    for r in range(depth):
+        bucket = _cm_bucket(key_col, r, width, seed)
+        probes.append(
+            keys.select(
+                F.col(key_col), F.lit(r).alias("row"), bucket.alias("bucket")
+            )
+        )
+    probe = probes[0]
+    for extra in probes[1:]:
+        probe = probe.unionByName(extra)
+    joined = probe.join(F.broadcast(table), ["row", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("counter"), F.lit(0))).alias("freq_estimate")
+    )
+
+
+def countmin_merge(tables: DataFrame) -> DataFrame:
+    """Merge per-slice sketch tables: cell-wise counter sum — order-free."""
+    return tables.groupBy("row", "bucket").agg(
+        F.sum("counter").alias("counter")
+    )
+
+
 def merge_sketch_estimate(
     sketches: DataFrame,
     keys: list[str],

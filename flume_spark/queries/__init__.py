@@ -53,6 +53,7 @@ _NEEDS_DRIVER_ROW = [  # round-4 additions/changes, ascending expected sf0.01 ru
     "embedding_truncate",
     "zorder_orders",
     "corpus_split",
+    "sketch_countmin",
 ]
 
 # Union of CORRECTNESS_r01+r02+r03 keys: 133 hash-green, 4 rows-only by

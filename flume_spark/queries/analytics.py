@@ -439,7 +439,45 @@ FROM monthly
 """
 
 
+# ---------------------------------------------------------------------------
+# Count-min frequency sketch (operators/skew.countmin_table)
+# ---------------------------------------------------------------------------
+
+
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 4x64 count-min table over event user_ids.  The sketch BUILD is
+    fully deterministic (md5 row hashes — countmin_bucket_sql generates
+    the identical bucket expression the Spark builder uses), so unlike
+    the HLL sketch this whole structure hash-checks cross-engine; only
+    point ESTIMATES are approximate (over-count ≤ εN, bounded in
+    test_round4_ops).  Mergeable across ingest slices by cell-wise sum."""
+    from flume_spark.operators import skew
+
+    ev = T(spark, sf_dir, "events")
+    return skew.countmin_table(ev, "user_id", depth=4, width=64)
+
+
+def _countmin_sql(depth: int = 4, width: int = 64, seed: str = "flume") -> str:
+    from flume_spark.operators.skew import countmin_bucket_sql
+
+    selects = [
+        f'SELECT {r} AS "row", '
+        + countmin_bucket_sql("user_id", r, width, seed)
+        + " AS bucket, 1 AS w FROM events"
+        for r in range(depth)
+    ]
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        f'SELECT "row", bucket, CAST(sum(w) AS BIGINT) AS counter\n'
+        f"FROM ({union})\nGROUP BY 1, 2"
+    )
+
+
+SKETCH_COUNTMIN_SQL = _countmin_sql()
+
+
 QUERIES = {
+    "sketch_countmin": sketch_countmin,
     "cohort_retention": cohort_retention,
     "events_anomaly_mad": events_anomaly_mad,
     "orders_market_basket": orders_market_basket,
@@ -451,6 +489,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sketch_countmin": SKETCH_COUNTMIN_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
     "events_anomaly_mad": EVENTS_ANOMALY_SQL,
     "orders_market_basket": ORDERS_BASKET_SQL,

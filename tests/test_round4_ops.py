@@ -381,3 +381,47 @@ def test_zorder_layout_prunes_both_dims(spark, tmp_path):
     # within the matching custkey files NOTHING else prunes
     assert z_frac < l_frac
     assert z_frac < 0.5
+
+
+# ---------------------------------------------------------------------------
+# count-min frequency sketch (operators/skew.py)
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_estimate_bounds(spark):
+    """CMS guarantees: estimate >= true count (over-count only), and
+    over-count <= eps*N with eps = e/width at the tested confidence —
+    asserted for every key in a skewed corpus."""
+    import math
+
+    from flume_spark.operators import skew
+
+    rows = [(f"k{i % 50}",) for i in range(2000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "k string")
+    true = {r.k: r.n for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    n_total = sum(true.values())
+    table = skew.countmin_table(df, "k", depth=4, width=64)
+    keys = df.select("k").distinct()
+    est = {
+        r.k: r.freq_estimate
+        for r in skew.countmin_estimate(table, keys, "k", depth=4, width=64).collect()
+    }
+    eps = math.e / 64
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)          # never under-counts
+        assert est[k] <= t + eps * n_total, (k, est[k], t)
+
+
+def test_countmin_merge_equals_whole(spark):
+    """Cell-wise merge of per-slice sketches == the sketch of the union —
+    the mergeability a per-day 100 TB pipeline relies on."""
+    from flume_spark.operators import skew
+
+    a = spark.createDataFrame([(f"k{i % 7}",) for i in range(300)], "k string")
+    b = spark.createDataFrame([(f"k{i % 11}",) for i in range(200)], "k string")
+    whole = skew.countmin_table(a.unionByName(b), "k")
+    merged = skew.countmin_merge(
+        skew.countmin_table(a, "k").unionByName(skew.countmin_table(b, "k"))
+    )
+    as_map = lambda df: {(r["row"], r.bucket): r.counter for r in df.collect()}
+    assert as_map(whole) == as_map(merged)
