@@ -42,18 +42,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Round-4 re-tier done: all 50 CORRECTNESS_r03 rows folded into
 # _DRIVER_CHECKED (49 hash-green + approx_percentiles, rows-only by design).
 _NEEDS_DRIVER_ROW = [  # round-4 additions/changes, ascending expected sf0.01 runtime
+    # new round-4 queries
+    "percentiles_exact",
+    "embedding_truncate",
+    "ann_range_cells",
+    "sketch_countmin",
+    "corpus_split",
+    "zorder_orders",
+    "ann_topk_multiprobe",
     # MAD=0 guard added both sides (round-3 ADVICE) — semantics changed
     # since the r03 row, so re-verify.
     "events_anomaly_mad",
-    # new round-4 queries
-    "percentiles_exact",
-    "ann_range_cells",
-    "ann_topk_multiprobe",
     "dedup_containment",
-    "embedding_truncate",
-    "zorder_orders",
-    "corpus_split",
-    "sketch_countmin",
 ]
 
 # Union of CORRECTNESS_r01+r02+r03 keys: 133 hash-green, 4 rows-only by
