@@ -1,0 +1,114 @@
+"""Streaming frequency telemetry — per-micro-batch count-min sketches.
+
+The streaming realization of operators/skew.countmin_table for an
+unbounded stream: each micro-batch's keys are sketched into a d x w
+counter table written to a per-batch partition, and any reader answers
+"how often has key k appeared so far / in this slice range" by cell-wise
+merging the partitions it cares about (countmin_merge) — O(d*w) state
+per batch regardless of key cardinality, no stream-side stateful
+operator at all.
+
+This is the heavy-hitter telemetry shape for a 100 TB ingest: frequency
+questions over any time slice without retaining the keys themselves.
+Exactly-once per the streaming/sink.py ledger contract: per-batch
+OVERWRITE locations make a replayed batch converge instead of
+double-counting.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+class CmsIngestor:
+    """foreachBatch handler: sketch each arriving batch, append the table.
+
+    Usage:
+        ing = CmsIngestor(spark, sketch_dir, ledger_dir, key_col="user_id")
+        stream.writeStream.foreachBatch(ing.process).start()
+        ...
+        ing.merged()          # whole-history sketch table
+        ing.estimate(keys_df) # per-key frequency estimates so far
+    """
+
+    def __init__(
+        self,
+        spark,
+        sketch_dir: str,
+        ledger_dir: str,
+        key_col: str,
+        depth: int = 4,
+        width: int = 64,
+        seed: str = "flume",
+        weight_col: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.sketch_dir = sketch_dir
+        self.key_col = key_col
+        self.depth = depth
+        self.width = width
+        self.seed = seed
+        self.weight_col = weight_col
+        os.makedirs(sketch_dir, exist_ok=True)
+        from flume_spark.streaming.sink import idempotent_foreach_batch
+
+        self.process = idempotent_foreach_batch(self._process, ledger_dir)
+
+    def _process(self, batch_df, batch_id: int) -> None:
+        from flume_spark.operators.skew import countmin_table
+
+        table = countmin_table(
+            batch_df,
+            self.key_col,
+            depth=self.depth,
+            width=self.width,
+            seed=self.seed,
+            weight_col=self.weight_col,
+        )
+        # per-batch OVERWRITE partition (sink.py determinism contract):
+        # a crash between this write and the ledger marker replays the
+        # batch, and the overwrite converges where an append would
+        # double-count the batch's events
+        table.write.mode("overwrite").parquet(
+            os.path.join(self.sketch_dir, f"ingest_batch={batch_id}")
+        )
+
+    def _has_parquet(self) -> bool:
+        return any(
+            f.endswith(".parquet")
+            for dirpath, _, files in os.walk(self.sketch_dir)
+            if "_temporary" not in dirpath
+            for f in files
+        )
+
+    def merged(self):
+        """The whole-history sketch (None before the first batch)."""
+        from flume_spark.operators.skew import countmin_merge
+
+        if not self._has_parquet():
+            return None
+        slices = self.spark.read.parquet(self.sketch_dir).select(
+            "row", "bucket", "counter"
+        )
+        return countmin_merge(slices)
+
+    def estimate(self, keys_df):
+        """Frequency estimates for each key seen so far (CMS bounds:
+        never under-counts, over-counts <= eps*N)."""
+        from flume_spark.operators.skew import countmin_estimate
+
+        table = self.merged()
+        if table is None:
+            return keys_df.select(
+                F.col(self.key_col), F.lit(0).cast("long").alias("freq_estimate")
+            ).filter(F.lit(False))
+        return countmin_estimate(
+            table,
+            keys_df,
+            self.key_col,
+            depth=self.depth,
+            width=self.width,
+            seed=self.seed,
+        )
