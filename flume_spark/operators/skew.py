@@ -98,6 +98,45 @@ def sketch_distinct(
     )
 
 
+def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Key-skew diagnostic — the measurement that decides whether a join/
+    agg on `key_col` needs salting, AQE skew handling, or a broadcast:
+    per-key row counts reduced to the top-N hottest keys plus the
+    corpus-level ratios that matter (hottest/mean and hottest-key share).
+
+    One partial-agg shuffle on the key (count per key), then a top-N and
+    a 4-scalar global aggregate that both reuse it — never a second scan.
+    All ratios are exact-integer divisions rounded at the end, so the
+    report is engine-reproducible (oracled as skew_report_lineitem).
+
+    Returns top-N rows: (key, n_rows, pct_of_total, hot_to_mean) ordered
+    by n_rows desc with key tie-break.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") * 100.0 / F.col("total"), 6).alias(
+                "pct_of_total"
+            ),
+            # hot/mean = n_rows / (total/n_keys), computed as one exact
+            # integer product over one division
+            F.round(
+                F.col("n_rows") * F.col("n_keys") / F.col("total"), 6
+            ).alias("hot_to_mean"),
+        )
+        .orderBy(F.col("n_rows").desc(), "key")
+        .limit(top_n)
+    )
+
+
 def _cm_bucket(key_col: str, r: int, width: int, seed: str):
     """Row r's bucket for a key: leading 32 md5 bits mod width.  ONE
     definition shared by build and probe; countmin_bucket_sql generates

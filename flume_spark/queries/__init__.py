@@ -49,6 +49,7 @@ _NEEDS_DRIVER_ROW = [  # round-4 additions/changes, ascending expected sf0.01 ru
     "sketch_countmin",
     "corpus_split",
     "zorder_orders",
+    "skew_report_lineitem",
     "ann_topk_multiprobe",
     # MAD=0 guard added both sides (round-3 ADVICE) — semantics changed
     # since the r03 row, so re-verify.

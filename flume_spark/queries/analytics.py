@@ -476,8 +476,34 @@ def _countmin_sql(depth: int = 4, width: int = 64, seed: str = "flume") -> str:
 SKETCH_COUNTMIN_SQL = _countmin_sql()
 
 
+def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic over lineitem suppliers (skew.skew_report): the
+    measurement that decides between plain shuffle, salting
+    (join_skew_salted), AQE skew-join, or broadcast.  One count-per-key
+    shuffle reused by both the top-N and the global ratios."""
+    from flume_spark.operators import skew
+
+    li = T(spark, sf_dir, "lineitem")
+    return skew.skew_report(li, "l_suppkey", top_n=10)
+
+
+SKEW_REPORT_SQL = """
+WITH counts AS (
+  SELECT l_suppkey AS key, count(*) AS n_rows FROM lineitem GROUP BY 1
+),
+totals AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM counts)
+SELECT key, n_rows,
+       round(n_rows * 100.0 / total, 6)    AS pct_of_total,
+       round(n_rows * n_keys * 1.0 / total, 6) AS hot_to_mean
+FROM counts CROSS JOIN totals
+ORDER BY n_rows DESC, key
+LIMIT 10
+"""
+
+
 QUERIES = {
     "sketch_countmin": sketch_countmin,
+    "skew_report_lineitem": skew_report_lineitem,
     "cohort_retention": cohort_retention,
     "events_anomaly_mad": events_anomaly_mad,
     "orders_market_basket": orders_market_basket,
@@ -490,6 +516,7 @@ QUERIES = {
 
 ORACLES = {
     "sketch_countmin": SKETCH_COUNTMIN_SQL,
+    "skew_report_lineitem": SKEW_REPORT_SQL,
     "cohort_retention": COHORT_RETENTION_SQL,
     "events_anomaly_mad": EVENTS_ANOMALY_SQL,
     "orders_market_basket": ORDERS_BASKET_SQL,
