@@ -126,10 +126,16 @@ def skew_report(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
             F.round(F.col("n_rows") * 100.0 / F.col("total"), 6).alias(
                 "pct_of_total"
             ),
-            # hot/mean = n_rows / (total/n_keys), computed as one exact
-            # integer product over one division
+            # hot/mean = n_rows / (total/n_keys).  The product goes through
+            # DOUBLE first (n_rows * 1.0 * n_keys): a long*long product
+            # overflows at ~1e10-row keys x 1e9 keys, and the two engines
+            # disagree on overflow (Spark wraps, DuckDB errors) — doubles
+            # lose ulps instead, identically on both sides.
             F.round(
-                F.col("n_rows") * F.col("n_keys") / F.col("total"), 6
+                F.col("n_rows").cast("double")
+                * F.col("n_keys")
+                / F.col("total"),
+                6,
             ).alias("hot_to_mean"),
         )
         .orderBy(F.col("n_rows").desc(), "key")

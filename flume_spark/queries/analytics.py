@@ -494,7 +494,7 @@ WITH counts AS (
 totals AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM counts)
 SELECT key, n_rows,
        round(n_rows * 100.0 / total, 6)    AS pct_of_total,
-       round(n_rows * n_keys * 1.0 / total, 6) AS hot_to_mean
+       round(n_rows * 1.0 * n_keys / total, 6) AS hot_to_mean
 FROM counts CROSS JOIN totals
 ORDER BY n_rows DESC, key
 LIMIT 10
