@@ -661,7 +661,11 @@ def bm25_topk(
 
 
 def corpus_shuffle(
-    df: DataFrame, id_col: str, seed: str = "flume", buckets: int = 1024
+    df: DataFrame,
+    id_col: str,
+    seed: str = "flume",
+    buckets: int = 1024,
+    with_rank: bool = True,
 ) -> DataFrame:
     """Deterministic pseudo-random permutation of a corpus — the global
     shuffle training pipelines need before sharding, reproducible across
@@ -686,8 +690,12 @@ def corpus_shuffle(
     one task): because the bucket is an order-preserving prefix of the
     key, global rank = (rows in lower buckets) + (rank within my
     bucket).  Pass 1 counts rows per bucket (≤ `buckets` rows collect to
-    the driver — bounded by construction); pass 2 is a per-bucket local
-    window plus a broadcast offset lookup.  Every stage is partitioned by
+    the driver — bounded by construction, so keep `buckets` at
+    driver-friendly counts like the 1024 default); pass 2 is a per-bucket
+    local window plus a broadcast offset lookup.  Pass 1 runs EAGERLY at
+    call time, so rank-free consumers (write_shards only needs
+    (bucket, key)) should pass `with_rank=False` — fully lazy, no count
+    job, no rank column.  Every stage is partitioned by
     bucket, so the plan scales with the widest BUCKET, not the corpus.
     Values are identical to the single-window rank (oracle unchanged,
     equality gated in test_corpus_shuffle_rank_matches_global_window).
@@ -706,6 +714,9 @@ def corpus_shuffle(
         .alias("shuffle_bucket"),
         key.alias("shuffle_key"),
     )
+    if not with_rank:
+        return out
+
     from pyspark.sql.window import Window
 
     counts = out.groupBy("shuffle_bucket").count().collect()
