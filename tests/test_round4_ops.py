@@ -425,3 +425,33 @@ def test_countmin_merge_equals_whole(spark):
     )
     as_map = lambda df: {(r["row"], r.bucket): r.counter for r in df.collect()}
     assert as_map(whole) == as_map(merged)
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus split
+# ---------------------------------------------------------------------------
+
+
+def test_split_stable_under_corpus_growth(spark):
+    """THE property the hash split exists for: a document's split never
+    changes when the corpus grows (randomSplit re-deals; this must not)."""
+    from flume_spark.operators import text
+
+    small = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    s = {
+        r.doc_id: r.split
+        for r in text.train_val_test_split(small, "doc_id").collect()
+    }
+    b = {
+        r.doc_id: r.split
+        for r in text.train_val_test_split(big, "doc_id").collect()
+    }
+    assert all(b[k] == v for k, v in s.items())
+    # and the proportions land near the requested 80/10/10
+    from collections import Counter
+
+    c = Counter(b.values())
+    assert 0.7 < c["train"] / 1000 < 0.9
+    assert 0.05 < c["val"] / 1000 < 0.15
+    assert 0.05 < c["test"] / 1000 < 0.15
