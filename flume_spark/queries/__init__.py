@@ -55,6 +55,8 @@ _NEEDS_DRIVER_ROW = [  # round-4 additions/changes, ascending expected sf0.01 ru
     "corpus_split",
     "zorder_orders",
     "skew_report_lineitem",
+    "graph_pagerank_step",
+    "graph_pagerank",
     "ann_topk_multiprobe",
     # MAD=0 guard added both sides (round-3 ADVICE) — semantics changed
     # since the r03 row, so re-verify.

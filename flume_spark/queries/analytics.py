@@ -501,9 +501,89 @@ LIMIT 10
 """
 
 
+# ---------------------------------------------------------------------------
+# Graph analytics: PageRank over the co-purchase graph (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed co-purchase edges: (src part -> dst part) for every pair
+    bought in one order, both directions, deduped.  The self-join keys on
+    l_orderkey, so fan-out is C(basket, 2) per order — linear in orders,
+    the same bound orders_market_basket documents.
+
+    Materialized eagerly (localCheckpoint): the consumers read the edge
+    list 4+ times (degrees, contributions, both vertex sides — PageRank
+    once per iteration), and without materialization each use re-plans
+    the full basket self-join (16 exchanges in the step plan vs 5
+    materialized).  Same precedent as lsh_verified_pairs' cached shingle
+    index; at cluster scale this is 'stage the edge list to storage
+    first', which any graph pipeline does anyway."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
+def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact-integer PageRank step over the co-purchase graph
+    (graph.pagerank_step_exact): contributions are integer micro-units so
+    every sum is an exact BIGINT — the hash-checkable deterministic core
+    of the iterative graph_pagerank (rows-only, float sums), the same
+    pairing as embedding_kmeans / kmeans_assign."""
+    from flume_spark.operators import graph
+
+    return graph.pagerank_step_exact(_copurchase_edges(spark, sf_dir))
+
+
+GRAPH_PAGERANK_STEP_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey != b.l_partkey
+),
+degs AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
+contrib AS (
+  SELECT e.dst AS v,
+         CAST(floor(1000000000000.0 / g.out_deg + 0.5) AS BIGINT) AS c
+  FROM edges e JOIN degs g ON e.src = g.src
+),
+inflow AS (SELECT v, CAST(sum(c) AS BIGINT) AS inflow_micro
+           FROM contrib GROUP BY 1),
+verts AS (SELECT DISTINCT src AS v FROM edges
+          UNION SELECT DISTINCT dst FROM edges)
+SELECT verts.v AS vertex,
+       CAST(coalesce(inflow_micro, 0) AS BIGINT) AS inflow_micro,
+       round(0.15 + 0.85 * (coalesce(inflow_micro, 0) / 1000000000000.0), 9)
+         AS n_rank1
+FROM verts LEFT JOIN inflow ON verts.v = inflow.v
+"""
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative PageRank (graph.pagerank, 5 rounds) over the
+    co-purchase graph — approximate by design (float partial-agg sums),
+    driver records rows-only; invariants (mass conservation, convergence)
+    gated in test_round4_ops; the deterministic single step above is the
+    hash-checked core."""
+    from flume_spark.operators import graph
+
+    ranks = graph.pagerank(_copurchase_edges(spark, sf_dir), iters=5)
+    return ranks.select("vertex", F.round("rank", 9).alias("rank"))
+
+
 QUERIES = {
     "sketch_countmin": sketch_countmin,
     "skew_report_lineitem": skew_report_lineitem,
+    "graph_pagerank_step": graph_pagerank_step,
+    "graph_pagerank": graph_pagerank,
     "cohort_retention": cohort_retention,
     "events_anomaly_mad": events_anomaly_mad,
     "orders_market_basket": orders_market_basket,
@@ -517,6 +597,8 @@ QUERIES = {
 ORACLES = {
     "sketch_countmin": SKETCH_COUNTMIN_SQL,
     "skew_report_lineitem": SKEW_REPORT_SQL,
+    "graph_pagerank_step": GRAPH_PAGERANK_STEP_SQL,
+    # graph_pagerank: no oracle (iterative float sums — rows-only by design)
     "cohort_retention": COHORT_RETENTION_SQL,
     "events_anomaly_mad": EVENTS_ANOMALY_SQL,
     "orders_market_basket": ORDERS_BASKET_SQL,
