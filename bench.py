@@ -70,6 +70,11 @@ HEADLINE = [
     "ann_range_cells",
     "zorder_orders",
     "corpus_split",
+    "percentiles_exact",
+    "embedding_truncate",
+    "sketch_countmin",
+    "skew_report_lineitem",
+    "graph_pagerank_step",
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))
@@ -144,7 +149,8 @@ def bench_queue(spark, jobs: int | None = None) -> dict[str, float]:
         manager = QueueManager(spark, store, registry, pipelines)
 
         start = time.perf_counter()
-        per_queue = jobs // QUEUE_FANOUT
+        per_queue = max(1, jobs // QUEUE_FANOUT)
+        n_seeded = per_queue * QUEUE_FANOUT  # actual total (integer dust)
         payload = ["x" * 500]  # ~0.5 kB payload tier from the reference bench
         for i in range(QUEUE_FANOUT):
             manager.bulk_enqueue(
@@ -155,13 +161,13 @@ def bench_queue(spark, jobs: int | None = None) -> dict[str, float]:
         start = time.perf_counter()
         names = [f"p{i}" for i in range(QUEUE_FANOUT)]
         done = 0
-        while done < jobs:  # drain: demand caps each trigger at 500/queue
+        while done < n_seeded:  # drain: demand caps each trigger at 500/queue
             got = manager.run_many(names)["succeeded"]
             if got == 0:
                 break
             done += got
         process_s = time.perf_counter() - start
-        assert done == jobs, f"processed {done}/{jobs}"
+        assert done == n_seeded, f"processed {done}/{n_seeded}"
 
         # interleaved enqueue/dequeue — the contended third scenario of the
         # reference bench (redis_benchmark.ex:48-89): producers keep
@@ -172,10 +178,12 @@ def bench_queue(spark, jobs: int | None = None) -> dict[str, float]:
         store2 = JobStore(spark, os.path.join(tmp, "jobs_interleaved"))
         manager2 = QueueManager(spark, store2, registry, pipelines)
         pre = jobs // 2  # pre-seed x1 tier, half the volume up front
+        pre_seeded = (pre // QUEUE_FANOUT) * QUEUE_FANOUT  # actual total
         for i in range(QUEUE_FANOUT):
             manager2.bulk_enqueue(
                 f"q{i}", [("NoopWorker", "perform", payload)] * (pre // QUEUE_FANOUT)
             )
+        expected2 = pre_seeded + (jobs - pre)
 
         def producer() -> None:
             remaining, qi, chunk = jobs - pre, 0, 100
@@ -194,11 +202,11 @@ def bench_queue(spark, jobs: int | None = None) -> dict[str, float]:
         done2 = 0
         for _ in range(1000):  # bounded; normally exits by the break below
             done2 += manager2.run_many(names)["succeeded"]
-            if done2 >= jobs and not t.is_alive():
+            if done2 >= expected2 and not t.is_alive():
                 break
         t.join()
         interleaved_s = time.perf_counter() - start
-        assert done2 == jobs, f"interleaved processed {done2}/{jobs}"
+        assert done2 == expected2, f"interleaved processed {done2}/{expected2}"
         return {
             "queue_enqueue": round(enqueue_s, 3),
             "queue_process": round(process_s, 3),
