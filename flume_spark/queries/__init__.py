@@ -51,6 +51,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _NEEDS_DRIVER_ROW = [  # round-4 additions/changes, ascending expected sf0.01 runtime
     # new round-4 queries
     "percentiles_exact",
+    "dedup_rate_by_source",
     "embedding_truncate",
     "ann_range_cells",
     "sketch_countmin",

@@ -671,6 +671,43 @@ FROM d
 """
 
 
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation observability: per-source exact-duplicate rate — the
+    number every ingest dashboard watches (a source whose dup_rate jumps
+    is re-crawling itself).  One hash+source partial-agg shuffle; the
+    rate is an exact integer ratio rounded at the end."""
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.md5("text").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("h").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct")) * 100.0
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_pct"),
+        )
+    )
+
+
+DEDUP_RATE_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_distinct,
+       round((count(*) - count(DISTINCT md5(text))) * 100.0 / count(*), 6)
+         AS dup_pct
+FROM documents
+GROUP BY source
+"""
+
+
 def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-source percentiles of document length — the hash-checkable
     deterministic core of the percentile family (round-3 verdict item 6:
@@ -723,6 +760,7 @@ QUERIES = {
     "ann_topk_multiprobe": ann_topk_multiprobe,
     "embedding_truncate": embedding_truncate,
     "corpus_split": corpus_split,
+    "dedup_rate_by_source": dedup_rate_by_source,
     "percentiles_exact": percentiles_exact,
 }
 
@@ -744,5 +782,6 @@ ORACLES = {
     "ann_topk_multiprobe": ANN_MULTIPROBE_SQL,
     "embedding_truncate": EMBEDDING_TRUNCATE_SQL,
     "corpus_split": CORPUS_SPLIT_SQL,
+    "dedup_rate_by_source": DEDUP_RATE_SQL,
     "percentiles_exact": PERCENTILES_EXACT_SQL,
 }
