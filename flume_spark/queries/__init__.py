@@ -58,6 +58,9 @@ _NEEDS_DRIVER_ROW = [  # round-4 additions/changes, ascending expected sf0.01 ru
     "corpus_split",
     "zorder_orders",
     "skew_report_lineitem",
+    "window_topk_users",
+    "interval_coverage",
+    "revenue_share_rollup",
     "graph_pagerank_step",
     "graph_pagerank",
     "ann_topk_multiprobe",

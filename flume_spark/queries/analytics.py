@@ -579,8 +579,169 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("vertex", F.round("rank", 9).alias("rank"))
 
 
+# ---------------------------------------------------------------------------
+# Windowed top-k, interval coverage (sweep line), hierarchical shares
+# ---------------------------------------------------------------------------
+
+
+def window_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by summed value per tumbling day — the windowed
+    heavy-hitter rollup every activity dashboard runs.  Sum is rounded
+    BEFORE the rank (with user_id tie-break) so rank order is identical
+    cross-engine; partitioned rank, never a global sort."""
+    ev = T(spark, sf_dir, "events")
+    per = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    w = Window.partitionBy("w").orderBy(F.col("sum_value").desc(), "user_id")
+    return (
+        per.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "sum_value",
+            "rnk",
+        )
+    )
+
+
+WINDOW_TOPK_USERS_SQL = """
+WITH per AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, user_id,
+         round(sum(value), 4) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, user_id, sum_value, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY window_start
+                               ORDER BY sum_value DESC, user_id) AS rnk
+  FROM per
+) WHERE rnk <= 3
+"""
+
+
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-interval coverage per user (sweep line): each event opens an
+    interval [ts, ts + value minutes]; overlapping intervals merge into
+    islands, and the report is islands + total covered seconds.  The
+    classic uptime/coverage analytic, all in exact integer epoch-seconds
+    (floor() explicitly — Spark's long cast truncates where DuckDB's
+    rounds, the one divergence this family must dodge).  One user
+    partitioning reused by both windows."""
+    ev = T(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + F.floor(F.col("value") * 60).cast("long")).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("user_id").orderBy("s", "event_id")
+    marked = base.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-(1 << 62))),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    islands = marked.groupBy("user_id", "island").agg(
+        F.min("s").alias("lo"), F.max("e").alias("hi")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("hi") - F.col("lo")).alias("covered_seconds"),
+    )
+
+
+INTERVAL_COVERAGE_SQL = """
+WITH base AS (
+  -- floor(epoch) explicitly: Spark's unix_timestamp TRUNCATES fractional
+  -- seconds while DuckDB's BIGINT cast ROUNDS them (off-by-one on .5+)
+  SELECT user_id, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + CAST(floor(value * 60) AS BIGINT) AS e
+  FROM events
+),
+marked AS (
+  SELECT *,
+         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                -4611686018427387904)
+              THEN 1 ELSE 0 END AS new_island
+  FROM base
+),
+numbered AS (
+  SELECT *, sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id) AS island
+  FROM marked
+),
+islands AS (
+  SELECT user_id, island, min(s) AS lo, max(e) AS hi
+  FROM numbered GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*) AS n_islands,
+       CAST(sum(hi - lo) AS BIGINT) AS covered_seconds
+FROM islands GROUP BY 1
+"""
+
+
+def revenue_share_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent: each nation's revenue as a percent of
+    its region — exact integer cents end to end (the repo's revenue
+    discipline), the region total via a window over the 25-row nation
+    aggregate (never a second fact scan), dims broadcast."""
+    cust = T(spark, sf_dir, "customer")
+    nat = T(spark, sf_dir, "nation")
+    reg = T(spark, sf_dir, "region")
+    orders = T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.col("cents") * 100.0 / F.sum("cents").over(w), 6
+        ).alias("pct_of_region"),
+    )
+
+
+REVENUE_SHARE_SQL = """
+WITH per_nation AS (
+  SELECT r_name, n_name,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name,
+       round(cents / 100.0, 2) AS revenue,
+       round(cents * 100.0 / sum(cents) OVER (PARTITION BY r_name), 6)
+         AS pct_of_region
+FROM per_nation
+"""
+
+
 QUERIES = {
     "sketch_countmin": sketch_countmin,
+    "window_topk_users": window_topk_users,
+    "interval_coverage": interval_coverage,
+    "revenue_share_rollup": revenue_share_rollup,
     "skew_report_lineitem": skew_report_lineitem,
     "graph_pagerank_step": graph_pagerank_step,
     "graph_pagerank": graph_pagerank,
@@ -596,6 +757,9 @@ QUERIES = {
 
 ORACLES = {
     "sketch_countmin": SKETCH_COUNTMIN_SQL,
+    "window_topk_users": WINDOW_TOPK_USERS_SQL,
+    "interval_coverage": INTERVAL_COVERAGE_SQL,
+    "revenue_share_rollup": REVENUE_SHARE_SQL,
     "skew_report_lineitem": SKEW_REPORT_SQL,
     "graph_pagerank_step": GRAPH_PAGERANK_STEP_SQL,
     # graph_pagerank: no oracle (iterative float sums — rows-only by design)
