@@ -42,12 +42,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Round-4 re-tier done: all 50 CORRECTNESS_r03 rows folded into
 # _DRIVER_CHECKED (49 hash-green + approx_percentiles, rows-only by design).
 # ROUND-5 RE-TIERING (do this first next round): once CORRECTNESS_r04.json
-# lands, fold its green rows into _DRIVER_CHECKED — that is every name in
-# this list (the 12 round-4 additions/changes; graph_pagerank is rows-only
-# by design, fold it too like approx_percentiles) plus whatever
-# already-checked names filled the rest of the 50-entry prefix — then
-# rebuild this list from round-5 changes.  tests/test_registry.py fails
-# loudly on typos/overlap.
+# lands, fold ALL its rows into _DRIVER_CHECKED — every name in this list
+# plus whatever already-checked names filled the rest of the 50-entry
+# prefix (rows-only-by-design entries like graph_pagerank fold too, like
+# approx_percentiles did) — then rebuild this list from round-5 changes.
+# tests/test_registry.py fails loudly on typos/overlap.
 _NEEDS_DRIVER_ROW = [  # round-4 additions/changes, ascending expected sf0.01 runtime
     # new round-4 queries
     "percentiles_exact",
