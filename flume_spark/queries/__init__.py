@@ -56,6 +56,8 @@ _NEEDS_DRIVER_ROW = [  # round-4 additions/changes, ascending expected sf0.01 ru
     "sketch_countmin",
     "corpus_split",
     "zorder_orders",
+    "agg_conditional",
+    "date_spine_fill",
     "skew_report_lineitem",
     "window_topk_users",
     "interval_coverage",

@@ -379,9 +379,113 @@ FROM b
 ZORDER_ORDERS_SQL = _zorder_sql()
 
 
+# ---------------------------------------------------------------------------
+# Conditional aggregates (count_if / bool_and / bool_or / sum-CASE)
+# ---------------------------------------------------------------------------
+
+
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conditional-aggregate family per order priority: count_if,
+    boolean every/any, and the sum-CASE idiom — exact integer cents for
+    the conditional sum so no float accumulation crosses engines."""
+    orders = T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_large"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", cents).otherwise(F.lit(0)))
+        .alias("open_cents"),
+    )
+
+
+AGG_CONDITIONAL_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(*) FILTER (WHERE o_totalprice > 150000) AS n_large,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_orderstatus = 'F')  AS any_finished,
+       CAST(sum(CASE WHEN o_orderstatus = 'O'
+                     THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS open_cents
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Date-spine gap filling (generated calendar LEFT JOIN facts)
+# ---------------------------------------------------------------------------
+
+
+def date_spine_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reporting gap-fill: a generated 90-day calendar LEFT JOINed to
+    daily order revenue, missing days filled with zero — the shape every
+    time-series dashboard needs (a groupBy alone silently drops empty
+    days).  The spine is a literal sequence (no aggregate-derived bounds,
+    so the plan is static and the broadcast side is 90 rows); revenue in
+    exact integer cents."""
+    orders = T(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") <= F.lit("1995-03-31").cast("date"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            # string, not DATE: pandas maps DuckDB DATE to datetime64 but
+            # Spark DATE to datetime.date, so the value-canon forms differ
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.round(F.coalesce("cents", F.lit(0)) / 100.0, 2).alias("revenue"),
+        )
+    )
+
+
+DATE_SPINE_SQL = """
+WITH spine AS (
+  SELECT CAST(gs AS DATE) AS day
+  FROM generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                       INTERVAL 1 DAY) AS t(gs)
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate <= DATE '1995-03-31'
+  GROUP BY 1
+)
+SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+       coalesce(n_orders, 0) AS n_orders,
+       round(coalesce(cents, 0) / 100.0, 2) AS revenue
+FROM spine LEFT JOIN daily ON spine.day = daily.day
+"""
+
+
 QUERIES = {
     "q11_important_stock": q11_important_stock,
     "zorder_orders": zorder_orders,
+    "agg_conditional": agg_conditional,
+    "date_spine_fill": date_spine_fill,
     "join_lateral": join_lateral,
     "agg_minmax_by": agg_minmax_by,
     "window_first_last": window_first_last,
@@ -394,6 +498,8 @@ QUERIES = {
 ORACLES = {
     "q11_important_stock": Q11_SQL,
     "zorder_orders": ZORDER_ORDERS_SQL,
+    "agg_conditional": AGG_CONDITIONAL_SQL,
+    "date_spine_fill": DATE_SPINE_SQL,
     "join_lateral": JOIN_LATERAL_SQL,
     "agg_minmax_by": AGG_MINMAX_BY_SQL,
     "window_first_last": WINDOW_FIRST_LAST_SQL,
