@@ -58,6 +58,7 @@ _NEEDS_DRIVER_ROW = [  # round-4 additions/changes, ascending expected sf0.01 ru
     "zorder_orders",
     "agg_conditional",
     "date_spine_fill",
+    "fuzzy_part_names",
     "skew_report_lineitem",
     "window_topk_users",
     "interval_coverage",

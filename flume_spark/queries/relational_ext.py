@@ -481,11 +481,63 @@ FROM spine LEFT JOIN daily ON spine.day = daily.day
 """
 
 
+# ---------------------------------------------------------------------------
+# Blocked fuzzy matching (Levenshtein under a blocking key)
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part names by edit distance — with the BLOCKING
+    pattern that makes fuzzy joins survive scale: candidates must share a
+    prefix block (first 6 chars), so the self-join is an equi-join on the
+    block key (shuffle = Σ block²) instead of the all-pairs cartesian a
+    bare levenshtein predicate would plan.  Levenshtein is exact integer
+    — engine-identical.  The trade is recall at the block boundary
+    (edits inside the first 6 chars escape the block), the same
+    candidate-generation-vs-recall deal as LSH banding.  Scoped to a
+    partkey slice: the synthetic names are formulaic enough that the
+    full corpus yields 30k+ pairs — correct but a bulky value-hash."""
+    part = (
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 400)
+        .select("p_partkey", "p_name")
+    )
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.substring("p_name", 1, 6).alias("blk"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.substring("p_name", 1, 6).alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("key_a", "key_b", "edit_dist")
+    )
+
+
+FUZZY_PART_SQL = """
+WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 400)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM p a JOIN p b
+  ON substring(a.p_name, 1, 6) = substring(b.p_name, 1, 6)
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
 QUERIES = {
     "q11_important_stock": q11_important_stock,
     "zorder_orders": zorder_orders,
     "agg_conditional": agg_conditional,
     "date_spine_fill": date_spine_fill,
+    "fuzzy_part_names": fuzzy_part_names,
     "join_lateral": join_lateral,
     "agg_minmax_by": agg_minmax_by,
     "window_first_last": window_first_last,
@@ -500,6 +552,7 @@ ORACLES = {
     "zorder_orders": ZORDER_ORDERS_SQL,
     "agg_conditional": AGG_CONDITIONAL_SQL,
     "date_spine_fill": DATE_SPINE_SQL,
+    "fuzzy_part_names": FUZZY_PART_SQL,
     "join_lateral": JOIN_LATERAL_SQL,
     "agg_minmax_by": AGG_MINMAX_BY_SQL,
     "window_first_last": WINDOW_FIRST_LAST_SQL,
