@@ -737,8 +737,50 @@ FROM per_nation
 """
 
 
+def running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — computed via the first-seen
+    trick: a user counts only on their FIRST active day, so the running
+    total is a cumulative sum over a ~days-sized frame.  The naive
+    count(DISTINCT) over an expanding window re-scans history per day
+    (quadratic); this is two partial-agg shuffles and a window over the
+    tiny per-day frame."""
+    ev = T(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    per_day = first_day.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("first_day").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+RUNNING_DISTINCT_SQL = """
+WITH first_day AS (
+  SELECT user_id, CAST(min(CAST(ts AS DATE)) AS DATE) AS first_day
+  FROM events GROUP BY 1
+),
+per_day AS (
+  SELECT first_day, count(*) AS new_users FROM first_day GROUP BY 1
+)
+SELECT strftime(first_day, '%Y-%m-%d') AS day,
+       new_users,
+       CAST(sum(new_users) OVER (ORDER BY first_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM per_day
+"""
+
+
 QUERIES = {
     "sketch_countmin": sketch_countmin,
+    "running_distinct_users": running_distinct_users,
     "window_topk_users": window_topk_users,
     "interval_coverage": interval_coverage,
     "revenue_share_rollup": revenue_share_rollup,
@@ -757,6 +799,7 @@ QUERIES = {
 
 ORACLES = {
     "sketch_countmin": SKETCH_COUNTMIN_SQL,
+    "running_distinct_users": RUNNING_DISTINCT_SQL,
     "window_topk_users": WINDOW_TOPK_USERS_SQL,
     "interval_coverage": INTERVAL_COVERAGE_SQL,
     "revenue_share_rollup": REVENUE_SHARE_SQL,
