@@ -60,6 +60,7 @@ _NEEDS_DRIVER_ROW = [  # round-4 additions/changes, ascending expected sf0.01 ru
     "date_spine_fill",
     "fuzzy_part_names",
     "skew_report_lineitem",
+    "supplier_balance_outliers",
     "running_distinct_users",
     "window_topk_users",
     "interval_coverage",

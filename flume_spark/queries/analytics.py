@@ -778,8 +778,66 @@ FROM per_day
 """
 
 
+def supplier_balance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation z-score outliers (|x - mean| > 2*stddev) decided ENTIRELY
+    in exact integer arithmetic: with S = sum(cents), Q = sum(cents²),
+    n = count, the flag |x − S/n| > k·σ is equivalent to
+    (n·x − S)² > k²·(n·Q − S²) — every term an exact integer, so the
+    decision can't flip on float-accumulation order the way a naive
+    stddev compare can (the MAD query is the robust sibling; this is the
+    classic z-score made engine-exact).  The squared terms reach ~10^26
+    at big-corpus group sizes, past int64: Spark computes them in
+    decimal(38,0) and DuckDB in its native HUGEINT sums — both exact, so
+    the comparison stays engine-identical at any scale.  The 25-row
+    stats frame broadcasts back."""
+    sup = T(spark, sf_dir, "supplier")
+    cents = F.round(F.col("s_acctbal") * 100).cast("long")
+    dec = "decimal(38,0)"
+    base = sup.select("s_suppkey", "s_nationkey", cents.alias("x"))
+    stats = base.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("s"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("q"),
+    )
+    j = base.join(F.broadcast(stats), "s_nationkey")
+    dev = F.col("n") * F.col("x").cast(dec) - F.col("s")  # n*(x - mean)
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")  # n²·σ²
+    k2 = F.lit(4).cast(dec)  # k = 2
+    flagged = j.filter(dev * dev > k2 * var_n2)
+    return flagged.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.col("x") / 100.0, 2).alias("acctbal"),
+        # n*(x - mean) as display deviation (fits int64 at any sane group)
+        dev.cast("long").alias("dev_n"),
+    )
+
+
+SUPPLIER_OUTLIERS_SQL = """
+WITH base AS (
+  SELECT s_suppkey, s_nationkey,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS x
+  FROM supplier
+),
+stats AS (
+  -- HUGEINT sums: the squared comparison terms reach ~10^26 at scale
+  SELECT s_nationkey,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS s,
+         sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS q
+  FROM base GROUP BY 1
+)
+SELECT b.s_suppkey, b.s_nationkey,
+       round(b.x / 100.0, 2) AS acctbal,
+       CAST(b.x * t.n - t.s AS BIGINT) AS dev_n
+FROM base b JOIN stats t USING (s_nationkey)
+WHERE (b.x * t.n - t.s) * (b.x * t.n - t.s) > 4 * (t.n * t.q - t.s * t.s)
+"""
+
+
 QUERIES = {
     "sketch_countmin": sketch_countmin,
+    "supplier_balance_outliers": supplier_balance_outliers,
     "running_distinct_users": running_distinct_users,
     "window_topk_users": window_topk_users,
     "interval_coverage": interval_coverage,
@@ -799,6 +857,7 @@ QUERIES = {
 
 ORACLES = {
     "sketch_countmin": SKETCH_COUNTMIN_SQL,
+    "supplier_balance_outliers": SUPPLIER_OUTLIERS_SQL,
     "running_distinct_users": RUNNING_DISTINCT_SQL,
     "window_topk_users": WINDOW_TOPK_USERS_SQL,
     "interval_coverage": INTERVAL_COVERAGE_SQL,
