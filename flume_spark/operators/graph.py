@@ -2,6 +2,9 @@
 iterations (the connected_components / kmeans pattern: per round one
 partial-agg shuffle, only scalars cross the driver).
 
+No reference analog (the reference processes no graphs); engine-native
+per the LLM-pipeline/scale mandate.
+
 Scale shape per iteration: ranks live distributed keyed by vertex;
 contributions = ranks ⋈ edges on src (one equi-join, shuffle bounded by
 |E|), grouped by dst (one partial-agg shuffle).  Nothing vertex- or
