@@ -1350,3 +1350,64 @@ def test_mock_enqueue_in_records_schedule(engine):
     with mock(engine) as recorder:
         engine.enqueue_in("default", 10, "EchoWorker", [1])
         recorder.assert_enqueued("default", "EchoWorker", [1], delay_s=10)
+
+
+def test_multi_instance_end_to_end_exactly_one_dispatch(spark, tmp_path):
+    """Capstone multi-instance run: two managers share one store, one
+    rate-limited queue (shared ledger) and one unlimited queue, workers
+    journal every invocation, idempotence on.  Interleaved concurrent
+    triggers must yield EXACTLY one worker invocation and one success per
+    job — claim locks prevent double-claims, the ledger holds the joint
+    rate cap, and nothing is lost."""
+    import json as _json
+    import threading
+
+    from flume_spark.queue.ratelimit import SharedLedgerLimiter
+
+    journal = str(tmp_path / "mi_journal.jsonl")
+    registry = WorkerRegistry()
+
+    def work(i):
+        with open(journal, "a") as f:
+            f.write(_json.dumps({"arg": i}) + "\n")
+
+    registry.register("JournalWorker", work)
+    pipes = [
+        Pipeline(name="u", queue="u", max_demand=50),
+        Pipeline(name="lim", queue="lim", max_demand=50,
+                 rate_limit_count=40, rate_limit_scale=600_000),
+    ]
+    store_path = str(tmp_path / "mi_jobs")
+    ledger = str(tmp_path / "mi_ledger")
+    mk = lambda: QueueManager(
+        spark, JobStore(spark, store_path), registry, pipelines=pipes,
+        limiter=SharedLedgerLimiter(ledger), idempotence=True,
+        compact_grace_s=30.0,
+    )
+    m1, m2 = mk(), mk()
+    n_u, n_lim = 60, 60
+    m1.bulk_enqueue("u", [("JournalWorker", "perform", [i]) for i in range(n_u)], now=T0)
+    m1.bulk_enqueue("lim", [("JournalWorker", "perform", [1000 + i]) for i in range(n_lim)], now=T0)
+
+    totals = {"m1": 0, "m2": 0}
+
+    def drain(name, mgr):
+        for _ in range(6):
+            totals[name] += mgr.run_many(["u", "lim"], now=T0 + 1)["succeeded"]
+
+    t1 = threading.Thread(target=drain, args=("m1", m1))
+    t2 = threading.Thread(target=drain, args=("m2", m2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+
+    # the rate window admits only 40 of the 60 limited jobs inside T0+1
+    assert totals["m1"] + totals["m2"] == n_u + 40
+    # every dispatched job ran its worker EXACTLY once
+    from collections import Counter
+
+    with open(journal) as f:
+        calls = Counter(_json.loads(line)["arg"] for line in f)
+    assert len(calls) == n_u + 40
+    assert max(calls.values()) == 1
+    # job-table state agrees, across BOTH managers' views of the store
+    assert m2.current().filter("status = 'succeeded'").count() == n_u + 40
+    assert m1.current().filter("status = 'pending'").count() == n_lim - 40
