@@ -135,3 +135,31 @@ def test_processed_marker_contract(backend):
     backend.clear_flag("processed/jid-123")
     assert not backend.has_flag("processed/jid-123")
     assert not os.listdir(mdir) or "jid-123" not in os.listdir(mdir)
+
+
+def test_claim_lock_contract(backend):
+    """claim_lock must be a working context manager giving per-queue
+    mutual exclusion across threads (and, for shared-storage backends,
+    across instances — gated end-to-end in test_queue.py); different
+    queues must not block each other."""
+    import threading
+    import time
+
+    order = []
+
+    def holder():
+        with backend.claim_lock("qA"):
+            order.append("a1")
+            time.sleep(0.3)
+            order.append("a2")
+
+    t = threading.Thread(target=holder)
+    t.start()
+    time.sleep(0.1)
+    t0 = time.perf_counter()
+    with backend.claim_lock("qB"):  # different queue: no contention
+        assert time.perf_counter() - t0 < 0.15
+    with backend.claim_lock("qA"):  # same queue: waits for the holder
+        order.append("b")
+    t.join()
+    assert order == ["a1", "a2", "b"]
