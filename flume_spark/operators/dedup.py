@@ -805,8 +805,15 @@ def write_band_index(
     rows = with_band_key(banded).select(
         "id", "band_key", F.lit(ingest_batch).alias("ingest_batch")
     )
+    # pre-shuffle to the bucket hash so each task holds exactly one
+    # bucket's rows: a bucketed write otherwise emits one file per
+    # (task x bucket) — tasks x buckets small files PER APPEND, which is
+    # what makes long-running ingest need compaction so much sooner.
+    # repartition's hash is the same Murmur3 bucketBy uses, so the write
+    # stays spec-correct and produces exactly `buckets` files.
     writer = (
-        rows.write.partitionBy("ingest_batch")
+        rows.repartition(buckets, F.col("band_key"))
+        .write.partitionBy("ingest_batch")
         .bucketBy(buckets, "band_key")
         .sortBy("band_key")
         .mode(mode)
@@ -814,6 +821,53 @@ def write_band_index(
     if mode == "overwrite":
         writer = writer.option("path", path)
     writer.saveAsTable(table_name)
+
+
+def compact_band_index(
+    spark, table_name: str, path: str, buckets: int = 64
+) -> int:
+    """Collapse every ingest_batch partition of a band index into one —
+    the maintenance pass that bounds the file growth of append-per-batch
+    ingest (each append writes `buckets` files; a long-running LshIngestor
+    accumulates buckets x batches of them, and the probe join's planning
+    cost follows the file listing).
+
+    Swap protocol (the parquet-table stand-in for Delta's OPTIMIZE):
+    write the collapsed rows to a staging table at a fresh path, DROP the
+    old table, RENAME staging into its name, then delete the old path's
+    orphaned files.  A crash before the DROP leaves the original intact
+    (staging is re-runnable); a crash between DROP and RENAME leaves the
+    data safe in the staging table — recover by renaming it manually.
+    Probe plans are unchanged: the staging write uses the same bucket
+    spec, so the index side stays exchange-free.
+
+    Returns the compacted table's file count.  New path:
+    `<path>.compact-<seq>` (the table's location moves; resolution is by
+    NAME, which is what every reader uses).
+    """
+    import shutil
+    import time as _time
+
+    staging = f"{table_name}__compacting"
+    new_path = f"{path.rstrip('/')}.compact-{int(_time.time() * 1000)}"
+    old_location = (
+        spark.sql(f"DESCRIBE FORMATTED {table_name}")
+        .filter(F.col("col_name") == "Location")
+        .first()["data_type"]
+    )
+    # read the files PLAIN, not through the table: the table's bucket
+    # metadata makes Spark eliminate the writer's repartition-to-buckets
+    # (child "already" hash-partitioned), leaving one file per
+    # (old file-split x bucket) — exactly the fragmentation this pass
+    # exists to remove
+    rows = spark.read.parquet(old_location).select("id", "band_key")
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    write_band_index(rows, staging, new_path, buckets=buckets, ingest_batch=0)
+    spark.sql(f"DROP TABLE {table_name}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
+    if old_location.startswith("file:"):
+        shutil.rmtree(old_location[len("file:") :], ignore_errors=True)
+    return len(spark.table(table_name).inputFiles())
 
 
 def read_band_index(

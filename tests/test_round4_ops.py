@@ -510,3 +510,47 @@ def test_pagerank_converges(spark):
     d24 = sum(abs(r2[v] - r4[v]) for v in r2)
     d48 = sum(abs(r4[v] - r8[v]) for v in r4)
     assert d48 < d24  # contraction
+
+
+def test_compact_band_index(spark, tmp_path, no_broadcast):
+    """Compaction collapses the per-batch partitions into one, preserves
+    every row and the exchange-free probe, shrinks the file count, and
+    cleans the old location."""
+    import os
+
+    batches = [_corpus(spark, 0, 40), _corpus(spark, 40, 70), _corpus(spark, 70, 90)]
+    path = str(tmp_path / "cidx")
+    try:
+        for i, b in enumerate(batches):
+            dedup.write_band_index(
+                dedup.banded_signatures(b, "doc_id", "text", 2, 16, 4),
+                "r4_cidx", path, buckets=4, ingest_batch=i,
+                mode="overwrite" if i == 0 else "append",
+            )
+        before_rows = dedup.read_band_index(spark, "r4_cidx").count()
+        before_files = len(spark.table("r4_cidx").inputFiles())
+        probe = dedup.with_band_key(
+            dedup.banded_signatures(_corpus(spark, 90, 95), "doc_id", "text", 2, 16, 4)
+        ).select("id", "band_key")
+        pairs_before = sorted(
+            map(tuple, dedup.incremental_lsh_candidates(
+                None, None, "doc_id", "text", 2, 16, 4,
+                history_banded=dedup.read_band_index(spark, "r4_cidx"),
+                new_banded=probe,
+            ).collect())
+        )
+
+        n_files = dedup.compact_band_index(spark, "r4_cidx", path, buckets=4)
+        assert dedup.read_band_index(spark, "r4_cidx").count() == before_rows
+        assert n_files < before_files          # 3 batches x 4 buckets -> 4
+        assert not os.path.exists(path)        # old location cleaned
+        after = dedup.incremental_lsh_candidates(
+            None, None, "doc_id", "text", 2, 16, 4,
+            history_banded=dedup.read_band_index(spark, "r4_cidx"),
+            new_banded=probe,
+        )
+        assert "SelectedBucketsCount" in explain_str(after)  # still bucketed
+        assert sorted(map(tuple, after.collect())) == pairs_before
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r4_cidx")
+        spark.sql("DROP TABLE IF EXISTS r4_cidx__compacting")
