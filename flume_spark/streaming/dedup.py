@@ -293,3 +293,29 @@ class LshIngestor:
         return self.spark.read.parquet(self.pairs_dir).select(
             "doc_new", "doc_match"
         )
+
+    def compact_index(self) -> int:
+        """Collapse the bucketed index's per-batch partitions into one
+        (dedup.compact_band_index) — run periodically on a long-lived
+        ingest to bound the file listing (each trigger appends `buckets`
+        files).  Call BETWEEN triggers (e.g. from a scheduler, with the
+        stream paused or idle): the swap briefly drops/renames the table,
+        and a trigger probing mid-swap would fail its read and replay.
+        Table mode only; returns the compacted file count.
+
+        Replay note: compaction rewrites everything as ingest_batch=0,
+        so a later replay of an OLD batch id no longer excludes its own
+        pre-compaction rows — it emits their pairs, which the final
+        distinct() and the pairs-dir overwrite absorb (results converge;
+        only (a,b)/(b,a) orientation of that batch's internal pairs can
+        both appear, and candidate_pairs consumers already treat pairs
+        as unordered).
+        """
+        if self.index_table is None:
+            raise ValueError("compact_index requires index_table mode")
+        from flume_spark.operators.dedup import compact_band_index
+
+        return compact_band_index(
+            self.spark, self.index_table, self.index_dir,
+            buckets=self.index_buckets,
+        )

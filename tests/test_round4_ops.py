@@ -187,8 +187,19 @@ def test_lsh_ingestor_bucketed_table_matches_plain(spark, tmp_path):
         bucketed._process(batches[-1], 2)
         q2 = {tuple(r) for r in bucketed.candidate_pairs().collect()}
         assert q2 == q
+        # mid-life compaction: index collapses, future ingests still match
+        n_before = len(spark.table("r4_ing_idx").inputFiles())
+        n_after = bucketed.compact_index()
+        assert n_after < n_before
+        extra = _corpus(spark, 60, 70)
+        plain.process(extra, 3)
+        bucketed.process(extra, 3)
+        p3 = {tuple(r) for r in plain.candidate_pairs().collect()}
+        q3 = {tuple(r) for r in bucketed.candidate_pairs().collect()}
+        assert p3 == q3 and len(p3) > len(p)
     finally:
         spark.sql("DROP TABLE IF EXISTS r4_ing_idx")
+        spark.sql("DROP TABLE IF EXISTS r4_ing_idx__compacting")
 
 
 # ---------------------------------------------------------------------------
