@@ -1,0 +1,86 @@
+"""Declarative data-quality checks — the dbt/Great-Expectations-style
+constraint pass every production table needs before anything downstream
+trusts it: not-null, uniqueness, accepted values, numeric ranges.
+
+One scan for all row-level rules (each rule is a sum-of-CASE aggregate
+fused into the same Aggregate), plus one count-distinct pass per
+uniqueness rule (exact; inherently its own shuffle).  The report is one
+row per rule with its violation count — exact integers, so it
+hash-checks cross-engine.
+
+No reference analog (the queue validates job payloads, not tables);
+engine-native per the pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str          # report key, e.g. "orderkey_not_null"
+    kind: str          # not_null | unique | accepted_values | in_range | expr
+    column: str | None = None
+    values: tuple = ()          # accepted_values
+    lo: float | None = None     # in_range (inclusive)
+    hi: float | None = None
+    expr: str | None = None     # kind="expr": SQL boolean, True = VIOLATION
+
+
+def _violation_expr(rule: Rule) -> Column:
+    c = F.col(rule.column) if rule.column else None
+    if rule.kind == "not_null":
+        return c.isNull()
+    if rule.kind == "accepted_values":
+        return ~c.isin(list(rule.values)) | c.isNull()
+    if rule.kind == "in_range":
+        return c.isNull() | (c < rule.lo) | (c > rule.hi)
+    if rule.kind == "expr":
+        return F.expr(rule.expr)
+    raise ValueError(f"unknown rule kind {rule.kind!r}")
+
+
+def check_rules(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Evaluate every rule; returns (rule, n_violations) with one row per
+    rule (0 = clean).  Row-level rules share ONE aggregate over one scan;
+    each `unique` rule costs one exact count-distinct (its own shuffle —
+    at extreme cardinality swap in approx_count_distinct and accept the
+    sketch error, the standard trade).
+    """
+    spark = df.sparkSession
+    row_rules = [r for r in rules if r.kind != "unique"]
+    uniq_rules = [r for r in rules if r.kind == "unique"]
+
+    reports = []
+    if row_rules:
+        aggs = [
+            F.sum(
+                F.when(_violation_expr(r), F.lit(1)).otherwise(F.lit(0))
+            ).alias(r.name)
+            for r in row_rules
+        ]
+        wide = df.agg(*aggs)
+        # unpivot the 1-row wide frame into (rule, n_violations)
+        stack = ", ".join(f"'{r.name}', {r.name}" for r in row_rules)
+        reports.append(
+            wide.selectExpr(
+                f"stack({len(row_rules)}, {stack}) AS (rule, n_violations)"
+            )
+        )
+    for r in uniq_rules:
+        reports.append(
+            df.agg(
+                (F.count(r.column) - F.count_distinct(F.col(r.column)))
+                .alias("n_violations")
+            ).select(F.lit(r.name).alias("rule"), "n_violations")
+        )
+    if not reports:
+        return spark.createDataFrame([], "rule string, n_violations long")
+    out = reports[0]
+    for extra in reports[1:]:
+        out = out.unionByName(extra)
+    return out

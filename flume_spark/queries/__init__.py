@@ -59,6 +59,7 @@ _NEEDS_DRIVER_ROW = [  # round-4 additions/changes, ascending expected sf0.01 ru
     "agg_conditional",
     "date_spine_fill",
     "fuzzy_part_names",
+    "table_checks_orders",
     "skew_report_lineitem",
     "supplier_balance_outliers",
     "running_distinct_users",

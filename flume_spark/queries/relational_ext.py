@@ -532,12 +532,64 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Declarative data-quality checks (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+
+def table_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt-style constraint pass over orders: not-null / unique /
+    accepted-values / range / custom-expr rules, all row-level rules in
+    ONE fused aggregate scan, violation counts as exact integers."""
+    from flume_spark.operators.quality import Rule, check_rules
+
+    orders = T(spark, sf_dir, "orders")
+    rules = [
+        Rule("orderkey_not_null", "not_null", "o_orderkey"),
+        Rule("orderkey_unique", "unique", "o_orderkey"),
+        Rule("status_accepted", "accepted_values", "o_orderstatus",
+             values=("O", "F", "P")),
+        Rule("totalprice_range", "in_range", "o_totalprice", lo=0.0,
+             hi=1_000_000.0),
+        Rule("date_not_future", "expr",
+             expr="o_orderdate > timestamp'2002-01-01 00:00:00'"),
+    ]
+    return check_rules(orders, rules)
+
+
+TABLE_CHECKS_SQL = """
+SELECT 'orderkey_not_null' AS rule,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations FROM orders
+UNION ALL
+SELECT 'status_accepted',
+       CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                       OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'totalprice_range',
+       CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                       OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'date_not_future',
+       CAST(sum(CASE WHEN o_orderdate > TIMESTAMP '2002-01-01 00:00:00'
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orderkey_unique',
+       CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+FROM orders
+"""
+
+
 QUERIES = {
     "q11_important_stock": q11_important_stock,
     "zorder_orders": zorder_orders,
     "agg_conditional": agg_conditional,
     "date_spine_fill": date_spine_fill,
     "fuzzy_part_names": fuzzy_part_names,
+    "table_checks_orders": table_checks_orders,
     "join_lateral": join_lateral,
     "agg_minmax_by": agg_minmax_by,
     "window_first_last": window_first_last,
@@ -553,6 +605,7 @@ ORACLES = {
     "agg_conditional": AGG_CONDITIONAL_SQL,
     "date_spine_fill": DATE_SPINE_SQL,
     "fuzzy_part_names": FUZZY_PART_SQL,
+    "table_checks_orders": TABLE_CHECKS_SQL,
     "join_lateral": JOIN_LATERAL_SQL,
     "agg_minmax_by": AGG_MINMAX_BY_SQL,
     "window_first_last": WINDOW_FIRST_LAST_SQL,

@@ -565,3 +565,52 @@ def test_compact_band_index(spark, tmp_path, no_broadcast):
     finally:
         spark.sql("DROP TABLE IF EXISTS r4_cidx")
         spark.sql("DROP TABLE IF EXISTS r4_cidx__compacting")
+
+
+# ---------------------------------------------------------------------------
+# declarative data-quality checks (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+
+def test_check_rules_counts_violations(spark):
+    from flume_spark.operators.quality import Rule, check_rules
+
+    df = spark.createDataFrame(
+        [(1, "A", 5.0), (2, "B", -1.0), (2, "C", 50.0), (None, "A", 5.0)],
+        "id long, status string, v double",
+    )
+    out = {
+        r.rule: r.n_violations
+        for r in check_rules(df, [
+            Rule("id_not_null", "not_null", "id"),
+            Rule("id_unique", "unique", "id"),
+            Rule("status_ok", "accepted_values", "status", values=("A", "B")),
+            Rule("v_range", "in_range", "v", lo=0.0, hi=10.0),
+            Rule("custom", "expr", expr="v = 50.0"),
+        ]).collect()
+    }
+    assert out == {
+        "id_not_null": 1,   # the NULL id
+        "id_unique": 1,     # id=2 twice (NULLs don't count toward unique)
+        "status_ok": 1,     # the 'C'
+        "v_range": 2,       # -1.0 and 50.0
+        "custom": 1,        # v = 50
+    }
+
+
+def test_check_rules_single_scan_for_row_rules(spark):
+    """All row-level rules must fuse into ONE aggregate over one scan —
+    the whole point vs running N separate validation queries."""
+    from flume_spark.operators.quality import Rule, check_rules
+    from tests.conftest import SF_ORACLE
+
+    orders = spark.read.parquet(SF_ORACLE + "/orders.parquet")
+    out = check_rules(orders, [
+        Rule("a", "not_null", "o_orderkey"),
+        Rule("b", "in_range", "o_totalprice", lo=0.0, hi=1e9),
+        Rule("c", "accepted_values", "o_orderstatus", values=("O", "F", "P")),
+    ])
+    from flume_spark.plans import n_nodes
+
+    plan = explain_str(out)
+    assert n_nodes(plan, "Scan parquet") == 1
