@@ -84,3 +84,36 @@ def check_rules(df: DataFrame, rules: list[Rule]) -> DataFrame:
     for extra in reports[1:]:
         out = out.unionByName(extra)
     return out
+
+
+def streaming_checks(
+    spark,
+    report_dir: str,
+    ledger_dir: str,
+    rules: list[Rule],
+):
+    """foreachBatch handler enforcing the rules as a STREAMING data
+    contract: each micro-batch's violation report lands in a per-batch
+    partition of `report_dir` (overwrite — replay-convergent under the
+    streaming/sink.py ledger), so downstream consumers can gate on
+    "batch N was clean" or alert on a rising violation rate without the
+    stream itself ever blocking.
+
+    Usage:
+        handler = streaming_checks(spark, report_dir, ledger_dir, rules)
+        stream.writeStream.foreachBatch(handler).start()
+        spark.read.parquet(report_dir)   # (rule, n_violations, ingest_batch)
+    """
+    import os
+
+    from flume_spark.streaming.sink import idempotent_foreach_batch
+
+    os.makedirs(report_dir, exist_ok=True)
+
+    def _process(batch_df, batch_id: int) -> None:
+        report = check_rules(batch_df, rules)
+        report.write.mode("overwrite").parquet(
+            os.path.join(report_dir, f"ingest_batch={batch_id}")
+        )
+
+    return idempotent_foreach_batch(_process, ledger_dir)

@@ -614,3 +614,30 @@ def test_check_rules_single_scan_for_row_rules(spark):
 
     plan = explain_str(out)
     assert n_nodes(plan, "Scan parquet") == 1
+
+
+def test_streaming_checks_reports_per_batch(spark, tmp_path):
+    """The streaming data contract: per-batch violation reports, keyed by
+    batch, replay-convergent."""
+    from flume_spark.operators.quality import Rule, streaming_checks
+
+    rules = [
+        Rule("id_not_null", "not_null", "id"),
+        Rule("v_range", "in_range", "v", lo=0.0, hi=10.0),
+    ]
+    handler = streaming_checks(
+        spark, str(tmp_path / "reports"), str(tmp_path / "rl"), rules
+    )
+    clean = spark.createDataFrame([(1, 5.0), (2, 6.0)], "id long, v double")
+    dirty = spark.createDataFrame([(None, 50.0), (3, 7.0)], "id long, v double")
+    handler(clean, 0)
+    handler(dirty, 1)
+    handler(dirty, 1)  # ledger: replay is a no-op
+    got = {
+        (r.ingest_batch, r.rule): r.n_violations
+        for r in spark.read.parquet(str(tmp_path / "reports")).collect()
+    }
+    assert got == {
+        (0, "id_not_null"): 0, (0, "v_range"): 0,
+        (1, "id_not_null"): 1, (1, "v_range"): 1,
+    }
