@@ -1,6 +1,9 @@
 #!/usr/bin/env python
-"""Benchmark harness — prints ONE JSON line:
+"""Benchmark harness — the FINAL stdout line is ONE compact JSON record:
 {"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+The per-sample transparency record ({"samples": {...}}) is printed on its own
+EARLIER line and mirrored to bench_samples.json — never embedded in the final
+line, so a bounded tail capture of the last line cannot truncate it.
 
 Headline relational + LLM-op queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus a queue-engine
@@ -298,9 +301,32 @@ def main() -> None:
     # queue_process ~7x (10.7s cold vs 1.4s warm on an idle host), the same
     # execution-not-compilation methodology as the sf0.001 query warm-up
     bench_queue(spark, jobs=max(QUEUE_FANOUT, QUEUE_JOBS // 10))
-    timings.update(bench_queue(spark))
+    # min-of-N for the queue section too (round-4 VERDICT item 2): a steal
+    # spike in one queue_process sample must not invalidate a round.  Each
+    # sample is an independent tmpdir-backed store, so repeats are isolated.
+    queue_samples_n = int(os.environ.get("SPARK_GRAFT_QUEUE_SAMPLES", "3"))
+    queue_runs = [bench_queue(spark) for _ in range(queue_samples_n)]
+    for key in queue_runs[0]:
+        vals = [r[key] for r in queue_runs]
+        timings[key] = min(vals)
+        samples[key] = vals
     timings.update(bench_stream_latency(spark))
     total = round(sum(timings.values()), 3)
+    # Transparency channel (round-4 VERDICT item 1): the full per-sample
+    # record goes on its OWN stdout line and a sidecar file; the FINAL line
+    # stays compact (metric/value/queries/sf) so a bounded tail capture of
+    # the last line never truncates the official record.
+    samples_line = json.dumps({"samples": samples}, separators=(",", ":"))
+    print(samples_line)
+    sidecar = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_samples.json"),
+    )
+    try:
+        with open(sidecar, "w") as fh:
+            fh.write(samples_line + "\n")
+    except OSError:
+        pass  # sidecar is best-effort; the stdout line is the durable copy
     print(
         json.dumps(
             {
@@ -308,9 +334,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "samples": samples,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -35,96 +35,85 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (50 entries per round, in dict order).  Order therefore matters: queries
 # that do not yet have a driver-confirmed row go FIRST (cheapest first, so a
 # time budget also admits the most rows); queries already driver-checked in
-# CORRECTNESS_r01.json / CORRECTNESS_r02.json go last.  New queries absent
-# from both lists land in the middle group and get checked next round
-# automatically.  tests/test_registry.py asserts both lists stay consistent
-# with the merged query dict (no typos, no overlap, full coverage).
-# Round-4 re-tier done: all 50 CORRECTNESS_r03 rows folded into
-# _DRIVER_CHECKED (49 hash-green + approx_percentiles, rows-only by design).
-# ROUND-5 RE-TIERING (do this first next round): once CORRECTNESS_r04.json
-# lands, fold ALL its rows into _DRIVER_CHECKED — every name in this list
-# plus whatever already-checked names filled the rest of the 50-entry
-# prefix (rows-only-by-design entries like graph_pagerank fold too, like
-# approx_percentiles did) — then rebuild this list from round-5 changes.
-# tests/test_registry.py fails loudly on typos/overlap.
-_NEEDS_DRIVER_ROW = [  # round-4 additions/changes, ascending expected sf0.01 runtime
-    # new round-4 queries
-    "percentiles_exact",
-    "dedup_rate_by_source",
-    "embedding_truncate",
-    "ann_range_cells",
-    "sketch_countmin",
-    "corpus_split",
-    "zorder_orders",
-    "agg_conditional",
-    "date_spine_fill",
-    "fuzzy_part_names",
+# CORRECTNESS_r01..r04.json go last.  New queries absent from both lists land
+# in the middle group and get checked next round automatically.
+# tests/test_registry.py asserts both lists stay consistent with the merged
+# query dict (no typos, no overlap, full coverage).
+# Round-5 re-tier done: all 50 CORRECTNESS_r04 rows folded into
+# _DRIVER_CHECKED (49 hash-green + graph_pagerank, rows-only by design).
+# ROUND-6 RE-TIERING (do this first next round): once CORRECTNESS_r05.json
+# lands, fold ALL its rows into _DRIVER_CHECKED, then rebuild this list from
+# round-6 changes.  tests/test_registry.py fails loudly on typos/overlap.
+_NEEDS_DRIVER_ROW = [  # round-5 additions/changes, ascending expected sf0.01 runtime
+    # semantics changed this round (ADVICE fixes) — re-verify:
+    # - table_checks_orders: row-level aggregates wrapped in coalesce(sum,0)
+    # - graph_pagerank_step: teleport literal + association made engine-identical
+    # - corpus_shuffle: rank offsets computed lazily in-plan (no eager collect)
     "table_checks_orders",
-    "skew_report_lineitem",
-    "supplier_balance_outliers",
-    "running_distinct_users",
-    "window_topk_users",
-    "interval_coverage",
-    "revenue_share_rollup",
     "graph_pagerank_step",
-    "graph_pagerank",
-    "ann_topk_multiprobe",
-    # MAD=0 guard added both sides (round-3 ADVICE) — semantics changed
-    # since the r03 row, so re-verify.
-    "events_anomaly_mad",
-    "dedup_containment",
+    "corpus_shuffle",
 ]
 
-# Union of CORRECTNESS_r01+r02+r03 keys: 133 hash-green, 4 rows-only by
-# design (approx_distinct, ann_topk_lsh, embedding_kmeans, approx_percentiles),
-# MINUS any query whose semantics changed since its driver row — those move
-# back into _NEEDS_DRIVER_ROW (round 4: events_anomaly_mad).  Do NOT "restore"
-# a name to this set without removing it from the re-verify list.
+# Union of CORRECTNESS_r01+r02+r03+r04 keys: 154 hash-green, 5 rows-only by
+# design (approx_distinct, ann_topk_lsh, embedding_kmeans, approx_percentiles,
+# graph_pagerank), MINUS any query whose semantics changed since its driver
+# row — those move back into _NEEDS_DRIVER_ROW (round 5: table_checks_orders,
+# graph_pagerank_step, corpus_shuffle).  Do NOT "restore" a name to this set
+# without removing it from the re-verify list.
 _DRIVER_CHECKED = frozenset(
     {
-        "agg_count_distinct_salted", "agg_cube", "agg_distinct",
-        "agg_grouping_sets", "agg_histogram", "agg_minmax_by", "agg_percentiles",
-        "agg_rollup", "agg_stats", "ann_range_search", "ann_topk_bruteforce",
-        "ann_topk_int8", "ann_topk_ivf", "ann_topk_lsh", "approx_distinct",
-        "approx_percentiles", "array_agg_sorted", "backoff_expr",
-        "case_when_bucketing", "cohort_retention", "corpus_shuffle",
-        "correlated_subquery", "curation_pipeline", "dedup_canonical_best",
-        "dedup_components", "dedup_embedding_cosine", "dedup_exact",
+        "agg_conditional", "agg_count_distinct_salted", "agg_cube",
+        "agg_distinct", "agg_grouping_sets", "agg_histogram", "agg_minmax_by",
+        "agg_percentiles", "agg_rollup", "agg_stats", "ann_range_cells",
+        "ann_range_search", "ann_topk_bruteforce", "ann_topk_int8",
+        "ann_topk_ivf", "ann_topk_lsh", "ann_topk_multiprobe",
+        "approx_distinct", "approx_percentiles", "array_agg_sorted",
+        "backoff_expr", "case_when_bucketing", "cohort_retention",
+        "corpus_split", "correlated_subquery", "curation_pipeline",
+        "date_spine_fill", "dedup_canonical_best", "dedup_components",
+        "dedup_containment", "dedup_embedding_cosine", "dedup_exact",
         "dedup_incremental", "dedup_lsh_verified", "dedup_minhash_lsh",
         "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_passage",
-        "dedup_simhash", "due_filter", "embedding_centroids", "embedding_kmeans",
-        "embedding_quantize", "events_funnel", "events_gap_islands",
-        "events_transitions", "explode_tokens", "filter_project",
-        "group_args_nested", "job_counts", "join_anti", "join_asof",
-        "join_broadcast", "join_interval", "join_lateral", "join_outer",
-        "join_range", "join_semi", "join_skew_salted", "kmeans_assign",
-        "lsh_buckets", "md5_ledger_key", "mixture_weights",
-        "multimodal_feature_extract", "multimodal_frame_sample", "multimodal_meta",
-        "multimodal_resize", "orders_market_basket", "orders_seasonality",
-        "pack_sequences", "pivot_returnflag", "q10_returned_items",
-        "q11_important_stock", "q12_priority_lineclass",
-        "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-        "q16_supplier_part_counts", "q17_small_quantity_revenue",
-        "q18_large_volume", "q19_discounted_revenue", "q1_pricing_summary",
+        "dedup_rate_by_source", "dedup_simhash", "due_filter",
+        "embedding_centroids", "embedding_kmeans", "embedding_quantize",
+        "embedding_truncate", "events_anomaly_mad", "events_funnel",
+        "events_gap_islands", "events_transitions", "explode_tokens",
+        "filter_project", "fuzzy_part_names", "graph_pagerank",
+        "group_args_nested", "interval_coverage", "job_counts", "join_anti",
+        "join_asof", "join_broadcast", "join_interval", "join_lateral",
+        "join_outer", "join_range", "join_semi", "join_skew_salted",
+        "kmeans_assign", "lsh_buckets", "md5_ledger_key", "mixture_weights",
+        "multimodal_feature_extract", "multimodal_frame_sample",
+        "multimodal_meta", "multimodal_resize", "orders_market_basket",
+        "orders_seasonality", "pack_sequences", "percentiles_exact",
+        "pivot_returnflag", "q10_returned_items", "q11_important_stock",
+        "q12_priority_lineclass", "q13_customer_distribution",
+        "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
+        "q17_small_quantity_revenue", "q18_large_volume",
+        "q19_discounted_revenue", "q1_pricing_summary",
         "q20_volume_suppliers", "q21_sole_returned_supplier",
-        "q22_dormant_customers", "q2_min_cost_supplier", "q3_shipping_priority",
-        "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
-        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-        "queue_pending_counts", "rate_window_count", "rfm_segments",
+        "q22_dormant_customers", "q2_min_cost_supplier",
+        "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
+        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+        "q9_product_profit", "queue_pending_counts", "rate_window_count",
+        "revenue_share_rollup", "rfm_segments", "running_distinct_users",
         "sample_stratified", "sample_weighted", "scalar_array_funcs",
         "scalar_bitwise_funcs", "scalar_date_funcs", "scalar_json_funcs",
         "scalar_math_funcs", "scalar_null_funcs", "scalar_regex_funcs",
-        "scalar_string_funcs", "scalar_subquery", "set_except", "set_intersect",
-        "set_union", "source_cap", "text_bm25_topk", "text_chunk_sliding",
-        "text_commonness", "text_decontaminate", "text_fingerprint", "text_lang_id",
+        "scalar_string_funcs", "scalar_subquery", "set_except",
+        "set_intersect", "set_union", "sketch_countmin",
+        "skew_report_lineitem", "source_cap", "supplier_balance_outliers",
+        "text_bm25_topk", "text_chunk_sliding", "text_commonness",
+        "text_decontaminate", "text_fingerprint", "text_lang_id",
         "text_length_histogram", "text_normalize", "text_pii_scrub",
         "text_quality_score", "text_repetition", "text_rolling_fingerprint",
         "text_subword_tokens", "text_tfidf_topk", "text_token_count",
         "time_weighted_avg", "topk_due", "topk_orders", "unpivot_orders",
         "visibility_timeout_scan", "vocab_topk", "window_first_last",
         "window_lag_lead", "window_moving_agg", "window_ntile_dist",
-        "window_range_frame", "window_rank", "window_running_sum", "window_session",
-        "window_sliding", "window_tumbling",
+        "window_range_frame", "window_rank", "window_running_sum",
+        "window_session", "window_sliding", "window_topk_users",
+        "window_tumbling", "zorder_orders"
     }
 )
 
