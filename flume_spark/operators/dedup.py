@@ -845,7 +845,6 @@ def compact_band_index(
     `<path>.compact-<seq>` (the table's location moves; resolution is by
     NAME, which is what every reader uses).
     """
-    import shutil
     import time as _time
 
     staging = f"{table_name}__compacting"
@@ -865,8 +864,25 @@ def compact_band_index(
     write_band_index(rows, staging, new_path, buckets=buckets, ingest_batch=0)
     spark.sql(f"DROP TABLE {table_name}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
-    if old_location.startswith("file:"):
-        shutil.rmtree(old_location[len("file:") :], ignore_errors=True)
+    # Delete the orphaned pre-compaction files through Hadoop's FileSystem,
+    # which resolves EVERY location scheme (file:, hdfs:, s3a:, bare path) —
+    # a scheme-gated local delete would silently leave the full old index
+    # behind on object storage, and repeated compaction of a long-running
+    # ingestor then accumulates unbounded dead data (round-4 ADVICE).
+    # Failure to delete is non-fatal (the swap already completed); warn
+    # with the orphaned path so an operator can reclaim it.
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(old_location)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            f"compact_band_index: could not delete pre-compaction files at "
+            f"{old_location} — reclaim manually",
+            stacklevel=2,
+        )
     return len(spark.table(table_name).inputFiles())
 
 

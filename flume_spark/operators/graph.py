@@ -11,7 +11,12 @@ contributions = ranks ⋈ edges on src (one equi-join, shuffle bounded by
 edge-sized ever reaches the driver — only the dangling-mass and delta
 scalars.  At 100 TB-scale graphs the same loop runs with edges bucketed
 by src so the per-iteration join is exchange-free on the edge side
-(exactly the band-index treatment in operators/dedup.py).
+(exactly the band-index treatment in operators/dedup.py): persist via
+`write_edge_index`, iterate via `pagerank(spark.table(name), ...)` —
+the bucket metadata travels with the scan, so EVERY iteration's join
+reads the edge side straight from its buckets and only the O(|V|) rank
+vector shuffles per round, never the O(|E|) edge table (plan-gated in
+test_round5_ops.py).
 
 Determinism: the full iterative ranks are float sums whose partial-agg
 order varies — approximate by design (driver records rows-only), gated
@@ -37,6 +42,63 @@ def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
     )
 
 
+def write_edge_index(
+    edges: DataFrame,
+    table_name: str,
+    path: str,
+    buckets: int = 64,
+    src: str = "src",
+    dst: str = "dst",
+) -> None:
+    """Persist the edge list in the iteration-ready layout: a table
+    bucketed AND sorted by `src` — the band-index treatment
+    (operators/dedup.py `write_band_index`) applied to graphs.
+
+    Why: every PageRank iteration joins ranks ⋈ edges on src.  Off a
+    plain parquet layout that join re-shuffles the FULL edge table every
+    round — at cluster scale, iters × |E| rows moved for a table that
+    never changes between rounds.  Bucketed on src, the edge side's scan
+    already satisfies the join's required distribution: zero Exchange
+    above the edge scan in every iteration — only the O(|V|) rank vector
+    moves per round — and `out_degrees`' groupBy(src) rides the same
+    layout exchange-free.  Pass `spark.table(table_name)` as `pagerank` /
+    `pagerank_k_exact`'s edges — the bucket metadata travels with the
+    scan, no special mode needed.
+
+    The stored rows are DECORATED with `out_deg` (each src's out-degree):
+    degrees are a static property of the layout, so they're paid once at
+    write time and the per-iteration 3-way join (edges ⋈ degs ⋈ ranks)
+    collapses to ONE join (edges ⋈ ranks) — both pagerank variants detect
+    the column and skip the degs join.  Degrees are computed over THIS
+    call's `edges`; the index describes one complete graph snapshot
+    (rewrite it to change the graph — per-batch appends would hold stale
+    per-batch degrees, which is why there is no append mode).
+
+    Size `buckets` to `spark.sql.shuffle.partitions` (or a divisor): the
+    rank vector's aggregates land on that partition count, and matching
+    counts is what lets the join co-partition WITHOUT re-shuffling the
+    edge-sized side (a 4-bucket scan meeting an 8-partition rank exchange
+    re-shuffles one side to align — gated in test_round5_ops.py).
+
+    Same write discipline as the band index: pre-repartition to the
+    bucket hash so the write emits exactly `buckets` files, not
+    tasks × buckets.  At cluster scale this is a Delta/Iceberg table
+    clustered by src; bucket count scales with |E|.
+    """
+    rows = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    decorated = rows.join(
+        out_degrees(rows).withColumnRenamed("vertex", "src"), "src"
+    )
+    (
+        decorated.repartition(buckets, F.col("src"))
+        .write.bucketBy(buckets, "src")
+        .sortBy("src")
+        .mode("overwrite")
+        .option("path", path)
+        .saveAsTable(table_name)
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -58,6 +120,10 @@ def pagerank(
         .cache()
     )
     n = verts.count()
+    # an edge-index table (write_edge_index) already stores each src's
+    # out-degree — the degs side of the per-iteration join is then the
+    # edge table itself, one join instead of two
+    has_deg = "out_deg" in edges.columns
     degs = out_degrees(edges, src)
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     for i in range(iters):
@@ -69,16 +135,30 @@ def pagerank(
             .first()[0]
             or 0.0
         )
-        contribs = (
-            with_deg.filter(F.col("out_deg").isNotNull())
-            .join(edges, F.col("vertex") == F.col(src))
-            .select(
-                F.col(dst).alias("vertex"),
-                (F.col("rank") / F.col("out_deg")).alias("c"),
+        if has_deg:
+            contribs = (
+                edges.join(
+                    ranks.withColumnRenamed("vertex", "rank_v"),
+                    F.col(src) == F.col("rank_v"),
+                )
+                .select(
+                    F.col(dst).alias("vertex"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"),
+                )
+                .groupBy("vertex")
+                .agg(F.sum("c").alias("inflow"))
             )
-            .groupBy("vertex")
-            .agg(F.sum("c").alias("inflow"))
-        )
+        else:
+            contribs = (
+                with_deg.filter(F.col("out_deg").isNotNull())
+                .join(edges, F.col("vertex") == F.col(src))
+                .select(
+                    F.col(dst).alias("vertex"),
+                    (F.col("rank") / F.col("out_deg")).alias("c"),
+                )
+                .groupBy("vertex")
+                .agg(F.sum("c").alias("inflow"))
+            )
         base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             verts.join(contribs, "vertex", "left")
@@ -97,6 +177,93 @@ def pagerank(
     return ranks
 
 
+def pagerank_k_exact(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    scale: int = MICRO,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """k PageRank steps from the uniform vector in PURE integer arithmetic
+    — the multi-step extension of `pagerank_step_exact`, closing the gap
+    that the iterated operator had no hash-checkable variant.
+
+    State: R_k(v) ≈ N·rank_k(v) in `scale` units, R_0(v) = scale.  Every
+    per-step value is a BIGINT and every rounding is integer
+    round-half-up, so the whole k-step fixed point is aggregation-order-
+    independent and engine-identical (no float touches the pipeline):
+
+      contribution u→v : (2·R_k(u) + out_deg(u)) div (2·out_deg(u))
+      R_{k+1}(v)       : (2·(t·scale + damp_num·inflow(v)) + damp_den)
+                          div (2·damp_den),  t = damp_den − damp_num
+
+    (x round-half-up y ≡ (2x + y) div (2y) for positive integers; Spark's
+    `div` and DuckDB's `//` both truncate, identical on positives.)
+
+    Same dangling semantics as the 1-step core: vertices without
+    out-edges contribute nothing (their mass is dropped, not
+    redistributed) — deterministic by construction; the float `pagerank`
+    remains the mass-conserving production variant.
+
+    Overflow bound: damp_num · max_inflow · 2 must stay under 2^63;
+    max_inflow ≤ total mass ≈ N·scale, so pick scale ≲ 2^62 / (N·damp_num)
+    — the default 1e12 supports graphs to ~50k vertices even in the
+    all-mass-into-one-vertex worst case, far larger in real graphs where
+    per-vertex inflow ≪ total mass.  Quantization error compounds ≤
+    (out_deg·0.5 + 0.5)/scale per vertex per step — ~1e-12 relative at
+    the default, invisible at the 9dp the float variant reports.
+
+    Iterates the same scale shape as `pagerank` (per step: edge-side
+    joins keyed on src — exchange-free off a `write_edge_index` table —
+    plus one partial-agg shuffle on dst; lineage checkpointed).  Returns
+    (vertex, r_micro).
+    """
+    teleport = (damp_den - damp_num) * scale
+    # an edge-index table (write_edge_index) stores out_deg: the
+    # per-iteration 3-way join collapses to edges ⋈ ranks
+    decorated = (
+        edges
+        if "out_deg" in edges.columns
+        else edges.join(
+            out_degrees(edges, src).withColumnRenamed("vertex", src), src
+        )
+    )
+    verts = (
+        edges.select(F.col(src).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("v")))
+        .distinct()
+    )
+    ranks = verts.select("v", F.lit(scale).cast("long").alias("r"))
+    for i in range(iters):
+        contribs = (
+            decorated.join(
+                ranks.withColumnRenamed("v", "rank_v"),
+                F.col(src) == F.col("rank_v"),
+            )
+            .select(
+                F.col(dst).alias("v"),
+                F.expr("(2 * r + out_deg) div (2 * out_deg)").alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = verts.join(contribs, "v", "left").select(
+            "v",
+            F.expr(
+                f"(2 * ({teleport} + {damp_num} * coalesce(inflow, 0))"
+                f" + {damp_den}) div (2 * {damp_den})"
+            )
+            .cast("long")
+            .alias("r"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(F.col("v").alias("vertex"), F.col("r").alias("r_micro"))
+
+
 def pagerank_step_exact(
     edges: DataFrame,
     src: str = "src",
@@ -112,6 +279,16 @@ def pagerank_step_exact(
     Quantization error vs the real step is < out_deg * 5e-13 per vertex —
     irrelevant for ranking, decisive for cross-engine determinism.
     Returns (vertex, inflow_micro, n_rank1: rounded N*rank after one step).
+
+    n_rank1 is engine-identical by construction (round-4 ADVICE): the
+    teleport term is emitted as the SUBTRACTION (1.0 - damping) — never a
+    pre-folded Python literal, which for 0.85 is one ulp off DuckDB's
+    parsed `0.15` — and the damped inflow associates as
+    ((damping * inflow) / MICRO).  An oracle must spell BOTH the same way:
+    round((1.0 - 0.85) + (0.85 * coalesce(inflow_micro, 0))
+          / 1000000000000.0, 9)
+    IEEE subtraction/multiply/divide are deterministic, so any engine
+    evaluating that exact expression tree produces bit-identical doubles.
     """
     degs = out_degrees(edges, src)
     contribs = (
@@ -136,9 +313,11 @@ def pagerank_step_exact(
             F.col("v").alias("vertex"),
             F.coalesce(F.col("inflow_micro"), F.lit(0)).alias("inflow_micro"),
             F.round(
-                F.lit(1.0 - damping)
-                + F.lit(damping)
-                * F.coalesce(F.col("inflow_micro"), F.lit(0)).cast("double")
+                (F.lit(1.0) - F.lit(damping))
+                + (
+                    F.lit(damping)
+                    * F.coalesce(F.col("inflow_micro"), F.lit(0)).cast("double")
+                )
                 / F.lit(float(MICRO)),
                 9,
             ).alias("n_rank1"),

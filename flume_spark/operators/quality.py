@@ -57,9 +57,15 @@ def check_rules(df: DataFrame, rules: list[Rule]) -> DataFrame:
 
     reports = []
     if row_rules:
+        # coalesce(sum, 0): over an EMPTY input sum(CASE..) is NULL, and an
+        # empty streaming micro-batch is vacuously clean — downstream
+        # "batch N was clean" gates compare n_violations == 0, which NULL
+        # would silently fail (round-4 ADVICE).  Oracles must match
+        # (coalesce(sum(...), 0) in TABLE_CHECKS_SQL).
         aggs = [
-            F.sum(
-                F.when(_violation_expr(r), F.lit(1)).otherwise(F.lit(0))
+            F.coalesce(
+                F.sum(F.when(_violation_expr(r), F.lit(1)).otherwise(F.lit(0))),
+                F.lit(0),
             ).alias(r.name)
             for r in row_rules
         ]

@@ -689,14 +689,20 @@ def corpus_shuffle(
     (the round-3 shape; WindowExec warned and every row funneled through
     one task): because the bucket is an order-preserving prefix of the
     key, global rank = (rows in lower buckets) + (rank within my
-    bucket).  Pass 1 counts rows per bucket (≤ `buckets` rows collect to
-    the driver — bounded by construction, so keep `buckets` at
-    driver-friendly counts like the 1024 default); pass 2 is a per-bucket
-    local window plus a broadcast offset lookup.  Pass 1 runs EAGERLY at
-    call time, so rank-free consumers (write_shards only needs
-    (bucket, key)) should pass `with_rank=False` — fully lazy, no count
-    job, no rank column.  Every stage is partitioned by
-    bucket, so the plan scales with the widest BUCKET, not the corpus.
+    bucket).  The offsets are computed LAZILY IN-PLAN (round-4 ADVICE:
+    the earlier eager collect froze offsets at call time, so a frame
+    built before the underlying table changed combined stale offsets
+    with fresh per-bucket row_numbers — duplicate or gapped ranks).
+    Offset frame = the per-bucket count aggregate (≤ `buckets` rows by
+    construction) running-summed via a broadcast theta-join (lower
+    buckets' counts; ≤ buckets² joined rows, trivial at the 1024
+    default) — never an unpartitioned window, so no Exchange
+    SinglePartition appears anywhere (plan-gated).  The result is a pure
+    lazy plan: ranks always reflect the data as of the ACTION, and
+    rank-free consumers (write_shards only needs (bucket, key)) can
+    still pass `with_rank=False` to skip the offset subplan entirely.
+    Every corpus-sized stage is partitioned by bucket, so the plan
+    scales with the widest BUCKET, not the corpus.
     Values are identical to the single-window rank (oracle unchanged,
     equality gated in test_corpus_shuffle_rank_matches_global_window).
     Rank stays a 32-bit int like the round-3 column; corpora beyond 2^31
@@ -719,19 +725,30 @@ def corpus_shuffle(
 
     from pyspark.sql.window import Window
 
-    counts = out.groupBy("shuffle_bucket").count().collect()
-    offsets: dict[int, int] = {}
-    acc = 0
-    for row in sorted(counts, key=lambda r: r["shuffle_bucket"]):
-        offsets[row["shuffle_bucket"]] = acc
-        acc += row["count"]
-    off_map = F.create_map(
-        *[x for b, o in offsets.items() for x in (F.lit(b), F.lit(o))]
+    counts = out.groupBy("shuffle_bucket").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    lower = counts.select(
+        F.col("shuffle_bucket").alias("lower_bucket"),
+        F.col("bucket_n").alias("lower_n"),
+    )
+    offsets = (
+        counts.join(
+            F.broadcast(lower),
+            F.col("lower_bucket") < F.col("shuffle_bucket"),
+            "left",
+        )
+        .groupBy("shuffle_bucket")
+        .agg(F.coalesce(F.sum("lower_n"), F.lit(0)).alias("bucket_offset"))
     )
     w = Window.partitionBy("shuffle_bucket").orderBy("shuffle_key", id_col)
-    return out.withColumn(
-        "shuffle_rank",
-        (off_map[F.col("shuffle_bucket")] + F.row_number().over(w)).cast("int"),
+    return (
+        out.join(F.broadcast(offsets), "shuffle_bucket")
+        .withColumn(
+            "shuffle_rank",
+            (F.col("bucket_offset") + F.row_number().over(w)).cast("int"),
+        )
+        .select(id_col, "shuffle_bucket", "shuffle_key", "shuffle_rank")
     )
 
 

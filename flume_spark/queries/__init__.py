@@ -52,6 +52,8 @@ _NEEDS_DRIVER_ROW = [  # round-5 additions/changes, ascending expected sf0.01 ru
     "table_checks_orders",
     "graph_pagerank_step",
     "corpus_shuffle",
+    # new round-5 queries
+    "graph_pagerank_k",
 ]
 
 # Union of CORRECTNESS_r01+r02+r03+r04 keys: 154 hash-green, 5 rows-only by

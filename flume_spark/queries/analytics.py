@@ -561,10 +561,57 @@ verts AS (SELECT DISTINCT src AS v FROM edges
           UNION SELECT DISTINCT dst FROM edges)
 SELECT verts.v AS vertex,
        CAST(coalesce(inflow_micro, 0) AS BIGINT) AS inflow_micro,
-       round(0.15 + 0.85 * (coalesce(inflow_micro, 0) / 1000000000000.0), 9)
-         AS n_rank1
+       round((1.0 - 0.85) + (0.85 * coalesce(inflow_micro, 0))
+             / 1000000000000.0, 9) AS n_rank1
 FROM verts LEFT JOIN inflow ON verts.v = inflow.v
 """
+
+
+def graph_pagerank_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE exact-integer PageRank steps over the co-purchase graph
+    (graph.pagerank_k_exact): pure-BIGINT round-half-up per step, so the
+    whole multi-step fixed point hash-checks cross-engine — the iterated
+    sibling of graph_pagerank_step, closing the last rows-only gap
+    (graph_pagerank's float loop keeps the invariant-test treatment)."""
+    from flume_spark.operators import graph
+
+    return graph.pagerank_k_exact(_copurchase_edges(spark, sf_dir), iters=3)
+
+
+def _pagerank_k_oracle(k: int) -> str:
+    """Unrolled k-step oracle: DuckDB's recursive CTEs disallow the
+    aggregate each step needs, so the fixed k is unrolled as chained CTEs
+    — same integer expressions as pagerank_k_exact, term for term
+    (`//` and Spark's `div` both truncate; all values positive)."""
+    head = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey != b.l_partkey
+),
+degs AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
+verts AS (SELECT DISTINCT src AS v FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+r0 AS (SELECT v, CAST(1000000000000 AS BIGINT) AS r FROM verts)"""
+    steps = []
+    for i in range(1, k + 1):
+        steps.append(f""",
+c{i} AS (SELECT e.dst AS v,
+                (2 * r{i - 1}.r + g.out_deg) // (2 * g.out_deg) AS c
+         FROM edges e JOIN degs g ON e.src = g.src
+                      JOIN r{i - 1} ON r{i - 1}.v = e.src),
+i{i} AS (SELECT v, CAST(sum(c) AS BIGINT) AS inflow FROM c{i} GROUP BY 1),
+r{i} AS (SELECT verts.v,
+                CAST((2 * (15000000000000 + 85 * coalesce(inflow, 0)) + 100)
+                     // 200 AS BIGINT) AS r
+         FROM verts LEFT JOIN i{i} ON verts.v = i{i}.v)""")
+    return (
+        head + "".join(steps) + f"\nSELECT v AS vertex, r AS r_micro FROM r{k}"
+    )
+
+
+GRAPH_PAGERANK_K_SQL = _pagerank_k_oracle(3)
 
 
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,6 +891,7 @@ QUERIES = {
     "revenue_share_rollup": revenue_share_rollup,
     "skew_report_lineitem": skew_report_lineitem,
     "graph_pagerank_step": graph_pagerank_step,
+    "graph_pagerank_k": graph_pagerank_k,
     "graph_pagerank": graph_pagerank,
     "cohort_retention": cohort_retention,
     "events_anomaly_mad": events_anomaly_mad,
@@ -864,6 +912,7 @@ ORACLES = {
     "revenue_share_rollup": REVENUE_SHARE_SQL,
     "skew_report_lineitem": SKEW_REPORT_SQL,
     "graph_pagerank_step": GRAPH_PAGERANK_STEP_SQL,
+    "graph_pagerank_k": GRAPH_PAGERANK_K_SQL,
     # graph_pagerank: no oracle (iterative float sums — rows-only by design)
     "cohort_retention": COHORT_RETENTION_SQL,
     "events_anomaly_mad": EVENTS_ANOMALY_SQL,

@@ -559,22 +559,22 @@ def table_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TABLE_CHECKS_SQL = """
 SELECT 'orderkey_not_null' AS rule,
-       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_violations FROM orders
+       CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_violations FROM orders
 UNION ALL
 SELECT 'status_accepted',
-       CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
-                       OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(coalesce(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                       OR o_orderstatus IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM orders
 UNION ALL
 SELECT 'totalprice_range',
-       CAST(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
-                       OR o_totalprice > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(coalesce(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                       OR o_totalprice > 1000000 THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM orders
 UNION ALL
 SELECT 'date_not_future',
-       CAST(sum(CASE WHEN o_orderdate > TIMESTAMP '2002-01-01 00:00:00'
-                     THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(coalesce(sum(CASE WHEN o_orderdate > TIMESTAMP '2002-01-01 00:00:00'
+                     THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM orders
 UNION ALL
 SELECT 'orderkey_unique',

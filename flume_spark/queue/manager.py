@@ -497,14 +497,22 @@ class QueueManager:
         #     remaining->claim->record span: with a SharedLedgerLimiter two
         #     app instances can't both read the same window budget and
         #     jointly overshoot (redis/bulk_dequeue.ex:196-224).
+        # Snapshot the pause decision ONCE, before any lock is taken, and
+        # reuse it for both the lock set and the demand loop.  is_paused()
+        # consults a durable store flag another instance can flip at any
+        # moment; re-reading it inside the locked span could admit a queue
+        # whose claim_lock this trigger never acquired (resume raced between
+        # the two reads), silently reopening the double-claim window the
+        # lock exists to close.
+        paused = {p.name: self.is_paused(p) for p in resolved}
         active_queues = sorted(
-            {p.queue for p in resolved if not self.is_paused(p)}
+            {p.queue for p in resolved if not paused[p.name]}
         )
         limited_keys = sorted(
             {
                 p.limit_key
                 for p in resolved
-                if p.rate_limit_count is not None and not self.is_paused(p)
+                if p.rate_limit_count is not None and not paused[p.name]
             }
         )
         with ExitStack() as ledger_locks:
@@ -525,7 +533,7 @@ class QueueManager:
             key_remaining: dict[str, int] = {}
             key_queues: dict[str, list[str]] = {}
             for p in resolved:
-                if self.is_paused(p):
+                if paused[p.name]:  # same snapshot the lock set was built from
                     continue
                 demand = p.max_demand * (p.batch_size or 1)
                 if p.rate_limit_count is not None:

@@ -274,6 +274,29 @@ def test_pause_resume(engine):
     assert engine.run_once("default", now=T0 + 2)["claimed"] == 1
 
 
+def test_pause_decision_snapshotted_once_per_trigger(engine):
+    """The pause state is read exactly ONCE per pipeline per trigger, before
+    any claim_lock is acquired (round-4 ADVICE medium): is_paused() consults
+    a durable flag another instance can flip at any moment, so a second read
+    inside the locked span could admit a queue whose claim_lock this trigger
+    never took — reopening the double-claim window.  Counting calls pins the
+    snapshot contract structurally."""
+    engine.enqueue("default", "EchoWorker", [1], now=T0)
+    reads: list[str] = []
+    orig = engine.is_paused
+
+    def counting(p):
+        reads.append(p.name)
+        return orig(p)
+
+    engine.is_paused = counting
+    try:
+        assert engine.run_once("default", now=T0 + 1)["claimed"] == 1
+    finally:
+        engine.is_paused = orig
+    assert reads == ["default"], f"pause flag read {len(reads)}x: {reads}"
+
+
 # -- context propagation (U3) -----------------------------------------------
 
 

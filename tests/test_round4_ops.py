@@ -598,6 +598,26 @@ def test_check_rules_counts_violations(spark):
     }
 
 
+def test_check_rules_empty_input_reports_zero_not_null(spark):
+    """An empty input (e.g. an empty streaming micro-batch) is vacuously
+    clean: every rule must report n_violations = 0, never NULL — a NULL
+    would make downstream `n_violations == 0` gates misclassify the batch
+    (round-4 ADVICE)."""
+    from flume_spark.operators.quality import Rule, check_rules
+
+    empty = spark.createDataFrame([], "id long, status string, v double")
+    rows = check_rules(empty, [
+        Rule("id_not_null", "not_null", "id"),
+        Rule("id_unique", "unique", "id"),
+        Rule("status_ok", "accepted_values", "status", values=("A",)),
+        Rule("v_range", "in_range", "v", lo=0.0, hi=10.0),
+        Rule("custom", "expr", expr="v = 50.0"),
+    ]).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_violations == 0, f"{r.rule}: {r.n_violations!r} (want 0)"
+
+
 def test_check_rules_single_scan_for_row_rules(spark):
     """All row-level rules must fuse into ONE aggregate over one scan —
     the whole point vs running N separate validation queries."""

@@ -1,0 +1,174 @@
+"""Round-5 additions: lazy corpus-shuffle rank offsets (pure plan, no
+call-time job), the bucketed-edge PageRank layout (exchange-free
+per-iteration join), and the k-step exact-integer PageRank core.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flume_spark.plans import explain_str
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ---------------------------------------------------------------------------
+# corpus_shuffle: rank offsets computed lazily in-plan (round-4 ADVICE)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_shuffle_rank_is_lazy(spark):
+    """corpus_shuffle must return a PURE lazy plan — no Spark job at call
+    time (round-4 ADVICE: the eager per-bucket count collect froze offsets
+    at build time, so a frame built before the underlying data changed
+    mixed stale offsets with fresh per-bucket row_numbers).  Pin it with a
+    poisoned input: building the frame over rows whose computation raises
+    must succeed; only the ACTION may blow up."""
+    import pytest
+
+    from flume_spark.operators import text
+
+    def boom(_):
+        raise RuntimeError("corpus_shuffle materialized its input at call time")
+
+    rdd = spark.sparkContext.parallelize([(1,)], 2).map(boom)
+    df = spark.createDataFrame(rdd, "doc_id long")  # explicit schema: no sampling job
+    ranked = text.corpus_shuffle(df, "doc_id", buckets=8)  # must NOT raise
+    with pytest.raises(Exception, match="materialized its input"):
+        ranked.collect()
+
+
+def _ring_edges(spark, n=60, k=3):
+    """Deterministic test graph: each vertex i points to i+1..i+k (mod n)."""
+    rows = [(i, (i + j) % n) for i in range(n) for j in range(1, k + 1)]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+# ---------------------------------------------------------------------------
+# bucketed-edge PageRank layout (write_edge_index)
+# ---------------------------------------------------------------------------
+
+
+def test_edge_index_iteration_join_is_edge_side_exchange_free(
+    spark, tmp_path, no_broadcast
+):
+    """THE plan gate for the claim at graph.py:12: with the edge table
+    bucketed by src, the per-iteration ranks ⋈ edges join reads the edge
+    side straight from its buckets — the bucketed plan loses the edge-side
+    Exchanges that the plain-parquet layout pays EVERY round (degs join +
+    rank join, both keyed on src), and only the rank vector shuffles."""
+    from flume_spark.operators import graph
+    from flume_spark.plans import n_shuffles
+
+    edges = _ring_edges(spark)
+    try:
+        # buckets == spark.sql.shuffle.partitions (the deployment contract
+        # the docstring states: mismatched counts make EnsureRequirements
+        # re-shuffle the edge-sized side to align partition counts)
+        graph.write_edge_index(edges, "r5_eidx", str(tmp_path / "eidx"), buckets=8)
+        edges.write.parquet(str(tmp_path / "eplain"))
+
+        def shuffles(edge_df, iters):
+            return n_shuffles(graph.pagerank_k_exact(edge_df, iters=iters))
+
+        plain_df = spark.read.parquet(str(tmp_path / "eplain"))
+        assert "SelectedBucketsCount" in explain_str(
+            graph.pagerank_k_exact(spark.table("r5_eidx"), iters=1)
+        )
+        # the MARGINAL cost of an iteration is what compounds at scale:
+        # bucketed pays exactly 2 exchanges per extra round (the O(|V|)
+        # rank vector + the dst partial-agg), plain pays those PLUS the
+        # edge-sized degs/contributions shuffles every round
+        marginal_bucketed = shuffles(spark.table("r5_eidx"), 2) - shuffles(
+            spark.table("r5_eidx"), 1
+        )
+        marginal_plain = shuffles(plain_df, 2) - shuffles(plain_df, 1)
+        assert marginal_bucketed == 2, marginal_bucketed
+        assert marginal_plain >= marginal_bucketed + 2, (
+            marginal_bucketed,
+            marginal_plain,
+        )
+        # layout changes the plan, never the numbers
+        assert sorted(
+            map(tuple, graph.pagerank_k_exact(spark.table("r5_eidx"), iters=2).collect())
+        ) == sorted(map(tuple, graph.pagerank_k_exact(plain_df, iters=2).collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r5_eidx")
+
+
+def test_float_pagerank_rides_edge_index_too(spark, tmp_path, no_broadcast):
+    """The production float loop gets the same treatment: pagerank() over
+    the bucketed table engages the bucketed scan (every iteration)."""
+    from flume_spark.operators import graph
+
+    edges = _ring_edges(spark)
+    try:
+        graph.write_edge_index(edges, "r5_eidx2", str(tmp_path / "eidx2"), buckets=8)
+        ranks = graph.pagerank(spark.table("r5_eidx2"), iters=2)
+        assert "SelectedBucketsCount" in explain_str(ranks)
+        total = sum(r["rank"] for r in ranks.collect())
+        assert abs(total - 1.0) < 1e-9  # mass conserved, same as plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r5_eidx2")
+
+
+# ---------------------------------------------------------------------------
+# k-step exact-integer PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_k_exact_tracks_float_pagerank(spark):
+    """The integer fixed point is the float loop's value to ~1e-12: compare
+    r_micro/MICRO against N * float-rank after the same number of steps on
+    a dangling-free graph (identical semantics there)."""
+    from flume_spark.operators import graph
+    from flume_spark.operators.graph import MICRO
+
+    edges = _ring_edges(spark, n=40, k=2)
+    n = 40
+    exact = {
+        r.vertex: r.r_micro / MICRO
+        for r in graph.pagerank_k_exact(edges, iters=3).collect()
+    }
+    flt = {
+        r.vertex: n * r.rank
+        for r in graph.pagerank(edges, iters=3, checkpoint_every=10).collect()
+    }
+    assert set(exact) == set(flt)
+    for v in exact:
+        assert abs(exact[v] - flt[v]) < 1e-6, (v, exact[v], flt[v])
+
+
+def test_pagerank_k_exact_is_deterministic_across_partitionings(spark):
+    """Integer sums are aggregation-order-independent: the same graph
+    through wildly different partition counts yields bit-identical
+    r_micro — the property the hash gate depends on."""
+    from flume_spark.operators import graph
+
+    edges = _ring_edges(spark, n=50, k=3)
+    a = sorted(map(tuple, graph.pagerank_k_exact(edges, iters=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            graph.pagerank_k_exact(edges.repartition(17), iters=3).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_corpus_shuffle_plan_has_no_single_partition_exchange(spark):
+    """The lazy offset subplan (broadcast theta-join running sum over the
+    ≤buckets-row aggregate) must not reintroduce the single-partition
+    window the two-pass rank exists to avoid."""
+    from flume_spark.operators import text
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    plan = explain_str(text.corpus_shuffle(df, "doc_id", buckets=8))
+    assert "Exchange SinglePartition" not in plan
