@@ -583,8 +583,88 @@ FROM orders
 """
 
 
+def stream_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING data contract exercised deterministically end to end
+    (operators/quality.py `streaming_checks`): orders replayed as four
+    micro-batches (o_orderkey mod 4 — deterministic, engine-agnostic)
+    plus one EMPTY batch, each through the real foreachBatch handler —
+    per-batch report partitions, idempotent ledger (batch 2 is replayed;
+    the second delivery must be a no-op), and the empty batch must report
+    0 violations per rule, never NULL (the round-4 coalesce fix).
+    Result: (ingest_batch, rule, n_violations) — exact integers.
+
+    The reports land in a per-call temp dir (the handler is a writer; a
+    few KB of parquet per call, OS-reclaimed) — the contract logic itself
+    is the production streaming path, not a batch re-derivation."""
+    import os
+    import tempfile
+
+    from flume_spark.operators.quality import Rule, streaming_checks
+
+    orders = T(spark, sf_dir, "orders")
+    rules = [
+        Rule("orderkey_not_null", "not_null", "o_orderkey"),
+        Rule("orderkey_unique", "unique", "o_orderkey"),
+        Rule("priority_subset", "accepted_values", "o_orderpriority",
+             values=("1-URGENT", "2-HIGH")),
+        Rule("totalprice_capped", "in_range", "o_totalprice", lo=0.0,
+             hi=100_000.0),
+    ]
+    tmp = tempfile.mkdtemp(prefix="flume_contract_")
+    handler = streaming_checks(
+        spark, os.path.join(tmp, "reports"), os.path.join(tmp, "ledger"), rules
+    )
+    for b in range(4):
+        handler(orders.filter(F.col("o_orderkey") % 4 == b), b)
+    handler(orders.filter(F.col("o_orderkey") % 4 == 2), 2)  # replay: no-op
+    handler(orders.filter(F.col("o_orderkey") < 0), 4)       # empty batch
+    return spark.read.parquet(os.path.join(tmp, "reports")).select(
+        F.col("ingest_batch").cast("int").alias("ingest_batch"),
+        "rule",
+        "n_violations",
+    )
+
+
+STREAM_CONTRACT_SQL = """
+WITH b AS (
+  SELECT CAST(o_orderkey % 4 AS INT) AS ingest_batch, o_orderkey,
+         o_orderpriority, o_totalprice
+  FROM orders
+),
+spine AS (SELECT CAST(ingest_batch AS INT) AS ingest_batch
+          FROM range(0, 5) t(ingest_batch)),
+agg AS (
+  SELECT ingest_batch,
+         CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS v_notnull,
+         CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+           AS v_unique,
+         CAST(coalesce(sum(CASE WHEN o_orderpriority NOT IN
+                                     ('1-URGENT', '2-HIGH')
+                                  OR o_orderpriority IS NULL
+                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_accept,
+         CAST(coalesce(sum(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                                  OR o_totalprice > 100000
+                                THEN 1 ELSE 0 END), 0) AS BIGINT) AS v_range
+  FROM b GROUP BY 1
+)
+SELECT s.ingest_batch, r.rule,
+       coalesce(CASE r.rule
+                  WHEN 'orderkey_not_null' THEN a.v_notnull
+                  WHEN 'orderkey_unique'   THEN a.v_unique
+                  WHEN 'priority_subset'   THEN a.v_accept
+                  WHEN 'totalprice_capped' THEN a.v_range
+                END, 0) AS n_violations
+FROM spine s
+CROSS JOIN (VALUES ('orderkey_not_null'), ('orderkey_unique'),
+                   ('priority_subset'), ('totalprice_capped')) r(rule)
+LEFT JOIN agg a ON a.ingest_batch = s.ingest_batch
+"""
+
+
 QUERIES = {
     "q11_important_stock": q11_important_stock,
+    "stream_contract_orders": stream_contract_orders,
     "zorder_orders": zorder_orders,
     "agg_conditional": agg_conditional,
     "date_spine_fill": date_spine_fill,
@@ -601,6 +681,7 @@ QUERIES = {
 
 ORACLES = {
     "q11_important_stock": Q11_SQL,
+    "stream_contract_orders": STREAM_CONTRACT_SQL,
     "zorder_orders": ZORDER_ORDERS_SQL,
     "agg_conditional": AGG_CONDITIONAL_SQL,
     "date_spine_fill": DATE_SPINE_SQL,

@@ -26,6 +26,11 @@ batch against a PERSISTED band index at each history factor, comparing
 the plain-parquet index (probe join shuffles both sides) against the
 band-key-bucketed table (index side exchange-free — the layout
 BASELINE.md names for 100 TB).
+
+`python probe_scale.py --cms [factor ...]` runs the streaming count-min
+merge probe: whole-history estimate cost and the eps*N error bound as
+the per-batch sketch history grows x1 -> x50 (flat state per batch,
+cell-wise-exact merge).
 """
 
 from __future__ import annotations
@@ -205,8 +210,95 @@ def main_ingest() -> None:
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def main_cms() -> None:
+    """Streaming count-min merge-at-scale probe: per-QUERY cost of the
+    whole-history estimate, and the CMS error bound, as the slice count
+    grows x1 -> x50 (the LshIngestor amortization treatment applied to
+    CmsIngestor).
+
+    The point being measured: state per micro-batch is depth x width
+    counters REGARDLESS of key cardinality, so a history of f slices
+    merges f*d*w rows (256/slice at the 4x64 default) — the estimate's
+    wall-clock should stay ~flat (fixed-overhead-dominated) while the
+    history grows 50x, and every key's over-count must stay within
+    eps*N (eps = e/width) of f x its per-slice truth, because cell-wise
+    merge is EXACT for the sketch (merge-then-estimate ==
+    estimate-then-sum bounds).
+    """
+    import math as _math
+    import shutil
+    import tempfile
+
+    from flume_spark.streaming.sketch import CmsIngestor
+
+    factors = sorted(int(a) for a in sys.argv[2:]) or [1, 10, 50]
+    spark = get_spark(app_name="flume_probe_cms")
+    tmp = tempfile.mkdtemp(prefix="cms_probe_")
+    try:
+        # one fixed 20k-key batch, replayed as every slice: true count
+        # after f slices = f x per-slice truth — exactly checkable
+        batch = (
+            spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+            .select(F.col("o_custkey").alias("key"))
+            .limit(20_000)
+            .localCheckpoint(eager=True)
+        )
+        n_batch = batch.count()
+        per_slice = {
+            r["key"]: r["n"]
+            for r in batch.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        keys = batch.distinct().localCheckpoint(eager=True)
+        width = 64
+        ing = CmsIngestor(
+            spark,
+            os.path.join(tmp, "sk"),
+            os.path.join(tmp, "lg"),
+            key_col="key",
+            depth=4,
+            width=width,
+        )
+        done = 0
+        for f in factors:
+            while done < f:
+                ing.process(batch, done)
+                done += 1
+            samples = []
+            for _ in range(4):  # first warms; min of the last 3
+                t0 = time.perf_counter()
+                est_rows = ing.estimate(keys).collect()
+                samples.append(round(time.perf_counter() - t0, 2))
+            est = {r["key"]: r["freq_estimate"] for r in est_rows}
+            n_total = f * n_batch
+            eps_bound = _math.e / width * n_total
+            worst_over = 0
+            for k, t in per_slice.items():
+                true_f = f * t
+                assert est[k] >= true_f, (k, est[k], true_f)  # never under
+                worst_over = max(worst_over, est[k] - true_f)
+            assert worst_over <= eps_bound, (worst_over, eps_bound)
+            print(
+                json.dumps(
+                    {
+                        "probe": f"cms_estimate@x{f}",
+                        "slices": f,
+                        "merged_rows": f * 4 * width,
+                        "sec": min(samples[1:]),
+                        "samples": samples,
+                        "worst_overcount": int(worst_over),
+                        "eps_bound": int(eps_bound),
+                    }
+                ),
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--ingest":
         main_ingest()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--cms":
+        main_cms()
     else:
         main()
