@@ -78,6 +78,10 @@ HEADLINE = [
     "sketch_countmin",
     "skew_report_lineitem",
     "graph_pagerank_step",
+    # round-5 additions — no earlier-round baseline rows
+    "graph_pagerank_k",
+    "rollup_topk_window",
+    "channel_share_gsets",
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

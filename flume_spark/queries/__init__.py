@@ -53,6 +53,8 @@ _NEEDS_DRIVER_ROW = [  # round-5 additions/changes, ascending expected sf0.01 ru
     "graph_pagerank_step",
     "corpus_shuffle",
     # new round-5 queries
+    "rollup_topk_window",
+    "channel_share_gsets",
     "stream_contract_orders",
     "graph_pagerank_k",
 ]

@@ -575,7 +575,13 @@ def graph_pagerank_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     (graph_pagerank's float loop keeps the invariant-test treatment)."""
     from flume_spark.operators import graph
 
-    return graph.pagerank_k_exact(_copurchase_edges(spark, sf_dir), iters=3)
+    # checkpoint_every=2: truncate lineage mid-loop so the final plan
+    # carries one iteration's exchanges, not all three stacked (the
+    # production guidance for iterative loops; values are integers —
+    # checkpoint placement cannot change them)
+    return graph.pagerank_k_exact(
+        _copurchase_edges(spark, sf_dir), iters=3, checkpoint_every=2
+    )
 
 
 def _pagerank_k_oracle(k: int) -> str:

@@ -662,9 +662,128 @@ LEFT JOIN agg a ON a.ingest_batch = s.ingest_batch
 """
 
 
+# ---------------------------------------------------------------------------
+# Windowed-channel family (round 5): windows composed OVER grouping-set
+# frames — the TPC-DS Q67 composition (rank-within-rollup-level) and a
+# share-of-level window aggregate over GROUPING SETS.  No current query
+# composed these two Catalyst paths (Expand -> Aggregate -> Window).
+# ---------------------------------------------------------------------------
+
+
+def rollup_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67 shape over orders: revenue rolled up through the
+    (status, priority, month) hierarchy, then row_number() PARTITIONED BY
+    GROUPING LEVEL picks each level's top 5 — a window whose input is the
+    rollup's Expand+Aggregate output, not a base table.
+
+    Scale shape: the rollup is ONE Expand + one partial-agg shuffle (4
+    grouping levels fused — never 4 scans); the window partitions by
+    `lvl` (4 partitions of at most |status x priority x month| rows —
+    aggregate-sized, not corpus-sized).  Exact integer cents; the rank's
+    order is fully tie-broken (sum desc, then keys NULLS FIRST on both
+    engines) so row_number is engine-identical."""
+    orders = T(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.month("o_orderdate").alias("mon"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    rolled = base.rollup("o_orderstatus", "o_orderpriority", "mon").agg(
+        F.sum("cents").alias("sum_cents"),
+        F.grouping_id().cast("int").alias("lvl"),
+    )
+    w = Window.partitionBy("lvl").orderBy(
+        F.col("sum_cents").desc(),
+        F.col("o_orderstatus").asc_nulls_first(),
+        F.col("o_orderpriority").asc_nulls_first(),
+        F.col("mon").asc_nulls_first(),
+    )
+    return rolled.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 5
+    )
+
+
+ROLLUP_TOPK_SQL = """
+WITH base AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(month(o_orderdate) AS INT) AS mon,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+rolled AS (
+  SELECT o_orderstatus, o_orderpriority, mon,
+         CAST(sum(cents) AS BIGINT) AS sum_cents,
+         CAST(GROUPING(o_orderstatus, o_orderpriority, mon) AS INT) AS lvl
+  FROM base GROUP BY ROLLUP(o_orderstatus, o_orderpriority, mon)
+)
+SELECT o_orderstatus, o_orderpriority, mon, sum_cents, lvl,
+       CAST(row_number() OVER (
+              PARTITION BY lvl
+              ORDER BY sum_cents DESC, o_orderstatus ASC NULLS FIRST,
+                       o_orderpriority ASC NULLS FIRST, mon ASC NULLS FIRST
+            ) AS INT) AS rnk
+FROM rolled
+QUALIFY rnk <= 5
+"""
+
+
+def channel_share_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-level window aggregate over GROUPING SETS: events summed
+    at four channel granularities — (type, weekday), (type), (weekday),
+    grand total — in ONE Expand+Aggregate, then each cell's share of its
+    LEVEL's total via an unbounded window sum partitioned by grouping
+    level.  Exact integer micro-units; share is a single division of two
+    exact bigints (IEEE-identical cross-engine, no rounding — the repo
+    float policy).  Spark dayofweek is 1=Sunday; the oracle shifts
+    DuckDB's 0=Sunday by one."""
+    ev = T(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    base = ev.select(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    g = base.groupingSets(
+        [["event_type", "dow"], ["event_type"], ["dow"], []],
+        "event_type",
+        "dow",
+    ).agg(
+        F.sum("v4").alias("sum_v4"),
+        F.grouping_id().cast("int").alias("lvl"),
+    )
+    w = Window.partitionBy("lvl")
+    return g.select(
+        "event_type",
+        "dow",
+        "lvl",
+        "sum_v4",
+        (F.col("sum_v4") / F.sum("sum_v4").over(w).cast("double")).alias("share"),
+    )
+
+
+CHANNEL_SHARE_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+         CAST(round(value * 10000) AS BIGINT) AS v4
+  FROM events WHERE ts IS NOT NULL
+),
+g AS (
+  SELECT event_type, dow, CAST(sum(v4) AS BIGINT) AS sum_v4,
+         CAST(GROUPING(event_type, dow) AS INT) AS lvl
+  FROM base
+  GROUP BY GROUPING SETS ((event_type, dow), (event_type), (dow), ())
+)
+SELECT event_type, dow, lvl, sum_v4,
+       sum_v4 / CAST(sum(sum_v4) OVER (PARTITION BY lvl) AS DOUBLE) AS share
+FROM g
+"""
+
+
 QUERIES = {
     "q11_important_stock": q11_important_stock,
     "stream_contract_orders": stream_contract_orders,
+    "rollup_topk_window": rollup_topk_window,
+    "channel_share_gsets": channel_share_gsets,
     "zorder_orders": zorder_orders,
     "agg_conditional": agg_conditional,
     "date_spine_fill": date_spine_fill,
@@ -682,6 +801,8 @@ QUERIES = {
 ORACLES = {
     "q11_important_stock": Q11_SQL,
     "stream_contract_orders": STREAM_CONTRACT_SQL,
+    "rollup_topk_window": ROLLUP_TOPK_SQL,
+    "channel_share_gsets": CHANNEL_SHARE_SQL,
     "zorder_orders": ZORDER_ORDERS_SQL,
     "agg_conditional": AGG_CONDITIONAL_SQL,
     "date_spine_fill": DATE_SPINE_SQL,

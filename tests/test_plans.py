@@ -328,3 +328,23 @@ def test_no_declared_query_plans_a_cartesian_product(spark):
             heavy.append((name, n_nodes(plan, "Exchange")))
     assert not offenders, f"cartesian product planned by: {offenders}"
     assert not heavy, f"more than 12 exchanges in: {heavy}"
+
+
+def test_rollup_topk_window_is_one_expand_one_shuffle(spark):
+    """The TPC-DS Q67 composition: the 4-level rollup must plan as ONE
+    Expand feeding one partial-agg shuffle (never 4 scans), and the
+    window must partition by grouping level — no single-partition stage
+    anywhere."""
+    plan = explained(spark, "rollup_topk_window")
+    assert n_nodes(plan, "Expand") == 1, plan
+    assert n_nodes(plan, "Scan parquet") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_channel_share_gsets_is_one_expand_one_shuffle(spark):
+    """GROUPING SETS + share-of-level window: one Expand, one base scan,
+    window partitioned by lvl (4 aggregate-sized partitions)."""
+    plan = explained(spark, "channel_share_gsets")
+    assert n_nodes(plan, "Expand") == 1, plan
+    assert n_nodes(plan, "Scan parquet") == 1
+    assert "SinglePartition" not in plan
