@@ -31,6 +31,11 @@ BASELINE.md names for 100 TB).
 merge probe: whole-history estimate cost and the eps*N error bound as
 the per-batch sketch history grows x1 -> x50 (flat state per batch,
 cell-wise-exact merge).
+
+`python probe_scale.py --graph [factor ...]` runs the PageRank edge-layout
+probe: per-iteration wall-clock off the src-bucketed+degree-decorated
+edge index vs plain parquet as the edge table grows — the timed evidence
+behind the exchange-free plan gate (test_round5_ops.py).
 """
 
 from __future__ import annotations
@@ -295,10 +300,86 @@ def main_cms() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def main_graph() -> None:
+    """Per-iteration PageRank cost: bucketed+decorated edge index vs plain
+    parquet, at growing edge counts.
+
+    The edge table is a deterministic synthetic expander (each vertex ->
+    16 pseudo-random targets via a multiplicative hash) scaled by vertex
+    count, so |E| grows linearly and no vertex is a hub.  Timed span =
+    ONE exact-integer iteration (pagerank_k_exact iters=1, collect-free
+    count), min-of-3 after a warm run.  The bucketed layout pays 2
+    exchanges (rank vector + dst partial-agg); plain parquet re-shuffles
+    the edge table per iteration — the wall-clock gap should WIDEN with
+    |E| while the bucketed per-iteration cost tracks the rank vector.
+    """
+    import shutil
+    import tempfile
+
+    from flume_spark.operators import graph
+
+    factors = sorted(int(a) for a in sys.argv[2:]) or [1, 10, 50]
+    spark = get_spark(app_name="flume_probe_graph")
+    # buckets == shuffle partitions: the layout's deployment contract
+    buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tmp = tempfile.mkdtemp(prefix="graph_probe_")
+    base_v = 20_000
+    try:
+        for f in factors:
+            n_v = base_v * f
+            edges = (
+                spark.range(n_v)
+                .select(
+                    F.col("id").alias("src"),
+                    F.explode(F.sequence(F.lit(1), F.lit(16))).alias("j"),
+                )
+                .select(
+                    "src",
+                    ((F.col("src") * 2654435761 + F.col("j") * 40503) % n_v)
+                    .alias("dst"),
+                )
+                .filter(F.col("src") != F.col("dst"))
+            )
+            plain_path = os.path.join(tmp, f"edges_plain_x{f}")
+            edges.write.mode("overwrite").parquet(plain_path)
+            tbl = f"graph_probe_eidx_x{f}"
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            t0 = time.perf_counter()
+            graph.write_edge_index(
+                spark.read.parquet(plain_path),
+                tbl,
+                os.path.join(tmp, f"edges_idx_x{f}"),
+                buckets=buckets,
+            )
+            build_s = time.perf_counter() - t0
+            out = {
+                "probe": f"pagerank_iter@x{f}",
+                "edges": spark.table(tbl).count(),
+                "build_index_s": round(build_s, 2),
+            }
+            for name, edge_df in (
+                ("plain", spark.read.parquet(plain_path)),
+                ("bucketed", spark.table(tbl)),
+            ):
+                samples = []
+                for _ in range(4):  # first warms; min of the last 3
+                    t0 = time.perf_counter()
+                    graph.pagerank_k_exact(edge_df, iters=1).count()
+                    samples.append(round(time.perf_counter() - t0, 2))
+                out[f"iter_{name}_s"] = min(samples[1:])
+                out[f"iter_{name}_samples"] = samples
+            print(json.dumps(out), flush=True)
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--ingest":
         main_ingest()
     elif len(sys.argv) > 1 and sys.argv[1] == "--cms":
         main_cms()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--graph":
+        main_graph()
     else:
         main()
