@@ -49,14 +49,15 @@ _NEEDS_DRIVER_ROW = [  # round-5 additions/changes, ascending expected sf0.01 ru
     # - table_checks_orders: row-level aggregates wrapped in coalesce(sum,0)
     # - graph_pagerank_step: teleport literal + association made engine-identical
     # - corpus_shuffle: rank offsets computed lazily in-plan (no eager collect)
-    "table_checks_orders",
-    "graph_pagerank_step",
     "corpus_shuffle",
+    "table_checks_orders",
     # new round-5 queries
     "rollup_topk_window",
     "channel_share_gsets",
-    "stream_contract_orders",
+    # graph queries adjacent: they share the memoized co-purchase edge list
+    "graph_pagerank_step",
     "graph_pagerank_k",
+    "stream_contract_orders",
 ]
 
 # Union of CORRECTNESS_r01+r02+r03+r04 keys: 154 hash-green, 5 rows-only by
