@@ -71,8 +71,13 @@ def test_edge_index_iteration_join_is_edge_side_exchange_free(
     try:
         # buckets == spark.sql.shuffle.partitions (the deployment contract
         # the docstring states: mismatched counts make EnsureRequirements
-        # re-shuffle the edge-sized side to align partition counts)
-        graph.write_edge_index(edges, "r5_eidx", str(tmp_path / "eidx"), buckets=8)
+        # re-shuffle the edge-sized side to align partition counts).  Read
+        # the LIVE conf: the first declared query in a shared session
+        # normalizes it via tune_session (8 -> 32 mid-suite).
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        graph.write_edge_index(
+            edges, "r5_eidx", str(tmp_path / "eidx"), buckets=buckets
+        )
         edges.write.parquet(str(tmp_path / "eplain"))
 
         def shuffles(edge_df, iters):
@@ -110,7 +115,10 @@ def test_float_pagerank_rides_edge_index_too(spark, tmp_path, no_broadcast):
 
     edges = _ring_edges(spark)
     try:
-        graph.write_edge_index(edges, "r5_eidx2", str(tmp_path / "eidx2"), buckets=8)
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        graph.write_edge_index(
+            edges, "r5_eidx2", str(tmp_path / "eidx2"), buckets=buckets
+        )
         ranks = graph.pagerank(spark.table("r5_eidx2"), iters=2)
         assert "SelectedBucketsCount" in explain_str(ranks)
         total = sum(r["rank"] for r in ranks.collect())
