@@ -297,6 +297,33 @@ def bench_stream_latency(spark) -> dict[str, float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def emit_records(
+    timings: dict[str, float], samples: dict[str, list[float]], sf: str
+) -> tuple[str, str]:
+    """Build the two output lines: (samples_line, final_line).
+
+    Transparency channel (round-4 VERDICT item 1): the full per-sample
+    record goes on its OWN earlier line (and a sidecar file); the FINAL
+    line stays compact (metric/value/queries/sf, compact separators) so a
+    bounded tail capture of the last line never truncates the official
+    record — embedding samples in the final line is what made
+    BENCH_r04.json unparseable.  Contract pinned by
+    tests/test_bench_contract.py.
+    """
+    samples_line = json.dumps({"samples": samples}, separators=(",", ":"))
+    final_line = json.dumps(
+        {
+            "metric": "headline_suite_seconds",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        },
+        separators=(",", ":"),
+    )
+    return samples_line, final_line
+
+
 def main() -> None:
     spark = get_spark(app_name="flume_spark_bench")
     timings, samples = bench_queries(spark)
@@ -315,12 +342,9 @@ def main() -> None:
         timings[key] = min(vals)
         samples[key] = vals
     timings.update(bench_stream_latency(spark))
-    total = round(sum(timings.values()), 3)
-    # Transparency channel (round-4 VERDICT item 1): the full per-sample
-    # record goes on its OWN stdout line and a sidecar file; the FINAL line
-    # stays compact (metric/value/queries/sf) so a bounded tail capture of
-    # the last line never truncates the official record.
-    samples_line = json.dumps({"samples": samples}, separators=(",", ":"))
+    samples_line, final_line = emit_records(
+        timings, samples, SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    )
     print(samples_line)
     sidecar = os.environ.get(
         "SPARK_GRAFT_BENCH_SIDECAR",
@@ -331,18 +355,7 @@ def main() -> None:
             fh.write(samples_line + "\n")
     except OSError:
         pass  # sidecar is best-effort; the stdout line is the durable copy
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
-            },
-            separators=(",", ":"),
-        )
-    )
+    print(final_line)
 
 
 if __name__ == "__main__":
