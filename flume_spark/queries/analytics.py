@@ -596,7 +596,11 @@ def graph_pagerank_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint_every=2: truncate lineage mid-loop so the final plan
     # carries one iteration's exchanges, not all three stacked (the
     # production guidance for iterative loops; values are integers —
-    # checkpoint placement cannot change them)
+    # checkpoint placement cannot change them).  Overflow headroom: the
+    # co-purchase graph has |V| = #parts (20k at sf0.1), and the bound
+    # damp_num * |V| * scale * 2 < 2^63 holds through ~500k vertices at
+    # the default 1e12 scale; a much larger graph passes scale=1e9
+    # (pagerank_k_exact docstring) and the oracle's literals follow.
     return graph.pagerank_k_exact(
         _copurchase_edges(spark, sf_dir), iters=3, checkpoint_every=2
     )

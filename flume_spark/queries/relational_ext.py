@@ -594,9 +594,13 @@ def stream_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Result: (ingest_batch, rule, n_violations) — exact integers.
 
     The reports land in a per-call temp dir (the handler is a writer; a
-    few KB of parquet per call, OS-reclaimed) — the contract logic itself
-    is the production streaming path, not a batch re-derivation."""
+    few KB of parquet per call).  The dir must outlive the RETURNED lazy
+    frame, so it is not deleted here — an atexit hook reclaims every
+    dir at process exit (bounded: calls-per-process x ~KB), and the OS
+    tmp reaper covers abnormal exits."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from flume_spark.operators.quality import Rule, streaming_checks
@@ -611,6 +615,7 @@ def stream_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              hi=100_000.0),
     ]
     tmp = tempfile.mkdtemp(prefix="flume_contract_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     handler = streaming_checks(
         spark, os.path.join(tmp, "reports"), os.path.join(tmp, "ledger"), rules
     )
