@@ -52,6 +52,7 @@ _NEEDS_DRIVER_ROW = [  # round-5 additions/changes, ascending expected sf0.01 ru
     "corpus_shuffle",
     "table_checks_orders",
     # new round-5 queries
+    "orders_monthly_remerge",
     "rollup_topk_window",
     "channel_share_gsets",
     # graph queries adjacent: they share the memoized co-purchase edge list

@@ -585,6 +585,55 @@ FROM verts LEFT JOIN inflow ON verts.v = inflow.v
 """
 
 
+def orders_monthly_remerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup re-aggregation: orders pre-aggregated to a
+    DAILY partial table (sum/count/min/max in exact cents), then the
+    monthly answer derived purely by MERGING the partials — sum of sums,
+    count of counts, min of mins, max of maxes, avg re-derived as one
+    division of exact merged integers.  The oracle computes the monthly
+    numbers DIRECTLY from the base table, so a hash match proves the
+    re-aggregation identity the pre-agg pattern depends on.
+
+    Scale shape: this is how 100 TB dashboards stay interactive — the
+    day-grain shuffle runs once at ingest (here: one hash exchange on
+    day), and every coarser rollup re-shuffles only |days| partial rows,
+    never the base table.  Both aggregates are Catalyst partial-agg
+    (map-side combine) so even the first level moves group cardinality,
+    not row count."""
+    orders = T(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("d_sum"),
+        F.count(F.lit(1)).alias("d_n"),
+        F.min(F.round(F.col("o_totalprice") * 100).cast("long")).alias("d_min"),
+        F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias("d_max"),
+    )
+    return daily.groupBy(F.date_trunc("month", "day").alias("month")).agg(
+        F.sum("d_n").alias("n_orders"),
+        F.sum("d_sum").alias("sum_cents"),
+        F.min("d_min").alias("min_cents"),
+        F.max("d_max").alias("max_cents"),
+        (F.sum("d_sum") / F.sum("d_n").cast("double")).alias("avg_cents"),
+    )
+
+
+ORDERS_REMERGE_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS max_cents,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         / CAST(count(*) AS DOUBLE) AS avg_cents
+FROM orders
+GROUP BY 1
+"""
+
+
 def graph_pagerank_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THREE exact-integer PageRank steps over the co-purchase graph
     (graph.pagerank_k_exact): pure-BIGINT round-half-up per step, so the
@@ -919,6 +968,7 @@ QUERIES = {
     "revenue_share_rollup": revenue_share_rollup,
     "skew_report_lineitem": skew_report_lineitem,
     "graph_pagerank_step": graph_pagerank_step,
+    "orders_monthly_remerge": orders_monthly_remerge,
     "graph_pagerank_k": graph_pagerank_k,
     "graph_pagerank": graph_pagerank,
     "cohort_retention": cohort_retention,
@@ -940,6 +990,7 @@ ORACLES = {
     "revenue_share_rollup": REVENUE_SHARE_SQL,
     "skew_report_lineitem": SKEW_REPORT_SQL,
     "graph_pagerank_step": GRAPH_PAGERANK_STEP_SQL,
+    "orders_monthly_remerge": ORDERS_REMERGE_SQL,
     "graph_pagerank_k": GRAPH_PAGERANK_K_SQL,
     # graph_pagerank: no oracle (iterative float sums — rows-only by design)
     "cohort_retention": COHORT_RETENTION_SQL,

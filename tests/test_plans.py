@@ -348,3 +348,14 @@ def test_channel_share_gsets_is_one_expand_one_shuffle(spark):
     assert n_nodes(plan, "Expand") == 1, plan
     assert n_nodes(plan, "Scan parquet") == 1
     assert "SinglePartition" not in plan
+
+
+def test_orders_monthly_remerge_shuffles_partials_only(spark):
+    """The pre-agg pattern: one base-table exchange at the day grain, then
+    the month rollup re-shuffles only the |days| partial rows — exactly 2
+    hash exchanges, both with partial aggregation below them."""
+    plan = explained(spark, "orders_monthly_remerge")
+    assert n_nodes(plan, "Exchange") == 2, plan
+    assert "SinglePartition" not in plan
+    # both levels carry map-side partial aggregation
+    assert plan.count("partial_sum") >= 2
