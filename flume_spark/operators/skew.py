@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 SALT = "__flume_salt"
 
@@ -258,4 +259,106 @@ def merge_sketch_estimate(
     """Union per-key sketches (e.g. across ingest slices) and estimate."""
     return sketches.groupBy(*keys).agg(
         F.hll_sketch_estimate(F.hll_union_agg(F.col(sketch_col))).alias(out_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram sketch — the mergeable QUANTILE counterpart of the
+# count-min frequency sketch: bounded-domain quantile telemetry in O(bins)
+# state per slice, cell-wise-exact merge, fully deterministic build.
+# ---------------------------------------------------------------------------
+
+
+def histogram_bin(value_col: str, lo: float, hi: float, bins: int):
+    """Bin index for a value: clamp(floor((x - lo) * bins / (hi - lo)),
+    0, bins-1).  The expression tree is spelled EXACTLY as
+    `histogram_bin_sql` emits it (same literals, same association), so
+    IEEE float determinism makes the whole histogram engine-identical —
+    the countmin_bucket treatment applied to range binning.  Values
+    outside [lo, hi] clamp into the edge bins (documented semantics:
+    the domain bound is part of the sketch's contract, like width)."""
+    raw = F.floor(
+        (F.col(value_col) - F.lit(lo)) * F.lit(float(bins)) / (F.lit(hi) - F.lit(lo))
+    ).cast("long")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("long")
+
+
+def histogram_bin_sql(value_sql: str, lo: float, hi: float, bins: int) -> str:
+    """The DuckDB-identical bin expression (floor -> BIGINT cast bridges
+    DuckDB's floor-> DOUBLE vs Spark's floor -> BIGINT)."""
+    return (
+        f"least(greatest(CAST(floor(({value_sql} - {lo!r}) * {float(bins)!r} "
+        f"/ ({hi!r} - {lo!r})) AS BIGINT), 0), {bins - 1})"
+    )
+
+
+def histogram_table(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Fixed-bin histogram as a (bin, counter) table: ≤ `bins` rows of
+    exact integer counts (NULL values dropped — they carry no position).
+    ONE shuffle on bin (`bins` groups, never data-sized).  Merging slices
+    = summing counters cell-wise (histogram_merge) — per-slice state is
+    O(bins) regardless of row count, so a 100 TB pipeline keeps per-day
+    histograms and answers quantiles over any date range without
+    rescans.  Quantile error from the merged table is at most one bin
+    width of the value domain ((hi-lo)/bins); tighten with more bins —
+    state is still trivial at 4096.  Deterministic by construction
+    (exact counts, engine-identical bin expression): the whole table
+    hash-checks cross-engine, unlike sampling-based quantile sketches."""
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(histogram_bin(value_col, lo, hi, bins).alias("bin"), w.alias("_w"))
+        .groupBy("bin")
+        .agg(F.sum("_w").alias("counter"))
+    )
+
+
+def histogram_merge(tables: DataFrame) -> DataFrame:
+    """Merge per-slice histograms: cell-wise counter sum — order-free."""
+    return tables.groupBy("bin").agg(F.sum("counter").alias("counter"))
+
+
+def histogram_quantile_est(
+    table: DataFrame, qs: list[float], lo: float, hi: float, bins: int
+) -> DataFrame:
+    """Quantile estimates from a (merged) histogram: for each q, the
+    first bin whose running count reaches rank ceil(q*N); the estimate
+    is that bin's UPPER edge — an over-estimate by at most one bin
+    width, and fully deterministic (exact integer ranks, one float
+    expression in a pinned shape).  Returns (q, n_total, bin, est_hi).
+
+    The cumsum window is over the ≤`bins`-row histogram — a bounded
+    SinglePartition stage (the documented tiny-frame exception, same as
+    running_distinct_users' day spine); the q probe is a ≤|qs|-row
+    broadcast theta-join, the accepted non-equi form."""
+    spark = table.sparkSession
+    c = table.select(
+        "bin",
+        "counter",
+        F.sum("counter").over(Window.orderBy("bin")).alias("cum"),
+        F.sum("counter").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n_total"),
+    )
+    qdf = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    )
+    crossed = c.join(
+        F.broadcast(qdf),
+        F.col("cum") >= F.ceil(F.col("q") * F.col("n_total")),
+    )
+    return crossed.groupBy("q", "n_total").agg(
+        F.min("bin").alias("bin"),
+        (
+            F.lit(lo)
+            + (F.min("bin") + F.lit(1))
+            * ((F.lit(hi) - F.lit(lo)) / F.lit(float(bins)))
+        ).alias("est_hi"),
     )

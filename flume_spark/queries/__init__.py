@@ -52,6 +52,8 @@ _NEEDS_DRIVER_ROW = [  # round-5 additions/changes, ascending expected sf0.01 ru
     "corpus_shuffle",
     "table_checks_orders",
     # new round-5 queries
+    "sketch_histogram",
+    "histogram_quantiles",
     "orders_monthly_remerge",
     "rollup_topk_window",
     "channel_share_gsets",

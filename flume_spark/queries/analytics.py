@@ -585,6 +585,70 @@ FROM verts LEFT JOIN inflow ON verts.v = inflow.v
 """
 
 
+def sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram sketch over order totals
+    (skew.histogram_table): the mergeable QUANTILE counterpart of
+    sketch_countmin — ≤256 rows of exact integer counts, one
+    bins-wide shuffle, engine-identical bin expression, so the whole
+    sketch hash-checks.  Per-slice state O(bins): the telemetry shape
+    for percentile dashboards over any date range without rescans."""
+    from flume_spark.operators.skew import histogram_table
+
+    orders = T(spark, sf_dir, "orders")
+    return histogram_table(orders, "o_totalprice", 0.0, 500000.0, bins=256)
+
+
+def _histogram_sql_bin() -> str:
+    from flume_spark.operators.skew import histogram_bin_sql
+
+    return histogram_bin_sql("o_totalprice", 0.0, 500000.0, 256)
+
+
+SKETCH_HISTOGRAM_SQL = f"""
+SELECT {_histogram_sql_bin()} AS bin,
+       CAST(count(*) AS BIGINT) AS counter
+FROM orders WHERE o_totalprice IS NOT NULL
+GROUP BY 1
+"""
+
+
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of order totals from the histogram sketch
+    (skew.histogram_quantile_est): first bin whose running count reaches
+    rank ceil(q*N), reported as the bin's upper edge — deterministic
+    (exact integer ranks + one pinned float expression), over-estimates
+    by at most one bin width (500000/256 ≈ 1953).  The exact-quantile
+    twin is percentiles_exact; this is what replaces it when the data
+    arrives as mergeable per-slice sketches."""
+    from flume_spark.operators.skew import histogram_quantile_est, histogram_table
+
+    orders = T(spark, sf_dir, "orders")
+    table = histogram_table(orders, "o_totalprice", 0.0, 500000.0, bins=256)
+    return histogram_quantile_est(
+        table, [0.5, 0.9, 0.99], 0.0, 500000.0, 256
+    )
+
+
+HISTOGRAM_QUANTILES_SQL = f"""
+WITH h AS (
+  SELECT {_histogram_sql_bin()} AS bin,
+         CAST(count(*) AS BIGINT) AS counter
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+),
+c AS (
+  SELECT bin, counter,
+         CAST(sum(counter) OVER (ORDER BY bin) AS BIGINT) AS cum,
+         CAST(sum(counter) OVER () AS BIGINT) AS n_total
+  FROM h
+),
+q AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) v(q))
+SELECT q, n_total, min(bin) AS bin,
+       0.0 + (min(bin) + 1) * ((500000.0 - 0.0) / 256.0) AS est_hi
+FROM c JOIN q ON c.cum >= CAST(ceil(q * n_total) AS BIGINT)
+GROUP BY q, n_total
+"""
+
+
 def orders_monthly_remerge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-rollup re-aggregation: orders pre-aggregated to a
     DAILY partial table (sum/count/min/max in exact cents), then the
@@ -961,6 +1025,8 @@ WHERE (b.x * t.n - t.s) * (b.x * t.n - t.s) > 4 * (t.n * t.q - t.s * t.s)
 
 QUERIES = {
     "sketch_countmin": sketch_countmin,
+    "sketch_histogram": sketch_histogram,
+    "histogram_quantiles": histogram_quantiles,
     "supplier_balance_outliers": supplier_balance_outliers,
     "running_distinct_users": running_distinct_users,
     "window_topk_users": window_topk_users,
@@ -983,6 +1049,8 @@ QUERIES = {
 
 ORACLES = {
     "sketch_countmin": SKETCH_COUNTMIN_SQL,
+    "sketch_histogram": SKETCH_HISTOGRAM_SQL,
+    "histogram_quantiles": HISTOGRAM_QUANTILES_SQL,
     "supplier_balance_outliers": SUPPLIER_OUTLIERS_SQL,
     "running_distinct_users": RUNNING_DISTINCT_SQL,
     "window_topk_users": WINDOW_TOPK_USERS_SQL,

@@ -112,3 +112,86 @@ class CmsIngestor:
             width=self.width,
             seed=self.seed,
         )
+
+
+class HistIngestor:
+    """foreachBatch handler: histogram each arriving batch, append the
+    (bin, counter) table — per-batch quantile telemetry with O(bins)
+    state per slice (the CmsIngestor treatment applied to the fixed-bin
+    histogram sketch, operators/skew.py histogram_table).
+
+    Usage:
+        ing = HistIngestor(spark, dir, ledger, value_col="v", lo=0, hi=1e6)
+        stream.writeStream.foreachBatch(ing.process).start()
+        ...
+        ing.merged()                  # whole-history histogram
+        ing.quantiles([0.5, 0.99])    # estimates, error <= one bin width
+    """
+
+    def __init__(
+        self,
+        spark,
+        sketch_dir: str,
+        ledger_dir: str,
+        value_col: str,
+        lo: float,
+        hi: float,
+        bins: int = 256,
+        weight_col: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.sketch_dir = sketch_dir
+        self.value_col = value_col
+        self.lo = lo
+        self.hi = hi
+        self.bins = bins
+        self.weight_col = weight_col
+        os.makedirs(sketch_dir, exist_ok=True)
+        from flume_spark.streaming.sink import idempotent_foreach_batch
+
+        self.process = idempotent_foreach_batch(self._process, ledger_dir)
+
+    def _process(self, batch_df, batch_id: int) -> None:
+        from flume_spark.operators.skew import histogram_table
+
+        table = histogram_table(
+            batch_df,
+            self.value_col,
+            self.lo,
+            self.hi,
+            bins=self.bins,
+            weight_col=self.weight_col,
+        )
+        # per-batch OVERWRITE partition: replayed batches converge
+        # (sink.py determinism contract, same as CmsIngestor)
+        table.write.mode("overwrite").parquet(
+            os.path.join(self.sketch_dir, f"ingest_batch={batch_id}")
+        )
+
+    def _has_parquet(self) -> bool:
+        return any(
+            f.endswith(".parquet")
+            for dirpath, _, files in os.walk(self.sketch_dir)
+            if "_temporary" not in dirpath
+            for f in files
+        )
+
+    def merged(self):
+        """The whole-history histogram (None before the first batch)."""
+        from flume_spark.operators.skew import histogram_merge
+
+        if not self._has_parquet():
+            return None
+        slices = self.spark.read.parquet(self.sketch_dir).select("bin", "counter")
+        return histogram_merge(slices)
+
+    def quantiles(self, qs: list[float]):
+        """(q, n_total, bin, est_hi) over everything seen so far; the
+        estimate is the crossing bin's upper edge (error <= one bin
+        width — never under the true quantile)."""
+        from flume_spark.operators.skew import histogram_quantile_est
+
+        table = self.merged()
+        if table is None:
+            return None
+        return histogram_quantile_est(table, qs, self.lo, self.hi, self.bins)

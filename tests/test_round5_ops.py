@@ -180,3 +180,80 @@ def test_corpus_shuffle_plan_has_no_single_partition_exchange(spark):
     df = spark.range(1000).select(F.col("id").alias("doc_id"))
     plan = explain_str(text.corpus_shuffle(df, "doc_id", buckets=8))
     assert "Exchange SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------------
+# fixed-bin histogram sketch (operators/skew.py) + HistIngestor
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_quantile_rank_property(spark):
+    """est_hi must sit at or above the true q-quantile and within one bin
+    width of it: rank(values <= est_hi) >= ceil(q*N), and the bin's LOWER
+    edge must sit strictly below the rank target (the crossing bin is the
+    first to reach it)."""
+    import math
+
+    from flume_spark.operators.skew import histogram_quantile_est, histogram_table
+
+    df = spark.createDataFrame(
+        [(float(i * i % 997),) for i in range(5000)], "v double"
+    )
+    lo, hi, bins = 0.0, 1000.0, 64
+    table = histogram_table(df, "v", lo, hi, bins=bins)
+    ests = histogram_quantile_est(table, [0.5, 0.9, 0.99], lo, hi, bins).collect()
+    vals = sorted(r.v for r in df.collect())
+    n = len(vals)
+    binw = (hi - lo) / bins
+    assert len(ests) == 3
+    for r in ests:
+        target = math.ceil(r.q * n)
+        n_le = sum(1 for v in vals if v <= r.est_hi)
+        assert n_le >= target, (r.q, n_le, target)
+        true_q = vals[target - 1]
+        assert r.est_hi >= true_q
+        assert r.est_hi - true_q <= binw + 1e-9, (r.q, r.est_hi, true_q)
+
+
+def test_histogram_merge_equals_whole_build(spark):
+    """Cell-wise merge of per-slice histograms == the single-pass build
+    over the union — the re-aggregability that makes per-day sketches
+    answer any-range quantile questions without rescans."""
+    from flume_spark.operators.skew import histogram_merge, histogram_table
+
+    slices = [
+        spark.createDataFrame([(float(i),) for i in range(lo, hi)], "v double")
+        for lo, hi in ((0, 300), (300, 700), (700, 1000))
+    ]
+    parts = [histogram_table(s, "v", 0.0, 1000.0, bins=32) for s in slices]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    got = sorted(map(tuple, histogram_merge(merged).collect()))
+    whole = histogram_table(
+        slices[0].unionByName(slices[1]).unionByName(slices[2]),
+        "v", 0.0, 1000.0, bins=32,
+    )
+    assert got == sorted(map(tuple, whole.collect()))
+
+
+def test_hist_ingestor_replay_converges(spark, tmp_path):
+    """HistIngestor: replayed batch is a no-op (ledger), merged history
+    equals the union build, quantiles answer from merged state."""
+    from flume_spark.operators.skew import histogram_table
+    from flume_spark.streaming.sketch import HistIngestor
+
+    ing = HistIngestor(
+        spark, str(tmp_path / "sk"), str(tmp_path / "lg"),
+        value_col="v", lo=0.0, hi=100.0, bins=16,
+    )
+    b0 = spark.createDataFrame([(float(i % 100),) for i in range(500)], "v double")
+    b1 = spark.createDataFrame([(float((i * 7) % 100),) for i in range(300)], "v double")
+    ing.process(b0, 0)
+    ing.process(b1, 1)
+    ing.process(b1, 1)  # replay: must not double-count
+    got = sorted(map(tuple, ing.merged().collect()))
+    whole = histogram_table(b0.unionByName(b1), "v", 0.0, 100.0, bins=16)
+    assert got == sorted(map(tuple, whole.collect()))
+    qs = {r.q: r for r in ing.quantiles([0.5]).collect()}
+    assert qs[0.5].n_total == 800
