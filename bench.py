@@ -82,6 +82,9 @@ HEADLINE = [
     "graph_pagerank_k",
     "rollup_topk_window",
     "channel_share_gsets",
+    "orders_monthly_remerge",
+    "sketch_histogram",
+    "histogram_quantiles",
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))
