@@ -284,11 +284,20 @@ def histogram_bin(value_col: str, lo: float, hi: float, bins: int):
 
 
 def histogram_bin_sql(value_sql: str, lo: float, hi: float, bins: int) -> str:
-    """The DuckDB-identical bin expression (floor -> BIGINT cast bridges
-    DuckDB's floor-> DOUBLE vs Spark's floor -> BIGINT)."""
+    """The DuckDB-identical bin expression.  Two engine bridges: floor ->
+    BIGINT cast (DuckDB floor returns DOUBLE, Spark BIGINT), and every
+    numeric literal wrapped in CAST(... AS DOUBLE) — DuckDB parses bare
+    decimal literals as DECIMAL, whose exact arithmetic diverges from
+    (and at ~17 significant digits overflows on) the IEEE doubles Spark's
+    F.lit emits; the cast pins both engines to the same double tree
+    (property-tested across the parameter space in test_round5_ops)."""
+
+    def d(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
     return (
-        f"least(greatest(CAST(floor(({value_sql} - {lo!r}) * {float(bins)!r} "
-        f"/ ({hi!r} - {lo!r})) AS BIGINT), 0), {bins - 1})"
+        f"least(greatest(CAST(floor(({value_sql} - {d(lo)}) * {d(float(bins))} "
+        f"/ ({d(hi)} - {d(lo)})) AS BIGINT), 0), {bins - 1})"
     )
 
 

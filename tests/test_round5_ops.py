@@ -257,3 +257,58 @@ def test_hist_ingestor_replay_converges(spark, tmp_path):
     assert got == sorted(map(tuple, whole.collect()))
     qs = {r.q: r for r in ing.quantiles([0.5]).collect()}
     assert qs[0.5].n_total == 800
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis) — the numeric cores behind the round-5 ops
+# ---------------------------------------------------------------------------
+
+from fractions import Fraction
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    x=st.integers(min_value=0, max_value=10**15),
+    y=st.integers(min_value=1, max_value=10**12),
+)
+@settings(max_examples=200, deadline=None)
+def test_integer_round_half_up_identity(x, y):
+    """(2x + y) div (2y) == round-half-up(x / y) for non-negative x,
+    positive y — the pure-integer trick every pagerank_k_exact step rests
+    on.  Checked against exact rational arithmetic (no float), including
+    the exact-half boundary."""
+    frac = Fraction(x, y)
+    expected = int(frac) + (1 if frac - int(frac) >= Fraction(1, 2) else 0)
+    assert (2 * x + y) // (2 * y) == expected
+
+
+@given(
+    x=st.floats(min_value=-1e7, max_value=1e7, allow_nan=False),
+    lo=st.floats(min_value=-1e6, max_value=0.0, allow_nan=False),
+    span=st.floats(min_value=1e-3, max_value=1e6, allow_nan=False),
+    bins_pow=st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=100, deadline=None)
+def test_histogram_bin_sql_matches_python_and_clamps(x, lo, span, bins_pow):
+    """The DuckDB bin expression (histogram_bin_sql) equals a Python
+    evaluation of the SAME IEEE expression tree and always lands in
+    [0, bins-1] — the engine-identity + clamp contract the hash-green
+    histogram queries rest on.  (Spark-side identity is covered by the
+    oracle hash checks; this pins the SQL emitter itself across the whole
+    parameter space, not just the declared query's constants.)"""
+    import math
+
+    import duckdb
+
+    from flume_spark.operators.skew import histogram_bin_sql
+
+    hi = lo + span
+    bins = 2 ** bins_pow
+    sql = histogram_bin_sql(repr(x), lo, hi, bins)
+    got = duckdb.connect().execute(f"SELECT {sql}").fetchone()[0]
+    raw = math.floor((x - lo) * float(bins) / (hi - lo))
+    expected = min(max(raw, 0), bins - 1)
+    assert got == expected, (x, lo, hi, bins, got, expected)
+    assert 0 <= got <= bins - 1
