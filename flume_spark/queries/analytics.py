@@ -585,6 +585,70 @@ FROM verts LEFT JOIN inflow ON verts.v = inflow.v
 """
 
 
+def channel_running_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 shape: two channels' (click vs view) daily totals,
+    FULL OUTER JOINed on day, cumulative sums over the joined day spine,
+    keep the days where the click channel's running total leads — the
+    window-over-full-outer-join composition nothing else in the surface
+    exercises.  Exact micro-unit integers end to end.
+
+    Scale shape: each channel is one pushed-filter scan + day-grain
+    partial agg (≤|days| rows); the join and the cumulative windows run
+    over the ~day-count spine — a bounded SinglePartition stage by
+    construction (the running_distinct_users exception), never
+    event-sized."""
+    ev = T(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+
+    def chan(t: str, alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == t)
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.sum(F.round(F.col("value") * 10000).cast("long")).alias(alias)
+            )
+        )
+
+    j = chan("click", "click_v4").join(chan("view", "view_v4"), "day", "full_outer")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        j.select(
+            # day as STRING: DuckDB DATE round-trips through pandas as a
+            # midnight timestamp, Spark's as datetime.date — the
+            # date_spine_fill convention (strftime in the oracle)
+            F.col("day").cast("string").alias("day"),
+            F.sum(F.coalesce("click_v4", F.lit(0))).over(w).alias("click_cum"),
+            F.sum(F.coalesce("view_v4", F.lit(0))).over(w).alias("view_cum"),
+        )
+        .filter(F.col("click_cum") > F.col("view_cum"))
+    )
+
+
+CHANNEL_RUNNING_SQL = """
+WITH c AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS cv
+  FROM events WHERE ts IS NOT NULL AND event_type = 'click' GROUP BY 1
+),
+v AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS vv
+  FROM events WHERE ts IS NOT NULL AND event_type = 'view' GROUP BY 1
+),
+j AS (
+  SELECT coalesce(c.day, v.day) AS day, coalesce(cv, 0) AS cv,
+         coalesce(vv, 0) AS vv
+  FROM c FULL OUTER JOIN v ON c.day = v.day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(sum(cv) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS click_cum,
+       CAST(sum(vv) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS view_cum
+FROM j
+QUALIFY click_cum > view_cum
+"""
+
+
 def sketch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-bin histogram sketch over order totals
     (skew.histogram_table): the mergeable QUANTILE counterpart of
@@ -1025,6 +1089,7 @@ WHERE (b.x * t.n - t.s) * (b.x * t.n - t.s) > 4 * (t.n * t.q - t.s * t.s)
 
 QUERIES = {
     "sketch_countmin": sketch_countmin,
+    "channel_running_compare": channel_running_compare,
     "sketch_histogram": sketch_histogram,
     "histogram_quantiles": histogram_quantiles,
     "supplier_balance_outliers": supplier_balance_outliers,
@@ -1049,6 +1114,7 @@ QUERIES = {
 
 ORACLES = {
     "sketch_countmin": SKETCH_COUNTMIN_SQL,
+    "channel_running_compare": CHANNEL_RUNNING_SQL,
     "sketch_histogram": SKETCH_HISTOGRAM_SQL,
     "histogram_quantiles": HISTOGRAM_QUANTILES_SQL,
     "supplier_balance_outliers": SUPPLIER_OUTLIERS_SQL,
