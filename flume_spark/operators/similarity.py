@@ -103,11 +103,14 @@ def hyperplane_lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "flume",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each vector a sign-LSH bucket key (string of 0/1 bits).
 
     Vectors with equal bucket keys are cosine-close with high probability;
     downstream joins key on `bucket` so shuffle is bounded by bucket sizes.
+    `keep` passes extra columns through (e.g. a label for purity
+    diagnostics) — cheaper than a re-join against the source.
     """
     planes = _deterministic_hyperplanes(dim, n_planes, seed)
     bits = []
@@ -122,6 +125,7 @@ def hyperplane_lsh_buckets(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.concat(*bits).alias("bucket"),
+        *[F.col(c) for c in keep],
     )
 
 

@@ -539,6 +539,49 @@ SELECT vec_id AS id, {_LSH_PLANE_CASES} AS bucket FROM e
 """
 
 
+def lsh_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-index health diagnostic: per sign-LSH bucket, how label-pure is
+    the bucket (majority-label fraction)?  The cluster-quality eval every
+    embedding pipeline runs after (re)building an index — a low-purity
+    bucket means the hash family is splitting semantic neighborhoods.
+    Deterministic end to end: md5-derived hyperplanes (lsh_buckets' exact
+    core), exact integer counts, purity = ONE division of two exact ints.
+
+    Scale shape: one scan (label rides the bucket projection via `keep` —
+    no re-join), one (bucket,label) partial-agg shuffle bounded by
+    buckets x labels, one tiny re-merge to bucket grain."""
+    emb = T(spark, sf_dir, "embeddings")
+    b = similarity.hyperplane_lsh_buckets(emb, dim=64, n_planes=8, keep=("label",))
+    per = b.groupBy("bucket", "label").agg(F.count(F.lit(1)).alias("n_bl"))
+    return (
+        per.groupBy("bucket")
+        .agg(
+            F.sum("n_bl").alias("n_vectors"),
+            F.max("n_bl").alias("n_majority"),
+        )
+        .select(
+            "bucket",
+            "n_vectors",
+            "n_majority",
+            (F.col("n_majority") / F.col("n_vectors").cast("double")).alias(
+                "purity"
+            ),
+        )
+    )
+
+
+LSH_LABEL_PURITY_SQL = f"""
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT label, {_LSH_PLANE_CASES} AS bucket FROM e),
+per AS (SELECT bucket, label, CAST(count(*) AS BIGINT) AS n_bl
+        FROM b GROUP BY 1, 2)
+SELECT bucket, CAST(sum(n_bl) AS BIGINT) AS n_vectors,
+       CAST(max(n_bl) AS BIGINT) AS n_majority,
+       max(n_bl) / CAST(sum(n_bl) AS DOUBLE) AS purity
+FROM per GROUP BY 1
+"""
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid — the IVF cell-centroid ingest step.  Declared in
     long form (bucket, pos, c) so every oracled output column is scalar —
@@ -1046,6 +1089,7 @@ QUERIES = {
     "ann_topk_lsh": ann_topk_lsh,
     "ann_topk_ivf": ann_topk_ivf,
     "lsh_buckets": lsh_buckets,
+    "lsh_label_purity": lsh_label_purity,
     "embedding_centroids": embedding_centroids,
     "embedding_kmeans": embedding_kmeans,
     "kmeans_assign": kmeans_assign,
@@ -1085,6 +1129,7 @@ ORACLES = {
     # ann_topk_lsh: no oracle (approximate by design)
     "ann_topk_ivf": ANN_IVF_SQL,
     "lsh_buckets": LSH_BUCKETS_SQL,
+    "lsh_label_purity": LSH_LABEL_PURITY_SQL,
     "embedding_centroids": EMBEDDING_CENTROIDS_SQL,
     "kmeans_assign": KMEANS_ASSIGN_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
