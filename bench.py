@@ -85,6 +85,8 @@ HEADLINE = [
     "orders_monthly_remerge",
     "sketch_histogram",
     "histogram_quantiles",
+    "channel_running_compare",
+    "lsh_label_purity",
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))
