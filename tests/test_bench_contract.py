@@ -49,10 +49,12 @@ def test_final_line_is_compact_and_parseable():
     assert "samples" not in rec, "samples must NEVER ride the final line"
     assert set(rec["queries"]) == set(timings)
     # the whole official record must survive a bounded tail capture with
-    # headroom for ~15 more headline entries before anyone has to think
-    assert len(final_line) <= DRIVER_TAIL_CHARS - 400, (
+    # headroom for ~10 more headline entries (~30 chars each) before anyone
+    # has to think; when this fires, shard the record (e.g. queries split
+    # across a second non-final line) rather than shaving the margin again
+    assert len(final_line) <= DRIVER_TAIL_CHARS - 300, (
         f"final line {len(final_line)} chars — approaching the driver's "
-        f"{DRIVER_TAIL_CHARS}-char tail capture; trim or shard the record"
+        f"{DRIVER_TAIL_CHARS}-char tail capture; shard the record"
     )
     # samples stay fully recoverable from their own line
     assert json.loads(samples_line)["samples"] == samples
