@@ -52,6 +52,7 @@ _NEEDS_DRIVER_ROW = [  # round-5 additions/changes, ascending expected sf0.01 ru
     "corpus_shuffle",
     "table_checks_orders",
     # new round-5 queries
+    "events_path_trigrams",
     "lsh_label_purity",
     "channel_running_compare",
     "sketch_histogram",

@@ -90,6 +90,42 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-path mining one step deeper than the transition matrix:
+    count every length-3 event-type path per user stream (double lag over
+    the (ts, event_id)-ordered window), keep paths seen >= 5 times.
+    Same scale shape as events_transitions — ONE user-keyed shuffle for
+    the window, then a path-cardinality-bounded agg (<=125 groups)."""
+    ev = T(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.lag("event_type", 2).over(w).alias("a"),
+        F.lag("event_type", 1).over(w).alias("b"),
+        F.col("event_type").alias("c"),
+    ).filter(F.col("a").isNotNull())
+    return (
+        tri.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .filter(F.col("n_paths") >= 5)
+    )
+
+
+EVENTS_PATH_TRIGRAMS_SQL = """
+WITH seq AS (
+  SELECT lag(event_type, 2) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS a,
+         lag(event_type, 1) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS b,
+         event_type AS c
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT a, b, c, count(*) AS n_paths
+FROM seq WHERE a IS NOT NULL
+GROUP BY 1, 2, 3
+HAVING count(*) >= 5
+"""
+
+
 EVENTS_TRANSITIONS_SQL = """
 WITH seq AS (
   SELECT user_id,
@@ -1107,6 +1143,7 @@ QUERIES = {
     "orders_market_basket": orders_market_basket,
     "orders_seasonality": orders_seasonality,
     "events_transitions": events_transitions,
+    "events_path_trigrams": events_path_trigrams,
     "events_gap_islands": events_gap_islands,
     "time_weighted_avg": time_weighted_avg,
     "rfm_segments": rfm_segments,
@@ -1132,6 +1169,7 @@ ORACLES = {
     "orders_market_basket": ORDERS_BASKET_SQL,
     "orders_seasonality": ORDERS_SEASONALITY_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,
+    "events_path_trigrams": EVENTS_PATH_TRIGRAMS_SQL,
     "events_gap_islands": EVENTS_GAP_ISLANDS_SQL,
     "time_weighted_avg": TIME_WEIGHTED_AVG_SQL,
     "rfm_segments": RFM_SEGMENTS_SQL,
