@@ -1,0 +1,142 @@
+"""Time-series similarity search over keyed event streams — PAA
+segmentation + SAX-style symbolization as a BLOCKING key, then exact
+distance verification of candidates only (the LSH-verified-pairs
+treatment applied to series; pattern reference: "Time Series Similarity
+Search for Streaming Data in Distributed Systems", EDBT 2019 — the
+PAA/symbolize/block/verify pipeline, re-expressed Spark-first).
+
+No reference analog (the queue processes jobs, not series);
+engine-native per the pipeline mandate.
+
+Exactness discipline (the repo's float policy, applied end to end):
+- PAA segment means are integer micro-units via the round-half-up
+  identity (2s + c) div (2c) — aggregation-order-independent, so the
+  whole segmentation hash-checks cross-engine.
+- Symbolization is CASE thresholds on those integers (classic SAX
+  z-normalizes per series first; that divides by a per-series float
+  std, so this variant symbolizes on the ABSOLUTE value scale — the
+  blocking quality trade is documented, the determinism is total).
+- Pair distance is an exact BIGINT sum of squared integer differences.
+
+Scale shape: one key-grain shuffle for segment sums; the key x segment
+spine is a broadcast of `n_segments` rows; candidate pairs come from a
+word-block equi-join (never all-pairs — block sizes bound the join);
+verification joins each candidate to its 2 x n_segments PAA rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def paa_segments(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    start_date: str,
+    span_days: int,
+    n_segments: int,
+) -> DataFrame:
+    """(key, seg, mean_micro): exact-integer piecewise-aggregate
+    approximation of each key's value series over a FIXED window.
+
+    seg = days_since(start) * n_segments div span_days (integer, both
+    engines' truncating division on non-negatives); mean_micro is the
+    segment's mean value in 1e-4 units via (2s + c) div (2c).  Segments
+    with no rows are zero-filled through a key x segment spine (absent
+    activity IS zero activity — the semantics a similarity search over
+    activity series wants, and what keeps every word the same length).
+    Rows outside [start, start + span_days) are excluded.
+    """
+    days = F.expr(
+        f"datediff(to_date({ts_col}), DATE'{start_date}')"
+    )
+    base = (
+        df.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            days.alias("_d"),
+            F.round(F.col(value_col) * 10000).cast("long").alias("_v4"),
+        )
+        .filter((F.col("_d") >= 0) & (F.col("_d") < span_days))
+        .select(
+            "key",
+            F.expr(f"CAST((_d * {n_segments}) div {span_days} AS BIGINT)").alias(
+                "seg"
+            ),
+            "_v4",
+        )
+    )
+    agg = base.groupBy("key", "seg").agg(
+        F.sum("_v4").alias("_s"), F.count(F.lit(1)).alias("_c")
+    )
+    spine = base.select("key").distinct().crossJoin(
+        F.broadcast(
+            df.sparkSession.range(n_segments).select(F.col("id").alias("seg"))
+        )
+    )
+    return spine.join(agg, ["key", "seg"], "left").select(
+        "key",
+        "seg",
+        F.when(F.col("_c").isNull(), F.lit(0).cast("long"))
+        .otherwise(F.expr("(2 * _s + _c) div (2 * _c)"))
+        .alias("mean_micro"),
+    )
+
+
+def sax_words(paa: DataFrame, breakpoints: list[int]) -> DataFrame:
+    """(key, word): one symbol per segment via CASE thresholds on
+    mean_micro (alphabet a, b, c, ... — len(breakpoints)+1 symbols),
+    concatenated in segment order.  Equal words = similar coarse shape:
+    the blocking key for the candidate join."""
+    sym = F.lit(None)
+    alphabet = [chr(ord("a") + i) for i in range(len(breakpoints) + 1)]
+    expr = F.when(F.col("mean_micro") < breakpoints[0], F.lit(alphabet[0]))
+    for i, bp in enumerate(breakpoints[1:], start=1):
+        expr = expr.when(F.col("mean_micro") < bp, F.lit(alphabet[i]))
+    sym = expr.otherwise(F.lit(alphabet[-1]))
+    per = paa.select("key", "seg", sym.alias("sym"))
+    return per.groupBy("key").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "sym"))),
+                lambda x: x["sym"],
+            ),
+        ).alias("word")
+    )
+
+
+def ts_similar_pairs(
+    paa: DataFrame, words: DataFrame, max_dist_micro2: int
+) -> DataFrame:
+    """(key_a, key_b, dist_micro2): candidate pairs from the word-block
+    equi-join (key_a < key_b), verified by the EXACT integer PAA
+    distance sum((m_a - m_b)^2) <= max_dist_micro2.  Never all-pairs:
+    the block join bounds candidates, verification touches only
+    candidates x n_segments rows."""
+    cand = (
+        words.select(F.col("key").alias("key_a"), "word")
+        .join(words.select(F.col("key").alias("key_b"), "word"), "word")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+    )
+    pa = paa.select(
+        F.col("key").alias("key_a"), "seg", F.col("mean_micro").alias("m_a")
+    )
+    pb = paa.select(
+        F.col("key").alias("key_b"), "seg", F.col("mean_micro").alias("m_b")
+    )
+    return (
+        cand.join(pa, "key_a")
+        .join(pb, ["key_b", "seg"])
+        .groupBy("key_a", "key_b")
+        .agg(
+            F.sum(
+                (F.col("m_a") - F.col("m_b")) * (F.col("m_a") - F.col("m_b"))
+            ).alias("dist_micro2")
+        )
+        .filter(F.col("dist_micro2") <= max_dist_micro2)
+    )

@@ -53,6 +53,8 @@ _NEEDS_DRIVER_ROW = [  # round-5 additions/changes, ascending expected sf0.01 ru
     "table_checks_orders",
     # new round-5 queries
     "events_path_trigrams",
+    "ts_sax_words",
+    "ts_similar_users",
     "lsh_label_purity",
     "channel_running_compare",
     "sketch_histogram",

@@ -621,6 +621,94 @@ FROM verts LEFT JOIN inflow ON verts.v = inflow.v
 """
 
 
+_TS_PAA_SQL = """
+base AS (
+  SELECT user_id AS key,
+         CAST((date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) * 4)
+              // 32 AS BIGINT) AS seg,
+         CAST(round(value * 10000) AS BIGINT) AS v4
+  FROM events
+  WHERE ts IS NOT NULL
+    AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) >= 0
+    AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 32
+),
+spine AS (
+  SELECT u.key, CAST(x AS BIGINT) AS seg
+  FROM (SELECT DISTINCT key FROM base) u
+  CROSS JOIN range(0, 4) t(x)
+),
+agg AS (SELECT key, seg, CAST(sum(v4) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2),
+paa AS (
+  SELECT sp.key, sp.seg,
+         CASE WHEN a.c IS NULL THEN 0
+              ELSE (2 * a.s + a.c) // (2 * a.c) END AS m
+  FROM spine sp LEFT JOIN agg a ON sp.key = a.key AND sp.seg = a.seg
+),
+words AS (
+  SELECT key,
+         string_agg(CASE WHEN m < 350000 THEN 'a'
+                         WHEN m < 650000 THEN 'b'
+                         ELSE 'c' END, '' ORDER BY seg) AS word
+  FROM paa GROUP BY 1
+)"""
+
+
+def ts_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX-style symbolic words over each user's 32-day activity series
+    (operators/timeseries.py): 4 exact-integer PAA segments, 3-symbol
+    alphabet — the blocking key of the time-series similarity search
+    (EDBT 2019 pipeline shape).  Fully deterministic; zero-filled
+    missing segments keep every word length 4."""
+    from flume_spark.operators import timeseries
+
+    ev = T(spark, sf_dir, "events")
+    paa = timeseries.paa_segments(ev, "user_id", "ts", "value", "2024-01-01", 32, 4)
+    return timeseries.sax_words(paa, [350000, 650000]).select(
+        F.col("key").alias("user_id"), "word"
+    )
+
+
+TS_SAX_WORDS_SQL = f"""
+WITH {_TS_PAA_SQL}
+SELECT key AS user_id, word FROM words
+"""
+
+
+def ts_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search over the user activity series: candidate pairs
+    from the SAX word block join (never all-pairs), verified by the
+    EXACT integer PAA distance (sum of squared micro-mean diffs) under
+    a fixed threshold — the series analog of dedup_lsh_verified."""
+    from flume_spark.operators import timeseries
+
+    ev = T(spark, sf_dir, "events")
+    paa = timeseries.paa_segments(ev, "user_id", "ts", "value", "2024-01-01", 32, 4)
+    words = timeseries.sax_words(paa, [350000, 650000])
+    return timeseries.ts_similar_pairs(paa, words, 10**12).select(
+        F.col("key_a").alias("user_a"),
+        F.col("key_b").alias("user_b"),
+        "dist_micro2",
+    )
+
+
+TS_SIMILAR_USERS_SQL = f"""
+WITH {_TS_PAA_SQL},
+cand AS (
+  SELECT w1.key AS ka, w2.key AS kb
+  FROM words w1 JOIN words w2 ON w1.word = w2.word AND w1.key < w2.key
+)
+SELECT c.ka AS user_a, c.kb AS user_b,
+       CAST(sum((pa.m - pb.m) * (pa.m - pb.m)) AS BIGINT) AS dist_micro2
+FROM cand c
+JOIN paa pa ON pa.key = c.ka
+JOIN paa pb ON pb.key = c.kb AND pb.seg = pa.seg
+GROUP BY 1, 2
+HAVING sum((pa.m - pb.m) * (pa.m - pb.m)) <= 1000000000000
+"""
+
+
 def channel_running_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS Q51 shape: two channels' (click vs view) daily totals,
     FULL OUTER JOINed on day, cumulative sums over the joined day spine,
@@ -1126,6 +1214,8 @@ WHERE (b.x * t.n - t.s) * (b.x * t.n - t.s) > 4 * (t.n * t.q - t.s * t.s)
 QUERIES = {
     "sketch_countmin": sketch_countmin,
     "channel_running_compare": channel_running_compare,
+    "ts_sax_words": ts_sax_words,
+    "ts_similar_users": ts_similar_users,
     "sketch_histogram": sketch_histogram,
     "histogram_quantiles": histogram_quantiles,
     "supplier_balance_outliers": supplier_balance_outliers,
@@ -1152,6 +1242,8 @@ QUERIES = {
 ORACLES = {
     "sketch_countmin": SKETCH_COUNTMIN_SQL,
     "channel_running_compare": CHANNEL_RUNNING_SQL,
+    "ts_sax_words": TS_SAX_WORDS_SQL,
+    "ts_similar_users": TS_SIMILAR_USERS_SQL,
     "sketch_histogram": SKETCH_HISTOGRAM_SQL,
     "histogram_quantiles": HISTOGRAM_QUANTILES_SQL,
     "supplier_balance_outliers": SUPPLIER_OUTLIERS_SQL,

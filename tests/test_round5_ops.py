@@ -312,3 +312,70 @@ def test_histogram_bin_sql_matches_python_and_clamps(x, lo, span, bins_pow):
     expected = min(max(raw, 0), bins - 1)
     assert got == expected, (x, lo, hi, bins, got, expected)
     assert 0 <= got <= bins - 1
+
+
+# ---------------------------------------------------------------------------
+# time-series similarity search (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ts_words_fixed_length_and_zero_fill(spark):
+    """Every key's word has exactly n_segments symbols, even when the key
+    has no rows in some segments (zero-filled — absent activity is zero
+    activity, and equal-length words are what make the block join
+    meaningful)."""
+    from flume_spark.operators import timeseries
+
+    rows = [
+        ("u1", "2024-01-02 00:00:00", 10.0),   # only segment 0
+        ("u2", "2024-01-02 00:00:00", 90.0),
+        ("u2", "2024-01-28 00:00:00", 90.0),   # segments 0 and 3
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    paa = timeseries.paa_segments(df, "k", "ts", "v", "2024-01-01", 32, 4)
+    words = {r.key: r.word for r in timeseries.sax_words(
+        paa, [350000, 650000]).collect()}
+    assert all(len(w) == 4 for w in words.values()), words
+    assert words["u1"] == "aaaa"   # 10.0 < 35 -> a; empty -> 0 -> a
+    assert words["u2"] == "caac"   # 90.0 >= 65 -> c in segs 0 and 3
+
+
+def test_ts_similar_pairs_exact_distance_and_blocking(spark):
+    """Identical series pair at distance 0; a pair in different word
+    blocks is never even a candidate (blocking, not all-pairs)."""
+    from flume_spark.operators import timeseries
+
+    rows = [
+        ("a", "2024-01-02 00:00:00", 10.0),
+        ("b", "2024-01-02 00:00:00", 10.0),   # identical to a
+        ("z", "2024-01-02 00:00:00", 400.0),  # different block
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    paa = timeseries.paa_segments(df, "k", "ts", "v", "2024-01-01", 32, 4)
+    words = timeseries.sax_words(paa, [350000, 650000])
+    pairs = {
+        (r.key_a, r.key_b): r.dist_micro2
+        for r in timeseries.ts_similar_pairs(paa, words, 10**15).collect()
+    }
+    assert pairs == {("a", "b"): 0}  # z blocked out before any distance
+
+
+def test_ts_pipeline_has_no_cartesian(spark):
+    """The full search plans block joins only — no CartesianProduct even
+    with the n_segments spine crossJoin (bounded broadcast form)."""
+    from flume_spark.operators import timeseries
+    from tests.conftest import SF_ORACLE
+
+    ev = spark.read.parquet(SF_ORACLE + "/events.parquet")
+    # events.parquet needs the nanos conf; reuse the query path instead
+    from flume_spark.queries._util import T
+
+    ev = T(spark, SF_ORACLE, "events")
+    paa = timeseries.paa_segments(ev, "user_id", "ts", "value", "2024-01-01", 32, 4)
+    words = timeseries.sax_words(paa, [350000, 650000])
+    plan = explain_str(timeseries.ts_similar_pairs(paa, words, 10**12))
+    assert "CartesianProduct" not in plan
