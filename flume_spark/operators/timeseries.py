@@ -91,7 +91,6 @@ def sax_words(paa: DataFrame, breakpoints: list[int]) -> DataFrame:
     mean_micro (alphabet a, b, c, ... — len(breakpoints)+1 symbols),
     concatenated in segment order.  Equal words = similar coarse shape:
     the blocking key for the candidate join."""
-    sym = F.lit(None)
     alphabet = [chr(ord("a") + i) for i in range(len(breakpoints) + 1)]
     expr = F.when(F.col("mean_micro") < breakpoints[0], F.lit(alphabet[0]))
     for i, bp in enumerate(breakpoints[1:], start=1):
