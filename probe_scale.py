@@ -36,6 +36,12 @@ cell-wise-exact merge).
 probe: per-iteration wall-clock off the src-bucketed+degree-decorated
 edge index vs plain parquet as the edge table grows — the timed evidence
 behind the exchange-free plan gate (test_round5_ops.py).
+
+`python probe_scale.py --ts [factor ...]` runs the time-series
+similarity-search probe: users replicated with per-replica value shifts
+(cross-replica words differ, so candidate pairs stay ~linear in users —
+the output-linear perturbation discipline), wall-clock exponent of the
+full PAA -> SAX -> block -> verify pipeline.
 """
 
 from __future__ import annotations
@@ -374,6 +380,93 @@ def main_graph() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def main_ts() -> None:
+    """Time-series similarity-search scale probe.
+
+    Corpus = events users replicated x f, every value shifted by a
+    user-, replica- AND day-dependent offset
+    ((user_id * 37 + r * 101 + day * 13) mod 350): the day term gives
+    each user a distinct SHAPE, not just a level — the raw synthetic
+    series are time-uniform, so without it every user's word is one
+    symbol repeated and blocking collapses to the handful of level
+    bands (quadratic pairs, as the first probe design measured).
+    Resolution discipline: the word space must exceed the corpus size or
+    blocks grow linearly and the verify join goes quadratic — exactly the
+    LSH band-count rule — so the probe runs at 8 segments x 4 symbols
+    (65k words), the resolution a 75k-user corpus needs (the declared
+    sf0.01 query keeps 4x3: 150 users in an 81-word space obeys the same
+    rule).  Timed span = full PAA -> words -> block-join -> exact-verify,
+    min-of-3 after a warm run; prints wall-clock exponent
+    log(t_f/t_1)/log(f) (~1.0 = linear) and pairs per user (flat =
+    output-linear blocking)."""
+    from flume_spark.operators import timeseries
+
+    factors = sorted(int(a) for a in sys.argv[2:]) or [1, 10, 50]
+    spark = get_spark(app_name="flume_probe_ts")
+    from flume_spark.queries._util import T
+
+    ev = T(spark, SF_DIR, "events").select("user_id", "ts", "value")
+    times: dict[int, float] = {}
+    for f in factors:
+        reps = [
+            ev.select(
+                (F.col("user_id") + r * 10_000_000).alias("user_id"),
+                "ts",
+                (
+                    F.col("value")
+                    + (
+                        (
+                            F.col("user_id") * 37
+                            + r * 101
+                            + F.expr(
+                                "datediff(to_date(ts), DATE'2024-01-01')"
+                            )
+                            * 13
+                        )
+                        % 350
+                    ).cast("double")
+                ).alias("value"),
+            )
+            for r in range(f)
+        ]
+        corpus = reps[0]
+        for rdf in reps[1:]:
+            corpus = corpus.unionByName(rdf)
+        corpus = corpus.localCheckpoint(eager=True)
+        n_users = corpus.select("user_id").distinct().count()
+
+        def run(c=corpus):
+            paa = timeseries.paa_segments(
+                c, "user_id", "ts", "value", "2024-01-01", 32, 8
+            )
+            words = timeseries.sax_words(
+                paa, [1_500_000, 2_500_000, 3_500_000]
+            )
+            return timeseries.ts_similar_pairs(paa, words, 10**12)
+
+        samples, n_pairs = [], 0
+        for _ in range(4):  # first warms; min of the last 3
+            t0 = time.perf_counter()
+            n_pairs = run().count()
+            samples.append(round(time.perf_counter() - t0, 2))
+        times[f] = min(samples[1:])
+        out = {
+            "probe": f"ts_search@x{f}",
+            "users": n_users,
+            "pairs": n_pairs,
+            "sec": times[f],
+            "samples": samples,
+        }
+        base = factors[0]
+        if f != base and times[base] > 0:
+            out["exponent"] = round(
+                math.log(times[f] / times[base]) / math.log(f / base), 2
+            )
+            out["pairs_per_user"] = round(n_pairs / n_users, 2)
+        print(json.dumps(out), flush=True)
+        corpus.unpersist()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--ingest":
         main_ingest()
@@ -381,5 +474,7 @@ if __name__ == "__main__":
         main_cms()
     elif len(sys.argv) > 1 and sys.argv[1] == "--graph":
         main_graph()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ts":
+        main_ts()
     else:
         main()
