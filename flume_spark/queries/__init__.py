@@ -55,6 +55,8 @@ _NEEDS_DRIVER_ROW = [  # round-5 additions/changes, ascending expected sf0.01 ru
     "events_path_trigrams",
     "ts_sax_words",
     "ts_similar_users",
+    "set_intersect_all",
+    "set_except_all",
     "lsh_label_purity",
     "channel_running_compare",
     "sketch_histogram",

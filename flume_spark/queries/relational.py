@@ -557,6 +557,55 @@ SELECT c_custkey FROM customer WHERE c_acctbal < 0
 """
 
 
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL (multiplicity = min of the two sides)
+    over line items' (orderkey, quantity) multisets — a DISTINCT Catalyst
+    path from the set-semantics ops (planned as a row_number-tagged join,
+    not an Aggregate+join), and the variant reconciliation jobs need when
+    duplicate rows are information."""
+    li = T(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linestatus") == "O").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    b = li.filter(F.col("l_returnflag") == "N").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return a.intersectAll(b)
+
+
+SET_INTERSECT_ALL_SQL = """
+SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+WHERE l_linestatus = 'O'
+INTERSECT ALL
+SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+WHERE l_returnflag = 'N'
+"""
+
+
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicity = left minus right, floored
+    at zero) on the same multisets — the duplicate-aware difference that
+    catches 'row lost one copy' reconciliation drift an EXCEPT DISTINCT
+    hides."""
+    li = T(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linestatus") == "O").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    b = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("qty")
+    )
+    return a.exceptAll(b)
+
+
+SET_EXCEPT_ALL_SQL = """
+SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+WHERE l_linestatus = 'O'
+EXCEPT ALL
+SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem
+WHERE l_returnflag = 'R'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Scalar function surface (SURVEY.md §2.7)
 # ---------------------------------------------------------------------------
@@ -1171,6 +1220,8 @@ QUERIES = {
     "set_union": set_union,
     "set_intersect": set_intersect,
     "set_except": set_except,
+    "set_intersect_all": set_intersect_all,
+    "set_except_all": set_except_all,
     "scalar_string_funcs": scalar_string_funcs,
     "scalar_date_funcs": scalar_date_funcs,
     "scalar_math_funcs": scalar_math_funcs,
@@ -1218,6 +1269,8 @@ ORACLES = {
     "set_union": SET_UNION_SQL,
     "set_intersect": SET_INTERSECT_SQL,
     "set_except": SET_EXCEPT_SQL,
+    "set_intersect_all": SET_INTERSECT_ALL_SQL,
+    "set_except_all": SET_EXCEPT_ALL_SQL,
     "scalar_string_funcs": SCALAR_STRING_SQL,
     "scalar_date_funcs": SCALAR_DATE_SQL,
     "scalar_math_funcs": SCALAR_MATH_SQL,
