@@ -39,45 +39,37 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # in the middle group and get checked next round automatically.
 # tests/test_registry.py asserts both lists stay consistent with the merged
 # query dict (no typos, no overlap, full coverage).
-# Round-5 re-tier done: all 50 CORRECTNESS_r04 rows folded into
-# _DRIVER_CHECKED (49 hash-green + graph_pagerank, rows-only by design).
-# ROUND-6 RE-TIERING (do this first next round): once CORRECTNESS_r05.json
+# Round-6 re-tier done: all 50 CORRECTNESS_r05 rows folded into
+# _DRIVER_CHECKED (49 hash-green + approx_distinct, rows-only by design).
+# ROUND-7 RE-TIERING (do this first next round): once CORRECTNESS_r06.json
 # lands, fold ALL its rows into _DRIVER_CHECKED, then rebuild this list from
-# round-6 changes.  tests/test_registry.py fails loudly on typos/overlap.
-_NEEDS_DRIVER_ROW = [  # round-5 additions/changes, ascending expected sf0.01 runtime
-    # semantics changed this round (ADVICE fixes) — re-verify:
-    # - table_checks_orders: row-level aggregates wrapped in coalesce(sum,0)
-    # - graph_pagerank_step: teleport literal + association made engine-identical
-    # - corpus_shuffle: rank offsets computed lazily in-plan (no eager collect)
-    "corpus_shuffle",
-    "table_checks_orders",
-    # new round-5 queries
-    "events_path_trigrams",
-    "ts_sax_words",
-    "ts_similar_users",
-    "set_intersect_all",
-    "set_except_all",
-    "lsh_label_purity",
-    "channel_running_compare",
-    "sketch_histogram",
+# round-7 changes.  tests/test_registry.py fails loudly on typos/overlap.
+_NEEDS_DRIVER_ROW = [  # round-6 additions/changes, ascending expected sf0.01 runtime
+    # semantics-adjacent re-verifies: claim_plan gained the two-phase
+    # (salted local rank -> bounded global rank) top-K this round; these
+    # three queries exercise the due predicate / rank / rate-window paths.
+    "due_filter",
+    "topk_due",
+    "rate_window_count",
+    # histogram oracle literals wrapped CAST(q AS DOUBLE) (ADVICE fix)
     "histogram_quantiles",
-    "orders_monthly_remerge",
-    "rollup_topk_window",
-    "channel_share_gsets",
-    # graph queries adjacent: they share the memoized co-purchase edge list
-    "graph_pagerank_step",
-    "graph_pagerank_k",
-    "stream_contract_orders",
 ]
 
-# Union of CORRECTNESS_r01+r02+r03+r04 keys: 154 hash-green, 5 rows-only by
+# Union of CORRECTNESS_r01..r05 keys: 168 hash-green, 5 rows-only by
 # design (approx_distinct, ann_topk_lsh, embedding_kmeans, approx_percentiles,
 # graph_pagerank), MINUS any query whose semantics changed since its driver
-# row — those move back into _NEEDS_DRIVER_ROW (round 5: table_checks_orders,
-# graph_pagerank_step, corpus_shuffle).  Do NOT "restore" a name to this set
-# without removing it from the re-verify list.
+# row — those move back into _NEEDS_DRIVER_ROW (round 6: due_filter,
+# topk_due, rate_window_count via the claim-plan rework;
+# histogram_quantiles via the oracle CAST fix).  Do NOT "restore" a name to
+# this set without removing it from the re-verify list.
 _DRIVER_CHECKED = frozenset(
     {
+        "channel_running_compare", "channel_share_gsets", "corpus_shuffle",
+        "events_path_trigrams", "graph_pagerank_k", "graph_pagerank_step",
+        "lsh_label_purity", "orders_monthly_remerge", "rollup_topk_window",
+        "set_except_all", "set_intersect_all", "sketch_histogram",
+        "stream_contract_orders", "table_checks_orders", "ts_sax_words",
+        "ts_similar_users",
         "agg_conditional", "agg_count_distinct_salted", "agg_cube",
         "agg_distinct", "agg_grouping_sets", "agg_histogram", "agg_minmax_by",
         "agg_percentiles", "agg_rollup", "agg_stats", "ann_range_cells",
@@ -90,7 +82,7 @@ _DRIVER_CHECKED = frozenset(
         "dedup_containment", "dedup_embedding_cosine", "dedup_exact",
         "dedup_incremental", "dedup_lsh_verified", "dedup_minhash_lsh",
         "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_passage",
-        "dedup_rate_by_source", "dedup_simhash", "due_filter",
+        "dedup_rate_by_source", "dedup_simhash",
         "embedding_centroids", "embedding_kmeans", "embedding_quantize",
         "embedding_truncate", "events_anomaly_mad", "events_funnel",
         "events_gap_islands", "events_transitions", "explode_tokens",
@@ -111,7 +103,7 @@ _DRIVER_CHECKED = frozenset(
         "q22_dormant_customers", "q2_min_cost_supplier",
         "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
         "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-        "q9_product_profit", "queue_pending_counts", "rate_window_count",
+        "q9_product_profit", "queue_pending_counts",
         "revenue_share_rollup", "rfm_segments", "running_distinct_users",
         "sample_stratified", "sample_weighted", "scalar_array_funcs",
         "scalar_bitwise_funcs", "scalar_date_funcs", "scalar_json_funcs",
@@ -124,7 +116,7 @@ _DRIVER_CHECKED = frozenset(
         "text_length_histogram", "text_normalize", "text_pii_scrub",
         "text_quality_score", "text_repetition", "text_rolling_fingerprint",
         "text_subword_tokens", "text_tfidf_topk", "text_token_count",
-        "time_weighted_avg", "topk_due", "topk_orders", "unpivot_orders",
+        "time_weighted_avg", "topk_orders", "unpivot_orders",
         "visibility_timeout_scan", "vocab_topk", "window_first_last",
         "window_lag_lead", "window_moving_agg", "window_ntile_dist",
         "window_range_frame", "window_rank", "window_running_sum",
