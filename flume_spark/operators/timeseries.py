@@ -91,6 +91,12 @@ def sax_words(paa: DataFrame, breakpoints: list[int]) -> DataFrame:
     mean_micro (alphabet a, b, c, ... — len(breakpoints)+1 symbols),
     concatenated in segment order.  Equal words = similar coarse shape:
     the blocking key for the candidate join."""
+    if not breakpoints:
+        raise ValueError(
+            "sax_words requires at least one breakpoint: a 1-symbol "
+            "alphabet maps every series to the same word, which is not "
+            "a blocking key"
+        )
     alphabet = [chr(ord("a") + i) for i in range(len(breakpoints) + 1)]
     expr = F.when(F.col("mean_micro") < breakpoints[0], F.lit(alphabet[0]))
     for i, bp in enumerate(breakpoints[1:], start=1):

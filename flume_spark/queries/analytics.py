@@ -581,6 +581,12 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Cap the memo to the live session: entries keyed by a stopped
+    # session's applicationId are dead handles (and their localCheckpoint
+    # blocks are gone), so a long-lived process cycling sessions must not
+    # accumulate them.
+    for stale in [k for k in _EDGE_MEMO if k[0] != key[0]]:
+        del _EDGE_MEMO[stale]
     _EDGE_MEMO[key] = edges
     return edges
 
@@ -829,7 +835,8 @@ c AS (
          CAST(sum(counter) OVER () AS BIGINT) AS n_total
   FROM h
 ),
-q AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) v(q))
+q AS (SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                            (CAST(0.99 AS DOUBLE))) v(q))
 SELECT q, n_total, min(bin) AS bin,
        0.0 + (min(bin) + 1) * ((500000.0 - 0.0) / 256.0) AS est_hi
 FROM c JOIN q ON c.cum >= CAST(ceil(q * n_total) AS BIGINT)
