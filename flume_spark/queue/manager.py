@@ -80,6 +80,7 @@ class QueueManager:
         limiter: SlidingWindowLimiter | None = None,
         idempotence: bool = False,
         logger: FlumeLogger | None = None,
+        claim_salts: int | None = None,
     ):
         self.spark = spark
         self.store = store
@@ -123,6 +124,11 @@ class QueueManager:
         # "hard part 2".  Markers are cleared once the ack is durable and
         # orphans are GC'd at compaction, so the set stays O(crash window).
         self.idempotence = idempotence
+        # claim_plan phase-1 salt count (None = session shuffle partitions):
+        # how many tasks a single hot queue's backlog spreads across.  On a
+        # 1000-executor cluster set ~total cores; the claim's phase-2 input
+        # is ≤ claim_salts×demand rows per queue either way.
+        self.claim_salts = claim_salts
         # trigger/compaction coordination (see run_many docstring)
         self._trigger_cv = threading.Condition()
         self._active_triggers = 0
@@ -343,13 +349,29 @@ class QueueManager:
         claim_seq: int,
         shared_budgets: dict[str, tuple[str, int]] | None = None,
     ) -> DataFrame:
-        """The per-trigger claim as ONE-shuffle plan.
+        """The per-trigger claim as a two-phase top-K plan that never sorts
+        a queue's backlog in one task.
 
-        jid -> queue is functional (a job never changes queue), so both the
-        latest-per-jid window and the per-queue demand rank cluster by
-        `queue` — the explicit repartition is reused by both windows (only
-        local sorts follow), and the queue IN-filter pushes to the scan.
-        `tests/test_plans.py::test_claim_plan_single_shuffle` guards this.
+        Phase 1 (data-sized, salted): the log is exchanged once on
+        (queue, _salt) where _salt = hash(jid) % claim_salts.  jid -> queue
+        and jid -> _salt are both functional, so all seq rows of a jid land
+        in one task: the latest-per-jid window and the due filter are exact
+        per salt, and a 10⁸-row hot-queue backlog spreads across
+        claim_salts tasks instead of funneling into one (the reference's
+        LRANGE head-take is O(demand); a per-queue global sort here would
+        be the classic skewed-key scale-killer).  A per-(queue,_salt) FIFO
+        rank then keeps only the first `demand` rows of each salt.
+
+        Phase 2 (demand-bounded): the global per-queue FIFO rank of the
+        reference (head-take order of redis/bulk_dequeue.ex:183-194) runs
+        over ONLY the salted survivors — ≤ claim_salts×demand rows per
+        queue — because every row in the true global top-demand is within
+        the top-demand of its own salt (fewer than `demand` rows of the
+        whole queue precede it, so fewer than `demand` of its salt do).
+        Exchange #2 therefore moves a bounded set, never the backlog.
+        `tests/test_plans.py::test_claim_plan_scale_safe` gates both
+        phases; both windows reuse their phase's single exchange (only
+        local sorts between them), and the queue IN-filter pushes to scan.
 
         `shared_budgets` maps queue -> (rate_limit_key, window_budget) for
         queues whose pipelines SHARE a rate_limit_key.  The joint cap is
@@ -358,29 +380,43 @@ class QueueManager:
         either over-admits (everyone sees the full budget) or starves (an
         empty queue's reservation burns budget its sibling needed).  The
         extra window exists only when a key is shared (plan unchanged
-        otherwise); inside it, unlimited queues keep per-queue partitions
-        and the whole input is already demand-bounded (≤ Σ demand rows).
+        otherwise).  Its input is pre-bounded per queue to
+        min(demand, budget) rows — a row ranked past `budget` within its
+        own queue's FIFO can never be admitted by the joint cap (all its
+        per-queue predecessors precede it jointly too), so the one task a
+        hot rate_limit_key gets sorts ≤ n_queues×budget rows, never a
+        data-sized set.  Unlimited queues keep per-queue partitions.
         """
         due_pred = self._due_pred(now)
         demand_map = F.create_map(
             *[x for q, d in demand_by_queue.items() for x in (F.lit(q), F.lit(d))]
         )
-        w_latest = Window.partitionBy("queue", "jid").orderBy(F.col("seq").desc())
+        n_salts = self.claim_salts or int(
+            self.spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        w_latest = Window.partitionBy("queue", "_salt", "jid").orderBy(
+            F.col("seq").desc()
+        )
+        w_salt = Window.partitionBy("queue", "_salt").orderBy("enqueued_at", "jid")
         rank_w = Window.partitionBy("queue").orderBy("enqueued_at", "jid")
         plan = (
             self.store.log()
             .filter(F.col("queue").isin(list(demand_by_queue)))  # pushed to scan
-            .repartition("queue")
+            .withColumn(
+                "_salt", F.pmod(F.xxhash64("jid"), F.lit(n_salts)).cast("int")
+            )
+            .repartition("queue", "_salt")
             .withColumn("_r1", F.row_number().over(w_latest))
             .filter((F.col("_r1") == 1) & due_pred)
             .drop("_r1")
+            .withColumn("_sn", F.row_number().over(w_salt))
+            .filter(F.col("_sn") <= demand_map[F.col("queue")])
+            .drop("_sn", "_salt")
             .withColumn("_rn", F.row_number().over(rank_w))
             .filter(F.col("_rn") <= demand_map[F.col("queue")])
-            .drop("_rn")
         )
         if shared_budgets:
-            # joint FIFO rank across the queues sharing each rate_limit_key,
-            # over the already demand-bounded candidate set (≤ Σ demand rows)
+            # joint FIFO rank across the queues sharing each rate_limit_key
             key_map = F.create_map(
                 *[
                     x
@@ -392,6 +428,16 @@ class QueueManager:
             budget_map = F.create_map(
                 *[x for k, b in budgets.items() for x in (F.lit(k), F.lit(b))]
             )
+            # per-queue pre-bound: a row whose per-queue FIFO rank exceeds
+            # the key's budget cannot be admitted jointly (see docstring),
+            # so the key task sorts ≤ n_queues×budget rows
+            qbudget_map = F.create_map(
+                *[
+                    x
+                    for q, (_, b) in shared_budgets.items()
+                    for x in (F.lit(q), F.lit(b))
+                ]
+            )
             # null-key (unlimited) rows get per-queue partitions — coalescing
             # them into the bare null partition would funnel every unlimited
             # queue's rows through one task (their rank is discarded anyway)
@@ -400,6 +446,10 @@ class QueueManager:
             ).orderBy("enqueued_at", "jid")
             plan = (
                 plan.withColumn("_lk", key_map[F.col("queue")])
+                .filter(
+                    F.col("_lk").isNull()
+                    | (F.col("_rn") <= qbudget_map[F.col("queue")])
+                )
                 .withColumn(
                     "_kn",
                     F.when(F.col("_lk").isNull(), F.lit(0)).otherwise(
@@ -412,6 +462,7 @@ class QueueManager:
                 )
                 .drop("_lk", "_kn")
             )
+        plan = plan.drop("_rn")
         return (
             plan.withColumn("status", F.lit(S.PROCESSING))
             .withColumn("leased_at", F.lit(_ts(now)))

@@ -380,6 +380,65 @@ def main_graph() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def main_claim() -> None:
+    """Hot-queue claim scale probe (round-6 two-phase top-K evidence).
+
+    One queue's backlog grows x1 -> x100 while demand stays 500 (the
+    reference's default max_demand): the claim must behave like the
+    reference's O(demand) LRANGE head-take, not like a global sort of the
+    backlog.  Phase 1 spreads the backlog across claim_salts tasks (the
+    single-queue key is maximally skewed — the exact shape the salted
+    exchange exists for); phase 2 sorts only <= salts x demand survivors.
+    Cost is dominated by the linear log scan + salted window, so the
+    fitted exponent should sit well BELOW 1 at these sizes (fixed job
+    overheads amortize) and, critically, per-task sort input stays
+    backlog/salts, never the backlog.  Backlog is ingested via
+    enqueue_from in distinct-timestamp batches so FIFO order is real.
+    Prints claim seconds per factor (min-of-3 after warm) + exponent.
+    """
+    import tempfile
+
+    from flume_spark.queue import JobStore, QueueManager
+
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 100]
+    spark = get_spark(app_name="flume_probe_claim")
+    base_rows = 20_000
+    times: dict[int, float] = {}
+    t0 = 1_700_000_000.0
+    for f in factors:
+        root = tempfile.mkdtemp(prefix=f"claimprobe_x{f}_")
+        store = JobStore(spark, root + "/jobs")
+        mgr = QueueManager(spark, store)
+        n = base_rows * f
+        batches = 10
+        for b in range(batches):
+            batch = spark.range(n // batches).select(
+                (F.col("id") + b * (n // batches)).alias("args")
+            )
+            mgr.enqueue_from(batch, "hot", "W", "args", now=t0 + b)
+        samples = []
+        for _ in range(4):
+            t = time.perf_counter()
+            got = mgr.claim_plan({"hot": 500}, t0 + 100, 99).count()
+            samples.append(time.perf_counter() - t)
+        assert got == 500, got
+        times[f] = min(samples[1:])  # drop the cold first sample
+        out = {
+            "probe": "claim_hot_queue",
+            "factor": f,
+            "backlog": n,
+            "demand": 500,
+            "sec": round(times[f], 3),
+            "samples": [round(s, 3) for s in samples],
+        }
+        base = factors[0]
+        if f != base and times[base] > 0:
+            out["exponent"] = round(
+                math.log(times[f] / times[base]) / math.log(f / base), 2
+            )
+        print(json.dumps(out), flush=True)
+
+
 def main_ts() -> None:
     """Time-series similarity-search scale probe.
 
@@ -476,5 +535,7 @@ if __name__ == "__main__":
         main_graph()
     elif len(sys.argv) > 1 and sys.argv[1] == "--ts":
         main_ts()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--claim":
+        main_claim()
     else:
         main()

@@ -119,17 +119,39 @@ def test_queue_due_filter_pushdown(spark, tmp_path):
     assert "EqualTo(queue,q0)" in plan or "In(queue" in plan, plan
 
 
-def test_claim_plan_single_shuffle(spark, tmp_path):
-    """The queue claim must stay a ONE-shuffle plan: both windows reuse the
-    repartition("queue") exchange (jid->queue functional dependency)."""
+def test_claim_plan_scale_safe(spark, tmp_path):
+    """The queue claim is a TWO-phase top-K: no task ever sorts a queue's
+    whole backlog.  Phase 1 (the only data-sized exchange) partitions by
+    (queue, _salt) so a hot queue spreads across claim_salts tasks; phase 2
+    re-exchanges on queue alone but only over the per-salt top-demand
+    survivors.  Structure gated here: exactly 2 exchanges, the one that
+    sees the full log is salted, the queue-only one sits strictly above
+    the per-salt demand filter (bounded input)."""
+    import re
+
     from flume_spark.queue import JobStore, QueueManager
 
     store = JobStore(spark, str(tmp_path / "jobs"))
     manager = QueueManager(spark, store)
     manager.bulk_enqueue("q0", [("W", "perform", [i]) for i in range(5)])
     plan = explain_str(manager.claim_plan({"q0": 10, "q1": 10}, 1.7e9, 99))
-    assert n_nodes(plan, "Exchange") == 1, plan
+    assert n_nodes(plan, "Exchange") == 2, plan
     assert "In(queue" in plan or "EqualTo(queue" in plan  # scan pushdown
+    # node numbers grow scan->root: the first exchange (full data) must be
+    # the salted one; the later (queue-only) exchange runs on bounded rows
+    exchanges = re.findall(
+        r"^\(\d+\) Exchange\n.*?Arguments: (hashpartitioning\([^\n]*)",
+        plan,
+        flags=re.MULTILINE | re.DOTALL,
+    )
+    assert len(exchanges) == 2, plan
+    assert "_salt" in exchanges[0], exchanges
+    assert "_salt" not in exchanges[1], exchanges
+    # every window over the full log is salted: a queue-only window spec
+    # may appear only in phase 2 (above the salted rank filter)
+    specs = re.findall(r"windowspecdefinition\((queue#\d+(?:, \w+#\d+)*)", plan)
+    salted = [s for s in specs if "_salt" in s]
+    assert salted, f"no salted window in claim plan: {specs}"
 
 
 # --- TPC-H extension shapes (tpch_extra.py) --------------------------------

@@ -329,6 +329,47 @@ def test_fifo_dequeue_order(engine):
     assert [c[1][0] for c in calls()] == [0, 1, 2, 3, 4]
 
 
+def test_claim_two_phase_matches_global_rank(spark, tmp_path):
+    """The salted two-phase top-K (claim_plan phase 1+2) must claim exactly
+    the global FIFO head of each queue — same set, same jobs — for any salt
+    count, including salts > demand and salts = 1 (degenerate single-phase).
+    Backlog 200 vs demand 7 exercises the containment argument: the global
+    top-7 is inside the union of per-salt top-7s."""
+    store = JobStore(spark, str(tmp_path / "jobs"))
+    mgr0 = QueueManager(spark, store)
+    # interleaved enqueue times so arrival order != jid order; bulk per
+    # distinct time to keep the test fast (each bulk_enqueue is one append)
+    by_time: dict[float, list] = {}
+    for i in range(200):
+        by_time.setdefault(T0 + (i * 37) % 200, []).append(("W", "perform", [i]))
+    for t, jobs in by_time.items():
+        mgr0.bulk_enqueue("hot", jobs, now=t)
+    for i in range(3):
+        mgr0.enqueue("cold", "W", [i], now=T0 + i)
+    expected = {
+        q: [
+            r["jid"]
+            for r in sorted(
+                store.current(prefilter=None)
+                .filter(f"queue = '{q}'")
+                .select("jid", "enqueued_at")
+                .collect(),
+                key=lambda r: (r["enqueued_at"], r["jid"]),
+            )[:d]
+        ]
+        for q, d in (("hot", 7), ("cold", 7))
+    }
+    for salts in (1, 3, 16):
+        mgr = QueueManager(spark, store, claim_salts=salts)
+        got = mgr.claim_plan({"hot": 7, "cold": 7}, T0 + 1000, 99).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["queue"], []).append(r["jid"])
+        assert {
+            q: sorted(v) for q, v in by_q.items()
+        } == {q: sorted(v) for q, v in expected.items()}, f"salts={salts}"
+
+
 # -- telemetry (O1: instrumentation.ex:1-40 event points) -------------------
 
 
