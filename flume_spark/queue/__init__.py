@@ -17,7 +17,14 @@ window function that partition-prunes on jid buckets.  Compaction
 
 from flume_spark.queue.backend import LogBackend
 from flume_spark.queue.manager import QueueManager
+from flume_spark.queue.optimistic import OptimisticLogStore
 from flume_spark.queue.store import JobStore
 from flume_spark.queue.workers import WorkerRegistry
 
-__all__ = ["LogBackend", "QueueManager", "JobStore", "WorkerRegistry"]
+__all__ = [
+    "LogBackend",
+    "QueueManager",
+    "JobStore",
+    "OptimisticLogStore",
+    "WorkerRegistry",
+]

@@ -1,10 +1,17 @@
 """LogBackend — the storage contract the queue engine writes through.
 
 The engine (QueueManager, PipelineRunner, streaming curation) never touches
-storage directly; everything goes through this interface.  The bundled
-implementation is the parquet log (`flume_spark.queue.store.JobStore`) —
-what the test container supports — but each method is specified by its
-Delta/Iceberg mapping, so a table-format backend is a drop-in:
+storage directly; everything goes through this interface.  Two bundled
+implementations prove the seam from both concurrency models:
+
+- `store.JobStore` — parquet log + fcntl locks (shared-POSIX-mount
+  deployments; faithful to the reference's Redis lock).
+- `optimistic.OptimisticLogStore` — commit-log + atomic create-if-absent
+  (the object-store model: conditional PUT / Delta-style optimistic
+  concurrency; no flock anywhere).
+
+Each method is specified by its Delta/Iceberg mapping, so a table-format
+backend is a drop-in:
 
 | method            | parquet-log impl                | Delta/Iceberg impl |
 |-------------------|---------------------------------|--------------------|

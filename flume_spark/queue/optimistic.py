@@ -1,0 +1,434 @@
+"""OptimisticLogStore — a lock-free LogBackend for object storage.
+
+The parquet `JobStore` gets cross-instance atomicity from `fcntl.flock`
+(faithful to the reference's Redis lock, redis/lock.ex:8-41, and correct on
+a shared POSIX mount) — but flock does not exist on S3/GCS/ABFS.  This
+backend proves the `LogBackend` seam with the OTHER concurrency model, the
+one Delta Lake and Iceberg actually use on object stores: **optimistic
+concurrency over an atomic create-if-absent commit primitive**.
+
+The commit primitive here is `link(tmp, <version>.json)` — create a fully
+written file at a name that must not already exist, atomically.  Its
+object-store analog is a conditional PUT (S3 `If-None-Match: *`, GCS
+`x-goog-if-generation-match: 0`), the exact primitive Delta 3.x uses for
+S3 commits; on HDFS it is `create(path, overwrite=false)`.  Every piece of
+shared mutable state rides on that one primitive:
+
+- **Visibility = commit.**  Data files are written first (invisible), then
+  a commit publishes the new live-file snapshot.  A reader lists ONE commit
+  file and sees a consistent table — never a partial write, never a torn
+  compaction.  Losing a commit race re-reads and retries (serializable,
+  like Delta's `ConcurrentAppendException` retry loop).
+- **next_seq = commit version.**  Each allocation claims one version v and
+  returns `v << 20` — later allocations always win larger values across
+  every instance, with 2^20 consecutive values of headroom per call (the
+  Delta mapping in backend.py: "the commit version of the txn").
+- **claim_lock = a lease row in the snapshot.**  Acquire commits
+  `locks[queue] = {token, expires}` conditionally on the lock being free or
+  expired; release commits its removal.  Mutual exclusion comes from the
+  create-if-absent linearization, liveness from the lease expiry (a crashed
+  holder's lock self-heals after `lock_lease_s`) — the DynamoDB-lock-client
+  pattern, here with no extra service.
+- **Control flags stay plain objects** (create/delete, no read-modify-write
+  needed): a blind PUT/DELETE is already atomic on object stores, and
+  idempotence markers MUST be writable from executors without a driver-side
+  transaction (backend.py::processed_marker_dir).
+
+Compaction keeps JobStore's snapshot-then-delete contract but gets a
+stronger guarantee for free: the file-list swap is one atomic commit, so a
+reader either sees the old files (still present until post-commit deletes,
+spared by `min_age_s` grace for in-flight readers) or the compacted file —
+never a mix.
+
+Reference parity: everything the reference serializes through Redis
+(INCR for ids, the bulk-dequeue lock, pause flags) maps onto the one
+conditional-PUT primitive; behavior is gated by the same contract suite
+(tests/test_backend.py) parametrized over both backends.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from contextlib import contextmanager
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flume_spark.queue.backend import LogBackend
+from flume_spark.queue.schema import JOB_LOG_SCHEMA
+from flume_spark.queue.store import read_parquet_rows, rows_to_arrow_table
+
+_SEQ_SHIFT = 20  # next_seq headroom per commit version (2^20 values)
+
+
+class OptimisticLogStore(LogBackend):
+    """Commit-log job store: parquet data files + JSON snapshot commits,
+    serialized only by atomic create-if-absent (no flock anywhere).
+
+    Layout:
+      <path>/                 data files (parquet; visible only if committed)
+      <path>.commits/<v>.json full live-state snapshot at version v
+      <path>.control/         flags + processed markers (blind PUT/DELETE)
+      <path>.archive/         compacted-out succeeded records
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        lock_lease_s: float = 60.0,
+        poll_interval_s: float = 0.01,
+    ):
+        self.spark = spark
+        self.path = path
+        self.lock_lease_s = lock_lease_s
+        self.poll_interval_s = poll_interval_s
+        self.owner = uuid.uuid4().hex
+        os.makedirs(path, exist_ok=True)
+        os.makedirs(self._commit_dir, exist_ok=True)
+
+    # -- the commit primitive -------------------------------------------------
+
+    @property
+    def _commit_dir(self) -> str:
+        return self.path.rstrip("/") + ".commits"
+
+    def _latest(self) -> tuple[int, dict]:
+        """Newest committed (version, state).  One listing + one read — the
+        snapshot commit carries the FULL live state, so there is no log
+        replay (compaction bounds the file list, so snapshots stay small;
+        a production impl would page via Delta-style checkpoints)."""
+        versions = [
+            int(n[:-5])
+            for n in os.listdir(self._commit_dir)
+            if n.endswith(".json")
+        ]
+        if not versions:
+            return 0, {"files": [], "locks": {}}
+        v = max(versions)
+        with open(os.path.join(self._commit_dir, f"{v:020d}.json")) as f:
+            return v, json.load(f)
+
+    def _try_commit(self, version: int, state: dict) -> bool:
+        """Atomically create commit `version`; False if another writer won.
+        Write-tmp-then-link makes the full content appear atomically at a
+        must-not-exist name — the conditional-PUT analog."""
+        final = os.path.join(self._commit_dir, f"{version:020d}.json")
+        tmp = os.path.join(self._commit_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        try:
+            os.link(tmp, final)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def _commit(self, mutate) -> tuple[int, dict, bool]:
+        """Optimistic read-mutate-commit loop.  `mutate(state) -> state|None`
+        (None = precondition not met, e.g. lock held: no commit).  Returns
+        (version, state, committed).  Conflicts re-read and re-mutate —
+        never block, never corrupt (Delta's retry loop)."""
+        while True:
+            v, state = self._latest()
+            new_state = mutate(json.loads(json.dumps(state)))
+            if new_state is None:
+                return v, state, False
+            if self._try_commit(v + 1, new_state):
+                return v + 1, new_state, True
+
+    # -- write path -----------------------------------------------------------
+
+    def next_seq(self, n: int = 1) -> int:
+        assert n < (1 << _SEQ_SHIFT), "next_seq headroom exceeded"
+        v, _, _ = self._commit(lambda s: s)
+        return v << _SEQ_SHIFT
+
+    def _commit_files(self, names: list[str]) -> None:
+        if names:
+            self._commit(lambda s: {**s, "files": s["files"] + names})
+
+    def append(self, df: DataFrame) -> None:
+        self.publish(df, f"append-{uuid.uuid4().hex[:12]}")
+
+    def append_rows(self, rows: list[dict]) -> None:
+        if not rows:
+            return
+        table = rows_to_arrow_table(rows)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        pq.write_table(table, os.path.join(self.path, name))
+        # data file first (invisible), then the commit makes it live
+        self._commit_files([name])
+
+    def publish(self, df: DataFrame, tag: str) -> list[str]:
+        """Distributed write -> stage -> move data files in (still invisible:
+        nothing reads the data dir directly) -> ONE commit publishes them.
+        Zero-row part files are dropped before the commit, so an empty frame
+        publishes nothing and bumps nothing."""
+        staging = f"{self.path.rstrip('/')}.staging/{tag}-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(staging)
+        names, paths = [], []
+        for i, n in enumerate(sorted(os.listdir(staging))):
+            if not n.endswith(".parquet"):
+                continue
+            src = os.path.join(staging, n)
+            if pq.ParquetFile(src).metadata.num_rows == 0:
+                continue
+            name = f"{tag}-{i}-{uuid.uuid4().hex[:8]}.parquet"
+            os.rename(src, os.path.join(self.path, name))
+            names.append(name)
+            paths.append(os.path.join(self.path, name))
+        shutil.rmtree(staging, ignore_errors=True)
+        self._commit_files(names)
+        return paths
+
+    # -- read path ------------------------------------------------------------
+
+    def _live_paths(self) -> list[str]:
+        _, state = self._latest()
+        return [os.path.join(self.path, n) for n in state["files"]]
+
+    def log(self) -> DataFrame:
+        paths = self._live_paths()
+        if not paths:
+            return self.spark.createDataFrame([], JOB_LOG_SCHEMA)
+        return self.spark.read.schema(JOB_LOG_SCHEMA).parquet(*paths)
+
+    def _latest_per_jid(self, log: DataFrame) -> DataFrame:
+        w = Window.partitionBy("jid").orderBy(F.col("seq").desc())
+        return (
+            log.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def current(self, prefilter=None) -> DataFrame:
+        log = self.log()
+        if prefilter is not None:
+            log = log.filter(prefilter)
+        return self._latest_per_jid(log)
+
+    def as_of(self, seq: int, prefilter=None) -> DataFrame:
+        log = self.log().filter(F.col("seq") <= seq)
+        if prefilter is not None:
+            log = log.filter(prefilter)
+        return self._latest_per_jid(log)
+
+    @staticmethod
+    def count_rows(paths: list[str]) -> int:
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+
+    def read_rows(self, paths: list[str]) -> list[dict]:
+        return read_parquet_rows(paths)
+
+    def is_empty(self) -> bool:
+        _, state = self._latest()
+        return not state["files"]
+
+    # -- maintenance ----------------------------------------------------------
+
+    def maybe_compact(
+        self,
+        max_files: int = 256,
+        archive_succeeded: bool = False,
+        min_age_s: float = 0.0,
+    ) -> bool:
+        _, state = self._latest()
+        if len(state["files"]) <= max_files:
+            return False
+        self.compact(archive_succeeded=archive_succeeded, min_age_s=min_age_s)
+        return True
+
+    def compact(
+        self, archive_succeeded: bool = False, min_age_s: float = 0.0
+    ) -> None:
+        """Snapshot-list rewrite with an ATOMIC swap: read the committed
+        files older than the grace, write the compacted (and archive)
+        output as new data files, then one commit replaces exactly the
+        snapshotted names — a concurrent append's names survive because
+        the commit's mutate re-reads the current list and subtracts only
+        the snapshot.  Physical deletes happen only after the commit, so a
+        reader planning over the old snapshot version still finds its
+        files (the `min_age_s` grace covers readers that planned just
+        before the commit, same contract as JobStore.compact)."""
+        cutoff = time.time() - min_age_s
+        _, state = self._latest()
+        snap_names = []
+        for n in state["files"]:
+            p = os.path.join(self.path, n)
+            try:
+                if os.path.getmtime(p) <= cutoff:
+                    snap_names.append(n)
+            except OSError:
+                continue
+        if not snap_names:
+            return
+        log = self.spark.read.schema(JOB_LOG_SCHEMA).parquet(
+            *[os.path.join(self.path, n) for n in snap_names]
+        )
+        snapshot = self._latest_per_jid(log).persist()
+        try:
+            self._gc_processed_markers(snapshot, min_age_s)
+            tag = f"compact-{self.next_seq()}"
+            if archive_succeeded:
+                self._archive(snapshot.filter(F.col("status") == "succeeded"))
+                live = snapshot.filter(F.col("status") != "succeeded")
+            else:
+                live = snapshot
+            # write the compacted data files WITHOUT committing them yet
+            staging = f"{self.path.rstrip('/')}.staging/{tag}"
+            live.write.mode("overwrite").parquet(staging)
+            new_names = []
+            for i, n in enumerate(sorted(os.listdir(staging))):
+                if not n.endswith(".parquet"):
+                    continue
+                src = os.path.join(staging, n)
+                if pq.ParquetFile(src).metadata.num_rows == 0:
+                    continue
+                name = f"{tag}-{i}.parquet"
+                os.rename(src, os.path.join(self.path, name))
+                new_names.append(name)
+            shutil.rmtree(staging, ignore_errors=True)
+            dead = set(snap_names)
+            self._commit(
+                lambda s: {
+                    **s,
+                    "files": [n for n in s["files"] if n not in dead]
+                    + new_names,
+                }
+            )
+        finally:
+            snapshot.unpersist()
+        for n in snap_names:
+            try:
+                os.unlink(os.path.join(self.path, n))
+            except FileNotFoundError:
+                pass  # a racing compact already removed it
+
+    def _archive(self, succeeded: DataFrame) -> None:
+        dest = self.path.rstrip("/") + ".archive"
+        staging = f"{self.path.rstrip('/')}.staging/archive-{uuid.uuid4().hex[:8]}"
+        succeeded.write.mode("overwrite").parquet(staging)
+        os.makedirs(dest, exist_ok=True)
+        for i, n in enumerate(sorted(os.listdir(staging))):
+            if not n.endswith(".parquet"):
+                continue
+            src = os.path.join(staging, n)
+            if pq.ParquetFile(src).metadata.num_rows == 0:
+                continue
+            os.rename(src, os.path.join(dest, f"archive-{uuid.uuid4().hex}.parquet"))
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def archive(self) -> DataFrame:
+        return (
+            self.spark.read.schema(JOB_LOG_SCHEMA)
+            .parquet(self.path.rstrip("/") + ".archive")
+            .dropDuplicates(["jid", "seq"])
+        )
+
+    def _gc_processed_markers(self, snapshot: DataFrame, min_age_s: float) -> None:
+        """Same crash-window marker GC contract as JobStore (store.py):
+        markers whose job's latest record is succeeded/archived are
+        removed; young markers are spared for in-flight triggers."""
+        mdir = self.processed_marker_dir()
+        if not os.path.isdir(mdir):
+            return
+        cutoff = time.time() - min_age_s
+        jids = []
+        for n in os.listdir(mdir):
+            if n.startswith("."):
+                continue
+            try:
+                if os.path.getmtime(os.path.join(mdir, n)) <= cutoff:
+                    jids.append(n)
+            except OSError:
+                continue
+        if not jids:
+            return
+        still_live = {
+            r["jid"]
+            for r in snapshot.filter(F.col("jid").isin(jids))
+            .filter(F.col("status") != "succeeded")
+            .select("jid")
+            .collect()
+        }
+        for jid in jids:
+            if jid not in still_live:
+                self.clear_flag(f"processed/{jid}")
+
+    # -- claim lock: lease via conditional commit ------------------------------
+
+    @contextmanager
+    def claim_lock(self, queue: str):
+        """Per-queue mutual exclusion WITHOUT flock: a lease row committed
+        through the create-if-absent primitive.  Acquire succeeds only when
+        the commit whose precondition saw the lock free/expired wins its
+        version — two contenders racing produce one winner (the other's
+        create fails and it re-reads a state where the lock is held).
+        A crashed holder's lease expires after `lock_lease_s`, restoring
+        liveness with at-most-one active holder at all times (the next
+        acquirer takes over only via another conditional commit)."""
+        token = uuid.uuid4().hex
+        while True:
+            def acquire(state):
+                locks = state.get("locks", {})
+                cur = locks.get(queue)
+                if cur and cur["expires"] > time.time():
+                    return None  # held and live: no commit, poll again
+                locks[queue] = {
+                    "token": token,
+                    "owner": self.owner,
+                    "expires": time.time() + self.lock_lease_s,
+                }
+                return {**state, "locks": locks}
+
+            _, _, committed = self._commit(acquire)
+            if committed:
+                break
+            time.sleep(self.poll_interval_s)
+        try:
+            yield
+        finally:
+            def release(state):
+                locks = state.get("locks", {})
+                if locks.get(queue, {}).get("token") != token:
+                    return None  # expired + taken over: not ours to clear
+                locks = dict(locks)
+                del locks[queue]
+                return {**state, "locks": locks}
+
+            self._commit(release)
+
+    # -- control flags: blind PUT/DELETE objects -------------------------------
+    # No read-modify-write needed, so no commit: a flag is one object, and
+    # executors write idempotence markers here directly (no driver txn).
+
+    def _flag_path(self, flag: str) -> str:
+        return os.path.join(self.path.rstrip("/") + ".control", flag)
+
+    def set_flag(self, flag: str) -> None:
+        path = self._flag_path(flag)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("true")
+        os.rename(tmp, path)
+
+    def clear_flag(self, flag: str) -> None:
+        try:
+            os.unlink(self._flag_path(flag))
+        except FileNotFoundError:
+            pass
+
+    def has_flag(self, flag: str) -> bool:
+        return os.path.exists(self._flag_path(flag))
+
+    def processed_marker_dir(self) -> str:
+        return os.path.dirname(self._flag_path("processed/x"))

@@ -50,6 +50,41 @@ _ARROW_SCHEMA = pa.schema(
 )
 
 
+def rows_to_arrow_table(rows: list[dict]) -> pa.Table:
+    """Driver-local rows -> an Arrow table in the job-log schema (shared by
+    every backend's small-append fast path)."""
+    cols = {name: [r.get(name) for r in rows] for name in _ARROW_SCHEMA.names}
+    arrays = [
+        pa.array(
+            [None if v is None else list(v.items()) for v in cols[f.name]]
+            if pa.types.is_map(f.type)
+            else cols[f.name],
+            type=f.type,
+        )
+        for f in _ARROW_SCHEMA
+    ]
+    return pa.Table.from_arrays(arrays, schema=_ARROW_SCHEMA)
+
+
+def read_parquet_rows(paths: list[str]) -> list[dict]:
+    """Driver-side pyarrow read of specific log files as plain dicts (UTC
+    naive timestamps, dict contexts) — shared by every backend's bounded
+    control-plane read."""
+    from datetime import datetime, timezone
+
+    tbl = pa.concat_tables(
+        [pq.read_table(p) for p in paths], promote_options="permissive"
+    )
+    rows = tbl.to_pylist()
+    for r in rows:
+        for k, v in r.items():
+            if isinstance(v, datetime) and v.tzinfo is not None:
+                r[k] = v.astimezone(timezone.utc).replace(tzinfo=None)
+        if isinstance(r.get("context"), list):
+            r["context"] = dict(r["context"])
+    return rows
+
+
 class JobStore(LogBackend):
     """The parquet-log implementation of `LogBackend` (see backend.py for
     the per-method Delta/Iceberg mapping): append-only job log with
@@ -111,19 +146,7 @@ class JobStore(LogBackend):
         """
         if not rows:
             return
-        cols = {
-            name: [r.get(name) for r in rows] for name in _ARROW_SCHEMA.names
-        }
-        arrays = [
-            pa.array(
-                [None if v is None else list(v.items()) for v in cols[f.name]]
-                if pa.types.is_map(f.type)
-                else cols[f.name],
-                type=f.type,
-            )
-            for f in _ARROW_SCHEMA
-        ]
-        table = pa.Table.from_arrays(arrays, schema=_ARROW_SCHEMA)
+        table = rows_to_arrow_table(rows)
         name = f"part-{uuid.uuid4().hex}.parquet"
         tmp = os.path.join(self.path, f".{name}.tmp")
         pq.write_table(table, tmp)
@@ -143,19 +166,7 @@ class JobStore(LogBackend):
         reference's Redis round-trip carries.  Never point this at the log
         dir itself.
         """
-        from datetime import datetime, timezone
-
-        tbl = pa.concat_tables(
-            [pq.read_table(p) for p in paths], promote_options="permissive"
-        )
-        rows = tbl.to_pylist()
-        for r in rows:
-            for k, v in r.items():
-                if isinstance(v, datetime) and v.tzinfo is not None:
-                    r[k] = v.astimezone(timezone.utc).replace(tzinfo=None)
-            if isinstance(r.get("context"), list):
-                r["context"] = dict(r["context"])
-        return rows
+        return read_parquet_rows(paths)
 
     def publish(self, df: DataFrame, tag: str) -> list[str]:
         """Stage a distributed write, then rename only data-bearing part

@@ -9,10 +9,11 @@ from datetime import datetime
 
 import pytest
 
-from flume_spark.queue import JobStore, LogBackend
+from flume_spark.queue import JobStore, LogBackend, OptimisticLogStore
 
 BACKENDS = {
     "parquet_log": lambda spark, path: JobStore(spark, path),
+    "optimistic_commit": lambda spark, path: OptimisticLogStore(spark, path),
 }
 
 
@@ -163,3 +164,100 @@ def test_claim_lock_contract(backend):
         order.append("b")
     t.join()
     assert order == ["a1", "a2", "b"]
+
+
+def test_commit_race_single_winner(spark, tmp_path):
+    """The optimistic primitive itself: N instances racing to commit the
+    same version produce exactly one winner per version, and every retry
+    converges — interleaved next_seq across 4 instances yields strictly
+    increasing, never-duplicated values (seq = commit version, so a torn
+    race would surface as a duplicate)."""
+    import threading
+
+    from flume_spark.queue import OptimisticLogStore
+
+    path = str(tmp_path / "race")
+    stores = [OptimisticLogStore(spark, path) for _ in range(4)]
+    got: list[int] = []
+    lock = threading.Lock()
+
+    def alloc(store):
+        for _ in range(25):
+            s = store.next_seq()
+            with lock:
+                got.append(s)
+
+    threads = [threading.Thread(target=alloc, args=(s,)) for s in stores]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(got) == 100
+    assert len(set(got)) == 100, "duplicate seq => a commit race had 2 winners"
+
+
+def test_lock_lease_expiry_takeover(spark, tmp_path):
+    """A crashed holder's lease must self-heal: a lock acquired and never
+    released (simulated crash) is taken over after lock_lease_s, and the
+    dead holder's late release must NOT clear the new holder's lock."""
+    from flume_spark.queue import OptimisticLogStore
+
+    path = str(tmp_path / "lease")
+    dead = OptimisticLogStore(spark, path, lock_lease_s=0.3)
+    live = OptimisticLogStore(spark, path, lock_lease_s=60.0)
+    crash = dead.claim_lock("q")
+    crash.__enter__()  # acquired, then "crash": never exits
+    t0 = __import__("time").perf_counter()
+    with live.claim_lock("q"):  # blocks until the 0.3s lease expires
+        waited = __import__("time").perf_counter() - t0
+        assert waited >= 0.2, f"took over a live lease after {waited}s"
+        # the dead holder's deferred release runs while `live` holds:
+        # token mismatch => no-op, live's lock survives
+        crash.__exit__(None, None, None)
+        _, state = live._latest()
+        assert state["locks"]["q"]["owner"] == live.owner
+
+
+def test_engine_end_to_end_on_optimistic_backend(spark, tmp_path):
+    """The full engine (enqueue -> claim -> dispatch -> ack -> retry -> DLQ)
+    must run unchanged on the lock-free backend — the proof the seam is
+    pluggable, not just that the storage methods pass in isolation."""
+    import json as _json
+
+    from flume_spark.queue import OptimisticLogStore, QueueManager, WorkerRegistry
+    from flume_spark.queue.manager import Pipeline
+
+    journal = str(tmp_path / "journal.jsonl")
+    registry = WorkerRegistry()
+
+    @registry.register("Echo")
+    def echo(*args):
+        with open(journal, "a") as f:
+            f.write(_json.dumps(list(args)) + "\n")
+
+    @registry.register("Boom")
+    def boom(*args):
+        raise ValueError("boom")
+
+    store = OptimisticLogStore(spark, str(tmp_path / "jobs"))
+    mgr = QueueManager(
+        spark,
+        store,
+        registry,
+        pipelines=[Pipeline(name="p", queue="q", max_demand=10)],
+        max_retries=1,
+    )
+    t0 = 1_700_000_000.0
+    for i in range(3):
+        mgr.enqueue("q", "Echo", [i], now=t0 + i)
+    jid_fail = mgr.enqueue("q", "Boom", [], now=t0 + 3)
+    mgr.run_once("p", now=t0 + 10)
+    with open(journal) as f:
+        assert [_json.loads(l)[0] for l in f] == [0, 1, 2]
+    cur = {r["jid"]: r["status"] for r in store.current().collect()}
+    assert cur[jid_fail] == "retry"
+    # retry due after backoff -> fails again -> max_retries=1 exhausted -> dead
+    mgr.run_once("p", now=t0 + 100)
+    cur = {r["jid"]: r["status"] for r in store.current().collect()}
+    assert cur[jid_fail] == "dead"
+    assert sum(1 for s in cur.values() if s == "succeeded") == 3
