@@ -12,10 +12,15 @@ Exactness discipline (the repo's float policy, applied end to end):
 - PAA segment means are integer micro-units via the round-half-up
   identity (2s + c) div (2c) — aggregation-order-independent, so the
   whole segmentation hash-checks cross-engine.
-- Symbolization is CASE thresholds on those integers (classic SAX
-  z-normalizes per series first; that divides by a per-series float
-  std, so this variant symbolizes on the ABSOLUTE value scale — the
-  blocking quality trade is documented, the determinism is total).
+- Symbolization comes in two variants: `sax_words` is CASE thresholds on
+  the absolute integer value scale (level-sensitive blocking, zero
+  rounding boundaries), and `sax_words_znorm` is classic per-series
+  z-normalized SAX with the float division eliminated algebraically —
+  the symbol test is a pure BIGINT comparison against
+  floor(sqrt(double(n·Σm²−S²))), whose one rounding boundary is
+  engine-identical (see its docstring).  Use znorm when series differ
+  mainly by offset/amplitude (shape search), absolute when the LEVEL is
+  the signal (capacity bands, spend tiers).
 - Pair distance is an exact BIGINT sum of squared integer differences.
 
 Scale shape: one key-grain shuffle for segment sums; the key x segment
@@ -103,6 +108,95 @@ def sax_words(paa: DataFrame, breakpoints: list[int]) -> DataFrame:
         expr = expr.when(F.col("mean_micro") < bp, F.lit(alphabet[i]))
     sym = expr.otherwise(F.lit(alphabet[-1]))
     per = paa.select("key", "seg", sym.alias("sym"))
+    return per.groupBy("key").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "sym"))),
+                lambda x: x["sym"],
+            ),
+        ).alias("word")
+    )
+
+
+def sax_words_znorm(
+    paa: DataFrame,
+    breakpoints: list[tuple[int, int]],
+    n_segments: int,
+) -> DataFrame:
+    """(key, word): classic z-normalized SAX, exact-integer end to end.
+
+    Per-series z-normalization makes the word a SHAPE key — two series
+    differing only by offset/amplitude get the same word, which the
+    absolute-scale `sax_words` cannot do (its documented trade).  The
+    float division classic SAX needs is eliminated algebraically:
+
+      z_i < b  ⟺  (m_i - μ)/σ < b  ⟺  d_i < b·sqrt(v)      where
+      d_i = n·m_i - S (integer),  S = Σm,  v = n·Σm² - S² = n²σ² (integer,
+      ≥ 0 by Cauchy-Schwarz).
+
+    With rational breakpoints b = p/q (q > 0) the symbol test is the pure
+    BIGINT comparison  d_i·q < p·s_v,  where s_v = floor(sqrt(double(v)))
+    is THE one documented rounding boundary: int64→double is
+    round-nearest-even and sqrt is IEEE-correctly-rounded in both
+    engines, so s_v is engine-identical even where it differs from the
+    true integer sqrt by 1.  Everything else is exact integers, so the
+    whole word hash-checks cross-engine.
+
+    Flat series (v = 0 ⇒ every d_i = 0) fail every `< p·0` test and all
+    collapse to the LAST symbol repeated — one shared block, which is the
+    right blocking outcome (flat series are all trivially similar).
+
+    `breakpoints` are (numer, denom) rationals in z-units, ascending —
+    e.g. the Gaussian equiprobable cuts for a 4-symbol alphabet:
+    [(-6745, 10000), (0, 1), (6745, 10000)].  `n_segments` must match the
+    PAA (the zero-filled spine guarantees exactly n rows per key, so n is
+    a compile-time constant, not a per-key count).
+
+    One shuffle: the per-key stats ride a key-partitioned window over the
+    PAA rows instead of a join.
+    """
+    if not breakpoints:
+        raise ValueError(
+            "sax_words_znorm requires at least one breakpoint: a 1-symbol "
+            "alphabet maps every series to the same word, which is not "
+            "a blocking key"
+        )
+    for p, q in breakpoints:
+        if q <= 0:
+            raise ValueError(f"breakpoint denominators must be > 0, got {q}")
+    from pyspark.sql.window import Window
+
+    alphabet = [chr(ord("a") + i) for i in range(len(breakpoints) + 1)]
+    wk = Window.partitionBy("key")
+    n = F.lit(n_segments).cast("long")
+    m = F.col("mean_micro")
+    scored = paa.select(
+        "key",
+        "seg",
+        m,
+        F.sum(m).over(wk).alias("_S"),
+        F.sum(m * m).over(wk).alias("_S2"),
+    ).select(
+        "key",
+        "seg",
+        (n * m - F.col("_S")).alias("_d"),
+        F.floor(
+            F.sqrt((n * F.col("_S2") - F.col("_S") * F.col("_S")).cast("double"))
+        )
+        .cast("long")
+        .alias("_sv"),
+    )
+    p0, q0 = breakpoints[0]
+    expr = F.when(
+        F.col("_d") * F.lit(q0) < F.lit(p0) * F.col("_sv"), F.lit(alphabet[0])
+    )
+    for i, (p, q) in enumerate(breakpoints[1:], start=1):
+        expr = expr.when(
+            F.col("_d") * F.lit(q) < F.lit(p) * F.col("_sv"), F.lit(alphabet[i])
+        )
+    sym = expr.otherwise(F.lit(alphabet[-1]))
+    per = scored.select("key", "seg", sym.alias("sym"))
     return per.groupBy("key").agg(
         F.concat_ws(
             "",

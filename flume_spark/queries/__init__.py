@@ -53,6 +53,8 @@ _NEEDS_DRIVER_ROW = [  # round-6 additions/changes, ascending expected sf0.01 ru
     "rate_window_count",
     # histogram oracle literals wrapped CAST(q AS DOUBLE) (ADVICE fix)
     "histogram_quantiles",
+    # new round-6 queries
+    "ts_sax_znorm",
 ]
 
 # Union of CORRECTNESS_r01..r05 keys: 168 hash-green, 5 rows-only by

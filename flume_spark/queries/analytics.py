@@ -682,6 +682,52 @@ SELECT key AS user_id, word FROM words
 """
 
 
+def ts_sax_znorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic z-normalized SAX words over the same 32-day user activity
+    PAA as ts_sax_words (operators/timeseries.py::sax_words_znorm): the
+    shape-blocking variant — offset/amplitude shifts between users no
+    longer change the word.  8 segments x 4 Gaussian-equiprobable symbols;
+    exact integers except the one documented floor(sqrt(double)) boundary,
+    which is engine-identical, so the words hash-check."""
+    from flume_spark.operators import timeseries
+
+    ev = T(spark, sf_dir, "events")
+    paa = timeseries.paa_segments(ev, "user_id", "ts", "value", "2024-01-01", 32, 8)
+    return timeseries.sax_words_znorm(
+        paa, [(-6745, 10000), (0, 1), (6745, 10000)], 8
+    ).select(F.col("key").alias("user_id"), "word")
+
+
+_TS_PAA8_SQL = _TS_PAA_SQL.replace("* 4)", "* 8)").replace(
+    "range(0, 4)", "range(0, 8)"
+)
+# the CTE chain up to (and including) `paa` — the `words` CTE is the
+# absolute-scale symbolization, replaced below by the z-normalized one
+_TS_PAA8_CORE = _TS_PAA8_SQL.split(",\nwords AS")[0]
+
+TS_SAX_ZNORM_SQL = f"""
+WITH {_TS_PAA8_CORE},
+scored AS (
+  SELECT key, seg,
+         8 * m - sum(m) OVER (PARTITION BY key) AS d,
+         CAST(floor(sqrt(CAST(8 * sum(m * m) OVER (PARTITION BY key)
+                              - sum(m) OVER (PARTITION BY key)
+                                * sum(m) OVER (PARTITION BY key)
+                              AS DOUBLE))) AS BIGINT) AS sv
+  FROM paa
+),
+zwords AS (
+  SELECT key,
+         string_agg(CASE WHEN d * 10000 < -6745 * sv THEN 'a'
+                         WHEN d * 1 < 0 * sv THEN 'b'
+                         WHEN d * 10000 < 6745 * sv THEN 'c'
+                         ELSE 'd' END, '' ORDER BY seg) AS word
+  FROM scored GROUP BY 1
+)
+SELECT key AS user_id, word FROM zwords
+"""
+
+
 def ts_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search over the user activity series: candidate pairs
     from the SAX word block join (never all-pairs), verified by the
@@ -1222,6 +1268,7 @@ QUERIES = {
     "sketch_countmin": sketch_countmin,
     "channel_running_compare": channel_running_compare,
     "ts_sax_words": ts_sax_words,
+    "ts_sax_znorm": ts_sax_znorm,
     "ts_similar_users": ts_similar_users,
     "sketch_histogram": sketch_histogram,
     "histogram_quantiles": histogram_quantiles,
@@ -1250,6 +1297,7 @@ ORACLES = {
     "sketch_countmin": SKETCH_COUNTMIN_SQL,
     "channel_running_compare": CHANNEL_RUNNING_SQL,
     "ts_sax_words": TS_SAX_WORDS_SQL,
+    "ts_sax_znorm": TS_SAX_ZNORM_SQL,
     "ts_similar_users": TS_SIMILAR_USERS_SQL,
     "sketch_histogram": SKETCH_HISTOGRAM_SQL,
     "histogram_quantiles": HISTOGRAM_QUANTILES_SQL,

@@ -526,6 +526,94 @@ def main_ts() -> None:
         corpus.unpersist()
 
 
+def main_znorm() -> None:
+    """Blocking-quality probe: z-normalized vs absolute-scale SAX words on
+    OFFSET-SHIFTED series (the verdict's missing evidence row).
+
+    Corpus = sf0.1 events users replicated x f where replica r adds a
+    CONSTANT per-(user, replica) offset ((user*37 + r*101) % 350) to every
+    value — same shape, shifted level: each base user's f replicas are
+    shape-twins that a shape search must block together.  Metrics:
+
+    - twin_recall: fraction of same-base-user replica pairs whose words
+      match (candidate-join would recover them).  znorm should be ~1.0
+      (offset cancels in z-space, up to the floor-sqrt boundary);
+      absolute-scale splits twins across level bands.
+    - pairs_per_user: total word-block candidate pairs / users — blocking
+      stays bounded for both (no quadratic blowup), so the recall gain is
+      not bought with candidate explosion.
+    """
+    from flume_spark.operators import timeseries
+    from flume_spark.queries._util import T
+
+    factors = sorted(int(a) for a in sys.argv[2:]) or [4]
+    spark = get_spark(app_name="flume_probe_znorm")
+    ev = T(spark, SF_DIR, "events").select("user_id", "ts", "value")
+    for f in factors:
+        reps = [
+            ev.select(
+                (F.col("user_id") + r * 10_000_000).alias("user_id"),
+                "ts",
+                (
+                    F.col("value")
+                    + ((F.col("user_id") * 37 + r * 101) % 350).cast("double")
+                ).alias("value"),
+            )
+            for r in range(f)
+        ]
+        corpus = reps[0]
+        for rdf in reps[1:]:
+            corpus = corpus.unionByName(rdf)
+        corpus = corpus.localCheckpoint(eager=True)
+        n_users = corpus.select("user_id").distinct().count()
+        paa = timeseries.paa_segments(
+            corpus, "user_id", "ts", "value", "2024-01-01", 32, 8
+        )
+        variants = {
+            "absolute": timeseries.sax_words(
+                paa, [1_500_000, 2_500_000, 3_500_000]
+            ),
+            "znorm": timeseries.sax_words_znorm(
+                paa, [(-6745, 10000), (0, 1), (6745, 10000)], 8
+            ),
+        }
+        for name, words in variants.items():
+            w = words.withColumn(
+                "base", F.col("key") % 10_000_000
+            ).localCheckpoint(eager=True)
+            # shape twins recovered: same base user, same word
+            twin_hits = (
+                w.groupBy("base", "word")
+                .count()
+                .select(F.sum(F.expr("count * (count - 1) / 2")))
+                .collect()[0][0]
+                or 0
+            )
+            twin_total = n_users / f * (f * (f - 1) / 2)
+            cand_pairs = (
+                w.groupBy("word")
+                .count()
+                .select(F.sum(F.expr("count * (count - 1) / 2")))
+                .collect()[0][0]
+                or 0
+            )
+            print(
+                json.dumps(
+                    {
+                        "probe": f"znorm_blocking@x{f}",
+                        "variant": name,
+                        "users": n_users,
+                        "twin_recall": round(float(twin_hits) / twin_total, 3)
+                        if twin_total
+                        else None,
+                        "pairs_per_user": round(float(cand_pairs) / n_users, 2),
+                    }
+                ),
+                flush=True,
+            )
+        corpus.unpersist()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--ingest":
         main_ingest()
@@ -537,5 +625,7 @@ if __name__ == "__main__":
         main_ts()
     elif len(sys.argv) > 1 and sys.argv[1] == "--claim":
         main_claim()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--znorm":
+        main_znorm()
     else:
         main()
