@@ -69,10 +69,18 @@ def write_edge_index(
     degrees are a static property of the layout, so they're paid once at
     write time and the per-iteration 3-way join (edges ⋈ degs ⋈ ranks)
     collapses to ONE join (edges ⋈ ranks) — both pagerank variants detect
-    the column and skip the degs join.  Degrees are computed over THIS
-    call's `edges`; the index describes one complete graph snapshot
-    (rewrite it to change the graph — per-batch appends would hold stale
-    per-batch degrees, which is why there is no append mode).
+    the column and skip the degs join.
+
+    Growing graphs: `append_edge_index` adds an edge batch (its stored
+    out_deg is BATCH-local, i.e. stale as a global degree), and
+    `read_edge_index` is the always-correct reader — it re-derives the
+    true degree as a bucket-local window count, exchange-free, so
+    iteration correctness never depends on compaction having run.
+    `compact_edge_index` is the maintenance pass that merges degrees and
+    collapses batches back into one snapshot whose STORED out_deg is
+    globally correct again (then `spark.table(name)` is equivalent to
+    `read_edge_index`).  Reading `spark.table(name)` directly is only
+    valid on a never-appended or freshly compacted index.
 
     Size `buckets` to `spark.sql.shuffle.partitions` (or a divisor): the
     rank vector's aggregates land on that partition count, and matching
@@ -88,15 +96,140 @@ def write_edge_index(
     rows = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     decorated = rows.join(
         out_degrees(rows).withColumnRenamed("vertex", "src"), "src"
-    )
+    ).withColumn("ingest_batch", F.lit(0))
     (
         decorated.repartition(buckets, F.col("src"))
-        .write.bucketBy(buckets, "src")
+        .write.partitionBy("ingest_batch")
+        .bucketBy(buckets, "src")
         .sortBy("src")
         .mode("overwrite")
         .option("path", path)
         .saveAsTable(table_name)
     )
+
+
+def append_edge_index(
+    new_edges: DataFrame,
+    table_name: str,
+    ingest_batch: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> None:
+    """Add an edge batch to an existing edge index WITHOUT rewriting it —
+    the incremental story a streaming graph needs (the band-index append
+    treatment, `dedup.write_band_index(mode="append")`, applied here).
+
+    The appended rows' stored `out_deg` is the BATCH-local degree — a
+    merged global degree cannot be written without reading the whole
+    index, which is exactly the full rewrite this path exists to avoid.
+    Consumers therefore read a growing index through `read_edge_index`
+    (re-derives true degrees bucket-locally) until `compact_edge_index`
+    merges the batches; only the two maintenance moments touch
+    index-sized data.  `ingest_batch` must be fresh per append (it is the
+    replay-exclusion partition key, like the band index's).
+
+    Spark verifies the bucket spec matches the existing table, so the
+    append lands in the same src buckets and every reader keeps the
+    exchange-free edge side.
+    """
+    spark = new_edges.sparkSession
+    buckets = _table_bucket_count(spark, table_name)
+    rows = new_edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    decorated = rows.join(
+        out_degrees(rows).withColumnRenamed("vertex", "src"), "src"
+    ).withColumn("ingest_batch", F.lit(ingest_batch))
+    (
+        decorated.repartition(buckets, F.col("src"))
+        .write.partitionBy("ingest_batch")
+        .bucketBy(buckets, "src")
+        .sortBy("src")
+        .mode("append")
+        .saveAsTable(table_name)
+    )
+
+
+def _table_bucket_count(spark, table_name: str) -> int:
+    """The bucket count of a saved table (from the catalog describe)."""
+    row = (
+        spark.sql(f"DESCRIBE FORMATTED {table_name}")
+        .filter(F.col("col_name") == "Num Buckets")
+        .first()
+    )
+    return int(row["data_type"])
+
+
+def read_edge_index(
+    spark,
+    table_name: str,
+    exclude_batch: int | None = None,
+) -> DataFrame:
+    """The iteration-ready view of a possibly-appended edge index:
+    (src, dst, out_deg) with out_deg ALWAYS globally correct — re-derived
+    as a count over a src-partitioned window, which the bucketed scan
+    satisfies without an Exchange (degree(src) = row count of src, since
+    the index stores each edge once).  Exactly as exchange-free as the
+    stored decoration; the only added work is the bucket-local count.
+
+    `exclude_batch` drops one ingest batch by partition filter (pruned at
+    the scan) — replay safety for a crashed append, mirroring
+    `dedup.read_band_index`."""
+    from pyspark.sql.window import Window
+
+    idx = spark.table(table_name)
+    if exclude_batch is not None:
+        idx = idx.filter(F.col("ingest_batch") != exclude_batch)
+    w = Window.partitionBy("src")
+    return idx.select(
+        "src", "dst", F.count(F.lit(1)).over(w).alias("out_deg")
+    )
+
+
+def compact_edge_index(
+    spark, table_name: str, path: str, buckets: int | None = None
+) -> int:
+    """Degree-merge compaction: collapse every ingest_batch of an edge
+    index into one snapshot whose STORED out_deg is globally correct
+    again — the band-index swap protocol (`dedup.compact_band_index`)
+    with the degree merge added.  After this, `spark.table(name)` and
+    `read_edge_index` agree, and per-append file growth (buckets x
+    batches) resets to `buckets`.
+
+    Returns the compacted table's file count.  Crash-safety is the same
+    staged-table swap: original intact until the DROP, data safe in the
+    staging table between DROP and RENAME.
+    """
+    import time as _time
+
+    staging = f"{table_name}__compacting"
+    new_path = f"{path.rstrip('/')}.compact-{int(_time.time() * 1000)}"
+    buckets = buckets or _table_bucket_count(spark, table_name)
+    old_location = (
+        spark.sql(f"DESCRIBE FORMATTED {table_name}")
+        .filter(F.col("col_name") == "Location")
+        .first()["data_type"]
+    )
+    # read the files PLAIN (not through the table) so the staging write's
+    # repartition-to-buckets survives the planner — the same fragmentation
+    # rationale as compact_band_index; stored out_deg is batch-local junk
+    # at this point, so only (src, dst) is carried into the rewrite
+    rows = spark.read.parquet(old_location).select("src", "dst")
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    write_edge_index(rows, staging, new_path, buckets=buckets)
+    spark.sql(f"DROP TABLE {table_name}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(old_location)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            f"compact_edge_index: could not delete pre-compaction files at "
+            f"{old_location} — reclaim manually",
+            stacklevel=2,
+        )
+    return len(spark.table(table_name).inputFiles())
 
 
 def pagerank(

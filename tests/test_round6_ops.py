@@ -11,6 +11,14 @@ from flume_spark.operators import timeseries
 GAUSS4 = [(-6745, 10000), (0, 1), (6745, 10000)]
 
 
+@pytest.fixture()
+def no_broadcast(spark):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def _paa_from_rows(spark, rows):
     """rows: list of (key, [v0..v_{n-1}]) -> a PAA-shaped frame."""
     data = [
@@ -104,6 +112,109 @@ def test_znorm_rejects_empty_and_bad_breakpoints(spark):
         timeseries.sax_words_znorm(paa, [], 4)
     with pytest.raises(ValueError):
         timeseries.sax_words_znorm(paa, [(1, 0)], 4)
+
+
+# ---------------------------------------------------------------------------
+# edge-index refresh: append + degree-merge compaction (graph.py)
+# ---------------------------------------------------------------------------
+
+
+def _ring_edges(spark, n=60, k=3, start=0):
+    rows = [
+        (i, (i + j) % n) for i in range(start, n) for j in range(1, k + 1)
+    ]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_edge_index_append_replay_converges(spark, tmp_path):
+    """A graph built by 3 appends must iterate IDENTICALLY to the same
+    graph written as one snapshot — through read_edge_index before
+    compaction (window-derived degrees), and through the raw table after
+    compact_edge_index (merged stored degrees).  The LSH-ingestor
+    replay-convergence treatment applied to graphs."""
+    from flume_spark.operators import graph
+
+    full = _ring_edges(spark, n=60, k=3)
+    thirds = [
+        full.filter((F.col("src") % 3) == r).localCheckpoint(eager=True)
+        for r in range(3)
+    ]
+    buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        graph.write_edge_index(
+            full, "r6_ref", str(tmp_path / "ref"), buckets=buckets
+        )
+        expected = sorted(
+            map(tuple, graph.pagerank_k_exact(spark.table("r6_ref"), iters=2).collect())
+        )
+        graph.write_edge_index(
+            thirds[0], "r6_grow", str(tmp_path / "grow"), buckets=buckets
+        )
+        for b, part in enumerate(thirds[1:], start=1):
+            graph.append_edge_index(part, "r6_grow", ingest_batch=b)
+        # pre-compaction: the raw table's stored out_deg is batch-local
+        # (stale), read_edge_index's derived degrees are correct
+        live = graph.read_edge_index(spark, "r6_grow")
+        got_live = sorted(
+            map(tuple, graph.pagerank_k_exact(live, iters=2).collect())
+        )
+        assert got_live == expected
+        # replay exclusion: dropping the last batch = the 2-batch graph
+        partial = graph.read_edge_index(spark, "r6_grow", exclude_batch=2)
+        two = thirds[0].unionByName(thirds[1])
+        graph.write_edge_index(
+            two, "r6_two", str(tmp_path / "two"), buckets=buckets
+        )
+        assert sorted(
+            map(tuple, graph.pagerank_k_exact(partial, iters=2).collect())
+        ) == sorted(
+            map(tuple, graph.pagerank_k_exact(spark.table("r6_two"), iters=2).collect())
+        )
+        # compaction merges degrees: the RAW table is now equivalent, and
+        # per-append file growth collapses back to `buckets`
+        n_files_before = len(spark.table("r6_grow").inputFiles())
+        n_files = graph.compact_edge_index(
+            spark, "r6_grow", str(tmp_path / "grow"), buckets=buckets
+        )
+        assert n_files <= buckets < n_files_before
+        got_compacted = sorted(
+            map(tuple, graph.pagerank_k_exact(spark.table("r6_grow"), iters=2).collect())
+        )
+        assert got_compacted == expected
+    finally:
+        for t in ("r6_ref", "r6_grow", "r6_two", "r6_grow__compacting"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_edge_index_read_view_stays_exchange_free(spark, tmp_path, no_broadcast):
+    """read_edge_index's window-derived degrees must not cost the layout
+    its plan property: the per-iteration join still reads the edge side
+    straight from its buckets (SelectedBucketsCount present, marginal
+    exchanges per extra iteration unchanged at 2 = rank vector + dst
+    partial-agg), even on an index that has live appends."""
+    from flume_spark.operators import graph
+    from flume_spark.plans import explain_str, n_shuffles
+
+    buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        graph.write_edge_index(
+            _ring_edges(spark, n=40, k=2),
+            "r6_exfree",
+            str(tmp_path / "exfree"),
+            buckets=buckets,
+        )
+        graph.append_edge_index(
+            _ring_edges(spark, n=40, k=1, start=20), "r6_exfree", ingest_batch=1
+        )
+        live = graph.read_edge_index(spark, "r6_exfree")
+        plan1 = graph.pagerank_k_exact(live, iters=1)
+        assert "SelectedBucketsCount" in explain_str(plan1)
+        marginal = n_shuffles(
+            graph.pagerank_k_exact(live, iters=2)
+        ) - n_shuffles(plan1)
+        assert marginal == 2, marginal
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r6_exfree")
 
 
 def test_znorm_single_shuffle(spark):
