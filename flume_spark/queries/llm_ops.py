@@ -159,10 +159,21 @@ WHERE round(n_inter * 1.0 / sa.n_sh, 6) >= 0.5
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-word shingles, 16 min-hashes, 4 bands of 4 — tuned so candidates are
-    the genuinely-similar tail (P(candidate) ≈ 1 for j>0.9, ~4e-4 for j=0.1)."""
+    the genuinely-similar tail (P(candidate) ≈ 1 for j>0.9, ~4e-4 for j=0.1).
+    The band count comes from the S-curve rule (sizing.suggest_lsh_bands:
+    inflection (1/b)^(1/r) nearest the 0.7 tuning point for a 16-hash
+    budget -> 4 bands); the oracle SQL pins the same 4, so the helper is
+    asserted equal rather than trusted (test_round6_ops)."""
+    from flume_spark.operators.sizing import suggest_lsh_bands
+
     docs = T(spark, sf_dir, "documents")
     return dedup.minhash_lsh_candidates(
-        docs, "doc_id", "text", shingle_n=2, num_hashes=16, bands=4
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=2,
+        num_hashes=16,
+        bands=suggest_lsh_bands(16, 0.7),
     )
 
 
@@ -209,10 +220,20 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification of ONLY the candidate pairs — verification cost is linear
     in the candidate count, never the Σ df² of a raw inverted-index
     self-join.  Same tuning as dedup_minhash_lsh (2-word shingles, 16
-    hashes, 4 bands); pairs kept at true Jaccard >= 0.3."""
+    hashes, suggest_lsh_bands(16, 0.7) = 4 bands); pairs kept at true
+    Jaccard >= 0.3 (the LSH tunes recall at 0.7, the exact verify then
+    keeps everything above the looser report cut)."""
+    from flume_spark.operators.sizing import suggest_lsh_bands
+
     docs = T(spark, sf_dir, "documents")
     return dedup.lsh_verified_pairs(
-        docs, "doc_id", "text", shingle_n=2, num_hashes=16, bands=4, threshold=0.3
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=2,
+        num_hashes=16,
+        bands=suggest_lsh_bands(16, 0.7),
+        threshold=0.3,
     )
 
 
@@ -354,9 +375,17 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape, text_quality_score); the composition is one declarative plan
     (anti-join + quality filter + projection).  Mirrors
     flume_spark.curation.curate_corpus(near_dup='lsh_verified')."""
+    from flume_spark.operators.sizing import suggest_lsh_bands
+
     docs = T(spark, sf_dir, "documents")
     pairs = dedup.lsh_verified_pairs(
-        docs, "doc_id", "text", shingle_n=2, num_hashes=16, bands=4, threshold=0.3
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=2,
+        num_hashes=16,
+        bands=suggest_lsh_bands(16, 0.7),
+        threshold=0.3,
     )
     comps = dedup.connected_components(pairs, "doc_a", "doc_b")
     dropped = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")

@@ -493,10 +493,21 @@ def main_ts() -> None:
             corpus = corpus.unionByName(rdf)
         corpus = corpus.localCheckpoint(eager=True)
         n_users = corpus.select("user_id").distinct().count()
+        # AUTO-RESOLUTION (round 6): derive the word-space size from the
+        # corpus via the documented occupancy rule instead of a fixed 8 —
+        # at x50 this lands on the same 8 segments BASELINE.md names, and
+        # at smaller factors it demonstrates pairs/user staying in a band
+        # rather than growing with the corpus (the round-5 fixed-8 table
+        # grew 4.9 -> 256 because resolution stood still... which that
+        # probe ran on purpose to show; this one shows the fix).
+        from flume_spark.operators.sizing import suggest_sax_resolution
 
-        def run(c=corpus):
+        # alphabet 4 = 3 breakpoints on the absolute micro scale
+        n_segments = suggest_sax_resolution(n_users, target_block=4, alphabet=4)
+
+        def run(c=corpus, n_seg=n_segments):
             paa = timeseries.paa_segments(
-                c, "user_id", "ts", "value", "2024-01-01", 32, 8
+                c, "user_id", "ts", "value", "2024-01-01", 32, n_seg
             )
             words = timeseries.sax_words(
                 paa, [1_500_000, 2_500_000, 3_500_000]
@@ -512,7 +523,9 @@ def main_ts() -> None:
         out = {
             "probe": f"ts_search@x{f}",
             "users": n_users,
+            "n_segments": n_segments,
             "pairs": n_pairs,
+            "pairs_per_user": round(n_pairs / n_users, 2),
             "sec": times[f],
             "samples": samples,
         }
@@ -521,7 +534,6 @@ def main_ts() -> None:
             out["exponent"] = round(
                 math.log(times[f] / times[base]) / math.log(f / base), 2
             )
-            out["pairs_per_user"] = round(n_pairs / n_users, 2)
         print(json.dumps(out), flush=True)
         corpus.unpersist()
 

@@ -115,6 +115,81 @@ def test_znorm_rejects_empty_and_bad_breakpoints(spark):
 
 
 # ---------------------------------------------------------------------------
+# auto-resolution sizing helpers (operators/sizing.py)
+# ---------------------------------------------------------------------------
+
+
+def test_sizing_reproduces_repo_settings():
+    """The helpers must land on the resolutions the repo already validated:
+    the declared SAX query (150 users, alphabet 3, block 2 -> 4 segments),
+    the BASELINE x50 probe corpus (75k users, alphabet 4, block 4 -> 8),
+    and both LSH configurations (8 hashes @0.5 -> 4 bands, 16 @0.7 -> 4)."""
+    from flume_spark.operators import sizing
+
+    assert sizing.suggest_sax_resolution(150, target_block=2, alphabet=3) == 4
+    assert sizing.suggest_sax_resolution(75_000, target_block=4, alphabet=4) == 8
+    assert sizing.suggest_lsh_bands(8, 0.5) == 4
+    assert sizing.suggest_lsh_bands(16, 0.7) == 4
+
+
+def test_sizing_monotonicity_properties():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flume_spark.operators import sizing
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(0, 10**9),
+        block=st.integers(1, 10**6),
+        alpha=st.integers(2, 26),
+    )
+    def sax_props(n, block, alpha):
+        s = sizing.suggest_sax_resolution(n, block, alpha)
+        # sufficiency: the suggested space covers the need
+        assert alpha**s >= max(1, -(-n // block))
+        # minimality: one fewer segment would not
+        assert s == 1 or alpha ** (s - 1) < max(1, -(-n // block))
+        # monotone in corpus size and (anti) in target block
+        assert sizing.suggest_sax_resolution(n + max(1, n), block, alpha) >= s
+        assert sizing.suggest_sax_resolution(n, block + 1, alpha) <= s
+
+    @settings(max_examples=200, deadline=None)
+    @given(h=st.integers(1, 512), t=st.floats(0.01, 1.0))
+    def lsh_props(h, t):
+        b = sizing.suggest_lsh_bands(h, t)
+        assert h % b == 0
+        # lower threshold never yields fewer bands (recall direction)
+        assert sizing.suggest_lsh_bands(h, max(0.01, t * 0.5)) >= b
+
+    @settings(max_examples=200, deadline=None)
+    @given(n=st.integers(0, 10**9), p=st.integers(1, 10**9))
+    def block_props(n, p):
+        w = sizing.suggest_block_space(n, p)
+        # expected pairs under uniform blocking stays within target
+        assert n < 2 or n * n / (2 * w) <= p + 1
+        assert sizing.suggest_cosine_blocks(n, p) >= 1
+
+    sax_props()
+    lsh_props()
+    block_props()
+
+
+def test_sizing_wired_into_declared_lsh_queries():
+    """The declared dedup queries now derive their band count from the
+    helper; the oracle SQL pins 4, so the helper must agree — this test
+    is the tripwire if either side drifts."""
+    import inspect
+
+    from flume_spark.operators.sizing import suggest_lsh_bands
+    from flume_spark.queries import llm_ops
+
+    assert suggest_lsh_bands(16, 0.7) == 4  # what the oracle SQL pins
+    for fn in (llm_ops.dedup_minhash_lsh, llm_ops.dedup_lsh_verified):
+        assert "suggest_lsh_bands" in inspect.getsource(fn)
+
+
+# ---------------------------------------------------------------------------
 # edge-index refresh: append + degree-merge compaction (graph.py)
 # ---------------------------------------------------------------------------
 
