@@ -397,6 +397,50 @@ def pagerank_k_exact(
     return ranks.select(F.col("v").alias("vertex"), F.col("r").alias("r_micro"))
 
 
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Unweighted single/multi-source shortest path (BFS hop count) as a
+    driver-bounded frontier loop — the multi-join fixpoint beyond
+    PageRank: each hop is frontier ⋈ edges (keyed on src: exchange-free
+    off a `write_edge_index` table) followed by an anti-join against the
+    settled set, so a vertex is labeled exactly once, at its true BFS
+    distance.  Distances are exact integers — hash-checkable against a
+    recursive-CTE oracle (min hop per vertex with the same depth cap).
+
+    `sources` is a (v) frame (typically tiny: broadcast side of hop 1).
+    Stops early when a frontier empties (the only per-hop driver value is
+    that boolean — nothing vertex-sized ever collects); `max_hops` bounds
+    the loop AND the oracle's recursion depth, so the two stay equal even
+    on graphs with longer diameters.  Per-hop lineage is truncated the
+    same way the other iterative operators do it.
+
+    Returns (vertex, dist) for vertices reachable within max_hops,
+    sources included at dist 0.
+    """
+    dist = sources.select(F.col(sources.columns[0]).alias("vertex")).distinct()
+    dist = dist.withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["vertex"] == edges[src])
+            .select(F.col(dst).alias("vertex"))
+            .distinct()
+            .join(dist.select("vertex"), "vertex", "left_anti")
+            .withColumn("dist", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist
+
+
 def pagerank_step_exact(
     edges: DataFrame,
     src: str = "src",

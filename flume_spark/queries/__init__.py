@@ -55,6 +55,7 @@ _NEEDS_DRIVER_ROW = [  # round-6 additions/changes, ascending expected sf0.01 ru
     "histogram_quantiles",
     # new round-6 queries
     "ts_sax_znorm",
+    "graph_bfs_hops",
 ]
 
 # Union of CORRECTNESS_r01..r05 keys: 168 hash-green, 5 rows-only by

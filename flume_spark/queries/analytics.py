@@ -602,6 +602,40 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.pagerank_step_exact(_copurchase_edges(spark, sf_dir))
 
 
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-path over the co-purchase graph from its minimum
+    part id (graph.bfs_hops): the first declared multi-join FIXPOINT
+    beyond PageRank — per hop one frontier ⋈ edges join plus an
+    anti-join against the settled set, exact integer distances, checked
+    against a recursive-CTE oracle with the same 8-hop depth cap.
+    Shares the memoized edge list with the PageRank queries."""
+    from flume_spark.operators import graph
+
+    edges = _copurchase_edges(spark, sf_dir)
+    sources = edges.groupBy().agg(F.min("src").alias("v"))
+    return graph.bfs_hops(edges, sources, max_hops=8).select(
+        "vertex", F.col("dist").cast("int").alias("dist")
+    )
+
+
+GRAPH_BFS_SQL = """
+WITH RECURSIVE d0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM d0 a JOIN d0 b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey != b.l_partkey
+),
+walk AS (
+  SELECT (SELECT min(src) FROM edges) AS v, 0 AS dist
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON w.v = e.src
+  WHERE w.dist < 8
+)
+SELECT v AS vertex, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY v
+"""
+
+
 GRAPH_PAGERANK_STEP_SQL = """
 WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 edges AS (
@@ -1279,6 +1313,7 @@ QUERIES = {
     "revenue_share_rollup": revenue_share_rollup,
     "skew_report_lineitem": skew_report_lineitem,
     "graph_pagerank_step": graph_pagerank_step,
+    "graph_bfs_hops": graph_bfs_hops,
     "orders_monthly_remerge": orders_monthly_remerge,
     "graph_pagerank_k": graph_pagerank_k,
     "graph_pagerank": graph_pagerank,
@@ -1308,6 +1343,7 @@ ORACLES = {
     "revenue_share_rollup": REVENUE_SHARE_SQL,
     "skew_report_lineitem": SKEW_REPORT_SQL,
     "graph_pagerank_step": GRAPH_PAGERANK_STEP_SQL,
+    "graph_bfs_hops": GRAPH_BFS_SQL,
     "orders_monthly_remerge": ORDERS_REMERGE_SQL,
     "graph_pagerank_k": GRAPH_PAGERANK_K_SQL,
     # graph_pagerank: no oracle (iterative float sums — rows-only by design)

@@ -115,6 +115,41 @@ def test_znorm_rejects_empty_and_bad_breakpoints(spark):
 
 
 # ---------------------------------------------------------------------------
+# BFS shortest path (graph.bfs_hops)
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_hops_path_graph(spark):
+    """Known distances on a directed path + an unreachable island + a
+    shortcut: min-hop semantics, max_hops cap, early frontier stop."""
+    from flume_spark.operators import graph
+
+    # 0->1->2->3->4->5 (path), 0->3 (shortcut), 10->11 (island)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (0, 3), (10, 11)],
+        "src long, dst long",
+    )
+    sources = spark.createDataFrame([(0,)], "v long")
+    got = {
+        r["vertex"]: r["dist"]
+        for r in graph.bfs_hops(edges, sources, max_hops=8).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2, 5: 3}  # shortcut wins, island absent
+    capped = {
+        r["vertex"]: r["dist"]
+        for r in graph.bfs_hops(edges, sources, max_hops=2).collect()
+    }
+    assert capped == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}  # 5 is beyond the cap
+    multi = {
+        r["vertex"]: r["dist"]
+        for r in graph.bfs_hops(
+            edges, spark.createDataFrame([(0,), (10,)], "v long"), max_hops=8
+        ).collect()
+    }
+    assert multi[10] == 0 and multi[11] == 1 and multi[5] == 3
+
+
+# ---------------------------------------------------------------------------
 # auto-resolution sizing helpers (operators/sizing.py)
 # ---------------------------------------------------------------------------
 
