@@ -87,6 +87,9 @@ HEADLINE = [
     "histogram_quantiles",
     "channel_running_compare",
     "lsh_label_purity",
+    # round-6 additions — no earlier-round baseline rows
+    "ts_sax_znorm",
+    "graph_bfs_hops",
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

@@ -441,6 +441,91 @@ def bfs_hops(
     return dist
 
 
+def sssp_k_exact(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Bounded Bellman-Ford: exact integer shortest-path distances using
+    at most k edges — the WEIGHTED multi-join fixpoint (bfs_hops is the
+    hop-count special case).  Each round relaxes every edge once:
+    dist ⋈ edges on src (one key-grain shuffle; exchange-free edge side
+    off a `write_edge_index`-style layout) then min per dst, unioned with
+    the standing distances and min-reduced.  All BIGINT — hash-checkable
+    against a recursive-CTE oracle with the same k cap.
+
+    k rounds compute min-cost over paths of ≤ k edges exactly (the
+    classic Bellman-Ford invariant), so Spark and an oracle bounded by
+    path LENGTH agree even when longer paths are still improving.
+    Returns (vertex, dist) for vertices reachable within k edges.
+    """
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("vertex"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(k):
+        relaxed = (
+            dist.join(edges, dist["vertex"] == edges[src])
+            .select(
+                F.col(dst).alias("vertex"),
+                (F.col("dist") + F.col(weight).cast("long")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("vertex")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle counts over an UNDIRECTED graph given as a
+    directed edge list (each undirected edge present in both directions,
+    the co-purchase convention) — the canonical 3-way self-join shape.
+
+    Plan: orient each undirected edge low→high once (halves the input and
+    kills rotation double-counting), join oriented paths a<b, b<c on the
+    middle vertex, then close each wedge with a semi-join probe of the
+    oriented edge set — candidate volume is Σ_b deg_lo(b)·deg_hi(b),
+    the standard wedge bound, never all-triples.  Exact integers.
+
+    Returns (vertex, n_tri): triangles through each vertex (each triangle
+    counts once per member vertex).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    lo = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    # wedges x<y<z around middle y: (x,y) ⋈ (y,z)
+    wedges = lo.join(
+        lo.select(F.col("x").alias("y"), F.col("y").alias("z")), "y"
+    )
+    tri = wedges.join(
+        lo.select(F.col("x").alias("x"), F.col("y").alias("z")),
+        ["x", "z"],
+        "left_semi",
+    )
+    per_vertex = (
+        tri.select(F.col("x").alias("vertex"))
+        .unionByName(tri.select(F.col("y").alias("vertex")))
+        .unionByName(tri.select(F.col("z").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return per_vertex
+
+
 def pagerank_step_exact(
     edges: DataFrame,
     src: str = "src",

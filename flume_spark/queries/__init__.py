@@ -56,6 +56,8 @@ _NEEDS_DRIVER_ROW = [  # round-6 additions/changes, ascending expected sf0.01 ru
     # new round-6 queries
     "ts_sax_znorm",
     "graph_bfs_hops",
+    "graph_sssp_k",
+    "graph_triangles",
 ]
 
 # Union of CORRECTNESS_r01..r05 keys: 168 hash-green, 5 rows-only by

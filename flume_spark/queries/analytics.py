@@ -636,6 +636,85 @@ SELECT v AS vertex, CAST(min(dist) AS INT) AS dist FROM walk GROUP BY v
 """
 
 
+def graph_sssp_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED bounded shortest path (graph.sssp_k_exact): 4 Bellman-Ford
+    relaxation rounds over the co-purchase graph with integer edge costs
+    w = 1 + 100 div co_count (frequently co-bought = closer), from the
+    minimum part id.  k rounds = exact min cost over paths of <= k edges
+    (the Bellman-Ford invariant), which is precisely what a depth-capped
+    recursive-CTE oracle enumerates — so the two agree by construction,
+    in pure BIGINTs."""
+    from flume_spark.operators import graph
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    weighted = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("src", "dst", F.expr("CAST(1 + 100 div c AS BIGINT)").alias("w"))
+    )
+    sources = weighted.groupBy().agg(F.min("src").alias("v"))
+    return graph.sssp_k_exact(weighted, sources, k=4)
+
+
+GRAPH_SSSP_K_SQL = """
+WITH RECURSIVE d0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+we AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+         CAST(1 + 100 // count(*) AS BIGINT) AS w
+  FROM d0 a JOIN d0 b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey != b.l_partkey
+  GROUP BY 1, 2
+),
+walk AS (
+  SELECT (SELECT min(src) FROM we) AS v, CAST(0 AS BIGINT) AS dist, 0 AS steps
+  UNION
+  SELECT e.dst, w.dist + e.w, w.steps + 1
+  FROM walk w JOIN we e ON w.v = e.src
+  WHERE w.steps < 4
+)
+SELECT v AS vertex, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY v
+"""
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the (undirected) co-purchase graph
+    (graph.triangle_count): the canonical 3-way self-join — wedges around
+    each middle vertex closed by a semi-join probe, candidate volume the
+    standard Σ deg_lo·deg_hi wedge bound, never all-triples.  Top-100 by
+    (count, vertex) to keep the answer stable and bounded."""
+    from flume_spark.operators import graph
+
+    tri = graph.triangle_count(_copurchase_edges(spark, sf_dir))
+    return tri.orderBy(F.desc("n_tri"), F.asc("vertex")).limit(100)
+
+
+GRAPH_TRIANGLES_SQL = """
+WITH d0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+  FROM d0 a JOIN d0 b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+),
+t AS (
+  SELECT e1.x, e1.y, e2.z
+  FROM e e1 JOIN (SELECT x AS y, y AS z FROM e) e2 USING (y)
+  WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.x = e1.x AND e3.y = e2.z)
+)
+SELECT vertex, CAST(count(*) AS BIGINT) AS n_tri FROM (
+  SELECT x AS vertex FROM t
+  UNION ALL SELECT y FROM t
+  UNION ALL SELECT z FROM t
+)
+GROUP BY 1
+ORDER BY n_tri DESC, vertex ASC
+LIMIT 100
+"""
+
+
 GRAPH_PAGERANK_STEP_SQL = """
 WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 edges AS (
@@ -1314,6 +1393,8 @@ QUERIES = {
     "skew_report_lineitem": skew_report_lineitem,
     "graph_pagerank_step": graph_pagerank_step,
     "graph_bfs_hops": graph_bfs_hops,
+    "graph_sssp_k": graph_sssp_k,
+    "graph_triangles": graph_triangles,
     "orders_monthly_remerge": orders_monthly_remerge,
     "graph_pagerank_k": graph_pagerank_k,
     "graph_pagerank": graph_pagerank,
@@ -1344,6 +1425,8 @@ ORACLES = {
     "skew_report_lineitem": SKEW_REPORT_SQL,
     "graph_pagerank_step": GRAPH_PAGERANK_STEP_SQL,
     "graph_bfs_hops": GRAPH_BFS_SQL,
+    "graph_sssp_k": GRAPH_SSSP_K_SQL,
+    "graph_triangles": GRAPH_TRIANGLES_SQL,
     "orders_monthly_remerge": ORDERS_REMERGE_SQL,
     "graph_pagerank_k": GRAPH_PAGERANK_K_SQL,
     # graph_pagerank: no oracle (iterative float sums — rows-only by design)

@@ -149,6 +149,44 @@ def test_bfs_hops_path_graph(spark):
     assert multi[10] == 0 and multi[11] == 1 and multi[5] == 3
 
 
+def test_sssp_k_exact_weighted(spark):
+    """Bounded Bellman-Ford on a known weighted graph: a cheap long route
+    beats an expensive direct edge only once k admits enough edges."""
+    from flume_spark.operators import graph
+
+    # 0->3 direct cost 10; 0->1->2->3 cost 3; island 9
+    edges = spark.createDataFrame(
+        [(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1), (9, 9, 1)],
+        "src long, dst long, w long",
+    )
+    sources = spark.createDataFrame([(0,)], "v long")
+
+    def run(k):
+        return {
+            r["vertex"]: r["dist"]
+            for r in graph.sssp_k_exact(edges, sources, k=k).collect()
+        }
+
+    assert run(1) == {0: 0, 1: 1, 3: 10}  # only direct edges
+    assert run(3) == {0: 0, 1: 1, 2: 2, 3: 3}  # long route wins at k>=3
+    assert run(8) == {0: 0, 1: 1, 2: 2, 3: 3}  # stable past convergence
+
+
+def test_triangle_count_known_graph(spark):
+    """Kite graph: triangle (0,1,2) + triangle (1,2,3) sharing edge 1-2;
+    vertex 4 hangs off with no triangle.  Directed both ways (the
+    co-purchase convention)."""
+    from flume_spark.operators import graph
+
+    und = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (3, 4)]
+    both = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(both, "src long, dst long")
+    got = {
+        r["vertex"]: r["n_tri"] for r in graph.triangle_count(edges).collect()
+    }
+    assert got == {0: 1, 1: 2, 2: 2, 3: 1}
+
+
 # ---------------------------------------------------------------------------
 # auto-resolution sizing helpers (operators/sizing.py)
 # ---------------------------------------------------------------------------
