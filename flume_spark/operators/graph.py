@@ -516,14 +516,15 @@ def triangle_count(
         ["x", "z"],
         "left_semi",
     )
-    per_vertex = (
-        tri.select(F.col("x").alias("vertex"))
-        .unionByName(tri.select(F.col("y").alias("vertex")))
-        .unionByName(tri.select(F.col("z").alias("vertex")))
+    # one-pass member fan-out: explode duplicates each triangle row into
+    # its 3 member vertices WITHOUT re-executing the wedge-close subtree
+    # (a 3-way union of tri projections re-runs the joins three times —
+    # 19 exchanges vs 7 on the audit)
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("vertex"))
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
-    return per_vertex
 
 
 def pagerank_step_exact(

@@ -1273,21 +1273,31 @@ def test_claim_lock_mutual_exclusion(spark, tmp_path):
     assert order == ["acquired-1", "releasing-1", "acquired-2"]
 
 
-def test_unlimited_queue_never_double_claimed_across_instances(spark, tmp_path):
+@pytest.mark.parametrize("backend_cls", ["JobStore", "OptimisticLogStore"])
+def test_unlimited_queue_never_double_claimed_across_instances(
+    spark, tmp_path, backend_cls
+):
     """Two managers sharing one store, claiming one UNLIMITED queue
     concurrently: every jid is claimed exactly once (the round-3 gap — the
-    ledger lock only covered rate-limited keys)."""
+    ledger lock only covered rate-limited keys).  Parametrized over BOTH
+    backends: the flock claim lock and the optimistic lease-commit lock
+    must each give cross-instance mutual exclusion."""
     import threading
 
+    from flume_spark.queue import OptimisticLogStore
+
+    make = {"JobStore": JobStore, "OptimisticLogStore": OptimisticLogStore}[
+        backend_cls
+    ]
     registry = WorkerRegistry()
     registry.register("NoopWorker", lambda *a: None)
     store_path = str(tmp_path / "jobs_nolock")
     pipes = [Pipeline(name="u", queue="u", max_demand=30)]
     m1 = QueueManager(
-        spark, JobStore(spark, store_path), registry, pipelines=pipes
+        spark, make(spark, store_path), registry, pipelines=pipes
     )
     m2 = QueueManager(
-        spark, JobStore(spark, store_path), registry, pipelines=pipes
+        spark, make(spark, store_path), registry, pipelines=pipes
     )
     n = 40  # demand 30 < n: with exclusion, the claims partition 30/10
     m1.bulk_enqueue("u", [("NoopWorker", "perform", [i]) for i in range(n)], now=T0)
