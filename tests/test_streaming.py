@@ -17,11 +17,21 @@ from flume_spark.queue.manager import Pipeline
 from flume_spark.streaming.pipeline import PipelineRunner
 
 
-@pytest.fixture()
-def runner_env(spark, tmp_path):
+@pytest.fixture(params=["parquet_log", "optimistic_commit"])
+def runner_env(request, spark, tmp_path):
+    # the streaming pull loop (ST1) must run unchanged on BOTH storage
+    # backends — the file-arrival wake-up watches store.path (data files
+    # land there under either model) and every state read/write goes
+    # through the LogBackend API
+    from flume_spark.queue import OptimisticLogStore
+
+    make = {
+        "parquet_log": JobStore,
+        "optimistic_commit": OptimisticLogStore,
+    }[request.param]
     registry = WorkerRegistry()
     registry.register("NoopWorker", lambda *args: None)
-    store = JobStore(spark, str(tmp_path / "jobs"))
+    store = make(spark, str(tmp_path / "jobs"))
     pipeline = Pipeline(name="stream", queue="sq", max_demand=500)
     manager = QueueManager(spark, store, registry, pipelines=[pipeline])
     runner = PipelineRunner(
