@@ -49,6 +49,7 @@ def write_edge_index(
     buckets: int = 64,
     src: str = "src",
     dst: str = "dst",
+    ingest_batch: int = 0,
 ) -> None:
     """Persist the edge list in the iteration-ready layout: a table
     bucketed AND sorted by `src` — the band-index treatment
@@ -96,7 +97,7 @@ def write_edge_index(
     rows = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     decorated = rows.join(
         out_degrees(rows).withColumnRenamed("vertex", "src"), "src"
-    ).withColumn("ingest_batch", F.lit(0))
+    ).withColumn("ingest_batch", F.lit(ingest_batch))
     (
         decorated.repartition(buckets, F.col("src"))
         .write.partitionBy("ingest_batch")
