@@ -365,6 +365,64 @@ def test_edge_index_read_view_stays_exchange_free(spark, tmp_path, no_broadcast)
         spark.sql("DROP TABLE IF EXISTS r6_exfree")
 
 
+def test_edge_ingestor_replay_and_compaction_converge(spark, tmp_path):
+    """Streaming edge ingest (EdgeIngestor): 3 micro-batches == one
+    snapshot for pagerank; a crash-window replay (same batch_id again,
+    below the ledger) is skipped by the partition check instead of
+    doubling degrees; compaction preserves the fixpoint."""
+    from flume_spark.operators import graph
+    from flume_spark.streaming.graph import EdgeIngestor
+
+    full = _ring_edges(spark, n=45, k=2)
+    batches = [
+        full.filter((F.col("src") % 3) == r).localCheckpoint(eager=True)
+        for r in range(3)
+    ]
+    buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        graph.write_edge_index(
+            full, "r6_ing_ref", str(tmp_path / "ref"), buckets=buckets
+        )
+        expected = sorted(
+            map(
+                tuple,
+                graph.pagerank_k_exact(
+                    spark.table("r6_ing_ref"), iters=2
+                ).collect(),
+            )
+        )
+        ing = EdgeIngestor(
+            spark,
+            "r6_ing",
+            str(tmp_path / "ing"),
+            ledger_dir=str(tmp_path / "ledger"),
+            buckets=buckets,
+        )
+        for b, part in enumerate(batches):
+            ing.process(part, b)
+        # ledger-level replay: marker present -> no-op
+        ing.process(batches[1], 1)
+        # crash-window replay: bypass the ledger; the partition check skips
+        ing._process(batches[2], 2)
+        n_edges = spark.table("r6_ing").count()
+        assert n_edges == full.count(), "replay doubled a batch"
+        got = sorted(
+            map(tuple, graph.pagerank_k_exact(ing.edges(), iters=2).collect())
+        )
+        assert got == expected
+        ing.compact()
+        got2 = sorted(
+            map(
+                tuple,
+                graph.pagerank_k_exact(spark.table("r6_ing"), iters=2).collect(),
+            )
+        )
+        assert got2 == expected
+    finally:
+        for t in ("r6_ing_ref", "r6_ing", "r6_ing__compacting"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_znorm_single_shuffle(spark):
     """Stats ride a key-partitioned window, not a join: one exchange for
     the whole words plan beyond the PAA input."""
