@@ -58,6 +58,7 @@ _NEEDS_DRIVER_ROW = [  # round-6 additions/changes, ascending expected sf0.01 ru
     "graph_bfs_hops",
     "graph_sssp_k",
     "graph_triangles",
+    "corpus_shard_manifest",
 ]
 
 # Union of CORRECTNESS_r01..r05 keys: 168 hash-green, 5 rows-only by

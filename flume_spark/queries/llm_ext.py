@@ -742,7 +742,30 @@ GROUP BY source
 """
 
 
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The logical training-shard manifest (operators/export.py): per-shard
+    doc/token/char counts under the deterministic pmod(doc_id, 16)
+    assignment — what `write_training_shards` materializes and what a
+    training job audits its input against.  One partial-agg shuffle;
+    `shards` rows out."""
+    from flume_spark.operators import export
+
+    docs = T(spark, sf_dir, "documents")
+    return export.shard_stats(docs, "doc_id", "text", shards=16)
+
+
+CORPUS_SHARD_MANIFEST_SQL = """
+SELECT CAST(doc_id % 16 AS INT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT)
+         AS n_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES = {
+    "corpus_shard_manifest": corpus_shard_manifest,
     "text_chunk_sliding": text_chunk_sliding,
     "ann_topk_int8": ann_topk_int8,
     "text_commonness": text_commonness,
@@ -765,6 +788,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_shard_manifest": CORPUS_SHARD_MANIFEST_SQL,
     "text_chunk_sliding": TEXT_CHUNK_SQL,
     "ann_topk_int8": ANN_INT8_SQL,
     "text_commonness": TEXT_COMMONNESS_SQL,

@@ -115,6 +115,57 @@ def test_znorm_rejects_empty_and_bad_breakpoints(spark):
 
 
 # ---------------------------------------------------------------------------
+# training-shard export (operators/export.py)
+# ---------------------------------------------------------------------------
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    """The physical export equals the logical manifest: written files
+    partition by the same pmod assignment, every doc lands in exactly one
+    shard, re-read content matches the source, and manifest.json numbers
+    match shard_stats (the oracled query's frame)."""
+    from flume_spark.operators import export
+    from flume_spark.queries._util import T
+
+    docs = T(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "shards")
+    manifest = export.write_training_shards(docs, path, shards=8)
+    assert manifest["shards"] == 8
+    assert manifest["n_docs"] == docs.count()
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    # every row's stored shard matches the deterministic assignment
+    bad = back.filter(
+        F.col("shard") != F.pmod(F.col("doc_id"), F.lit(8)).cast("int")
+    ).count()
+    assert bad == 0
+    # content round-trips exactly
+    assert (
+        back.select("doc_id", "text")
+        .exceptAll(docs)
+        .unionByName(docs.exceptAll(back.select("doc_id", "text")))
+        .count()
+        == 0
+    )
+    # manifest numbers == the logical stats frame
+    stats = {
+        str(r["shard"]): (r["n_docs"], r["n_tokens"], r["n_chars"])
+        for r in export.shard_stats(docs, "doc_id", "text", 8).collect()
+    }
+    for k, v in manifest["per_shard"].items():
+        assert stats[k] == (v["n_docs"], v["n_tokens"], v["n_chars"])
+    # one data file per shard: the loader-facing contract
+    import glob
+
+    for k in stats:
+        files = glob.glob(f"{path}/shard={k}/*.parquet")
+        assert len(files) == 1, (k, files)
+    assert export.read_manifest(path) == manifest
+
+
+# ---------------------------------------------------------------------------
 # BFS shortest path (graph.bfs_hops)
 # ---------------------------------------------------------------------------
 
