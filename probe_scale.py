@@ -626,6 +626,80 @@ def main_znorm() -> None:
         corpus.unpersist()
 
 
+def main_backend() -> None:
+    """Storage-backend throughput probe: the flock parquet log vs the
+    lock-free optimistic commit log on the SAME engine workload
+    (bulk_enqueue N jobs across 4 queues -> drain via claim/dispatch/ack
+    triggers).  Quantifies the price of conditional-commit visibility
+    (one commit per enqueue batch / claim / ack, plus the claim-lock
+    lease commits) relative to the flock baseline — the number an
+    object-store deployment trades against not having flock at all.
+    """
+    import tempfile
+
+    from flume_spark.queue import (
+        JobStore,
+        OptimisticLogStore,
+        QueueManager,
+        WorkerRegistry,
+    )
+    from flume_spark.queue.manager import Pipeline
+
+    jobs = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    spark = get_spark(app_name="flume_probe_backend")
+    fanout = 4
+    for label, make in (
+        ("parquet_log", JobStore),
+        ("optimistic_commit", OptimisticLogStore),
+    ):
+        root = tempfile.mkdtemp(prefix=f"bprobe_{label}_")
+        registry = WorkerRegistry()
+        registry.register("NoopWorker", lambda *a: None)
+        store = make(spark, root + "/jobs")
+        pipes = [
+            Pipeline(name=f"p{i}", queue=f"q{i}", max_demand=500)
+            for i in range(fanout)
+        ]
+        mgr = QueueManager(spark, store, registry, pipes)
+        # warm cycle on a throwaway store: the first claim/dispatch pays
+        # whole-stage codegen + Arrow path init; without this the backend
+        # that runs FIRST eats ~7s of JIT that has nothing to do with
+        # storage (the round-6 first measurement showed exactly that)
+        wstore = make(spark, root + "/warm")
+        wmgr = QueueManager(spark, wstore, registry, pipes)
+        wmgr.bulk_enqueue("q0", [("NoopWorker", "perform", ["w"])] * 10)
+        wmgr.run_many(["p0"])
+        per_queue = jobs // fanout
+        t0 = time.perf_counter()
+        for i in range(fanout):
+            mgr.bulk_enqueue(
+                f"q{i}", [("NoopWorker", "perform", ["x" * 500])] * per_queue
+            )
+        enqueue_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        done = 0
+        while done < per_queue * fanout:
+            got = mgr.run_many([f"p{i}" for i in range(fanout)])["succeeded"]
+            if got == 0:
+                break
+            done += got
+        process_s = time.perf_counter() - t0
+        assert done == per_queue * fanout, (label, done)
+        print(
+            json.dumps(
+                {
+                    "probe": "backend_throughput",
+                    "backend": label,
+                    "jobs": done,
+                    "enqueue_sec": round(enqueue_s, 2),
+                    "process_sec": round(process_s, 2),
+                    "jobs_per_sec": round(done / (enqueue_s + process_s), 0),
+                }
+            ),
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--ingest":
         main_ingest()
@@ -639,5 +713,7 @@ if __name__ == "__main__":
         main_claim()
     elif len(sys.argv) > 1 and sys.argv[1] == "--znorm":
         main_znorm()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--backend":
+        main_backend()
     else:
         main()
