@@ -10,12 +10,13 @@ per the LLM-pipeline mandate.  The logical manifest is the oracled query
 assignment and is round-trip-tested against it.
 
 Scale shape: shard = pmod(id, shards) so assignment is a pure projection
-(no shuffle to DECIDE placement); the single exchange is the
+(no shuffle to DECIDE placement); the single source exchange is the
 repartition-to-shard that makes each output file exactly one shard
-(loader-friendly: file == shard == unit of work).  The manifest aggregates
-per shard (one partial-agg over the same exchange) and only `shards` rows
-reach the driver.  At 100 TB raise `shards` until bytes/shard fits the
-loader; assignment stays deterministic so re-exports are reproducible.
+(loader-friendly: file == shard == unit of work).  The manifest is then
+one partial-agg scan of the WRITTEN shards (never a re-evaluation of the
+source pipeline) and only `shards` rows reach the driver.  At 100 TB
+raise `shards` until bytes/shard fits the loader; assignment stays
+deterministic so re-exports are reproducible.
 """
 
 from __future__ import annotations
@@ -57,11 +58,16 @@ def write_training_shards(
     shards: int = 16,
 ) -> dict:
     """Write `df` as `shards` parquet files (shard=<k>/part...) plus a
-    `_manifest.json` (underscore-prefixed: data readers ignore it) recording per-shard doc/token/char counts and the
-    total.  Returns the manifest dict.
+    `_manifest.json` (underscore-prefixed: data readers ignore it)
+    recording per-shard doc/token/char counts and the total.  Returns
+    the manifest dict.
 
     One exchange (repartition on the shard key) so each shard is exactly
-    one file; the manifest rides the same pass's aggregate.  Assignment
+    one file.  The manifest is aggregated from the WRITTEN FILES, not the
+    source frame: re-computing `df` would re-run the whole upstream
+    pipeline a second time (doubling a 100 TB export), and reading back
+    what landed also guarantees the manifest describes the actual output
+    rather than what the source would produce if re-evaluated.  Assignment
     pmod(id, shards) is reproducible across runs and engines — the
     round-trip test checks the written files against the ORACLED
     shard_stats numbers, so the physical export is pinned to the logical
@@ -76,13 +82,20 @@ def write_training_shards(
         .mode("overwrite")
         .parquet(path)
     )
+    written = df.sparkSession.read.parquet(path)
     stats = {
         int(r["shard"]): {
             "n_docs": int(r["n_docs"]),
             "n_tokens": int(r["n_tokens"]),
             "n_chars": int(r["n_chars"]),
         }
-        for r in shard_stats(df, id_col, text_col, shards).collect()
+        for r in written.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens_col(text_col)).cast("long")).alias("n_tokens"),
+            F.sum(F.length(F.col(text_col)).cast("long")).alias("n_chars"),
+        )
+        .collect()
     }
     manifest = {
         "shards": shards,

@@ -93,8 +93,9 @@ def suggest_lsh_bands(num_hashes: int, threshold: float) -> int:
         raise ValueError("threshold must be in (0, 1]")
     divisors = [b for b in range(1, num_hashes + 1) if num_hashes % b == 0]
     # distance in log-threshold space (the curve is geometric in j);
-    # tie-break toward more bands (recall) by scanning ascending and
-    # keeping strict improvement only
+    # tie-break toward more bands (recall): scan b DESCENDING and replace
+    # only on strict improvement, so an equal-distance smaller b never
+    # displaces the larger-b candidate seen first
     best_b, best_d = None, None
     for b in sorted(divisors, reverse=True):
         r = num_hashes // b

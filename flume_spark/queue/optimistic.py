@@ -18,11 +18,13 @@ shared mutable state rides on that one primitive:
   a commit publishes the new live-file snapshot.  A reader lists ONE commit
   file and sees a consistent table — never a partial write, never a torn
   compaction.  Losing a commit race re-reads and retries (serializable,
-  like Delta's `ConcurrentAppendException` retry loop).
-- **next_seq = commit version.**  Each allocation claims one version v and
-  returns `v << 20` — later allocations always win larger values across
-  every instance, with 2^20 consecutive values of headroom per call (the
-  Delta mapping in backend.py: "the commit version of the txn").
+  like Delta's `ConcurrentAppendException` retry loop).  Commits older
+  than a keep-window are pruned (the Delta log-expiry analog), so the
+  per-op listing stays O(window), not O(history).
+- **next_seq = a counter row in the committed state.**  The Redis INCR
+  analog: allocation is a conditional commit that bumps `state["seq"]`
+  by n — linearized like every other commit, monotone across every
+  instance, any batch size.
 - **claim_lock = a lease row in the snapshot.**  Acquire commits
   `locks[queue] = {token, expires}` conditionally on the lock being free or
   expired; release commits its removal.  Mutual exclusion comes from the
@@ -50,9 +52,10 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
+import threading
 import time
 import uuid
+import warnings
 from contextlib import contextmanager
 
 import pyarrow.parquet as pq
@@ -62,9 +65,13 @@ from pyspark.sql.window import Window
 
 from flume_spark.queue.backend import LogBackend
 from flume_spark.queue.schema import JOB_LOG_SCHEMA
-from flume_spark.queue.store import read_parquet_rows, rows_to_arrow_table
+from flume_spark.queue.store import (
+    read_parquet_rows,
+    rows_to_arrow_table,
+    stage_and_move_parquet,
+)
 
-_SEQ_SHIFT = 20  # next_seq headroom per commit version (2^20 values)
+_COMMIT_KEEP = 256  # snapshot commits retained behind the newest (log expiry)
 
 
 class OptimisticLogStore(LogBackend):
@@ -84,11 +91,16 @@ class OptimisticLogStore(LogBackend):
         path: str,
         lock_lease_s: float = 60.0,
         poll_interval_s: float = 0.01,
+        lock_renewal: bool = True,
     ):
         self.spark = spark
         self.path = path
         self.lock_lease_s = lock_lease_s
         self.poll_interval_s = poll_interval_s
+        # False disables the holder's lease-renewal heartbeat: a hold
+        # longer than lock_lease_s then loses the lock to takeover (used
+        # by tests to model a crashed holder; production keeps True)
+        self.lock_renewal = lock_renewal
         self.owner = uuid.uuid4().hex
         os.makedirs(path, exist_ok=True)
         os.makedirs(self._commit_dir, exist_ok=True)
@@ -102,18 +114,43 @@ class OptimisticLogStore(LogBackend):
     def _latest(self) -> tuple[int, dict]:
         """Newest committed (version, state).  One listing + one read — the
         snapshot commit carries the FULL live state, so there is no log
-        replay (compaction bounds the file list, so snapshots stay small;
-        a production impl would page via Delta-style checkpoints)."""
-        versions = [
-            int(n[:-5])
-            for n in os.listdir(self._commit_dir)
-            if n.endswith(".json")
-        ]
-        if not versions:
-            return 0, {"files": [], "locks": {}}
-        v = max(versions)
-        with open(os.path.join(self._commit_dir, f"{v:020d}.json")) as f:
-            return v, json.load(f)
+        replay.  Retries if the newest listed commit vanishes between the
+        listing and the read (only possible if `_COMMIT_KEEP` newer commits
+        landed and pruned it in the gap — relisting converges)."""
+        while True:
+            versions = [
+                int(n[:-5])
+                for n in os.listdir(self._commit_dir)
+                if n.endswith(".json")
+            ]
+            if not versions:
+                return 0, {"files": [], "locks": {}, "seq": 1}
+            v = max(versions)
+            try:
+                with open(
+                    os.path.join(self._commit_dir, f"{v:020d}.json")
+                ) as f:
+                    return v, json.load(f)
+            except FileNotFoundError:
+                continue
+
+    def _prune_commits(self, latest: int) -> None:
+        """Delete commits older than latest - _COMMIT_KEEP — the Delta
+        log-expiry analog the module docstring cites.  Every commit is a
+        FULL snapshot, so old versions are only needed by readers already
+        holding them; the keep-window (plus `_latest`'s relist-on-missing
+        retry) covers the race.  Without this, a long-lived deployment's
+        per-op `_latest` listing degrades toward O(total commits ever)
+        and the directory never shrinks."""
+        cutoff = latest - _COMMIT_KEEP
+        for n in os.listdir(self._commit_dir):
+            if not n.endswith(".json"):
+                continue
+            if int(n[:-5]) < cutoff:
+                try:
+                    os.unlink(os.path.join(self._commit_dir, n))
+                except FileNotFoundError:
+                    pass  # racing pruner
 
     def _try_commit(self, version: int, state: dict) -> bool:
         """Atomically create commit `version`; False if another writer won.
@@ -125,6 +162,8 @@ class OptimisticLogStore(LogBackend):
             json.dump(state, f)
         try:
             os.link(tmp, final)
+            if version % 64 == 0:
+                self._prune_commits(version)
             return True
         except FileExistsError:
             return False
@@ -147,9 +186,23 @@ class OptimisticLogStore(LogBackend):
     # -- write path -----------------------------------------------------------
 
     def next_seq(self, n: int = 1) -> int:
-        assert n < (1 << _SEQ_SHIFT), "next_seq headroom exceeded"
-        v, _, _ = self._commit(lambda s: s)
-        return v << _SEQ_SHIFT
+        """Allocate n consecutive values from a counter row CARRIED IN the
+        committed state — the Redis INCR analog, linearized by the same
+        conditional commit as everything else.  Any n, no headroom games
+        (the first design derived seq from the commit version with a
+        2^20-per-version window, whose overflow under concurrent oversized
+        allocations could interleave ranges)."""
+        if n < 1:
+            raise ValueError(f"next_seq needs n >= 1, got {n}")
+        out: dict[str, int] = {}
+
+        def alloc(state):
+            cur = int(state.get("seq", 1))
+            out["first"] = cur
+            return {**state, "seq": cur + n}
+
+        self._commit(alloc)
+        return out["first"]
 
     def _commit_files(self, names: list[str]) -> None:
         if names:
@@ -172,22 +225,13 @@ class OptimisticLogStore(LogBackend):
         nothing reads the data dir directly) -> ONE commit publishes them.
         Zero-row part files are dropped before the commit, so an empty frame
         publishes nothing and bumps nothing."""
-        staging = f"{self.path.rstrip('/')}.staging/{tag}-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(staging)
-        names, paths = [], []
-        for i, n in enumerate(sorted(os.listdir(staging))):
-            if not n.endswith(".parquet"):
-                continue
-            src = os.path.join(staging, n)
-            if pq.ParquetFile(src).metadata.num_rows == 0:
-                continue
-            name = f"{tag}-{i}-{uuid.uuid4().hex[:8]}.parquet"
-            os.rename(src, os.path.join(self.path, name))
-            names.append(name)
-            paths.append(os.path.join(self.path, name))
-        shutil.rmtree(staging, ignore_errors=True)
+        run = uuid.uuid4().hex[:8]
+        staging = f"{self.path.rstrip('/')}.staging/{tag}-{run}"
+        names = stage_and_move_parquet(
+            df, staging, self.path, lambda i: f"{tag}-{i}-{run}.parquet"
+        )
         self._commit_files(names)
-        return paths
+        return [os.path.join(self.path, n) for n in names]
 
     # -- read path ------------------------------------------------------------
 
@@ -283,19 +327,12 @@ class OptimisticLogStore(LogBackend):
             else:
                 live = snapshot
             # write the compacted data files WITHOUT committing them yet
-            staging = f"{self.path.rstrip('/')}.staging/{tag}"
-            live.write.mode("overwrite").parquet(staging)
-            new_names = []
-            for i, n in enumerate(sorted(os.listdir(staging))):
-                if not n.endswith(".parquet"):
-                    continue
-                src = os.path.join(staging, n)
-                if pq.ParquetFile(src).metadata.num_rows == 0:
-                    continue
-                name = f"{tag}-{i}.parquet"
-                os.rename(src, os.path.join(self.path, name))
-                new_names.append(name)
-            shutil.rmtree(staging, ignore_errors=True)
+            new_names = stage_and_move_parquet(
+                live,
+                f"{self.path.rstrip('/')}.staging/{tag}",
+                self.path,
+                lambda i: f"{tag}-{i}.parquet",
+            )
             dead = set(snap_names)
             self._commit(
                 lambda s: {
@@ -313,18 +350,13 @@ class OptimisticLogStore(LogBackend):
                 pass  # a racing compact already removed it
 
     def _archive(self, succeeded: DataFrame) -> None:
-        dest = self.path.rstrip("/") + ".archive"
-        staging = f"{self.path.rstrip('/')}.staging/archive-{uuid.uuid4().hex[:8]}"
-        succeeded.write.mode("overwrite").parquet(staging)
-        os.makedirs(dest, exist_ok=True)
-        for i, n in enumerate(sorted(os.listdir(staging))):
-            if not n.endswith(".parquet"):
-                continue
-            src = os.path.join(staging, n)
-            if pq.ParquetFile(src).metadata.num_rows == 0:
-                continue
-            os.rename(src, os.path.join(dest, f"archive-{uuid.uuid4().hex}.parquet"))
-        shutil.rmtree(staging, ignore_errors=True)
+        run = uuid.uuid4().hex[:8]
+        stage_and_move_parquet(
+            succeeded,
+            f"{self.path.rstrip('/')}.staging/archive-{run}",
+            self.path.rstrip("/") + ".archive",
+            lambda i: f"archive-{run}-{i}.parquet",
+        )
 
     def archive(self) -> DataFrame:
         return (
@@ -374,37 +406,90 @@ class OptimisticLogStore(LogBackend):
         create fails and it re-reads a state where the lock is held).
         A crashed holder's lease expires after `lock_lease_s`, restoring
         liveness with at-most-one active holder at all times (the next
-        acquirer takes over only via another conditional commit)."""
-        token = uuid.uuid4().hex
-        while True:
-            def acquire(state):
-                locks = state.get("locks", {})
-                cur = locks.get(queue)
-                if cur and cur["expires"] > time.time():
-                    return None  # held and live: no commit, poll again
-                locks[queue] = {
-                    "token": token,
-                    "owner": self.owner,
-                    "expires": time.time() + self.lock_lease_s,
-                }
-                return {**state, "locks": locks}
+        acquirer takes over only via another conditional commit).
 
+        A LIVE holder renews the lease from a heartbeat thread at
+        lock_lease_s/3, so a critical section longer than the lease (a
+        hot-queue claim trigger scales with backlog) does NOT silently
+        lose mutual exclusion — without renewal, a second instance would
+        take over mid-publish and double-claim.  The residual exposure is
+        a holder process STALLED longer than a full lease (GC pause /
+        SIGSTOP) — the standard lease-lock caveat; if takeover is then
+        detected at release time, a loud warning is emitted rather than a
+        silent no-op, so a double-claim window is never invisible."""
+        token = uuid.uuid4().hex
+
+        def acquire(state):
+            locks = state.get("locks", {})
+            cur = locks.get(queue)
+            if cur and cur["expires"] > time.time():
+                return None  # held and live: no commit, poll again
+            locks = dict(locks)
+            locks[queue] = {
+                "token": token,
+                "owner": self.owner,
+                "expires": time.time() + self.lock_lease_s,
+            }
+            return {**state, "locks": locks}
+
+        while True:
             _, _, committed = self._commit(acquire)
             if committed:
                 break
             time.sleep(self.poll_interval_s)
+
+        stop = threading.Event()
+        lost = threading.Event()
+
+        def renew_loop():
+            while not stop.wait(self.lock_lease_s / 3.0):
+                def renew(state):
+                    locks = state.get("locks", {})
+                    cur = locks.get(queue)
+                    if not cur or cur.get("token") != token:
+                        lost.set()  # lease lapsed and was taken over
+                        return None
+                    locks = dict(locks)
+                    locks[queue] = {
+                        **cur,
+                        "expires": time.time() + self.lock_lease_s,
+                    }
+                    return {**state, "locks": locks}
+
+                self._commit(renew)
+                if lost.is_set():
+                    return
+
+        heartbeat = None
+        if self.lock_renewal:
+            heartbeat = threading.Thread(
+                target=renew_loop, daemon=True, name=f"lock-renew-{queue}"
+            )
+            heartbeat.start()
         try:
             yield
         finally:
+            stop.set()
+            if heartbeat is not None:
+                heartbeat.join(timeout=5)
+
             def release(state):
                 locks = state.get("locks", {})
                 if locks.get(queue, {}).get("token") != token:
-                    return None  # expired + taken over: not ours to clear
+                    return None  # taken over: not ours to clear
                 locks = dict(locks)
                 del locks[queue]
                 return {**state, "locks": locks}
 
-            self._commit(release)
+            _, _, released = self._commit(release)
+            if lost.is_set() or not released:
+                warnings.warn(
+                    f"claim_lock('{queue}'): lease lost during the critical "
+                    "section (holder stalled past lock_lease_s and another "
+                    "instance took over) — mutual exclusion was violated "
+                    "for part of this hold; audit for double-claims",
+                    stacklevel=2,
+                )
 
     # -- control flags: blind PUT/DELETE objects -------------------------------
     # No read-modify-write needed, so no commit: a flag is one object, and

@@ -50,6 +50,31 @@ _ARROW_SCHEMA = pa.schema(
 )
 
 
+def stage_and_move_parquet(df, staging: str, dest_dir: str, namer) -> list[str]:
+    """The shared staged-publish primitive: write `df` to `staging`, move
+    the DATA-BEARING part files into `dest_dir` under `namer(i)` names
+    (zero-row files dropped — an empty frame must publish nothing), clean
+    the staging dir, return the moved basenames.  Rename is atomic within
+    a filesystem so readers never see partial files.  Used by every
+    publish/compact/archive path of both backends."""
+    import shutil
+
+    os.makedirs(dest_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(staging)
+    names = []
+    for i, n in enumerate(sorted(os.listdir(staging))):
+        if not n.endswith(".parquet"):
+            continue
+        src = os.path.join(staging, n)
+        if pq.ParquetFile(src).metadata.num_rows == 0:
+            continue
+        name = namer(i)
+        os.rename(src, os.path.join(dest_dir, name))
+        names.append(name)
+    shutil.rmtree(staging, ignore_errors=True)
+    return names
+
+
 def rows_to_arrow_table(rows: list[dict]) -> pa.Table:
     """Driver-local rows -> an Arrow table in the job-log schema (shared by
     every backend's small-append fast path)."""
@@ -183,23 +208,11 @@ class JobStore(LogBackend):
         return self._publish_to(df, tag, self.path)
 
     def _publish_to(self, df: DataFrame, tag: str, dest: str) -> list[str]:
-        os.makedirs(dest, exist_ok=True)
         staging = f"{self.path.rstrip('/')}.staging/{tag}"
-        df.write.mode("overwrite").parquet(staging)
-        published = []
-        for i, name in enumerate(sorted(os.listdir(staging))):
-            if not name.endswith(".parquet"):
-                continue
-            src = os.path.join(staging, name)
-            if pq.ParquetFile(src).metadata.num_rows == 0:
-                continue
-            dst = os.path.join(dest, f"{tag}-{i}.parquet")
-            os.rename(src, dst)
-            published.append(dst)
-        import shutil
-
-        shutil.rmtree(staging, ignore_errors=True)
-        return published
+        names = stage_and_move_parquet(
+            df, staging, dest, lambda i: f"{tag}-{i}.parquet"
+        )
+        return [os.path.join(dest, n) for n in names]
 
     def n_files(self) -> int:
         return sum(1 for n in os.listdir(self.path) if n.endswith(".parquet"))

@@ -11,6 +11,8 @@ snapshot.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -21,17 +23,21 @@ class EdgeIngestor:
     `read_edge_index` (window-derived, exchange-free) until `compact()`
     merges degrees back into the stored decoration.
 
-    Exactly-once is TWO layers deep, because stale degrees — unlike the
+    Exactly-once is TWO layers deep, because duplicated edges — unlike the
     LshIngestor's duplicate candidate rows — would NOT be collapsed by a
-    downstream distinct():
-    1. the batch-id ledger (streaming/sink.py) skips a batch whose marker
-       landed;
-    2. for the crash window BETWEEN the index append and the marker, the
-       replay checks the table's partition listing first — Spark's write
-       commit protocol makes a partition visible only when its job
-       committed, so `ingest_batch=<id>` present ⇒ the append completed
-       ⇒ the replay skips it instead of doubling every edge (and degree)
-       of that batch.
+    downstream distinct() (they double degrees):
+    1. the batch-id ledger (streaming/sink.py) skips a batch whose ledger
+       marker landed;
+    2. for the crash window BETWEEN the index append and the ledger
+       marker, the ingestor keeps its OWN per-batch commit marker,
+       written (atomic rename) only after the append's job returns.  A
+       partition's mere presence is NOT trusted — Spark's file committers
+       can expose a partially-committed partition (v1 moves task outputs
+       in one at a time; v2 exposes each task as it commits), so a
+       replay that finds the marker absent DROPS any partial
+       `ingest_batch=<id>` partition (metadata + files) and re-appends
+       the whole batch.  Replays therefore converge to exactly-once
+       edges under a crash at ANY point.
 
     Usage:
         ing = EdgeIngestor(spark, "edges_idx", path, ledger_dir, buckets=32)
@@ -61,15 +67,41 @@ class EdgeIngestor:
 
         self.process = idempotent_foreach_batch(self._process, ledger_dir)
 
-    def _committed_batches(self) -> set[int]:
-        rows = self.spark.sql(f"SHOW PARTITIONS {self.table_name}").collect()
-        return {int(r[0].split("=", 1)[1]) for r in rows}
+    def _marker_path(self, batch_id: int) -> str:
+        return os.path.join(self.path.rstrip("/") + ".batches", str(batch_id))
+
+    def _mark_committed(self, batch_id: int) -> None:
+        marker = self._marker_path(batch_id)
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("done")
+        os.rename(tmp, marker)
+
+    def _drop_partial_partition(self, batch_id: int) -> None:
+        """Remove any partially-committed `ingest_batch=<id>` partition
+        left by a crashed append: catalog entry AND files (the compaction
+        pass reads the location with partition discovery, so orphaned
+        files must go too)."""
+        self.spark.sql(
+            f"ALTER TABLE {self.table_name} DROP IF EXISTS "
+            f"PARTITION (ingest_batch={batch_id})"
+        )
+        part_dir = os.path.join(self.path, f"ingest_batch={batch_id}")
+        try:
+            jpath = self.spark._jvm.org.apache.hadoop.fs.Path(part_dir)
+            fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            fs.delete(jpath, True)
+        except Exception:
+            pass  # nothing there, or scheme quirk: the DROP already hides it
 
     def _process(self, batch_df: DataFrame, batch_id: int) -> None:
         from flume_spark.operators import graph
 
         if batch_df.isEmpty():
             return
+        if os.path.exists(self._marker_path(batch_id)):
+            return  # crash-window replay: the append fully committed
         if not self.spark.catalog.tableExists(self.table_name):
             graph.write_edge_index(
                 batch_df,
@@ -80,12 +112,15 @@ class EdgeIngestor:
                 dst=self.dst,
                 ingest_batch=batch_id,
             )
+            self._mark_committed(batch_id)
             return
-        if batch_id in self._committed_batches():
-            return  # crash-window replay: the append already committed
+        # no marker: any existing partition for this id is a partial
+        # write from a crashed attempt — drop it, then re-append
+        self._drop_partial_partition(batch_id)
         graph.append_edge_index(
             batch_df, self.table_name, batch_id, src=self.src, dst=self.dst
         )
+        self._mark_committed(batch_id)
 
     def edges(self, exclude_batch: int | None = None) -> DataFrame:
         """Iteration-ready (src, dst, out_deg) with always-correct degrees

@@ -198,24 +198,59 @@ def test_commit_race_single_winner(spark, tmp_path):
 
 def test_lock_lease_expiry_takeover(spark, tmp_path):
     """A crashed holder's lease must self-heal: a lock acquired and never
-    released (simulated crash) is taken over after lock_lease_s, and the
-    dead holder's late release must NOT clear the new holder's lock."""
+    renewed nor released (lock_renewal=False models the dead process) is
+    taken over after lock_lease_s, and the dead holder's late release
+    must NOT clear the new holder's lock (it warns instead)."""
+    import warnings as _warnings
+
     from flume_spark.queue import OptimisticLogStore
 
     path = str(tmp_path / "lease")
-    dead = OptimisticLogStore(spark, path, lock_lease_s=0.3)
+    dead = OptimisticLogStore(spark, path, lock_lease_s=0.3, lock_renewal=False)
     live = OptimisticLogStore(spark, path, lock_lease_s=60.0)
     crash = dead.claim_lock("q")
-    crash.__enter__()  # acquired, then "crash": never exits
+    crash.__enter__()  # acquired, then "crash": no renewal, never exits
     t0 = __import__("time").perf_counter()
     with live.claim_lock("q"):  # blocks until the 0.3s lease expires
         waited = __import__("time").perf_counter() - t0
         assert waited >= 0.2, f"took over a live lease after {waited}s"
         # the dead holder's deferred release runs while `live` holds:
-        # token mismatch => no-op, live's lock survives
-        crash.__exit__(None, None, None)
+        # token mismatch => no-op on the lock, but a LOUD warning
+        with _warnings.catch_warnings(record=True) as got:
+            _warnings.simplefilter("always")
+            crash.__exit__(None, None, None)
+        assert any("mutual exclusion" in str(w.message) for w in got)
         _, state = live._latest()
         assert state["locks"]["q"]["owner"] == live.owner
+
+
+def test_lock_lease_renewed_while_held(spark, tmp_path):
+    """A LIVE holder with a short lease keeps the lock through a hold
+    longer than lock_lease_s: the heartbeat renews, so a contender cannot
+    take over mid-critical-section (the round-6 review finding)."""
+    import threading
+    import time as _time
+
+    from flume_spark.queue import OptimisticLogStore
+
+    path = str(tmp_path / "renew")
+    holder = OptimisticLogStore(spark, path, lock_lease_s=0.3)
+    contender = OptimisticLogStore(spark, path, lock_lease_s=0.3)
+    order = []
+
+    def hold():
+        with holder.claim_lock("q"):
+            order.append("h1")
+            _time.sleep(1.0)  # 3+ lease periods: only renewal keeps it
+            order.append("h2")
+
+    t = threading.Thread(target=hold)
+    t.start()
+    _time.sleep(0.15)
+    with contender.claim_lock("q"):
+        order.append("c")
+    t.join()
+    assert order == ["h1", "h2", "c"], order
 
 
 def test_engine_end_to_end_on_optimistic_backend(spark, tmp_path):

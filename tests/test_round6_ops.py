@@ -453,10 +453,25 @@ def test_edge_ingestor_replay_and_compaction_converge(spark, tmp_path):
             ing.process(part, b)
         # ledger-level replay: marker present -> no-op
         ing.process(batches[1], 1)
-        # crash-window replay: bypass the ledger; the partition check skips
+        # crash-window replay: bypass the ledger; the ingestor's own
+        # commit marker skips the re-append
         ing._process(batches[2], 2)
         n_edges = spark.table("r6_ing").count()
         assert n_edges == full.count(), "replay doubled a batch"
+        # crash DURING the append: marker lost + partition partially
+        # visible (simulated by deleting the marker and one data file) —
+        # the replay must drop the partial partition and re-append whole
+        import glob
+        import os as _os
+
+        _os.unlink(ing._marker_path(2))
+        part_files = glob.glob(str(tmp_path / "ing" / "ingest_batch=2" / "*.parquet"))
+        assert part_files
+        _os.unlink(part_files[0])
+        spark.sql("REFRESH TABLE r6_ing")
+        assert spark.table("r6_ing").count() < full.count()  # truncated
+        ing._process(batches[2], 2)
+        assert spark.table("r6_ing").count() == full.count(), "partial not healed"
         got = sorted(
             map(tuple, graph.pagerank_k_exact(ing.edges(), iters=2).collect())
         )
