@@ -59,6 +59,7 @@ _NEEDS_DRIVER_ROW = [  # round-6 additions/changes, ascending expected sf0.01 ru
     "graph_sssp_k",
     "graph_triangles",
     "corpus_shard_manifest",
+    "join_null_safe",
 ]
 
 # Union of CORRECTNESS_r01..r05 keys: 168 hash-green, 5 rows-only by

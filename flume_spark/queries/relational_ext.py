@@ -784,7 +784,49 @@ FROM g
 """
 
 
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the one
+    §2.3 join predicate no other query exercises: NULL keys MATCH each
+    other instead of dropping out.  Keys derived deterministically
+    (NULLIF(user_id % 10, 7): one residue class becomes NULL), each side
+    a per-key channel aggregate, so the null bucket carries real rows and
+    a plain equi-join would silently lose it.  EqualNullSafe keys remain
+    hash-partitionable, so Catalyst still plans a hash join — no
+    nested-loop fallback (the reason engines bother with the operator)."""
+    ev = T(spark, sf_dir, "events")
+    key = F.nullif((F.col("user_id") % 10).cast("int"), F.lit(7))
+
+    def chan(t: str, alias: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == t)
+            .select(key.alias("key"))
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    a = chan("click", "clicks")
+    b = chan("view", "views")
+    return a.join(b, a["key"].eqNullSafe(b["key"]), "inner").select(
+        a["key"].alias("key"), "clicks", "views"
+    )
+
+
+JOIN_NULL_SAFE_SQL = """
+WITH a AS (
+  SELECT NULLIF(CAST(user_id % 10 AS INT), 7) AS key, count(*) AS clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+b AS (
+  SELECT NULLIF(CAST(user_id % 10 AS INT), 7) AS key, count(*) AS views
+  FROM events WHERE event_type = 'view' GROUP BY 1
+)
+SELECT a.key, clicks, views
+FROM a JOIN b ON a.key IS NOT DISTINCT FROM b.key
+"""
+
+
 QUERIES = {
+    "join_null_safe": join_null_safe,
     "q11_important_stock": q11_important_stock,
     "stream_contract_orders": stream_contract_orders,
     "rollup_topk_window": rollup_topk_window,
@@ -804,6 +846,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_null_safe": JOIN_NULL_SAFE_SQL,
     "q11_important_stock": Q11_SQL,
     "stream_contract_orders": STREAM_CONTRACT_SQL,
     "rollup_topk_window": ROLLUP_TOPK_SQL,
