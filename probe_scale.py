@@ -422,6 +422,17 @@ def main_claim() -> None:
             got = mgr.claim_plan({"hot": 500}, t0 + 100, 99).count()
             samples.append(time.perf_counter() - t)
         assert got == 500, got
+        # shared-rate arm: the joint FIFO rank's input is pre-bounded to
+        # min(demand, budget) per queue, so the one task a hot
+        # rate_limit_key gets must stay flat as the backlog grows too
+        shared_samples = []
+        for _ in range(3):
+            t = time.perf_counter()
+            got_s = mgr.claim_plan(
+                {"hot": 500}, t0 + 100, 99, shared_budgets={"hot": ("k1", 250)}
+            ).count()
+            shared_samples.append(time.perf_counter() - t)
+        assert got_s == 250, got_s
         times[f] = min(samples[1:])  # drop the cold first sample
         out = {
             "probe": "claim_hot_queue",
@@ -430,6 +441,7 @@ def main_claim() -> None:
             "demand": 500,
             "sec": round(times[f], 3),
             "samples": [round(s, 3) for s in samples],
+            "shared_key_sec": round(min(shared_samples), 3),
         }
         base = factors[0]
         if f != base and times[base] > 0:
