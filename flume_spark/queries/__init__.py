@@ -53,13 +53,14 @@ _NEEDS_DRIVER_ROW = [  # round-6 additions/changes, ascending expected sf0.01 ru
     "rate_window_count",
     # histogram oracle literals wrapped CAST(q AS DOUBLE) (ADVICE fix)
     "histogram_quantiles",
-    # new round-6 queries
-    "ts_sax_znorm",
-    "graph_bfs_hops",
-    "graph_sssp_k",
-    "graph_triangles",
+    # new round-6 queries (cheap first; the graph fixpoints pay the
+    # basket self-join / recursive oracle and go last)
     "corpus_shard_manifest",
     "join_null_safe",
+    "ts_sax_znorm",
+    "graph_bfs_hops",
+    "graph_triangles",
+    "graph_sssp_k",
 ]
 
 # Union of CORRECTNESS_r01..r05 keys: 168 hash-green, 5 rows-only by
