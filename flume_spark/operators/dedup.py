@@ -973,3 +973,107 @@ def incremental_lsh_candidates(
         .unionByName(new_pairs.select(*out_cols))
         .distinct()
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (AllPairs/PPJoin
+    family — Bayardo et al. WWW'07, Xiao et al. WWW'08): all pairs with
+    shingle-Jaccard >= t_num/t_den, with NO false negatives — the lossless
+    alternative to MinHash-LSH when the threshold is high and recall must
+    be exactly 1.
+
+    Returns (doc_a, doc_b, inter, union_sz, jaccard) with doc_a < doc_b.
+
+    Why it is lossless: J(a,b) >= t implies |a∩b| >= t*(|a|+|b|-|a∩b|)
+    >= t*max(|a|,|b|), so under ANY global token ordering a qualifying
+    pair must share a token within each doc's first
+    p = |d| - ceil(t*|d|) + 1 tokens (pigeonhole: the suffix holds only
+    ceil(t*|d|) - 1 tokens, fewer than the required overlap).  Joining
+    prefixes therefore finds every qualifying pair; exact verification
+    on the candidates removes false positives.
+
+    Scale shape (the reason this beats the plain inverted-index join of
+    ngram_jaccard_pairs): the candidate join shuffles
+    sum-over-PREFIX-tokens(df^2) instead of sum-over-ALL-tokens(df^2),
+    and the global ordering is ascending document frequency, so prefixes
+    hold each doc's RAREST tokens — exactly the ones with small df.  A
+    stop-shingle in every document never enters a prefix at high
+    thresholds.  Two further exact prunes ride the same join: the length
+    filter (J >= t forces t*max(|a|,|b|) <= min(|a|,|b|)) and doc_a <
+    doc_b.  All predicates are integer arithmetic (ceil(t*n) =
+    (t_num*n + t_den - 1) div t_den), so results hash-check cross-engine.
+
+    The per-doc ranking window partitions by doc id — its input is one
+    document's shingle set, bounded by doc length, never corpus-sized.
+
+    Reference parity: flume has no similarity surface; declared per
+    SURVEY.md §2 (LLM-pipeline dedup family).  Complements
+    lsh_verified_pairs: LSH trades recall for a df-independent shuffle;
+    prefix filtering keeps recall 1 and pays df_prefix^2.
+    """
+    from pyspark.sql import Window
+
+    if not (0 < t_num < t_den):
+        raise ValueError("threshold t_num/t_den must satisfy 0 < t < 1")
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id")
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("rk", F.row_number().over(w.orderBy("df", "shingle")))
+        .withColumn("n_sh", F.count(F.lit(1)).over(w))
+    )
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.expr(f"n_sh - (({t_num} * n_sh + {t_den - 1}) div {t_den}) + 1")
+    ).select("id", "shingle", "n_sh")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: t*max <= min, in integers
+            & (
+                t_num * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+                <= t_den * F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+            ),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("id").alias("doc_a"), "shingle"), "doc_a")
+        .join(
+            sh.select(F.col("id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return inter.filter(
+        (t_num + t_den) * F.col("inter") >= t_num * (F.col("na") + F.col("nb"))
+    ).select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        (F.col("na") + F.col("nb") - F.col("inter")).alias("union_sz"),
+        # ratio of exact integers: both engines produce the identical
+        # IEEE double, so no rounding is needed (or wanted — round() on a
+        # half-boundary like 1/128 diverges between engines)
+        (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
+            "jaccard"
+        ),
+    )

@@ -371,3 +371,134 @@ def histogram_quantile_est(
             * ((F.lit(hi) - F.lit(lo)) / F.lit(float(bins)))
         ).alias("est_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog — the DISTINCT-count member of the mergeable
+# sketch family (count-min = frequency, histogram = quantiles, HLL =
+# cardinality).  Unlike sketch_distinct (Spark's datasketches binary, whose
+# sparse/dense encoding is path-dependent), this register TABLE is a pure
+# function of the input set: md5-hashed, exact-integer registers, so build
+# and merge hash-check cross-engine and merged == whole-corpus bit-for-bit.
+# Flajolet et al., "HyperLogLog: the analysis of a near-optimal cardinality
+# estimation algorithm" (AofA 2007).
+# ---------------------------------------------------------------------------
+
+# 60-bit hash (15 md5 hex chars — fits BIGINT), p bucket bits, 60-p rho bits.
+_HLL_HASH_BITS = 60
+
+
+def _hll_h60(value_col: str, seed: str):
+    """60-bit uniform hash of the value, identical in Spark and DuckDB
+    (hll_h60_sql) — leading 15 hex chars of md5(seed || ':' || value)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(value_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def hll_h60_sql(value_sql: str, seed: str) -> str:
+    return (
+        f"CAST('0x' || substring(md5('{seed}:' || CAST({value_sql} AS VARCHAR)),"
+        f" 1, 15) AS BIGINT)"
+    )
+
+
+def hll_table(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    p: int = 8,
+    seed: str = "hll",
+) -> DataFrame:
+    """Per-key HLL register table: (keys..., bucket, reg), one row per
+    NON-EMPTY bucket (reg >= 1; absent buckets mean register 0 — the
+    estimator accounts for them arithmetically, so no m-row spine is ever
+    materialized).
+
+    bucket = low p bits of a 60-bit md5 hash; reg = max over values of
+    rho(w) where w is the remaining 60-p bits and rho = leading zeros + 1
+    (computed exactly as (60-p) - bitlength(w) + 1 via the binary-string
+    length — no float log2, whose boundary rounding could disagree
+    cross-engine).
+
+    One hash-aggregate shuffle with map-side partial max; state is
+    <= 2^p rows per key regardless of cardinality.  Merging slices =
+    max per cell (hll_merge) — register max is associative/commutative/
+    idempotent, so re-merges and replays are harmless (the property the
+    streaming ingestor leans on).
+    """
+    m = 1 << p
+    rho_bits = _HLL_HASH_BITS - p
+    h = df.select(*keys, _hll_h60(value, seed).alias("h60"))
+    w_expr = f"(h60 div {m})"
+    return (
+        h.select(
+            *keys,
+            (F.col("h60") % m).alias("bucket"),
+            F.expr(
+                f"CASE WHEN {w_expr} = 0 THEN {rho_bits + 1} "
+                f"ELSE {rho_bits + 1} - length(bin({w_expr})) END"
+            ).alias("rho"),
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_merge(tables: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge per-slice register tables: cell-wise max — order-free,
+    idempotent (safe under replay), and exactly equal to building one
+    table over the unioned input."""
+    return tables.groupBy(*keys, "bucket").agg(F.max("reg").alias("reg"))
+
+
+def hll_estimate(
+    regs: DataFrame,
+    keys: list[str],
+    p: int = 8,
+) -> DataFrame:
+    """Cardinality estimate from a register table:
+    (keys..., n_hit, harmonic_sum, hll_est).
+
+    The harmonic sum S = sum over all m buckets of 2^(-reg) is kept EXACT
+    by scaling: sum(1 << (rho_bits+1-reg)) over present rows plus
+    (m - n_hit) << (rho_bits+1) for the absent (reg=0) buckets — max
+    m * 2^(rho_bits+1) = 2^(p+rho_bits+2) < 2^63, so the BIGINT never
+    overflows and both engines agree bit-for-bit.  The only float op is
+    the final alpha*m^2*2^scale / S division of engine-identical inputs,
+    so even the double estimate hash-checks.
+    """
+    m = 1 << p
+    rho_bits = _HLL_HASH_BITS - p
+    scale = rho_bits + 1  # reg ranges 1..scale; 2^-reg scaled by 2^scale
+    alpha = 0.7213 / (1 + 1.079 / m)
+    c = alpha * m * m * float(1 << scale)
+    return (
+        regs.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_hit"),
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - reg)")).alias(
+                "__present"
+            ),
+        )
+        .select(
+            *keys,
+            "n_hit",
+            (
+                F.col("__present")
+                + (F.lit(m) - F.col("n_hit")) * F.lit(1 << scale).cast("long")
+            ).alias("harmonic_sum"),
+        )
+        .select(
+            *keys,
+            "n_hit",
+            "harmonic_sum",
+            (F.lit(c) / F.col("harmonic_sum").cast("double")).alias("hll_est"),
+        )
+    )

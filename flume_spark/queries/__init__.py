@@ -57,7 +57,9 @@ _NEEDS_DRIVER_ROW = [  # round-6 additions/changes, ascending expected sf0.01 ru
     # basket self-join / recursive oracle and go last)
     "corpus_shard_manifest",
     "join_null_safe",
+    "sketch_hll",
     "ts_sax_znorm",
+    "dedup_prefix_filter",
     "graph_bfs_hops",
     "graph_triangles",
     "graph_sssp_k",

@@ -512,6 +512,77 @@ def _countmin_sql(depth: int = 4, width: int = 64, seed: str = "flume") -> str:
 SKETCH_COUNTMIN_SQL = _countmin_sql()
 
 
+def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-customer estimate per order
+    priority (skew.hll_table/merge/estimate): md5-hashed exact-integer
+    registers, so unlike approx_distinct (Spark's datasketches binary,
+    rows-only) the whole thing hash-checks cross-engine — including the
+    double estimate, whose only float op is one division of
+    engine-identical integers.
+
+    The Spark side deliberately builds registers per (priority, slice)
+    and MERGES them, while the oracle builds one-level: hash-equality is
+    the proof that slice-merge == whole-corpus, the property that lets a
+    100 TB pipeline keep per-day register tables and answer any date
+    range by max-merge instead of rescan.  The exact_distinct comparison
+    column rides the skew-proof salted two-phase count."""
+    from flume_spark.operators import skew
+
+    o = T(spark, sf_dir, "orders")
+    grp = F.col("o_orderpriority").alias("grp")
+    slices = skew.hll_table(
+        o.select(grp, "o_custkey", (F.col("o_orderkey") % 4).alias("slice")),
+        ["grp", "slice"],
+        "o_custkey",
+        p=8,
+    )
+    regs = skew.hll_merge(slices.drop("slice"), ["grp"])
+    est = skew.hll_estimate(regs, ["grp"], p=8)
+    exact = skew.salted_count_distinct(
+        o.select(grp, "o_custkey"), ["grp"], "o_custkey", out_col="exact_distinct"
+    )
+    return est.join(exact, "grp")
+
+
+def _sketch_hll_sql(p: int = 8, seed: str = "hll") -> str:
+    from flume_spark.operators.skew import _HLL_HASH_BITS, hll_h60_sql
+
+    m = 1 << p
+    rho_bits = _HLL_HASH_BITS - p
+    scale = rho_bits + 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+    c = alpha * m * m * float(1 << scale)
+    h60 = hll_h60_sql("o_custkey", seed)
+    return f"""
+WITH h AS (
+  SELECT o_orderpriority AS grp, {h60} AS h60 FROM orders
+),
+regs AS (
+  SELECT grp, h60 % {m} AS bucket,
+         max(CASE WHEN h60 // {m} = 0 THEN {scale}
+                  ELSE {scale} - length(bin(h60 // {m})) END) AS reg
+  FROM h GROUP BY 1, 2
+),
+agg AS (
+  SELECT grp, count(*) AS n_hit,
+         sum(1::BIGINT << ({scale} - reg))::BIGINT
+           + ({m} - count(*)) * (1::BIGINT << {scale}) AS harmonic_sum
+  FROM regs GROUP BY 1
+),
+ex AS (
+  SELECT o_orderpriority AS grp, count(DISTINCT o_custkey) AS exact_distinct
+  FROM orders GROUP BY 1
+)
+SELECT a.grp, n_hit, harmonic_sum,
+       CAST({c!r} AS DOUBLE) / CAST(harmonic_sum AS DOUBLE) AS hll_est,
+       exact_distinct
+FROM agg a JOIN ex USING (grp)
+"""
+
+
+SKETCH_HLL_SQL = _sketch_hll_sql()
+
+
 def skew_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostic over lineitem suppliers (skew.skew_report): the
     measurement that decides between plain shuffle, salting
@@ -1379,6 +1450,7 @@ WHERE (b.x * t.n - t.s) * (b.x * t.n - t.s) > 4 * (t.n * t.q - t.s * t.s)
 
 QUERIES = {
     "sketch_countmin": sketch_countmin,
+    "sketch_hll": sketch_hll,
     "channel_running_compare": channel_running_compare,
     "ts_sax_words": ts_sax_words,
     "ts_sax_znorm": ts_sax_znorm,
@@ -1411,6 +1483,7 @@ QUERIES = {
 
 ORACLES = {
     "sketch_countmin": SKETCH_COUNTMIN_SQL,
+    "sketch_hll": SKETCH_HLL_SQL,
     "channel_running_compare": CHANNEL_RUNNING_SQL,
     "ts_sax_words": TS_SAX_WORDS_SQL,
     "ts_sax_znorm": TS_SAX_ZNORM_SQL,

@@ -1103,11 +1103,55 @@ FROM documents, unnest(range(0, 4)) AS t(i)
 """
 
 
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join (AllPairs/PPJoin prefix filtering): every
+    pair with 2-shingle Jaccard >= 4/5, recall exactly 1 — the lossless
+    high-threshold complement to dedup_lsh_verified.  The oracle is the
+    plain all-pairs inverted-index join: hash-equality IS the lossless
+    proof (prefix pruning dropped ~2/3 of candidates at sf0.01 yet no
+    result row)."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.prefix_filter_pairs(docs, "doc_id", "text", n=2, t_num=4, t_den=5)
+
+
+# Oracle: brute-force all-pairs Jaccard — deliberately WITHOUT prefix
+# filtering, so the hash gate checks the lossless claim, not just the
+# arithmetic.  Integer threshold predicate: J >= 4/5 <=> 9*i >= 4*(na+nb).
+DEDUP_PREFIX_FILTER_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(words)),
+                  i -> words[i] || ' ' || words[i+1])) AS shingle
+    FROM w
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter AS inter,
+       sa.n_sh + sb.n_sh - n_inter AS union_sz,
+       n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE 9 * n_inter >= 4 * (sa.n_sh + sb.n_sh)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_containment": dedup_containment,
+    "dedup_prefix_filter": dedup_prefix_filter,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_simhash": dedup_simhash,
@@ -1148,6 +1192,7 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     "dedup_ngram_jaccard_capped": DEDUP_NGRAM_CAPPED_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
+    "dedup_prefix_filter": DEDUP_PREFIX_FILTER_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_lsh_verified": DEDUP_LSH_VERIFIED_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,

@@ -195,3 +195,78 @@ class HistIngestor:
         if table is None:
             return None
         return histogram_quantile_est(table, qs, self.lo, self.hi, self.bins)
+
+
+class HllIngestor:
+    """foreachBatch handler: deterministic-HLL registers per batch, merged
+    on read — the DISTINCT-count member of the streaming sketch family
+    (CmsIngestor = frequency, HistIngestor = quantiles).
+
+    Each micro-batch writes its own register table (<= 2^p rows per key)
+    to a per-batch OVERWRITE partition; `estimate()` max-merges all
+    partitions.  Register max is idempotent, so this ingestor is doubly
+    replay-safe: the ledger skips acknowledged batches, and even a
+    replayed-then-overwritten batch merges to the identical registers —
+    distinct counting never double-counts by construction, which is why
+    HLL (not a counter) is the right distinct telemetry for at-least-once
+    ingest at 100 TB.
+    """
+
+    def __init__(
+        self,
+        spark,
+        sketch_dir: str,
+        ledger_dir: str,
+        keys: list[str],
+        value_col: str,
+        p: int = 8,
+        seed: str = "hll",
+    ) -> None:
+        self.spark = spark
+        self.sketch_dir = sketch_dir
+        self.keys = list(keys)
+        self.value_col = value_col
+        self.p = p
+        self.seed = seed
+        os.makedirs(sketch_dir, exist_ok=True)
+        from flume_spark.streaming.sink import idempotent_foreach_batch
+
+        self.process = idempotent_foreach_batch(self._process, ledger_dir)
+
+    def _process(self, batch_df, batch_id: int) -> None:
+        from flume_spark.operators.skew import hll_table
+
+        table = hll_table(
+            batch_df, self.keys, self.value_col, p=self.p, seed=self.seed
+        )
+        table.write.mode("overwrite").parquet(
+            os.path.join(self.sketch_dir, f"ingest_batch={batch_id}")
+        )
+
+    def _has_parquet(self) -> bool:
+        return any(
+            f.endswith(".parquet")
+            for dirpath, _, files in os.walk(self.sketch_dir)
+            if "_temporary" not in dirpath
+            for f in files
+        )
+
+    def registers(self):
+        """Whole-history register table (None before the first batch)."""
+        from flume_spark.operators.skew import hll_merge
+
+        if not self._has_parquet():
+            return None
+        slices = self.spark.read.parquet(self.sketch_dir).select(
+            *self.keys, "bucket", "reg"
+        )
+        return hll_merge(slices, self.keys)
+
+    def estimate(self):
+        """Per-key distinct estimates over everything ingested so far."""
+        from flume_spark.operators.skew import hll_estimate
+
+        regs = self.registers()
+        if regs is None:
+            return None
+        return hll_estimate(regs, self.keys, p=self.p)

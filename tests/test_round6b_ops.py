@@ -1,0 +1,182 @@
+"""Round-6 late additions: exact prefix-filter similarity join
+(operators/dedup.prefix_filter_pairs) and the deterministic HLL sketch
+family (operators/skew.hll_* + streaming HllIngestor)."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+
+from flume_spark.operators import dedup, skew
+
+
+# ---------------------------------------------------------------------------
+# prefix filtering — losslessness is the whole contract
+# ---------------------------------------------------------------------------
+
+
+def _shingles(text: str, n: int = 2) -> set[str]:
+    ws = text.lower().strip().split()
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog today"),
+    (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup
+    (3, "the quick brown fox jumps over the lazy cat today"),  # near dup
+    (4, "a completely different sentence about spark plans"),
+    (5, "a completely different sentence about spark plans here"),  # near dup
+    (6, "yet another unrelated document with its own words"),
+    (7, "the quick brown fox naps under the lazy dog today"),  # medium sim
+]
+
+
+def _brute_pairs(t_num: int, t_den: int) -> set[tuple[int, int, int, int]]:
+    out = set()
+    for (ia, ta), (ib, tb) in combinations(CORPUS, 2):
+        sa, sb = _shingles(ta), _shingles(tb)
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        if inter * t_den >= t_num * union:  # J >= t
+            out.add((ia, ib, inter, union))
+    return out
+
+
+@pytest.mark.parametrize("t_num,t_den", [(1, 2), (4, 5)])
+def test_prefix_filter_lossless_vs_bruteforce(spark, t_num, t_den):
+    """prefix_filter_pairs == brute-force all-pairs Jaccard at the same
+    threshold: recall exactly 1 (the prefix/length prunes are lossless)
+    and precision exactly 1 (the verify stage removes false positives)."""
+    df = spark.createDataFrame(CORPUS, "doc_id int, text string")
+    got = {
+        (r.doc_a, r.doc_b, r.inter, r.union_sz)
+        for r in dedup.prefix_filter_pairs(
+            df, "doc_id", "text", n=2, t_num=t_num, t_den=t_den
+        ).collect()
+    }
+    assert got == _brute_pairs(t_num, t_den)
+
+
+def test_prefix_filter_jaccard_is_exact_ratio(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id int, text string")
+    for r in dedup.prefix_filter_pairs(df, "doc_id", "text", t_num=1, t_den=2).collect():
+        assert r.jaccard == r.inter / r.union_sz
+        assert 0.5 <= r.jaccard <= 1.0
+
+
+def test_prefix_filter_rejects_bad_threshold(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id int, text string")
+    with pytest.raises(ValueError):
+        dedup.prefix_filter_pairs(df, "doc_id", "text", t_num=5, t_den=5)
+    with pytest.raises(ValueError):
+        dedup.prefix_filter_pairs(df, "doc_id", "text", t_num=0, t_den=5)
+
+
+# ---------------------------------------------------------------------------
+# deterministic HLL — merge identity, accuracy, replay idempotence
+# ---------------------------------------------------------------------------
+
+
+def test_hll_merge_equals_whole_build(spark):
+    """Register tables built per slice and max-merged equal the one-shot
+    build over the union — the property that lets per-day sketches answer
+    any range without rescans (and the one the sketch_hll oracle pins
+    cross-engine)."""
+    rows = [(f"g{i % 3}", f"v{i % 511}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    whole = skew.hll_table(df, ["grp"], "v", p=6)
+    slices = [
+        skew.hll_table(df.filter(f"pmod(hash(v), 4) = {s}"), ["grp"], "v", p=6)
+        for s in range(4)
+    ]
+    merged = slices[0]
+    for s in slices[1:]:
+        merged = merged.unionByName(s)
+    got = sorted(map(tuple, skew.hll_merge(merged, ["grp"]).collect()))
+    assert got == sorted(map(tuple, whole.collect()))
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """Raw estimate within 3 sigma (sigma ~= 1.04/sqrt(m)) of the true
+    cardinality for n >> 2.5m (the raw estimator's valid range)."""
+    n_true = 5000
+    df = spark.createDataFrame([(f"k{i}",) for i in range(n_true)], "v string")
+    est = skew.hll_estimate(skew.hll_table(df, [], "v", p=8), [], p=8).collect()[0]
+    sigma = 1.04 / (256**0.5)
+    assert abs(est.hll_est - n_true) <= 3 * sigma * n_true
+    # harmonic_sum is exact integer state: deterministic across rebuilds
+    est2 = skew.hll_estimate(skew.hll_table(df, [], "v", p=8), [], p=8).collect()[0]
+    assert est.harmonic_sum == est2.harmonic_sum and est.hll_est == est2.hll_est
+
+
+def test_hll_register_range(spark):
+    """reg in [1, 53] for p=8 (60-bit hash, 52 rho bits + 1) and bucket in
+    [0, 255] — the invariants the exact-integer harmonic sum relies on to
+    never overflow BIGINT."""
+    df = spark.createDataFrame([(str(i),) for i in range(2000)], "v string")
+    regs = skew.hll_table(df, [], "v", p=8).collect()
+    assert all(0 <= r.bucket < 256 for r in regs)
+    assert all(1 <= r.reg <= 53 for r in regs)
+
+
+def test_hll_ingestor_replay_converges(spark, tmp_path):
+    """HllIngestor: ledger skips a replayed batch; merged registers equal
+    the one-shot batch build over the union; estimates answer from merged
+    state.  Register max is idempotent, so even a forced re-process (new
+    ledger) converges to identical state."""
+    from flume_spark.streaming.sketch import HllIngestor
+
+    ing = HllIngestor(
+        spark, str(tmp_path / "sk"), str(tmp_path / "lg"), keys=["grp"],
+        value_col="v", p=6,
+    )
+    b0 = spark.createDataFrame(
+        [(f"g{i % 2}", f"v{i}") for i in range(600)], "grp string, v string"
+    )
+    b1 = spark.createDataFrame(
+        [(f"g{i % 2}", f"v{i + 300}") for i in range(400)], "grp string, v string"
+    )
+    ing.process(b0, 0)
+    ing.process(b1, 1)
+    ing.process(b1, 1)  # replay: ledger no-op
+    got = sorted(map(tuple, ing.registers().collect()))
+    whole = skew.hll_table(b0.unionByName(b1), ["grp"], "v", p=6)
+    assert got == sorted(map(tuple, whole.collect()))
+    ests = {r.grp: r.hll_est for r in ing.estimate().collect()}
+    # ~500 distinct per group (600/2 + 400/2 with 150 overlapping per group)
+    for g in ("g0", "g1"):
+        assert 250 <= ests[g] <= 750
+
+
+def test_hll_empty_ingestor_returns_none(spark, tmp_path):
+    from flume_spark.streaming.sketch import HllIngestor
+
+    ing = HllIngestor(
+        spark, str(tmp_path / "sk"), str(tmp_path / "lg"), keys=[], value_col="v"
+    )
+    assert ing.registers() is None and ing.estimate() is None
+
+
+# ---------------------------------------------------------------------------
+# engine-identity of the SQL emitters (no Spark needed)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_rho_sql_matches_python():
+    """The DuckDB register expression (same shape hll_table emits) equals
+    a pure-Python rho over random-ish hashes — pins the bitlength-via-
+    bin() trick on both engines' exact semantics."""
+    import duckdb
+
+    m, scale = 256, 53
+    vals = [0, 1, 2, 255, 256, 12345, 2**52 - 1, 2**59, 2**60 - 1]
+    con = duckdb.connect()
+    for h60 in vals:
+        w = h60 // m
+        expected = scale if w == 0 else scale - w.bit_length()
+        got = con.execute(
+            f"SELECT CASE WHEN {h60} // {m} = 0 THEN {scale} "
+            f"ELSE {scale} - length(bin({h60} // {m})) END"
+        ).fetchone()[0]
+        assert got == expected, h60
