@@ -975,6 +975,58 @@ def incremental_lsh_candidates(
     )
 
 
+def prefix_index(sh: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """The per-doc PREFIX of the inverted index: (id, shingle, n_sh) rows
+    for each doc's first |d| - ceil(t*|d|) + 1 shingles under the global
+    rarity-first ordering (ascending document frequency, shingle text
+    tie-break).  The per-doc ranking window partitions by doc id — its
+    input is one document's shingle set, bounded by doc length, never
+    corpus-sized."""
+    from pyspark.sql import Window
+
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id")
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("rk", F.row_number().over(w.orderBy("df", "shingle")))
+        .withColumn("n_sh", F.count(F.lit(1)).over(w))
+    )
+    return ranked.filter(
+        F.col("rk")
+        <= F.expr(f"n_sh - (({t_num} * n_sh + {t_den - 1}) div {t_den}) + 1")
+    ).select("id", "shingle", "n_sh")
+
+
+def prefix_candidates(sh: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """Candidate stage of the prefix-filter join: (doc_a, doc_b, na, nb)
+    pairs sharing at least one PREFIX shingle and passing the length
+    filter.  `sh` is a word_shingles frame (id, shingle).  Exposed
+    separately so the scale probe can measure candidate counts against
+    the unfiltered inverted-index join; prefix_filter_pairs verifies
+    these candidates exactly."""
+    prefix = prefix_index(sh, t_num, t_den)
+    return (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            # length filter: t*max <= min, in integers
+            & (
+                t_num * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+                <= t_den * F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+            ),
+        )
+        .select(
+            F.col("a.id").alias("doc_a"),
+            F.col("b.id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .distinct()
+    )
+
+
 def prefix_filter_pairs(
     df: DataFrame,
     id_col: str,
@@ -1018,42 +1070,10 @@ def prefix_filter_pairs(
     lsh_verified_pairs: LSH trades recall for a df-independent shuffle;
     prefix filtering keeps recall 1 and pays df_prefix^2.
     """
-    from pyspark.sql import Window
-
     if not (0 < t_num < t_den):
         raise ValueError("threshold t_num/t_den must satisfy 0 < t < 1")
     sh = word_shingles(df, id_col, text_col, n).cache()
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("id")
-    ranked = (
-        sh.join(freq, "shingle")
-        .withColumn("rk", F.row_number().over(w.orderBy("df", "shingle")))
-        .withColumn("n_sh", F.count(F.lit(1)).over(w))
-    )
-    prefix = ranked.filter(
-        F.col("rk")
-        <= F.expr(f"n_sh - (({t_num} * n_sh + {t_den - 1}) div {t_den}) + 1")
-    ).select("id", "shingle", "n_sh")
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id"))
-            # length filter: t*max <= min, in integers
-            & (
-                t_num * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
-                <= t_den * F.least(F.col("a.n_sh"), F.col("b.n_sh"))
-            ),
-        )
-        .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .distinct()
-    )
+    cand = prefix_candidates(sh, t_num, t_den)
     inter = (
         cand.join(sh.select(F.col("id").alias("doc_a"), "shingle"), "doc_a")
         .join(
@@ -1076,4 +1096,101 @@ def prefix_filter_pairs(
         (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
             "jaccard"
         ),
+    )
+
+
+def hash_ordered_prefix(
+    sh: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """Per-doc prefix under a STATIC global ordering — md5(shingle) with
+    shingle tie-break — instead of prefix_index's rarity-first df order.
+
+    The prefix-filter pigeonhole is lossless under ANY fixed global
+    ordering; df-ordering is purely the best-pruning choice.  Trading it
+    for a content hash buys the property that matters for incremental
+    ingest: a document's prefix is a pure function of the document alone
+    (no corpus-wide df aggregation), so a persisted prefix index is
+    APPEND-ONLY — new batches append their prefix rows and nothing ever
+    goes stale, where a df-ordered index would need re-ranking as
+    frequencies drift (the analog of write_edge_index's stale-degree
+    problem, designed away instead of compacted away).  The build is also
+    one shuffle cheaper (no df join).  The cost: prefixes hold random
+    rather than rarest shingles, so candidate volume rises toward the
+    mean df — acceptable at high thresholds where prefixes are short.
+
+    Returns (id, shingle, n_sh).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id")
+    ranked = sh.withColumn(
+        "rk", F.row_number().over(w.orderBy(F.md5("shingle"), F.col("shingle")))
+    ).withColumn("n_sh", F.count(F.lit(1)).over(w))
+    return ranked.filter(
+        F.col("rk")
+        <= F.expr(f"n_sh - (({t_num} * n_sh + {t_den - 1}) div {t_den}) + 1")
+    ).select("id", "shingle", "n_sh")
+
+
+def incremental_prefix_candidates(
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    t_num: int = 4,
+    t_den: int = 5,
+    history_prefix: DataFrame | None = None,
+    history: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental EXACT-recall near-dup candidates: every (doc_new,
+    doc_match) pair whose Jaccard CAN reach t_num/t_den, linking a new
+    document to history or to another new document — without re-pairing
+    history against itself.  The lossless counterpart of
+    incremental_lsh_candidates: LSH ingest can silently miss true pairs;
+    this cannot (superset by the prefix pigeonhole; run a pair verifier
+    such as ngram_jaccard on the candidates for the exact final set).
+
+    Pass `history_prefix` — the persisted hash-ordered prefix frame,
+    appended per batch (see hash_ordered_prefix: the static ordering is
+    what makes that append correct forever) — and per-batch cost is
+    prefixing the new docs plus one equi-join probe into the index.  At
+    cluster scale persist it in write_band_index's layout with `shingle`
+    as the bucket/sort key (plus the n_sh column): the index side of the
+    probe join then reads exchange-free from its buckets exactly like
+    the LSH band index.  Omitted, `history` is prefixed in-plan
+    (correct, but pays the full history scan this call).
+
+    Structured as TWO joins unioned (probe x history, probe x probe),
+    not probe x (history ∪ probe), for the same reason as
+    incremental_lsh_candidates: a union would discard the index side's
+    bucketed partitioning and force a full history shuffle per ingest.
+    """
+    if (history_prefix is None) == (history is None):
+        raise ValueError("pass exactly one of history_prefix / history")
+    new_sh = word_shingles(new, id_col, text_col, n)
+    np_ = hash_ordered_prefix(new_sh, t_num, t_den)
+    hp = (
+        history_prefix
+        if history_prefix is not None
+        else hash_ordered_prefix(word_shingles(history, id_col, text_col, n), t_num, t_den)
+    )
+    length_ok = (
+        t_num * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+        <= t_den * F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+    )
+    hist_pairs = np_.alias("a").join(
+        hp.alias("b"),
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.id") != F.col("b.id"))
+        & length_ok,
+    )
+    new_pairs = np_.alias("a").join(
+        np_.alias("b"),
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.id") < F.col("b.id"))
+        & length_ok,
+    )
+    out = [F.col("a.id").alias("doc_new"), F.col("b.id").alias("doc_match")]
+    return (
+        hist_pairs.select(*out).unionByName(new_pairs.select(*out)).distinct()
     )

@@ -483,9 +483,13 @@ def hll_estimate(
         regs.groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("n_hit"),
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - reg)")).alias(
-                "__present"
-            ),
+            # coalesce: a keyless aggregate over ZERO register rows (empty
+            # slice) must yield the all-registers-zero harmonic sum — the
+            # raw estimator's alpha*m floor — not a NULL estimate
+            F.coalesce(
+                F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - reg)")),
+                F.lit(0).cast("long"),
+            ).alias("__present"),
         )
         .select(
             *keys,

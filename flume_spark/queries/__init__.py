@@ -60,6 +60,7 @@ _NEEDS_DRIVER_ROW = [  # round-6 additions/changes, ascending expected sf0.01 ru
     "sketch_hll",
     "ts_sax_znorm",
     "dedup_prefix_filter",
+    "dedup_prefix_incremental",
     "graph_bfs_hops",
     "graph_triangles",
     "graph_sssp_k",

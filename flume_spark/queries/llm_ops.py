@@ -1146,12 +1146,69 @@ WHERE 9 * n_inter >= 4 * (sa.n_sh + sb.n_sh)
 """
 
 
+def dedup_prefix_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT-recall candidates (dedup.incremental_prefix_candidates):
+    docs with doc_id % 5 == 0 arrive as the new batch, the rest are
+    history.  Spark computes the two sides' hash-ordered prefixes
+    SEPARATELY (as a real ingest against a persisted index would); the
+    oracle computes prefixes over the WHOLE corpus and then splits.
+    Hash-equality between the two is exactly the append-only property:
+    a doc's static-order prefix is independent of what else is in the
+    corpus, so per-batch appends never go stale (unlike a df-ordered
+    index)."""
+    docs = T(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedup.incremental_prefix_candidates(
+        new, "doc_id", "text", n=2, t_num=4, t_den=5, history=history
+    )
+
+
+DEDUP_PREFIX_INCR_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(words)),
+                  i -> words[i] || ' ' || words[i+1])) AS shingle
+    FROM w
+  )
+),
+ranked AS (
+  SELECT doc_id, shingle,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY md5(shingle), shingle) AS rk,
+         count(*) OVER (PARTITION BY doc_id) AS n_sh
+  FROM sh
+),
+pre AS (
+  SELECT doc_id, shingle, n_sh FROM ranked
+  WHERE rk <= n_sh - ((4 * n_sh + 4) // 5) + 1
+),
+np AS (SELECT * FROM pre WHERE doc_id % 5 = 0),
+hp AS (SELECT * FROM pre WHERE doc_id % 5 <> 0)
+SELECT DISTINCT doc_new, doc_match FROM (
+  SELECT a.doc_id AS doc_new, b.doc_id AS doc_match
+  FROM np a JOIN hp b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+   AND 4 * greatest(a.n_sh, b.n_sh) <= 5 * least(a.n_sh, b.n_sh)
+  UNION ALL
+  SELECT a.doc_id, b.doc_id
+  FROM np a JOIN np b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+   AND 4 * greatest(a.n_sh, b.n_sh) <= 5 * least(a.n_sh, b.n_sh)
+)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_containment": dedup_containment,
     "dedup_prefix_filter": dedup_prefix_filter,
+    "dedup_prefix_incremental": dedup_prefix_incremental,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_lsh_verified": dedup_lsh_verified,
     "dedup_simhash": dedup_simhash,
@@ -1193,6 +1250,7 @@ ORACLES = {
     "dedup_ngram_jaccard_capped": DEDUP_NGRAM_CAPPED_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_prefix_filter": DEDUP_PREFIX_FILTER_SQL,
+    "dedup_prefix_incremental": DEDUP_PREFIX_INCR_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_lsh_verified": DEDUP_LSH_VERIFIED_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,

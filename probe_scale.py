@@ -712,6 +712,73 @@ def main_backend() -> None:
         )
 
 
+def main_prefix() -> None:
+    """Prefix-filter join scale probe: wall-clock of the full
+    prefix_filter_pairs pipeline and the candidate-count comparison
+    (prefix candidates vs the unfiltered inverted-index join) as the
+    corpus grows with output-linear perturbation.  The claim under test:
+    candidate volume tracks sum-over-PREFIX-shingles(df^2), which the
+    rarity-first ordering keeps ~linear in docs when near-dup structure
+    is ~linear, while the unfiltered index pays every stop-shingle's
+    df^2."""
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
+    spark = get_spark(app_name="flume_probe_prefix")
+    spark.sparkContext.setLogLevel("ERROR")
+    times: dict[int, float] = {}
+    for f in factors:
+        docs = scaled_docs(spark, f)
+        n_docs = docs.count()
+        sh = dedup.word_shingles(docs, "doc_id", "text", 2).cache()
+        n_cand = dedup.prefix_candidates(sh, 4, 5).count()
+
+        # Join COST on both sides as the cheap exact aggregate
+        # sum-over-shingles C(df,2) — the pair rows the self-join
+        # shuffles.  The full index cost is deliberately NOT
+        # materialized: at x50 it is the quadratic blow-up the prefix
+        # filter exists to avoid paying.
+        def join_cost(index) -> int:
+            return (
+                index.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .agg(F.sum(F.expr("df * (df - 1) div 2")).alias("cost"))
+                .collect()[0][0]
+            )
+
+        index_cost = join_cost(sh)
+        prefix_cost = join_cost(dedup.prefix_index(sh, 4, 5))
+        sh.unpersist()
+        t0 = time.perf_counter()
+        n_pairs = dedup.prefix_filter_pairs(
+            docs, "doc_id", "text", n=2, t_num=4, t_den=5
+        ).count()
+        dt = time.perf_counter() - t0
+        times[f] = dt
+        print(
+            json.dumps(
+                {
+                    "probe": f"prefix_filter@x{f}",
+                    "docs": n_docs,
+                    "sec": round(dt, 2),
+                    "result_pairs": n_pairs,
+                    "prefix_candidates": n_cand,
+                    "prefix_join_cost": prefix_cost,
+                    "index_join_cost": index_cost,
+                    "prune_ratio": round(1 - prefix_cost / max(index_cost, 1), 3),
+                }
+            ),
+            flush=True,
+        )
+        docs.unpersist()
+        spark.catalog.clearCache()
+    base = factors[0]
+    exps = {
+        f: round(math.log(times[f] / times[base]) / math.log(f / base), 2)
+        for f in factors
+        if f != base and times[f] > 0
+    }
+    print(json.dumps({"summary": {"prefix_filter": {"exponent": exps}}}), flush=True)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--ingest":
         main_ingest()
@@ -727,5 +794,7 @@ if __name__ == "__main__":
         main_znorm()
     elif len(sys.argv) > 1 and sys.argv[1] == "--backend":
         main_backend()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--prefix":
+        main_prefix()
     else:
         main()

@@ -120,6 +120,18 @@ def test_hll_register_range(spark):
     assert all(1 <= r.reg <= 53 for r in regs)
 
 
+def test_hll_estimate_empty_input_is_floor_not_null(spark):
+    """A keyless estimate over zero register rows yields the
+    all-registers-zero harmonic sum (m * 2^scale) and the raw
+    estimator's alpha*m floor — never NULL (the empty-batch aggregate
+    class from round-5 ADVICE)."""
+    empty = spark.createDataFrame([], "bucket long, reg int")
+    est = skew.hll_estimate(empty, [], p=8).collect()[0]
+    assert est.n_hit == 0
+    assert est.harmonic_sum == 256 * (1 << 53)
+    assert est.hll_est is not None and 150 < est.hll_est < 200
+
+
 def test_hll_ingestor_replay_converges(spark, tmp_path):
     """HllIngestor: ledger skips a replayed batch; merged registers equal
     the one-shot batch build over the union; estimates answer from merged
@@ -180,3 +192,95 @@ def test_hll_rho_sql_matches_python():
             f"ELSE {scale} - length(bin({h60} // {m})) END"
         ).fetchone()[0]
         assert got == expected, h60
+
+
+# ---------------------------------------------------------------------------
+# property test: the prefix-filter pigeonhole bound itself (pure Python)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    data=st.data(),
+    t_num=st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=300, deadline=None)
+def test_prefix_bound_is_lossless_on_random_sets(data, t_num):
+    """For random token sets and any global ordering by (frequency, token),
+    every pair with J >= t shares a token within BOTH docs' prefixes of
+    length n - ceil(t*n) + 1 — the exact pigeonhole
+    prefix_filter_pairs stakes its recall on, checked over the whole
+    threshold grid t = t_num/10 rather than the two declared settings."""
+    t_den = 10
+    universe = list(range(20))
+    a = data.draw(st.sets(st.sampled_from(universe), min_size=1, max_size=12))
+    b = data.draw(st.sets(st.sampled_from(universe), min_size=1, max_size=12))
+    inter = len(a & b)
+    union = len(a | b)
+    if inter * t_den < t_num * union:  # J < t: nothing to guarantee
+        return
+    # global rarity-first order: df over the 2-doc corpus, token tie-break
+    df = {tok: (tok in a) + (tok in b) for tok in a | b}
+    order = lambda s: sorted(s, key=lambda tok: (df[tok], tok))
+
+    def prefix(s):
+        n = len(s)
+        p = n - ((t_num * n + t_den - 1) // t_den) + 1
+        return set(order(s)[:p])
+
+    assert prefix(a) & prefix(b), (a, b, t_num)
+
+
+# ---------------------------------------------------------------------------
+# incremental prefix candidates (hash-ordered static prefixes)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_prefix_candidates_lossless_across_split(spark):
+    """Every true J >= t pair that touches a NEW doc appears among the
+    candidates (recall 1 across the history/new split), regardless of
+    which side each endpoint landed on."""
+    df = spark.createDataFrame(CORPUS, "doc_id int, text string")
+    history = df.filter("doc_id % 2 = 1")
+    new = df.filter("doc_id % 2 = 0")
+    cand = {
+        (r.doc_new, r.doc_match)
+        for r in dedup.incremental_prefix_candidates(
+            new, "doc_id", "text", n=2, t_num=1, t_den=2, history=history
+        ).collect()
+    }
+    for a, b, _, _ in _brute_pairs(1, 2):
+        if a % 2 == 0:
+            assert (a, b) in cand or (b, a) in cand, (a, b)
+        elif b % 2 == 0:
+            assert (b, a) in cand or (a, b) in cand, (a, b)
+
+
+def test_hash_ordered_prefix_is_corpus_independent(spark):
+    """The append-only property itself: a doc's static-order prefix rows
+    are identical whether computed within a 2-doc corpus or the full
+    corpus — so per-batch index appends never go stale."""
+    full = spark.createDataFrame(CORPUS, "doc_id int, text string")
+    sub = full.filter("doc_id <= 2")
+    pref = lambda d: sorted(
+        map(
+            tuple,
+            dedup.hash_ordered_prefix(
+                dedup.word_shingles(d, "doc_id", "text", 2), 4, 5
+            ).collect(),
+        )
+    )
+    full_rows = [r for r in pref(full) if r[0] <= 2]
+    assert pref(sub) == full_rows
+
+
+def test_incremental_prefix_requires_exactly_one_history_arg(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id int, text string")
+    with pytest.raises(ValueError):
+        dedup.incremental_prefix_candidates(df, "doc_id", "text")
+    with pytest.raises(ValueError):
+        dedup.incremental_prefix_candidates(
+            df, "doc_id", "text", history=df, history_prefix=df
+        )
