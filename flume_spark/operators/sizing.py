@@ -34,6 +34,7 @@ __all__ = [
     "suggest_sax_resolution",
     "suggest_lsh_bands",
     "suggest_cosine_blocks",
+    "suggest_hll_p",
 ]
 
 
@@ -115,3 +116,29 @@ def suggest_cosine_blocks(n_vecs: int, target_rows_per_block: int = 2048) -> int
     if n_vecs < 0 or target_rows_per_block <= 0:
         raise ValueError("n_vecs must be >= 0 and target_rows_per_block > 0")
     return max(1, math.ceil(n_vecs / target_rows_per_block))
+
+
+def suggest_hll_p(n_expected: int, rel_err: float = 0.02) -> int:
+    """Register-bit count p for the deterministic HLL (skew.hll_table):
+    smallest p with 1.04 / sqrt(2^p) <= rel_err (the standard HLL
+    standard-error law, Flajolet et al. 2007), then capped so the
+    expected cardinality stays in the RAW estimator's valid regime
+    (n > 2.5 * 2^p) — hll_estimate deliberately has no linear-counting
+    small-range branch (ln() is not engine-identical), so over-sized
+    register files at small n would bias high rather than get the
+    standard correction.  Clamped to [4, 16]: the upper bound respects
+    the 60-bit hash budget and marks where exact salted counting
+    (skew.salted_count_distinct) is usually the better trade.
+    """
+    if n_expected < 0:
+        raise ValueError("n_expected must be >= 0")
+    if not (0.0 < rel_err < 1.0):
+        raise ValueError("rel_err must be in (0, 1)")
+    p = 4
+    while p < 16 and 1.04 / math.sqrt(1 << p) > rel_err:
+        p += 1
+    # raw-regime cap: 2.5 * 2^p <= n  <=>  p <= log2(n / 2.5)
+    if n_expected > 0:
+        p_raw = max(4, int(math.floor(math.log2(max(n_expected / 2.5, 1.0)))))
+        p = min(p, p_raw)
+    return p

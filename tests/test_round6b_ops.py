@@ -284,3 +284,37 @@ def test_incremental_prefix_requires_exactly_one_history_arg(spark):
         dedup.incremental_prefix_candidates(
             df, "doc_id", "text", history=df, history_prefix=df
         )
+
+
+# ---------------------------------------------------------------------------
+# suggest_hll_p (operators/sizing.py)
+# ---------------------------------------------------------------------------
+
+
+def test_suggest_hll_p_reproduces_declared_setting():
+    from flume_spark.operators import sizing
+
+    # the declared sketch_hll query: ~1300 distinct per group at p=8
+    # (sigma 6.5%) — a 7% target with that cardinality lands on p=8
+    assert sizing.suggest_hll_p(1300, rel_err=0.07) == 8
+
+
+@given(
+    n=st.integers(min_value=0, max_value=10**12),
+    err_pct=st.integers(min_value=1, max_value=99),
+)
+@settings(max_examples=300, deadline=None)
+def test_suggest_hll_p_properties(n, err_pct):
+    """p in [4,16]; meets the error law unless capped (by 16 or by the
+    raw-regime rule); tighter error never yields fewer bits; larger n
+    never yields fewer bits (the raw-regime cap only ever relaxes)."""
+    from flume_spark.operators.sizing import suggest_hll_p
+
+    err = err_pct / 100
+    p = suggest_hll_p(n, err)
+    assert 4 <= p <= 16
+    capped = p == 16 or (n > 0 and 2.5 * (1 << (p + 1)) > n)
+    if not capped:
+        assert 1.04 / (1 << p) ** 0.5 <= err
+    assert suggest_hll_p(n, err / 2) >= p
+    assert suggest_hll_p(n * 2, err) >= p
