@@ -131,3 +131,69 @@ def interval_join(
         )
         .drop("__bin")
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Collapse a change-event stream into an SCD Type-2 versioned history:
+    one row per (key, attribute regime) with half-open validity
+    `[valid_from, valid_to)` and `valid_to IS NULL` for the current version.
+
+    The warehouse-standard "slowly changing dimension" build the reference
+    never needs (flume moves opaque job payloads; SURVEY.md §2.5) but any
+    analytics user of this engine will: consecutive events whose `attr`
+    value is unchanged are collapsed into the earlier version (idempotent
+    re-sends cost nothing), and a change re-opens a new version row.
+
+    Plan: ONE hash shuffle on `key`, one local sort on (ts, tiebreak);
+    the change-detection lag, the version row_number, and the validity
+    lead all run over that same partitioning (Catalyst plans a single
+    Exchange — gated in tests/test_round6b_ops.py).  At 100 TB the
+    window is per-key, so cost is the busiest key's history, not a
+    global sort; NULL attr values are handled null-safely (NULL -> NULL
+    is "no change", NULL -> x and x -> NULL are changes).
+
+    Columns out: key, version (1-based per key), attr, valid_from,
+    valid_to (NULL = current).
+    """
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    cols = [key, attr, ts] + ([tiebreak] if tiebreak else [])
+    marked = (
+        df.select(*cols)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__prev", F.lag(attr).over(w))
+    )
+    changes = marked.filter(
+        (F.col("__rn") == 1) | ~F.col(attr).eqNullSafe(F.col("__prev"))
+    )
+    # same partitioning + __rn preserves the original order: no new shuffle
+    w2 = Window.partitionBy(key).orderBy("__rn")
+    return changes.select(
+        F.col(key),
+        F.row_number().over(w2).alias("version"),
+        F.col(attr),
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w2).alias("valid_to"),
+    )
+
+
+def scd2_snapshot(history: DataFrame, at) -> DataFrame:
+    """Point-in-time read of an SCD2 history: the version of each key that
+    was current at `at` (a timestamp literal or Column) — `valid_from <=
+    at < valid_to`, open versions matching any `at >= valid_from`.
+
+    A pure filter: partition-prunable when the history is stored
+    partitioned on a date bucket of valid_from, and never a join — the
+    as-of-JOIN case (per-row `at`) is `asof_join` above.
+    """
+    at = F.lit(at) if not isinstance(at, F.Column) else at
+    return history.filter(
+        (F.col("valid_from") <= at)
+        & (F.col("valid_to").isNull() | (at < F.col("valid_to")))
+    )

@@ -57,6 +57,10 @@ _NEEDS_DRIVER_ROW = [  # round-6 additions/changes, ascending expected sf0.01 ru
     # basket self-join / recursive oracle and go last)
     "corpus_shard_manifest",
     "join_null_safe",
+    # SCD Type-2 family (round-6 session 2): history build + point-in-time
+    # snapshot over the events stream (operators/temporal.py scd2_*)
+    "scd2_user_history",
+    "scd2_snapshot_counts",
     "sketch_hll",
     "ts_sax_znorm",
     "dedup_prefix_filter",

@@ -338,9 +338,111 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build over the event stream: collapse each
+    user's (ts, event_id)-ordered event_type sequence into versioned
+    regime rows with half-open [valid_from, valid_to) validity, then
+    summarize per event_type (raw history is |changes| rows — bulky for a
+    value hash; the summary pins count, open-version count, and the EXACT
+    total regime duration in microseconds, so any mis-collapsed or
+    mis-bounded version row flips the hash).  Plan: one hash shuffle on
+    user_id; change-lag, version row_number, and validity lead share the
+    partitioning (single Exchange), then a 7-group agg.  At 100 TB the
+    window cost is per-user history, never a global sort."""
+    from flume_spark.operators.temporal import scd2_history
+
+    ev = T(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hist = scd2_history(ev, "user_id", "event_type", "ts", tiebreak="event_id")
+    return hist.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.count(F.when(F.col("valid_to").isNull(), 1)).alias("n_open"),
+        F.sum(
+            F.unix_micros(F.col("valid_to").cast("timestamp"))
+            - F.unix_micros(F.col("valid_from").cast("timestamp"))
+        ).alias("total_regime_us"),
+    )
+
+
+# Shared CTE chain: ordered -> changes -> hist mirrors scd2_history exactly
+# (rn=1 OR IS DISTINCT FROM == the null-safe change filter).
+_SCD2_HIST_CTE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER w AS rn,
+         lag(event_type) OVER w AS prev
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, event_type, ts, rn
+  FROM ordered WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+),
+hist AS (
+  SELECT user_id, event_type,
+         row_number() OVER w2 AS version,
+         ts AS valid_from,
+         lead(ts) OVER w2 AS valid_to
+  FROM changes
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+)
+"""
+
+SCD2_USER_HISTORY_SQL = (
+    _SCD2_HIST_CTE
+    + """
+SELECT event_type,
+       count(*) AS n_versions,
+       count(CASE WHEN valid_to IS NULL THEN 1 END) AS n_open,
+       CAST(sum(epoch_us(valid_to) - epoch_us(valid_from)) AS BIGINT)
+         AS total_regime_us
+FROM hist
+GROUP BY event_type
+"""
+)
+
+
+def scd2_snapshot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time read of the SCD2 history: which event_type regime was
+    each user in at 2024-01-15T00:00:00 (mid-range of the event stream)?
+    Exercises the snapshot filter arm (valid_from <= at < valid_to with
+    NULL-open current versions) — a pure filter over the history, so at
+    scale it partition-prunes on a valid_from date bucket instead of
+    joining.  version_sum is the exact integer fingerprint: a wrong
+    version numbering or a version leaking past its valid_to flips it."""
+    from flume_spark.operators.temporal import scd2_history, scd2_snapshot
+
+    ev = T(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hist = scd2_history(ev, "user_id", "event_type", "ts", tiebreak="event_id")
+    at = F.lit("2024-01-15 00:00:00").cast(hist.schema["valid_from"].dataType)
+    return (
+        scd2_snapshot(hist, at)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("version").alias("version_sum"),
+        )
+    )
+
+
+SCD2_SNAPSHOT_SQL = (
+    _SCD2_HIST_CTE
+    + """
+SELECT event_type,
+       count(*) AS n_users,
+       CAST(sum(version) AS BIGINT) AS version_sum
+FROM hist
+WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+  AND (valid_to IS NULL OR TIMESTAMP '2024-01-15 00:00:00' < valid_to)
+GROUP BY event_type
+"""
+)
+
+
 QUERIES = {
     "approx_percentiles": approx_percentiles,
     "join_interval": join_interval,
+    "scd2_user_history": scd2_user_history,
+    "scd2_snapshot_counts": scd2_snapshot_counts,
     "window_tumbling": window_tumbling,
     "events_funnel": events_funnel,
     "window_sliding": window_sliding,
@@ -351,6 +453,8 @@ QUERIES = {
 
 ORACLES = {
     "join_interval": JOIN_INTERVAL_SQL,
+    "scd2_user_history": SCD2_USER_HISTORY_SQL,
+    "scd2_snapshot_counts": SCD2_SNAPSHOT_SQL,
     "window_tumbling": WINDOW_TUMBLING_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "window_sliding": WINDOW_SLIDING_SQL,

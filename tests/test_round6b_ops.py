@@ -318,3 +318,80 @@ def test_suggest_hll_p_properties(n, err_pct):
         assert 1.04 / (1 << p) ** 0.5 <= err
     assert suggest_hll_p(n, err / 2) >= p
     assert suggest_hll_p(n * 2, err) >= p
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history build + point-in-time snapshot (operators/temporal)
+# ---------------------------------------------------------------------------
+
+
+def _scd2_frame(spark):
+    rows = [
+        # user 1: gold -> gold (collapse) -> silver -> gold
+        (1, "gold", "2024-01-01 00:00:00", 1),
+        (1, "gold", "2024-01-02 00:00:00", 2),
+        (1, "silver", "2024-01-03 00:00:00", 3),
+        (1, "gold", "2024-01-05 00:00:00", 4),
+        # user 2: null -> null (collapse, null-safe) -> bronze -> null
+        (2, None, "2024-01-01 00:00:00", 5),
+        (2, None, "2024-01-02 00:00:00", 6),
+        (2, "bronze", "2024-01-04 00:00:00", 7),
+        (2, None, "2024-01-06 00:00:00", 8),
+        # user 3: single event -> one open version
+        (3, "gold", "2024-01-10 00:00:00", 9),
+    ]
+    df = spark.createDataFrame(rows, "uid int, tier string, ts string, eid int")
+    return df.withColumn("ts", df.ts.cast("timestamp"))
+
+
+def test_scd2_history_versions(spark):
+    from flume_spark.operators.temporal import scd2_history
+
+    hist = scd2_history(_scd2_frame(spark), "uid", "tier", "ts", tiebreak="eid")
+    got = {
+        (r.uid, r.version): (r.tier, str(r.valid_from), r.valid_to and str(r.valid_to))
+        for r in hist.collect()
+    }
+    assert got == {
+        (1, 1): ("gold", "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+        (1, 2): ("silver", "2024-01-03 00:00:00", "2024-01-05 00:00:00"),
+        (1, 3): ("gold", "2024-01-05 00:00:00", None),
+        (2, 1): (None, "2024-01-01 00:00:00", "2024-01-04 00:00:00"),
+        (2, 2): ("bronze", "2024-01-04 00:00:00", "2024-01-06 00:00:00"),
+        (2, 3): (None, "2024-01-06 00:00:00", None),
+        (3, 1): ("gold", "2024-01-10 00:00:00", None),
+    }
+
+
+def test_scd2_snapshot_pointwise(spark):
+    from pyspark.sql import functions as F
+
+    from flume_spark.operators.temporal import scd2_history, scd2_snapshot
+
+    hist = scd2_history(_scd2_frame(spark), "uid", "tier", "ts", tiebreak="eid")
+
+    def at(s):
+        return {
+            (r.uid, r.tier)
+            for r in scd2_snapshot(hist, F.lit(s).cast("timestamp")).collect()
+        }
+
+    # before any history: empty
+    assert at("2023-12-31 00:00:00") == set()
+    # mid-range: version boundaries are half-open [from, to)
+    assert at("2024-01-03 00:00:00") == {(1, "silver"), (2, None)}
+    assert at("2024-01-04 12:00:00") == {(1, "silver"), (2, "bronze")}
+    # after everything: each user's open version
+    assert at("2024-02-01 00:00:00") == {(1, "gold"), (2, None), (3, "gold")}
+
+
+def test_scd2_history_single_exchange(spark):
+    """The whole history build (change lag + version row_number + validity
+    lead) shares one hash partitioning on the key: exactly ONE Exchange."""
+    from flume_spark.operators.temporal import scd2_history
+    from flume_spark.plans import explain_str, n_nodes
+
+    plan = explain_str(
+        scd2_history(_scd2_frame(spark), "uid", "tier", "ts", tiebreak="eid")
+    )
+    assert n_nodes(plan, "Exchange") == 1, plan
