@@ -61,6 +61,8 @@ _NEEDS_DRIVER_ROW = [  # round-6 additions/changes, ascending expected sf0.01 ru
     # snapshot over the events stream (operators/temporal.py scd2_*)
     "scd2_user_history",
     "scd2_snapshot_counts",
+    # release-diff audit view (sources/merge.py snapshot_diff)
+    "snapshot_diff_orders",
     "sketch_hll",
     "ts_sax_znorm",
     "dedup_prefix_filter",

@@ -825,8 +825,62 @@ FROM a JOIN b ON a.key IS NOT DISTINCT FROM b.key
 """
 
 
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-release diff: simulate release A (every 10th order not yet
+    crawled; every 7th order's totalprice off by exactly +1.0 — an exact
+    IEEE increment, no rounding, so both engines see bit-identical
+    doubles) vs release B (the table as shipped), then audit what the
+    merge would do via sources.merge.snapshot_diff.  One full-outer SMJ on
+    the key; with both releases bucketed on o_orderkey the exchanges
+    vanish.  Summarized per status with the exact key sum so one
+    misclassified row flips the hash."""
+    from flume_spark.sources.merge import snapshot_diff
+
+    orders = T(spark, sf_dir, "orders")
+    release_a = orders.filter(F.col("o_orderkey") % 10 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    diff = snapshot_diff(
+        release_a, orders, "o_orderkey", ["o_totalprice", "o_orderstatus"]
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH a AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS price,
+         o_orderstatus AS st
+  FROM orders WHERE o_orderkey % 10 <> 0
+),
+b AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS st
+  FROM orders
+),
+d AS (
+  SELECT coalesce(a.k, b.k) AS k,
+         CASE WHEN a.k IS NULL THEN 'added'
+              WHEN b.k IS NULL THEN 'removed'
+              WHEN (a.price IS DISTINCT FROM b.price)
+                OR (a.st IS DISTINCT FROM b.st) THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM a FULL OUTER JOIN b ON a.k = b.k
+)
+SELECT status, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS key_sum
+FROM d GROUP BY status
+"""
+
+
 QUERIES = {
     "join_null_safe": join_null_safe,
+    "snapshot_diff_orders": snapshot_diff_orders,
     "q11_important_stock": q11_important_stock,
     "stream_contract_orders": stream_contract_orders,
     "rollup_topk_window": rollup_topk_window,
@@ -847,6 +901,7 @@ QUERIES = {
 
 ORACLES = {
     "join_null_safe": JOIN_NULL_SAFE_SQL,
+    "snapshot_diff_orders": SNAPSHOT_DIFF_SQL,
     "q11_important_stock": Q11_SQL,
     "stream_contract_orders": STREAM_CONTRACT_SQL,
     "rollup_topk_window": ROLLUP_TOPK_SQL,

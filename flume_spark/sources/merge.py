@@ -117,3 +117,53 @@ def merge_upsert(
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two releases of a keyed table: one row per
+    key present in either side, with `status` in
+    {'added','removed','changed','unchanged'} — the audit view behind
+    merge_upsert (what WILL this merge do?) and dataset-release QA (what
+    changed between corpus v1 and v2?).
+
+    `changed` is null-safe per column (NULL -> x, x -> NULL, and value
+    edits all count; NULL -> NULL does not), so a nullable metadata column
+    can't silently hide an edit.
+
+    Plan: ONE full-outer sort-merge join on `key` (presence markers, not
+    outer-side null-probing of data columns, decide added/removed — a
+    legitimately all-NULL row is still 'present').  At 100 TB both sides
+    shuffle once on the key; with both releases stored bucketed on `key`
+    (layout.write_bucketed) the exchanges vanish and the diff is a
+    zip-merge of co-located buckets.  Output is key + status + both sides'
+    compared columns (old_/new_ prefixed), so downstream can aggregate or
+    materialize the delta without re-joining.
+    """
+    o = old.select(
+        F.col(key),
+        F.lit(1).alias("__in_old"),
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__old"),
+    )
+    n = new.select(
+        F.col(key),
+        F.lit(1).alias("__in_new"),
+        F.struct(*[F.col(c) for c in compare_cols]).alias("__new"),
+    )
+    j = o.join(n, on=key, how="full_outer")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(~F.col("__old").eqNullSafe(F.col("__new")), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.col(key),
+        status.alias("status"),
+        *[F.col(f"__old.{c}").alias(f"old_{c}") for c in compare_cols],
+        *[F.col(f"__new.{c}").alias(f"new_{c}") for c in compare_cols],
+    )

@@ -395,3 +395,56 @@ def test_scd2_history_single_exchange(spark):
         scd2_history(_scd2_frame(spark), "uid", "tier", "ts", tiebreak="eid")
     )
     assert n_nodes(plan, "Exchange") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff — release-to-release table diff (sources/merge.py)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_statuses(spark):
+    from flume_spark.sources.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 20.0),   # price changes in new
+            (3, None, 30.0),  # NULL -> value change
+            (4, "d", 40.0),   # removed in new
+            (5, None, None),  # all-NULL compare cols, unchanged
+        ],
+        "k int, tag string, price double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 25.0),
+            (3, "c", 30.0),
+            (5, None, None),
+            (6, "f", 60.0),   # added
+        ],
+        "k int, tag string, price double",
+    )
+    got = {
+        r.k: r.status
+        for r in snapshot_diff(old, new, "k", ["tag", "price"]).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",
+        4: "removed",
+        # presence markers, not data-null probing: an all-NULL row is
+        # still PRESENT on both sides -> unchanged (NULL -> NULL no change)
+        5: "unchanged",
+        6: "added",
+    }
+
+
+def test_snapshot_diff_carries_both_sides(spark):
+    from flume_spark.sources.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, 10.0)], "k int, price double")
+    new = spark.createDataFrame([(1, 12.5)], "k int, price double")
+    row = snapshot_diff(old, new, "k", ["price"]).collect()[0]
+    assert (row.status, row.old_price, row.new_price) == ("changed", 10.0, 12.5)
