@@ -63,6 +63,8 @@ _NEEDS_DRIVER_ROW = [  # round-6 additions/changes, ascending expected sf0.01 ru
     "scd2_snapshot_counts",
     # release-diff audit view (sources/merge.py snapshot_diff)
     "snapshot_diff_orders",
+    # exact weighted median via distinct-value compaction + cum window
+    "weighted_median_price",
     "sketch_hll",
     "ts_sax_znorm",
     "dedup_prefix_filter",

@@ -1448,8 +1448,58 @@ WHERE (b.x * t.n - t.s) * (b.x * t.n - t.s) > 4 * (t.n * t.q - t.s * t.s)
 """
 
 
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (lower median: least price whose cumulative
+    weight reaches half the total) of l_extendedprice weighted by quantity,
+    per return flag.  The scale trick is DISTINCT-VALUE COMPACTION: weights
+    are summed per (flag, price) FIRST — a map-side-combinable agg — so the
+    cumulative window runs over distinct prices only, and the tie
+    nondeterminism of a ROWS-frame cumsum over duplicate sort keys cannot
+    arise (every sort key is unique within its partition).  Weights stay
+    exact integers (quantity is integral); 2*cumw >= total avoids the
+    float halving.  One shuffle for the compaction, one for the window."""
+    li = T(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("wt")
+    )
+    cum = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    tot = Window.partitionBy("l_returnflag")
+    c = agg.withColumn("cumw", F.sum("wt").over(cum)).withColumn(
+        "total", F.sum("wt").over(tot)
+    )
+    return (
+        c.filter(2 * F.col("cumw") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median"),
+            F.max("total").alias("total_weight"),
+        )
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH agg AS (
+  SELECT l_returnflag, l_extendedprice AS price,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT l_returnflag, price, wt,
+         sum(wt) OVER (PARTITION BY l_returnflag ORDER BY price) AS cumw,
+         sum(wt) OVER (PARTITION BY l_returnflag) AS total
+  FROM agg
+)
+SELECT l_returnflag,
+       min(price) AS weighted_median,
+       CAST(max(total) AS BIGINT) AS total_weight
+FROM c WHERE 2 * cumw >= total
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "sketch_countmin": sketch_countmin,
+    "weighted_median_price": weighted_median_price,
     "sketch_hll": sketch_hll,
     "channel_running_compare": channel_running_compare,
     "ts_sax_words": ts_sax_words,
@@ -1483,6 +1533,7 @@ QUERIES = {
 
 ORACLES = {
     "sketch_countmin": SKETCH_COUNTMIN_SQL,
+    "weighted_median_price": WEIGHTED_MEDIAN_SQL,
     "sketch_hll": SKETCH_HLL_SQL,
     "channel_running_compare": CHANNEL_RUNNING_SQL,
     "ts_sax_words": TS_SAX_WORDS_SQL,

@@ -448,3 +448,46 @@ def test_snapshot_diff_carries_both_sides(spark):
     new = spark.createDataFrame([(1, 12.5)], "k int, price double")
     row = snapshot_diff(old, new, "k", ["price"]).collect()[0]
     assert (row.status, row.old_price, row.new_price) == ("changed", 10.0, 12.5)
+
+
+# ---------------------------------------------------------------------------
+# weighted median — distinct-value compaction vs brute-force definition
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_median_matches_bruteforce(spark):
+    """Lower weighted median == least value v with sum(w | x <= v) * 2 >=
+    total, checked against expanding every row weight into unit rows."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rng = random.Random(7)
+    rows = [
+        (g, float(rng.randint(1, 20)), rng.randint(1, 9))
+        for g in ("a", "b") for _ in range(50)
+    ]
+
+    def brute(g):
+        units = sorted(
+            v for gg, v, w in rows if gg == g for _ in range(w)
+        )
+        # lower median of the expanded multiset
+        return units[(len(units) - 1) // 2]
+
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+    agg = df.groupBy("g", "v").agg(F.sum(F.col("w").cast("long")).alias("wt"))
+    cum = Window.partitionBy("g").orderBy("v")
+    tot = Window.partitionBy("g")
+    c = agg.withColumn("cumw", F.sum("wt").over(cum)).withColumn(
+        "total", F.sum("wt").over(tot)
+    )
+    got = {
+        r.g: r.wm
+        for r in c.filter(2 * F.col("cumw") >= F.col("total"))
+        .groupBy("g")
+        .agg(F.min("v").alias("wm"))
+        .collect()
+    }
+    assert got == {"a": brute("a"), "b": brute("b")}
