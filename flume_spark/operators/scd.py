@@ -1,0 +1,138 @@
+"""Persisted SCD Type-2 change-log store with bucket-pruned incremental merge.
+
+Storage design: the durable artifact is the COMPACTED CHANGE LOG — one row
+per (key, regime start): (key, attr, ts, tiebreak) — NOT the materialized
+history.  Two reasons, both scale:
+- append-friendly: a new change touches nothing but its own row.  Storing
+  valid_to would rewrite the previous open version on every change.
+- lossless: the change log IS the minimal event stream.  Re-collapsing
+  (stored changes UNION new events) equals a full rebuild from all raw
+  events — non-change events never affect the result, a late event equal
+  to its predecessor regime collapses away, and a late event equal to the
+  FOLLOWING change absorbs that row on re-collapse.  The equivalence is
+  pinned by tests/test_round6b_ops.py (replay-converges, late arrival,
+  idempotent redelivery).
+
+Layout: parquet partitioned by `pbucket = pmod(hash(key), n_buckets)`.
+An incremental merge partition-prunes its read to the buckets its new
+events hash into and dynamic-partition-overwrites ONLY those buckets —
+the same only-touched-partitions property as sources/merge.merge_upsert
+and the band-index ingest (operators/dedup.write_band_index).  At 100 TB
+raise n_buckets with corpus size; keys never move buckets (hash is
+Spark's stable Murmur3), which is the pruning contract.
+
+The reference has no dimension processing (flume moves opaque job
+payloads; SURVEY.md §2.5) — this is engine-native warehouse surface, the
+incremental sibling of operators/temporal.scd2_history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+BUCKET = "pbucket"
+
+
+def compact_changes(
+    df: DataFrame, key: str, attr: str, ts: str, tiebreak: str
+) -> DataFrame:
+    """Compact an event stream to its change rows (first row per key +
+    every null-safe attr change), keeping the tiebreak so later merges
+    re-order deterministically.  One shuffle on key."""
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    marked = (
+        df.select(key, attr, ts, tiebreak)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__prev", F.lag(attr).over(w))
+    )
+    return marked.filter(
+        (F.col("__rn") == 1) | ~F.col(attr).eqNullSafe(F.col("__prev"))
+    ).drop("__rn", "__prev")
+
+
+def _bucketed(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
+    return df.withColumn(BUCKET, F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
+
+
+def scd2_write(
+    spark: SparkSession,
+    path: str,
+    events: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+    n_buckets: int = 32,
+) -> None:
+    """Full build: compact `events` to the change log and write it
+    partitioned by key bucket.  `tiebreak` must be unique per (key, ts) —
+    it is what makes every ordering (and therefore every collapse)
+    deterministic across rebuilds and merges."""
+    ch = _bucketed(compact_changes(events, key, attr, ts, tiebreak), key, n_buckets)
+    ch.write.mode("overwrite").partitionBy(BUCKET).parquet(path)
+
+
+def scd2_merge(
+    spark: SparkSession,
+    path: str,
+    new_events: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+    n_buckets: int = 32,
+) -> None:
+    """Fold new events (including late arrivals and redeliveries) into the
+    stored change log, touching only affected buckets.
+
+    Plan: the distinct buckets of the batch (a bounded collect, <=
+    n_buckets scalars) prune the stored read; affected keys' rows are
+    split out with a semi/anti join against the batch's distinct keys
+    (never a collect of keys); only (affected stored rows UNION batch)
+    re-collapses — cost is the affected keys' change histories, not the
+    table.  Untouched keys in the same bucket are carried through
+    unchanged, and dynamic partition overwrite rewrites only the touched
+    bucket directories.  `n_buckets` must match the value the store was
+    written with (keys must not move buckets).
+    """
+    ev = _bucketed(
+        new_events.select(key, attr, ts, tiebreak), key, n_buckets
+    )
+    buckets = [r[0] for r in ev.select(BUCKET).distinct().collect()]
+    stored = spark.read.parquet(path).filter(F.col(BUCKET).isin(buckets))
+    keys = ev.select(key).distinct()
+    affected = stored.join(keys, key, "semi").drop(BUCKET)
+    untouched = stored.join(keys, key, "left_anti").drop(BUCKET)
+    recompacted = compact_changes(
+        affected.unionByName(ev.drop(BUCKET)), key, attr, ts, tiebreak
+    )
+    out = _bucketed(untouched.unionByName(recompacted), key, n_buckets)
+    # break lineage from the files about to be overwritten (same stance as
+    # sources/merge.merge_upsert)
+    out = out.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy(BUCKET).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def scd2_read_history(
+    spark: SparkSession, path: str, key: str, attr: str, ts: str, tiebreak: str
+) -> DataFrame:
+    """Materialize the stored change log as SCD2 history: key, version
+    (1-based), attr, valid_from, valid_to (NULL = current).  version /
+    valid_to are derived on read — cheap, the log is already compacted to
+    change rows — so the storage never goes stale on append."""
+    ch = spark.read.parquet(path)
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    return ch.select(
+        F.col(key),
+        F.row_number().over(w).alias("version"),
+        F.col(attr),
+        F.col(ts).alias("valid_from"),
+        F.lead(ts).over(w).alias("valid_to"),
+    )

@@ -65,6 +65,8 @@ _NEEDS_DRIVER_ROW = [  # round-6 additions/changes, ascending expected sf0.01 ru
     "snapshot_diff_orders",
     # exact weighted median via distinct-value compaction + cum window
     "weighted_median_price",
+    # incremental change-log merge == full rebuild (operators/scd.py)
+    "scd2_incremental",
     "sketch_hll",
     "ts_sax_znorm",
     "dedup_prefix_filter",

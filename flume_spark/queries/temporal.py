@@ -438,11 +438,53 @@ GROUP BY event_type
 )
 
 
+def scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 convergence, driver-checked: events before
+    2024-01-20 are compacted to a change log FIRST (as the persisted
+    store would hold them — operators/scd.py), then the late batch folds
+    in via the merge dataflow (semi/anti split on affected keys,
+    re-collapse of affected log rows ∪ batch), all in-plan.  The oracle
+    is the FULL rebuild over all events — hash-equality IS the
+    merge-equals-rebuild property the store's pytest suite pins, here
+    checked end-to-end by the driver on real data.  Same summary shape
+    as scd2_user_history."""
+    from flume_spark.operators.scd import compact_changes
+    from flume_spark.operators.temporal import scd2_history
+
+    ev = T(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    cutoff = F.lit("2024-01-20 00:00:00").cast(ev.schema["ts"].dataType)
+    log = compact_changes(
+        ev.filter(F.col("ts") < cutoff), "user_id", "event_type", "ts", "event_id"
+    )
+    batch = ev.filter(F.col("ts") >= cutoff).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    keys = batch.select("user_id").distinct()
+    untouched = log.join(keys, "user_id", "left_anti")
+    recompacted = compact_changes(
+        log.join(keys, "user_id", "semi").unionByName(batch),
+        "user_id", "event_type", "ts", "event_id",
+    )
+    merged_log = untouched.unionByName(recompacted)
+    # derive history from the merged log (version/valid_to on read) and
+    # summarize exactly like scd2_user_history
+    hist = scd2_history(merged_log, "user_id", "event_type", "ts", tiebreak="event_id")
+    return hist.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.count(F.when(F.col("valid_to").isNull(), 1)).alias("n_open"),
+        F.sum(
+            F.unix_micros(F.col("valid_to").cast("timestamp"))
+            - F.unix_micros(F.col("valid_from").cast("timestamp"))
+        ).alias("total_regime_us"),
+    )
+
+
 QUERIES = {
     "approx_percentiles": approx_percentiles,
     "join_interval": join_interval,
     "scd2_user_history": scd2_user_history,
     "scd2_snapshot_counts": scd2_snapshot_counts,
+    "scd2_incremental": scd2_incremental,
     "window_tumbling": window_tumbling,
     "events_funnel": events_funnel,
     "window_sliding": window_sliding,
@@ -455,6 +497,8 @@ ORACLES = {
     "join_interval": JOIN_INTERVAL_SQL,
     "scd2_user_history": SCD2_USER_HISTORY_SQL,
     "scd2_snapshot_counts": SCD2_SNAPSHOT_SQL,
+    # incremental path must equal the full rebuild: same oracle by design
+    "scd2_incremental": SCD2_USER_HISTORY_SQL,
     "window_tumbling": WINDOW_TUMBLING_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "window_sliding": WINDOW_SLIDING_SQL,

@@ -491,3 +491,98 @@ def test_weighted_median_matches_bruteforce(spark):
         .collect()
     }
     assert got == {"a": brute("a"), "b": brute("b")}
+
+
+# ---------------------------------------------------------------------------
+# persisted SCD2 change-log store (operators/scd.py)
+# ---------------------------------------------------------------------------
+
+
+def _ev(spark, rows):
+    df = spark.createDataFrame(rows, "uid int, tier string, ts string, eid int")
+    return df.withColumn("ts", df.ts.cast("timestamp"))
+
+
+def _hist_rows(spark, path):
+    from flume_spark.operators.scd import scd2_read_history
+
+    return {
+        (r.uid, r.version, r.tier, str(r.valid_from), r.valid_to and str(r.valid_to))
+        for r in scd2_read_history(spark, path, "uid", "tier", "ts", "eid").collect()
+    }
+
+
+ALL_EVENTS = [
+    (1, "gold", "2024-01-01 00:00:00", 1),
+    (1, "gold", "2024-01-02 00:00:00", 2),
+    (1, "silver", "2024-01-03 00:00:00", 3),
+    (1, "gold", "2024-01-05 00:00:00", 4),
+    (2, None, "2024-01-01 00:00:00", 5),
+    (2, "bronze", "2024-01-04 00:00:00", 6),
+    (3, "gold", "2024-01-10 00:00:00", 7),
+    (4, "iron", "2024-01-02 00:00:00", 8),
+]
+
+
+def test_scd2_store_replay_converges(spark, tmp_path):
+    from flume_spark.operators.scd import scd2_merge, scd2_write
+
+    full, incr = str(tmp_path / "full"), str(tmp_path / "incr")
+    scd2_write(spark, full, _ev(spark, ALL_EVENTS), "uid", "tier", "ts", "eid")
+    # incremental: three arbitrary batches, out of key order
+    scd2_write(spark, incr, _ev(spark, ALL_EVENTS[:3]), "uid", "tier", "ts", "eid")
+    scd2_merge(spark, incr, _ev(spark, ALL_EVENTS[3:6]), "uid", "tier", "ts", "eid")
+    scd2_merge(spark, incr, _ev(spark, ALL_EVENTS[6:]), "uid", "tier", "ts", "eid")
+    assert _hist_rows(spark, incr) == _hist_rows(spark, full)
+
+
+def test_scd2_merge_late_arrival_and_redelivery(spark, tmp_path):
+    from flume_spark.operators.scd import scd2_merge, scd2_write
+
+    full, incr = str(tmp_path / "full"), str(tmp_path / "incr")
+    late = (1, "bronze", "2024-01-04 00:00:00", 99)  # lands between changes
+    scd2_write(
+        spark, full, _ev(spark, ALL_EVENTS + [late]), "uid", "tier", "ts", "eid"
+    )
+    scd2_write(spark, incr, _ev(spark, ALL_EVENTS), "uid", "tier", "ts", "eid")
+    scd2_merge(spark, incr, _ev(spark, [late]), "uid", "tier", "ts", "eid")
+    # redelivery of an already-folded batch is a no-op
+    scd2_merge(spark, incr, _ev(spark, [late] + ALL_EVENTS[:2]), "uid", "tier", "ts", "eid")
+    assert _hist_rows(spark, incr) == _hist_rows(spark, full)
+
+
+def test_scd2_merge_prunes_untouched_buckets(spark, tmp_path):
+    import os
+
+    from flume_spark.operators.scd import BUCKET, scd2_merge, scd2_write
+
+    path = str(tmp_path / "store")
+    scd2_write(
+        spark, path, _ev(spark, ALL_EVENTS), "uid", "tier", "ts", "eid", n_buckets=8
+    )
+
+    def bucket_files():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith(f"{BUCKET}="):
+                full = os.path.join(path, d)
+                out[d] = {
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    before = bucket_files()
+    # one new event for uid=1 only -> exactly one bucket rewritten
+    scd2_merge(
+        spark,
+        path,
+        _ev(spark, [(1, "platinum", "2024-02-01 00:00:00", 100)]),
+        "uid", "tier", "ts", "eid", n_buckets=8,
+    )
+    after = bucket_files()
+    changed = [d for d in before if before[d] != after.get(d)]
+    assert len(changed) == 1, (changed, before.keys())
+    # and the merge actually landed
+    assert (1, 4, "platinum", "2024-02-01 00:00:00", None) in _hist_rows(spark, path)
