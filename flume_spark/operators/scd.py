@@ -28,6 +28,10 @@ incremental sibling of operators/temporal.scd2_history.
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -83,6 +87,7 @@ def scd2_merge(
     ts: str,
     tiebreak: str,
     n_buckets: int = 32,
+    swap_commit: bool = False,
 ) -> None:
     """Fold new events (including late arrivals and redeliveries) into the
     stored change log, touching only affected buckets.
@@ -93,9 +98,24 @@ def scd2_merge(
     (never a collect of keys); only (affected stored rows UNION batch)
     re-collapses — cost is the affected keys' change histories, not the
     table.  Untouched keys in the same bucket are carried through
-    unchanged, and dynamic partition overwrite rewrites only the touched
-    bucket directories.  `n_buckets` must match the value the store was
-    written with (keys must not move buckets).
+    unchanged, and only the touched bucket directories are rewritten.
+    `n_buckets` must match the value the store was written with (keys
+    must not move buckets).
+
+    Commit modes:
+    - default: dynamic partition overwrite — simplest, but Spark's commit
+      deletes-then-moves per partition, so a crash mid-commit can leave a
+      bucket with a SUBSET of its files (untouched keys lost until the
+      next full rebuild).  Fine for batch jobs that rerun from source.
+    - `swap_commit=True` (what Scd2Ingestor uses): staged write + per-
+      bucket atomic rename.  Every bucket is at all times either its old
+      or its new complete state except inside the two-rename window,
+      where the old dir is parked at `<bucket>.old-<token>` — `scd2_heal`
+      restores or clears parked dirs, and because the merge itself is
+      idempotent (redelivery test), heal-then-replay converges from a
+      crash at ANY point.  Rename-atomicity is a filesystem property;
+      on object storage the ACID path is a Delta/Iceberg table (same
+      stance as queue/store.py).
     """
     ev = _bucketed(
         new_events.select(key, attr, ts, tiebreak), key, n_buckets
@@ -112,12 +132,52 @@ def scd2_merge(
     # break lineage from the files about to be overwritten (same stance as
     # sources/merge.merge_upsert)
     out = out.localCheckpoint(eager=True)
+    if swap_commit:
+        staging = f"{path.rstrip('/')}.staging-{uuid.uuid4().hex[:8]}"
+        out.write.mode("overwrite").partitionBy(BUCKET).parquet(staging)
+        for b in buckets:
+            live = os.path.join(path, f"{BUCKET}={b}")
+            staged = os.path.join(staging, f"{BUCKET}={b}")
+            if not os.path.isdir(staged):
+                continue
+            parked = f"{live}.old-{uuid.uuid4().hex[:8]}"
+            had_old = os.path.isdir(live)
+            if had_old:
+                os.rename(live, parked)
+            os.rename(staged, live)
+            if had_old:
+                shutil.rmtree(parked)
+        shutil.rmtree(staging, ignore_errors=True)
+        return
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         out.write.mode("overwrite").partitionBy(BUCKET).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def scd2_heal(path: str) -> tuple[int, int]:
+    """Recover from a crash inside scd2_merge's swap commit: for every
+    parked `pbucket=K.old-<token>` dir, restore it if its live dir is
+    missing (crash between the two renames) or clear it if the live dir
+    exists (crash after the swap, before cleanup).  Returns (restored,
+    cleared).  Safe to run unconditionally — a clean store is a no-op."""
+    restored = cleared = 0
+    if not os.path.isdir(path):
+        return restored, cleared
+    for d in sorted(os.listdir(path)):
+        if not (d.startswith(f"{BUCKET}=") and ".old-" in d):
+            continue
+        live = os.path.join(path, d.split(".old-")[0])
+        parked = os.path.join(path, d)
+        if os.path.isdir(live):
+            shutil.rmtree(parked)
+            cleared += 1
+        else:
+            os.rename(parked, live)
+            restored += 1
+    return restored, cleared
 
 
 def scd2_read_history(

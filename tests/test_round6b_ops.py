@@ -586,3 +586,77 @@ def test_scd2_merge_prunes_untouched_buckets(spark, tmp_path):
     assert len(changed) == 1, (changed, before.keys())
     # and the merge actually landed
     assert (1, 4, "platinum", "2024-02-01 00:00:00", None) in _hist_rows(spark, path)
+
+
+def test_scd2_merge_swap_commit_equivalent(spark, tmp_path):
+    from flume_spark.operators.scd import scd2_merge, scd2_write
+
+    dyn, swap = str(tmp_path / "dyn"), str(tmp_path / "swap")
+    late = [(1, "bronze", "2024-01-04 00:00:00", 99),
+            (5, "new", "2024-01-01 00:00:00", 100)]
+    for p, use_swap in ((dyn, False), (swap, True)):
+        scd2_write(spark, p, _ev(spark, ALL_EVENTS), "uid", "tier", "ts", "eid")
+        scd2_merge(
+            spark, p, _ev(spark, late), "uid", "tier", "ts", "eid",
+            swap_commit=use_swap,
+        )
+    assert _hist_rows(spark, swap) == _hist_rows(spark, dyn)
+    # no staging or parked debris left behind
+    import os
+    assert not [d for d in os.listdir(tmp_path) if ".staging-" in d]
+    assert not [d for d in os.listdir(swap) if ".old-" in d]
+
+
+def test_scd2_heal_restores_and_clears(spark, tmp_path):
+    import os
+    import shutil
+
+    from flume_spark.operators.scd import scd2_heal, scd2_write
+
+    path = str(tmp_path / "store")
+    scd2_write(
+        spark, path, _ev(spark, ALL_EVENTS), "uid", "tier", "ts", "eid", n_buckets=8
+    )
+    want = _hist_rows(spark, path)
+    bdirs = [d for d in os.listdir(path) if d.startswith("pbucket=")]
+    # crash between the two renames: live missing, old parked
+    os.rename(os.path.join(path, bdirs[0]), os.path.join(path, bdirs[0] + ".old-abc"))
+    # crash after swap, before cleanup: both present (park a COPY)
+    shutil.copytree(
+        os.path.join(path, bdirs[1]), os.path.join(path, bdirs[1] + ".old-def")
+    )
+    assert scd2_heal(path) == (1, 1)
+    assert _hist_rows(spark, path) == want
+    assert scd2_heal(path) == (0, 0)  # idempotent
+
+
+def test_scd2_ingestor_replay_converges(spark, tmp_path):
+    """3 micro-batches == one full build; ledger replay and crash-window
+    replay (marker bypassed, parked bucket) both converge."""
+    import os
+
+    from flume_spark.operators.scd import scd2_write
+    from flume_spark.streaming.scd import Scd2Ingestor
+
+    ref = str(tmp_path / "ref")
+    scd2_write(spark, ref, _ev(spark, ALL_EVENTS), "uid", "tier", "ts", "eid")
+    want = _hist_rows(spark, ref)
+
+    path = str(tmp_path / "ing")
+    ing = Scd2Ingestor(
+        spark, path, str(tmp_path / "ledger"),
+        key="uid", attr="tier", ts="ts", tiebreak="eid", n_buckets=8,
+    )
+    batches = [ALL_EVENTS[:3], ALL_EVENTS[3:6], ALL_EVENTS[6:]]
+    for b, rows in enumerate(batches):
+        ing.process(_ev(spark, rows), b)
+    assert _hist_rows(spark, path) == want
+    # ledger replay: no-op
+    ing.process(_ev(spark, batches[1]), 1)
+    assert _hist_rows(spark, path) == want
+    # crash-window replay below the ledger: park one bucket (simulated
+    # mid-swap crash), then re-run the batch handler directly
+    bdirs = [d for d in os.listdir(path) if d.startswith("pbucket=")]
+    os.rename(os.path.join(path, bdirs[0]), os.path.join(path, bdirs[0] + ".old-x"))
+    ing._process(_ev(spark, batches[2]), 2)
+    assert _hist_rows(spark, path) == want
