@@ -92,6 +92,9 @@ HEADLINE = [
     "graph_bfs_hops",
     "sketch_hll",
     "dedup_prefix_filter",
+    "scd2_user_history",
+    # record is at its tail-capture budget (worst-case 1687/1700 chars,
+    # test_bench_contract) — SHARD before adding another entry
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))
