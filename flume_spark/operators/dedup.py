@@ -994,7 +994,7 @@ def prefix_index(sh: DataFrame, t_num: int, t_den: int) -> DataFrame:
     return ranked.filter(
         F.col("rk")
         <= F.expr(f"n_sh - (({t_num} * n_sh + {t_den - 1}) div {t_den}) + 1")
-    ).select("id", "shingle", "n_sh")
+    ).select("id", "shingle", "n_sh", "rk")
 
 
 def prefix_candidates(sh: DataFrame, t_num: int, t_den: int) -> DataFrame:
@@ -1003,8 +1003,30 @@ def prefix_candidates(sh: DataFrame, t_num: int, t_den: int) -> DataFrame:
     filter.  `sh` is a word_shingles frame (id, shingle).  Exposed
     separately so the scale probe can measure candidate counts against
     the unfiltered inverted-index join; prefix_filter_pairs verifies
-    these candidates exactly."""
-    prefix = prefix_index(sh, t_num, t_den)
+    these candidates exactly.
+
+    Rides the join with the PPJoin POSITIONAL filter (Xiao et al.
+    WWW'08), per joined row: sharing shingle s at ranks (i in a, j in b)
+    bounds overlap by 1 + min(na - i, nb - j) ONLY when s is the pair's
+    order-minimal common shingle — and for a qualifying pair that minimal
+    shingle always produces a surviving row (it must sit in BOTH prefixes:
+    were it outside a's prefix, every common shingle would be in a's
+    suffix, which holds fewer than the required overlap — pigeonhole).
+    Rows for non-minimal shared shingles may be pruned freely; the
+    distinct() only needs one survivor per pair.  Required overlap in
+    integers: J >= t ⇔ (t_num+t_den)·inter >= t_num·(na+nb).
+
+    The prefix self-join is EXPLOSIVE (output >> input: Σ df_prefix² rows
+    from a doc-count-sized index), the one shape AQE mis-sizes — it
+    coalesces by shuffle INPUT bytes, so a few-MB prefix frame collapses
+    to 1-2 post-shuffle partitions and the multi-million-row join output
+    is produced nearly serially.  The explicit repartition pins the join
+    width to spark.sql.shuffle.partitions (user repartitions are exempt
+    from AQE coalescing): measured 2 -> 32 tasks on the sf0.1 documents
+    join (BASELINE.md round-6; the positional filter + pinned width +
+    array verify together took prefix_filter_pairs 16.7s -> 2.7s warm)."""
+    n_part = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    prefix = prefix_index(sh, t_num, t_den).repartition(n_part, F.col("shingle"))
     return (
         prefix.alias("a")
         .join(
@@ -1015,6 +1037,19 @@ def prefix_candidates(sh: DataFrame, t_num: int, t_den: int) -> DataFrame:
             & (
                 t_num * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
                 <= t_den * F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+            )
+            # positional filter: possible overlap from this row's
+            # positions must still reach the required threshold
+            & (
+                (t_num + t_den)
+                * (
+                    1
+                    + F.least(
+                        F.col("a.n_sh") - F.col("a.rk"),
+                        F.col("b.n_sh") - F.col("b.rk"),
+                    )
+                )
+                >= t_num * (F.col("a.n_sh") + F.col("b.n_sh"))
             ),
         )
         .select(
@@ -1074,14 +1109,30 @@ def prefix_filter_pairs(
         raise ValueError("threshold t_num/t_den must satisfy 0 < t < 1")
     sh = word_shingles(df, id_col, text_col, n).cache()
     cand = prefix_candidates(sh, t_num, t_den)
+    # verify at CANDIDATE grain, not candidate x shingle grain: each side's
+    # full shingle set rides the join as one array column (doc-count-sized
+    # frame, two key-grain joins), and the intersection is a per-row
+    # array_intersect — so shuffle volume is O(candidates + docs), where
+    # the exploded join-then-count form shuffled sum-over-candidates(|a|)
+    # rows (~50x more on the documents corpus at sf0.1; numbers in
+    # BASELINE.md round-6)
+    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("shset"))
+    # same AQE-explosion stance as the candidate join: candidates exit
+    # their distinct() in input-byte-sized (few) partitions, and the
+    # per-row array_intersect below is CPU-bound — pin the width
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cand = cand.repartition(n_part, F.col("doc_a"))
     inter = (
-        cand.join(sh.select(F.col("id").alias("doc_a"), "shingle"), "doc_a")
-        .join(
-            sh.select(F.col("id").alias("doc_b"), "shingle"),
-            ["doc_b", "shingle"],
+        cand.join(
+            sets.select(F.col("id").alias("doc_a"), F.col("shset").alias("sa")),
+            "doc_a",
         )
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(
+            sets.select(F.col("id").alias("doc_b"), F.col("shset").alias("sb")),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .drop("sa", "sb")
     )
     return inter.filter(
         (t_num + t_den) * F.col("inter") >= t_num * (F.col("na") + F.col("nb"))

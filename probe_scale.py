@@ -712,6 +712,83 @@ def main_backend() -> None:
         )
 
 
+def main_scd2() -> None:
+    """SCD2 incremental-merge scale probe.
+
+    The store grows x1 -> x50 (more keys, same per-key history) while the
+    merge batch stays FIXED (1,000 events over 500 keys).  The claim is the
+    ASYMPTOTE, stated exactly: a merge reads at most (batch's touched
+    buckets) x (bucket size), and with the resolution rule n_buckets =
+    keys/256 the bucket size is a CONSTANT (~256 keys' change rows), so
+    merge cost is bounded by batch_keys x const — independent of store
+    size — once n_buckets >> batch_keys.  Below that regime hash
+    scattering makes a 500-key batch touch most buckets, so the curve
+    rises toward the bound and then flattens; the probe's x10 -> x50 leg
+    is the flat part (wall exponent well below the store's growth), which
+    is the 100 TB story: a trillion-key store at keys/256 buckets still
+    pays only ~500 x 2,560 rows per 500-key merge.  Same resolution law
+    as LSH bands / SAX word-space: granularity must grow with the corpus.
+    Prints merge seconds per factor (min-of-3 after a warm merge).
+    """
+    import tempfile
+
+    from flume_spark.operators import scd
+
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
+    spark = get_spark(app_name="flume_probe_scd2")
+    base_keys = 20_000
+    changes_per_key = 10
+    for f in factors:
+        n_keys = base_keys * f
+        n_buckets = max(8, n_keys // 256)
+        root = tempfile.mkdtemp(prefix=f"scd2probe_x{f}_")
+        path = root + "/store"
+        events = (
+            spark.range(n_keys * changes_per_key)
+            .select(
+                (F.col("id") % n_keys).alias("uid"),
+                F.concat(F.lit("t"), (F.col("id") % 7).cast("string")).alias("tier"),
+                F.timestamp_seconds(
+                    F.lit(1_700_000_000) + (F.col("id") / n_keys).cast("long") * 3600
+                ).alias("ts"),
+                F.col("id").alias("eid"),
+            )
+        )
+        scd.scd2_write(spark, path, events, "uid", "tier", "ts", "eid",
+                       n_buckets=n_buckets)
+        batch = (
+            spark.range(1_000)
+            .select(
+                (F.col("id") % 500).alias("uid"),
+                F.concat(F.lit("z"), (F.col("id") % 3).cast("string")).alias("tier"),
+                F.timestamp_seconds(
+                    F.lit(1_700_500_000) + F.col("id")
+                ).alias("ts"),
+                (F.col("id") + 10_000_000).alias("eid"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        samples = []
+        for i in range(4):
+            t = time.perf_counter()
+            scd.scd2_merge(
+                spark, path, batch, "uid", "tier", "ts", "eid",
+                n_buckets=n_buckets, swap_commit=True,
+            )
+            samples.append(time.perf_counter() - t)
+        out = {
+            "probe": "scd2_merge",
+            "factor": f,
+            "store_keys": n_keys,
+            "store_changes": n_keys * changes_per_key,
+            "n_buckets": n_buckets,
+            "batch_events": 1000,
+            "sec": round(min(samples[1:]), 3),
+            "samples": [round(s, 3) for s in samples],
+        }
+        print(json.dumps(out), flush=True)
+
+
 def main_prefix() -> None:
     """Prefix-filter join scale probe: wall-clock of the full
     prefix_filter_pairs pipeline and the candidate-count comparison
@@ -796,5 +873,7 @@ if __name__ == "__main__":
         main_backend()
     elif len(sys.argv) > 1 and sys.argv[1] == "--prefix":
         main_prefix()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scd2":
+        main_scd2()
     else:
         main()
