@@ -60,6 +60,16 @@ def _bucketed(df: DataFrame, key: str, n_buckets: int) -> DataFrame:
     return df.withColumn(BUCKET, F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
 
 
+def _write_partitioned(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """partitionBy write with each bucket pre-gathered into one task: a
+    plain partitionBy(BUCKET) write emits one file per (task x bucket) —
+    up to tasks x touched_buckets small files PER MERGE, the same
+    fragmentation law write_band_index pre-shuffles away.  Repartitioning
+    on the bucket column lands each bucket in exactly one task -> one
+    file per bucket dir."""
+    df.repartition(F.col(BUCKET)).write.mode(mode).partitionBy(BUCKET).parquet(path)
+
+
 def scd2_write(
     spark: SparkSession,
     path: str,
@@ -75,7 +85,7 @@ def scd2_write(
     it is what makes every ordering (and therefore every collapse)
     deterministic across rebuilds and merges."""
     ch = _bucketed(compact_changes(events, key, attr, ts, tiebreak), key, n_buckets)
-    ch.write.mode("overwrite").partitionBy(BUCKET).parquet(path)
+    _write_partitioned(ch, path)
 
 
 def scd2_merge(
@@ -134,7 +144,7 @@ def scd2_merge(
     out = out.localCheckpoint(eager=True)
     if swap_commit:
         staging = f"{path.rstrip('/')}.staging-{uuid.uuid4().hex[:8]}"
-        out.write.mode("overwrite").partitionBy(BUCKET).parquet(staging)
+        _write_partitioned(out, staging)
         for b in buckets:
             live = os.path.join(path, f"{BUCKET}={b}")
             staged = os.path.join(staging, f"{BUCKET}={b}")
@@ -152,7 +162,7 @@ def scd2_merge(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        out.write.mode("overwrite").partitionBy(BUCKET).parquet(path)
+        _write_partitioned(out, path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

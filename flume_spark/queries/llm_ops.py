@@ -1108,8 +1108,8 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair with 2-shingle Jaccard >= 4/5, recall exactly 1 — the lossless
     high-threshold complement to dedup_lsh_verified.  The oracle is the
     plain all-pairs inverted-index join: hash-equality IS the lossless
-    proof (prefix pruning dropped ~2/3 of candidates at sf0.01 yet no
-    result row)."""
+    proof (prefix + positional pruning drops ~84% of the inverted-index
+    join cost — probe_scale.py --prefix — yet no result row)."""
     docs = T(spark, sf_dir, "documents")
     return dedup.prefix_filter_pairs(docs, "doc_id", "text", n=2, t_num=4, t_den=5)
 
