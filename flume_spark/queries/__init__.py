@@ -67,6 +67,8 @@ _NEEDS_DRIVER_ROW = [  # round-6 additions/changes, ascending expected sf0.01 ru
     "weighted_median_price",
     # incremental change-log merge == full rebuild (operators/scd.py)
     "scd2_incremental",
+    # corpus novelty (df==1 shingle share) per source
+    "text_novelty_by_source",
     "sketch_hll",
     "ts_sax_znorm",
     "dedup_prefix_filter",

@@ -355,6 +355,72 @@ def text_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-novelty per source: what share of each source's 2-shingles
+    appear NOWHERE else in the corpus (df == 1)?  The complement of
+    text_commonness — high novelty means genuinely fresh text, near-zero
+    means the source is template/boilerplate-heavy and a dedup pass will
+    collapse it.  A real mixture-weighting signal (upweight novel
+    sources) that costs two shuffles: shingle df (vocab-sized agg,
+    map-side combinable) and the per-source rollup.  novelty is ONE
+    division of exact ints — bit-identical cross-engine."""
+    from flume_spark.operators.dedup import word_shingles
+
+    docs = T(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", 2)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(F.broadcast(dfreq), "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count(F.when(F.col("df") == 1, 1)).alias("n_unique"),
+        )
+    )
+    return (
+        per_doc.join(
+            docs.select(F.col("doc_id").alias("id"), "source"), "id"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sh").alias("shingles"),
+            F.sum("n_unique").alias("unique_shingles"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("unique_shingles").cast("double") / F.col("shingles"),
+        )
+    )
+
+
+TEXT_NOVELTY_SQL = r"""
+WITH w AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS words
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, source, shingle FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(range(1, len(words)),
+                  i -> words[i] || ' ' || words[i+1])) AS shingle
+    FROM w
+  )
+),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+SELECT source,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(count(*) AS BIGINT) AS shingles,
+       CAST(count(CASE WHEN df = 1 THEN 1 END) AS BIGINT)
+         AS unique_shingles,
+       CAST(count(CASE WHEN df = 1 THEN 1 END) AS DOUBLE) / count(*)
+         AS novelty
+FROM sh JOIN dfreq USING (shingle)
+GROUP BY source
+"""
+
+
 TEXT_COMMONNESS_SQL = r"""
 WITH toks AS (
   SELECT doc_id,
@@ -769,6 +835,7 @@ QUERIES = {
     "text_chunk_sliding": text_chunk_sliding,
     "ann_topk_int8": ann_topk_int8,
     "text_commonness": text_commonness,
+    "text_novelty_by_source": text_novelty_by_source,
     "dedup_passage": dedup_passage,
     "dedup_incremental": dedup_incremental,
     "corpus_shuffle": corpus_shuffle,
@@ -792,6 +859,7 @@ ORACLES = {
     "text_chunk_sliding": TEXT_CHUNK_SQL,
     "ann_topk_int8": ANN_INT8_SQL,
     "text_commonness": TEXT_COMMONNESS_SQL,
+    "text_novelty_by_source": TEXT_NOVELTY_SQL,
     "dedup_passage": DEDUP_PASSAGE_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "corpus_shuffle": CORPUS_SHUFFLE_SQL,
