@@ -171,9 +171,17 @@ def scd2_heal(path: str) -> tuple[int, int]:
     """Recover from a crash inside scd2_merge's swap commit: for every
     parked `pbucket=K.old-<token>` dir, restore it if its live dir is
     missing (crash between the two renames) or clear it if the live dir
-    exists (crash after the swap, before cleanup).  Returns (restored,
-    cleared).  Safe to run unconditionally — a clean store is a no-op."""
+    exists (crash after the swap, before cleanup).  Also reclaims
+    orphaned `<path>.staging-*` sibling dirs — a crash before/inside the
+    swap loop strands one, and every replayed merge writes a fresh one,
+    so stale stagings are always dead data.  Returns (restored, cleared);
+    safe to run unconditionally — a clean store is a no-op."""
     restored = cleared = 0
+    parent, base = os.path.split(path.rstrip("/"))
+    if os.path.isdir(parent or "."):
+        for d in os.listdir(parent or "."):
+            if d.startswith(f"{base}.staging-"):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
     if not os.path.isdir(path):
         return restored, cleared
     for d in sorted(os.listdir(path)):

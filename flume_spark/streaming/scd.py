@@ -66,6 +66,11 @@ class Scd2Ingestor:
         scd.scd2_heal(self.path)
         args = (self.key, self.attr, self.ts, self.tiebreak)
         if not os.path.isdir(self.path):
+            # a crash mid-first-write leaves a partial store; the replay
+            # takes the MERGE arm (path exists), which converges: every
+            # visible partial row derives from this same batch (Spark's
+            # committer only exposes task-complete files), and re-collapse
+            # of (subset ∪ batch) == collapse(batch)
             scd.scd2_write(
                 self.spark, self.path, batch_df, *args, n_buckets=self.n_buckets
             )

@@ -660,3 +660,21 @@ def test_scd2_ingestor_replay_converges(spark, tmp_path):
     os.rename(os.path.join(path, bdirs[0]), os.path.join(path, bdirs[0] + ".old-x"))
     ing._process(_ev(spark, batches[2]), 2)
     assert _hist_rows(spark, path) == want
+
+
+def test_scd2_heal_reclaims_stale_staging(spark, tmp_path):
+    import os
+
+    from flume_spark.operators.scd import scd2_heal, scd2_merge, scd2_write
+
+    path = str(tmp_path / "store")
+    scd2_write(spark, path, _ev(spark, ALL_EVENTS), "uid", "tier", "ts", "eid")
+    os.makedirs(path + ".staging-deadbeef/pbucket=0")
+    scd2_heal(path)
+    assert not os.path.isdir(path + ".staging-deadbeef")
+    # a subsequent swap merge is unaffected
+    scd2_merge(
+        spark, path, _ev(spark, [(9, "new", "2024-02-01 00:00:00", 200)]),
+        "uid", "tier", "ts", "eid", swap_commit=True,
+    )
+    assert (9, 1, "new", "2024-02-01 00:00:00", None) in _hist_rows(spark, path)
