@@ -975,29 +975,43 @@ def incremental_lsh_candidates(
     )
 
 
-def prefix_index(sh: DataFrame, t_num: int, t_den: int) -> DataFrame:
-    """The per-doc PREFIX of the inverted index: (id, shingle, n_sh) rows
-    for each doc's first |d| - ceil(t*|d|) + 1 shingles under the global
-    rarity-first ordering (ascending document frequency, shingle text
-    tie-break).  The per-doc ranking window partitions by doc id — its
-    input is one document's shingle set, bounded by doc length, never
-    corpus-sized."""
+def ranked_shingles(sh: DataFrame) -> DataFrame:
+    """(id, shingle, rk, n_sh): every doc's shingles ranked by the global
+    rarity-first ordering (ascending corpus df, shingle tie-break).  One
+    exchange on shingle (df agg; Catalyst broadcasts it back when it fits)
+    + one on id (the two windows share it); per-doc window input is
+    bounded by doc length.
+    The frame is hashpartitioned on id on exit, so a groupBy(id) consumer
+    (e.g. the verify stage's shingle-set build) adds NO exchange — build
+    it once and pass it to both prefix_candidates and the verify."""
     from pyspark.sql import Window
 
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id")
-    ranked = (
+    return (
         sh.join(freq, "shingle")
         .withColumn("rk", F.row_number().over(w.orderBy("df", "shingle")))
         .withColumn("n_sh", F.count(F.lit(1)).over(w))
     )
+
+
+def prefix_index(
+    sh: DataFrame, t_num: int, t_den: int, ranked: DataFrame | None = None
+) -> DataFrame:
+    """The per-doc PREFIX of the inverted index: (id, shingle, n_sh, rk)
+    rows for each doc's first |d| - ceil(t*|d|) + 1 shingles under the
+    rarity-first ordering (see ranked_shingles)."""
+    if ranked is None:
+        ranked = ranked_shingles(sh)
     return ranked.filter(
         F.col("rk")
         <= F.expr(f"n_sh - (({t_num} * n_sh + {t_den - 1}) div {t_den}) + 1")
     ).select("id", "shingle", "n_sh", "rk")
 
 
-def prefix_candidates(sh: DataFrame, t_num: int, t_den: int) -> DataFrame:
+def prefix_candidates(
+    sh: DataFrame, t_num: int, t_den: int, ranked: DataFrame | None = None
+) -> DataFrame:
     """Candidate stage of the prefix-filter join: (doc_a, doc_b, na, nb)
     pairs sharing at least one PREFIX shingle and passing the length
     filter.  `sh` is a word_shingles frame (id, shingle).  Exposed
@@ -1024,9 +1038,16 @@ def prefix_candidates(sh: DataFrame, t_num: int, t_den: int) -> DataFrame:
     width to spark.sql.shuffle.partitions (user repartitions are exempt
     from AQE coalescing): measured 2 -> 32 tasks on the sf0.1 documents
     join (BASELINE.md round-6; the positional filter + pinned width +
-    array verify together took prefix_filter_pairs 16.7s -> 2.7s warm)."""
+    array verify together took prefix_filter_pairs 16.7s -> 2.7s warm).
+    The pair dedup below is a dropDuplicates over an explicit
+    repartition on (doc_a, doc_b) — hashpartitioning on a subset of the
+    grouping keys satisfies the agg's distribution, so the dedup adds no
+    exchange of its own AND its output keeps the pinned (non-coalescible)
+    width for the CPU-bound verify stage that follows."""
     n_part = int(sh.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    prefix = prefix_index(sh, t_num, t_den).repartition(n_part, F.col("shingle"))
+    prefix = prefix_index(sh, t_num, t_den, ranked=ranked).repartition(
+        n_part, F.col("shingle")
+    )
     return (
         prefix.alias("a")
         .join(
@@ -1058,7 +1079,8 @@ def prefix_candidates(sh: DataFrame, t_num: int, t_den: int) -> DataFrame:
             F.col("a.n_sh").alias("na"),
             F.col("b.n_sh").alias("nb"),
         )
-        .distinct()
+        .repartition(n_part, F.col("doc_a"), F.col("doc_b"))
+        .dropDuplicates()
     )
 
 
@@ -1107,21 +1129,24 @@ def prefix_filter_pairs(
     """
     if not (0 < t_num < t_den):
         raise ValueError("threshold t_num/t_den must satisfy 0 < t < 1")
-    sh = word_shingles(df, id_col, text_col, n).cache()
-    cand = prefix_candidates(sh, t_num, t_den)
+    sh = word_shingles(df, id_col, text_col, n)
+    # ranked frame built ONCE, cached, and shared: prefix_candidates
+    # filters it to prefixes; the verify's shingle-set build groups it by
+    # id.  Without the cache the two branches' differing projections
+    # defeat subtree reuse and the df-join + per-doc windows execute
+    # TWICE (column pruning rewrites each copy, so canonical plans —
+    # and AQE exchange reuse — no longer match).
+    ranked = ranked_shingles(sh).cache()
+    cand = prefix_candidates(sh, t_num, t_den, ranked=ranked)
     # verify at CANDIDATE grain, not candidate x shingle grain: each side's
     # full shingle set rides the join as one array column (doc-count-sized
     # frame, two key-grain joins), and the intersection is a per-row
     # array_intersect — so shuffle volume is O(candidates + docs), where
     # the exploded join-then-count form shuffled sum-over-candidates(|a|)
     # rows (~50x more on the documents corpus at sf0.1; numbers in
-    # BASELINE.md round-6)
-    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("shset"))
-    # same AQE-explosion stance as the candidate join: candidates exit
-    # their distinct() in input-byte-sized (few) partitions, and the
-    # per-row array_intersect below is CPU-bound — pin the width
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    cand = cand.repartition(n_part, F.col("doc_a"))
+    # BASELINE.md round-6).  cand exits prefix_candidates at the pinned
+    # width, so the CPU-bound intersect below keeps full parallelism.
+    sets = ranked.groupBy("id").agg(F.collect_set("shingle").alias("shset"))
     inter = (
         cand.join(
             sets.select(F.col("id").alias("doc_a"), F.col("shset").alias("sa")),
