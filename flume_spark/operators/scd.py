@@ -127,9 +127,12 @@ def scd2_merge(
       on object storage the ACID path is a Delta/Iceberg table (same
       stance as queue/store.py).
     """
+    # pin the batch once: the lineage below consumes it four times (bucket
+    # collect, semi join, anti join, union-recompact) and a streaming
+    # micro-batch source would otherwise be re-read for each
     ev = _bucketed(
         new_events.select(key, attr, ts, tiebreak), key, n_buckets
-    )
+    ).localCheckpoint(eager=True)
     buckets = [r[0] for r in ev.select(BUCKET).distinct().collect()]
     stored = spark.read.parquet(path).filter(F.col(BUCKET).isin(buckets))
     keys = ev.select(key).distinct()
@@ -204,13 +207,13 @@ def scd2_read_history(
     """Materialize the stored change log as SCD2 history: key, version
     (1-based), attr, valid_from, valid_to (NULL = current).  version /
     valid_to are derived on read — cheap, the log is already compacted to
-    change rows — so the storage never goes stale on append."""
-    ch = spark.read.parquet(path)
-    w = Window.partitionBy(key).orderBy(ts, tiebreak)
-    return ch.select(
-        F.col(key),
-        F.row_number().over(w).alias("version"),
-        F.col(attr),
-        F.col(ts).alias("valid_from"),
-        F.lead(ts).over(w).alias("valid_to"),
+    change rows — so the storage never goes stale on append.
+
+    Delegates to `operators.temporal.scd2_history` so the SCD2 semantics
+    (ordering, null-safe change filter — a no-op on an already-compacted
+    log — version numbering, validity lead) live in exactly one place."""
+    from flume_spark.operators.temporal import scd2_history
+
+    return scd2_history(
+        spark.read.parquet(path), key, attr, ts, tiebreak=tiebreak
     )

@@ -353,6 +353,13 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = T(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     hist = scd2_history(ev, "user_id", "event_type", "ts", tiebreak="event_id")
+    return _scd2_summary(hist)
+
+
+def _scd2_summary(hist: DataFrame) -> DataFrame:
+    """Per-event_type regime summary shared by scd2_user_history and
+    scd2_incremental — both check against SCD2_USER_HISTORY_SQL, so the
+    aggregate block must be literally the same expression tree."""
     return hist.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_versions"),
         F.count(F.when(F.col("valid_to").isNull(), 1)).alias("n_open"),
@@ -469,14 +476,7 @@ def scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derive history from the merged log (version/valid_to on read) and
     # summarize exactly like scd2_user_history
     hist = scd2_history(merged_log, "user_id", "event_type", "ts", tiebreak="event_id")
-    return hist.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_versions"),
-        F.count(F.when(F.col("valid_to").isNull(), 1)).alias("n_open"),
-        F.sum(
-            F.unix_micros(F.col("valid_to").cast("timestamp"))
-            - F.unix_micros(F.col("valid_from").cast("timestamp"))
-        ).alias("total_regime_us"),
-    )
+    return _scd2_summary(hist)
 
 
 QUERIES = {

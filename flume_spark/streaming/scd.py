@@ -65,12 +65,16 @@ class Scd2Ingestor:
             return
         scd.scd2_heal(self.path)
         args = (self.key, self.attr, self.ts, self.tiebreak)
-        if not os.path.isdir(self.path):
-            # a crash mid-first-write leaves a partial store; the replay
-            # takes the MERGE arm (path exists), which converges: every
-            # visible partial row derives from this same batch (Spark's
-            # committer only exposes task-complete files), and re-collapse
-            # of (subset ∪ batch) == collapse(batch)
+        if not self._has_committed_data():
+            # first write, or a replay of a first write that crashed.  The
+            # branch condition is COMMITTED DATA (a pbucket= dir), never a
+            # bare isdir: a crash inside the first write can leave the dir
+            # with only _temporary litter, and a merge against that would
+            # fail schema inference forever — the write arm's overwrite
+            # clears it.  If the crash DID commit some buckets, the merge
+            # arm below converges instead: every visible row derives from
+            # this same batch (the committer only exposes task-complete
+            # files), and re-collapse of (subset ∪ batch) == collapse(batch)
             scd.scd2_write(
                 self.spark, self.path, batch_df, *args, n_buckets=self.n_buckets
             )
@@ -83,6 +87,13 @@ class Scd2Ingestor:
             n_buckets=self.n_buckets,
             swap_commit=True,
         )
+
+    def _has_committed_data(self) -> bool:
+        from flume_spark.operators.scd import BUCKET
+
+        if not os.path.isdir(self.path):
+            return False
+        return any(d.startswith(f"{BUCKET}=") for d in os.listdir(self.path))
 
     def history(self) -> DataFrame:
         from flume_spark.operators.scd import scd2_read_history

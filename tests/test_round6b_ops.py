@@ -678,3 +678,25 @@ def test_scd2_heal_reclaims_stale_staging(spark, tmp_path):
         "uid", "tier", "ts", "eid", swap_commit=True,
     )
     assert (9, 1, "new", "2024-02-01 00:00:00", None) in _hist_rows(spark, path)
+
+
+def test_scd2_ingestor_first_write_crash_recovers(spark, tmp_path):
+    """A batch-0 crash that created the store dir but committed NO bucket
+    (only committer litter) must NOT wedge the stream: the replay takes
+    the write arm (branch is committed-data, not isdir)."""
+    import os
+
+    from flume_spark.streaming.scd import Scd2Ingestor
+
+    path = str(tmp_path / "ing")
+    os.makedirs(os.path.join(path, "_temporary"))  # simulated crash state
+    ing = Scd2Ingestor(
+        spark, path, str(tmp_path / "ledger"),
+        key="uid", attr="tier", ts="ts", tiebreak="eid", n_buckets=8,
+    )
+    ing._process(_ev(spark, ALL_EVENTS), 0)
+    ref = str(tmp_path / "ref")
+    from flume_spark.operators.scd import scd2_write
+
+    scd2_write(spark, ref, _ev(spark, ALL_EVENTS), "uid", "tier", "ts", "eid")
+    assert _hist_rows(spark, path) == _hist_rows(spark, ref)
