@@ -1192,9 +1192,12 @@ def hash_ordered_prefix(
     problem, designed away instead of compacted away).  The build is also
     one shuffle cheaper (no df join).  The cost: prefixes hold random
     rather than rarest shingles, so candidate volume rises toward the
-    mean df — acceptable at high thresholds where prefixes are short.
+    mean df — acceptable at high thresholds where prefixes are short,
+    and partially clawed back by the positional filter riding the probe
+    join (rank positions are doc-pure too, so they persist append-only
+    alongside the rest of the row).
 
-    Returns (id, shingle, n_sh).
+    Returns (id, shingle, n_sh, rk).
     """
     from pyspark.sql import Window
 
@@ -1205,7 +1208,7 @@ def hash_ordered_prefix(
     return ranked.filter(
         F.col("rk")
         <= F.expr(f"n_sh - (({t_num} * n_sh + {t_den - 1}) div {t_den}) + 1")
-    ).select("id", "shingle", "n_sh")
+    ).select("id", "shingle", "n_sh", "rk")
 
 
 def incremental_prefix_candidates(
@@ -1254,17 +1257,28 @@ def incremental_prefix_candidates(
         t_num * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
         <= t_den * F.least(F.col("a.n_sh"), F.col("b.n_sh"))
     )
+    # PPJoin positional filter, same lossless argument as
+    # prefix_candidates (orientation-symmetric: the pair's order-minimal
+    # common shingle sits in BOTH prefixes and its row passes the bound)
+    positional_ok = (t_num + t_den) * (
+        1
+        + F.least(
+            F.col("a.n_sh") - F.col("a.rk"), F.col("b.n_sh") - F.col("b.rk")
+        )
+    ) >= t_num * (F.col("a.n_sh") + F.col("b.n_sh"))
     hist_pairs = np_.alias("a").join(
         hp.alias("b"),
         (F.col("a.shingle") == F.col("b.shingle"))
         & (F.col("a.id") != F.col("b.id"))
+        & positional_ok
         & length_ok,
     )
     new_pairs = np_.alias("a").join(
         np_.alias("b"),
         (F.col("a.shingle") == F.col("b.shingle"))
         & (F.col("a.id") < F.col("b.id"))
-        & length_ok,
+        & length_ok
+        & positional_ok,
     )
     out = [F.col("a.id").alias("doc_new"), F.col("b.id").alias("doc_match")]
     return (

@@ -1185,7 +1185,7 @@ ranked AS (
   FROM sh
 ),
 pre AS (
-  SELECT doc_id, shingle, n_sh FROM ranked
+  SELECT doc_id, shingle, n_sh, rk FROM ranked
   WHERE rk <= n_sh - ((4 * n_sh + 4) // 5) + 1
 ),
 np AS (SELECT * FROM pre WHERE doc_id % 5 = 0),
@@ -1194,10 +1194,12 @@ SELECT DISTINCT doc_new, doc_match FROM (
   SELECT a.doc_id AS doc_new, b.doc_id AS doc_match
   FROM np a JOIN hp b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
    AND 4 * greatest(a.n_sh, b.n_sh) <= 5 * least(a.n_sh, b.n_sh)
+   AND 9 * (1 + least(a.n_sh - a.rk, b.n_sh - b.rk)) >= 4 * (a.n_sh + b.n_sh)
   UNION ALL
   SELECT a.doc_id, b.doc_id
   FROM np a JOIN np b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
    AND 4 * greatest(a.n_sh, b.n_sh) <= 5 * least(a.n_sh, b.n_sh)
+   AND 9 * (1 + least(a.n_sh - a.rk, b.n_sh - b.rk)) >= 4 * (a.n_sh + b.n_sh)
 )
 """
 
