@@ -1,25 +1,32 @@
-"""Persisted SCD Type-2 change-log store with bucket-pruned incremental merge.
+"""Persisted SCD Type-2 event-log store: bucket-pruned incremental merge,
+watermark-gated compaction.
 
-Storage design: the durable artifact is the COMPACTED CHANGE LOG — one row
-per (key, regime start): (key, attr, ts, tiebreak) — NOT the materialized
-history.  Two reasons, both scale:
-- append-friendly: a new change touches nothing but its own row.  Storing
-  valid_to would rewrite the previous open version on every change.
-- lossless: the change log IS the minimal event stream.  Re-collapsing
-  (stored changes UNION new events) equals a full rebuild from all raw
-  events — non-change events never affect the result, a late event equal
-  to its predecessor regime collapses away, and a late event equal to the
-  FOLLOWING change absorbs that row on re-collapse.  The equivalence is
-  pinned by tests/test_round6b_ops.py (replay-converges, late arrival,
-  idempotent redelivery).
+Storage design: the durable artifact is the RAW attribute-event log — one
+row per (key, attr, ts, tiebreak), exact duplicates removed — NOT the
+collapsed change log, and NOT the materialized history:
+- append-friendly: a merge only ever adds rows (and drops exact-duplicate
+  redeliveries).  Storing valid_to would rewrite the previous open version
+  on every change.
+- late-arrival-safe: collapsing "no-change" rows away is LOSSY under
+  unbounded lateness.  Counterexample (found by the hypothesis property
+  test in tests/test_round6b_ops.py): stream a@1, a@2 for one key
+  collapses to [a@1]; a late b arriving at ts 1.5 makes a@2 a change
+  again (regime a | b | a), but the collapsed log has forgotten it — the
+  rebuilt history shows b open forever.  So events may only be collapsed
+  once no earlier event can still arrive — a WATERMARK promise, exactly
+  Structured Streaming's lateness contract.  `scd2_compact(path,
+  watermark)` collapses each key's settled prefix (ts < watermark) and
+  keeps everything newer raw; history derived on read is unchanged
+  because dropping a no-change row from a span nothing can land inside
+  anymore never alters the collapse.
 
 Layout: parquet partitioned by `pbucket = pmod(hash(key), n_buckets)`.
 An incremental merge partition-prunes its read to the buckets its new
-events hash into and dynamic-partition-overwrites ONLY those buckets —
-the same only-touched-partitions property as sources/merge.merge_upsert
-and the band-index ingest (operators/dedup.write_band_index).  At 100 TB
-raise n_buckets with corpus size; keys never move buckets (hash is
-Spark's stable Murmur3), which is the pruning contract.
+events hash into and rewrites ONLY those buckets — the same
+only-touched-partitions property as sources/merge.merge_upsert and the
+band-index ingest (operators/dedup.write_band_index).  At 100 TB raise
+n_buckets with corpus size; keys never move buckets (hash is Spark's
+stable Murmur3), which is the pruning contract.
 
 The reference has no dimension processing (flume moves opaque job
 payloads; SURVEY.md §2.5) — this is engine-native warehouse surface, the
@@ -42,9 +49,14 @@ BUCKET = "pbucket"
 def compact_changes(
     df: DataFrame, key: str, attr: str, ts: str, tiebreak: str
 ) -> DataFrame:
-    """Compact an event stream to its change rows (first row per key +
-    every null-safe attr change), keeping the tiebreak so later merges
-    re-order deterministically.  One shuffle on key."""
+    """Collapse an event stream to its change rows (first row per key +
+    every null-safe attr change), keeping the tiebreak so downstream
+    ordering stays deterministic.  One shuffle on key.
+
+    ONLY safe on a SETTLED stream — one no earlier event can still join
+    (see the module header's late-arrival counterexample).  scd2_compact
+    applies it to the below-watermark prefix; scd2_incremental applies it
+    at a time-ordered batch cutoff, which is the same promise."""
     w = Window.partitionBy(key).orderBy(ts, tiebreak)
     marked = (
         df.select(key, attr, ts, tiebreak)
@@ -80,12 +92,18 @@ def scd2_write(
     tiebreak: str,
     n_buckets: int = 32,
 ) -> None:
-    """Full build: compact `events` to the change log and write it
+    """Full build: write the raw event log (exact duplicates dropped)
     partitioned by key bucket.  `tiebreak` must be unique per (key, ts) —
-    it is what makes every ordering (and therefore every collapse)
-    deterministic across rebuilds and merges."""
-    ch = _bucketed(compact_changes(events, key, attr, ts, tiebreak), key, n_buckets)
-    _write_partitioned(ch, path)
+    it is what makes every ordering (and therefore every read-time
+    collapse) deterministic across rebuilds and merges.  No collapse
+    happens here: a later merge may legally deliver an event INSIDE this
+    batch's time span, which is exactly the case collapse cannot survive
+    (module header); run scd2_compact behind a watermark instead."""
+    ev = (
+        events.select(key, attr, ts, tiebreak)
+        .dropDuplicates([key, ts, tiebreak])
+    )
+    _write_partitioned(_bucketed(ev, key, n_buckets), path)
 
 
 def scd2_merge(
@@ -100,17 +118,23 @@ def scd2_merge(
     swap_commit: bool = False,
 ) -> None:
     """Fold new events (including late arrivals and redeliveries) into the
-    stored change log, touching only affected buckets.
+    stored event log, touching only affected buckets.
 
     Plan: the distinct buckets of the batch (a bounded collect, <=
     n_buckets scalars) prune the stored read; affected keys' rows are
     split out with a semi/anti join against the batch's distinct keys
-    (never a collect of keys); only (affected stored rows UNION batch)
-    re-collapses — cost is the affected keys' change histories, not the
-    table.  Untouched keys in the same bucket are carried through
-    unchanged, and only the touched bucket directories are rewritten.
-    `n_buckets` must match the value the store was written with (keys
-    must not move buckets).
+    (never a collect of keys); (affected stored rows ∪ batch) dedupes
+    exact redeliveries on (key, ts, tiebreak) — cost is the affected
+    keys' rows, not the table.  Untouched keys in the same bucket are
+    carried through unchanged, and only the touched bucket directories
+    are rewritten.  `n_buckets` must match the value the store was
+    written with (keys must not move buckets).
+
+    Merge is IDEMPOTENT (re-merging any already-folded batch is a no-op)
+    and ORDER-FREE (merging batches in any order yields the same store:
+    it is set union of events) — the two properties the streaming
+    ingestor's replay safety rides on, pinned by the hypothesis property
+    tests in tests/test_round6b_ops.py.
 
     Commit modes:
     - default: dynamic partition overwrite — simplest, but Spark's commit
@@ -121,14 +145,13 @@ def scd2_merge(
       bucket atomic rename.  Every bucket is at all times either its old
       or its new complete state except inside the two-rename window,
       where the old dir is parked at `<bucket>.old-<token>` — `scd2_heal`
-      restores or clears parked dirs, and because the merge itself is
-      idempotent (redelivery test), heal-then-replay converges from a
-      crash at ANY point.  Rename-atomicity is a filesystem property;
-      on object storage the ACID path is a Delta/Iceberg table (same
-      stance as queue/store.py).
+      restores or clears parked dirs, and merge idempotency makes
+      heal-then-replay converge from a crash at ANY point.
+      Rename-atomicity is a filesystem property; on object storage the
+      ACID path is a Delta/Iceberg table (same stance as queue/store.py).
     """
-    # pin the batch once: the lineage below consumes it four times (bucket
-    # collect, semi join, anti join, union-recompact) and a streaming
+    # pin the batch once: the lineage below consumes it several times
+    # (bucket collect, semi join, anti join, union-dedup) and a streaming
     # micro-batch source would otherwise be re-read for each
     ev = _bucketed(
         new_events.select(key, attr, ts, tiebreak), key, n_buckets
@@ -138,10 +161,11 @@ def scd2_merge(
     keys = ev.select(key).distinct()
     affected = stored.join(keys, key, "semi").drop(BUCKET)
     untouched = stored.join(keys, key, "left_anti").drop(BUCKET)
-    recompacted = compact_changes(
-        affected.unionByName(ev.drop(BUCKET)), key, attr, ts, tiebreak
+    merged = (
+        affected.unionByName(ev.drop(BUCKET))
+        .dropDuplicates([key, ts, tiebreak])
     )
-    out = _bucketed(untouched.unionByName(recompacted), key, n_buckets)
+    out = _bucketed(untouched.unionByName(merged), key, n_buckets)
     # break lineage from the files about to be overwritten (same stance as
     # sources/merge.merge_upsert)
     out = out.localCheckpoint(eager=True)
@@ -168,6 +192,52 @@ def scd2_merge(
         _write_partitioned(out, path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def scd2_compact(
+    spark: SparkSession,
+    path: str,
+    watermark,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+    n_buckets: int = 32,
+) -> None:
+    """Collapse each key's SETTLED prefix — rows with ts < `watermark` —
+    to change rows, keeping everything at or after the watermark raw.
+    The maintenance pass that bounds log growth for chatty keys whose
+    attribute rarely changes.
+
+    CONTRACT (caller's promise, the same one Structured Streaming's
+    withWatermark makes): no future merge will deliver an event with
+    ts < watermark.  Under it the collapse is exact: a dropped no-change
+    row could only ever matter again if a later event landed BEFORE it
+    (module header's counterexample), which the promise rules out.  The
+    boundary is also safe: the prefix's last CHANGE row survives carrying
+    the regime's attr and start, so post-watermark rows compare against
+    exactly what a full-history collapse would see.
+
+    Whole-store rewrite through a staging swap (the compact_band_index
+    protocol): staging is re-runnable before the swap; a crash between
+    the two renames leaves the data safe in `<path>.compacting-<token>`
+    — recover by renaming it back.
+    """
+    wm = F.lit(watermark) if not isinstance(watermark, F.Column) else watermark
+    log = spark.read.parquet(path)
+    wm = wm.cast(log.schema[ts].dataType)
+    settled = compact_changes(
+        log.filter(F.col(ts) < wm), key, attr, ts, tiebreak
+    )
+    recent = log.filter(~(F.col(ts) < wm)).select(key, attr, ts, tiebreak)
+    out = _bucketed(settled.unionByName(recent), key, n_buckets)
+    out = out.localCheckpoint(eager=True)
+    staging = f"{path.rstrip('/')}.compacting-{uuid.uuid4().hex[:8]}"
+    _write_partitioned(out, staging)
+    old = f"{path.rstrip('/')}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
 
 
 def scd2_heal(path: str) -> tuple[int, int]:
@@ -204,14 +274,14 @@ def scd2_heal(path: str) -> tuple[int, int]:
 def scd2_read_history(
     spark: SparkSession, path: str, key: str, attr: str, ts: str, tiebreak: str
 ) -> DataFrame:
-    """Materialize the stored change log as SCD2 history: key, version
-    (1-based), attr, valid_from, valid_to (NULL = current).  version /
-    valid_to are derived on read — cheap, the log is already compacted to
-    change rows — so the storage never goes stale on append.
+    """Materialize the stored event log as SCD2 history: key, version
+    (1-based), attr, valid_from, valid_to (NULL = current).  The change
+    collapse, version numbering, and validity lead all happen on read —
+    so the storage never goes stale on append, and a compacted and an
+    uncompacted store read identically.
 
     Delegates to `operators.temporal.scd2_history` so the SCD2 semantics
-    (ordering, null-safe change filter — a no-op on an already-compacted
-    log — version numbering, validity lead) live in exactly one place."""
+    live in exactly one place."""
     from flume_spark.operators.temporal import scd2_history
 
     return scd2_history(

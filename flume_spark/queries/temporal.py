@@ -447,14 +447,16 @@ GROUP BY event_type
 
 def scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SCD2 convergence, driver-checked: events before
-    2024-01-20 are compacted to a change log FIRST (as the persisted
-    store would hold them — operators/scd.py), then the late batch folds
-    in via the merge dataflow (semi/anti split on affected keys,
-    re-collapse of affected log rows ∪ batch), all in-plan.  The oracle
-    is the FULL rebuild over all events — hash-equality IS the
-    merge-equals-rebuild property the store's pytest suite pins, here
-    checked end-to-end by the driver on real data.  Same summary shape
-    as scd2_user_history."""
+    2024-01-20 are compacted to change rows FIRST (scd2_compact's settled
+    prefix, the cutoff serving as the watermark — every event in the
+    second batch is >= cutoff, which is exactly the lateness promise that
+    makes compaction exact; operators/scd.py header has the
+    counterexample for why an UNWATERMARKED compaction would be lossy),
+    then the late batch folds in via the merge dataflow (semi/anti split
+    on affected keys, union), all in-plan.  The oracle is the FULL
+    rebuild over all events — hash-equality IS compact-then-merge ==
+    rebuild, checked end-to-end by the driver on real data.  Same
+    summary shape as scd2_user_history."""
     from flume_spark.operators.scd import compact_changes
     from flume_spark.operators.temporal import scd2_history
 

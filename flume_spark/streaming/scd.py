@@ -4,9 +4,9 @@ micro-batch of attribute-change events into the persisted change-log store
 EdgeIngestor.
 
 Exactly-once needs LESS machinery here than the edge index, because
-`scd2_merge` is IDEMPOTENT: re-merging an already-folded batch collapses
-to a no-op (the redelivery test in tests/test_round6b_ops.py).  So the
-layers are:
+`scd2_merge` is IDEMPOTENT and ORDER-FREE: the store is a set union of
+events, so re-merging an already-folded batch is a no-op (hypothesis
+property tests in tests/test_round6b_ops.py).  So the layers are:
 1. the batch-id ledger (streaming/sink.py) skips cleanly-committed
    batches without touching the store;
 2. for the crash window below the ledger, `scd2_heal` first restores any
@@ -94,6 +94,22 @@ class Scd2Ingestor:
         if not os.path.isdir(self.path):
             return False
         return any(d.startswith(f"{BUCKET}=") for d in os.listdir(self.path))
+
+    def compact(self, watermark) -> None:
+        """Collapse the settled prefix (event ts < `watermark`) to change
+        rows — the maintenance pass bounding log growth for chatty keys.
+        The caller promises no future batch delivers an event below the
+        watermark (the same contract as withWatermark); see
+        operators/scd.scd2_compact.  Run between triggers — the pass
+        swaps the whole store directory, so it must not race a merge
+        (single-writer, like band-index compaction)."""
+        from flume_spark.operators.scd import scd2_compact
+
+        scd2_compact(
+            self.spark, self.path, watermark,
+            self.key, self.attr, self.ts, self.tiebreak,
+            n_buckets=self.n_buckets,
+        )
 
     def history(self) -> DataFrame:
         from flume_spark.operators.scd import scd2_read_history

@@ -700,3 +700,169 @@ def test_scd2_ingestor_first_write_crash_recovers(spark, tmp_path):
 
     scd2_write(spark, ref, _ev(spark, ALL_EVENTS), "uid", "tier", "ts", "eid")
     assert _hist_rows(spark, path) == _hist_rows(spark, ref)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 property tests — store semantics on random streams (ties, nulls,
+# arbitrary splits, redelivery).  These found the round-6 design bug that
+# forced the store from "compacted change log" to "raw log + watermark
+# compaction": unconditional collapse is LOSSY under late arrivals
+# (see operators/scd.py module header for the counterexample).
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _model_changes(events):
+    """Pure-python reference of operators/scd.compact_changes: per key,
+    (ts, tiebreak)-ordered, keep the first row and every null-safe attr
+    change.  Events are (key, attr, ts, tb) with tb unique."""
+    out = []
+    for key in sorted({e[0] for e in events}):
+        seq = sorted((e for e in events if e[0] == key), key=lambda e: (e[2], e[3]))
+        last = ...  # sentinel distinct from any attr incl. None
+        for e in seq:
+            if e[1] != last:
+                out.append(e)
+                last = e[1]
+    return out
+
+
+def _dedup(events):
+    seen, out = set(), []
+    for e in events:
+        k = (e[0], e[2], e[3])
+        if k not in seen:
+            seen.add(k)
+            out.append(e)
+    return out
+
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(1, 3),                      # key — few keys, many collisions
+        st.sampled_from([None, "a", "b"]),      # attr — nulls included
+        st.integers(1, 5),                      # ts — heavy ties across events
+    ),
+    min_size=1,
+    max_size=12,
+).map(lambda rows: [(k, a, t, i) for i, (k, a, t) in enumerate(rows)])
+
+
+class TestScd2Properties:
+    @settings(max_examples=300, deadline=None)
+    @given(ev=_EVENTS, split=st.integers(0, 12), redeliver=st.booleans())
+    def test_raw_store_merge_equals_rebuild(self, ev, split, redeliver):
+        """The fixed design's theorem: a RAW store is a set union of
+        events, so merge order, split point, and redelivery cannot change
+        the read-time history.  (The collapsed-log variant of this
+        property is FALSE — hypothesis produced a late-arrival
+        counterexample, now the regression test below.)"""
+        split = min(split, len(ev))
+        b1, b2 = ev[:split], ev[split:]
+        replay = list(b1) if redeliver else []
+        store = _dedup(_dedup(b1) + b2 + replay)
+        assert _model_changes(store) == _model_changes(ev)
+
+    @settings(max_examples=300, deadline=None)
+    @given(ev=_EVENTS, wm=st.integers(1, 6))
+    def test_watermark_compaction_preserves_history(self, ev, wm):
+        """scd2_compact's contract at the model level: collapsing the
+        settled prefix (ts < wm) and keeping >= wm raw reads identically
+        to the raw log, PROVIDED no event later lands below wm — here
+        guaranteed by compacting the full stream's own prefix."""
+        settled = _model_changes([e for e in ev if e[2] < wm])
+        recent = [e for e in ev if e[2] >= wm]
+        assert _model_changes(settled + recent) == _model_changes(ev)
+
+    @settings(max_examples=300, deadline=None)
+    @given(ev=_EVENTS)
+    def test_model_compact_idempotent(self, ev):
+        once = _model_changes(ev)
+        assert _model_changes(once) == once
+
+
+def test_compact_changes_matches_model(spark):
+    """Spark compact_changes == the python model on adversarial streams
+    (ties, nulls, a late insert, duplicate attrs) — pins the Spark
+    implementation to the model the properties above explore."""
+    from pyspark.sql import functions as F
+
+    from flume_spark.operators.scd import compact_changes
+
+    streams = [
+        # the hypothesis counterexample stream (late b between a-dups)
+        [(1, "a", 1, 0), (1, "a", 2, 1), (1, "b", 1, 2)],
+        # nulls + ties + interleaved keys
+        [(1, None, 1, 0), (2, "a", 1, 1), (1, None, 1, 2), (1, "b", 1, 3),
+         (2, None, 2, 4), (1, "b", 3, 5), (2, "a", 2, 6)],
+    ]
+    for ev in streams:
+        df = spark.createDataFrame(
+            ev, "uid int, tier string, tss int, eid int"
+        ).select("uid", "tier", F.timestamp_seconds("tss").alias("ts"), "eid")
+        got = sorted(
+            (
+                (r.uid, r.tier, int(r.ts.timestamp()), r.eid)
+                for r in compact_changes(df, "uid", "tier", "ts", "eid").collect()
+            ),
+            key=repr,  # None is not orderable against str
+        )
+        assert got == sorted(_model_changes(ev), key=repr), ev
+
+
+def test_scd2_store_late_arrival_counterexample(spark, tmp_path):
+    """END-TO-END regression for the bug the property test found: events
+    a@1, a@2 then a LATE b@1.5 must rebuild regimes a | b | a.  The
+    collapsed-log store forgot a@2 and answered 'b open forever'; the raw
+    store + read-time collapse answers correctly."""
+    from flume_spark.operators.scd import scd2_merge, scd2_write
+
+    path = str(tmp_path / "store")
+    scd2_write(
+        spark, path,
+        _ev(spark, [(1, "a", "2024-01-01 00:00:00", 0),
+                    (1, "a", "2024-01-02 00:00:00", 1)]),
+        "uid", "tier", "ts", "eid",
+    )
+    scd2_merge(
+        spark, path,
+        _ev(spark, [(1, "b", "2024-01-01 12:00:00", 2)]),
+        "uid", "tier", "ts", "eid",
+    )
+    assert _hist_rows(spark, path) == {
+        (1, 1, "a", "2024-01-01 00:00:00", "2024-01-01 12:00:00"),
+        (1, 2, "b", "2024-01-01 12:00:00", "2024-01-02 00:00:00"),
+        (1, 3, "a", "2024-01-02 00:00:00", None),
+    }
+
+
+def test_scd2_compact_settles_prefix_and_preserves_history(spark, tmp_path):
+    """scd2_compact shrinks the stored rows (no-change rows below the
+    watermark vanish) without changing the read history; rows at/after
+    the watermark stay raw so late arrivals >= wm still merge exactly."""
+    from flume_spark.operators.scd import scd2_compact, scd2_merge, scd2_write
+
+    path = str(tmp_path / "store")
+    chatty = [(1, "a", f"2024-01-0{d} 00:00:00", d) for d in range(1, 6)]
+    chatty += [(1, "b", "2024-01-06 00:00:00", 6),
+               (2, "x", "2024-01-02 00:00:00", 7)]
+    scd2_write(spark, path, _ev(spark, chatty), "uid", "tier", "ts", "eid")
+    want = _hist_rows(spark, path)
+    before = spark.read.parquet(path).count()
+    scd2_compact(
+        spark, path, "2024-01-06 00:00:00", "uid", "tier", "ts", "eid",
+        n_buckets=8,
+    )
+    after = spark.read.parquet(path).count()
+    assert after < before  # the four no-change a-rows below wm collapsed
+    assert _hist_rows(spark, path) == want
+    # a late arrival AT the watermark still merges exactly (contract edge)
+    scd2_merge(
+        spark, path,
+        _ev(spark, [(1, "c", "2024-01-06 00:00:00", 99)]),
+        "uid", "tier", "ts", "eid",
+    )
+    got = {(r[0], r[2]) for r in _hist_rows(spark, path)}
+    assert (1, "c") in got
