@@ -715,8 +715,10 @@ def main_backend() -> None:
 def main_scd2() -> None:
     """SCD2 incremental-merge scale probe.
 
-    The store grows x1 -> x50 (more keys, same per-key history) while the
-    merge batch stays FIXED (1,000 events over 500 keys).  The claim is the
+    The store grows x1 -> x50 (more keys, same per-key raw event count)
+    while the merge batch stays FIXED (1,000 events over 500 keys).  The
+    store is the RAW event log (operators/scd.py) — merge cost is the
+    touched buckets' rows, whatever their compaction state.  The claim is the
     ASYMPTOTE, stated exactly: a merge reads at most (batch's touched
     buckets) x (bucket size), and with the resolution rule n_buckets =
     keys/256 the bucket size is a CONSTANT (~256 keys' change rows), so
@@ -780,7 +782,7 @@ def main_scd2() -> None:
             "probe": "scd2_merge",
             "factor": f,
             "store_keys": n_keys,
-            "store_changes": n_keys * changes_per_key,
+            "store_events": n_keys * changes_per_key,
             "n_buckets": n_buckets,
             "batch_events": 1000,
             "sec": round(min(samples[1:]), 3),
