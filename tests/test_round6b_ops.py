@@ -866,3 +866,51 @@ def test_scd2_compact_settles_prefix_and_preserves_history(spark, tmp_path):
     )
     got = {(r[0], r[2]) for r in _hist_rows(spark, path)}
     assert (1, "c") in got
+
+
+def test_scd2_ingestor_live_stream(spark, tmp_path):
+    """Scd2Ingestor wired into a real readStream + writeStream.foreachBatch
+    (maxFilesPerTrigger=1, so the events arrive across several
+    micro-batches, the second of which carries a LATE event): the stored
+    history equals the one-shot batch build."""
+    from flume_spark.operators.scd import scd2_write
+    from flume_spark.streaming.scd import Scd2Ingestor
+
+    src = tmp_path / "scd_src"
+    src.mkdir()
+    schema = "uid int, tier string, ts timestamp, eid int"
+    batches = [
+        ALL_EVENTS[:4],
+        ALL_EVENTS[4:] + [(1, "bronze", "2024-01-04 00:00:00", 99)],  # late
+    ]
+    for rows in batches:
+        _ev(spark, rows).coalesce(1).write.mode("append").parquet(str(src))
+
+    path = str(tmp_path / "scd_store")
+    ing = Scd2Ingestor(
+        spark, path, str(tmp_path / "scd_ledger"),
+        key="uid", attr="tier", ts="ts", tiebreak="eid", n_buckets=8,
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .writeStream.foreachBatch(ing.process)
+        .option("checkpointLocation", str(tmp_path / "scd_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ref = str(tmp_path / "scd_ref")
+    scd2_write(
+        spark, ref,
+        _ev(spark, ALL_EVENTS + [(1, "bronze", "2024-01-04 00:00:00", 99)]),
+        "uid", "tier", "ts", "eid",
+    )
+    assert _hist_rows(spark, path) == _hist_rows(spark, ref)
+    # maintenance compaction behind a watermark preserves the history
+    ing.compact("2024-02-01 00:00:00")
+    assert _hist_rows(spark, path) == _hist_rows(spark, ref)
