@@ -138,9 +138,10 @@ def snapshot_diff(
     Plan: ONE full-outer sort-merge join on `key` (presence markers, not
     outer-side null-probing of data columns, decide added/removed — a
     legitimately all-NULL row is still 'present').  At 100 TB both sides
-    shuffle once on the key; with both releases stored bucketed on `key`
-    (layout.write_bucketed) the exchanges vanish and the diff is a
-    zip-merge of co-located buckets.  Output is key + status + both sides'
+    shuffle once on the key; with both releases stored key-bucketed
+    (sources.write_table(buckets=(n, key))) the exchanges vanish and the
+    diff is a zip-merge of co-located buckets — plan-gated in
+    tests/test_round6b_ops.py.  Output is key + status + both sides'
     compared columns (old_/new_ prefixed), so downstream can aggregate or
     materialize the delta without re-joining.
     """

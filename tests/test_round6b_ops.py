@@ -914,3 +914,44 @@ def test_scd2_ingestor_live_stream(spark, tmp_path):
     # maintenance compaction behind a watermark preserves the history
     ing.compact("2024-02-01 00:00:00")
     assert _hist_rows(spark, path) == _hist_rows(spark, ref)
+
+
+def test_snapshot_diff_bucketed_is_exchange_free(spark, tmp_path):
+    """The 100 TB shape claimed in snapshot_diff's docstring: both
+    releases stored bucketed on the key -> the full-outer diff plans with
+    ZERO exchanges (zip-merge of co-located buckets)."""
+    from pyspark.sql import functions as F
+
+    from flume_spark.plans import n_shuffles
+    from flume_spark.sources import write_table
+    from flume_spark.sources.merge import snapshot_diff
+
+    old = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("price")
+    )
+    new = spark.range(0, 520).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 9 == 0, F.col("id") * 3.0)
+        .otherwise(F.col("id") * 2.0)
+        .alias("price"),
+    )
+    try:
+        write_table(old, str(tmp_path / "rel_a"), buckets=(8, "k"),
+                    table_name="diff_rel_a", mode="overwrite")
+        write_table(new, str(tmp_path / "rel_b"), buckets=(8, "k"),
+                    table_name="diff_rel_b", mode="overwrite")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            diff = snapshot_diff(
+                spark.table("diff_rel_a"), spark.table("diff_rel_b"),
+                "k", ["price"],
+            )
+            assert n_shuffles(diff) == 0
+            got = {r.status for r in diff.collect()}
+            assert got == {"added", "changed", "unchanged"}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        for t in ("diff_rel_a", "diff_rel_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
