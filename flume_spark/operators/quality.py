@@ -123,3 +123,47 @@ def streaming_checks(
         )
 
     return idempotent_foreach_batch(_process, ledger_dir)
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int,
+    by: str | None = None,
+) -> DataFrame:
+    """Privacy audit over a quasi-identifier combination: per `by` group
+    (or one global row), how many quasi-identifier equivalence classes
+    exist, how many are SMALLER than `k` (k-anonymity violations — rows
+    in them are re-identifiable by joining the quasi columns against an
+    external dataset), how many rows sit in violating classes, and the
+    worst l-diversity (min distinct sensitive values per class — a
+    k-anonymous class is still disclosive when everyone in it shares the
+    sensitive value; Machanavajjhala et al., l-diversity).
+
+    `by` (optional) must be ONE OF `quasi_cols` — the report then rolls
+    up per value of that column instead of one global row.
+
+    Releasing a "scrubbed" training corpus is exactly this exposure:
+    text_pii_scrub removes direct identifiers, this measures the
+    INDIRECT ones.  Plan: one shuffle on the quasi columns (map-side
+    combinable counts + distinct-sensitive agg), then a tiny rollup —
+    never a self-join, so it scales as a plain two-level aggregation.
+    All outputs are exact integers.
+    """
+    if by is not None and by not in quasi_cols:
+        raise ValueError("`by` must be one of quasi_cols")
+    class_stats = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.countDistinct(sensitive_col).alias("__l"),
+    )
+    grouped = class_stats.groupBy(F.lit(1).alias("__all") if by is None else by)
+    out = grouped.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.count(F.when(F.col("__n") < k, 1)).alias("risky_classes"),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0)).alias(
+            "risky_rows"
+        ),
+        F.min("__l").alias("min_l_diversity"),
+    )
+    return out if by is not None else out.drop("__all")

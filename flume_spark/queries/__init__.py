@@ -69,6 +69,8 @@ _NEEDS_DRIVER_ROW = [  # round-6 additions/changes, ascending expected sf0.01 ru
     "scd2_incremental",
     # corpus novelty (df==1 shingle share) per source
     "text_novelty_by_source",
+    # k-anonymity / l-diversity release audit (operators/quality.py)
+    "privacy_k_anonymity",
     "sketch_hll",
     "ts_sax_znorm",
     "dedup_prefix_filter",

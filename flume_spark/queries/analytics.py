@@ -1497,9 +1497,46 @@ GROUP BY l_returnflag
 """
 
 
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit of the event stream as a would-be release: with
+    (user_id, day) as the quasi-identifier and event_type as the
+    sensitive attribute, report per day how many equivalence classes
+    fall below k=5 (re-identifiable by an external join on the quasi
+    columns) and the worst l-diversity (operators/quality.py::
+    k_anonymity_report — two-level exact-integer aggregation, one quasi
+    shuffle, never a self-join)."""
+    from flume_spark.operators.quality import k_anonymity_report
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    )
+    return k_anonymity_report(
+        ev, ["user_id", "day"], "event_type", k=5, by="day"
+    )
+
+
+PRIVACY_K_ANON_SQL = """
+WITH cls AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         count(*) AS n, count(DISTINCT event_type) AS l
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT day,
+       count(*) AS n_classes,
+       count(CASE WHEN n < 5 THEN 1 END) AS risky_classes,
+       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS risky_rows,
+       CAST(min(l) AS BIGINT) AS min_l_diversity
+FROM cls GROUP BY day
+"""
+
+
 QUERIES = {
     "sketch_countmin": sketch_countmin,
     "weighted_median_price": weighted_median_price,
+    "privacy_k_anonymity": privacy_k_anonymity,
     "sketch_hll": sketch_hll,
     "channel_running_compare": channel_running_compare,
     "ts_sax_words": ts_sax_words,
@@ -1534,6 +1571,7 @@ QUERIES = {
 ORACLES = {
     "sketch_countmin": SKETCH_COUNTMIN_SQL,
     "weighted_median_price": WEIGHTED_MEDIAN_SQL,
+    "privacy_k_anonymity": PRIVACY_K_ANON_SQL,
     "sketch_hll": SKETCH_HLL_SQL,
     "channel_running_compare": CHANNEL_RUNNING_SQL,
     "ts_sax_words": TS_SAX_WORDS_SQL,

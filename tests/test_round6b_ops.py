@@ -955,3 +955,30 @@ def test_snapshot_diff_bucketed_is_exchange_free(spark, tmp_path):
     finally:
         for t in ("diff_rel_a", "diff_rel_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_k_anonymity_report_semantics(spark):
+    from flume_spark.operators.quality import k_anonymity_report
+
+    rows = [
+        # class (1, "a"): 3 rows, 2 sensitive values
+        (1, "a", "x"), (1, "a", "y"), (1, "a", "x"),
+        # class (2, "a"): 1 row -> risky at k=2
+        (2, "a", "x"),
+        # class (3, "b"): 2 rows, 1 sensitive value -> l = 1
+        (3, "b", "z"), (3, "b", "z"),
+    ]
+    df = spark.createDataFrame(rows, "uid int, grp string, s string")
+    got = {
+        r.grp: (r.n_classes, r.risky_classes, r.risky_rows, r.min_l_diversity)
+        for r in k_anonymity_report(df, ["uid", "grp"], "s", k=2, by="grp").collect()
+    }
+    assert got == {"a": (2, 1, 1, 1), "b": (1, 0, 0, 1)}
+    # global (no `by`): one row, no grouping column
+    g = k_anonymity_report(df, ["uid", "grp"], "s", k=2).collect()
+    assert len(g) == 1 and g[0].n_classes == 3 and g[0].risky_classes == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        k_anonymity_report(df, ["uid"], "s", k=2, by="grp")
