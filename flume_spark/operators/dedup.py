@@ -1184,10 +1184,11 @@ def hash_ordered_prefix(
     The prefix-filter pigeonhole is lossless under ANY fixed global
     ordering; df-ordering is purely the best-pruning choice.  Trading it
     for a content hash buys the property that matters for incremental
-    ingest: a document's prefix is a pure function of the document alone
-    (no corpus-wide df aggregation), so a persisted prefix index is
-    APPEND-ONLY — new batches append their prefix rows and nothing ever
-    goes stale, where a df-ordered index would need re-ranking as
+    ingest: a document's prefix rows — INCLUDING n_sh and the rank rk
+    the positional filter dereferences, all pure functions of the
+    document alone (no corpus-wide df aggregation) — make a persisted
+    prefix index APPEND-ONLY: new batches append their rows and nothing
+    ever goes stale, where a df-ordered index would need re-ranking as
     frequencies drift (the analog of write_edge_index's stale-degree
     problem, designed away instead of compacted away).  The build is also
     one shuffle cheaper (no df join).  The cost: prefixes hold random
@@ -1229,12 +1230,14 @@ def incremental_prefix_candidates(
     this cannot (superset by the prefix pigeonhole; run a pair verifier
     such as ngram_jaccard on the candidates for the exact final set).
 
-    Pass `history_prefix` — the persisted hash-ordered prefix frame,
+    Pass `history_prefix` — the persisted hash-ordered prefix frame
+    (schema: id, shingle, n_sh, rk — rk feeds the positional filter, so
+    an index persisted before rk existed needs a one-time rebuild),
     appended per batch (see hash_ordered_prefix: the static ordering is
     what makes that append correct forever) — and per-batch cost is
     prefixing the new docs plus one equi-join probe into the index.  At
     cluster scale persist it in write_band_index's layout with `shingle`
-    as the bucket/sort key (plus the n_sh column): the index side of the
+    as the bucket/sort key (plus the n_sh and rk columns): the index side of the
     probe join then reads exchange-free from its buckets exactly like
     the LSH band index.  Omitted, `history` is prefixed in-plan
     (correct, but pays the full history scan this call).

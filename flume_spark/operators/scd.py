@@ -220,16 +220,25 @@ def scd2_compact(
 
     Whole-store rewrite through a staging swap (the compact_band_index
     protocol): staging is re-runnable before the swap; a crash between
-    the two renames leaves the data safe in `<path>.compacting-<token>`
-    — recover by renaming it back.
+    the two renames leaves the data parked at `<path>.old-<token>`, which
+    `scd2_heal` restores automatically (Scd2Ingestor heals before every
+    batch, so a crashed compaction can never make the ingestor
+    re-initialize an apparently-missing store).
     """
     wm = F.lit(watermark) if not isinstance(watermark, F.Column) else watermark
-    log = spark.read.parquet(path)
+    # one parquet scan, not one per branch: both the settled and the
+    # recent filter read from the pinned copy (which also parallels
+    # scd2_merge's lineage-break stance for the swap below)
+    log = spark.read.parquet(path).localCheckpoint(eager=True)
     wm = wm.cast(log.schema[ts].dataType)
-    settled = compact_changes(
-        log.filter(F.col(ts) < wm), key, attr, ts, tiebreak
-    )
-    recent = log.filter(~(F.col(ts) < wm)).select(key, attr, ts, tiebreak)
+    # NULL-ts rows belong to neither `< wm` nor `>= wm` under SQL
+    # three-valued logic — route them to the RAW side explicitly (they
+    # sort before everything in the read-time collapse and must never be
+    # silently dropped, nor collapsed: the watermark promise says nothing
+    # about null-ts arrivals)
+    below = F.coalesce(F.col(ts) < wm, F.lit(False))
+    settled = compact_changes(log.filter(below), key, attr, ts, tiebreak)
+    recent = log.filter(~below).select(key, attr, ts, tiebreak)
     out = _bucketed(settled.unionByName(recent), key, n_buckets)
     out = out.localCheckpoint(eager=True)
     staging = f"{path.rstrip('/')}.compacting-{uuid.uuid4().hex[:8]}"
@@ -252,9 +261,27 @@ def scd2_heal(path: str) -> tuple[int, int]:
     restored = cleared = 0
     parent, base = os.path.split(path.rstrip("/"))
     if os.path.isdir(parent or "."):
-        for d in os.listdir(parent or "."):
-            if d.startswith(f"{base}.staging-"):
+        olds = []
+        for d in sorted(os.listdir(parent or ".")):
+            if d.startswith(f"{base}.staging-") or d.startswith(
+                f"{base}.compacting-"
+            ):
+                # merge staging and compaction staging are both
+                # re-runnable: stale copies are always dead data
                 shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+            elif d.startswith(f"{base}.old-"):
+                olds.append(d)
+        for d in olds:
+            # scd2_compact parks the WHOLE store at <path>.old-<token>
+            # between its two renames; a crash there leaves no live dir —
+            # restore it (re-running the compaction is always safe),
+            # never let an ingestor silently re-initialize from scratch.
+            if os.path.isdir(path):
+                shutil.rmtree(os.path.join(parent, d))
+                cleared += 1
+            else:
+                os.rename(os.path.join(parent, d), path)
+                restored += 1
     if not os.path.isdir(path):
         return restored, cleared
     for d in sorted(os.listdir(path)):

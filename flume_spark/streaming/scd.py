@@ -1,6 +1,7 @@
 """Streaming SCD Type-2 ingest — a foreachBatch handler that folds each
-micro-batch of attribute-change events into the persisted change-log store
-(`operators/scd.py`), the dimension-maintenance sibling of LshIngestor /
+micro-batch of attribute-change events into the persisted RAW event-log
+store (`operators/scd.py`; history collapses on read, compaction is
+watermark-gated), the dimension-maintenance sibling of LshIngestor /
 EdgeIngestor.
 
 Exactly-once needs LESS machinery here than the edge index, because
@@ -74,7 +75,7 @@ class Scd2Ingestor:
             # clears it.  If the crash DID commit some buckets, the merge
             # arm below converges instead: every visible row derives from
             # this same batch (the committer only exposes task-complete
-            # files), and re-collapse of (subset ∪ batch) == collapse(batch)
+            # files), and set-union merge makes (subset ∪ batch) == batch
             scd.scd2_write(
                 self.spark, self.path, batch_df, *args, n_buckets=self.n_buckets
             )

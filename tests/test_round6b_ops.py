@@ -848,7 +848,9 @@ def test_scd2_compact_settles_prefix_and_preserves_history(spark, tmp_path):
     chatty = [(1, "a", f"2024-01-0{d} 00:00:00", d) for d in range(1, 6)]
     chatty += [(1, "b", "2024-01-06 00:00:00", 6),
                (2, "x", "2024-01-02 00:00:00", 7)]
-    scd2_write(spark, path, _ev(spark, chatty), "uid", "tier", "ts", "eid")
+    scd2_write(
+        spark, path, _ev(spark, chatty), "uid", "tier", "ts", "eid", n_buckets=8
+    )
     want = _hist_rows(spark, path)
     before = spark.read.parquet(path).count()
     scd2_compact(
@@ -862,7 +864,7 @@ def test_scd2_compact_settles_prefix_and_preserves_history(spark, tmp_path):
     scd2_merge(
         spark, path,
         _ev(spark, [(1, "c", "2024-01-06 00:00:00", 99)]),
-        "uid", "tier", "ts", "eid",
+        "uid", "tier", "ts", "eid", n_buckets=8,
     )
     got = {(r[0], r[2]) for r in _hist_rows(spark, path)}
     assert (1, "c") in got
@@ -982,3 +984,41 @@ def test_k_anonymity_report_semantics(spark):
 
     with _pytest.raises(ValueError):
         k_anonymity_report(df, ["uid"], "s", k=2, by="grp")
+
+
+def test_scd2_heal_restores_compaction_crash(spark, tmp_path):
+    """A crash between scd2_compact's two renames leaves NO live store
+    (the old log parked at <path>.old-*, the compacted output at
+    <path>.compacting-*): heal must restore the parked log — never let
+    an ingestor re-initialize from scratch — and clear the staging."""
+    import os
+
+    from flume_spark.operators.scd import scd2_heal, scd2_write
+
+    path = str(tmp_path / "store")
+    scd2_write(spark, path, _ev(spark, ALL_EVENTS), "uid", "tier", "ts", "eid")
+    want = _hist_rows(spark, path)
+    # simulate the crash window: live renamed away, staging left behind
+    os.rename(path, path + ".old-tok1")
+    os.makedirs(path + ".compacting-tok2/pbucket=0")
+    restored, _ = scd2_heal(path)
+    assert restored == 1
+    assert not os.path.isdir(path + ".compacting-tok2")
+    assert _hist_rows(spark, path) == want
+
+
+def test_scd2_compact_keeps_null_ts_rows(spark, tmp_path):
+    """NULL-ts events are outside any watermark promise: compaction must
+    route them to the raw side, never drop them (SQL three-valued logic
+    makes them fail BOTH ts < wm and ts >= wm)."""
+    from flume_spark.operators.scd import scd2_compact, scd2_write
+
+    path = str(tmp_path / "store")
+    rows = [(1, "a", "2024-01-01 00:00:00", 0), (1, "b", None, 1)]
+    scd2_write(spark, path, _ev(spark, rows), "uid", "tier", "ts", "eid",
+               n_buckets=4)
+    want = _hist_rows(spark, path)
+    scd2_compact(spark, path, "2024-02-01 00:00:00",
+                 "uid", "tier", "ts", "eid", n_buckets=4)
+    assert spark.read.parquet(path).filter("ts IS NULL").count() == 1
+    assert _hist_rows(spark, path) == want
