@@ -486,6 +486,42 @@ def sssp_k_exact(
     return dist
 
 
+def oriented_edges(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    by: str = "degree",
+) -> DataFrame:
+    """Orient an undirected both-directions edge list so each edge appears
+    once, from the endpoint of lower rank — (degree, id) rank when
+    by="degree" (the skew-safe default triangle_count uses), bare id when
+    by="id" (kept for the probe's A/B and for tests that pin the skew
+    argument; see triangle_count's docstring for why id-ordering explodes
+    on hubs).  Not materialized here: the caller decides whether the
+    oriented list feeds one plan leg or several.
+
+    Returns (x, y): one row per undirected edge, rank(x) < rank(y).
+    """
+    directed = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if by == "id":
+        return directed.filter(F.col("u") < F.col("v")).select(
+            F.col("u").alias("x"), F.col("v").alias("y")
+        )
+    deg = directed.groupBy("u").agg(F.count(F.lit(1)).alias("du"))
+    # The degree frame is vertex-sized: Catalyst broadcasts it when small
+    # and AQE falls back to a shuffle join when not — no hand-scheduling.
+    return (
+        directed.join(deg, "u")
+        .join(deg.select(F.col("u").alias("v"), F.col("du").alias("dv")), "v")
+        .filter(F.struct("du", "u") < F.struct("dv", "v"))
+        .select(F.col("u").alias("x"), F.col("v").alias("y"))
+    )
+
+
 def triangle_count(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:
@@ -493,22 +529,36 @@ def triangle_count(
     directed edge list (each undirected edge present in both directions,
     the co-purchase convention) — the canonical 3-way self-join shape.
 
-    Plan: orient each undirected edge low→high once (halves the input and
-    kills rotation double-counting), join oriented paths a<b, b<c on the
-    middle vertex, then close each wedge with a semi-join probe of the
-    oriented edge set — candidate volume is Σ_b deg_lo(b)·deg_hi(b),
-    the standard wedge bound, never all-triples.  Exact integers.
+    Plan: orient each undirected edge once, from the endpoint of LOWER
+    (degree, id) rank to the higher (kills rotation double-counting), join
+    oriented paths x→y, y→z on the middle vertex, then close each wedge
+    with a semi-join probe of the oriented edge set.  Degree ordering —
+    not id ordering — is the skew-safe choice: every oriented out-degree
+    is bounded by O(√m) (a vertex with d out-neighbors has d neighbors of
+    rank ≥ its own, each with degree ≥ d, so d² ≤ 2m), which caps the
+    per-middle-vertex candidate volume at deg·O(√m).  Under id ordering a
+    hub with a low id keeps ~deg/2 edges on EACH side of the wedge join
+    and its single key emits ~deg²/4 candidates into one task — the
+    classic skewed-shuffle explosion on power-law graphs.  Triangles are
+    orientation-invariant, so the output is identical either way.  The
+    degree frame is vertex-sized: Catalyst broadcasts it when small and
+    AQE falls back to a shuffle join when not — no hand-scheduling.
+    Exact integers throughout.
+
+    Input convention: each undirected edge present in BOTH directions
+    (the co-purchase shape), so per-src out-degree of the directed list
+    IS the undirected degree.
 
     Returns (vertex, n_tri): triangles through each vertex (each triangle
     counts once per member vertex).
     """
-    und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") < F.col("b"))
-        .distinct()
-    )
-    lo = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    # wedges x<y<z around middle y: (x,y) ⋈ (y,z)
+    # Materialize the oriented list once: it feeds THREE plan legs (both
+    # wedge sides + the semi-close probe), and without staging each leg
+    # re-executes the distinct + degree-join subtree (25 exchanges vs 5).
+    # Cluster-scale reading: stage the oriented edge list to storage, then
+    # run the wedge join off it — same move as write_edge_index.
+    lo = oriented_edges(edges, src=src, dst=dst).localCheckpoint(eager=True)
+    # wedges rank(x)<rank(y)<rank(z) around middle y: (x,y) ⋈ (y,z)
     wedges = lo.join(
         lo.select(F.col("x").alias("y"), F.col("y").alias("z")), "y"
     )

@@ -39,56 +39,34 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # in the middle group and get checked next round automatically.
 # tests/test_registry.py asserts both lists stay consistent with the merged
 # query dict (no typos, no overlap, full coverage).
-# Round-6 re-tier done: all 50 CORRECTNESS_r05 rows folded into
-# _DRIVER_CHECKED (49 hash-green + approx_distinct, rows-only by design).
-# ROUND-7 RE-TIERING (do this first next round): once CORRECTNESS_r06.json
-# lands, fold ALL its rows into _DRIVER_CHECKED, then rebuild this list from
-# round-7 changes.  tests/test_registry.py fails loudly on typos/overlap.
-_NEEDS_DRIVER_ROW = [  # round-6 additions/changes, ascending expected sf0.01 runtime
-    # semantics-adjacent re-verifies: claim_plan gained the two-phase
-    # (salted local rank -> bounded global rank) top-K this round; these
-    # three queries exercise the due predicate / rank / rate-window paths.
-    "due_filter",
-    "topk_due",
-    "rate_window_count",
-    # histogram oracle literals wrapped CAST(q AS DOUBLE) (ADVICE fix)
-    "histogram_quantiles",
-    # new round-6 queries (cheap first; the graph fixpoints pay the
-    # basket self-join / recursive oracle and go last)
-    "corpus_shard_manifest",
-    "join_null_safe",
-    # SCD Type-2 family (round-6 session 2): history build + point-in-time
-    # snapshot over the events stream (operators/temporal.py scd2_*)
-    "scd2_user_history",
-    "scd2_snapshot_counts",
-    # release-diff audit view (sources/merge.py snapshot_diff)
-    "snapshot_diff_orders",
-    # exact weighted median via distinct-value compaction + cum window
-    "weighted_median_price",
-    # incremental change-log merge == full rebuild (operators/scd.py)
-    "scd2_incremental",
-    # corpus novelty (df==1 shingle share) per source
-    "text_novelty_by_source",
-    # k-anonymity / l-diversity release audit (operators/quality.py)
-    "privacy_k_anonymity",
-    "sketch_hll",
-    "ts_sax_znorm",
-    "dedup_prefix_filter",
-    "dedup_prefix_incremental",
-    "graph_bfs_hops",
+# Round-7 re-tier done: all 50 CORRECTNESS_r06 rows (50/50 hash-green)
+# folded into _DRIVER_CHECKED.  This list is now the round-7 new/changed
+# set.  ROUND-8 RE-TIERING (do this first next round): once
+# CORRECTNESS_r07.json lands, fold ALL its rows into _DRIVER_CHECKED, then
+# rebuild this list from round-8 changes.  tests/test_registry.py fails
+# loudly on typos/overlap.
+_NEEDS_DRIVER_ROW = [  # round-7 additions/changes, ascending expected sf0.01 runtime
+    # graph_triangles re-verify: edge orientation changed from id-order to
+    # (degree, id)-rank order (skew-safe wedge plan); triangles are
+    # orientation-invariant so the recursive-CTE oracle must stay hash-green.
     "graph_triangles",
-    "graph_sssp_k",
 ]
 
-# Union of CORRECTNESS_r01..r05 keys: 168 hash-green, 5 rows-only by
-# design (approx_distinct, ann_topk_lsh, embedding_kmeans, approx_percentiles,
-# graph_pagerank), MINUS any query whose semantics changed since its driver
-# row — those move back into _NEEDS_DRIVER_ROW (round 6: due_filter,
-# topk_due, rate_window_count via the claim-plan rework;
-# histogram_quantiles via the oracle CAST fix).  Do NOT "restore" a name to
-# this set without removing it from the re-verify list.
+# Union of CORRECTNESS_r01..r06 keys: 184 hash-green at latest check,
+# 5 rows-only by design (approx_distinct, ann_topk_lsh, embedding_kmeans,
+# approx_percentiles, graph_pagerank), MINUS any query whose semantics
+# changed since its driver row — those move back into _NEEDS_DRIVER_ROW
+# (round 7: graph_triangles via the degree-ordered orientation).  Do NOT
+# "restore" a name to this set without removing it from the re-verify list.
 _DRIVER_CHECKED = frozenset(
     {
+        "corpus_shard_manifest", "dedup_prefix_filter",
+        "dedup_prefix_incremental", "due_filter", "graph_bfs_hops",
+        "graph_sssp_k", "histogram_quantiles",
+        "join_null_safe", "privacy_k_anonymity", "rate_window_count",
+        "scd2_incremental", "scd2_snapshot_counts", "scd2_user_history",
+        "sketch_hll", "snapshot_diff_orders", "text_novelty_by_source",
+        "topk_due", "ts_sax_znorm", "weighted_median_price",
         "channel_running_compare", "channel_share_gsets", "corpus_shuffle",
         "events_path_trigrams", "graph_pagerank_k", "graph_pagerank_step",
         "lsh_label_purity", "orders_monthly_remerge", "rollup_topk_window",

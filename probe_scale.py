@@ -380,6 +380,96 @@ def main_graph() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def main_tri() -> None:
+    """Triangle-orientation skew probe: id-order vs (degree, id)-order on a
+    planted-hub power-law graph.
+
+    Generator: n_v vertices with a sparse deterministic expander background
+    (4 pseudo-random out-targets per vertex, ~8 undirected degree) plus ONE
+    hub planted at id n_v/2 with degree hub_deg = 2000·f.  Under id
+    ordering the hub id sits mid-range, so ~deg/2 of its edges orient into
+    it and ~deg/2 out — the wedge join's middle-vertex key at the hub
+    carries in·out ≈ deg²/4 candidates in ONE task, growing f² while the
+    graph grows f.  Under degree ordering the hub is the highest rank, its
+    oriented out-degree is ~0, and its middle-key candidate count
+    collapses; the global bound is Σ deg·O(√m).
+
+    Per factor, prints: wedge totals and the max single-key candidate
+    count for both orientations (the skew number), wall-clock of the full
+    triangle count both ways (min of 3 after a warm run), and the triangle
+    total from both plans — equality is the orientation-invariance check.
+    """
+    from flume_spark.operators import graph
+
+    factors = sorted(int(a) for a in sys.argv[2:]) or [1, 2, 4]
+    spark = get_spark(app_name="flume_probe_tri")
+    for f in factors:
+        n_v = 20_000 * f
+        hub = n_v // 2
+        hub_deg = 2_000 * f
+        bg = (
+            spark.range(n_v)
+            .select(
+                F.col("id").alias("a"),
+                F.explode(F.sequence(F.lit(1), F.lit(4))).alias("j"),
+            )
+            .select(
+                "a",
+                ((F.col("a") * 2654435761 + F.col("j") * 40503) % n_v).alias("b"),
+            )
+        )
+        hub_edges = spark.range(hub_deg).select(
+            F.lit(hub).cast("long").alias("a"),
+            ((F.col("id") * 7919 + 13) % n_v).alias("b"),
+        )
+        und = (
+            bg.unionByName(hub_edges)
+            .filter(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .distinct()
+        )
+        edges = (
+            und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .toDF("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        out = {"probe": f"triangle_orient@x{f}", "edges_undirected": edges.count() // 2}
+        for mode in ("id", "degree"):
+            lo = graph.oriented_edges(edges, by=mode).localCheckpoint(eager=True)
+            inn = lo.groupBy("y").agg(F.count(F.lit(1)).alias("n_in"))
+            outd = lo.groupBy(F.col("x").alias("y")).agg(
+                F.count(F.lit(1)).alias("n_out")
+            )
+            stats = (
+                inn.join(outd, "y")
+                .select((F.col("n_in") * F.col("n_out")).alias("w"))
+                .agg(F.sum("w").alias("total"), F.max("w").alias("max_key"))
+                .collect()[0]
+            )
+            out[f"wedges_{mode}"] = int(stats["total"] or 0)
+            out[f"wedges_{mode}_max_key"] = int(stats["max_key"] or 0)
+
+            def run_tri(lo_df=lo):
+                wedges = lo_df.join(
+                    lo_df.select(F.col("x").alias("y"), F.col("y").alias("z")), "y"
+                )
+                tri = wedges.join(
+                    lo_df.select("x", F.col("y").alias("z")), ["x", "z"], "left_semi"
+                )
+                return tri.count()
+
+            samples, n_tri = [], 0
+            for _ in range(4):  # first warms; min of the last 3
+                t0 = time.perf_counter()
+                n_tri = run_tri()
+                samples.append(round(time.perf_counter() - t0, 2))
+            out[f"tri_{mode}"] = n_tri
+            out[f"sec_{mode}"] = min(samples[1:])
+            out[f"sec_{mode}_samples"] = samples
+        out["invariant_ok"] = out["tri_id"] == out["tri_degree"]
+        print(json.dumps(out), flush=True)
+
+
 def main_claim() -> None:
     """Hot-queue claim scale probe (round-6 two-phase top-K evidence).
 
@@ -865,6 +955,8 @@ if __name__ == "__main__":
         main_cms()
     elif len(sys.argv) > 1 and sys.argv[1] == "--graph":
         main_graph()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--tri":
+        main_tri()
     elif len(sys.argv) > 1 and sys.argv[1] == "--ts":
         main_ts()
     elif len(sys.argv) > 1 and sys.argv[1] == "--claim":
