@@ -93,8 +93,31 @@ HEADLINE = [
     "sketch_hll",
     "dedup_prefix_filter",
     "scd2_user_history",
-    # record is at its tail-capture budget (worst-case 1687/1700 chars,
-    # test_bench_contract) — SHARD before adding another entry
+    # round-7 additions (VERDICT item 4): the heavy correctness-only tail —
+    # the most expensive declared plans were invisible to the BENCH record,
+    # so a perf regression there would go unrecorded
+    "graph_sssp_k",
+    "graph_triangles",
+    "scd2_incremental",
+    "snapshot_diff_orders",
+]
+
+# Final-line overflow shard (round-7): the driver's bounded tail capture
+# (2000 chars, BENCH_r04 post-mortem) budgets the FINAL line at 1700
+# worst-case; adding the round-7 heavy-tail entries overflows it.  Per the
+# contract test's own prescription, the record is SHARDED rather than the
+# margin shaved: these entries — each a near-duplicate sibling of an entry
+# that stays official (ngram_jaccard uncapped / channel_share_gsets /
+# ann_topk_multiprobe) and none with a BASELINE.md table row — move to a
+# dedicated non-final {"queries_overflow": ...} line.  They are still timed
+# every run, still min-of-N, still in the samples line AND the committed
+# bench_samples.json sidecar; only the driver's parsed final line omits
+# them.  The final line's "value" remains the total over ALL entries,
+# overflow included.
+SHARDED = [
+    "dedup_ngram_jaccard_capped",
+    "channel_running_compare",
+    "ann_range_cells",
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))
@@ -312,15 +335,17 @@ def bench_stream_latency(spark) -> dict[str, float]:
 
 def emit_records(
     timings: dict[str, float], samples: dict[str, list[float]], sf: str
-) -> tuple[str, str]:
-    """Build the two output lines: (samples_line, final_line).
+) -> tuple[str, str, str]:
+    """Build the three output lines: (samples_line, shard_line, final_line).
 
     Transparency channel (round-4 VERDICT item 1): the full per-sample
     record goes on its OWN earlier line (and a sidecar file); the FINAL
     line stays compact (metric/value/queries/sf, compact separators) so a
     bounded tail capture of the last line never truncates the official
     record — embedding samples in the final line is what made
-    BENCH_r04.json unparseable.  Contract pinned by
+    BENCH_r04.json unparseable.  Round-7: SHARDED entries ride a dedicated
+    non-final {"queries_overflow": ...} line (see SHARDED for why); the
+    final line's "value" still totals ALL entries.  Contract pinned by
     tests/test_bench_contract.py.
     """
     samples_line = json.dumps({"samples": samples}, separators=(",", ":"))
@@ -328,17 +353,19 @@ def emit_records(
     # noise on this host is >> 10 ms, and the saved character per entry is
     # what keeps 60+ queries inside the driver's bounded tail capture.
     compact = {n: round(v, 2) for n, v in timings.items()}
+    overflow = {n: compact.pop(n) for n in SHARDED if n in compact}
+    shard_line = json.dumps({"queries_overflow": overflow}, separators=(",", ":"))
     final_line = json.dumps(
         {
             "metric": "headline_suite_seconds",
-            "value": round(sum(compact.values()), 2),
+            "value": round(sum(compact.values()) + sum(overflow.values()), 2),
             "unit": "sec",
             "queries": compact,
             "sf": sf,
         },
         separators=(",", ":"),
     )
-    return samples_line, final_line
+    return samples_line, shard_line, final_line
 
 
 def main() -> None:
@@ -359,10 +386,11 @@ def main() -> None:
         timings[key] = min(vals)
         samples[key] = vals
     timings.update(bench_stream_latency(spark))
-    samples_line, final_line = emit_records(
+    samples_line, shard_line, final_line = emit_records(
         timings, samples, SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     )
     print(samples_line)
+    print(shard_line)
     sidecar = os.environ.get(
         "SPARK_GRAFT_BENCH_SIDECAR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_samples.json"),

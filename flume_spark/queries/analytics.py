@@ -726,6 +726,11 @@ def graph_sssp_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("c"))
         .select("src", "dst", F.expr("CAST(1 + 100 div c AS BIGINT)").alias("w"))
+        # stage the weighted edge list ONCE: all k relaxation rounds join
+        # against it, and without materialization every round re-executes
+        # the basket self-join + count (4x the build cost at k=4; 8.0s ->
+        # ~2s at sf0.1).  Same staging move as _copurchase_edges.
+        .localCheckpoint(eager=True)
     )
     sources = weighted.groupBy().agg(F.min("src").alias("v"))
     return graph.sssp_k_exact(weighted, sources, k=4)
