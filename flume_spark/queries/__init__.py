@@ -54,6 +54,10 @@ _NEEDS_DRIVER_ROW = [  # round-7 additions/changes, ascending expected sf0.01 ru
     # re-executing the basket self-join every relaxation round (values
     # unchanged — pure plan work, 8.0s -> 4.2s warm at sf0.1).
     "graph_sssp_k",
+    # new round-7: time-travel reads on the commit log — log_diff of two
+    # stored versions vs the oracle's declarative replay of both prefixes
+    # (hash-equality pins reader isolation through the REAL store).
+    "queue_log_diff",
 ]
 
 # Union of CORRECTNESS_r01..r06 keys: 184 hash-green at latest check,

@@ -204,6 +204,109 @@ FROM j GROUP BY queue
 """
 
 
+def queue_log_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel audit of the queue's own commit log, exercised through
+    the REAL OptimisticLogStore: batch A (every event_id < 2000 as a
+    pending job) is appended and its commit version captured, batch B
+    (every 3rd job succeeds, every 5th event id lands as a brand-new job)
+    is appended after, then `log_diff(v_A)` reads BOTH versions back via
+    the snapshot commits and release-diffs them (sources/merge.py
+    snapshot_diff on jid).  The oracle replays the two prefixes
+    declaratively — hash-equality pins that the stored-version reader
+    returns exactly the pre-batch-B state even though newer commits
+    exist (reader isolation), and that the version routing is exact.
+
+    The store lives in a per-call temp dir that must outlive the returned
+    lazy frame (same contract as stream_contract_orders): an atexit hook
+    reclaims it at process exit.
+
+    Result: (status, n_rows, key_sum) — 'removed' cannot occur on an
+    append-only log, so three rows: added/changed/unchanged."""
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    from flume_spark.queue.optimistic import OptimisticLogStore
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .dropDuplicates(["event_id"])
+    )
+
+    def jobs(df, jid_col, status: str, seq_col):
+        return df.select(
+            jid_col.cast("string").alias("jid"),
+            F.col("event_type").alias("queue"),
+            F.lit("Worker").alias("class"),
+            F.lit("perform").alias("function"),
+            F.lit("[]").alias("args"),
+            F.lit(None).cast("map<string,string>").alias("context"),
+            F.lit(status).alias("status"),
+            F.lit(0).cast("int").alias("retry_count"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("enqueued_at"),
+            F.lit(None).cast("timestamp").alias("scheduled_at"),
+            F.lit(None).cast("timestamp").alias("leased_at"),
+            F.lit(None).cast("timestamp").alias("retry_at"),
+            F.lit(None).cast("timestamp").alias("finished_at"),
+            F.lit(None).cast("timestamp").alias("failed_at"),
+            F.lit(None).cast("string").alias("error_message"),
+            F.lit(None).cast("string").alias("error_backtrace"),
+            seq_col.cast("long").alias("seq"),
+        )
+
+    eid = F.col("event_id")
+    batch_a = jobs(ev, eid, "pending", eid * 2)
+    batch_b = jobs(
+        ev.filter(eid % 3 == 0), eid, "succeeded", eid * 2 + 1
+    ).unionByName(
+        jobs(ev.filter(eid % 5 == 0), eid + 10_000_000, "pending", eid * 2 + 1)
+    )
+
+    tmp = tempfile.mkdtemp(prefix="flume_logdiff_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    store = OptimisticLogStore(spark, _os.path.join(tmp, "log"))
+    store.append(batch_a)
+    v_from = store.version()
+    store.append(batch_b)
+    diff = store.log_diff(v_from, compare_cols=["status"])
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("jid").cast("long")).alias("key_sum"),
+    )
+
+
+QUEUE_LOG_DIFF_SQL = """
+WITH base AS (
+  SELECT DISTINCT event_id FROM events WHERE event_id < 2000
+),
+a AS (
+  SELECT CAST(event_id AS VARCHAR) AS jid, 'pending' AS st FROM base
+),
+snap_b AS (
+  SELECT a.jid,
+         CASE WHEN u.event_id IS NOT NULL THEN 'succeeded' ELSE 'pending' END AS st
+  FROM a LEFT JOIN (SELECT event_id FROM base WHERE event_id % 3 = 0) u
+    ON a.jid = CAST(u.event_id AS VARCHAR)
+  UNION ALL
+  SELECT CAST(event_id + 10000000 AS VARCHAR) AS jid, 'pending' AS st
+  FROM base WHERE event_id % 5 = 0
+),
+d AS (
+  SELECT coalesce(a.jid, b.jid) AS jid,
+         CASE WHEN a.jid IS NULL THEN 'added'
+              WHEN b.jid IS NULL THEN 'removed'
+              WHEN a.st <> b.st THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM a FULL OUTER JOIN snap_b b ON a.jid = b.jid
+)
+SELECT status, count(*) AS n_rows,
+       CAST(sum(CAST(jid AS BIGINT)) AS BIGINT) AS key_sum
+FROM d GROUP BY status
+"""
+
+
 QUERIES = {
     "due_filter": due_filter,
     "topk_due": topk_due,
@@ -214,6 +317,7 @@ QUERIES = {
     "group_args_nested": group_args_nested,
     "visibility_timeout_scan": visibility_timeout_scan,
     "queue_pending_counts": queue_pending_counts,
+    "queue_log_diff": queue_log_diff,
 }
 
 ORACLES = {
@@ -226,4 +330,5 @@ ORACLES = {
     "group_args_nested": GROUP_ARGS_SQL,
     "visibility_timeout_scan": VISIBILITY_SQL,
     "queue_pending_counts": QUEUE_PENDING_SQL,
+    "queue_log_diff": QUEUE_LOG_DIFF_SQL,
 }

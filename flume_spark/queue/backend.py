@@ -19,6 +19,7 @@ backend is a drop-in:
 | append / append_rows | new part file (atomic rename) | `INSERT` / small AddFile commit |
 | publish           | staged dir + per-file rename    | staged commit (the transaction log IS the stage) |
 | log / current / as_of | read + latest-per-jid window | table read / `VERSION AS OF`; with CDF, `current` is the materialized latest view |
+| log/current(at_version=) / log_diff | commit-snapshot read + release diff (OptimisticLogStore only — needs versioned commits) | `VERSION AS OF` reads + CDF between versions |
 | compact / maybe_compact | snapshot-list rewrite + unlink | `OPTIMIZE` + `VACUUM`; archive = partition move |
 | set/clear/has_flag | flag files under <path>.control | rows in a control table (txn-visible to all writers) |
 | count_rows / read_rows | parquet footer metadata / pyarrow read | driver-side `collect()` of a bounded commit |

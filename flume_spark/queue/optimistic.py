@@ -239,8 +239,56 @@ class OptimisticLogStore(LogBackend):
         _, state = self._latest()
         return [os.path.join(self.path, n) for n in state["files"]]
 
-    def log(self) -> DataFrame:
-        paths = self._live_paths()
+    def version(self) -> int:
+        """Newest committed version (0 = nothing committed yet)."""
+        return self._latest()[0]
+
+    def _state_at(self, version: int) -> dict:
+        """Committed state at an exact version — the time-travel read
+        (Delta's `versionAsOf`; backend.py documents the seam mapping).
+        Every commit is a FULL snapshot, so no replay: one file read.
+        Errors are LOUD by contract: asking for a pruned or not-yet-
+        committed version raises instead of silently returning the
+        nearest neighbor."""
+        if version == 0:
+            return {"files": [], "locks": {}, "seq": 1}
+        try:
+            with open(
+                os.path.join(self._commit_dir, f"{version:020d}.json")
+            ) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            latest, _ = self._latest()
+            if version > latest:
+                raise ValueError(
+                    f"version {version} not committed yet (latest {latest})"
+                ) from None
+            raise ValueError(
+                f"version {version} expired: commits older than latest-"
+                f"{_COMMIT_KEEP} are pruned (latest {latest})"
+            ) from None
+
+    def _paths_at(self, version: int) -> list[str]:
+        """Data paths live at `version`, verified to still exist: a
+        compaction AFTER that version may have vacuumed its data files
+        (post-commit deletes past `min_age_s`), and a silent partial read
+        would be worse than no read — same failure contract as reading a
+        Delta version past VACUUM."""
+        state = self._state_at(version)
+        paths = [os.path.join(self.path, n) for n in state["files"]]
+        gone = [p for p in paths if not os.path.exists(p)]
+        if gone:
+            raise ValueError(
+                f"version {version} is no longer readable: "
+                f"{len(gone)}/{len(paths)} data files were removed by a "
+                f"later compaction (first: {os.path.basename(gone[0])})"
+            )
+        return paths
+
+    def log(self, at_version: int | None = None) -> DataFrame:
+        paths = (
+            self._live_paths() if at_version is None else self._paths_at(at_version)
+        )
         if not paths:
             return self.spark.createDataFrame([], JOB_LOG_SCHEMA)
         return self.spark.read.schema(JOB_LOG_SCHEMA).parquet(*paths)
@@ -253,11 +301,36 @@ class OptimisticLogStore(LogBackend):
             .drop("_rn")
         )
 
-    def current(self, prefilter=None) -> DataFrame:
-        log = self.log()
+    def current(self, prefilter=None, at_version: int | None = None) -> DataFrame:
+        log = self.log(at_version=at_version)
         if prefilter is not None:
             log = log.filter(prefilter)
         return self._latest_per_jid(log)
+
+    def log_diff(
+        self,
+        v_from: int,
+        v_to: int | None = None,
+        compare_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Version-to-version audit of the job log itself: what changed
+        between commit v_from and v_to (default: the newest)?  Reuses the
+        data-table release diff (sources/merge.py snapshot_diff) over the
+        two versions' latest-per-jid snapshots — one full-outer join on
+        jid; `status` says added/removed/changed/unchanged, with the
+        compared columns old_/new_ prefixed.  The SCD2/diff machinery the
+        engine built for data tables, applied to the queue's own log."""
+        from flume_spark.sources.merge import snapshot_diff
+
+        if v_to is None:
+            v_to = self.version()
+        cols = compare_cols or ["status", "retry_count"]
+        return snapshot_diff(
+            self.current(at_version=v_from),
+            self.current(at_version=v_to),
+            "jid",
+            cols,
+        )
 
     def as_of(self, seq: int, prefilter=None) -> DataFrame:
         log = self.log().filter(F.col("seq") <= seq)

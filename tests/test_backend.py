@@ -296,3 +296,88 @@ def test_engine_end_to_end_on_optimistic_backend(spark, tmp_path):
     cur = {r["jid"]: r["status"] for r in store.current().collect()}
     assert cur[jid_fail] == "dead"
     assert sum(1 for s in cur.values() if s == "succeeded") == 3
+
+
+# -- time-travel reads (OptimisticLogStore only: needs versioned commits) ----
+
+
+def _opt(spark, tmp_path, **kw):
+    return OptimisticLogStore(spark, str(tmp_path / "tt_log"), **kw)
+
+
+def test_version_time_travel_reads(spark, tmp_path):
+    """Reading an old version stays stable while newer commits land —
+    reader isolation, the core time-travel contract."""
+    store = _opt(spark, tmp_path)
+    assert store.version() == 0
+    assert store.log(at_version=0).count() == 0
+
+    store.append_rows([_row("a", "pending", store.next_seq())])
+    v1 = store.version()
+    store.append_rows([_row("a", "processing", store.next_seq())])
+    store.append_rows([_row("b", "pending", store.next_seq())])
+    v3 = store.version()
+
+    # v1 read is unaffected by everything after it
+    at1 = {r["jid"]: r["status"] for r in store.current(at_version=v1).collect()}
+    assert at1 == {"a": "pending"}
+    at3 = {r["jid"]: r["status"] for r in store.current(at_version=v3).collect()}
+    assert at3 == {"a": "processing", "b": "pending"}
+    # default read == newest version read
+    assert store.current().count() == store.current(at_version=store.version()).count()
+
+
+def test_version_errors_are_loud(spark, tmp_path):
+    store = _opt(spark, tmp_path)
+    store.append_rows([_row("a", "pending", store.next_seq())])
+    with pytest.raises(ValueError, match="not committed yet"):
+        store.log(at_version=store.version() + 5)
+    # drive the version counter past keep-window + prune cadence (pruning
+    # piggybacks on every 64th commit) so v1 is actually pruned
+    # (next_seq commits are cheap: one JSON snapshot each, no parquet)
+    from flume_spark.queue.optimistic import _COMMIT_KEEP
+
+    for _ in range(_COMMIT_KEEP + 66):
+        store.next_seq()
+    with pytest.raises(ValueError, match="expired"):
+        store.log(at_version=1)
+
+
+def test_version_read_after_vacuum_is_loud(spark, tmp_path):
+    """Compaction vacuums old data files; reading a pre-compaction version
+    must fail loudly, never return a partial snapshot."""
+    store = _opt(spark, tmp_path)
+    for i in range(3):
+        store.append_rows([_row(f"j{i}", "pending", store.next_seq())])
+    v_pre = store.version()
+    store.append_rows([_row("j0", "succeeded", store.next_seq())])
+    store.compact()  # min_age_s=0: old data files removed post-commit
+    with pytest.raises(ValueError, match="no longer readable"):
+        store.log(at_version=v_pre)
+    # the compacted head is intact
+    cur = {r["jid"]: r["status"] for r in store.current().collect()}
+    assert cur["j0"] == "succeeded" and len(cur) == 3
+
+
+def test_log_diff_between_versions(spark, tmp_path):
+    """log_diff == the data-table release diff applied to the queue's own
+    log: added/changed/removed/unchanged per jid between two commits."""
+    store = _opt(spark, tmp_path)
+    store.append_rows(
+        [
+            _row("a", "pending", store.next_seq()),
+            _row("b", "pending", store.next_seq()),
+        ]
+    )
+    v_from = store.version()
+    store.append_rows(
+        [
+            _row("a", "succeeded", store.next_seq()),
+            _row("c", "pending", store.next_seq()),
+        ]
+    )
+    diff = {r["jid"]: r["status"] for r in store.log_diff(v_from).collect()}
+    assert diff == {"a": "changed", "b": "unchanged", "c": "added"}
+    # the diff carries both sides' compared values for the changed key
+    row = {r["jid"]: r for r in store.log_diff(v_from).collect()}["a"]
+    assert row["old_status"] == "pending" and row["new_status"] == "succeeded"
