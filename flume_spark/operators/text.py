@@ -141,6 +141,186 @@ def subword_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Real BPE apply (vs subword_tokens' regex proxy): a merge-ranks table
+# applied as bounded merge rounds.  Spec (identical in every implementation
+# below, and in the DuckDB oracle bpe_replace_sql generates):
+#   1. normalize: lowercase, any non-[a-z0-9] run -> one space
+#   2. symbolize: every char becomes a space-delimited symbol ("hi" -> "h i")
+#   3. for each merge rule (a, b) IN RANK ORDER, replace every
+#      left-to-right non-overlapping occurrence of adjacent symbols a b
+#      with the fused symbol ab (one global string replace per rule:
+#      " a b " -> " ab " over the space-delimited form — the single-space
+#      delimiter makes symbol boundaries exact, and a fused symbol never
+#      reintroduces the search pattern, so scan-the-input replace semantics
+#      agree across engines)
+#   4. token count = number of remaining symbols
+# For a well-formed merge table (each rule's symbols are single chars or
+# outputs of EARLIER rules — true of every trained BPE vocab), rank-order
+# application is exactly the classic greedy lowest-rank-first BPE apply.
+# Word boundaries are safe for free: normalized spaces symbolize into
+# multi-space runs no " a b " pattern can cross.
+# --------------------------------------------------------------------------
+
+
+def bpe_learn_merges(
+    word_freqs: dict[str, int], n_merges: int
+) -> list[tuple[str, str]]:
+    """Train a BPE merge table from word frequencies (driver-side: the
+    merge table is vocab-sized metadata, not data — at corpus scale the
+    word_freqs input is the output of a distributed groupBy-count
+    collected at the vocabulary grain).  Deterministic: ties break by
+    (count desc, pair lexicographic asc).  The classic reference corpus
+    {low:5, lower:2, newest:6, widest:3} yields
+    [(e,s), (es,t), (l,o), (lo,w)] — pinned by the fixture test."""
+    words = {tuple(w): f for w, f in word_freqs.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        words = {
+            _bpe_merge_word(syms, *best): f for syms, f in words.items()
+        }
+    return merges
+
+
+def _bpe_merge_word(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
+    """One left-to-right non-overlapping merge pass over a symbol tuple —
+    the tuple-form of the string replace in step 3 of the spec."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _bpe_symbolized(text_col: str) -> Column:
+    """Steps 1-2 of the spec as one codegen expression: normalized text
+    with every symbol space-delimited and a leading space."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    return F.concat(F.lit(" "), F.regexp_replace(norm, "(.)", "$1 "))
+
+
+def bpe_token_count(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """Exact BPE token count with an expression-folded merge table: each
+    rule is ONE literal string replace, all R rules fuse into a single
+    whole-stage-codegen projection — no UDF, no shuffle, and the scan
+    reads only (id, text).  The right shape for the bounded merge tables
+    of domain vocabs (<= a few hundred rules); a production 50k-rule
+    vocab outgrows the expression tree — use bpe_token_count_arrow, which
+    runs the SAME spec from a broadcast dict."""
+    sym = _bpe_symbolized(text_col)
+    for a, b in merges:
+        sym = F.replace(sym, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    trimmed = F.trim(sym)
+    n = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, " +"))
+    )
+    return df.select(F.col(id_col), n.cast("long").alias(out_col))
+
+
+def bpe_token_count_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "n_bpe_tokens",
+) -> DataFrame:
+    """The production-scale BPE apply: the merge-ranks table rides to
+    executors once per task batch as a captured dict (for 50k-rule vocabs
+    this is the classic broadcast-the-ranks design), applied per document
+    with the greedy lowest-rank-first loop over Arrow-batched pandas —
+    one mapInPandas boundary, no shuffle.  Identical results to
+    bpe_token_count by the well-formedness argument above; the
+    equivalence is pinned by tests on real corpus text."""
+    ranks = {pair: r for r, pair in enumerate(merges)}
+    out_schema = f"{id_col} string, {out_col} long"
+    id_is_long = dict(df.dtypes).get(id_col) in ("bigint", "int")
+    if id_is_long:
+        out_schema = f"{id_col} long, {out_col} long"
+
+    def count_one(text):
+        if not isinstance(text, str):
+            # NULL arrives as None or NaN depending on the Arrow batch;
+            # either way: NULL text -> NULL count (matches the expr path)
+            return None
+        import re
+
+        norm = re.sub("[^a-z0-9]+", " ", str(text).lower())
+        total = 0
+        for word in norm.split():
+            syms = tuple(word)
+            while len(syms) > 1:
+                best = min(
+                    (
+                        (ranks[p], i)
+                        for i, p in enumerate(zip(syms, syms[1:]))
+                        if p in ranks
+                    ),
+                    default=None,
+                )
+                if best is None:
+                    break
+                rank, _ = best
+                syms = _bpe_merge_word(syms, *merges[rank])
+            total += len(syms)
+        return total
+
+    def apply_batches(batches):
+        for pdf in batches:
+            yield pdf.assign(
+                **{out_col: pdf[text_col].map(count_one).astype("Int64")}
+            )[[id_col, out_col]]
+
+    return df.select(id_col, text_col).mapInPandas(apply_batches, out_schema)
+
+
+def bpe_replace_sql(col_sql: str, merges: list[tuple[str, str]]) -> str:
+    """The SAME spec as ANSI SQL for the DuckDB oracle: nested replace()
+    over the symbolized form, one level per rule in rank order.  Shared
+    by the declared query and its oracle so the merge table has exactly
+    one source of truth."""
+    expr = (
+        f"' ' || regexp_replace(regexp_replace(lower({col_sql}), "
+        f"'[^a-z0-9]+', ' ', 'g'), '(.)', '\\1 ', 'g')"
+    )
+    for a, b in merges:
+        expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+    return (
+        f"CASE WHEN trim({expr}) = '' THEN 0 ELSE "
+        f"len(string_split_regex(trim({expr}), ' +')) END"
+    )
+
+
+# Demo merge-ranks table for the declared query: common English digraphs
+# in a well-formed rank order (every rule's symbols are single chars or
+# earlier outputs) — stands in for a trained vocab's head.
+EN_MERGES_DEMO: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"),
+    ("o", "r"), ("e", "s"), ("t", "o"), ("o", "u"), ("in", "g"),
+    ("ou", "t"),
+]
+
+
 def rolling_fingerprint(
     df: DataFrame, id_col: str, text_col: str, k: int = 8
 ) -> DataFrame:

@@ -58,6 +58,9 @@ _NEEDS_DRIVER_ROW = [  # round-7 additions/changes, ascending expected sf0.01 ru
     # stored versions vs the oracle's declarative replay of both prefixes
     # (hash-equality pins reader isolation through the REAL store).
     "queue_log_diff",
+    # new round-7: real BPE apply (rank-ordered merge rounds, one codegen
+    # replace per rule) vs the oracle replaying the SAME merge table.
+    "text_bpe_tokens",
 ]
 
 # Union of CORRECTNESS_r01..r06 keys: 184 hash-green at latest check,

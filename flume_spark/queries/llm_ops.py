@@ -1022,6 +1022,54 @@ FROM t
 """
 
 
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BPE token count (text.bpe_token_count): the EN_MERGES_DEMO
+    merge-ranks table applied as rank-ordered merge rounds, each rule one
+    literal string replace fused into a single codegen projection — the
+    real-tokenizer upgrade over text_subword_tokens' regex proxy.  The
+    oracle replays the IDENTICAL merge table via text.bpe_replace_sql
+    (one source of truth), so hash-equality proves the merge semantics —
+    boundary handling, rank order, left-to-right non-overlap — match
+    character-for-character across engines.  Summed per source (with the
+    proxy count alongside) so the result exposes the proxy's bias."""
+    docs = T(spark, sf_dir, "documents")
+    bpe = text.bpe_token_count(docs, "doc_id", "text", text.EN_MERGES_DEMO)
+    proxy = text.subword_tokens(docs, "doc_id", "text").select(
+        "doc_id", "n_subwords"
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        bpe.join(proxy, "doc_id")
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("bpe_tokens"),
+            F.sum("n_subwords").alias("proxy_tokens"),
+        )
+    )
+
+
+def _text_bpe_sql() -> str:
+    bpe = text.bpe_replace_sql("text", text.EN_MERGES_DEMO)
+    return rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST({bpe} AS BIGINT) AS n_bpe,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^\sa-z0-9]+'))
+           AS n_subwords
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+       CAST(sum(n_subwords) AS BIGINT) AS proxy_tokens
+FROM t GROUP BY source
+"""
+
+
+TEXT_BPE_SQL = _text_bpe_sql()
+
+
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     return text.rolling_fingerprint(docs, "doc_id", "text", k=8)
@@ -1233,6 +1281,7 @@ QUERIES = {
     "pack_sequences": pack_sequences_q,
     "text_pii_scrub": text_pii_scrub,
     "text_subword_tokens": text_subword_tokens,
+    "text_bpe_tokens": text_bpe_tokens,
     "text_rolling_fingerprint": text_rolling_fingerprint,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -1274,6 +1323,7 @@ ORACLES = {
     "pack_sequences": PACK_SEQUENCES_SQL,
     "text_pii_scrub": TEXT_PII_SQL,
     "text_subword_tokens": TEXT_SUBWORD_SQL,
+    "text_bpe_tokens": TEXT_BPE_SQL,
     "text_rolling_fingerprint": TEXT_ROLLING_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAME_SQL,

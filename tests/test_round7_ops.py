@@ -94,3 +94,66 @@ def test_oriented_edges_orientation_invariance(spark):
         }
 
     assert tri(lo_id) == tri(lo_deg)
+
+
+# ---------------------------------------------------------------------------
+# real BPE apply (operators/text.py bpe_*)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_learn_merges_classic_corpus():
+    """The published BPE walkthrough corpus: {low:5, lower:2, newest:6,
+    widest:3}.  Pair counts put (e,s) and (s,t) at 9 (tie -> lexicographic),
+    then (es,t) at 9, then (l,o)/(o,w) at 7 (tie -> (l,o)), then (lo,w)."""
+    from flume_spark.operators import text
+
+    merges = text.bpe_learn_merges(
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3}, 4
+    )
+    assert merges == [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+
+
+def test_bpe_token_count_classic_segmentation(spark):
+    """'lowest' under the classic merges segments to [low, est] — 2 tokens;
+    unknown words stay character-segmented."""
+    from flume_spark.operators import text
+
+    merges = text.bpe_learn_merges(
+        {"low": 5, "lower": 2, "newest": 6, "widest": 3}, 4
+    )
+    df = spark.createDataFrame(
+        [(1, "lowest"), (2, "low lowest widest"), (3, "zq")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in text.bpe_token_count(df, "doc_id", "text", merges).collect()
+    }
+    # lowest -> low est (2); low(1) lowest(2) widest-> w i d est (4); zq -> z q
+    assert got == {1: 2, 2: 7, 3: 2}
+
+
+def test_bpe_arrow_matches_expression_path(spark):
+    """The broadcast-ranks Arrow variant (the 50k-vocab scale path) and the
+    expression-folded variant implement one spec: equal on real corpus
+    text, empty strings, and NULLs."""
+    from flume_spark.operators import text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    extra = spark.createDataFrame(
+        [(10_000_001, ""), (10_000_002, None)], "doc_id long, text string"
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+    a = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in text.bpe_token_count(
+            both, "doc_id", "text", text.EN_MERGES_DEMO
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in text.bpe_token_count_arrow(
+            both, "doc_id", "text", text.EN_MERGES_DEMO
+        ).collect()
+    }
+    assert a == b and len(a) > 100
