@@ -881,6 +881,92 @@ def main_scd2() -> None:
         print(json.dumps(out), flush=True)
 
 
+def main_scd2_compact() -> None:
+    """SCD2 compaction payoff probe: a CHATTY no-change stream.
+
+    Generator: per key, `events_per_key` raw events but only ~3 attr
+    REGIMES (the attribute changes twice, then keeps re-asserting itself)
+    — the telemetry/heartbeat shape where the raw log dwarfs the change
+    log.  Measures the full-history read (scd2_read_history -> count,
+    collapse-on-read) against the RAW store, then runs scd2_compact with
+    watermark = max ts + 1 (everything settled) and measures the same
+    read again, plus raw row counts both sides.  The claim: compaction
+    restores the read cost of the CHANGE log (rows drop ~events_per_key/3
+    x; read time follows), while correctness is untouched — the
+    late-arrival counterexample that forced the raw-store design stays
+    pinned by the hypothesis regression suite (tests/test_round6b_ops),
+    and the read path is identical pre/post by construction
+    (scd2_read_history collapses on read either way; the probe asserts
+    the collapsed HISTORY row count is unchanged by compaction).
+    """
+    import tempfile
+
+    from flume_spark.operators import scd
+
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
+    spark = get_spark(app_name="flume_probe_scd2c")
+    base_keys = 4_000
+    events_per_key = 50
+    for f in factors:
+        n_keys = base_keys * f
+        n_buckets = max(8, n_keys // 256)
+        root = tempfile.mkdtemp(prefix=f"scd2cprobe_x{f}_")
+        path = root + "/store"
+        # regime = 0,0,...,0,1,1,...,1,2,...: changes only at two borders;
+        # every other event re-asserts the current attr (no-change row)
+        events = spark.range(n_keys * events_per_key).select(
+            (F.col("id") % n_keys).alias("uid"),
+            F.concat(
+                F.lit("t"),
+                ((F.col("id") / n_keys).cast("long") * 3 / events_per_key)
+                .cast("long")
+                .cast("string"),
+            ).alias("tier"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000)
+                + (F.col("id") / n_keys).cast("long") * 3600
+            ).alias("ts"),
+            F.col("id").alias("eid"),
+        )
+        scd.scd2_write(spark, path, events, "uid", "tier", "ts", "eid",
+                       n_buckets=n_buckets)
+
+        def read_cost():
+            samples = []
+            hist_rows = 0
+            for _ in range(4):  # first warms; min of the last 3
+                t0 = time.perf_counter()
+                hist_rows = scd.scd2_read_history(
+                    spark, path, "uid", "tier", "ts", "eid"
+                ).count()
+                samples.append(round(time.perf_counter() - t0, 3))
+            return min(samples[1:]), samples, hist_rows
+
+        raw_rows = spark.read.parquet(path).count()
+        raw_sec, raw_samples, hist_raw = read_cost()
+        t0 = time.perf_counter()
+        scd.scd2_compact(
+            spark, path,
+            F.timestamp_seconds(F.lit(1_700_000_000 + events_per_key * 3600)),
+            "uid", "tier", "ts", "eid", n_buckets=n_buckets,
+        )
+        compact_sec = round(time.perf_counter() - t0, 3)
+        compacted_rows = spark.read.parquet(path).count()
+        comp_sec, comp_samples, hist_comp = read_cost()
+        print(json.dumps({
+            "probe": f"scd2_compact@x{f}",
+            "store_keys": n_keys,
+            "rows_raw": raw_rows,
+            "rows_compacted": compacted_rows,
+            "history_rows_equal": hist_raw == hist_comp,
+            "read_raw_s": raw_sec,
+            "read_raw_samples": raw_samples,
+            "read_compacted_s": comp_sec,
+            "read_compacted_samples": comp_samples,
+            "compact_s": compact_sec,
+        }), flush=True)
+
+
 def main_prefix() -> None:
     """Prefix-filter join scale probe: wall-clock of the full
     prefix_filter_pairs pipeline and the candidate-count comparison
@@ -969,5 +1055,7 @@ if __name__ == "__main__":
         main_prefix()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scd2":
         main_scd2()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scd2compact":
+        main_scd2_compact()
     else:
         main()
