@@ -61,6 +61,10 @@ _NEEDS_DRIVER_ROW = [  # round-7 additions/changes, ascending expected sf0.01 ru
     # new round-7: real BPE apply (rank-ordered merge rounds, one codegen
     # replace per rule) vs the oracle replaying the SAME merge table.
     "text_bpe_tokens",
+    # new round-7: distinct jids per queue per day from the REAL
+    # HllIngestor (3 micro-batches + one REPLAYED batch) vs a one-level
+    # register replay in DuckDB — slice-merge == whole AND replay-noop.
+    "queue_hll_daily_jids",
 ]
 
 # Union of CORRECTNESS_r01..r06 keys: 184 hash-green at latest check,

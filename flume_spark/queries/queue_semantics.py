@@ -307,6 +307,103 @@ FROM d GROUP BY status
 """
 
 
+def queue_hll_daily_jids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct jids processed per queue per day — the operational metric
+    a queue owner asks of at-least-once telemetry, answered from the REAL
+    HllIngestor (streaming/sketch.py): the event stream replays as three
+    micro-batches through the idempotent foreachBatch handler, batch 1 is
+    DELIVERED TWICE (the at-least-once case), and the answer max-merges
+    the per-batch register tables.  The oracle builds the registers
+    one-level over the whole stream via the shared hll_h60_sql —
+    hash-equality proves slice-merge == whole-corpus AND that the
+    replayed batch changed nothing (register max is idempotent; a counter
+    would have double-counted).  Exact distinct rides alongside on the
+    skew-proof salted two-phase count.
+
+    Sketch dirs live in a per-call temp dir reclaimed at process exit
+    (same contract as stream_contract_orders)."""
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    from flume_spark.operators import skew
+    from flume_spark.streaming.sketch import HllIngestor
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            F.col("event_type").alias("queue"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("event_id").cast("string").alias("jid"),
+            F.col("event_id").alias("eid"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="flume_hllq_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    ing = HllIngestor(
+        spark,
+        _os.path.join(tmp, "sketch"),
+        _os.path.join(tmp, "ledger"),
+        ["queue", "day"],
+        "jid",
+        p=8,
+        seed="hll",
+    )
+    for b in range(3):
+        ing.process(ev.filter(F.col("eid") % 3 == b).drop("eid"), b)
+    ing.process(ev.filter(F.col("eid") % 3 == 1).drop("eid"), 1)  # replay: no-op
+    exact = skew.salted_count_distinct(
+        ev.select("queue", "day", "jid"),
+        ["queue", "day"],
+        "jid",
+        out_col="exact_distinct",
+    )
+    return ing.estimate().join(exact, ["queue", "day"])
+
+
+def _queue_hll_sql(p: int = 8, seed: str = "hll") -> str:
+    from flume_spark.operators.skew import _HLL_HASH_BITS, hll_h60_sql
+
+    m = 1 << p
+    rho_bits = _HLL_HASH_BITS - p
+    scale = rho_bits + 1
+    alpha = 0.7213 / (1 + 1.079 / m)
+    c = alpha * m * m * float(1 << scale)
+    h60 = hll_h60_sql("CAST(event_id AS VARCHAR)", seed)
+    return f"""
+WITH h AS (
+  SELECT event_type AS queue, strftime(ts, '%Y-%m-%d') AS day,
+         {h60} AS h60, event_id
+  FROM events WHERE ts IS NOT NULL
+),
+regs AS (
+  SELECT queue, day, h60 % {m} AS bucket,
+         max(CASE WHEN h60 // {m} = 0 THEN {scale}
+                  ELSE {scale} - length(bin(h60 // {m})) END) AS reg
+  FROM h GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT queue, day, count(*) AS n_hit,
+         sum(1::BIGINT << ({scale} - reg))::BIGINT
+           + ({m} - count(*)) * (1::BIGINT << {scale}) AS harmonic_sum
+  FROM regs GROUP BY 1, 2
+),
+ex AS (
+  SELECT queue, day, CAST(count(DISTINCT event_id) AS BIGINT) AS exact_distinct
+  FROM h GROUP BY 1, 2
+)
+SELECT a.queue, a.day, n_hit, harmonic_sum,
+       CAST({c!r} AS DOUBLE) / CAST(harmonic_sum AS DOUBLE) AS hll_est,
+       exact_distinct
+FROM agg a JOIN ex USING (queue, day)
+"""
+
+
+QUEUE_HLL_DAILY_SQL = _queue_hll_sql()
+
+
 QUERIES = {
     "due_filter": due_filter,
     "topk_due": topk_due,
@@ -318,6 +415,7 @@ QUERIES = {
     "visibility_timeout_scan": visibility_timeout_scan,
     "queue_pending_counts": queue_pending_counts,
     "queue_log_diff": queue_log_diff,
+    "queue_hll_daily_jids": queue_hll_daily_jids,
 }
 
 ORACLES = {
@@ -331,4 +429,5 @@ ORACLES = {
     "visibility_timeout_scan": VISIBILITY_SQL,
     "queue_pending_counts": QUEUE_PENDING_SQL,
     "queue_log_diff": QUEUE_LOG_DIFF_SQL,
+    "queue_hll_daily_jids": QUEUE_HLL_DAILY_SQL,
 }
