@@ -146,14 +146,21 @@ def subword_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # applied as bounded merge rounds.  Spec (identical in every implementation
 # below, and in the DuckDB oracle bpe_replace_sql generates):
 #   1. normalize: lowercase, any non-[a-z0-9] run -> one space
-#   2. symbolize: every char becomes a space-delimited symbol ("hi" -> "h i")
+#   2. symbolize: every char becomes a TWO-space-delimited symbol with one
+#      leading space ("hi" -> " h  i  ")
 #   3. for each merge rule (a, b) IN RANK ORDER, replace every
 #      left-to-right non-overlapping occurrence of adjacent symbols a b
 #      with the fused symbol ab (one global string replace per rule:
-#      " a b " -> " ab " over the space-delimited form — the single-space
-#      delimiter makes symbol boundaries exact, and a fused symbol never
-#      reintroduces the search pattern, so scan-the-input replace semantics
-#      agree across engines)
+#      " a  b " -> " ab " over the two-space-delimited form).  The pattern
+#      claims only ONE space of margin on each side, leaving the other
+#      space of the double delimiter unconsumed — so back-to-back
+#      occurrences ("0 0 0 0" under rule (0,0) must give [00, 00]) still
+#      match; a single-space encoding consumes the shared separator and
+#      silently skips the second occurrence (found by the hypothesis
+#      property suite — test_bpe_property_three_paths_agree's '0000'
+#      counterexample).  Symbol boundaries stay exact (a fused symbol has
+#      no inner space and never reintroduces the pattern), so
+#      scan-the-input replace semantics agree across engines.
 #   4. token count = number of remaining symbols
 # For a well-formed merge table (each rule's symbols are single chars or
 # outputs of EARLIER rules — true of every trained BPE vocab), rank-order
@@ -191,6 +198,39 @@ def bpe_learn_merges(
     return merges
 
 
+def bpe_word_freqs(
+    df: DataFrame, text_col: str, max_words: int = 100_000
+) -> dict[str, int]:
+    """Corpus -> word-frequency vocabulary, the distributed HALF of BPE
+    training: normalize (same spec as the apply path), explode to words,
+    ONE groupBy-count shuffle, then keep the top `max_words` by
+    (freq desc, word asc).  Only the capped vocabulary crosses to the
+    driver — vocab-grain, never corpus-grain, the same bounded-collect
+    stance as the k-means centroids.  The cap is standard trainer
+    practice (rare-tail words contribute no merges above noise) and is
+    what bounds the driver loop's input at 100 TB."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    words = df.select(
+        F.explode(F.split(F.trim(norm), " +")).alias("w")
+    ).filter(F.length("w") > 0)
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    top = counts.orderBy(F.desc("f"), F.asc("w")).limit(max_words).collect()
+    return {r["w"]: r["f"] for r in top}
+
+
+def bpe_learn_merges_from_corpus(
+    df: DataFrame, text_col: str, n_merges: int, max_words: int = 100_000
+) -> list[tuple[str, str]]:
+    """End-to-end corpus-scale BPE training, structured the way production
+    trainers are: the corpus is scanned EXACTLY ONCE (bpe_word_freqs —
+    distributed word count, capped vocabulary), and the iterative merge
+    loop runs at the vocabulary grain on the driver (bpe_learn_merges) —
+    pair statistics over distinct words weighted by frequency are
+    identical to pair statistics over the raw corpus, so nothing is lost
+    by the factoring while the k iterations stop touching the data."""
+    return bpe_learn_merges(bpe_word_freqs(df, text_col, max_words), n_merges)
+
+
 def _bpe_merge_word(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
     """One left-to-right non-overlapping merge pass over a symbol tuple —
     the tuple-form of the string replace in step 3 of the spec."""
@@ -208,9 +248,13 @@ def _bpe_merge_word(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
 
 def _bpe_symbolized(text_col: str) -> Column:
     """Steps 1-2 of the spec as one codegen expression: normalized text
-    with every symbol space-delimited and a leading space."""
+    with every symbol two-space-delimited and one leading space.  The
+    invariant every merge preserves: symbols separated by exactly two
+    spaces, one space at the head, two at the tail — the pattern
+    " a  b " -> " ab " consumes one margin space per side and leaves the
+    separation intact for the neighbors."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
-    return F.concat(F.lit(" "), F.regexp_replace(norm, "(.)", "$1 "))
+    return F.concat(F.lit(" "), F.regexp_replace(norm, "(.)", "$1  "))
 
 
 def bpe_token_count(
@@ -229,7 +273,7 @@ def bpe_token_count(
     runs the SAME spec from a broadcast dict."""
     sym = _bpe_symbolized(text_col)
     for a, b in merges:
-        sym = F.replace(sym, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+        sym = F.replace(sym, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
     trimmed = F.trim(sym)
     n = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(F.split(trimmed, " +"))
@@ -300,10 +344,10 @@ def bpe_replace_sql(col_sql: str, merges: list[tuple[str, str]]) -> str:
     one source of truth."""
     expr = (
         f"' ' || regexp_replace(regexp_replace(lower({col_sql}), "
-        f"'[^a-z0-9]+', ' ', 'g'), '(.)', '\\1 ', 'g')"
+        f"'[^a-z0-9]+', ' ', 'g'), '(.)', '\\1  ', 'g')"
     )
     for a, b in merges:
-        expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
+        expr = f"replace({expr}, ' {a}  {b} ', ' {a}{b} ')"
     return (
         f"CASE WHEN trim({expr}) = '' THEN 0 ELSE "
         f"len(string_split_regex(trim({expr}), ' +')) END"

@@ -159,7 +159,9 @@ class OptimisticLogStore(LogBackend):
         final = os.path.join(self._commit_dir, f"{version:020d}.json")
         tmp = os.path.join(self._commit_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
-            json.dump(state, f)
+            # wall-clock stamp for TIMESTAMP AS OF reads; informational
+            # only — ordering authority is always the version number
+            json.dump({**state, "committed_at": time.time()}, f)
         try:
             os.link(tmp, final)
             if version % 64 == 0:
@@ -242,6 +244,44 @@ class OptimisticLogStore(LogBackend):
     def version(self) -> int:
         """Newest committed version (0 = nothing committed yet)."""
         return self._latest()[0]
+
+    def version_at_timestamp(self, ts: float) -> int:
+        """Newest version committed at or before wall-clock `ts` (epoch
+        seconds) — the TIMESTAMP AS OF half of time travel, resolved
+        against the retained window's committed_at stamps.  Returns 0
+        when `ts` predates every retained commit AND the store has no
+        pruned history (the empty state); raises when older commits
+        existed but were pruned (the answer would be wrong, not empty) —
+        the same loud-over-approximate contract as _state_at.  Clock
+        skew caveat: stamps come from the committing writer's clock, so
+        cross-writer ordering authority stays with the version number;
+        this resolves the human question 'what did the log say at 3pm'.
+        Commits from stores created before stamping existed have no
+        committed_at and are treated as ineligible (unknowable, never
+        guessed)."""
+        entries = []
+        for n in os.listdir(self._commit_dir):
+            if not n.endswith(".json"):
+                continue
+            v = int(n[:-5])
+            try:
+                with open(os.path.join(self._commit_dir, n)) as f:
+                    entries.append((v, json.load(f).get("committed_at")))
+            except FileNotFoundError:
+                continue  # pruned between listing and read
+        if not entries:
+            return 0
+        eligible = [v for v, at in entries if at is not None and at <= ts]
+        if eligible:
+            return max(eligible)
+        oldest = min(v for v, _ in entries)
+        if oldest > 1:
+            raise ValueError(
+                f"timestamp {ts} predates the retained commit window "
+                f"(oldest retained version {oldest}): older commits were "
+                f"pruned, so the version at that time is unknowable"
+            )
+        return 0
 
     def _state_at(self, version: int) -> dict:
         """Committed state at an exact version — the time-travel read

@@ -381,3 +381,24 @@ def test_log_diff_between_versions(spark, tmp_path):
     # the diff carries both sides' compared values for the changed key
     row = {r["jid"]: r for r in store.log_diff(v_from).collect()}["a"]
     assert row["old_status"] == "pending" and row["new_status"] == "succeeded"
+
+
+def test_version_at_timestamp(spark, tmp_path):
+    """TIMESTAMP AS OF: wall-clock stamps resolve to the newest version
+    committed at or before the asked instant; pre-history resolves to 0
+    on an unpruned store."""
+    import time as _time
+
+    store = _opt(spark, tmp_path)
+    before_all = _time.time()
+    _time.sleep(0.02)
+    store.append_rows([_row("a", "pending", store.next_seq())])
+    t1 = _time.time()
+    _time.sleep(0.02)
+    store.append_rows([_row("a", "processing", store.next_seq())])
+
+    v_t1 = store.version_at_timestamp(t1)
+    at = {r["jid"]: r["status"] for r in store.current(at_version=v_t1).collect()}
+    assert at == {"a": "pending"}
+    assert store.version_at_timestamp(_time.time()) == store.version()
+    assert store.version_at_timestamp(before_all) == 0

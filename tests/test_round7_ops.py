@@ -157,3 +157,84 @@ def test_bpe_arrow_matches_expression_path(spark):
         ).collect()
     }
     assert a == b and len(a) > 100
+
+
+def _bpe_spec_count(text, merges):
+    """Pure-Python reference of the documented spec: normalize, symbolize,
+    apply rules IN RANK ORDER (one left-to-right non-overlapping pass
+    each), count remaining symbols.  Independent of both the string-
+    replace encoding (expression path) and the greedy loop (Arrow path)."""
+    import re
+
+    from flume_spark.operators.text import _bpe_merge_word
+
+    if text is None:
+        return None
+    norm = re.sub("[^a-z0-9]+", " ", text.lower())
+    total = 0
+    for word in norm.split():
+        syms = tuple(word)
+        for a, b in merges:
+            syms = _bpe_merge_word(syms, a, b)
+        total += len(syms)
+    return total
+
+
+def test_bpe_property_three_paths_agree(spark):
+    """Hypothesis: on random corpora with merge tables LEARNED from them
+    (learned tables are well-formed by construction, the precondition for
+    rank-order == greedy equivalence), the expression path, the Arrow
+    path, and the pure-Python spec all agree.  This pins the subtle part:
+    the space-delimited string-replace encoding is exactly the tuple
+    semantics, including merged-symbol adjacency and word boundaries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flume_spark.operators import text
+
+    word = st.text(alphabet="abcz01", min_size=1, max_size=6)
+    corpus = st.lists(word, min_size=1, max_size=12)
+
+    @given(words=corpus, n_merges=st.integers(min_value=0, max_value=6))
+    @settings(max_examples=30, deadline=None)
+    def check(words, n_merges):
+        freqs: dict[str, int] = {}
+        for w in words:
+            freqs[w] = freqs.get(w, 0) + 1
+        merges = text.bpe_learn_merges(freqs, n_merges)
+        docs = [" ".join(words), words[0], "", "zz!! " + words[-1].upper()]
+        df = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        expr_path = {
+            r["doc_id"]: r["n_bpe_tokens"]
+            for r in text.bpe_token_count(df, "doc_id", "text", merges).collect()
+        }
+        arrow_path = {
+            r["doc_id"]: r["n_bpe_tokens"]
+            for r in text.bpe_token_count_arrow(
+                df, "doc_id", "text", merges
+            ).collect()
+        }
+        spec = {i: _bpe_spec_count(d, merges) for i, d in enumerate(docs)}
+        assert expr_path == spec and arrow_path == spec
+
+    check()
+
+
+def test_bpe_learn_from_corpus_matches_vocab_grain(spark):
+    """The distributed trainer (one corpus scan -> capped vocabulary ->
+    driver loop) equals training on independently-counted word
+    frequencies of the same corpus."""
+    import re
+    from collections import Counter
+
+    from flume_spark.operators import text
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = text.bpe_learn_merges_from_corpus(docs, "text", n_merges=8)
+    local = Counter()
+    for r in docs.select("text").collect():
+        local.update(re.sub("[^a-z0-9]+", " ", (r["text"] or "").lower()).split())
+    want = text.bpe_learn_merges(dict(local), 8)
+    assert got == want and len(got) == 8
