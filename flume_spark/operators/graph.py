@@ -558,9 +558,19 @@ def triangle_count(
     # Cluster-scale reading: stage the oriented edge list to storage, then
     # run the wedge join off it — same move as write_edge_index.
     lo = oriented_edges(edges, src=src, dst=dst).localCheckpoint(eager=True)
-    # wedges rank(x)<rank(y)<rank(z) around middle y: (x,y) ⋈ (y,z)
-    wedges = lo.join(
-        lo.select(F.col("x").alias("y"), F.col("y").alias("z")), "y"
+    # wedges rank(x)<rank(y)<rank(z) around middle y: (x,y) ⋈ (y,z).
+    # Width pin (the AQE explosive-join trap, same fix as the prefix
+    # join): this join's OUTPUT is ~40x its input (1.2M edges -> 49M
+    # wedges at sf0.1 co-purchase), but AQE sizes partitions by shuffle
+    # INPUT bytes — two ~20MB edge-list sides coalesce to 1-2 partitions
+    # and the expansion runs nearly single-threaded.  Explicit
+    # repartition() is exempt from coalescing and keeps the wedge
+    # expansion at full width.
+    w = int(lo.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    wedges = lo.repartition(w, "y").join(
+        lo.select(F.col("x").alias("y"), F.col("y").alias("z"))
+        .repartition(w, "y"),
+        "y",
     )
     tri = wedges.join(
         lo.select(F.col("x").alias("x"), F.col("y").alias("z")),
