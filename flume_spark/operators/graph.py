@@ -588,6 +588,56 @@ def triangle_count(
     )
 
 
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling — the DELETION fixpoint of the graph family
+    (bfs/sssp grow a set, peeling shrinks one): each round drops every
+    vertex whose degree in the CURRENT subgraph is < k, then recomputes
+    degrees.  After enough rounds the survivor set is exactly the k-core
+    (maximal subgraph with min degree >= k); a FIXED round budget keeps
+    the computation hash-checkable against an oracle that unrolls the
+    same rounds as plain SQL (no recursive CTE needed — each round is
+    one degree aggregation + two semi-joins, mechanically generated).
+
+    Input convention: both directions present (the co-purchase shape), so
+    per-src out-degree is the undirected degree.  Per round: one
+    partial-agg shuffle + two semi-joins, lineage truncated per round
+    like the other fixpoints; only a stop boolean crosses the driver
+    (early exit when a round deletes nothing — the result thereafter
+    equals every larger round budget, so Spark and the oracle agree as
+    long as the oracle's unroll depth >= the converged depth).
+
+    Returns (vertex, deg): survivors with their in-core degree.
+    """
+    live = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = live.count()
+    for _ in range(rounds):
+        deg = live.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("u")
+        live = (
+            live.join(keep, "u", "semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "semi")
+            .localCheckpoint(eager=True)
+        )
+        n_now = live.count()
+        if n_now == n_prev:
+            break  # converged: further rounds are identity
+        n_prev = n_now
+    return live.groupBy(F.col("u").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+
+
 def pagerank_step_exact(
     edges: DataFrame,
     src: str = "src",

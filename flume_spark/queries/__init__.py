@@ -65,6 +65,9 @@ _NEEDS_DRIVER_ROW = [  # round-7 additions/changes, ascending expected sf0.01 ru
     # HllIngestor (3 micro-batches + one REPLAYED batch) vs a one-level
     # register replay in DuckDB — slice-merge == whole AND replay-noop.
     "queue_hll_daily_jids",
+    # new round-7: k-core peeling (the deletion fixpoint) vs an oracle
+    # that unrolls the identical rounds with MATERIALIZED CTEs.
+    "graph_kcore",
 ]
 
 # Union of CORRECTNESS_r01..r06 keys: 184 hash-green at latest check,

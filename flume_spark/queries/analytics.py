@@ -759,9 +759,12 @@ SELECT v AS vertex, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY v
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex triangle counts over the (undirected) co-purchase graph
     (graph.triangle_count): the canonical 3-way self-join — wedges around
-    each middle vertex closed by a semi-join probe, candidate volume the
-    standard Σ deg_lo·deg_hi wedge bound, never all-triples.  Top-100 by
-    (count, vertex) to keep the answer stable and bounded."""
+    each middle vertex closed by a semi-join probe, edges oriented by
+    (degree, id) rank so every middle key is capped at deg·O(√m)
+    candidates (the id-ordered plan lets a hub emit deg²/4 into one
+    task — probe_scale.py --tri).  Orientation-invariant, so the oracle
+    enumerates triangles with plain id-ordering.  Top-100 by (count,
+    vertex) to keep the answer stable and bounded."""
     from flume_spark.operators import graph
 
     tri = graph.triangle_count(_copurchase_edges(spark, sf_dir))
@@ -789,6 +792,66 @@ GROUP BY 1
 ORDER BY n_tri DESC, vertex ASC
 LIMIT 100
 """
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the REPEAT co-purchase graph (pairs bought together in
+    >= 2 orders; the raw graph's min degree is 42 at sf0.01 — nothing to
+    peel), k=3, 8 peel rounds (graph.kcore_peel): the DELETION fixpoint
+    of the graph family.  The oracle unrolls the identical rounds as
+    plain SQL (degree filter + two semi-joins per round, mechanically
+    generated) — no recursive CTE, and the round count matching is what
+    makes Spark's early-exit safe (converged rounds are identity, so
+    early exit == full unroll).  Returns survivors with in-core degree,
+    exact integers."""
+    from flume_spark.operators import graph
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    repeat_edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("src", "dst")
+    )
+    return graph.kcore_peel(repeat_edges, k=3, rounds=8)
+
+
+def _graph_kcore_sql(k: int = 3, rounds: int = 8) -> str:
+    # Every e{r} is referenced THREE times by round r+1 (the edge scan and
+    # both sides' k{r} semi-filters); DuckDB inlines CTEs by default, so
+    # without AS MATERIALIZED the unroll re-evaluates the whole prefix
+    # 3^rounds times — the oracle must pin materialization to stay linear.
+    parts = [
+        "WITH d0 AS MATERIALIZED "
+        "(SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM d0 a JOIN d0 b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey != b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)""",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT src AS v FROM e{r} GROUP BY src "
+            f"HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r} e "
+            f"JOIN k{r} a ON e.src = a.v JOIN k{r} b ON e.dst = b.v)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT src AS vertex, CAST(count(*) AS BIGINT) AS deg "
+        f"FROM e{rounds} GROUP BY src"
+    )
+
+
+GRAPH_KCORE_SQL = _graph_kcore_sql()
 
 
 GRAPH_PAGERANK_STEP_SQL = """
@@ -1559,6 +1622,7 @@ QUERIES = {
     "graph_bfs_hops": graph_bfs_hops,
     "graph_sssp_k": graph_sssp_k,
     "graph_triangles": graph_triangles,
+    "graph_kcore": graph_kcore,
     "orders_monthly_remerge": orders_monthly_remerge,
     "graph_pagerank_k": graph_pagerank_k,
     "graph_pagerank": graph_pagerank,
@@ -1594,6 +1658,7 @@ ORACLES = {
     "graph_bfs_hops": GRAPH_BFS_SQL,
     "graph_sssp_k": GRAPH_SSSP_K_SQL,
     "graph_triangles": GRAPH_TRIANGLES_SQL,
+    "graph_kcore": GRAPH_KCORE_SQL,
     "orders_monthly_remerge": ORDERS_REMERGE_SQL,
     "graph_pagerank_k": GRAPH_PAGERANK_K_SQL,
     # graph_pagerank: no oracle (iterative float sums — rows-only by design)

@@ -238,3 +238,22 @@ def test_bpe_learn_from_corpus_matches_vocab_grain(spark):
         local.update(re.sub("[^a-z0-9]+", " ", (r["text"] or "").lower()).split())
     want = text.bpe_learn_merges(dict(local), 8)
     assert got == want and len(got) == 8
+
+
+def test_kcore_peel_known_graph(spark):
+    """Triangle (0,1,2) with a path tail 2-3-4: the 2-core is exactly the
+    triangle (peeling 4 exposes 3, which then also falls — the cascade is
+    what distinguishes k-core from a one-shot degree filter)."""
+    from flume_spark.operators import graph
+
+    und = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4)]
+    both = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(both, "src long, dst long")
+    got = {
+        r["vertex"]: r["deg"]
+        for r in graph.kcore_peel(edges, k=2, rounds=8).collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 2}
+    # one-shot degree filter would have kept vertex 3 (degree 2): pin that
+    # the cascade actually ran
+    assert 3 not in got and 4 not in got
