@@ -68,6 +68,10 @@ _NEEDS_DRIVER_ROW = [  # round-7 additions/changes, ascending expected sf0.01 ru
     # new round-7: k-core peeling (the deletion fixpoint) vs an oracle
     # that unrolls the identical rounds with MATERIALIZED CTEs.
     "graph_kcore",
+    # new round-7: product-quantization ADC top-k — exact-integer
+    # codebook training (sign seed + 1 Lloyd round) AND search, oracle
+    # replays the whole pipeline (unrolled rounds, materialized CTEs).
+    "ann_topk_pq",
 ]
 
 # Union of CORRECTNESS_r01..r06 keys: 184 hash-green at latest check,

@@ -321,6 +321,142 @@ SELECT query_id, neighbor_id, "rank", score FROM ranked WHERE "rank" <= 5
 """
 
 
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10 (similarity.pq_adc_topk): int8
+    codes split into 8 subspaces, deterministic sign-seeded codebooks
+    refined by ONE exact-integer Lloyd round, query scored as a
+    lookup-table sum over the (sub, code) join — the memory-bound ANN
+    shape (m bytes per vector instead of 4·dim).  Every distance, mean,
+    and tie-break is integer arithmetic, so training AND search
+    hash-check against the SQL replay below (which unrolls the same
+    Lloyd round with MATERIALIZED CTEs).  Recall-floor vs exact-int-L2
+    is pinned separately in tests/test_round7_ops."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(
+        emb, F.col("vec_id") < 2, k=10, m=8, dim=64, sign_bits=8,
+        refine_rounds=1,
+    )
+
+
+def _ann_pq_sql(
+    m: int = 8,
+    dim: int = 64,
+    sign_bits: int = 8,
+    refine_rounds: int = 1,
+    k: int = 10,
+    q_pred: str = "vec_id < 2",
+) -> str:
+    """SQL replay of the full PQ pipeline.  AS MATERIALIZED is
+    load-bearing (the kcore lesson): each round's CTEs are referenced
+    multiple times and DuckDB inlines CTEs by default."""
+    sd = dim // m
+    bits = min(sign_bits, sd)
+    gk = " + ".join(
+        f"(CASE WHEN sc[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {sd + 1}), "
+            f"i -> CAST({a}[i] - {b}[i] AS BIGINT) * ({a}[i] - {b}[i])))"
+        )
+
+    mean_c = "CAST((2 * sum(sc[i] + 127) + count(*)) // (2 * count(*)) AS BIGINT) - 127"
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) "
+        "AS v FROM embeddings)",
+        "s AS MATERIALIZED (SELECT vec_id, v, list_aggregate("
+        "list_transform(v, y -> abs(y)), 'max') AS scale FROM e)",
+        """qz AS MATERIALIZED (
+  SELECT vec_id, list_transform(v, x -> CAST(floor(
+    x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END) * 127.0 + 0.5)
+    AS BIGINT)) AS code
+  FROM s
+)""",
+        f"""subs AS MATERIALIZED (
+  SELECT vec_id, t.sub,
+         code[t.sub * {sd} + 1 : t.sub * {sd} + {sd}] AS sc
+  FROM qz, unnest(range(0, {m})) t(sub)
+)""",
+        f"a0 AS MATERIALIZED (SELECT vec_id, sub, sc, ({gk}) AS code FROM subs)",
+        f"""cb0p AS MATERIALIZED (
+  SELECT sub, code, i AS pos, {mean_c} AS c
+  FROM a0, unnest(range(1, {sd + 1})) t(i) GROUP BY sub, code, i
+)""",
+        "cb0 AS MATERIALIZED (SELECT sub, code, list(c ORDER BY pos) "
+        "AS centroid FROM cb0p GROUP BY 1, 2)",
+    ]
+    for r in range(1, refine_rounds + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT a.vec_id, a.sub, cb.code, {dist("a.sc", "cb.centroid")} AS dist
+  FROM subs a JOIN cb{r - 1} cb ON a.sub = cb.sub
+)"""
+        )
+        parts.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT x.vec_id, x.sub, su.sc, x.code
+  FROM (SELECT vec_id, sub, code, row_number() OVER
+          (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        FROM d{r}) x
+  JOIN subs su ON x.vec_id = su.vec_id AND x.sub = su.sub
+  WHERE x.rn = 1
+)"""
+        )
+        parts.append(
+            f"""cb{r}p AS MATERIALIZED (
+  SELECT sub, code, i AS pos, {mean_c} AS c
+  FROM a{r}, unnest(range(1, {sd + 1})) t(i) GROUP BY sub, code, i
+)"""
+        )
+        parts.append(
+            f"cb{r} AS MATERIALIZED (SELECT sub, code, list(c ORDER BY pos) "
+            f"AS centroid FROM cb{r}p GROUP BY 1, 2)"
+        )
+    fin = f"cb{refine_rounds}"
+    parts.append(
+        f"""enc AS MATERIALIZED (
+  SELECT vec_id, sub, code FROM (
+    SELECT a.vec_id, a.sub, cb.code, row_number() OVER
+      (PARTITION BY a.vec_id, a.sub
+       ORDER BY {dist("a.sc", "cb.centroid")}, cb.code) AS rn
+    FROM subs a JOIN {fin} cb ON a.sub = cb.sub
+  ) WHERE rn = 1
+)"""
+    )
+    parts.append(
+        f"""lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, q.sub, cb.code,
+         {dist("q.sc", "cb.centroid")} AS qdist
+  FROM subs q JOIN {fin} cb ON q.sub = cb.sub
+  WHERE q.{q_pred}
+)"""
+    )
+    parts.append(
+        """scored AS MATERIALIZED (
+  SELECT l.query_id, n.vec_id AS neighbor_id,
+         CAST(sum(l.qdist) AS BIGINT) AS adc_dist
+  FROM enc n JOIN lut l ON n.sub = l.sub AND n.code = l.code
+  WHERE n.vec_id != l.query_id
+  GROUP BY 1, 2
+)"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, "rank", adc_dist FROM (
+  SELECT query_id, neighbor_id, adc_dist, row_number() OVER
+    (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS "rank"
+  FROM scored
+) WHERE "rank" <= {k}
+"""
+    )
+
+
+ANN_PQ_SQL = _ann_pq_sql()
+
+
 # ---------------------------------------------------------------------------
 # Token-commonness score (rarity signal for quality filtering)
 # ---------------------------------------------------------------------------
@@ -834,6 +970,7 @@ QUERIES = {
     "corpus_shard_manifest": corpus_shard_manifest,
     "text_chunk_sliding": text_chunk_sliding,
     "ann_topk_int8": ann_topk_int8,
+    "ann_topk_pq": ann_topk_pq,
     "text_commonness": text_commonness,
     "text_novelty_by_source": text_novelty_by_source,
     "dedup_passage": dedup_passage,
@@ -858,6 +995,7 @@ ORACLES = {
     "corpus_shard_manifest": CORPUS_SHARD_MANIFEST_SQL,
     "text_chunk_sliding": TEXT_CHUNK_SQL,
     "ann_topk_int8": ANN_INT8_SQL,
+    "ann_topk_pq": ANN_PQ_SQL,
     "text_commonness": TEXT_COMMONNESS_SQL,
     "text_novelty_by_source": TEXT_NOVELTY_SQL,
     "dedup_passage": DEDUP_PASSAGE_SQL,

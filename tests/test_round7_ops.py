@@ -257,3 +257,74 @@ def test_kcore_peel_known_graph(spark):
     # one-shot degree filter would have kept vertex 3 (degree 2): pin that
     # the cascade actually ran
     assert 3 not in got and 4 not in got
+
+
+# ---------------------------------------------------------------------------
+# product quantization (operators/similarity.py pq_*)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_adc_recall_floor(spark):
+    """ADC with sign-seeded + 1-Lloyd-round codebooks must keep recall@10
+    >= 0.4 (mean over queries) against EXACT int-code L2 — the
+    apples-to-apples reference (same metric, same quantization; the only
+    error source is the PQ cell approximation).  Deterministic on the
+    fixed testdata: no flake margin needed."""
+    from pyspark.sql.window import Window
+
+    from flume_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pred = F.col("vec_id") < 4
+    pq = {}
+    for r in S.pq_adc_topk(emb, pred, k=10).collect():
+        pq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    qf = S._quantized_frame(emb, "vec_id", "embedding", code_type="int")
+    q = qf.filter(pred).select(
+        F.col("vec_id").alias("query_id"), F.col("_code").alias("qc")
+    )
+    n = qf.select(F.col("vec_id").alias("neighbor_id"), F.col("_code").alias("nc"))
+    d = F.aggregate(
+        F.zip_with("qc", "nc", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda a, p: a + p,
+    )
+    ex = (
+        F.broadcast(q)
+        .join(n, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", d.alias("l2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("l2").asc(), "neighbor_id")
+    exact = {}
+    for r in ex.withColumn("r", F.row_number().over(w)).filter("r <= 10").collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(exact[q0] & pq.get(q0, set())) / 10 for q0 in exact]
+    assert len(recalls) == 4
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_pq_codebook_mean_is_negative_safe(spark):
+    """The +127 offset trick: integer half-up means must round the same
+    for negative code values as the pure-Python reference (floor-division
+    asymmetry on negatives is the cross-engine trap the offset removes)."""
+    from flume_spark.operators import similarity as S
+
+    # two vectors in one sign cell with negative components: mean of
+    # (-3, -4) must round half-up to -3 (not floor to -4)
+    df = spark.createDataFrame(
+        [(1, [-3.0] * 8), (2, [-4.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    cb = S.pq_codebooks(df, m=1, dim=8, sign_bits=2, refine_rounds=0).collect()
+    assert len(cb) == 1
+    # both vectors quantize to all -127 codes (scale = max|x|), so the
+    # mean is exactly -127 — then perturb to force a half boundary
+    assert cb[0]["centroid"] == [-127] * 8
+    df2 = spark.createDataFrame(
+        [(1, [-1.0, -2.0] * 4), (2, [-2.0, -2.0] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    # codes: v1 scale 2 -> [-64,-127]*4 ; v2 -> [-127,-127]*4
+    # per-dim means: (-64 + -127)/2 = -95.5 -> half-up -> -95 ; -127
+    cb2 = S.pq_codebooks(df2, m=1, dim=8, sign_bits=2, refine_rounds=0).collect()
+    assert cb2[0]["centroid"] == [-95, -127] * 4
