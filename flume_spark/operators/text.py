@@ -416,9 +416,26 @@ def pack_sequences(
     shard partition, no global sort); shard count sets the parallelism and
     the number of output pack streams.
     """
+    counted = df.select(
+        F.col(id_col), F.size(tokens_col(text_col)).alias("n_tokens")
+    )
+    return pack_by_counts(counted, id_col, "n_tokens", budget=budget, shards=shards)
+
+
+def pack_by_counts(
+    df: DataFrame,
+    id_col: str,
+    count_col: str,
+    budget: int = 512,
+    shards: int = 8,
+) -> DataFrame:
+    """pack_sequences generalized to ANY precomputed token counter — the
+    whitespace proxy, the regex subword estimate, or real BPE counts
+    (bpe_token_count): same greedy boundary-overflow semantics, same
+    per-shard window, so a pipeline can budget its packs in the units its
+    tokenizer actually bills."""
     from pyspark.sql.window import Window
 
-    toks = F.size(tokens_col(text_col))
     shard = F.pmod(F.col(id_col), F.lit(shards)).cast("int")
     w = (
         Window.partitionBy("shard")
@@ -426,7 +443,7 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     staged = df.select(
-        F.col(id_col), shard.alias("shard"), toks.alias("n_tokens")
+        F.col(id_col), shard.alias("shard"), F.col(count_col).alias("n_tokens")
     ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return staged.select(
         id_col,

@@ -72,6 +72,11 @@ _NEEDS_DRIVER_ROW = [  # round-7 additions/changes, ascending expected sf0.01 ru
     # codebook training (sign seed + 1 Lloyd round) AND search, oracle
     # replays the whole pipeline (unrolled rounds, materialized CTEs).
     "ann_topk_pq",
+    # new round-7: packing in real-tokenizer units (BPE counts through
+    # the generalized pack_by_counts); pack_sequences itself re-verifies
+    # after the pack_by_counts refactor (same expressions, new seam).
+    "pack_bpe_budget",
+    "pack_sequences",
 ]
 
 # Union of CORRECTNESS_r01..r06 keys: 184 hash-green at latest check,
@@ -118,7 +123,7 @@ _DRIVER_CHECKED = frozenset(
         "kmeans_assign", "lsh_buckets", "md5_ledger_key", "mixture_weights",
         "multimodal_feature_extract", "multimodal_frame_sample",
         "multimodal_meta", "multimodal_resize", "orders_market_basket",
-        "orders_seasonality", "pack_sequences", "percentiles_exact",
+        "orders_seasonality", "percentiles_exact",
         "pivot_returnflag", "q10_returned_items", "q11_important_stock",
         "q12_priority_lineclass", "q13_customer_distribution",
         "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",

@@ -798,6 +798,49 @@ FROM cum
 """
 
 
+def pack_bpe_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing in REAL tokenizer units: BPE counts
+    (text.bpe_token_count, EN_MERGES_DEMO table) fed through the
+    generalized packer (text.pack_by_counts, budget 256, 8 shards),
+    summarized per pack — n_docs and the exact token sum, so one doc
+    packed across a boundary flips the hash.  The composition a training
+    pipeline actually runs: budget in the units the tokenizer bills, not
+    the whitespace proxy (the proxy under-counts ~2x on this corpus —
+    see text_bpe_tokens)."""
+    docs = T(spark, sf_dir, "documents")
+    counted = text.bpe_token_count(docs, "doc_id", "text", text.EN_MERGES_DEMO)
+    packed = text.pack_by_counts(
+        counted, "doc_id", "n_bpe_tokens", budget=256, shards=8
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
+def _pack_bpe_sql() -> str:
+    bpe = text.bpe_replace_sql("text", text.EN_MERGES_DEMO)
+    return f"""
+WITH staged AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+         CAST({bpe} AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM staged
+)
+SELECT shard, CAST(floor((cum_tokens - n_tokens) / 256.0) AS INT) AS pack_id,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM cum GROUP BY 1, 2
+"""
+
+
+PACK_BPE_SQL = _pack_bpe_sql()
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     return text.token_count(docs, "doc_id", "text")
@@ -1279,6 +1322,7 @@ QUERIES = {
     "source_cap": source_cap_q,
     "text_normalize": text_normalize,
     "pack_sequences": pack_sequences_q,
+    "pack_bpe_budget": pack_bpe_budget,
     "text_pii_scrub": text_pii_scrub,
     "text_subword_tokens": text_subword_tokens,
     "text_bpe_tokens": text_bpe_tokens,
@@ -1321,6 +1365,7 @@ ORACLES = {
     "source_cap": SOURCE_CAP_SQL,
     "text_normalize": TEXT_NORMALIZE_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
+    "pack_bpe_budget": PACK_BPE_SQL,
     "text_pii_scrub": TEXT_PII_SQL,
     "text_subword_tokens": TEXT_SUBWORD_SQL,
     "text_bpe_tokens": TEXT_BPE_SQL,
