@@ -77,6 +77,10 @@ _NEEDS_DRIVER_ROW = [  # round-7 additions/changes, ascending expected sf0.01 ru
     # after the pack_by_counts refactor (same expressions, new seam).
     "pack_bpe_budget",
     "pack_sequences",
+    # new round-7: decontaminated split — the seeded draw keys on the
+    # near-dup COMPONENT so a dup cluster can never straddle train/test;
+    # oracle replays the closure recursively + the identical integer draw.
+    "corpus_split_leakage_safe",
 ]
 
 # Union of CORRECTNESS_r01..r06 keys: 184 hash-green at latest check,

@@ -366,6 +366,68 @@ FROM reach GROUP BY src
 )
 
 
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split that can NEVER leak a near-duplicate across
+    splits: the seeded draw keys on the document's near-dup COMPONENT
+    (SimHash pairs -> connected components; singletons key on their own
+    id), so an entire dup cluster moves as one unit — the decontamination
+    property a per-doc split (corpus_split) cannot give: ~62% of this
+    corpus sits in multi-doc clusters and the per-doc draw strands 8
+    clusters across the train/test wall (pinned by test_round7_ops).
+    Summarized per (split, source) with exact doc-id sums; the oracle
+    replays the closure with a recursive CTE and the identical integer
+    draw."""
+    docs = T(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(
+        docs, "doc_id", "text", bits=32, max_hamming=3, blocks=4
+    )
+    comps = dedup.connected_components(pairs, "doc_a", "doc_b")
+    grouped = (
+        docs.select("doc_id", "source")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("component", F.col("doc_id")).alias("group_id"),
+        )
+    )
+    split = text.train_val_test_split(grouped, "group_id")
+    return split.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("group_id").alias("n_groups"),
+        F.sum("doc_id").alias("doc_sum"),
+    )
+
+
+_SPLIT_TEST_HI = int(0.1 * (1 << 32))
+_SPLIT_VAL_HI = 2 * int(0.1 * (1 << 32))
+
+CORPUS_SPLIT_SAFE_SQL = f"""
+WITH comps AS MATERIALIZED (
+{DEDUP_COMPONENTS_SQL}
+),
+g AS (
+  SELECT d.doc_id, d.source, coalesce(c.component, d.doc_id) AS group_id
+  FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
+),
+s AS (
+  SELECT doc_id, source, group_id,
+         CAST('0x' || substring(
+           md5('flume:' || CAST(group_id AS VARCHAR)), 1, 8) AS BIGINT)
+           AS draw
+  FROM g
+)
+SELECT CASE WHEN draw < {_SPLIT_TEST_HI} THEN 'test'
+            WHEN draw < {_SPLIT_VAL_HI} THEN 'val'
+            ELSE 'train' END AS split,
+       source,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups,
+       CAST(sum(doc_id) AS BIGINT) AS doc_sum
+FROM s GROUP BY 1, 2
+"""
+
+
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation with the blessed near-dup path: MinHash-LSH
     candidates -> exact-Jaccard verification -> connected components ->
@@ -1323,6 +1385,7 @@ QUERIES = {
     "text_normalize": text_normalize,
     "pack_sequences": pack_sequences_q,
     "pack_bpe_budget": pack_bpe_budget,
+    "corpus_split_leakage_safe": corpus_split_leakage_safe,
     "text_pii_scrub": text_pii_scrub,
     "text_subword_tokens": text_subword_tokens,
     "text_bpe_tokens": text_bpe_tokens,
@@ -1366,6 +1429,7 @@ ORACLES = {
     "text_normalize": TEXT_NORMALIZE_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "pack_bpe_budget": PACK_BPE_SQL,
+    "corpus_split_leakage_safe": CORPUS_SPLIT_SAFE_SQL,
     "text_pii_scrub": TEXT_PII_SQL,
     "text_subword_tokens": TEXT_SUBWORD_SQL,
     "text_bpe_tokens": TEXT_BPE_SQL,

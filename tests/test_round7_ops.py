@@ -328,3 +328,44 @@ def test_pq_codebook_mean_is_negative_safe(spark):
     # per-dim means: (-64 + -127)/2 = -95.5 -> half-up -> -95 ; -127
     cb2 = S.pq_codebooks(df2, m=1, dim=8, sign_bits=2, refine_rounds=0).collect()
     assert cb2[0]["centroid"] == [-95, -127] * 4
+
+
+def test_leakage_safe_split_keeps_clusters_whole(spark):
+    """The decontamination property: keyed on the component, no near-dup
+    cluster ever straddles two splits — while the naive per-doc draw
+    demonstrably strands several on this corpus (so the property is doing
+    real work, not holding vacuously)."""
+    from flume_spark.operators import dedup, text
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = dedup.simhash_pairs(
+        docs, "doc_id", "text", bits=32, max_hamming=3, blocks=4
+    )
+    comps = dedup.connected_components(pairs, "doc_a", "doc_b")
+
+    naive = text.train_val_test_split(docs.select("doc_id"), "doc_id").join(
+        comps, "doc_id"
+    )
+    naive_leaks = (
+        naive.groupBy("component")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter("ns > 1")
+        .count()
+    )
+    assert naive_leaks > 0, "corpus has no splittable clusters — test is vacuous"
+
+    grouped = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("group_id")
+        )
+    )
+    safe = text.train_val_test_split(grouped, "group_id").join(comps, "doc_id")
+    safe_leaks = (
+        safe.groupBy("component")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter("ns > 1")
+        .count()
+    )
+    assert safe_leaks == 0
