@@ -530,20 +530,23 @@ def triangle_count(
     the co-purchase convention) — the canonical 3-way self-join shape.
 
     Plan: orient each undirected edge once, from the endpoint of LOWER
-    (degree, id) rank to the higher (kills rotation double-counting), join
-    oriented paths x→y, y→z on the middle vertex, then close each wedge
-    with a semi-join probe of the oriented edge set.  Degree ordering —
-    not id ordering — is the skew-safe choice: every oriented out-degree
-    is bounded by O(√m) (a vertex with d out-neighbors has d neighbors of
-    rank ≥ its own, each with degree ≥ d, so d² ≤ 2m), which caps the
-    per-middle-vertex candidate volume at deg·O(√m).  Under id ordering a
-    hub with a low id keeps ~deg/2 edges on EACH side of the wedge join
-    and its single key emits ~deg²/4 candidates into one task — the
-    classic skewed-shuffle explosion on power-law graphs.  Triangles are
-    orientation-invariant, so the output is identical either way.  The
-    degree frame is vertex-sized: Catalyst broadcasts it when small and
-    AQE falls back to a shuffle join when not — no hand-scheduling.
-    Exact integers throughout.
+    (degree, id) rank to the higher (kills rotation double-counting),
+    then close compact-forward: for each oriented edge (x, y), every
+    triangle is exactly one z in N_out(x) ∩ N_out(y) — an adjacency-array
+    intersect per edge, so the only expanded rows are the triangles
+    themselves, never the wedge candidates (a wedge-join + semi-close
+    formulation shuffled 49M candidate rows for 1.9M triangles at sf0.1
+    and ran 2x slower).  Degree ordering — not id ordering — is the
+    skew-safe choice: every oriented out-degree is bounded by O(√m) (a
+    vertex with d out-neighbors has d neighbors of rank ≥ its own, each
+    with degree ≥ d, so d² ≤ 2m), which bounds every adjacency array and
+    hence the intersect work per edge; under id ordering a hub keeps
+    ~deg/2 edges on each side and wedge-style plans explode ~deg²/4 on
+    its key (probe_scale.py --tri).  Triangles are orientation-invariant,
+    so the output is identical either way.  The degree frame is
+    vertex-sized: Catalyst broadcasts it when small and AQE falls back to
+    a shuffle join when not — no hand-scheduling.  Exact integers
+    throughout.
 
     Input convention: each undirected edge present in BOTH directions
     (the co-purchase shape), so per-src out-degree of the directed list
@@ -552,35 +555,38 @@ def triangle_count(
     Returns (vertex, n_tri): triangles through each vertex (each triangle
     counts once per member vertex).
     """
-    # Materialize the oriented list once: it feeds THREE plan legs (both
-    # wedge sides + the semi-close probe), and without staging each leg
+    # Materialize the oriented list once: it feeds THREE plan legs (the
+    # edge scan and both adjacency joins), and without staging each leg
     # re-executes the distinct + degree-join subtree (25 exchanges vs 5).
     # Cluster-scale reading: stage the oriented edge list to storage, then
-    # run the wedge join off it — same move as write_edge_index.
+    # run the intersects off it — same move as write_edge_index.
     lo = oriented_edges(edges, src=src, dst=dst).localCheckpoint(eager=True)
-    # wedges rank(x)<rank(y)<rank(z) around middle y: (x,y) ⋈ (y,z).
-    # Width pin (the AQE explosive-join trap, same fix as the prefix
-    # join): this join's OUTPUT is ~40x its input (1.2M edges -> 49M
-    # wedges at sf0.1 co-purchase), but AQE sizes partitions by shuffle
-    # INPUT bytes — two ~20MB edge-list sides coalesce to 1-2 partitions
-    # and the expansion runs nearly single-threaded.  Explicit
-    # repartition() is exempt from coalescing and keeps the wedge
-    # expansion at full width.
-    w = int(lo.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    wedges = lo.repartition(w, "y").join(
-        lo.select(F.col("x").alias("y"), F.col("y").alias("z"))
-        .repartition(w, "y"),
-        "y",
+    # Compact-forward close: per oriented edge (x, y), every triangle
+    # x<y<z (rank order) is exactly one z in N_out(x) ∩ N_out(y).  The
+    # out-adjacency arrays are the degree-ordering payoff — every one is
+    # bounded O(√m) — so the intersect work per edge is bounded and the
+    # only expanded rows are the TRIANGLES themselves (1.9M at sf0.1),
+    # never the wedge candidates (49M): the earlier wedge-join + semi-
+    # close plan shuffled and sorted all 49M candidate rows and ran 2x
+    # slower (5.3s vs 2.6s at sf0.1) with the same output.  The max-rank
+    # vertex has no out-edges, hence the left join + empty-array default.
+    adj = lo.groupBy("x").agg(F.collect_list("y").alias("nbrs"))
+    e2 = (
+        lo.join(adj, "x")
+        .withColumnRenamed("nbrs", "nx")
+        .join(
+            adj.select(F.col("x").alias("y"), F.col("nbrs").alias("ny")),
+            "y",
+            "left",
+        )
     )
-    tri = wedges.join(
-        lo.select(F.col("x").alias("x"), F.col("y").alias("z")),
-        ["x", "z"],
-        "left_semi",
+    tri = e2.select(
+        "x",
+        "y",
+        F.explode(F.array_intersect("nx", F.coalesce("ny", F.array()))).alias("z"),
     )
     # one-pass member fan-out: explode duplicates each triangle row into
-    # its 3 member vertices WITHOUT re-executing the wedge-close subtree
-    # (a 3-way union of tri projections re-runs the joins three times —
-    # 19 exchanges vs 7 on the audit)
+    # its 3 member vertices WITHOUT re-executing the close subtree
     return (
         tri.select(F.explode(F.array("x", "y", "z")).alias("vertex"))
         .groupBy("vertex")

@@ -758,13 +758,14 @@ SELECT v AS vertex, CAST(min(dist) AS BIGINT) AS dist FROM walk GROUP BY v
 
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex triangle counts over the (undirected) co-purchase graph
-    (graph.triangle_count): the canonical 3-way self-join — wedges around
-    each middle vertex closed by a semi-join probe, edges oriented by
-    (degree, id) rank so every middle key is capped at deg·O(√m)
-    candidates (the id-ordered plan lets a hub emit deg²/4 into one
-    task — probe_scale.py --tri).  Orientation-invariant, so the oracle
-    enumerates triangles with plain id-ordering.  Top-100 by (count,
-    vertex) to keep the answer stable and bounded."""
+    (graph.triangle_count): compact-forward close — edges oriented by
+    (degree, id) rank (every out-adjacency bounded O(√m); id-ordering
+    lets a hub emit deg²/4 wedge candidates into one task —
+    probe_scale.py --tri), each triangle materialized once as an
+    adjacency-array intersect per edge, never the wedge-candidate rows.
+    Orientation-invariant, so the oracle enumerates triangles with plain
+    id-ordering.  Top-100 by (count, vertex) to keep the answer stable
+    and bounded."""
     from flume_spark.operators import graph
 
     tri = graph.triangle_count(_copurchase_edges(spark, sf_dir))
