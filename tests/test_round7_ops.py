@@ -369,3 +369,101 @@ def test_leakage_safe_split_keeps_clusters_whole(spark):
         .count()
     )
     assert safe_leaks == 0
+
+
+def test_kcore_property_matches_reference(spark):
+    """Hypothesis: bounded peeling on random graphs equals a pure-Python
+    reference peel (same round semantics).  Catches off-by-one-round and
+    directionality bugs the fixed kite test can't."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flume_spark.operators import graph
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9)
+    )
+
+    @given(
+        und=st.lists(edge, min_size=1, max_size=20),
+        k=st.integers(min_value=1, max_value=4),
+        rounds=st.integers(min_value=1, max_value=4),
+    )
+    @settings(max_examples=25, deadline=None)
+    def check(und, k, rounds):
+        und = {(min(a, b), max(a, b)) for a, b in und if a != b}
+        if not und:
+            return
+        both = sorted(und) + [(b, a) for a, b in sorted(und)]
+
+        # pure-Python reference: same bounded-round semantics
+        live = set(both)
+        for _ in range(rounds):
+            deg: dict[int, int] = {}
+            for u, _v in live:
+                deg[u] = deg.get(u, 0) + 1
+            keep = {u for u, d in deg.items() if d >= k}
+            nxt = {(u, v) for u, v in live if u in keep and v in keep}
+            if nxt == live:
+                break
+            live = nxt
+        want: dict[int, int] = {}
+        for u, _v in live:
+            want[u] = want.get(u, 0) + 1
+
+        edges = spark.createDataFrame(both, "src long, dst long")
+        got = {
+            r["vertex"]: r["deg"]
+            for r in graph.kcore_peel(edges, k=k, rounds=rounds).collect()
+        }
+        assert got == want
+
+    check()
+
+
+def test_pq_centroid_property_matches_reference(spark):
+    """Hypothesis: the Spark integer-mean centroids equal a pure-Python
+    half-up mean on random small vector sets — pinning the +127 offset
+    rounding on arbitrary sign mixes, not just the fixture values."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flume_spark.operators import similarity as S
+
+    vec = st.lists(
+        st.integers(min_value=-5, max_value=5), min_size=4, max_size=4
+    )
+
+    @given(vecs=st.lists(vec, min_size=1, max_size=6))
+    @settings(max_examples=20, deadline=None)
+    def check(vecs):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        cb = {
+            (r["sub"], r["code"]): r["centroid"]
+            for r in S.pq_codebooks(
+                df, m=1, dim=4, sign_bits=2, refine_rounds=0
+            ).collect()
+        }
+
+        # pure-Python reference: quantize, group by 2-bit sign key,
+        # half-up mean per dim via the offset trick
+        groups: dict[int, list[list[int]]] = {}
+        for v in vecs:
+            scale = max(abs(x) for x in v) or 1
+            code = [int(__import__("math").floor(x / scale * 127 + 0.5)) for x in v]
+            gk = (1 if code[0] >= 0 else 0) + (2 if code[1] >= 0 else 0)
+            groups.setdefault(gk, []).append(code)
+        want = {}
+        for gk, members in groups.items():
+            cent = []
+            for pos in range(4):
+                s = sum(c[pos] + 127 for c in members)
+                n = len(members)
+                cent.append((2 * s + n) // (2 * n) - 127)
+            want[(0, gk)] = cent
+        assert cb == want
+
+    check()
