@@ -835,6 +835,7 @@ def pq_adc_topk(
     dim: int = 64,
     sign_bits: int = 8,
     refine_rounds: int = 1,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k — the memory-bound ANN shape at
     100 TB: vectors live as m small codes (m bytes at 256 cells vs 4·dim
@@ -848,7 +849,13 @@ def pq_adc_topk(
 
     Every distance is exact BIGINT (int8 codes, integer centroids), so
     the whole pipeline hash-checks against a SQL replay.
-    Returns (query_id, neighbor_id, rank, adc_dist)."""
+
+    `cell_col` makes it IVF-PQ, the full production composition: scoring
+    is restricted to neighbors in the query's coarse inverted-file cell
+    (here the precomputed label, like ivf_topk; at ingest a k-means cell
+    id), so the candidate set shrinks by the cell count BEFORE any
+    distance work — coarse cell prunes, PQ codes rank, exact re-rank
+    polishes.  Returns (query_id, neighbor_id, rank, adc_dist)."""
     codebooks = pq_codebooks(
         emb, id_col, vec_col, m=m, dim=dim, sign_bits=sign_bits,
         refine_rounds=refine_rounds,
@@ -863,9 +870,18 @@ def pq_adc_topk(
         "code",
         _pq_sqdist(F.col("qc"), F.col("centroid")).alias("qdist"),
     )
+    if cell_col is not None:
+        cells = emb.select(F.col(id_col), F.col(cell_col).alias("__cell"))
+        codes = codes.join(cells, id_col)
+        qcells = emb.filter(query_pred).select(
+            F.col(id_col).alias("query_id"), F.col(cell_col).alias("__qcell")
+        )
+        lut = lut.join(F.broadcast(qcells), "query_id")
+    joined = codes.join(F.broadcast(lut), ["sub", "code"])
+    if cell_col is not None:
+        joined = joined.filter(F.col("__cell") == F.col("__qcell"))
     scored = (
-        codes.join(F.broadcast(lut), ["sub", "code"])
-        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        joined.groupBy("query_id", F.col(id_col).alias("neighbor_id"))
         .agg(F.sum("qdist").alias("adc_dist"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )

@@ -81,6 +81,9 @@ _NEEDS_DRIVER_ROW = [  # round-7 additions/changes, ascending expected sf0.01 ru
     # near-dup COMPONENT so a dup cluster can never straddle train/test;
     # oracle replays the closure recursively + the identical integer draw.
     "corpus_split_leakage_safe",
+    # new round-7: IVF-PQ — coarse cell prunes, PQ ADC ranks; the oracle
+    # replays the cell restriction so the hash pins membership pruning.
+    "ann_topk_ivfpq",
 ]
 
 # Union of CORRECTNESS_r01..r06 keys: 184 hash-green at latest check,

@@ -338,6 +338,20 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the full production ANN composition — the coarse
+    inverted-file cell (the label, like ann_topk_ivf) prunes the
+    candidate set BEFORE any distance work, PQ ADC ranks what's left
+    (same exact-integer pipeline as ann_topk_pq).  The oracle replays
+    everything including the cell restriction, so the hash pins that the
+    pruning touches membership only, never the arithmetic."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(
+        emb, F.col("vec_id") < 4, k=10, m=8, dim=64, sign_bits=8,
+        refine_rounds=1, cell_col="label",
+    )
+
+
 def _ann_pq_sql(
     m: int = 8,
     dim: int = 64,
@@ -345,6 +359,7 @@ def _ann_pq_sql(
     refine_rounds: int = 1,
     k: int = 10,
     q_pred: str = "vec_id < 2",
+    ivf_cells: bool = False,
 ) -> str:
     """SQL replay of the full PQ pipeline.  AS MATERIALIZED is
     load-bearing (the kcore lesson): each round's CTEs are referenced
@@ -433,12 +448,22 @@ def _ann_pq_sql(
   WHERE q.{q_pred}
 )"""
     )
+    cell_join = cell_pred = ""
+    if ivf_cells:
+        parts.append(
+            "cells AS MATERIALIZED (SELECT vec_id, label FROM embeddings)"
+        )
+        cell_join = (
+            "\n  JOIN cells cn ON n.vec_id = cn.vec_id"
+            "\n  JOIN cells cq ON l.query_id = cq.vec_id"
+        )
+        cell_pred = " AND cn.label = cq.label"
     parts.append(
-        """scored AS MATERIALIZED (
+        f"""scored AS MATERIALIZED (
   SELECT l.query_id, n.vec_id AS neighbor_id,
          CAST(sum(l.qdist) AS BIGINT) AS adc_dist
-  FROM enc n JOIN lut l ON n.sub = l.sub AND n.code = l.code
-  WHERE n.vec_id != l.query_id
+  FROM enc n JOIN lut l ON n.sub = l.sub AND n.code = l.code{cell_join}
+  WHERE n.vec_id != l.query_id{cell_pred}
   GROUP BY 1, 2
 )"""
     )
@@ -455,6 +480,7 @@ SELECT query_id, neighbor_id, "rank", adc_dist FROM (
 
 
 ANN_PQ_SQL = _ann_pq_sql()
+ANN_IVFPQ_SQL = _ann_pq_sql(q_pred="vec_id < 4", ivf_cells=True)
 
 
 # ---------------------------------------------------------------------------
@@ -971,6 +997,7 @@ QUERIES = {
     "text_chunk_sliding": text_chunk_sliding,
     "ann_topk_int8": ann_topk_int8,
     "ann_topk_pq": ann_topk_pq,
+    "ann_topk_ivfpq": ann_topk_ivfpq,
     "text_commonness": text_commonness,
     "text_novelty_by_source": text_novelty_by_source,
     "dedup_passage": dedup_passage,
@@ -996,6 +1023,7 @@ ORACLES = {
     "text_chunk_sliding": TEXT_CHUNK_SQL,
     "ann_topk_int8": ANN_INT8_SQL,
     "ann_topk_pq": ANN_PQ_SQL,
+    "ann_topk_ivfpq": ANN_IVFPQ_SQL,
     "text_commonness": TEXT_COMMONNESS_SQL,
     "text_novelty_by_source": TEXT_NOVELTY_SQL,
     "dedup_passage": DEDUP_PASSAGE_SQL,
