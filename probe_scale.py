@@ -458,6 +458,28 @@ def main_tri() -> None:
                 )
                 return tri.count()
 
+            def run_tri_adj(lo_df=lo):
+                # the shipped compact-forward close (graph.triangle_count):
+                # adjacency-array intersects materialize only triangles,
+                # never wedge candidates
+                adj = lo_df.groupBy("x").agg(F.collect_list("y").alias("nbrs"))
+                e2 = (
+                    lo_df.join(adj, "x")
+                    .withColumnRenamed("nbrs", "nx")
+                    .join(
+                        adj.select(
+                            F.col("x").alias("y"), F.col("nbrs").alias("ny")
+                        ),
+                        "y",
+                        "left",
+                    )
+                )
+                return e2.select(
+                    F.explode(
+                        F.array_intersect("nx", F.coalesce("ny", F.array()))
+                    ).alias("z")
+                ).count()
+
             samples, n_tri = [], 0
             for _ in range(4):  # first warms; min of the last 3
                 t0 = time.perf_counter()
@@ -466,7 +488,16 @@ def main_tri() -> None:
             out[f"tri_{mode}"] = n_tri
             out[f"sec_{mode}"] = min(samples[1:])
             out[f"sec_{mode}_samples"] = samples
-        out["invariant_ok"] = out["tri_id"] == out["tri_degree"]
+            adj_samples, n_tri_adj = [], 0
+            for _ in range(4):
+                t0 = time.perf_counter()
+                n_tri_adj = run_tri_adj()
+                adj_samples.append(round(time.perf_counter() - t0, 2))
+            out[f"tri_{mode}_adj"] = n_tri_adj
+            out[f"sec_{mode}_adj"] = min(adj_samples[1:])
+        out["invariant_ok"] = (
+            out["tri_id"] == out["tri_degree"] == out["tri_degree_adj"]
+        )
         print(json.dumps(out), flush=True)
 
 
