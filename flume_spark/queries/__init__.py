@@ -84,6 +84,12 @@ _NEEDS_DRIVER_ROW = [  # round-7 additions/changes, ascending expected sf0.01 ru
     # new round-7: IVF-PQ — coarse cell prunes, PQ ADC ranks; the oracle
     # replays the cell restriction so the hash pins membership pruning.
     "ann_topk_ivfpq",
+    # new round-7: the remaining two sketch-family queue-telemetry
+    # compositions (HLL=distinct above; CMS=heavy hitters with the
+    # never-undercount bound visible; Hist=latency percentiles), each
+    # through the REAL ingestor with a replayed batch vs one-level replay.
+    "queue_heavy_users_cms",
+    "queue_latency_hist",
 ]
 
 # Union of CORRECTNESS_r01..r06 keys: 184 hash-green at latest check,

@@ -404,6 +404,156 @@ FROM agg a JOIN ex USING (queue, day)
 QUEUE_HLL_DAILY_SQL = _queue_hll_sql()
 
 
+def queue_heavy_users_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter telemetry from the REAL CmsIngestor — the FREQUENCY
+    member of the sketch family composed with the queue story the way
+    queue_hll_daily_jids composes the distinct member: the event stream
+    replays as three micro-batches (batch 1 delivered TWICE; the ledger
+    + per-batch-overwrite contract makes the replay a no-op where a
+    naive counter append would double-count), the per-batch sketch
+    tables sum-merge, and the merged sketch answers point queries for
+    the top-20 exact-heaviest users.  The oracle builds the sketch
+    one-level over the whole stream (countmin_bucket_sql — identical
+    bucket expressions) — hash-equality is slice-merge == whole AND
+    replay-noop, and freq_estimate >= exact_n row-by-row is the CMS
+    never-undercount bound made visible in the result."""
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    from flume_spark.streaming.sketch import CmsIngestor
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id")
+    tmp = tempfile.mkdtemp(prefix="flume_cmsq_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    ing = CmsIngestor(
+        spark,
+        _os.path.join(tmp, "sketch"),
+        _os.path.join(tmp, "ledger"),
+        key_col="user_id",
+        depth=4,
+        width=64,
+    )
+    for b in range(3):
+        ing.process(ev.filter(F.col("event_id") % 3 == b), b)
+    ing.process(ev.filter(F.col("event_id") % 3 == 1), 1)  # replay: no-op
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(20)
+    )
+    est = ing.estimate(top.select("user_id"))
+    return top.join(est, "user_id")
+
+
+def _queue_cms_sql(depth: int = 4, width: int = 64, seed: str = "flume") -> str:
+    from flume_spark.operators.skew import countmin_bucket_sql
+
+    build = "\nUNION ALL\n".join(
+        f'SELECT {r} AS "row", '
+        + countmin_bucket_sql("user_id", r, width, seed)
+        + " AS bucket, 1 AS w FROM events"
+        for r in range(depth)
+    )
+    probes = "\nUNION ALL\n".join(
+        f'SELECT user_id, {r} AS "row", '
+        + countmin_bucket_sql("user_id", r, width, seed)
+        + " AS bucket FROM top"
+        for r in range(depth)
+    )
+    return f"""
+WITH cms AS MATERIALIZED (
+  SELECT "row", bucket, CAST(sum(w) AS BIGINT) AS counter
+  FROM ({build}) GROUP BY 1, 2
+),
+top AS MATERIALIZED (
+  SELECT user_id, count(*) AS exact_n FROM events
+  GROUP BY 1 ORDER BY exact_n DESC, user_id LIMIT 20
+),
+probes AS ({probes})
+SELECT t.user_id, t.exact_n,
+       CAST(e.freq_estimate AS BIGINT) AS freq_estimate
+FROM top t JOIN (
+  SELECT p.user_id, min(coalesce(c.counter, 0)) AS freq_estimate
+  FROM probes p LEFT JOIN cms c ON p."row" = c."row" AND p.bucket = c.bucket
+  GROUP BY 1
+) e ON t.user_id = e.user_id
+"""
+
+
+QUEUE_CMS_SQL = _queue_cms_sql()
+
+
+def queue_latency_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency-percentile telemetry from the REAL HistIngestor — the
+    QUANTILE member of the sketch family over the queue stream (HLL =
+    distinct jids, CMS = heavy users, this = p50/p90/p99): a
+    deterministic per-event latency proxy (event_id mod 1000 ms) flows
+    through three micro-batches plus one REPLAYED batch (per-batch
+    overwrite + ledger converge), the per-batch histograms sum-merge,
+    and the quantile estimate reads the merged table (first bin whose
+    running count reaches ceil(q*N), reported as the bin's upper edge —
+    error <= one bin width).  Oracle: one-level histogram over the whole
+    stream, identical bin expression and quantile probe."""
+    import atexit
+    import os as _os
+    import shutil
+    import tempfile
+
+    from flume_spark.streaming.sketch import HistIngestor
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 1000).cast("double").alias("latency_ms"),
+    )
+    tmp = tempfile.mkdtemp(prefix="flume_histq_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    ing = HistIngestor(
+        spark,
+        _os.path.join(tmp, "sketch"),
+        _os.path.join(tmp, "ledger"),
+        value_col="latency_ms",
+        lo=0.0,
+        hi=1000.0,
+        bins=64,
+    )
+    for b in range(3):
+        ing.process(ev.filter(F.col("event_id") % 3 == b), b)
+    ing.process(ev.filter(F.col("event_id") % 3 == 1), 1)  # replay: no-op
+    return ing.quantiles([0.5, 0.9, 0.99])
+
+
+def _queue_hist_sql(bins: int = 64, hi: float = 1000.0) -> str:
+    from flume_spark.operators.skew import histogram_bin_sql
+
+    bin_sql = histogram_bin_sql(
+        "CAST(event_id % 1000 AS DOUBLE)", 0.0, hi, bins
+    )
+    return f"""
+WITH h AS (
+  SELECT {bin_sql} AS bin, CAST(count(*) AS BIGINT) AS counter
+  FROM events GROUP BY 1
+),
+c AS (
+  SELECT bin, counter,
+         CAST(sum(counter) OVER (ORDER BY bin) AS BIGINT) AS cum,
+         CAST(sum(counter) OVER () AS BIGINT) AS n_total
+  FROM h
+),
+q AS (SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                            (CAST(0.99 AS DOUBLE))) v(q))
+SELECT q, n_total, min(bin) AS bin,
+       0.0 + (min(bin) + 1) * (({hi!r} - 0.0) / {float(bins)!r}) AS est_hi
+FROM c JOIN q ON c.cum >= CAST(ceil(q * n_total) AS BIGINT)
+GROUP BY q, n_total
+"""
+
+
+QUEUE_HIST_SQL = _queue_hist_sql()
+
+
 QUERIES = {
     "due_filter": due_filter,
     "topk_due": topk_due,
@@ -416,6 +566,8 @@ QUERIES = {
     "queue_pending_counts": queue_pending_counts,
     "queue_log_diff": queue_log_diff,
     "queue_hll_daily_jids": queue_hll_daily_jids,
+    "queue_heavy_users_cms": queue_heavy_users_cms,
+    "queue_latency_hist": queue_latency_hist,
 }
 
 ORACLES = {
@@ -430,4 +582,6 @@ ORACLES = {
     "queue_pending_counts": QUEUE_PENDING_SQL,
     "queue_log_diff": QUEUE_LOG_DIFF_SQL,
     "queue_hll_daily_jids": QUEUE_HLL_DAILY_SQL,
+    "queue_heavy_users_cms": QUEUE_CMS_SQL,
+    "queue_latency_hist": QUEUE_HIST_SQL,
 }
