@@ -836,6 +836,8 @@ def pq_adc_topk(
     sign_bits: int = 8,
     refine_rounds: int = 1,
     cell_col: str | None = None,
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k — the memory-bound ANN shape at
     100 TB: vectors live as m small codes (m bytes at 256 cells vs 4·dim
@@ -855,12 +857,20 @@ def pq_adc_topk(
     (here the precomputed label, like ivf_topk; at ingest a k-means cell
     id), so the candidate set shrinks by the cell count BEFORE any
     distance work — coarse cell prunes, PQ codes rank, exact re-rank
-    polishes.  Returns (query_id, neighbor_id, rank, adc_dist)."""
-    codebooks = pq_codebooks(
-        emb, id_col, vec_col, m=m, dim=dim, sign_bits=sign_bits,
-        refine_rounds=refine_rounds,
-    ).localCheckpoint(eager=True)  # feeds encode AND the query LUT
-    codes = pq_encode(emb, codebooks, id_col, vec_col, m=m, dim=dim)
+    polishes.
+
+    `codebooks`/`codes` accept a pre-trained (materialized) index — the
+    production shape: codebooks are trained and every vector encoded
+    ONCE at ingest (the codes table IS the persisted index); every query
+    reuses both.  Omitted, they are built in-line.
+    Returns (query_id, neighbor_id, rank, adc_dist)."""
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            emb, id_col, vec_col, m=m, dim=dim, sign_bits=sign_bits,
+            refine_rounds=refine_rounds,
+        ).localCheckpoint(eager=True)  # feeds encode AND the query LUT
+    if codes is None:
+        codes = pq_encode(emb, codebooks, id_col, vec_col, m=m, dim=dim)
     qsubs = _pq_subcodes(emb.filter(query_pred), id_col, vec_col, m, dim).select(
         F.col(id_col).alias("query_id"), "sub", F.col("sc").alias("qc")
     )
