@@ -90,6 +90,10 @@ _NEEDS_DRIVER_ROW = [  # round-7 additions/changes, ascending expected sf0.01 ru
     # through the REAL ingestor with a replayed batch vs one-level replay.
     "queue_heavy_users_cms",
     "queue_latency_hist",
+    # new round-7: the warehouse fact-to-SCD2 join — each fact row
+    # enriched with the dimension version valid at the fact's own ts
+    # (half-open boundary: a change event lands in the regime it OPENED).
+    "scd2_fact_join",
 ]
 
 # Union of CORRECTNESS_r01..r06 keys: 184 hash-green at latest check,

@@ -338,6 +338,44 @@ def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_fact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE warehouse join: each fact row enriched with the SCD2 dimension
+    version that was valid AT THE FACT'S OWN TIMESTAMP — equi-join on the
+    key plus a half-open interval predicate (valid_from <= ts < valid_to,
+    NULL-open current regime).  Here both sides derive from events (the
+    event stream is its own dimension), which bakes in the boundary
+    case: an event that CAUSED a regime change must land in the regime
+    it opened (ts == valid_from), not the one it closed — exactly what
+    the half-open convention guarantees, and one reason the hash is
+    sensitive to the interval arithmetic.  Every fact matches exactly
+    one regime, so total n_events equals the fact count.
+
+    Plan: SMJ on user_id with the range predicates as join residue —
+    per-user history is short, so the within-key scan is bounded; at
+    100 TB the same query over a persisted dimension uses the
+    scd2_snapshot date-bucket pruning (operators/scd.py) before the
+    join.  Summarized per (regime attr, version) with exact id sums."""
+    from flume_spark.operators.temporal import scd2_history
+
+    ev = T(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hist = scd2_history(
+        ev, "user_id", "event_type", "ts", tiebreak="event_id"
+    ).alias("h")
+    fact = ev.select("user_id", "ts", "event_id").alias("f")
+    j = fact.join(
+        hist,
+        (F.col("f.user_id") == F.col("h.user_id"))
+        & (F.col("h.valid_from") <= F.col("f.ts"))
+        & (F.col("h.valid_to").isNull() | (F.col("f.ts") < F.col("h.valid_to"))),
+    )
+    return j.groupBy(
+        F.col("h.event_type").alias("regime_attr"), F.col("h.version").alias("version")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("f.event_id").alias("event_sum"),
+    )
+
+
 def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension build over the event stream: collapse each
     user's (ts, event_id)-ordered event_type sequence into versioned
@@ -404,6 +442,19 @@ SELECT event_type,
          AS total_regime_us
 FROM hist
 GROUP BY event_type
+"""
+)
+
+
+SCD2_FACT_JOIN_SQL = (
+    _SCD2_HIST_CTE
+    + """
+SELECT h.event_type AS regime_attr, h.version, count(*) AS n_events,
+       CAST(sum(f.event_id) AS BIGINT) AS event_sum
+FROM (SELECT user_id, ts, event_id FROM events WHERE ts IS NOT NULL) f
+JOIN hist h ON f.user_id = h.user_id AND h.valid_from <= f.ts
+           AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+GROUP BY 1, 2
 """
 )
 
@@ -487,6 +538,7 @@ QUERIES = {
     "scd2_user_history": scd2_user_history,
     "scd2_snapshot_counts": scd2_snapshot_counts,
     "scd2_incremental": scd2_incremental,
+    "scd2_fact_join": scd2_fact_join,
     "window_tumbling": window_tumbling,
     "events_funnel": events_funnel,
     "window_sliding": window_sliding,
@@ -501,6 +553,7 @@ ORACLES = {
     "scd2_snapshot_counts": SCD2_SNAPSHOT_SQL,
     # incremental path must equal the full rebuild: same oracle by design
     "scd2_incremental": SCD2_USER_HISTORY_SQL,
+    "scd2_fact_join": SCD2_FACT_JOIN_SQL,
     "window_tumbling": WINDOW_TUMBLING_SQL,
     "events_funnel": EVENTS_FUNNEL_SQL,
     "window_sliding": WINDOW_SLIDING_SQL,
