@@ -270,3 +270,73 @@ class HllIngestor:
         if regs is None:
             return None
         return hll_estimate(regs, self.keys, p=self.p)
+
+
+class PqIngestor:
+    """foreachBatch handler: encode arriving vectors against FIXED
+    pre-trained PQ codebooks and append their codes — the streaming
+    continuation of the PQ index (operators/similarity.py): codebooks
+    train once at setup (pq_codebooks over a seed corpus), after which
+    encoding is per-row and batch-parallel, so the codes table grows
+    append-only while staying searchable at any point
+    (pq_adc_topk(..., codebooks=..., codes=ing.codes())).
+
+    Replay contract matches the other ingestors: per-batch OVERWRITE
+    partition + acknowledgment ledger, and encoding is a pure per-row
+    function of (vector, codebooks), so a replayed batch rewrites
+    byte-identical codes — doubly convergent.
+    """
+
+    def __init__(
+        self,
+        spark,
+        codes_dir: str,
+        ledger_dir: str,
+        codebooks,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        m: int = 8,
+        dim: int = 64,
+    ) -> None:
+        self.spark = spark
+        self.codes_dir = codes_dir
+        self.codebooks = codebooks.localCheckpoint(eager=True)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.m = m
+        self.dim = dim
+        os.makedirs(codes_dir, exist_ok=True)
+        from flume_spark.streaming.sink import idempotent_foreach_batch
+
+        self.process = idempotent_foreach_batch(self._process, ledger_dir)
+
+    def _process(self, batch_df, batch_id: int) -> None:
+        from flume_spark.operators.similarity import pq_encode
+
+        codes = pq_encode(
+            batch_df,
+            self.codebooks,
+            self.id_col,
+            self.vec_col,
+            m=self.m,
+            dim=self.dim,
+        )
+        codes.write.mode("overwrite").parquet(
+            os.path.join(self.codes_dir, f"ingest_batch={batch_id}")
+        )
+
+    def _has_parquet(self) -> bool:
+        return any(
+            f.endswith(".parquet")
+            for dirpath, _, files in os.walk(self.codes_dir)
+            if "_temporary" not in dirpath
+            for f in files
+        )
+
+    def codes(self):
+        """The whole-history codes table (None before the first batch)."""
+        if not self._has_parquet():
+            return None
+        return self.spark.read.parquet(self.codes_dir).select(
+            self.id_col, "sub", "code", "dist"
+        )

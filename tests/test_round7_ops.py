@@ -467,3 +467,44 @@ def test_pq_centroid_property_matches_reference(spark):
         assert cb == want
 
     check()
+
+
+def test_pq_ingestor_streaming_index(spark, tmp_path):
+    """Streaming PQ: vectors arrive in 3 batches (one REPLAYED) against
+    fixed codebooks; the ingested codes table equals the whole-corpus
+    encode, and ADC search over it equals whole-corpus search — the
+    append-only index property that lets a 100 TB pipeline encode at
+    ingest and search any time."""
+    from flume_spark.operators import similarity as S
+    from flume_spark.streaming.sketch import PqIngestor
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cb = S.pq_codebooks(emb, refine_rounds=1).localCheckpoint(eager=True)
+    ing = PqIngestor(
+        spark, str(tmp_path / "codes"), str(tmp_path / "ledger"), cb
+    )
+    for b in range(3):
+        ing.process(emb.filter(F.col("vec_id") % 3 == b), b)
+    ing.process(emb.filter(F.col("vec_id") % 3 == 1), 1)  # replay: no-op
+
+    whole = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in S.pq_encode(emb, cb).collect()
+    }
+    streamed = {
+        (r["vec_id"], r["sub"]): r["code"] for r in ing.codes().collect()
+    }
+    assert streamed == whole
+
+    pred = F.col("vec_id") < 2
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.pq_adc_topk(emb, pred, k=5, codebooks=cb).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.pq_adc_topk(
+            emb, pred, k=5, codebooks=cb, codes=ing.codes()
+        ).collect()
+    }
+    assert got == want
