@@ -462,6 +462,48 @@ class OptimisticLogStore(LogBackend):
             except FileNotFoundError:
                 pass  # a racing compact already removed it
 
+    def vacuum(self, min_age_s: float = 3600.0) -> list[str]:
+        """Delete ORPHANED data files — present in the data dir but
+        referenced by no retained commit — older than `min_age_s`.
+
+        Orphans are the crash residue this store's own write protocol can
+        create: publish/append moves data files in FIRST (invisible) and
+        only then commits; a crash (or a lost commit race whose retry
+        re-staged new files) between the two leaves fully-written parquet
+        that no snapshot will ever reference, silently accumulating
+        forever.  This is Delta's VACUUM applied to the same invariant:
+        anything not reachable from the retained commit window and older
+        than the grace is garbage BY CONSTRUCTION — in-flight writers are
+        covered because their files are younger than any sane grace (a
+        move-then-commit gap is milliseconds; default grace 1h mirrors
+        Delta's conservative stance against clock skew).  Files listed in
+        ANY retained commit (not just the newest) survive, so time-travel
+        reads within the keep-window are never broken by a vacuum.
+
+        Returns the deleted names (for telemetry/audit)."""
+        referenced: set[str] = set()
+        for n in os.listdir(self._commit_dir):
+            if not n.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(self._commit_dir, n)) as f:
+                    referenced.update(json.load(f).get("files", []))
+            except (FileNotFoundError, ValueError):
+                continue  # pruned or torn mid-read by a racing pruner
+        cutoff = time.time() - min_age_s
+        deleted: list[str] = []
+        for n in os.listdir(self.path):
+            if not n.endswith(".parquet") or n in referenced:
+                continue
+            p = os.path.join(self.path, n)
+            try:
+                if os.path.getmtime(p) <= cutoff:
+                    os.unlink(p)
+                    deleted.append(n)
+            except FileNotFoundError:
+                continue  # racing vacuum
+        return deleted
+
     def _archive(self, succeeded: DataFrame) -> None:
         run = uuid.uuid4().hex[:8]
         stage_and_move_parquet(

@@ -402,3 +402,38 @@ def test_version_at_timestamp(spark, tmp_path):
     assert at == {"a": "pending"}
     assert store.version_at_timestamp(_time.time()) == store.version()
     assert store.version_at_timestamp(before_all) == 0
+
+
+def test_vacuum_reclaims_orphans_only(spark, tmp_path):
+    """vacuum deletes crash-orphaned data files (present on disk,
+    referenced by no retained commit, older than the grace) and NOTHING
+    else: live files and young orphans survive, and every retained
+    version stays readable afterwards (time travel unbroken)."""
+    import os
+    import time as _time
+
+    store = _opt(spark, tmp_path)
+    store.append_rows([_row("a", "pending", store.next_seq())])
+    v1 = store.version()
+    store.append_rows([_row("b", "pending", store.next_seq())])
+
+    # simulate the crash residue: a fully-written parquet moved into the
+    # data dir whose commit never happened
+    live = [n for n in os.listdir(store.path) if n.endswith(".parquet")]
+    orphan_old = os.path.join(store.path, "orphan-old.parquet")
+    orphan_new = os.path.join(store.path, "orphan-new.parquet")
+    src = os.path.join(store.path, live[0])
+    for dst in (orphan_old, orphan_new):
+        with open(src, "rb") as i, open(dst, "wb") as o:
+            o.write(i.read())
+    os.utime(orphan_old, (_time.time() - 7200, _time.time() - 7200))
+
+    deleted = store.vacuum(min_age_s=3600)
+    assert deleted == ["orphan-old.parquet"]
+    assert not os.path.exists(orphan_old)
+    assert os.path.exists(orphan_new)  # young orphan: in-flight grace
+    # live data intact, current read unaffected, old version still readable
+    assert {r["jid"] for r in store.current().collect()} == {"a", "b"}
+    assert store.current(at_version=v1).count() == 1
+    # idempotent: nothing left to reclaim at this grace
+    assert store.vacuum(min_age_s=3600) == []
