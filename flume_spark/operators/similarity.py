@@ -825,6 +825,84 @@ def pq_encode(
     )
 
 
+def pq_encode_arrow(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """The production-scale PQ encode: numpy argmin over Arrow batches.
+
+    Exact encode is inherently O(cells × dim) work PER VECTOR (every
+    cell's distance must be computed — FAISS pays the same, BLAS-
+    accelerated); the expression-path pq_encode spells that as Catalyst
+    higher-order lambdas, which are ~10-50x slower per element than a
+    vectorized matmul.  Here the codebooks ride to executors once as
+    numpy arrays (driver-bounded: the codebook is vocab-grain metadata)
+    and each Arrow batch computes all subspace argmins with
+    ||x||² - 2x·C + ||C||² row-block algebra — one mapInPandas boundary,
+    no shuffle.  Bit-identical to pq_encode: the quantization rule is
+    the same float64 expression sequence, distances are exact integers,
+    and np.argmin's first-minimum tie-break matches the (dist, code)
+    struct-min because cells are ordered by code id.  Equivalence is
+    pinned by test_round7_ops on real data."""
+    import numpy as np
+
+    cb_rows = codebooks.collect()
+    per_sub: dict[int, tuple[list[int], "np.ndarray"]] = {}
+    for sub in range(m):
+        rows = sorted(
+            ((r["code"], r["centroid"]) for r in cb_rows if r["sub"] == sub),
+            key=lambda t: t[0],
+        )
+        per_sub[sub] = (
+            [c for c, _ in rows],
+            np.array([v for _, v in rows], dtype=np.int64),
+        )
+    sd = dim // m
+    id_type = dict(emb.dtypes).get(id_col)
+    out_schema = f"{id_col} {id_type}, sub int, code int, dist long"
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            scale = np.abs(vecs).max(axis=1)
+            safe = np.where(scale == 0.0, 1.0, scale)
+            codes_int = np.floor(
+                vecs / safe[:, None] * 127.0 + 0.5
+            ).astype(np.int64)
+            frames = []
+            for sub in range(m):
+                cell_codes, cents = per_sub[sub]
+                x = codes_int[:, sub * sd : (sub + 1) * sd]
+                # exact integer squared L2 via row-block algebra
+                d = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2 * (x @ cents.T)
+                    + (cents * cents).sum(axis=1)[None, :]
+                )
+                arg = d.argmin(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: pdf[id_col].values,
+                            "sub": np.int32(sub),
+                            "code": np.array(
+                                [cell_codes[a] for a in arg], dtype=np.int32
+                            ),
+                            "dist": d[np.arange(len(arg)), arg],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return emb.select(id_col, vec_col).mapInPandas(encode_batches, out_schema)
+
+
 def pq_adc_topk(
     emb: DataFrame,
     query_pred: Column,

@@ -912,6 +912,65 @@ def main_scd2() -> None:
         print(json.dumps(out), flush=True)
 
 
+def main_pq() -> None:
+    """PQ index scale probe: fixed codebooks (trained ONCE on the x1
+    slice — the at-ingest shape), corpus replicated x1/x10/x50 via the
+    cosine-preserving Rademacher perturbation, measuring (a) encode cost
+    — must be ~linear in corpus (per-row map + broadcast argmin), and
+    (b) ADC search cost over the encoded index for 2 queries — one
+    broadcast-LUT join + partial-agg sum over the codes table, the
+    memory-bound linear scan IVF cells would prune at 100 TB.  Neither
+    leg may shuffle the corpus: encode's argmin and search's LUT join
+    are both broadcast-side."""
+    from flume_spark.operators import similarity as S
+
+    factors = sorted(int(a) for a in sys.argv[2:]) or [1, 10, 50]
+    spark = get_spark(app_name="flume_probe_pq")
+    base = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).select(
+        "vec_id", "embedding"
+    )
+    cb = S.pq_codebooks(base, refine_rounds=1).localCheckpoint(eager=True)
+    results: dict[str, dict[int, float]] = {}
+    for f in factors:
+        emb = scaled_embeddings(spark, f)
+        n = emb.count()
+        t0 = time.perf_counter()
+        # the production encode path (numpy over Arrow batches): exact
+        # encode is O(cells x dim) per vector either way, but the
+        # vectorized matmul beats Catalyst lambdas ~12x (pq_encode at
+        # x10 took 74s where arrow takes ~6; equivalence is test-pinned)
+        codes = S.pq_encode_arrow(emb, cb).localCheckpoint(eager=True)
+        n_codes = codes.count()
+        encode_s = round(time.perf_counter() - t0, 2)
+        samples = []
+        for _ in range(4):  # first warms; min of the last 3
+            t0 = time.perf_counter()
+            S.pq_adc_topk(
+                emb, F.col("vec_id") < 2, k=10, codebooks=cb, codes=codes
+            ).count()
+            samples.append(round(time.perf_counter() - t0, 2))
+        search_s = min(samples[1:])
+        results.setdefault("encode", {})[f] = encode_s
+        results.setdefault("search", {})[f] = search_s
+        print(json.dumps({
+            "probe": f"pq@x{f}", "vectors": n, "code_rows": n_codes,
+            "encode_s": encode_s, "search_s": search_s,
+            "search_samples": samples,
+        }), flush=True)
+        emb.unpersist()
+    base_f = factors[0]
+    summary = {}
+    for leg, times in results.items():
+        t1 = times[base_f]
+        exps = {
+            f: round(math.log(times[f] / t1) / math.log(f / base_f), 2)
+            for f in factors
+            if f != base_f and times[f] > 0 and t1 > 0
+        }
+        summary[leg] = {"sec": times, "exponent": exps}
+    print(json.dumps({"summary": summary}), flush=True)
+
+
 def main_scd2_compact() -> None:
     """SCD2 compaction payoff probe: a CHATTY no-change stream.
 
@@ -1088,5 +1147,7 @@ if __name__ == "__main__":
         main_scd2()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scd2compact":
         main_scd2_compact()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--pq":
+        main_pq()
     else:
         main()

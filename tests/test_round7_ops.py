@@ -508,3 +508,22 @@ def test_pq_ingestor_streaming_index(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_pq_encode_arrow_matches_expression(spark):
+    """The numpy/Arrow encode (the scale path) is bit-identical to the
+    expression path: same quantization float sequence, same integer
+    distances, same first-minimum tie-break (cells ordered by code)."""
+    from flume_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cb = S.pq_codebooks(emb, refine_rounds=1).localCheckpoint(eager=True)
+    a = {
+        (r["vec_id"], r["sub"]): (r["code"], r["dist"])
+        for r in S.pq_encode(emb, cb).collect()
+    }
+    b = {
+        (r["vec_id"], r["sub"]): (r["code"], r["dist"])
+        for r in S.pq_encode_arrow(emb, cb).collect()
+    }
+    assert a == b and len(a) == 4000
