@@ -100,6 +100,9 @@ HEADLINE = [
     "graph_triangles",
     "scd2_incremental",
     "snapshot_diff_orders",
+    # round-8 additions — no earlier-round baseline rows
+    "dedup_substring_exact",
+    "dedup_semantic",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture
@@ -118,6 +121,12 @@ SHARDED = [
     "dedup_ngram_jaccard_capped",
     "channel_running_compare",
     "ann_range_cells",
+    # round-8 growth (contract test fired on the new headline entries):
+    # both are near-duplicate siblings of entries that stay official
+    # (graph_pagerank_k / histogram_quantiles) and neither has a
+    # BASELINE.md table row
+    "graph_pagerank_step",
+    "sketch_histogram",
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

@@ -1287,3 +1287,199 @@ def incremental_prefix_candidates(
     return (
         hist_pairs.select(*out).unionByName(new_pairs.select(*out)).distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (span) dedup — the windowed-hash analog of the
+# suffix-array dedup in Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" (arXiv:2107.06499).
+# ---------------------------------------------------------------------------
+
+
+def substring_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    with_text: bool = False,
+) -> DataFrame:
+    """Every k-WORD window of the normalized text as (id, h[, span]).
+
+    Normalization: lowercase, non-alphanumerics collapsed to single spaces —
+    the same canon the fingerprint/shingle family uses, so "foo, Bar" and
+    "foo bar" share windows.  h = md5 of the space-joined window, making
+    results engine-independent (the DuckDB oracle computes the identical
+    hash).  Docs shorter than k words emit no windows.
+
+    Scale: output is O(total words) rows — LINEAR in corpus size (the
+    footprint a suffix array would need), never pairwise; window hashing is
+    whole-stage-codegen (md5 over array_join of array slices), no Python
+    boundary.  `with_text` widens each row by the span text; keep it False
+    on the aggregate path so the shuffle carries only 32-byte hashes.
+    """
+    words = F.expr(
+        f"split(trim(regexp_replace(lower({text_col}), '[^a-z0-9]+', ' ')), ' ')"
+    )
+    base = (
+        df.select(F.col(id_col).alias("id"), words.alias("w"))
+        .filter(F.size("w") >= k)
+    )
+    if not with_text:
+        wins = F.expr(
+            f"transform(sequence(1, size(w) - {k} + 1),"
+            f" i -> md5(array_join(slice(w, i, {k}), ' ')))"
+        )
+        return base.select("id", F.explode(wins).alias("h"))
+    wins = F.expr(
+        f"transform(sequence(1, size(w) - {k} + 1),"
+        f" i -> struct(md5(array_join(slice(w, i, {k}), ' ')) AS h,"
+        f"             array_join(slice(w, i, {k}), ' ') AS span))"
+    )
+    return base.select("id", F.explode(wins).alias("ws")).select(
+        "id", F.col("ws.h").alias("h"), F.col("ws.span").alias("span")
+    )
+
+
+def substring_dup_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Per-document duplicated-span profile: what fraction of the doc's
+    k-word windows also appears VERBATIM in another document.
+
+    Returns (id_col, n_windows, n_dup_windows, dup_frac) for every doc with
+    at least one window.  "Duplicated" means the window hash occurs in > 1
+    DISTINCT document — within-doc repetition does not count (that is
+    text_repetition's signal); this is the cross-document leakage the
+    Lee et al. suffix-array pass removes before training.
+
+    Scale: one exchange keyed on the window hash builds the duplicated-hash
+    set (count-distinct-docs per hash, map-side partial agg first); the
+    per-doc counts are exchanges on the doc id.  Nothing is pairwise: a
+    span shared by d documents costs d rows, not d^2 — the property that
+    makes this the 100 TB-safe exact-substring pass while pairwise
+    similarity joins stay candidate-bounded.
+    """
+    wins = substring_windows(_spread(df), id_col, text_col, k=k)
+    cross_dup = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h")
+    )
+    totals = wins.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
+    dup_counts = (
+        wins.join(cross_dup, "h")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("dup_w"))
+    )
+    return (
+        totals.join(dup_counts, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_windows",
+            F.coalesce("dup_w", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce("dup_w", F.lit(0)) / F.col("n_windows"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def substring_hot_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, top: int = 20
+) -> DataFrame:
+    """The corpus's most-duplicated verbatim k-word spans — the boilerplate
+    report (license headers, nav bars, disclaimer blocks) a curation run
+    reads before deciding removal rules.
+
+    Returns (h, n_docs, n_occurrences, example_span), top-N by
+    (n_docs, n_occurrences) desc with the hash as the deterministic
+    tiebreak.  Two-phase so span TEXT never rides the wide shuffle: the
+    aggregate runs over 32-byte hashes only, the top-N winners (a k-row
+    frame) are broadcast back over a second window pass to recover one
+    example rendering per hash.
+    """
+    wins = substring_windows(_spread(df), id_col, text_col, k=k)
+    hot = (
+        wins.groupBy("h")
+        .agg(
+            F.count_distinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "h")
+        .limit(top)
+    )
+    spans = substring_windows(_spread(df), id_col, text_col, k=k, with_text=True)
+    example = (
+        spans.join(F.broadcast(hot.select("h")), "h")
+        .groupBy("h")
+        .agg(F.min("span").alias("example_span"))
+    )
+    return hot.join(F.broadcast(example), "h").select(
+        "h", "n_docs", "n_occurrences", "example_span"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+# cluster embeddings, prune within-cluster cosine near-duplicates.
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Mark within-cluster embedding near-duplicates, keeping one
+    representative per neighborhood.
+
+    Keep rule (deterministic, SQL-expressible): a vector is a duplicate iff
+    some LOWER-id vector in its k-means cluster has cosine >= threshold
+    (both engines round the cosine to 6dp before comparing); dup_of is the
+    smallest such id, so the lowest id of every near-dup neighborhood
+    always survives.  Cluster assignment is the deterministic Lloyd step
+    against the md5-seeded init centroids (`kmeans_assign_step`), so the
+    whole operator is hash-checkable end to end.
+
+    Returns (id_col, cluster, dup_of, is_dup).
+
+    Scale: this is SemDeDup's exact shape — the pairwise leg is restricted
+    to same-cluster pairs, cost sum(c_i^2) instead of n^2, with k grown
+    with the corpus (the paper uses ~n/1e4 clusters) to bound cluster
+    populations.  One exchange on the cluster key; the centroid frame is a
+    broadcast of k rows; the cosine is a codegen zip_with/aggregate fold
+    (no Python).  On a real corpus the iterative `kmeans` trainer (or the
+    memoized IVF index) supplies the centroids; the assignment and pruning
+    legs are unchanged.
+    """
+    from flume_spark.operators.similarity import cosine_expr, kmeans_assign_step
+
+    assign = kmeans_assign_step(emb, id_col, vec_col, k=k).select("id", "cluster")
+    pts = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .join(assign, "id")
+    )
+    a = pts.select(
+        F.col("id").alias("id_a"), "cluster", F.col("vec").alias("va")
+    )
+    b = pts.select(
+        F.col("id").alias("id_b"), "cluster", F.col("vec").alias("vb")
+    )
+    dups = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return assign.join(dups, assign["id"] == dups["id_b"], "left").select(
+        F.col("id").alias(id_col),
+        "cluster",
+        "dup_of",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+    )

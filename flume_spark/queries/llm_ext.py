@@ -1027,8 +1027,137 @@ FROM documents GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact substring (span) dedup + semantic dedup (round 8)
+# ---------------------------------------------------------------------------
+
+
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring profile (operators/dedup.py::
+    substring_dup_stats): per doc, the fraction of its 8-word windows that
+    appear verbatim in another document — the windowed-hash analog of the
+    suffix-array dedup pass of Lee et al. 2022 (arXiv:2107.06499).  Linear
+    in corpus size: one exchange on the window hash, never pairwise."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.substring_dup_stats(docs, "doc_id", "text", k=8)
+
+
+DEDUP_SUBSTRING_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+           AS w
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, md5(array_to_string(w[i : i + 7], ' ')) AS h
+  FROM n, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+  WHERE len(w) >= 8
+),
+cross_dup AS (
+  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) > 1
+),
+tot AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY doc_id),
+dupc AS (
+  SELECT doc_id, count(*) AS dup_w
+  FROM wins JOIN cross_dup USING (h) GROUP BY doc_id
+)
+SELECT tot.doc_id,
+       n_windows,
+       COALESCE(dup_w, 0) AS n_dup_windows,
+       round(COALESCE(dup_w, 0) / n_windows, 6) AS dup_frac
+FROM tot LEFT JOIN dupc USING (doc_id)
+"""
+
+
+def dedup_substring_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's most-duplicated verbatim 8-word spans with an example
+    rendering — the boilerplate report a curation run reads before writing
+    removal rules.  Aggregates on 32-byte hashes, then broadcasts the 20
+    winners back to recover span text (text never rides the wide shuffle)."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.substring_hot_spans(docs, "doc_id", "text", k=8, top=20)
+
+
+DEDUP_SUBSTRING_HOT_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+           AS w
+  FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         md5(array_to_string(w[i : i + 7], ' ')) AS h,
+         array_to_string(w[i : i + 7], ' ')      AS span
+  FROM n, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+  WHERE len(w) >= 8
+),
+hot AS (
+  SELECT h, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+  FROM wins GROUP BY h HAVING count(DISTINCT doc_id) > 1
+  ORDER BY n_docs DESC, n_occurrences DESC, h
+  LIMIT 20
+)
+SELECT hot.h, hot.n_docs, hot.n_occurrences, min(wins.span) AS example_span
+FROM hot JOIN wins ON wins.h = hot.h
+GROUP BY hot.h, hot.n_docs, hot.n_occurrences
+"""
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) with a deterministic
+    keep rule (operators/dedup.py::semantic_dedup): k-means-cluster the
+    embeddings (md5-seeded Lloyd assignment step, the hash-checkable core
+    kmeans_assign already pins), then mark a vector duplicate iff a
+    LOWER-id same-cluster vector has cosine >= 0.4 (6dp-rounded in both
+    engines).  Pairwise cost is sum(cluster^2), never n^2."""
+    emb = T(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(emb, "vec_id", "embedding", k=4, threshold=0.4)
+
+
+DEDUP_SEMANTIC_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+              AS INT) AS cluster,
+         v AS cv
+  FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 4
+),
+scored AS (
+  SELECT e.vec_id AS id, init.cluster,
+         round(list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - init.cv[i]) * (e.v[i] - init.cv[i]))), 6) AS dist2
+  FROM e CROSS JOIN init
+),
+assign AS (
+  SELECT id, cluster FROM (
+    SELECT id, cluster,
+           row_number() OVER (PARTITION BY id ORDER BY dist2, cluster) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+pts AS (SELECT a.id, a.cluster, e.v FROM assign a JOIN e ON e.vec_id = a.id),
+dups AS (
+  SELECT y.id AS id_b, min(x.id) AS dup_of
+  FROM pts x JOIN pts y ON x.cluster = y.cluster AND x.id < y.id
+  WHERE round(list_dot_product(x.v, y.v)
+              / (sqrt(list_dot_product(x.v, x.v))
+                 * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.4
+  GROUP BY y.id
+)
+SELECT a.id AS vec_id, a.cluster, d.dup_of, d.dup_of IS NOT NULL AS is_dup
+FROM assign a LEFT JOIN dups d ON d.id_b = a.id
+"""
+
+
 QUERIES = {
     "corpus_shard_manifest": corpus_shard_manifest,
+    "dedup_substring_exact": dedup_substring_exact,
+    "dedup_substring_hot": dedup_substring_hot,
+    "dedup_semantic": dedup_semantic,
     "text_chunk_sliding": text_chunk_sliding,
     "ann_topk_int8": ann_topk_int8,
     "ann_topk_pq": ann_topk_pq,
@@ -1055,6 +1184,9 @@ QUERIES = {
 
 ORACLES = {
     "corpus_shard_manifest": CORPUS_SHARD_MANIFEST_SQL,
+    "dedup_substring_exact": DEDUP_SUBSTRING_SQL,
+    "dedup_substring_hot": DEDUP_SUBSTRING_HOT_SQL,
+    "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "text_chunk_sliding": TEXT_CHUNK_SQL,
     "ann_topk_int8": ANN_INT8_SQL,
     "ann_topk_pq": ANN_PQ_SQL,

@@ -381,3 +381,28 @@ def test_orders_monthly_remerge_shuffles_partials_only(spark):
     assert "SinglePartition" not in plan
     # both levels carry map-side partial aggregation
     assert plan.count("partial_sum") >= 2
+
+
+def test_substring_dedup_no_pairwise(spark):
+    """Exact-substring dedup is LINEAR in corpus size: window rows meet the
+    duplicated-hash set through equi-joins only — no cartesian product and
+    no nested-loop pairwise leg anywhere in the plan.  This is the property
+    that lets the Lee-et-al-style span pass run where pairwise similarity
+    cannot."""
+    plan = explained(spark, "dedup_substring_exact")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_broadcasts_only_centroids(spark):
+    """SemDeDup's only nested-loop joins are k-row centroid broadcasts from
+    the assignment step (the unpersisted assignment subtree appears once per
+    consumer — final select + both pairwise sides — so up to 3, each over a
+    k-row build); the pairwise cosine leg itself is an equi-join on the
+    cluster key, so its cost is sum(cluster^2), never n^2."""
+    plan = explained(spark, "dedup_semantic")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 3
+    # and every nested loop is the Cross against the broadcast centroid
+    # frame, never a theta join between point tables
+    assert plan.count("Join type: Cross") == n_nodes(plan, "BroadcastNestedLoopJoin")

@@ -1,0 +1,119 @@
+"""Round-8 operator tests: exact substring (span) dedup — the windowed-hash
+analog of the Lee et al. 2022 suffix-array pass — and SemDeDup semantic
+dedup (cluster-restricted cosine pruning with a deterministic keep rule)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flume_spark.operators import dedup
+from tests.conftest import SF_ORACLE
+
+SPAN = "alpha bravo charlie delta echo foxtrot golf hotel"  # exactly 8 words
+
+
+def _docs(spark):
+    rows = [
+        (1, f"intro {SPAN} outro one"),  # shares SPAN with doc 2
+        (2, f"different lead-in {SPAN} tail"),  # punctuation must normalize away
+        (3, "unique words only here nothing shared at all nine ten"),
+        (4, "too short"),  # < 8 words -> no windows at all
+        (5, " ".join(["rep"] * 20)),  # within-doc repetition is NOT cross-dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_substring_dup_stats_counts_cross_doc_windows(spark):
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_frac"])
+        for r in dedup.substring_dup_stats(_docs(spark), "doc_id", "text", k=8)
+        .collect()
+    }
+    # doc 1: 11 words -> 4 windows, exactly the SPAN window shared with doc 2
+    assert got[1] == (4, 1, round(1 / 4, 6))
+    # doc 2: "lead-in" normalizes to two words -> 12 words -> 5 windows
+    assert got[2] == (5, 1, round(1 / 5, 6))
+    # doc 3: 10 unique words -> 3 windows, none shared
+    assert got[3] == (3, 0, 0.0)
+    # doc 5: 13 identical windows, but only ONE distinct doc -> not dup
+    assert got[5] == (13, 0, 0.0)
+    # doc 4 emits no windows (shorter than k) and is absent
+    assert 4 not in got
+
+
+def test_substring_hot_spans_reports_shared_span(spark):
+    rows = dedup.substring_hot_spans(_docs(spark), "doc_id", "text", k=8).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r["example_span"] == SPAN
+    assert r["n_docs"] == 2
+    assert r["n_occurrences"] == 2
+
+
+def test_substring_windows_respect_normalization(spark):
+    """Case and punctuation differences must not break span identity."""
+    df = spark.createDataFrame(
+        [(1, SPAN.upper().replace(" ", ", ")), (2, SPAN)],
+        "doc_id long, text string",
+    )
+    stats = {
+        r["doc_id"]: r["n_dup_windows"]
+        for r in dedup.substring_dup_stats(df, "doc_id", "text", k=8).collect()
+    }
+    assert stats == {1: 1, 2: 1}
+
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9999, 0.01]),  # near-dup of 1
+            (3, [0.0, 1.0]),  # orthogonal: never a dup at t=0.9
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["dup_of"], r["is_dup"])
+        for r in dedup.semantic_dedup(
+            emb, "vec_id", "embedding", k=1, threshold=0.9
+        ).collect()
+    }
+    assert got[1] == (None, False)  # the representative survives
+    assert got[2] == (1, True)
+    assert got[3] == (None, False)
+
+
+def test_semantic_dedup_pairs_are_same_cluster_and_over_threshold(spark):
+    """Self-consistency on real data: every marked duplicate names a
+    lower-id partner in the SAME cluster with cosine >= threshold."""
+    from flume_spark.operators.similarity import cosine_expr, kmeans_assign_step
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    marked = dedup.semantic_dedup(emb, "vec_id", "embedding", k=4, threshold=0.4)
+    dups = marked.filter("is_dup").select(
+        F.col("vec_id").alias("id_b"), F.col("dup_of").alias("id_a")
+    )
+    assign = kmeans_assign_step(emb, "vec_id", "embedding", k=4).select(
+        "id", "cluster"
+    )
+    vecs = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    joined = (
+        dups.join(
+            assign.select(F.col("id").alias("id_a"), F.col("cluster").alias("ca")),
+            "id_a",
+        )
+        .join(
+            assign.select(F.col("id").alias("id_b"), F.col("cluster").alias("cb")),
+            "id_b",
+        )
+        .join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
+    )
+    assert joined.count() > 0, "sf0.01 embeddings should contain semantic dups"
+    bad = joined.filter(
+        (F.col("ca") != F.col("cb"))
+        | (F.col("cosine") < 0.4)
+        | (F.col("id_a") >= F.col("id_b"))
+    )
+    assert bad.count() == 0
