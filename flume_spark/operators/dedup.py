@@ -1316,6 +1316,9 @@ def substring_windows(
     whole-stage-codegen (md5 over array_join of array slices), no Python
     boundary.  `with_text` widens each row by the span text; keep it False
     on the aggregate path so the shuffle carries only 32-byte hashes.
+
+    Rows carry `pos` (0-based window start) so an OCCURRENCE has identity —
+    the incremental path dedups per-occurrence match evidence on (id, pos).
     """
     words = F.expr(
         f"split(trim(regexp_replace(lower({text_col}), '[^a-z0-9]+', ' ')), ' ')"
@@ -1329,14 +1332,14 @@ def substring_windows(
             f"transform(sequence(1, size(w) - {k} + 1),"
             f" i -> md5(array_join(slice(w, i, {k}), ' ')))"
         )
-        return base.select("id", F.explode(wins).alias("h"))
+        return base.select("id", F.posexplode(wins).alias("pos", "h"))
     wins = F.expr(
         f"transform(sequence(1, size(w) - {k} + 1),"
         f" i -> struct(md5(array_join(slice(w, i, {k}), ' ')) AS h,"
         f"             array_join(slice(w, i, {k}), ' ') AS span))"
     )
-    return base.select("id", F.explode(wins).alias("ws")).select(
-        "id", F.col("ws.h").alias("h"), F.col("ws.span").alias("span")
+    return base.select("id", F.posexplode(wins).alias("pos", "ws")).select(
+        "id", "pos", F.col("ws.h").alias("h"), F.col("ws.span").alias("span")
     )
 
 
@@ -1482,4 +1485,77 @@ def semantic_dedup(
         "cluster",
         "dup_of",
         F.col("dup_of").isNotNull().alias("is_dup"),
+    )
+
+
+def incremental_substring_stats(
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    history_windows: DataFrame | None = None,
+    history: DataFrame | None = None,
+) -> DataFrame:
+    """`substring_dup_stats` for an ingest BATCH against an existing corpus
+    — without rescanning history documents.
+
+    A new doc's window occurrence is duplicated iff its hash is held by any
+    OTHER document: in history (probe the window index) or in the batch
+    itself (self-join).  Occurrence identity is (id, pos), so an occurrence
+    matched by BOTH legs counts once; per-doc counts then match the
+    whole-corpus `substring_dup_stats` restricted to the batch exactly —
+    the merge-equals-rebuild theorem the `dedup_substring_incremental`
+    oracle pins by hash-equality.
+
+    `history_windows`: a persisted (id, h) frame — in production the
+    bucketed band-key table (`write_band_index` with band_key = h, the
+    SAME index machinery the LSH family uses): the index side of the probe
+    join reads exchange-free from its buckets, only the O(batch x words)
+    probe side shuffles, so per-ingest cost is independent of corpus size.
+    Window hashing is a pure per-doc function, so the index is append-only
+    by construction (nothing ever goes stale — no compact-for-correctness,
+    only compact-for-file-count).  Passing raw `history` docs instead
+    windows them in-plan (correct, but pays the history scan this call).
+
+    Returns (id_col, n_windows, n_dup_windows, dup_frac) for batch docs
+    with >= 1 window.  ids must be disjoint across batch and history; a
+    re-ingested id is guarded from matching itself.
+    """
+    if (history_windows is None) == (history is None):
+        raise ValueError("pass exactly one of history_windows / history")
+    nw = substring_windows(_spread(new), id_col, text_col, k=k)
+    hw = (
+        history_windows.select("id", "h")
+        if history_windows is not None
+        else substring_windows(_spread(history), id_col, text_col, k=k).select(
+            "id", "h"
+        )
+    )
+    hist_hits = nw.alias("a").join(
+        hw.alias("b"),
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.id") != F.col("b.id")),
+        "left_semi",
+    )
+    self_hits = nw.alias("a").join(
+        nw.select("id", "h").alias("b"),
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.id") != F.col("b.id")),
+        "left_semi",
+    )
+    dup_occ = (
+        hist_hits.select("id", "pos")
+        .unionByName(self_hits.select("id", "pos"))
+        .distinct()
+    )
+    totals = nw.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
+    dup_counts = dup_occ.groupBy("id").agg(F.count(F.lit(1)).alias("dup_w"))
+    return (
+        totals.join(dup_counts, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_windows",
+            F.coalesce("dup_w", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce("dup_w", F.lit(0)) / F.col("n_windows"), 6
+            ).alias("dup_frac"),
+        )
     )

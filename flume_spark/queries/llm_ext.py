@@ -1105,6 +1105,52 @@ GROUP BY hot.h, hot.n_docs, hot.n_occurrences
 """
 
 
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-ingest exact-substring path (operators/dedup.py::
+    incremental_substring_stats): odd-doc_id docs arrive as a batch against
+    the even-doc_id corpus held as a window index; per-occurrence match
+    evidence from the history probe and the batch self-join is merged on
+    (id, pos).  The oracle computes the WHOLE-corpus stats and restricts to
+    the batch — hash-equality IS the merge-equals-rebuild theorem that
+    makes the persisted window index (append-only by construction: window
+    hashing is a pure per-doc function) safe to ingest against forever."""
+    docs = T(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.incremental_substring_stats(
+        new, "doc_id", "text", k=8, history=history
+    )
+
+
+DEDUP_SUBSTRING_INCR_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+           AS w
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, md5(array_to_string(w[i : i + 7], ' ')) AS h
+  FROM n, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+  WHERE len(w) >= 8
+),
+cross_dup AS (
+  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) > 1
+),
+tot AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY doc_id),
+dupc AS (
+  SELECT doc_id, count(*) AS dup_w
+  FROM wins JOIN cross_dup USING (h) GROUP BY doc_id
+)
+SELECT tot.doc_id,
+       n_windows,
+       COALESCE(dup_w, 0) AS n_dup_windows,
+       round(COALESCE(dup_w, 0) / n_windows, 6) AS dup_frac
+FROM tot LEFT JOIN dupc USING (doc_id)
+WHERE tot.doc_id % 2 = 1
+"""
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) with a deterministic
     keep rule (operators/dedup.py::semantic_dedup): k-means-cluster the
@@ -1157,6 +1203,7 @@ QUERIES = {
     "corpus_shard_manifest": corpus_shard_manifest,
     "dedup_substring_exact": dedup_substring_exact,
     "dedup_substring_hot": dedup_substring_hot,
+    "dedup_substring_incremental": dedup_substring_incremental,
     "dedup_semantic": dedup_semantic,
     "text_chunk_sliding": text_chunk_sliding,
     "ann_topk_int8": ann_topk_int8,
@@ -1186,6 +1233,7 @@ ORACLES = {
     "corpus_shard_manifest": CORPUS_SHARD_MANIFEST_SQL,
     "dedup_substring_exact": DEDUP_SUBSTRING_SQL,
     "dedup_substring_hot": DEDUP_SUBSTRING_HOT_SQL,
+    "dedup_substring_incremental": DEDUP_SUBSTRING_INCR_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "text_chunk_sliding": TEXT_CHUNK_SQL,
     "ann_topk_int8": ANN_INT8_SQL,

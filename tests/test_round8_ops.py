@@ -117,3 +117,86 @@ def test_semantic_dedup_pairs_are_same_cluster_and_over_threshold(spark):
         | (F.col("id_a") >= F.col("id_b"))
     )
     assert bad.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# incremental substring dedup (at-ingest path + persisted window index)
+# ---------------------------------------------------------------------------
+
+
+def _span_corpus(spark):
+    """Docs 1 and 3 are odd (the batch), doc 2 is even (history); SPAN
+    appears in all three, so a batch occurrence is matched BOTH by history
+    and by the batch itself — the double-evidence case (id, pos) dedups."""
+    rows = [
+        (1, f"intro {SPAN} outro one"),
+        (2, f"different lead in {SPAN} tail"),
+        (3, f"third copy here {SPAN} closing words now"),
+        (5, "unique odd words only here nothing shared at all"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_substring_matches_whole_rebuild(spark):
+    docs = _span_corpus(spark)
+    inc = dedup.incremental_substring_stats(
+        docs.filter("doc_id % 2 = 1"),
+        "doc_id",
+        "text",
+        k=8,
+        history=docs.filter("doc_id % 2 = 0"),
+    )
+    whole = dedup.substring_dup_stats(docs, "doc_id", "text", k=8).filter(
+        "doc_id % 2 = 1"
+    )
+    got = {tuple(r) for r in inc.collect()}
+    want = {tuple(r) for r in whole.collect()}
+    assert got == want
+    # the triple-shared SPAN counts each batch occurrence ONCE despite
+    # matching both history (doc 2) and the batch (docs 1<->3)
+    by_id = {r["doc_id"]: r["n_dup_windows"] for r in inc.collect()}
+    assert by_id[1] == 1 and by_id[3] == 1
+
+
+def test_incremental_substring_requires_exactly_one_history(spark):
+    docs = _span_corpus(spark)
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.incremental_substring_stats(docs, "doc_id", "text", k=8)
+    with pytest.raises(ValueError):
+        dedup.incremental_substring_stats(
+            docs, "doc_id", "text", k=8, history=docs, history_windows=docs
+        )
+
+
+def test_incremental_substring_persisted_index_path(spark, tmp_path):
+    """The production shape: history windows persisted through the SAME
+    bucketed band-key machinery the LSH index uses (band_key = window
+    hash).  The probe engages the bucketed scan (index side exchange-free)
+    and the results equal the in-plan history baseline."""
+    from flume_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    hist = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    hw = dedup.substring_windows(hist, "doc_id", "text", k=8).select(
+        "id", F.col("h").alias("band_key")
+    )
+    try:
+        dedup.write_band_index(hw, "r8_win_idx", str(tmp_path / "widx"), buckets=4)
+        idx = dedup.read_band_index(spark, "r8_win_idx").select(
+            "id", F.col("band_key").alias("h")
+        )
+        inc = dedup.incremental_substring_stats(
+            new, "doc_id", "text", k=8, history_windows=idx
+        )
+        assert "SelectedBucketsCount" in explain_str(inc)
+        baseline = dedup.incremental_substring_stats(
+            new, "doc_id", "text", k=8, history=hist
+        )
+        assert {tuple(r) for r in inc.collect()} == {
+            tuple(r) for r in baseline.collect()
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r8_win_idx")
