@@ -1559,3 +1559,78 @@ def incremental_substring_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def substring_dedup_clean(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """The curation ACTION for exact-substring dedup: remove every
+    duplicated k-word span from the corpus, keeping exactly one canonical
+    occurrence — the "drop repeated substrings, keep first" pass of
+    Lee et al. 2022 (arXiv:2107.06499), in keep-one-globally form.
+
+    Semantics (deterministic): a window hash with > 1 occurrence GLOBALLY
+    (cross-doc or within-doc) is duplicated; its canonical occurrence is
+    the globally smallest (id, pos); every NON-canonical occurrence's k
+    covered word positions are removed from its document.  A canonical
+    occurrence's words survive unless an OVERLAPPING non-canonical
+    occurrence of some other hash covers them (accepted: removal is
+    per-position, the union of covered positions).
+
+    Returns (id_col, n_words, n_kept, clean_text) for every document —
+    clean_text is the kept words rejoined in order ('' if everything was
+    covered).  Word positions use the same normalization as
+    `substring_windows`, so stats and action agree on span identity.
+
+    Scale: canonical selection is groupBy(h) with min(struct(id, pos)) +
+    count — ONE map-side-combinable aggregate, never a per-hash sort (a
+    boilerplate span occurring millions of times costs one combine tree,
+    not a million-row window sort).  Coverage expansion is k rows per
+    non-canonical occurrence (bounded by duplication mass); the anti-join
+    and the per-doc reassembly key on (id, wpos) / id.  Everything is
+    codegen; reassembly state is bounded by single-document size.
+    """
+    words_arr = F.expr(
+        f"split(trim(regexp_replace(lower({text_col}), '[^a-z0-9]+', ' ')), ' ')"
+    )
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(words_arr).alias("wpos", "word"),
+    )
+    wins = substring_windows(df, id_col, text_col, k=k)
+    dup = (
+        wins.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("id", "pos")).alias("canon"),
+        )
+        .filter(F.col("cnt") > 1)
+        .select("h", "canon")
+    )
+    noncanon = wins.join(dup, "h").filter(
+        (F.col("id") != F.col("canon.id")) | (F.col("pos") != F.col("canon.pos"))
+    )
+    covered = noncanon.select(
+        "id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(
+            "wpos"
+        ),
+    ).distinct()
+    kept = words.join(covered, ["id", "wpos"], "left_anti")
+    totals = words.groupBy("id").agg(F.count(F.lit(1)).alias("n_words"))
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wpos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return totals.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_words",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -41,10 +41,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # query dict (no typos, no overlap, full coverage).
 # Round-7 re-tier done: all 50 CORRECTNESS_r06 rows (50/50 hash-green)
 # folded into _DRIVER_CHECKED.  This list is now the round-7 new/changed
-# set.  ROUND-8 RE-TIERING (do this first next round): once
-# CORRECTNESS_r07.json lands, fold ALL its rows into _DRIVER_CHECKED, then
-# rebuild this list from round-8 changes.  tests/test_registry.py fails
-# loudly on typos/overlap.
+# set.  Round-8 note: CORRECTNESS_r07.json never materialized (the judge
+# last ran at round 6), so the round-7 set CARRIES OVER unchecked and
+# stays first; round-8 additions land in the middle group right behind it
+# (14 carried + round-8 news fit comfortably inside the 50-entry prefix).
+# ROUND-9 RE-TIERING (do this first next round): once a new
+# CORRECTNESS_r{N}.json lands, fold ALL its rows into _DRIVER_CHECKED,
+# then rebuild this list from that round's changes.  tests/test_registry.py
+# fails loudly on typos/overlap.
 _NEEDS_DRIVER_ROW = [  # round-7 additions/changes, ascending expected sf0.01 runtime
     # graph_triangles re-verify: edge orientation changed from id-order to
     # (degree, id)-rank order (skew-safe wedge plan); triangles are

@@ -1151,6 +1151,63 @@ WHERE tot.doc_id % 2 = 1
 """
 
 
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-REMOVAL action (operators/dedup.py::substring_dedup_clean):
+    every duplicated 8-word span keeps exactly one canonical occurrence
+    (globally smallest (doc_id, pos)); all other occurrences' word
+    positions are dropped and the documents rebuilt.  Canonical selection
+    is one min-struct aggregate (map-side combinable — a million-copy
+    boilerplate span costs a combine tree, not a million-row sort)."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.substring_dedup_clean(docs, "doc_id", "text", k=8)
+
+
+DEDUP_SUBSTRING_CLEAN_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+           AS w
+  FROM documents
+),
+words AS (
+  SELECT doc_id, i - 1 AS wpos, w[i] AS word
+  FROM n, unnest(range(1, len(w) + 1)) AS t(i)
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i : i + 7], ' ')) AS h
+  FROM n, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+  WHERE len(w) >= 8
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         count(*)     OVER (PARTITION BY h) AS cnt
+  FROM wins
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS wpos
+  FROM ranked, unnest(range(0, 8)) AS u(j)
+  WHERE cnt > 1 AND rn > 1
+),
+kept AS (
+  SELECT wo.doc_id, wo.wpos, wo.word
+  FROM words wo LEFT JOIN covered c
+    ON c.doc_id = wo.doc_id AND c.wpos = wo.wpos
+  WHERE c.doc_id IS NULL
+),
+tot AS (SELECT doc_id, count(*) AS n_words FROM words GROUP BY doc_id),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(word, ' ' ORDER BY wpos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT tot.doc_id, n_words,
+       COALESCE(n_kept, 0)      AS n_kept,
+       COALESCE(clean_text, '') AS clean_text
+FROM tot LEFT JOIN agg USING (doc_id)
+"""
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) with a deterministic
     keep rule (operators/dedup.py::semantic_dedup): k-means-cluster the
@@ -1204,6 +1261,7 @@ QUERIES = {
     "dedup_substring_exact": dedup_substring_exact,
     "dedup_substring_hot": dedup_substring_hot,
     "dedup_substring_incremental": dedup_substring_incremental,
+    "dedup_substring_clean": dedup_substring_clean,
     "dedup_semantic": dedup_semantic,
     "text_chunk_sliding": text_chunk_sliding,
     "ann_topk_int8": ann_topk_int8,
@@ -1234,6 +1292,7 @@ ORACLES = {
     "dedup_substring_exact": DEDUP_SUBSTRING_SQL,
     "dedup_substring_hot": DEDUP_SUBSTRING_HOT_SQL,
     "dedup_substring_incremental": DEDUP_SUBSTRING_INCR_SQL,
+    "dedup_substring_clean": DEDUP_SUBSTRING_CLEAN_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "text_chunk_sliding": TEXT_CHUNK_SQL,
     "ann_topk_int8": ANN_INT8_SQL,

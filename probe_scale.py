@@ -37,6 +37,15 @@ probe: per-iteration wall-clock off the src-bucketed+degree-decorated
 edge index vs plain parquet as the edge table grows — the timed evidence
 behind the exchange-free plan gate (test_round5_ops.py).
 
+`python probe_scale.py --substr [factor ...]` runs the exact-substring
+dedup probe: whole-corpus window stats (expect ~linear) and the
+at-ingest cost of a fixed batch against a persisted bucketed window
+index as history grows (expect ~flat).
+
+`python probe_scale.py --semantic [factor ...]` runs the SemDeDup probe
+with cluster count grown with the corpus (k = 4f), the discipline that
+keeps the within-cluster pairwise leg ~linear.
+
 `python probe_scale.py --ts [factor ...]` runs the time-series
 similarity-search probe: users replicated with per-replica value shifts
 (cross-replica words differ, so candidate pairs stay ~linear in users —
@@ -1124,6 +1133,121 @@ def main_prefix() -> None:
     print(json.dumps({"summary": {"prefix_filter": {"exponent": exps}}}), flush=True)
 
 
+def main_substr() -> None:
+    """Exact-substring dedup scale probe.  Whole-corpus stats should be
+    ~LINEAR in corpus tokens (exponent ~1: one window-hash exchange, no
+    pairwise leg — the salted perturbation keeps cross-replica windows
+    distinct so output stays linear too).  The at-ingest path probes a
+    FIXED base-corpus batch against a PERSISTED bucketed window index at
+    each history factor: per-ingest cost should stay ~flat (probe side is
+    O(batch), index side reads exchange-free from its buckets)."""
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
+    spark = get_spark(app_name="flume_probe_substr")
+    whole_t: dict[int, float] = {}
+    ingest_t: dict[int, float] = {}
+    batch = scaled_docs(spark, 1).select(
+        (F.col("doc_id") + 900_000_000).alias("doc_id"), "text"
+    )
+    batch = batch.localCheckpoint(eager=True)
+    n_batch = batch.count()
+    for f in factors:
+        docs = scaled_docs(spark, f)
+        n_docs = docs.count()
+        print(json.dumps({"factor": f, "docs": n_docs, "batch": n_batch}), flush=True)
+        dt, _ = probe(
+            f"substring_stats@x{f}",
+            lambda d=docs: dedup.substring_dup_stats(d, "doc_id", "text", k=8),
+        )
+        whole_t[f] = dt
+        hw = dedup.substring_windows(docs, "doc_id", "text", k=8).select(
+            "id", F.col("h").alias("band_key")
+        )
+        spark.sql("DROP TABLE IF EXISTS probe_win_idx")
+        dedup.write_band_index(
+            hw, "probe_win_idx", f"/tmp/probe_win_idx_x{f}", buckets=32
+        )
+        idx = dedup.read_band_index(spark, "probe_win_idx").select(
+            "id", F.col("band_key").alias("h")
+        )
+        dt, _ = probe(
+            f"substring_ingest@x{f}",
+            lambda b=batch, i=idx: dedup.incremental_substring_stats(
+                b, "doc_id", "text", k=8, history_windows=i
+            ),
+        )
+        ingest_t[f] = dt
+        spark.sql("DROP TABLE IF EXISTS probe_win_idx")
+        docs.unpersist()
+        spark.catalog.clearCache()
+    base = factors[0]
+    summary = {
+        "substring_stats": {
+            "sec": {k: round(v, 2) for k, v in whole_t.items()},
+            "exponent": {
+                f: round(math.log(whole_t[f] / whole_t[base]) / math.log(f / base), 2)
+                for f in factors
+                if f != base and whole_t[f] > 0
+            },
+        },
+        "substring_ingest_fixed_batch": {
+            "sec": {k: round(v, 2) for k, v in ingest_t.items()},
+            "exponent": {
+                f: round(
+                    math.log(ingest_t[f] / ingest_t[base]) / math.log(f / base), 2
+                )
+                for f in factors
+                if f != base and ingest_t[f] > 0
+            },
+        },
+    }
+    print(json.dumps({"summary": summary}), flush=True)
+
+
+def main_semantic() -> None:
+    """SemDeDup scale probe: cluster count GROWS with the corpus (k = 4f,
+    the paper's discipline — cluster populations stay ~constant), so the
+    within-cluster pairwise leg stays ~linear overall.  The Rademacher
+    perturbation keeps cross-replica cosines decorrelated, so dup output
+    stays ~linear in the corpus too.  A fixed k would send the exponent
+    toward 2 — that trap is documented in BASELINE.md, not probed at x50."""
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
+    spark = get_spark(app_name="flume_probe_semantic")
+    times: dict[int, float] = {}
+    for f in factors:
+        emb = scaled_embeddings(spark, f)
+        n_vecs = emb.count()
+        k = 4 * f
+        print(json.dumps({"factor": f, "vectors": n_vecs, "k": k}), flush=True)
+        dt, _ = probe(
+            f"semantic_dedup@x{f}",
+            lambda e=emb, kk=k: dedup.semantic_dedup(
+                e, "vec_id", "embedding", k=kk, threshold=0.4
+            ),
+        )
+        times[f] = dt
+        emb.unpersist()
+        spark.catalog.clearCache()
+    base = factors[0]
+    exps = {
+        f: round(math.log(times[f] / times[base]) / math.log(f / base), 2)
+        for f in factors
+        if f != base and times[f] > 0
+    }
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "semantic_dedup": {
+                        "sec": {k: round(v, 2) for k, v in times.items()},
+                        "exponent": exps,
+                    }
+                }
+            }
+        ),
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--ingest":
         main_ingest()
@@ -1143,6 +1267,10 @@ if __name__ == "__main__":
         main_backend()
     elif len(sys.argv) > 1 and sys.argv[1] == "--prefix":
         main_prefix()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--substr":
+        main_substr()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--semantic":
+        main_semantic()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scd2":
         main_scd2()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scd2compact":

@@ -406,3 +406,13 @@ def test_semantic_dedup_broadcasts_only_centroids(spark):
     # and every nested loop is the Cross against the broadcast centroid
     # frame, never a theta join between point tables
     assert plan.count("Join type: Cross") == n_nodes(plan, "BroadcastNestedLoopJoin")
+
+
+def test_substring_clean_no_pairwise(spark):
+    """The span-removal action stays linear like the stats pass: canonical
+    selection is a map-side-combinable min-struct aggregate and coverage
+    meets words through equi-joins on (id, wpos) — no cartesian, no
+    nested-loop node anywhere."""
+    plan = explained(spark, "dedup_substring_clean")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -200,3 +200,24 @@ def test_incremental_substring_persisted_index_path(spark, tmp_path):
         }
     finally:
         spark.sql("DROP TABLE IF EXISTS r8_win_idx")
+
+
+def test_substring_dedup_clean_keeps_one_canonical_occurrence(spark):
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_kept"], r["clean_text"])
+        for r in dedup.substring_dedup_clean(
+            _docs(spark), "doc_id", "text", k=8
+        ).collect()
+    }
+    # doc 1 holds the canonical (lowest (id, pos)) SPAN occurrence: intact
+    assert got[1] == (11, 11, f"intro {SPAN} outro one")
+    # doc 2 loses the 8 SPAN words, keeps its own frame
+    assert got[2] == (12, 4, "different lead in tail")
+    # doc 3 has no duplicated window: unchanged
+    assert got[3] == (10, 10, "unique words only here nothing shared at all nine ten")
+    # doc 4 is below k words (no windows) and survives whole
+    assert got[4] == (2, 2, "too short")
+    # doc 5 is 20x the same word: 13 identical windows collapse to the
+    # canonical at pos 0 — every position covered by a non-canonical
+    # occurrence (1..19) is dropped
+    assert got[5] == (20, 1, "rep")
