@@ -1521,12 +1521,13 @@ def semantic_dedup(
 
 
 def incremental_substring_stats(
-    new: DataFrame,
+    new: DataFrame | None,
     id_col: str,
     text_col: str,
     k: int = 8,
     history_windows: DataFrame | None = None,
     history: DataFrame | None = None,
+    new_windows: DataFrame | None = None,
 ) -> DataFrame:
     """`substring_dup_stats` for an ingest BATCH against an existing corpus
     — without rescanning history documents.
@@ -1555,7 +1556,15 @@ def incremental_substring_stats(
     """
     if (history_windows is None) == (history is None):
         raise ValueError("pass exactly one of history_windows / history")
-    nw = substring_windows(_spread(new), id_col, text_col, k=k)
+    # repeated-ingest callers (SubstrIngestor) window the batch themselves,
+    # cache it, and pass new_windows — the batch's windows feed the history
+    # probe, the self-join AND the totals, so the convenience path
+    # recomputes that O(batch) subplan per use
+    nw = (
+        new_windows
+        if new_windows is not None
+        else substring_windows(_spread(new), id_col, text_col, k=k)
+    )
     hw = (
         history_windows.select("id", "h")
         if history_windows is not None

@@ -1208,6 +1208,68 @@ FROM tot LEFT JOIN agg USING (doc_id)
 """
 
 
+def stream_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup through the REAL streaming ingestor
+    (streaming/dedup.py::SubstrIngestor): documents arrive as 3
+    micro-batches (doc_id % 3), each profiled against the persisted window
+    index as of ITS OWN ingest time, then one batch is REPLAYED through
+    the ledger-guarded entrypoint and must be skipped (exactly-once: a
+    re-delivered batch id after later batches have landed would otherwise
+    see the FUTURE as history and rewrite its stats — the raw crash-window
+    replay, before later batches exist, is pinned separately in
+    tests/test_streaming.py).  The oracle is declarative batch-prefix
+    semantics — a window occurrence is duplicated iff another doc with
+    batch' <= batch holds its hash — so hash-equality proves the
+    at-ingest-time profile AND ledger idempotence through the real store."""
+    import tempfile
+
+    from flume_spark.streaming.dedup import SubstrIngestor
+
+    docs = T(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="substr_ingest_")
+    ing = SubstrIngestor(
+        spark,
+        index_dir=f"{root}/index",
+        stats_dir=f"{root}/stats",
+        ledger_dir=f"{root}/ledger",
+    )
+    batches = [docs.filter(F.col("doc_id") % 3 == b) for b in range(3)]
+    for b, bdf in enumerate(batches):
+        ing.process(bdf, b)
+    ing.process(batches[1], 1)  # re-delivered batch id: ledger must skip it
+    return ing.dup_stats()
+
+
+STREAM_SUBSTR_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+           AS w
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, md5(array_to_string(w[i : i + 7], ' ')) AS h
+  FROM n, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+  WHERE len(w) >= 8
+),
+tot AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY doc_id),
+dupc AS (
+  SELECT w.doc_id, count(*) AS dup_w
+  FROM wins w
+  WHERE EXISTS (
+    SELECT 1 FROM wins o
+    WHERE o.h = w.h AND o.doc_id <> w.doc_id
+      AND o.doc_id % 3 <= w.doc_id % 3
+  )
+  GROUP BY w.doc_id
+)
+SELECT tot.doc_id, n_windows,
+       COALESCE(dup_w, 0) AS n_dup_windows,
+       round(COALESCE(dup_w, 0) / n_windows, 6) AS dup_frac
+FROM tot LEFT JOIN dupc USING (doc_id)
+"""
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) with a deterministic
     keep rule (operators/dedup.py::semantic_dedup): k-means-cluster the
@@ -1266,6 +1328,7 @@ QUERIES = {
     "dedup_substring_hot": dedup_substring_hot,
     "dedup_substring_incremental": dedup_substring_incremental,
     "dedup_substring_clean": dedup_substring_clean,
+    "stream_substr_dedup": stream_substr_dedup,
     "dedup_semantic": dedup_semantic,
     "text_chunk_sliding": text_chunk_sliding,
     "ann_topk_int8": ann_topk_int8,
@@ -1297,6 +1360,7 @@ ORACLES = {
     "dedup_substring_hot": DEDUP_SUBSTRING_HOT_SQL,
     "dedup_substring_incremental": DEDUP_SUBSTRING_INCR_SQL,
     "dedup_substring_clean": DEDUP_SUBSTRING_CLEAN_SQL,
+    "stream_substr_dedup": STREAM_SUBSTR_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "text_chunk_sliding": TEXT_CHUNK_SQL,
     "ann_topk_int8": ANN_INT8_SQL,

@@ -319,3 +319,157 @@ class LshIngestor:
             self.spark, self.index_table, self.index_dir,
             buckets=self.index_buckets,
         )
+
+
+class SubstrIngestor:
+    """Streaming incremental exact-substring dedup: each arriving
+    micro-batch is profiled against the PERSISTED window-hash index
+    (history documents are never re-scanned), its per-doc duplicated-span
+    stats appended to a results location, and its own window hashes
+    appended to the index — the foreachBatch realization of
+    operators/dedup.incremental_substring_stats for a continuously-fed
+    corpus (the streaming half of the Lee-et-al-style exact-substring
+    pass).
+
+    State is two parquet locations, not stream state (same contract as
+    LshIngestor): the index grows by O(batch words) rows per trigger and
+    lives outside the checkpoint.  Exactly-once comes from the batch-id
+    ledger — a replayed batch re-profiles but its appends are skipped.
+
+    Index layout, by `index_table`:
+    - None (default): plain parquet dir, one `ingest_batch=<id>` partition
+      per trigger, OVERWRITTEN on replay.  The probe join shuffles both
+      sides every trigger.
+    - a table name: the band-key-bucketed table (band_key = window hash,
+      the SAME machinery the LSH index uses) — the 100 TB layout: the
+      index side of every probe join reads straight from its buckets.
+      Crash-replay duplication of one batch partition is HARMLESS here
+      even before compaction: the history leg is a left-semi join
+      (existence only), so duplicate index rows cannot change any count.
+
+    Window hashing is a pure per-doc function, so the index is append-only
+    by construction — compaction (compact_index) is for file count only,
+    never correctness.
+    """
+
+    def __init__(
+        self,
+        spark,
+        index_dir: str,
+        stats_dir: str,
+        ledger_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        k: int = 8,
+        index_table: str | None = None,
+        index_buckets: int = 8,
+    ) -> None:
+        import os
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.stats_dir = stats_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+        self.index_table = index_table
+        self.index_buckets = index_buckets
+        os.makedirs(index_dir, exist_ok=True)
+        os.makedirs(stats_dir, exist_ok=True)
+        from flume_spark.streaming.sink import idempotent_foreach_batch
+
+        self.process = idempotent_foreach_batch(self._process, ledger_dir)
+
+    def _read_index(self, exclude_batch_id: int):
+        if self.index_table is not None:
+            from flume_spark.operators.dedup import read_band_index
+
+            if not self.spark.catalog.tableExists(self.index_table):
+                return None
+            return read_band_index(
+                self.spark, self.index_table, exclude_batch=exclude_batch_id
+            ).select("id", F.col("band_key").alias("h"))
+        if not LshIngestor._has_parquet(self.index_dir):
+            return None
+        return (
+            self.spark.read.parquet(self.index_dir)
+            .filter(F.col("ingest_batch") != exclude_batch_id)
+            .select("id", "h")
+        )
+
+    def _write_index(self, nw, batch_id: int) -> None:
+        import os
+
+        rows = nw.select("id", "h")
+        if self.index_table is not None:
+            from flume_spark.operators.dedup import write_band_index
+
+            mode = (
+                "append"
+                if self.spark.catalog.tableExists(self.index_table)
+                else "overwrite"
+            )
+            write_band_index(
+                rows.select("id", F.col("h").alias("band_key")),
+                self.index_table,
+                self.index_dir,
+                buckets=self.index_buckets,
+                ingest_batch=batch_id,
+                mode=mode,
+            )
+            return
+        rows.write.mode("overwrite").parquet(
+            os.path.join(self.index_dir, f"ingest_batch={batch_id}")
+        )
+
+    def _process(self, batch_df, batch_id: int) -> None:
+        import os
+
+        from flume_spark.operators.dedup import (
+            incremental_substring_stats,
+            substring_windows,
+        )
+
+        nw = substring_windows(
+            batch_df, self.id_col, self.text_col, k=self.k
+        ).cache()
+        try:
+            history = self._read_index(exclude_batch_id=batch_id)
+            if history is None:
+                history = nw.select("id", "h").filter("1 = 0")
+            stats = incremental_substring_stats(
+                None,
+                self.id_col,
+                self.text_col,
+                k=self.k,
+                history_windows=history,
+                new_windows=nw,
+            )
+            stats.write.mode("overwrite").parquet(
+                os.path.join(self.stats_dir, f"ingest_batch={batch_id}")
+            )
+            self._write_index(nw, batch_id)
+        finally:
+            nw.unpersist()
+
+    def dup_stats(self):
+        """Per-doc (n_windows, n_dup_windows, dup_frac) for every ingested
+        doc with >= 1 window, as of its OWN ingest time (None if none)."""
+        if not LshIngestor._has_parquet(self.stats_dir):
+            return None
+        return self.spark.read.parquet(self.stats_dir).select(
+            self.id_col, "n_windows", "n_dup_windows", "dup_frac"
+        )
+
+    def compact_index(self) -> int:
+        """Collapse the bucketed index's per-batch partitions into one —
+        file-count maintenance only (the window index can never go stale).
+        Table mode only; call between triggers (same swap caveat as
+        LshIngestor.compact_index)."""
+        if self.index_table is None:
+            raise ValueError("compact_index requires table mode")
+        from flume_spark.operators.dedup import compact_band_index
+
+        return compact_band_index(
+            self.spark, self.index_table, self.index_dir, buckets=self.index_buckets
+        )

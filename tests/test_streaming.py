@@ -1036,3 +1036,121 @@ def test_cms_ingestor_merged_equals_batch_sketch(spark, tmp_path):
         ).collect()
     }
     assert all(est[k] >= v for k, v in true.items())
+
+
+# -- streaming exact-substring ingest (streaming/dedup.SubstrIngestor) -------
+
+
+def test_streaming_substr_ingest_profiles_across_batches(spark, tmp_path):
+    """SubstrIngestor: a later-arriving doc sharing a verbatim 8-word span
+    with an earlier doc is flagged via the persisted window index; each
+    doc's stats reflect the corpus AS OF its own ingest time."""
+    from flume_spark.streaming.dedup import SubstrIngestor
+
+    src = tmp_path / "sub_stream"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    first = f"intro {span} outro one"
+    other = "entirely different words with no shared span at all here"
+    later = f"new frame around {span} closing"
+    spark.createDataFrame([(1, first), (2, other)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    ing = SubstrIngestor(
+        spark,
+        index_dir=str(tmp_path / "sub_index"),
+        stats_dir=str(tmp_path / "sub_stats"),
+        ledger_dir=str(tmp_path / "sub_ledger"),
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(ing.process)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sub"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batch1 = {r["doc_id"]: r["n_dup_windows"] for r in ing.dup_stats().collect()}
+        assert batch1 == {1: 0, 2: 0}  # nothing duplicated yet
+        spark.createDataFrame([(10, later)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        q.processAllAvailable()
+        stats = {r["doc_id"]: r["n_dup_windows"] for r in ing.dup_stats().collect()}
+    finally:
+        q.stop()
+    # doc 10's SPAN window matched history through the index; docs 1/2
+    # keep their at-ingest-time profile (history is never re-profiled)
+    assert stats[10] == 1
+    assert stats[1] == 0 and stats[2] == 0
+    idx_ids = {
+        r["id"] for r in spark.read.parquet(str(tmp_path / "sub_index")).collect()
+    }
+    assert idx_ids == {1, 2, 10}
+
+
+def test_streaming_substr_ingest_replay_converges(spark, tmp_path):
+    """Crash-replay safety: re-running a batch whose index write landed but
+    whose ledger marker did not converges to the SAME stats — the batch's
+    own partition is excluded from its replay probe."""
+    from flume_spark.streaming.dedup import SubstrIngestor
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    batch = spark.createDataFrame(
+        [(10, f"one {span} two"), (11, f"other {span} tail words")],
+        "doc_id long, text string",
+    )
+    ing = SubstrIngestor(
+        spark,
+        index_dir=str(tmp_path / "idx"),
+        stats_dir=str(tmp_path / "stats"),
+        ledger_dir=str(tmp_path / "ledger"),
+    )
+    ing._process(batch, batch_id=0)
+    first = {tuple(r) for r in ing.dup_stats().collect()}
+    ing._process(batch, batch_id=0)  # simulated crash-window replay
+    replay = {tuple(r) for r in ing.dup_stats().collect()}
+    assert first == replay
+    # within-batch: each doc's SPAN occurrence matched the other doc
+    dup = {r["doc_id"]: r["n_dup_windows"] for r in ing.dup_stats().collect()}
+    assert dup == {10: 1, 11: 1}
+
+
+def test_streaming_substr_ingest_bucketed_table_mode(spark, tmp_path):
+    """Table mode engages the bucketed window index and — unlike the LSH
+    pairs path — even a DUPLICATED index partition (crash between index
+    append and ledger marker) cannot change any count: the history leg is
+    a left-semi join, existence only."""
+    from flume_spark.operators.dedup import substring_windows
+    from flume_spark.streaming.dedup import SubstrIngestor
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    b1 = spark.createDataFrame(
+        [(1, f"intro {span} outro one")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(10, f"later frame {span} here")], "doc_id long, text string"
+    )
+    ing = SubstrIngestor(
+        spark,
+        index_dir=str(tmp_path / "idx"),
+        stats_dir=str(tmp_path / "stats"),
+        ledger_dir=str(tmp_path / "ledger"),
+        index_table="r8_sub_ing_idx",
+        index_buckets=4,
+    )
+    try:
+        ing._process(b1, batch_id=0)
+        # crash window: batch 0's index append replays (duplicate rows)
+        ing._write_index(substring_windows(b1, "doc_id", "text", k=8), batch_id=0)
+        ing._process(b2, batch_id=1)
+        stats = {r["doc_id"]: r["n_dup_windows"] for r in ing.dup_stats().collect()}
+        assert stats == {1: 0, 10: 1}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r8_sub_ing_idx")
