@@ -1019,3 +1019,57 @@ def write_shards(
         .parquet(out_dir)
     )
     return len(spark.read.parquet(out_dir).inputFiles())
+
+
+def bigram_rarity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Sequence-level quality signal: the fraction of a doc's adjacent
+    word transitions that are corpus-UNIQUE (bigram occurs exactly once in
+    the whole corpus) — the word-salad detector.  Shuffled or generated
+    gibberish pairs common words in transitions nobody else uses, which
+    unigram commonness (`text_commonness`, the vocabulary-rarity signal)
+    cannot see; this is the cheap no-model stand-in for the bigram-LM
+    perplexity filter of CCNet-style curation.
+
+    Returns (id_col, n_bigrams, n_unique_bigrams, rare_frac) for docs with
+    >= 2 tokens.  Exact bigint counts; rare_frac is ONE division of two
+    ints (no float aggregation, engine-stable).
+
+    Scale: linear — explode adjacent pairs (O(total words) rows), one
+    count shuffle on the bigram key, one equi-join back (reuses the
+    key partitioning), one per-doc aggregate.  Never pairwise.
+    """
+    toks = tokens_col(text_col)
+    bi = (
+        df.select(F.col(id_col).alias("id"), toks.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("id", F.explode(bigrams_over("w")).alias("bigram"))
+    )
+    counts = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        bi.join(counts, "bigram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias(
+                "n_unique_bigrams"
+            ),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bigrams",
+            "n_unique_bigrams",
+            (
+                F.col("n_unique_bigrams").cast("double") / F.col("n_bigrams")
+            ).alias("rare_frac"),
+        )
+    )
+
+
+def bigrams_over(words_col: str) -> Column:
+    """Adjacent-pair array over an already-materialized words column."""
+    w = F.col(words_col)
+    return F.zip_with(
+        F.slice(w, 1, F.size(w) - 1),
+        F.slice(w, 2, F.size(w) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )

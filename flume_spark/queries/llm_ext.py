@@ -1208,6 +1208,38 @@ FROM tot LEFT JOIN agg USING (doc_id)
 """
 
 
+def text_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-level quality signal (operators/text.py::bigram_rarity):
+    fraction of each doc's adjacent word transitions that are corpus-UNIQUE
+    — the word-salad detector unigram commonness can't see, the no-model
+    stand-in for CCNet's bigram-LM perplexity filter.  Exact int counts,
+    one unrounded division; linear (one bigram-key shuffle)."""
+    docs = T(spark, sf_dir, "documents")
+    return text.bigram_rarity(docs, "doc_id", "text")
+
+
+TEXT_BIGRAM_RARITY_SQL = r"""
+WITH n AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+  FROM n, unnest(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+),
+cnt AS (SELECT bigram, count(*) AS c FROM bi GROUP BY bigram)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique_bigrams,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+         AS rare_frac
+FROM bi JOIN cnt USING (bigram)
+GROUP BY doc_id
+"""
+
+
 def stream_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup through the REAL streaming ingestor
     (streaming/dedup.py::SubstrIngestor): documents arrive as 3
@@ -1329,6 +1361,7 @@ QUERIES = {
     "dedup_substring_incremental": dedup_substring_incremental,
     "dedup_substring_clean": dedup_substring_clean,
     "stream_substr_dedup": stream_substr_dedup,
+    "text_bigram_rarity": text_bigram_rarity,
     "dedup_semantic": dedup_semantic,
     "text_chunk_sliding": text_chunk_sliding,
     "ann_topk_int8": ann_topk_int8,
@@ -1361,6 +1394,7 @@ ORACLES = {
     "dedup_substring_incremental": DEDUP_SUBSTRING_INCR_SQL,
     "dedup_substring_clean": DEDUP_SUBSTRING_CLEAN_SQL,
     "stream_substr_dedup": STREAM_SUBSTR_SQL,
+    "text_bigram_rarity": TEXT_BIGRAM_RARITY_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "text_chunk_sliding": TEXT_CHUNK_SQL,
     "ann_topk_int8": ANN_INT8_SQL,

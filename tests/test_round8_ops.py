@@ -245,3 +245,25 @@ def test_kmeans_assign_vectorized_matches_expression_path(spark):
             ).collect()
         }
         assert vec_rows == expr_rows, f"k={k}: vectorized assignment diverged"
+
+
+def test_bigram_rarity_flags_word_salad(spark):
+    """A doc reusing another doc's transitions scores 0; a doc pairing the
+    same vocabulary in novel orders scores high."""
+    from flume_spark.operators import text as text_ops
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "the quick brown fox jumps"),  # every transition shared with 1
+        (3, "brown the fox quick jumps"),  # same words, unique transitions
+        (4, "solo"),  # single token: no bigrams, excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["n_unique_bigrams"], r["rare_frac"])
+        for r in text_ops.bigram_rarity(df, "doc_id", "text").collect()
+    }
+    assert got[1] == (4, 0, 0.0)
+    assert got[2] == (4, 0, 0.0)
+    assert got[3] == (4, 4, 1.0)
+    assert 4 not in got
