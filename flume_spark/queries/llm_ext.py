@@ -1208,6 +1208,98 @@ FROM tot LEFT JOIN agg USING (doc_id)
 """
 
 
+def corpus_curate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed span-curation run a training-data pipeline executes
+    (Lee et al. 2022 end to end): doc-level REJECT when more than half of a
+    doc's 8-word windows are cross-document duplicates (boilerplate
+    mirrors), then span-level CLEAN over the survivors (keep-one-canonical
+    removal), reported per source as the before/after token budget.  Every
+    stage is an already-oracled operator (dedup_substring_exact /
+    dedup_substring_clean shapes); the composition is one declarative
+    plan.  Columns: source, n_docs, n_rejected, tokens_before,
+    tokens_after."""
+    docs = T(spark, sf_dir, "documents")
+    stats = dedup.substring_dup_stats(docs, "doc_id", "text", k=8)
+    rejected = stats.filter(F.col("dup_frac") > 0.5).select(
+        "doc_id", F.lit(1).alias("rejected")
+    )
+    survivors = docs.join(rejected.select("doc_id"), "doc_id", "left_anti")
+    cleaned = dedup.substring_dedup_clean(survivors, "doc_id", "text", k=8).select(
+        "doc_id", "n_kept"
+    )
+    norm_words = F.expr(
+        "size(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '))"
+    )
+    base = docs.select("doc_id", "source", norm_words.alias("n_words"))
+    return (
+        base.join(rejected, "doc_id", "left")
+        .join(cleaned, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("rejected"), F.lit(0)).alias("n_rejected"),
+            F.sum("n_words").alias("tokens_before"),
+            F.coalesce(F.sum("n_kept"), F.lit(0)).alias("tokens_after"),
+        )
+    )
+
+
+CORPUS_CURATE_SPANS_SQL = """
+WITH n AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+           AS w
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, md5(array_to_string(w[i : i + 7], ' ')) AS h
+  FROM n, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+  WHERE len(w) >= 8
+),
+cross_dup AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+rej AS (
+  SELECT w.doc_id
+  FROM wins w LEFT JOIN cross_dup c USING (h)
+  GROUP BY w.doc_id
+  HAVING round(sum(CASE WHEN c.h IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+               / count(*), 6) > 0.5
+),
+surv AS (SELECT * FROM n WHERE doc_id NOT IN (SELECT doc_id FROM rej)),
+swins AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(w[i : i + 7], ' ')) AS h
+  FROM surv, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+  WHERE len(w) >= 8
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         count(*)     OVER (PARTITION BY h) AS cnt
+  FROM swins
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS wpos
+  FROM ranked, unnest(range(0, 8)) AS u(j)
+  WHERE cnt > 1 AND rn > 1
+),
+kept AS (
+  SELECT s.doc_id, len(s.w) - COALESCE(c.n_cov, 0) AS n_kept
+  FROM surv s LEFT JOIN (
+    SELECT doc_id, count(*) AS n_cov FROM covered GROUP BY doc_id
+  ) c USING (doc_id)
+)
+SELECT n.source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN rej.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rejected,
+       CAST(sum(len(n.w)) AS BIGINT) AS tokens_before,
+       CAST(COALESCE(sum(kept.n_kept), 0) AS BIGINT) AS tokens_after
+FROM n
+LEFT JOIN rej  ON rej.doc_id = n.doc_id
+LEFT JOIN kept ON kept.doc_id = n.doc_id
+GROUP BY n.source
+"""
+
+
 def text_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-level quality signal (operators/text.py::bigram_rarity):
     fraction of each doc's adjacent word transitions that are corpus-UNIQUE
@@ -1362,6 +1454,7 @@ QUERIES = {
     "dedup_substring_clean": dedup_substring_clean,
     "stream_substr_dedup": stream_substr_dedup,
     "text_bigram_rarity": text_bigram_rarity,
+    "corpus_curate_spans": corpus_curate_spans,
     "dedup_semantic": dedup_semantic,
     "text_chunk_sliding": text_chunk_sliding,
     "ann_topk_int8": ann_topk_int8,
@@ -1395,6 +1488,7 @@ ORACLES = {
     "dedup_substring_clean": DEDUP_SUBSTRING_CLEAN_SQL,
     "stream_substr_dedup": STREAM_SUBSTR_SQL,
     "text_bigram_rarity": TEXT_BIGRAM_RARITY_SQL,
+    "corpus_curate_spans": CORPUS_CURATE_SPANS_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "text_chunk_sliding": TEXT_CHUNK_SQL,
     "ann_topk_int8": ANN_INT8_SQL,
