@@ -267,3 +267,142 @@ def test_bigram_rarity_flags_word_salad(spark):
     assert got[2] == (4, 0, 0.0)
     assert got[3] == (4, 4, 1.0)
     assert 4 not in got
+
+
+# ---------------------------------------------------------------------------
+# hypothesis property suites: operators vs brute-force Python references
+# ---------------------------------------------------------------------------
+
+
+def _ref_norm_words(text: str) -> list[str]:
+    import re
+
+    return re.sub(r"[^a-z0-9]+", " ", text.lower()).strip().split(" ")
+
+
+def _ref_windows(docs: dict[int, str], k: int):
+    wins: dict[tuple[int, int], tuple[str, ...]] = {}
+    for i, t in docs.items():
+        w = _ref_norm_words(t)
+        if len(w) >= k:
+            for p in range(len(w) - k + 1):
+                wins[(i, p)] = tuple(w[p : p + k])
+    return wins
+
+
+def test_substring_stats_match_python_reference(spark):
+    """substring_dup_stats == the brute-force definition on random tiny-
+    vocab corpora (small vocab forces genuine cross-doc and within-doc
+    window collisions, including the repeated-window-in-one-doc case)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(word, min_size=0, max_size=14).map(" ".join)
+    corpus = st.lists(doc, min_size=2, max_size=6)
+    k = 3
+
+    @given(texts=corpus)
+    @settings(max_examples=25, deadline=None)
+    def check(texts):
+        docs = dict(enumerate(texts))
+        wins = _ref_windows(docs, k)
+        holders: dict[tuple[str, ...], set[int]] = {}
+        for (i, _p), win in wins.items():
+            holders.setdefault(win, set()).add(i)
+        want = {}
+        for i in docs:
+            occ = [win for (j, _p), win in wins.items() if j == i]
+            if occ:
+                nd = sum(1 for win in occ if len(holders[win]) > 1)
+                want[i] = (len(occ), nd)
+        df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+            for r in dedup.substring_dup_stats(df, "doc_id", "text", k=k).collect()
+        }
+        assert got == want
+
+    check()
+
+
+def test_substring_clean_matches_python_reference(spark):
+    """substring_dedup_clean == the brute-force keep-one-canonical removal:
+    for every GLOBALLY repeated window (cross-doc or within-doc), all
+    occurrences except the (id, pos)-smallest have their k positions
+    dropped; kept words rejoin in order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(word, min_size=0, max_size=14).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=5)
+    k = 3
+
+    @given(texts=corpus)
+    @settings(max_examples=25, deadline=None)
+    def check(texts):
+        docs = dict(enumerate(texts))
+        wins = _ref_windows(docs, k)
+        occs: dict[tuple[str, ...], list[tuple[int, int]]] = {}
+        for (i, p), win in wins.items():
+            occs.setdefault(win, []).append((i, p))
+        covered: dict[int, set[int]] = {i: set() for i in docs}
+        for win, where in occs.items():
+            if len(where) > 1:
+                for i, p in sorted(where)[1:]:  # every non-canonical occurrence
+                    covered[i].update(range(p, p + k))
+        want = {}
+        for i, t in docs.items():
+            w = _ref_norm_words(t)
+            kept = [x for pos, x in enumerate(w) if pos not in covered[i]]
+            want[i] = (len(w), len(kept), " ".join(kept))
+        df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_kept"], r["clean_text"])
+            for r in dedup.substring_dedup_clean(
+                df, "doc_id", "text", k=k
+            ).collect()
+        }
+        assert got == want
+
+    check()
+
+
+def test_semantic_dedup_matches_python_reference(spark):
+    """semantic_dedup (k=1: clustering trivial, the keep rule in isolation)
+    == the brute-force rule: dup_of = smallest lower id whose 6dp-rounded
+    cosine clears the threshold."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    coord = st.integers(min_value=-3, max_value=3)
+    vec = st.tuples(coord, coord).filter(lambda v: v != (0, 0))
+    vecs = st.lists(vec, min_size=2, max_size=7)
+    thr = st.sampled_from([0.3, 0.7, 0.95])
+
+    @given(vs=vecs, threshold=thr)
+    @settings(max_examples=25, deadline=None)
+    def check(vs, threshold):
+        ids = list(range(len(vs)))
+        arr = np.asarray(vs, dtype=np.float64)
+        norms = np.sqrt((arr * arr).sum(1))
+        cos = np.round((arr @ arr.T) / np.outer(norms, norms), 6)
+        want = {}
+        for j in ids:
+            lower = [i for i in ids[:j] if cos[i, j] >= threshold]
+            want[j] = min(lower) if lower else None
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in zip(ids, vs)],
+            "vec_id long, embedding array<double>",
+        )
+        got = {
+            r["vec_id"]: r["dup_of"]
+            for r in dedup.semantic_dedup(
+                df, "vec_id", "embedding", k=1, threshold=threshold
+            ).collect()
+        }
+        assert got == want
+
+    check()
