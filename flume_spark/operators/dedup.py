@@ -1675,3 +1675,51 @@ def substring_dedup_clean(
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def substring_max_dup_span(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ks: tuple[int, ...] = (8, 16, 32),
+) -> DataFrame:
+    """Duplication SEVERITY profile: for each doc, the largest window width
+    k (from `ks`, ascending) at which the doc still shares a verbatim
+    k-word window with another document — a lower bound on its longest
+    duplicated span, the number a curation run reads to split "common
+    phrase" (short) from "mirrored article" (long).  0 = no cross-doc
+    duplication at any probed width.
+
+    Sound because duplication is monotone DOWN in k: a shared k-window
+    contains shared k'-windows for every k' < k, so the per-k hit sets are
+    nested and max(k) is well-defined severity.
+
+    Scale: one window pass per probed width (len(ks) linear passes, each
+    the substring_dup_stats shape — window-hash exchange + semi-join,
+    never pairwise); doubling widths gives a log-granular severity ladder
+    at constant pass count.
+    """
+    parts = []
+    for kk in ks:
+        wins = substring_windows(_spread(df), id_col, text_col, k=kk)
+        hot = (
+            wins.groupBy("h")
+            .agg(F.count_distinct("id").alias("nd"))
+            .filter(F.col("nd") > 1)
+            .select("h")
+        )
+        parts.append(
+            wins.join(hot, "h", "left_semi")
+            .select("id")
+            .distinct()
+            .withColumn("k", F.lit(kk))
+        )
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.unionByName(p)
+    agg = hits.groupBy("id").agg(F.max("k").alias("max_dup_span"))
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(agg, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("max_dup_span", F.lit(0)).cast("int").alias("max_dup_span"),
+    )

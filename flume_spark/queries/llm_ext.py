@@ -1208,6 +1208,51 @@ FROM tot LEFT JOIN agg USING (doc_id)
 """
 
 
+def dedup_substring_maxspan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication severity ladder (operators/dedup.py::
+    substring_max_dup_span): per doc, the largest window width in
+    {8, 16, 32} still shared verbatim with another document — the signal
+    separating "common phrase" from "mirrored article".  One linear window
+    pass per width; sound because a shared k-window implies shared
+    sub-windows at every smaller k."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.substring_max_dup_span(docs, "doc_id", "text", ks=(8, 16, 32))
+
+
+def _maxspan_sql() -> str:
+    arms = []
+    union = []
+    for kk in (8, 16, 32):
+        arms.append(
+            f"w{kk} AS (\n"
+            f"  SELECT doc_id, md5(array_to_string(w[i : i + {kk - 1}], ' ')) AS h\n"
+            f"  FROM n, unnest(range(1, len(w) - {kk} + 2)) AS t(i)\n"
+            f"  WHERE len(w) >= {kk}\n"
+            f"),\n"
+            f"d{kk} AS (SELECT h FROM w{kk} GROUP BY h"
+            f" HAVING count(DISTINCT doc_id) > 1),\n"
+            f"h{kk} AS (SELECT DISTINCT doc_id, {kk} AS k"
+            f" FROM w{kk} JOIN d{kk} USING (h))"
+        )
+        union.append(f"SELECT * FROM h{kk}")
+    return (
+        "WITH n AS (\n"
+        "  SELECT doc_id,\n"
+        "         string_split(trim(regexp_replace(lower(text),"
+        " '[^a-z0-9]+', ' ', 'g')), ' ') AS w\n"
+        "  FROM documents\n"
+        "),\n" + ",\n".join(arms) + ",\n"
+        "hits AS (" + " UNION ALL ".join(union) + ")\n"
+        "SELECT d.doc_id,\n"
+        "       CAST(COALESCE(max(hits.k), 0) AS INT) AS max_dup_span\n"
+        "FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id\n"
+        "GROUP BY d.doc_id"
+    )
+
+
+DEDUP_SUBSTRING_MAXSPAN_SQL = _maxspan_sql()
+
+
 def corpus_curate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed span-curation run a training-data pipeline executes
     (Lee et al. 2022 end to end): doc-level REJECT when more than half of a
@@ -1455,6 +1500,7 @@ QUERIES = {
     "stream_substr_dedup": stream_substr_dedup,
     "text_bigram_rarity": text_bigram_rarity,
     "corpus_curate_spans": corpus_curate_spans,
+    "dedup_substring_maxspan": dedup_substring_maxspan,
     "dedup_semantic": dedup_semantic,
     "text_chunk_sliding": text_chunk_sliding,
     "ann_topk_int8": ann_topk_int8,
@@ -1489,6 +1535,7 @@ ORACLES = {
     "stream_substr_dedup": STREAM_SUBSTR_SQL,
     "text_bigram_rarity": TEXT_BIGRAM_RARITY_SQL,
     "corpus_curate_spans": CORPUS_CURATE_SPANS_SQL,
+    "dedup_substring_maxspan": DEDUP_SUBSTRING_MAXSPAN_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "text_chunk_sliding": TEXT_CHUNK_SQL,
     "ann_topk_int8": ANN_INT8_SQL,

@@ -406,3 +406,24 @@ def test_semantic_dedup_matches_python_reference(spark):
         assert got == want
 
     check()
+
+
+def test_substring_maxspan_ladder(spark):
+    """Severity is the LARGEST shared width: a 16-word mirror scores 16
+    (not 8), an 8-word-only overlap scores 8, unique docs score 0."""
+    long_span = " ".join(f"s{i}" for i in range(16))
+    rows = [
+        (1, f"lead {long_span} tail"),
+        (2, f"other frame {long_span} ending"),  # 16-word mirror of 1
+        (3, f"x1 x2 x3 {SPAN} y1 y2"),
+        (4, f"z1 z2 {SPAN} q1 q2 q3"),  # shares only the 8-word SPAN with 3
+        (5, "totally unique words here without any shared span at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["max_dup_span"]
+        for r in dedup.substring_max_dup_span(
+            df, "doc_id", "text", ks=(8, 16, 32)
+        ).collect()
+    }
+    assert got == {1: 16, 2: 16, 3: 8, 4: 8, 5: 0}
