@@ -1296,6 +1296,18 @@ def incremental_prefix_candidates(
 # ---------------------------------------------------------------------------
 
 
+
+def norm_words_expr(text_col: str) -> Column:
+    """The substring family's ONE normalization canon: lowercase,
+    non-alphanumeric runs collapsed to single spaces, split on space
+    ('' -> ['']).  Stats, clean, ingest and their DuckDB oracles all
+    derive word positions from this expression — one definition so span
+    identity can never drift between the profile and the action."""
+    return F.expr(
+        f"split(trim(regexp_replace(lower({text_col}), '[^a-z0-9]+', ' ')), ' ')"
+    )
+
+
 def substring_windows(
     df: DataFrame,
     id_col: str,
@@ -1320,9 +1332,7 @@ def substring_windows(
     Rows carry `pos` (0-based window start) so an OCCURRENCE has identity —
     the incremental path dedups per-occurrence match evidence on (id, pos).
     """
-    words = F.expr(
-        f"split(trim(regexp_replace(lower({text_col}), '[^a-z0-9]+', ' ')), ' ')"
-    )
+    words = norm_words_expr(text_col)
     base = (
         df.select(F.col(id_col).alias("id"), words.alias("w"))
         .filter(F.size("w") >= k)
@@ -1631,9 +1641,7 @@ def substring_dedup_clean(
     and the per-doc reassembly key on (id, wpos) / id.  Everything is
     codegen; reassembly state is bounded by single-document size.
     """
-    words_arr = F.expr(
-        f"split(trim(regexp_replace(lower({text_col}), '[^a-z0-9]+', ' ')), ' ')"
-    )
+    words_arr = norm_words_expr(text_col)
     words = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(words_arr).alias("wpos", "word"),

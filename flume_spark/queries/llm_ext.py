@@ -1272,10 +1272,9 @@ def corpus_curate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = dedup.substring_dedup_clean(survivors, "doc_id", "text", k=8).select(
         "doc_id", "n_kept"
     )
-    norm_words = F.expr(
-        "size(split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' '))"
+    base = docs.select(
+        "doc_id", "source", F.size(dedup.norm_words_expr("text")).alias("n_words")
     )
-    base = docs.select("doc_id", "source", norm_words.alias("n_words"))
     return (
         base.join(rejected, "doc_id", "left")
         .join(cleaned, "doc_id", "left")

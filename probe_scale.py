@@ -1144,6 +1144,7 @@ def main_substr() -> None:
     factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
     spark = get_spark(app_name="flume_probe_substr")
     whole_t: dict[int, float] = {}
+    clean_t: dict[int, float] = {}
     ingest_t: dict[int, float] = {}
     batch = scaled_docs(spark, 1).select(
         (F.col("doc_id") + 900_000_000).alias("doc_id"), "text"
@@ -1159,6 +1160,11 @@ def main_substr() -> None:
             lambda d=docs: dedup.substring_dup_stats(d, "doc_id", "text", k=8),
         )
         whole_t[f] = dt
+        dt, _ = probe(
+            f"substring_clean@x{f}",
+            lambda d=docs: dedup.substring_dedup_clean(d, "doc_id", "text", k=8),
+        )
+        clean_t[f] = dt
         hw = dedup.substring_windows(docs, "doc_id", "text", k=8).select(
             "id", F.col("h").alias("band_key")
         )
@@ -1187,6 +1193,14 @@ def main_substr() -> None:
                 f: round(math.log(whole_t[f] / whole_t[base]) / math.log(f / base), 2)
                 for f in factors
                 if f != base and whole_t[f] > 0
+            },
+        },
+        "substring_clean": {
+            "sec": {k: round(v, 2) for k, v in clean_t.items()},
+            "exponent": {
+                f: round(math.log(clean_t[f] / clean_t[base]) / math.log(f / base), 2)
+                for f in factors
+                if f != base and clean_t[f] > 0
             },
         },
         "substring_ingest_fixed_batch": {
