@@ -1208,6 +1208,50 @@ FROM tot LEFT JOIN agg USING (doc_id)
 """
 
 
+def dedup_source_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source mirror matrix: for every source pair, how many DISTINCT
+    8-word spans they share verbatim — which feeds copy from each other,
+    the question that decides source-level weights before doc-level dedup
+    spends compute.  Shape: distinct (hash, source) pairs (one row per
+    source per span — O(corpus spans)), self-join on the hash (pairs per
+    span bounded by sources-holding-it squared, small), one pair-key
+    aggregate.  Never doc-pairwise."""
+    docs = T(spark, sf_dir, "documents")
+    wins = dedup.substring_windows(docs, "doc_id", "text", k=8)
+    hs = (
+        wins.join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+        .select("h", "source")
+        .distinct()
+    )
+    a = hs.select("h", F.col("source").alias("source_a"))
+    b = hs.select("h", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count_distinct("h").alias("n_shared_spans"))
+    )
+
+
+DEDUP_SOURCE_MIRRORS_SQL = """
+WITH n AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+           AS w
+  FROM documents
+),
+wins AS (
+  SELECT DISTINCT md5(array_to_string(w[i : i + 7], ' ')) AS h, source
+  FROM n, unnest(range(1, len(w) - 8 + 2)) AS t(i)
+  WHERE len(w) >= 8
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(DISTINCT a.h) AS n_shared_spans
+FROM wins a JOIN wins b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
 def dedup_substring_maxspan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication severity ladder (operators/dedup.py::
     substring_max_dup_span): per doc, the largest window width in
@@ -1500,6 +1544,7 @@ QUERIES = {
     "text_bigram_rarity": text_bigram_rarity,
     "corpus_curate_spans": corpus_curate_spans,
     "dedup_substring_maxspan": dedup_substring_maxspan,
+    "dedup_source_mirrors": dedup_source_mirrors,
     "dedup_semantic": dedup_semantic,
     "text_chunk_sliding": text_chunk_sliding,
     "ann_topk_int8": ann_topk_int8,
@@ -1535,6 +1580,7 @@ ORACLES = {
     "text_bigram_rarity": TEXT_BIGRAM_RARITY_SQL,
     "corpus_curate_spans": CORPUS_CURATE_SPANS_SQL,
     "dedup_substring_maxspan": DEDUP_SUBSTRING_MAXSPAN_SQL,
+    "dedup_source_mirrors": DEDUP_SOURCE_MIRRORS_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "text_chunk_sliding": TEXT_CHUNK_SQL,
     "ann_topk_int8": ANN_INT8_SQL,
