@@ -41,6 +41,8 @@ def curate_corpus(
     min_quality: float = 0.4,
     out_dir: str | None = None,
     near_dup: str = "lsh_verified",
+    substring_clean: bool = False,
+    substring_k: int = 8,
 ) -> tuple[DataFrame, dict]:
     """Run the full curation pipeline; returns (curated_df, stage_counts).
 
@@ -54,6 +56,14 @@ def curate_corpus(
       within the hamming budget, cheaper on token-permuted near-dups.
     Both shuffle O(docs x bands/blocks); neither ever does a raw
     inverted-index self-join (`ngram_jaccard_pairs` is verifier-only).
+
+    `substring_clean=True` adds the span-level removal stage (Lee et al.
+    2022) between near-dup drop and decontamination: every duplicated
+    `substring_k`-word span keeps one canonical occurrence, documents are
+    rebuilt from the kept words, and downstream token counts / packing
+    bill the CLEANED text.  `stage_counts["span_tokens_removed"]` records
+    the words dropped (doc survivor counts are unchanged — this stage
+    edits documents, it never drops them).
     """
     counts: dict[str, int] = {"input": docs.count()}
 
@@ -87,6 +97,25 @@ def curate_corpus(
     non_canonical = comps.filter(F.col(id_col) != F.col("component")).select(id_col)
     kept = kept.join(non_canonical, id_col, "left_anti").cache()
     counts["near_dup"] = kept.count()
+
+    if substring_clean:
+        cleaned = dedup.substring_dedup_clean(kept, id_col, text_col, k=substring_k)
+        kept = (
+            kept.drop(text_col)
+            .join(
+                cleaned.select(
+                    id_col,
+                    F.col("clean_text").alias(text_col),
+                    (F.col("n_words") - F.col("n_kept")).alias("_removed"),
+                ),
+                id_col,
+            )
+            .cache()
+        )
+        counts["span_tokens_removed"] = (
+            kept.agg(F.coalesce(F.sum("_removed"), F.lit(0))).first()[0]
+        )
+        kept = kept.drop("_removed")
 
     if probes is not None:
         contaminated = (

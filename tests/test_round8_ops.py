@@ -427,3 +427,26 @@ def test_substring_maxspan_ladder(spark):
         ).collect()
     }
     assert got == {1: 16, 2: 16, 3: 8, 4: 8, 5: 0}
+
+
+def test_curate_corpus_span_clean_stage(spark, tmp_path):
+    """substring_clean=True edits documents in place: survivor counts are
+    unchanged, packing bills the cleaned text, and the removed-word total
+    is reported."""
+    from flume_spark.curation import curate_corpus
+
+    filler_a = " ".join(f"fa{i}" for i in range(12))
+    filler_b = " ".join(f"fb{i}" for i in range(12))
+    rows = [
+        (1, f"{filler_a} {SPAN}"),
+        (2, f"{filler_b} {SPAN}"),  # shares only SPAN: below near-dup radar
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    curated, counts = curate_corpus(
+        spark, docs, min_quality=0.0, substring_clean=True
+    )
+    assert counts["span_tokens_removed"] == 8  # one SPAN occurrence dropped
+    assert counts["packed"] == 2  # both docs survive
+    toks = {r["doc_id"]: r["n_tokens"] for r in curated.collect()}
+    assert toks[1] == 20  # canonical keeper: 12 filler + 8 span words
+    assert toks[2] == 12  # cleaned doc: filler only
