@@ -1702,29 +1702,34 @@ def substring_max_dup_span(
     contains shared k'-windows for every k' < k, so the per-k hit sets are
     nested and max(k) is well-defined severity.
 
-    Scale: one window pass per probed width (len(ks) linear passes, each
-    the substring_dup_stats shape — window-hash exchange + semi-join,
+    Scale: the probed widths ride ONE multi-width pass — the per-width
+    window legs are map-only and union into a single frame carrying a
+    width column, so every width shares one (k, h) aggregate + one
+    semi-join + one per-doc max (never a shuffle chain per width, and
     never pairwise); doubling widths gives a log-granular severity ladder
-    at constant pass count.
+    at constant shuffle count.
     """
-    parts = []
+    spread = _spread(df)
+    wins_all = None
     for kk in ks:
-        wins = substring_windows(_spread(df), id_col, text_col, k=kk)
-        hot = (
-            wins.groupBy("h")
-            .agg(F.count_distinct("id").alias("nd"))
-            .filter(F.col("nd") > 1)
-            .select("h")
+        part = substring_windows(spread, id_col, text_col, k=kk).select(
+            "id", "h", F.lit(kk).alias("k")
         )
-        parts.append(
-            wins.join(hot, "h", "left_semi")
-            .select("id")
-            .distinct()
-            .withColumn("k", F.lit(kk))
-        )
-    hits = parts[0]
-    for p in parts[1:]:
-        hits = hits.unionByName(p)
+        wins_all = part if wins_all is None else wins_all.unionByName(part)
+    # materialize the window frame once: it is BOTH the semi-join probe and
+    # the input of the duplicated-hash aggregate, and unpersisted the whole
+    # multi-width subtree would re-plan per consumer (the same staged-
+    # materialization convention semantic_dedup uses for its assignment)
+    wins_all = wins_all.localCheckpoint(eager=True)
+    hot = (
+        wins_all.groupBy("k", "h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("k", "h")
+    )
+    hits = (
+        wins_all.join(hot, ["k", "h"], "left_semi").select("id", "k").distinct()
+    )
     agg = hits.groupBy("id").agg(F.max("k").alias("max_dup_span"))
     base = df.select(F.col(id_col).alias("id"))
     return base.join(agg, "id", "left").select(

@@ -1304,24 +1304,61 @@ def corpus_curate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors), then span-level CLEAN over the survivors (keep-one-canonical
     removal), reported per source as the before/after token budget.  Every
     stage is an already-oracled operator (dedup_substring_exact /
-    dedup_substring_clean shapes); the composition is one declarative
-    plan.  Columns: source, n_docs, n_rejected, tokens_before,
-    tokens_after."""
+    dedup_substring_clean shapes); stage outputs are materialized between
+    stages (localCheckpoint — the same staged-composition convention
+    curate_corpus uses with .cache(), and what keeps the composed plan at
+    report-stage depth instead of re-inlining every upstream shuffle).
+    The report needs kept COUNTS only, so the clean stage here counts
+    covered positions directly — no text reassembly.  Columns: source,
+    n_docs, n_rejected, tokens_before, tokens_after."""
     docs = T(spark, sf_dir, "documents")
     stats = dedup.substring_dup_stats(docs, "doc_id", "text", k=8)
-    rejected = stats.filter(F.col("dup_frac") > 0.5).select(
-        "doc_id", F.lit(1).alias("rejected")
+    rejected = (
+        stats.filter(F.col("dup_frac") > 0.5)
+        .select("doc_id", F.lit(1).alias("rejected"))
+        .localCheckpoint(eager=True)
     )
     survivors = docs.join(rejected.select("doc_id"), "doc_id", "left_anti")
-    cleaned = dedup.substring_dedup_clean(survivors, "doc_id", "text", k=8).select(
-        "doc_id", "n_kept"
+    swins = dedup.substring_windows(survivors, "doc_id", "text", k=8)
+    dup = (
+        swins.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("id", "pos")).alias("canon"),
+        )
+        .filter(F.col("cnt") > 1)
+        .select("h", "canon")
+    )
+    covered = (
+        swins.join(dup, "h")
+        .filter(
+            (F.col("id") != F.col("canon.id")) | (F.col("pos") != F.col("canon.pos"))
+        )
+        .select(
+            "id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(7))).alias(
+                "wpos"
+            ),
+        )
+        .distinct()
+    )
+    ncov = (
+        covered.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_cov"))
+        .select(F.col("id").alias("doc_id"), "n_cov")
+        .localCheckpoint(eager=True)
     )
     base = docs.select(
         "doc_id", "source", F.size(dedup.norm_words_expr("text")).alias("n_words")
     )
+    kept = (
+        F.when(F.col("rejected").isNotNull(), F.lit(None).cast("long"))
+        .otherwise(F.col("n_words") - F.coalesce("n_cov", F.lit(0)))
+    )
     return (
         base.join(rejected, "doc_id", "left")
-        .join(cleaned, "doc_id", "left")
+        .join(ncov, "doc_id", "left")
+        .withColumn("n_kept", kept)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -1154,3 +1154,41 @@ def test_streaming_substr_ingest_bucketed_table_mode(spark, tmp_path):
         assert stats == {1: 0, 10: 1}
     finally:
         spark.sql("DROP TABLE IF EXISTS r8_sub_ing_idx")
+
+
+def test_streaming_substr_ingest_compaction_preserves_results(spark, tmp_path):
+    """compact_index collapses per-batch partitions (file-count maintenance;
+    the window index can never go stale) and later ingests still profile
+    correctly against the compacted history."""
+    from flume_spark.streaming.dedup import SubstrIngestor
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"
+    ing = SubstrIngestor(
+        spark,
+        index_dir=str(tmp_path / "idx"),
+        stats_dir=str(tmp_path / "stats"),
+        ledger_dir=str(tmp_path / "ledger"),
+        index_table="r8_sub_compact_idx",
+        index_buckets=4,
+    )
+    schema = "doc_id long, text string"
+    try:
+        ing._process(
+            spark.createDataFrame([(1, f"one {span} two")], schema), batch_id=0
+        )
+        ing._process(
+            spark.createDataFrame(
+                [(2, "totally different unshared words here all nine ten")], schema
+            ),
+            batch_id=1,
+        )
+        n_files = ing.compact_index()
+        assert n_files <= 4  # one file per bucket after the collapse
+        ing._process(
+            spark.createDataFrame([(10, f"later {span} arrival")], schema),
+            batch_id=2,
+        )
+        stats = {r["doc_id"]: r["n_dup_windows"] for r in ing.dup_stats().collect()}
+        assert stats == {1: 0, 2: 0, 10: 1}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r8_sub_compact_idx")
