@@ -1448,6 +1448,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     k: int = 4,
     threshold: float = 0.4,
+    assign: str = "exact",
 ) -> DataFrame:
     """Mark within-cluster embedding near-duplicates, keeping one
     representative per neighborhood.
@@ -1476,7 +1477,10 @@ def semantic_dedup(
     """
     import pandas as pd
 
-    from flume_spark.operators.similarity import kmeans_assign_vectorized
+    from flume_spark.operators.similarity import (
+        kmeans_assign_hierarchical,
+        kmeans_assign_vectorized,
+    )
 
     # materialize the (id, cluster) assignment once: it feeds the final
     # select AND the pairwise leg, and unpersisted it would re-run the
@@ -1484,12 +1488,18 @@ def semantic_dedup(
     # precedent as the trained PQ index.  The vectorized kernel (map-only,
     # no n x k crossJoin) is what keeps assignment linear when k grows
     # with the corpus; equality with the oracled expression path is pinned
-    # in tests.
-    assign = (
-        kmeans_assign_vectorized(emb, id_col, vec_col, k=k)
-        .select("id", "cluster")
-        .localCheckpoint(eager=True)
-    )
+    # in tests.  assign="hierarchical" swaps in the two-level IVF-style
+    # router (n x ~2*sqrt(k) instead of n x k distance evaluations) — the
+    # at-scale path past ~1M vectors where the n x k sweep turns quadratic
+    # under the k-grows-with-n discipline (BASELINE.md --semantic x100);
+    # routing is approximate, the keep rule within each cluster unchanged.
+    if assign == "exact":
+        assigned = kmeans_assign_vectorized(emb, id_col, vec_col, k=k)
+    elif assign == "hierarchical":
+        assigned = kmeans_assign_hierarchical(emb, id_col, vec_col, k=k, n_probe=3)
+    else:
+        raise ValueError(f"unknown assign mode: {assign!r}")
+    assign = assigned.select("id", "cluster").localCheckpoint(eager=True)
     pts = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .join(assign, "id")

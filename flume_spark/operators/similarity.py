@@ -365,6 +365,119 @@ def kmeans_assign_vectorized(
     return pts.mapInPandas(_assign, schema="id long, cluster int, dist2 double")
 
 
+def kmeans_assign_hierarchical(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Two-level (IVF-style) approximate variant of
+    `kmeans_assign_vectorized`: the SAME k md5-seeded fine centroids, but
+    each point first routes to the nearest of ~sqrt(k) coarse centroids
+    (a driver-side Lloyd fit over the k fine centroids — k x sqrt(k)
+    scalars, tiny) and then scans only that coarse cell's fine centroids.
+
+    Cost per point drops from k to ~2*sqrt(k) distance evaluations — the
+    assignment leg that turns SemDeDup's k-grows-with-n discipline back
+    from Θ(n²/const) to ~Θ(n^1.5) (BASELINE.md, --semantic x100 note).
+    Approximate ONLY in routing: a point whose true nearest fine centroid
+    lives in a different coarse cell gets its cell's best instead.
+    Because fine centroids are identical to the exact path's, agreement is
+    directly measurable (tests pin a floor); same output schema
+    (id, cluster, dist2), same 6dp-round-before-argmin tie rule.
+    """
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+
+    pts = emb.select(F.col(id_col).alias("id"), _to_double(vec_col).alias("vec"))
+    init = (
+        pts.orderBy(F.md5(F.col("id").cast("string")), "id")
+        .limit(k)
+        .select("vec")
+        .collect()
+    )
+    fine = np.asarray([list(r["vec"]) for r in init], dtype=np.float64)
+    n_coarse = max(1, int(_math.isqrt(k)))
+    coarse = fine[:n_coarse].copy()
+    for _ in range(5):  # driver-side Lloyd over k fine centroids
+        d = ((fine[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
+        owner = d.argmin(1)
+        for j in range(n_coarse):
+            members = fine[owner == j]
+            if len(members):
+                coarse[j] = members.mean(0)
+    d = ((fine[:, None, :] - coarse[None, :, :]) ** 2).sum(-1)
+    owner = d.argmin(1)
+    # fine-centroid ids grouped by owning coarse cell, padded to a matrix
+    groups = [np.nonzero(owner == j)[0] for j in range(n_coarse)]
+
+    def _assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            dc = np.empty((len(x), n_coarse), dtype=np.float64)
+            for j in range(n_coarse):
+                diff = x - coarse[j]
+                dc[:, j] = (diff * diff).sum(1)
+            probes = min(n_probe, n_coarse)
+            # n_probe nearest coarse cells per point (IVF multi-probe):
+            # routing misses fall off sharply with the second-best cell
+            route = np.argsort(dc, axis=1, kind="stable")[:, :probes]
+            cluster = np.full(len(x), -1, dtype=np.int64)
+            dist2 = np.full(len(x), np.inf, dtype=np.float64)
+            for j in range(n_coarse):
+                sel = (route == j).any(axis=1)
+                if not sel.any():
+                    continue
+                cand = groups[j]
+                if len(cand) == 0:  # empty cell contributes nothing
+                    continue
+                xs = x[sel]
+                df_ = np.empty((len(xs), len(cand)), dtype=np.float64)
+                for ci, c in enumerate(cand):
+                    diff = xs - fine[c]
+                    df_[:, ci] = (diff * diff).sum(1)
+                df_ = np.round(df_, 6)
+                best = df_.argmin(axis=1)
+                bd = df_[np.arange(len(xs)), best]
+                bc = cand[best]
+                idx = np.nonzero(sel)[0]
+                # keep the best across probed cells; ties -> lowest cluster
+                better = (bd < dist2[idx]) | (
+                    (bd == dist2[idx]) & (bc < cluster[idx])
+                )
+                upd = idx[better]
+                cluster[upd] = bc[better]
+                dist2[upd] = bd[better]
+            # a point whose probed cells were all empty falls back to cell 0's
+            # group being empty too is impossible (k >= 1 fine centroids exist
+            # and every fine centroid belongs to some cell), but guard anyway
+            missing = cluster < 0
+            if missing.any():
+                xs = x[missing]
+                df_ = np.empty((len(xs), len(fine)), dtype=np.float64)
+                for ci in range(len(fine)):
+                    diff = xs - fine[ci]
+                    df_[:, ci] = (diff * diff).sum(1)
+                df_ = np.round(df_, 6)
+                best = df_.argmin(axis=1)
+                cluster[missing] = best
+                dist2[missing] = df_[np.arange(len(xs)), best]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "cluster": cluster.astype("int32"),
+                    "dist2": dist2,
+                }
+            )
+
+    return pts.mapInPandas(_assign, schema="id long, cluster int, dist2 double")
+
+
 def kmeans(
     emb: DataFrame,
     id_col: str = "vec_id",

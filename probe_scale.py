@@ -1227,6 +1227,7 @@ def main_semantic() -> None:
     factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
     spark = get_spark(app_name="flume_probe_semantic")
     times: dict[int, float] = {}
+    hier_t: dict[int, float] = {}
     for f in factors:
         emb = scaled_embeddings(spark, f)
         n_vecs = emb.count()
@@ -1239,6 +1240,14 @@ def main_semantic() -> None:
             ),
         )
         times[f] = dt
+        dt, _ = probe(
+            f"semantic_dedup_hier@x{f}",
+            lambda e=emb, kk=k: dedup.semantic_dedup(
+                e, "vec_id", "embedding", k=kk, threshold=0.4,
+                assign="hierarchical",
+            ),
+        )
+        hier_t[f] = dt
         emb.unpersist()
         spark.catalog.clearCache()
     base = factors[0]
@@ -1254,7 +1263,17 @@ def main_semantic() -> None:
                     "semantic_dedup": {
                         "sec": {k: round(v, 2) for k, v in times.items()},
                         "exponent": exps,
-                    }
+                    },
+                    "semantic_dedup_hier": {
+                        "sec": {k: round(v, 2) for k, v in hier_t.items()},
+                        "exponent": {
+                            f: round(
+                                math.log(hier_t[f] / hier_t[base])
+                                / math.log(f / base), 2)
+                            for f in factors
+                            if f != base and hier_t[f] > 0
+                        },
+                    },
                 }
             }
         ),

@@ -450,3 +450,63 @@ def test_curate_corpus_span_clean_stage(spark, tmp_path):
     toks = {r["doc_id"]: r["n_tokens"] for r in curated.collect()}
     assert toks[1] == 20  # canonical keeper: 12 filler + 8 span words
     assert toks[2] == 12  # cleaned doc: filler only
+
+
+def test_hierarchical_assignment_agreement_floor(spark):
+    """The two-level IVF-style router must agree with exact assignment on
+    nearly every point even on UNCLUSTERED uniform vectors (the hardest
+    routing case — real embeddings are easier); exact agreement on
+    separated data is pinned below."""
+    from flume_spark.operators.similarity import (
+        kmeans_assign_hierarchical,
+        kmeans_assign_vectorized,
+    )
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    exact = {
+        r["id"]: r["cluster"]
+        for r in kmeans_assign_vectorized(emb, "vec_id", "embedding", k=16).collect()
+    }
+    hier = {
+        r["id"]: r["cluster"]
+        for r in kmeans_assign_hierarchical(
+            emb, "vec_id", "embedding", k=16, n_probe=3
+        ).collect()
+    }
+    agree = sum(1 for i in exact if exact[i] == hier[i]) / len(exact)
+    assert agree >= 0.95, f"agreement {agree:.3f} below floor"
+
+
+def test_semantic_dedup_hierarchical_on_separated_data(spark):
+    """On well-separated groups the router is exact, so hierarchical mode
+    reproduces the exact mode's dup marking verbatim."""
+    rows = []
+    for g in range(4):  # 4 far-apart groups of 3 near-identical vectors
+        base = [0.0] * 8
+        base[g] = 100.0
+        for j in range(3):
+            v = list(base)
+            v[(g + 1) % 8] = 0.01 * j
+            rows.append((g * 10 + j, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(k=4, threshold=0.99)
+    exact = {
+        r["vec_id"]: (r["cluster"], r["dup_of"])
+        for r in dedup.semantic_dedup(emb, "vec_id", "embedding", **kw).collect()
+    }
+    hier = {
+        r["vec_id"]: (r["cluster"], r["dup_of"])
+        for r in dedup.semantic_dedup(
+            emb, "vec_id", "embedding", assign="hierarchical", **kw
+        ).collect()
+    }
+    assert exact == hier
+    # marking is group-faithful: a duplicate always names a LOWER id from
+    # its own separated group (never cross-group at threshold 0.99), and
+    # every group keeps at least one representative (the md5-seeded init
+    # may SPLIT a group across clusters, so a group can keep more than one
+    # — but each group's lowest id is always a keeper)
+    for vid, (_, dup) in exact.items():
+        if dup is not None:
+            assert dup < vid and dup // 10 == vid // 10
+    assert all(exact[g * 10][1] is None for g in range(4))
