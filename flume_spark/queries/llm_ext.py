@@ -1571,8 +1571,25 @@ FROM assign a LEFT JOIN dups d ON d.id_b = a.id
 """
 
 
+def dedup_semantic_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_semantic` with the two-level IVF-style assignment router
+    (operators/similarity.py::kmeans_assign_hierarchical) — the at-scale
+    mode past ~1M vectors where the exact n x k sweep turns quadratic
+    under k ∝ n (BASELINE.md --semantic x100: 28.7s -> 10.5s).  Routing
+    is approximate by design, so NO oracle (rows-only driver check); its
+    hash-green deterministic siblings are `dedup_semantic` (exact
+    assignment, same keep rule) and `kmeans_assign`, and the agreement
+    floor vs exact assignment is pinned in tests/test_round8_ops.py."""
+    emb = T(spark, sf_dir, "embeddings")
+    k = max(4, emb.count() // 125)
+    return dedup.semantic_dedup(
+        emb, "vec_id", "embedding", k=int(k), threshold=0.4, assign="hierarchical"
+    )
+
+
 QUERIES = {
     "corpus_shard_manifest": corpus_shard_manifest,
+    "dedup_semantic_hier": dedup_semantic_hier,
     "dedup_substring_exact": dedup_substring_exact,
     "dedup_substring_hot": dedup_substring_hot,
     "dedup_substring_incremental": dedup_substring_incremental,
