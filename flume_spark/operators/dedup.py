@@ -1576,6 +1576,8 @@ def incremental_substring_stats(
     """
     if (history_windows is None) == (history is None):
         raise ValueError("pass exactly one of history_windows / history")
+    if new is None and new_windows is None:
+        raise ValueError("pass the batch as new or new_windows")
     # repeated-ingest callers (SubstrIngestor) window the batch themselves,
     # cache it, and pass new_windows — the batch's windows feed the history
     # probe, the self-join AND the totals, so the convenience path
