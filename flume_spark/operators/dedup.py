@@ -1449,6 +1449,7 @@ def semantic_dedup(
     k: int = 4,
     threshold: float = 0.4,
     assign: str = "exact",
+    n_probe: int = 3,
 ) -> DataFrame:
     """Mark within-cluster embedding near-duplicates, keeping one
     representative per neighborhood.
@@ -1496,7 +1497,9 @@ def semantic_dedup(
     if assign == "exact":
         assigned = kmeans_assign_vectorized(emb, id_col, vec_col, k=k)
     elif assign == "hierarchical":
-        assigned = kmeans_assign_hierarchical(emb, id_col, vec_col, k=k, n_probe=3)
+        assigned = kmeans_assign_hierarchical(
+            emb, id_col, vec_col, k=k, n_probe=n_probe
+        )
     else:
         raise ValueError(f"unknown assign mode: {assign!r}")
     assign = assigned.select("id", "cluster").localCheckpoint(eager=True)
