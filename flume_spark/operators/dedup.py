@@ -1627,6 +1627,37 @@ def incremental_substring_stats(
     )
 
 
+def dup_canonical_covered(wins: DataFrame, k: int) -> DataFrame:
+    """Covered word positions of every NON-canonical occurrence of a
+    globally duplicated window: the removal set of the Lee-et-al clean
+    pass, shared by the full action (`substring_dedup_clean`) and the
+    count-only curation report.  Canonical selection is groupBy(h) with
+    min(struct(id, pos)) + count — ONE map-side-combinable aggregate,
+    never a per-hash sort.  Returns distinct (id, wpos)."""
+    dup = (
+        wins.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(F.struct("id", "pos")).alias("canon"),
+        )
+        .filter(F.col("cnt") > 1)
+        .select("h", "canon")
+    )
+    return (
+        wins.join(dup, "h")
+        .filter(
+            (F.col("id") != F.col("canon.id")) | (F.col("pos") != F.col("canon.pos"))
+        )
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("wpos"),
+        )
+        .distinct()
+    )
+
+
 def substring_dedup_clean(
     df: DataFrame, id_col: str, text_col: str, k: int = 8
 ) -> DataFrame:
@@ -1662,24 +1693,7 @@ def substring_dedup_clean(
         F.posexplode(words_arr).alias("wpos", "word"),
     )
     wins = substring_windows(df, id_col, text_col, k=k)
-    dup = (
-        wins.groupBy("h")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.min(F.struct("id", "pos")).alias("canon"),
-        )
-        .filter(F.col("cnt") > 1)
-        .select("h", "canon")
-    )
-    noncanon = wins.join(dup, "h").filter(
-        (F.col("id") != F.col("canon.id")) | (F.col("pos") != F.col("canon.pos"))
-    )
-    covered = noncanon.select(
-        "id",
-        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))).alias(
-            "wpos"
-        ),
-    ).distinct()
+    covered = dup_canonical_covered(wins, k)
     kept = words.join(covered, ["id", "wpos"], "left_anti")
     totals = words.groupBy("id").agg(F.count(F.lit(1)).alias("n_words"))
     rebuilt = kept.groupBy("id").agg(

@@ -1320,28 +1320,7 @@ def corpus_curate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = docs.join(rejected.select("doc_id"), "doc_id", "left_anti")
     swins = dedup.substring_windows(survivors, "doc_id", "text", k=8)
-    dup = (
-        swins.groupBy("h")
-        .agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.min(F.struct("id", "pos")).alias("canon"),
-        )
-        .filter(F.col("cnt") > 1)
-        .select("h", "canon")
-    )
-    covered = (
-        swins.join(dup, "h")
-        .filter(
-            (F.col("id") != F.col("canon.id")) | (F.col("pos") != F.col("canon.pos"))
-        )
-        .select(
-            "id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(7))).alias(
-                "wpos"
-            ),
-        )
-        .distinct()
-    )
+    covered = dedup.dup_canonical_covered(swins, k=8)
     ncov = (
         covered.groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_cov"))

@@ -414,3 +414,12 @@ def test_substring_clean_no_pairwise(spark):
     plan = explained(spark, "dedup_substring_clean")
     assert n_nodes(plan, "CartesianProduct") == 0
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_hot_uses_take_ordered(spark):
+    """The boilerplate report's top-N must collapse to per-partition heaps
+    (TakeOrderedAndProject), never a global range sort over every window
+    hash."""
+    plan = explained(spark, "dedup_substring_hot")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
