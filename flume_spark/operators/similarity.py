@@ -314,6 +314,7 @@ def kmeans_assign_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 4,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """`kmeans_assign_step` computed per Arrow batch with numpy instead of
     a point x centroid crossJoin: same contract (same md5-seeded init
@@ -329,18 +330,23 @@ def kmeans_assign_vectorized(
     is float summation order at a 6dp rounding boundary (same accepted
     risk as `dedup.cosine_pairs`' matmul, hash-green since round 2).
     """
+    import numpy as np
     import pandas as pd
 
     pts = emb.select(F.col(id_col).alias("id"), _to_double(vec_col).alias("vec"))
-    init = (
-        pts.orderBy(F.md5(F.col("id").cast("string")), "id")
-        .limit(k)
-        .select("vec")
-        .collect()
-    )
-    import numpy as np
-
-    cent = np.asarray([list(r["vec"]) for r in init], dtype=np.float64)
+    if centroids is not None:
+        # explicit centroids: assignment becomes a pure per-vector function
+        # of the frozen centroid table — the property that makes a
+        # persisted cluster index append-only (SemanticIngestor)
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        init = (
+            pts.orderBy(F.md5(F.col("id").cast("string")), "id")
+            .limit(k)
+            .select("vec")
+            .collect()
+        )
+        cent = np.asarray([list(r["vec"]) for r in init], dtype=np.float64)
 
     def _assign(batches):
         for pdf in batches:
@@ -363,6 +369,27 @@ def kmeans_assign_vectorized(
             )
 
     return pts.mapInPandas(_assign, schema="id long, cluster int, dist2 double")
+
+
+def md5_init_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+) -> list[list[float]]:
+    """The k md5-seeded init centroid vectors as plain lists — the SAME
+    deterministic draw `kmeans_assign_step` uses, collected once so an
+    ingestor can FREEZE its centroid table at construction (assignment
+    then being a pure per-vector function is what makes a persisted
+    cluster index append-only)."""
+    pts = emb.select(F.col(id_col).alias("id"), _to_double(vec_col).alias("vec"))
+    init = (
+        pts.orderBy(F.md5(F.col("id").cast("string")), "id")
+        .limit(k)
+        .select("vec")
+        .collect()
+    )
+    return [list(r["vec"]) for r in init]
 
 
 def kmeans_assign_hierarchical(

@@ -1498,6 +1498,79 @@ FROM tot LEFT JOIN dupc USING (doc_id)
 """
 
 
+def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup through the REAL streaming ingestor (streaming/dedup.py::
+    SemanticIngestor): embeddings arrive as 3 micro-batches (vec_id % 3),
+    each marked against the persisted cluster index as of ITS OWN ingest
+    time under frozen md5-seeded centroids, then one batch is re-delivered
+    through the ledger-guarded entrypoint and must be skipped.  The oracle
+    is declarative batch-prefix seniority — a vector is duplicated iff an
+    EARLIER-batch or lower-id-same-batch vector shares its cluster at
+    cosine >= 0.4 — so hash-equality proves at-ingest-time marking AND
+    ledger idempotence through the real store."""
+    import tempfile
+
+    from flume_spark.streaming.dedup import SemanticIngestor
+
+    emb = T(spark, sf_dir, "embeddings")
+    cents = similarity.md5_init_centroids(emb, "vec_id", "embedding", k=4)
+    root = tempfile.mkdtemp(prefix="semantic_ingest_")
+    ing = SemanticIngestor(
+        spark,
+        cents,
+        index_dir=f"{root}/index",
+        marks_dir=f"{root}/marks",
+        ledger_dir=f"{root}/ledger",
+    )
+    batches = [emb.filter(F.col("vec_id") % 3 == b) for b in range(3)]
+    for b, bdf in enumerate(batches):
+        ing.process(bdf, b)
+    ing.process(batches[1], 1)  # re-delivered batch id: ledger must skip it
+    return ing.dup_marks()
+
+
+STREAM_SEMANTIC_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+              AS INT) AS cluster,
+         v AS cv
+  FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 4
+),
+scored AS (
+  SELECT e.vec_id AS id, init.cluster,
+         round(list_sum(list_transform(range(1, len(e.v) + 1),
+               i -> (e.v[i] - init.cv[i]) * (e.v[i] - init.cv[i]))), 6) AS dist2
+  FROM e CROSS JOIN init
+),
+assign AS (
+  SELECT id, cluster FROM (
+    SELECT id, cluster,
+           row_number() OVER (PARTITION BY id ORDER BY dist2, cluster) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+pts AS (
+  SELECT a.id, a.cluster, e.v, a.id % 3 AS b
+  FROM assign a JOIN e ON e.vec_id = a.id
+),
+dups AS (
+  SELECT y.id AS id_b, min(x.id) AS dup_of
+  FROM pts x JOIN pts y
+    ON x.cluster = y.cluster AND x.id <> y.id
+   AND (x.b < y.b OR (x.b = y.b AND x.id < y.id))
+  WHERE round(list_dot_product(x.v, y.v)
+              / (sqrt(list_dot_product(x.v, x.v))
+                 * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.4
+  GROUP BY y.id
+)
+SELECT a.id AS vec_id, a.cluster, d.dup_of, d.dup_of IS NOT NULL AS is_dup
+FROM assign a LEFT JOIN dups d ON d.id_b = a.id
+"""
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) with a deterministic
     keep rule (operators/dedup.py::semantic_dedup): k-means-cluster the
@@ -1574,6 +1647,7 @@ QUERIES = {
     "dedup_substring_incremental": dedup_substring_incremental,
     "dedup_substring_clean": dedup_substring_clean,
     "stream_substr_dedup": stream_substr_dedup,
+    "stream_semantic_dedup": stream_semantic_dedup,
     "text_bigram_rarity": text_bigram_rarity,
     "corpus_curate_spans": corpus_curate_spans,
     "dedup_substring_maxspan": dedup_substring_maxspan,
@@ -1610,6 +1684,7 @@ ORACLES = {
     "dedup_substring_incremental": DEDUP_SUBSTRING_INCR_SQL,
     "dedup_substring_clean": DEDUP_SUBSTRING_CLEAN_SQL,
     "stream_substr_dedup": STREAM_SUBSTR_SQL,
+    "stream_semantic_dedup": STREAM_SEMANTIC_SQL,
     "text_bigram_rarity": TEXT_BIGRAM_RARITY_SQL,
     "corpus_curate_spans": CORPUS_CURATE_SPANS_SQL,
     "dedup_substring_maxspan": DEDUP_SUBSTRING_MAXSPAN_SQL,

@@ -473,3 +473,162 @@ class SubstrIngestor:
         return compact_band_index(
             self.spark, self.index_table, self.index_dir, buckets=self.index_buckets
         )
+
+
+class SemanticIngestor:
+    """Streaming SemDeDup: each arriving micro-batch of embeddings is
+    marked against a persisted, cluster-keyed corpus index — history
+    vectors are probed per cluster, never rescanned corpus-wide — then
+    appended to the index.  The semantic twin of SubstrIngestor.
+
+    Centroids are FROZEN at construction (`similarity.md5_init_centroids`
+    or a trained table): assignment is then a pure per-vector function,
+    so the cluster index is append-only by construction — the same
+    argument that makes the window index safe to grow forever.
+
+    Keep rule (batch-prefix seniority, deterministic): a batch vector is
+    a duplicate iff some vector seen STRICTLY EARLIER (any id, earlier
+    batch) or LOWER-id in its own batch shares its cluster with cosine >=
+    threshold (6dp-rounded); dup_of = the smallest such id.  Marks record
+    each vector's verdict as of ITS OWN ingest time and are never
+    revisited — exactly the one-pass semantics an arrival-ordered corpus
+    wants.
+
+    State is two parquet locations (index: id, cluster, vec; marks) plus
+    the batch-id ledger; a replayed batch re-marks identically (its own
+    partition is excluded from the probe) and its appends are skipped.
+    Per-batch cost: O(batch) assignment (numpy mapInPandas against the
+    frozen centroids) + per-touched-cluster matmuls over
+    (history members + batch members).
+    """
+
+    def __init__(
+        self,
+        spark,
+        centroids: list[list[float]],
+        index_dir: str,
+        marks_dir: str,
+        ledger_dir: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        threshold: float = 0.4,
+    ) -> None:
+        import os
+
+        self.spark = spark
+        self.centroids = [list(map(float, c)) for c in centroids]
+        self.index_dir = index_dir
+        self.marks_dir = marks_dir
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+        os.makedirs(index_dir, exist_ok=True)
+        os.makedirs(marks_dir, exist_ok=True)
+        from flume_spark.streaming.sink import idempotent_foreach_batch
+
+        self.process = idempotent_foreach_batch(self._process, ledger_dir)
+
+    def _read_index(self, exclude_batch_id: int):
+        if not LshIngestor._has_parquet(self.index_dir):
+            return None
+        return (
+            self.spark.read.parquet(self.index_dir)
+            .filter(F.col("ingest_batch") != exclude_batch_id)
+            .select("id", "cluster", "vec")
+        )
+
+    def _process(self, batch_df, batch_id: int) -> None:
+        import os
+
+        import pandas as pd
+
+        from flume_spark.operators.similarity import kmeans_assign_vectorized
+
+        assigned = kmeans_assign_vectorized(
+            batch_df,
+            self.id_col,
+            self.vec_col,
+            k=len(self.centroids),
+            centroids=self.centroids,
+        ).select("id", "cluster")
+        nb = (
+            batch_df.select(
+                F.col(self.id_col).alias("id"), F.col(self.vec_col).alias("vec")
+            )
+            .join(assigned, "id")
+            .localCheckpoint(eager=True)
+        )
+        history = self._read_index(exclude_batch_id=batch_id)
+        if history is None:
+            history = nb.filter("1 = 0")
+        pool = nb.withColumn("is_new", F.lit(True)).unionByName(
+            history.withColumn("is_new", F.lit(False))
+        )
+        threshold = self.threshold
+
+        def _marks(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            new = pdf[pdf["is_new"]]
+            if new.empty:
+                return pd.DataFrame(
+                    {
+                        "id": pd.array([], dtype="int64"),
+                        "cluster": pd.array([], dtype="int32"),
+                        "dup_of": pd.array([], dtype="Int64"),
+                    }
+                )
+            old = pdf[~pdf["is_new"]]
+            order = np.argsort(new["id"].to_numpy())
+            ids = new["id"].to_numpy()[order]
+            mat = np.stack(new["vec"].to_numpy())[order].astype(np.float64)
+            norms = np.sqrt((mat * mat).sum(1))
+            dup = [None] * len(ids)
+            if not old.empty:
+                om = np.stack(old["vec"].to_numpy()).astype(np.float64)
+                oids = old["id"].to_numpy()
+                onorm = np.sqrt((om * om).sum(1))
+                cos_no = np.round(
+                    (mat @ om.T) / np.outer(norms, onorm), 6
+                )
+                hit = cos_no >= threshold
+                for j in range(len(ids)):
+                    if hit[j].any():
+                        dup[j] = int(oids[hit[j]].min())
+            cos_nn = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+            tri = np.triu(cos_nn >= threshold, 1)
+            has = tri.any(axis=0)
+            first = tri.argmax(axis=0)
+            for j in range(len(ids)):
+                if has[j]:
+                    cand = int(ids[first[j]])  # ids sorted asc: first = min
+                    dup[j] = cand if dup[j] is None else min(dup[j], cand)
+            return pd.DataFrame(
+                {
+                    "id": ids,
+                    "cluster": new["cluster"].to_numpy()[order].astype("int32"),
+                    "dup_of": pd.array(dup, dtype="Int64"),
+                }
+            )
+
+        marks = pool.groupBy("cluster").applyInPandas(
+            _marks, schema="id long, cluster int, dup_of long"
+        )
+        marks.write.mode("overwrite").parquet(
+            os.path.join(self.marks_dir, f"ingest_batch={batch_id}")
+        )
+        nb.select("id", "cluster", "vec").write.mode("overwrite").parquet(
+            os.path.join(self.index_dir, f"ingest_batch={batch_id}")
+        )
+
+    def dup_marks(self):
+        """(id, cluster, dup_of, is_dup) for every ingested vector, as of
+        its OWN ingest time (None if nothing ingested)."""
+        if not LshIngestor._has_parquet(self.marks_dir):
+            return None
+        return self.spark.read.parquet(self.marks_dir).select(
+            F.col("id").alias(self.id_col),
+            "cluster",
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )

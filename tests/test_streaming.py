@@ -1192,3 +1192,55 @@ def test_streaming_substr_ingest_compaction_preserves_results(spark, tmp_path):
         assert stats == {1: 0, 2: 0, 10: 1}
     finally:
         spark.sql("DROP TABLE IF EXISTS r8_sub_compact_idx")
+
+
+# -- streaming semantic dedup (streaming/dedup.SemanticIngestor) --------------
+
+
+def _sem_ing(spark, tmp_path, centroids):
+    from flume_spark.streaming.dedup import SemanticIngestor
+
+    return SemanticIngestor(
+        spark,
+        centroids,
+        index_dir=str(tmp_path / "sem_idx"),
+        marks_dir=str(tmp_path / "sem_marks"),
+        ledger_dir=str(tmp_path / "sem_ledger"),
+        threshold=0.9,
+    )
+
+
+def test_streaming_semantic_ingest_marks_across_batches(spark, tmp_path):
+    """A later-arriving near-duplicate is marked against the persisted
+    cluster index (dup_of = the EARLIER id even though it is numerically
+    larger than nothing forces); earlier vectors keep their at-ingest-time
+    verdicts."""
+    schema = "vec_id long, embedding array<double>"
+    ing = _sem_ing(spark, tmp_path, centroids=[[1.0, 0.0], [0.0, 1.0]])
+    b1 = spark.createDataFrame([(7, [1.0, 0.0]), (8, [0.0, 1.0])], schema)
+    b2 = spark.createDataFrame([(3, [0.999, 0.01])], schema)  # near-dup of 7
+    ing._process(b1, batch_id=0)
+    first = {r["vec_id"]: r["dup_of"] for r in ing.dup_marks().collect()}
+    assert first == {7: None, 8: None}
+    ing._process(b2, batch_id=1)
+    marks = {r["vec_id"]: r["dup_of"] for r in ing.dup_marks().collect()}
+    # id 3 < 7, but 7 arrived FIRST: seniority is arrival order, not id
+    assert marks == {7: None, 8: None, 3: 7}
+
+
+def test_streaming_semantic_ingest_replay_converges(spark, tmp_path):
+    """Crash-window replay (index written, marker missing, no later batches
+    yet) re-marks identically: the batch's own partition is excluded from
+    its probe."""
+    schema = "vec_id long, embedding array<double>"
+    ing = _sem_ing(spark, tmp_path, centroids=[[1.0, 0.0], [0.0, 1.0]])
+    batch = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.998, 0.02]), (12, [0.0, 1.0])], schema
+    )
+    ing._process(batch, batch_id=0)
+    first = {tuple(r) for r in ing.dup_marks().collect()}
+    ing._process(batch, batch_id=0)
+    replay = {tuple(r) for r in ing.dup_marks().collect()}
+    assert first == replay
+    marks = {r["vec_id"]: r["dup_of"] for r in ing.dup_marks().collect()}
+    assert marks == {10: None, 11: 10, 12: None}
