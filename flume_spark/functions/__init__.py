@@ -6,6 +6,9 @@ imported from here composes into scans and map stages for free at 100 TB.
 Reference scalar surface mapped in SURVEY.md §2.7.
 """
 
+from flume_spark.operators.dedup import (  # noqa: F401
+    norm_words_expr,
+)
 from flume_spark.operators.layout import (  # noqa: F401
     morton_key,
 )
@@ -16,6 +19,7 @@ from flume_spark.operators.similarity import (  # noqa: F401
 )
 from flume_spark.operators.text import (  # noqa: F401
     BPE_ISH_PATTERN,
+    bigrams_over,
     quality_col,
     tokens_col,
 )
