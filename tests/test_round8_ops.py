@@ -510,3 +510,101 @@ def test_semantic_dedup_hierarchical_on_separated_data(spark):
         if dup is not None:
             assert dup < vid and dup // 10 == vid // 10
     assert all(exact[g * 10][1] is None for g in range(4))
+
+
+def test_incremental_substring_matches_rebuild_property(spark):
+    """Merge-equals-rebuild under random corpora and a random parity
+    split: the at-ingest path must equal the whole-corpus stats restricted
+    to the batch on EVERY input, not just the planted fixtures."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+    corpus = st.lists(doc, min_size=2, max_size=6)
+    k = 3
+
+    @given(texts=corpus, split=st.integers(min_value=2, max_value=3))
+    @settings(max_examples=12, deadline=None)
+    def check(texts, split):
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        inc = dedup.incremental_substring_stats(
+            docs.filter(f"doc_id % {split} = 1"),
+            "doc_id",
+            "text",
+            k=k,
+            history=docs.filter(f"doc_id % {split} != 1"),
+        )
+        whole = dedup.substring_dup_stats(docs, "doc_id", "text", k=k).filter(
+            f"doc_id % {split} = 1"
+        )
+        assert {tuple(r) for r in inc.collect()} == {
+            tuple(r) for r in whole.collect()
+        }
+
+    check()
+
+
+def test_streaming_semantic_matches_prefix_reference(spark):
+    """The SemanticIngestor's per-batch marks equal the brute-force
+    batch-prefix rule (earlier batch, or lower id within the batch; frozen
+    centroids) on random small vector sets — the streaming analog of the
+    merge-equals-rebuild property."""
+    import tempfile
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flume_spark.streaming.dedup import SemanticIngestor
+
+    coord = st.integers(min_value=-2, max_value=2)
+    vec = st.tuples(coord, coord).filter(lambda v: v != (0, 0))
+    vecs = st.lists(vec, min_size=3, max_size=8)
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    t = 0.7
+
+    @given(vs=vecs)
+    @settings(max_examples=8, deadline=None)
+    def check(vs):
+        ids = list(range(len(vs)))
+        arr = np.asarray(vs, dtype=np.float64)
+        c = np.asarray(cents)
+        d = np.round(
+            ((arr[:, None, :] - c[None, :, :]) ** 2).sum(-1), 6
+        )
+        cluster = d.argmin(1)
+        norms = np.sqrt((arr * arr).sum(1))
+        cos = np.round((arr @ arr.T) / np.outer(norms, norms), 6)
+        want = {}
+        for j in ids:
+            cands = [
+                i
+                for i in ids
+                if i != j
+                and cluster[i] == cluster[j]
+                and cos[i, j] >= t
+                and (i % 3 < j % 3 or (i % 3 == j % 3 and i < j))
+            ]
+            want[j] = min(cands) if cands else None
+        root = tempfile.mkdtemp(prefix="sem_prop_")
+        ing = SemanticIngestor(
+            spark,
+            cents,
+            index_dir=f"{root}/idx",
+            marks_dir=f"{root}/marks",
+            ledger_dir=f"{root}/ledger",
+            threshold=t,
+        )
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in zip(ids, vs)],
+            "vec_id long, embedding array<double>",
+        )
+        for b in range(3):
+            ing._process(df.filter(f"vec_id % 3 = {b}"), batch_id=b)
+        got = {r["vec_id"]: r["dup_of"] for r in ing.dup_marks().collect()}
+        assert got == want
+
+    check()
