@@ -1252,6 +1252,44 @@ GROUP BY a.source, b.source
 """
 
 
+def dedup_multimodal_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: cosine pairs over MEDIA features — the image/
+    video dedup pass (perceptual-embedding near-dup) with the decode step
+    stubbed per the environment mandate and every Spark-side piece real:
+    BinaryType payloads -> Arrow-batched feature extraction (mapInPandas,
+    the production batch shape) -> the block-matmul cosine join
+    `dedup_embedding_cosine` uses.  The stub features are deterministic
+    and SQL-expressible, so unlike most media pipelines this one is
+    value-hash-checked end to end; a real encoder swaps into the kernel
+    with schema, partitioning, and join unchanged."""
+    from flume_spark.operators import multimodal
+
+    docs = T(spark, sf_dir, "documents")
+    payloads = multimodal.to_binary_payload(docs, "doc_id", "text")
+    feats = multimodal.feature_extract_stub(payloads)
+    return dedup.cosine_pairs(feats, "id", "features", threshold=0.999, blocks=4)
+
+
+DEDUP_MULTIMODAL_COSINE_SQL = """
+WITH f AS (
+  SELECT doc_id AS id,
+         [ (octet_length(CAST(text AS BLOB)) % 256) / 256.0,
+           ascii(substr(text, 1, 1)) / 256.0,
+           ascii(substr(text, length(text), 1)) / 256.0,
+           (octet_length(CAST(text AS BLOB)) * 7 % 256) / 256.0 ] AS v
+  FROM documents
+),
+scored AS (
+  SELECT a.id AS doc_a, b.id AS doc_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM f a JOIN f b ON a.id < b.id
+)
+SELECT doc_a, doc_b, cosine FROM scored WHERE cosine >= 0.999
+"""
+
+
 def dedup_substring_maxspan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication severity ladder (operators/dedup.py::
     substring_max_dup_span): per doc, the largest window width in
@@ -1651,6 +1689,7 @@ QUERIES = {
     "text_bigram_rarity": text_bigram_rarity,
     "corpus_curate_spans": corpus_curate_spans,
     "dedup_substring_maxspan": dedup_substring_maxspan,
+    "dedup_multimodal_cosine": dedup_multimodal_cosine,
     "dedup_source_mirrors": dedup_source_mirrors,
     "dedup_semantic": dedup_semantic,
     "text_chunk_sliding": text_chunk_sliding,
@@ -1688,6 +1727,7 @@ ORACLES = {
     "text_bigram_rarity": TEXT_BIGRAM_RARITY_SQL,
     "corpus_curate_spans": CORPUS_CURATE_SPANS_SQL,
     "dedup_substring_maxspan": DEDUP_SUBSTRING_MAXSPAN_SQL,
+    "dedup_multimodal_cosine": DEDUP_MULTIMODAL_COSINE_SQL,
     "dedup_source_mirrors": DEDUP_SOURCE_MIRRORS_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "text_chunk_sliding": TEXT_CHUNK_SQL,
