@@ -1679,19 +1679,22 @@ def dedup_semantic_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "corpus_shard_manifest": corpus_shard_manifest,
+    # round-8 additions ordered cheapest-first: the driver's check prefix
+    # has a time budget, and the two stream_* entries (real-ingestor runs,
+    # ~12-18s each) must not starve the sub-second rows behind them
     "dedup_semantic_hier": dedup_semantic_hier,
     "dedup_substring_exact": dedup_substring_exact,
     "dedup_substring_hot": dedup_substring_hot,
     "dedup_substring_incremental": dedup_substring_incremental,
     "dedup_substring_clean": dedup_substring_clean,
-    "stream_substr_dedup": stream_substr_dedup,
-    "stream_semantic_dedup": stream_semantic_dedup,
     "text_bigram_rarity": text_bigram_rarity,
-    "corpus_curate_spans": corpus_curate_spans,
-    "dedup_substring_maxspan": dedup_substring_maxspan,
     "dedup_multimodal_cosine": dedup_multimodal_cosine,
     "dedup_source_mirrors": dedup_source_mirrors,
     "dedup_semantic": dedup_semantic,
+    "dedup_substring_maxspan": dedup_substring_maxspan,
+    "corpus_curate_spans": corpus_curate_spans,
+    "stream_substr_dedup": stream_substr_dedup,
+    "stream_semantic_dedup": stream_semantic_dedup,
     "text_chunk_sliding": text_chunk_sliding,
     "ann_topk_int8": ann_topk_int8,
     "ann_topk_pq": ann_topk_pq,
@@ -1722,14 +1725,14 @@ ORACLES = {
     "dedup_substring_hot": DEDUP_SUBSTRING_HOT_SQL,
     "dedup_substring_incremental": DEDUP_SUBSTRING_INCR_SQL,
     "dedup_substring_clean": DEDUP_SUBSTRING_CLEAN_SQL,
-    "stream_substr_dedup": STREAM_SUBSTR_SQL,
-    "stream_semantic_dedup": STREAM_SEMANTIC_SQL,
     "text_bigram_rarity": TEXT_BIGRAM_RARITY_SQL,
-    "corpus_curate_spans": CORPUS_CURATE_SPANS_SQL,
-    "dedup_substring_maxspan": DEDUP_SUBSTRING_MAXSPAN_SQL,
     "dedup_multimodal_cosine": DEDUP_MULTIMODAL_COSINE_SQL,
     "dedup_source_mirrors": DEDUP_SOURCE_MIRRORS_SQL,
     "dedup_semantic": DEDUP_SEMANTIC_SQL,
+    "dedup_substring_maxspan": DEDUP_SUBSTRING_MAXSPAN_SQL,
+    "corpus_curate_spans": CORPUS_CURATE_SPANS_SQL,
+    "stream_substr_dedup": STREAM_SUBSTR_SQL,
+    "stream_semantic_dedup": STREAM_SEMANTIC_SQL,
     "text_chunk_sliding": TEXT_CHUNK_SQL,
     "ann_topk_int8": ANN_INT8_SQL,
     "ann_topk_pq": ANN_PQ_SQL,
