@@ -39,113 +39,66 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # in the middle group and get checked next round automatically.
 # tests/test_registry.py asserts both lists stay consistent with the merged
 # query dict (no typos, no overlap, full coverage).
-# Round-7 re-tier done: all 50 CORRECTNESS_r06 rows (50/50 hash-green)
-# folded into _DRIVER_CHECKED.  This list is now the round-7 new/changed
-# set.  Round-8 note: CORRECTNESS_r07.json never materialized (the judge
-# last ran at round 6), so the round-7 set CARRIES OVER unchecked and
-# stays first; round-8 additions land in the middle group right behind it
-# (14 carried + round-8 news fit comfortably inside the 50-entry prefix).
-# ROUND-9 RE-TIERING (do this first next round): once a new
-# CORRECTNESS_r{N}.json lands, fold ALL its rows into _DRIVER_CHECKED,
-# then rebuild this list from that round's changes.  tests/test_registry.py
+# Round-9 re-tier done: all 50 CORRECTNESS_r08 rows (49 hash-green + 1
+# rows-only-by-design) folded into _DRIVER_CHECKED — the cumulative union
+# r01-r08 now covers every declared query.  _NEEDS_DRIVER_ROW is the
+# round-9 new/changed set; new round-9 queries absent from both lists land
+# in the middle (fresh) group automatically.  tests/test_registry.py
 # fails loudly on typos/overlap.
-_NEEDS_DRIVER_ROW = [  # round-7 additions/changes, ascending expected sf0.01 runtime
-    # graph_triangles re-verify: edge orientation changed from id-order to
-    # (degree, id)-rank order (skew-safe wedge plan); triangles are
-    # orientation-invariant so the recursive-CTE oracle must stay hash-green.
-    "graph_triangles",
-    # graph_sssp_k re-verify: weighted edge list now staged once instead of
-    # re-executing the basket self-join every relaxation round (values
-    # unchanged — pure plan work, 8.0s -> 4.2s warm at sf0.1).
-    "graph_sssp_k",
-    # new round-7: time-travel reads on the commit log — log_diff of two
-    # stored versions vs the oracle's declarative replay of both prefixes
-    # (hash-equality pins reader isolation through the REAL store).
-    "queue_log_diff",
-    # new round-7: real BPE apply (rank-ordered merge rounds, one codegen
-    # replace per rule) vs the oracle replaying the SAME merge table.
-    "text_bpe_tokens",
-    # new round-7: distinct jids per queue per day from the REAL
-    # HllIngestor (3 micro-batches + one REPLAYED batch) vs a one-level
-    # register replay in DuckDB — slice-merge == whole AND replay-noop.
-    "queue_hll_daily_jids",
-    # new round-7: k-core peeling (the deletion fixpoint) vs an oracle
-    # that unrolls the identical rounds with MATERIALIZED CTEs.
-    "graph_kcore",
-    # new round-7: product-quantization ADC top-k — exact-integer
-    # codebook training (sign seed + 1 Lloyd round) AND search, oracle
-    # replays the whole pipeline (unrolled rounds, materialized CTEs).
-    "ann_topk_pq",
-    # new round-7: packing in real-tokenizer units (BPE counts through
-    # the generalized pack_by_counts); pack_sequences itself re-verifies
-    # after the pack_by_counts refactor (same expressions, new seam).
-    "pack_bpe_budget",
-    "pack_sequences",
-    # new round-7: decontaminated split — the seeded draw keys on the
-    # near-dup COMPONENT so a dup cluster can never straddle train/test;
-    # oracle replays the closure recursively + the identical integer draw.
-    "corpus_split_leakage_safe",
-    # new round-7: IVF-PQ — coarse cell prunes, PQ ADC ranks; the oracle
-    # replays the cell restriction so the hash pins membership pruning.
-    "ann_topk_ivfpq",
-    # new round-7: the remaining two sketch-family queue-telemetry
-    # compositions (HLL=distinct above; CMS=heavy hitters with the
-    # never-undercount bound visible; Hist=latency percentiles), each
-    # through the REAL ingestor with a replayed batch vs one-level replay.
-    "queue_heavy_users_cms",
-    "queue_latency_hist",
-    # new round-7: the warehouse fact-to-SCD2 join — each fact row
-    # enriched with the dimension version valid at the fact's own ts
-    # (half-open boundary: a change event lands in the regime it OPENED).
-    "scd2_fact_join",
+_NEEDS_DRIVER_ROW = [  # round-9 additions/changes, ascending expected sf0.01 runtime
+    # changed round-9: the multimodal near-dup pairing leg gets a k-means
+    # candidate stage (same-cluster restriction, the semantic_dedup shape)
+    # in front of the block matmul — round-8's one weak plan.  The oracle
+    # mirrors the md5-seeded assignment, so the hash must stay green.
+    "dedup_multimodal_cosine",
 ]
 
-# Union of CORRECTNESS_r01..r06 keys: 184 hash-green at latest check,
-# 5 rows-only by design (approx_distinct, ann_topk_lsh, embedding_kmeans,
-# approx_percentiles, graph_pagerank), MINUS any query whose semantics
-# changed since its driver row — those move back into _NEEDS_DRIVER_ROW
-# (round 7: graph_triangles via the degree-ordered orientation).  Do NOT
+# Union of CORRECTNESS_r01..r08 keys: 207 oracled hash-green at latest
+# check, 6 rows-only by design (approx_distinct, ann_topk_lsh,
+# embedding_kmeans, approx_percentiles, graph_pagerank,
+# dedup_semantic_hier), MINUS any query whose semantics changed since its
+# driver row — those move back into _NEEDS_DRIVER_ROW (round 9:
+# dedup_multimodal_cosine via the clustered candidate stage).  Do NOT
 # "restore" a name to this set without removing it from the re-verify list.
 _DRIVER_CHECKED = frozenset(
     {
-        "corpus_shard_manifest", "dedup_prefix_filter",
-        "dedup_prefix_incremental", "due_filter", "graph_bfs_hops",
-        "histogram_quantiles",
-        "join_null_safe", "privacy_k_anonymity", "rate_window_count",
-        "scd2_incremental", "scd2_snapshot_counts", "scd2_user_history",
-        "sketch_hll", "snapshot_diff_orders", "text_novelty_by_source",
-        "topk_due", "ts_sax_znorm", "weighted_median_price",
-        "channel_running_compare", "channel_share_gsets", "corpus_shuffle",
-        "events_path_trigrams", "graph_pagerank_k", "graph_pagerank_step",
-        "lsh_label_purity", "orders_monthly_remerge", "rollup_topk_window",
-        "set_except_all", "set_intersect_all", "sketch_histogram",
-        "stream_contract_orders", "table_checks_orders", "ts_sax_words",
-        "ts_similar_users",
         "agg_conditional", "agg_count_distinct_salted", "agg_cube",
         "agg_distinct", "agg_grouping_sets", "agg_histogram", "agg_minmax_by",
         "agg_percentiles", "agg_rollup", "agg_stats", "ann_range_cells",
         "ann_range_search", "ann_topk_bruteforce", "ann_topk_int8",
-        "ann_topk_ivf", "ann_topk_lsh", "ann_topk_multiprobe",
-        "approx_distinct", "approx_percentiles", "array_agg_sorted",
-        "backoff_expr", "case_when_bucketing", "cohort_retention",
-        "corpus_split", "correlated_subquery", "curation_pipeline",
-        "date_spine_fill", "dedup_canonical_best", "dedup_components",
-        "dedup_containment", "dedup_embedding_cosine", "dedup_exact",
-        "dedup_incremental", "dedup_lsh_verified", "dedup_minhash_lsh",
-        "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped", "dedup_passage",
-        "dedup_rate_by_source", "dedup_simhash",
-        "embedding_centroids", "embedding_kmeans", "embedding_quantize",
-        "embedding_truncate", "events_anomaly_mad", "events_funnel",
-        "events_gap_islands", "events_transitions", "explode_tokens",
-        "filter_project", "fuzzy_part_names", "graph_pagerank",
-        "group_args_nested", "interval_coverage", "job_counts", "join_anti",
+        "ann_topk_ivf", "ann_topk_ivfpq", "ann_topk_lsh",
+        "ann_topk_multiprobe", "ann_topk_pq", "approx_distinct",
+        "approx_percentiles", "array_agg_sorted", "backoff_expr",
+        "case_when_bucketing", "channel_running_compare",
+        "channel_share_gsets", "cohort_retention", "corpus_curate_spans",
+        "corpus_shard_manifest", "corpus_shuffle", "corpus_split",
+        "corpus_split_leakage_safe", "correlated_subquery",
+        "curation_pipeline", "date_spine_fill", "dedup_canonical_best",
+        "dedup_components", "dedup_containment", "dedup_embedding_cosine",
+        "dedup_exact", "dedup_incremental", "dedup_lsh_verified",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard_capped", "dedup_passage", "dedup_prefix_filter",
+        "dedup_prefix_incremental", "dedup_rate_by_source", "dedup_semantic",
+        "dedup_semantic_hier", "dedup_simhash", "dedup_source_mirrors",
+        "dedup_substring_clean", "dedup_substring_exact",
+        "dedup_substring_hot", "dedup_substring_incremental",
+        "dedup_substring_maxspan", "due_filter", "embedding_centroids",
+        "embedding_kmeans", "embedding_quantize", "embedding_truncate",
+        "events_anomaly_mad", "events_funnel", "events_gap_islands",
+        "events_path_trigrams", "events_transitions", "explode_tokens",
+        "filter_project", "fuzzy_part_names", "graph_bfs_hops", "graph_kcore",
+        "graph_pagerank", "graph_pagerank_k", "graph_pagerank_step",
+        "graph_sssp_k", "graph_triangles", "group_args_nested",
+        "histogram_quantiles", "interval_coverage", "job_counts", "join_anti",
         "join_asof", "join_broadcast", "join_interval", "join_lateral",
-        "join_outer", "join_range", "join_semi", "join_skew_salted",
-        "kmeans_assign", "lsh_buckets", "md5_ledger_key", "mixture_weights",
+        "join_null_safe", "join_outer", "join_range", "join_semi",
+        "join_skew_salted", "kmeans_assign", "lsh_buckets",
+        "lsh_label_purity", "md5_ledger_key", "mixture_weights",
         "multimodal_feature_extract", "multimodal_frame_sample",
         "multimodal_meta", "multimodal_resize", "orders_market_basket",
-        "orders_seasonality", "percentiles_exact",
-        "pivot_returnflag", "q10_returned_items", "q11_important_stock",
+        "orders_monthly_remerge", "orders_seasonality", "pack_bpe_budget",
+        "pack_sequences", "percentiles_exact", "pivot_returnflag",
+        "privacy_k_anonymity", "q10_returned_items", "q11_important_stock",
         "q12_priority_lineclass", "q13_customer_distribution",
         "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
         "q17_small_quantity_revenue", "q18_large_volume",
@@ -154,25 +107,33 @@ _DRIVER_CHECKED = frozenset(
         "q22_dormant_customers", "q2_min_cost_supplier",
         "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
         "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-        "q9_product_profit", "queue_pending_counts",
-        "revenue_share_rollup", "rfm_segments", "running_distinct_users",
-        "sample_stratified", "sample_weighted", "scalar_array_funcs",
-        "scalar_bitwise_funcs", "scalar_date_funcs", "scalar_json_funcs",
-        "scalar_math_funcs", "scalar_null_funcs", "scalar_regex_funcs",
-        "scalar_string_funcs", "scalar_subquery", "set_except",
-        "set_intersect", "set_union", "sketch_countmin",
-        "skew_report_lineitem", "source_cap", "supplier_balance_outliers",
-        "text_bm25_topk", "text_chunk_sliding", "text_commonness",
+        "q9_product_profit", "queue_heavy_users_cms", "queue_hll_daily_jids",
+        "queue_latency_hist", "queue_log_diff", "queue_pending_counts",
+        "rate_window_count", "revenue_share_rollup", "rfm_segments",
+        "rollup_topk_window", "running_distinct_users", "sample_stratified",
+        "sample_weighted", "scalar_array_funcs", "scalar_bitwise_funcs",
+        "scalar_date_funcs", "scalar_json_funcs", "scalar_math_funcs",
+        "scalar_null_funcs", "scalar_regex_funcs", "scalar_string_funcs",
+        "scalar_subquery", "scd2_fact_join", "scd2_incremental",
+        "scd2_snapshot_counts", "scd2_user_history", "set_except",
+        "set_except_all", "set_intersect", "set_intersect_all", "set_union",
+        "sketch_countmin", "sketch_histogram", "sketch_hll",
+        "skew_report_lineitem", "snapshot_diff_orders", "source_cap",
+        "stream_contract_orders", "stream_semantic_dedup",
+        "stream_substr_dedup", "supplier_balance_outliers",
+        "table_checks_orders", "text_bigram_rarity", "text_bm25_topk",
+        "text_bpe_tokens", "text_chunk_sliding", "text_commonness",
         "text_decontaminate", "text_fingerprint", "text_lang_id",
-        "text_length_histogram", "text_normalize", "text_pii_scrub",
-        "text_quality_score", "text_repetition", "text_rolling_fingerprint",
-        "text_subword_tokens", "text_tfidf_topk", "text_token_count",
-        "time_weighted_avg", "topk_orders", "unpivot_orders",
-        "visibility_timeout_scan", "vocab_topk", "window_first_last",
-        "window_lag_lead", "window_moving_agg", "window_ntile_dist",
-        "window_range_frame", "window_rank", "window_running_sum",
-        "window_session", "window_sliding", "window_topk_users",
-        "window_tumbling", "zorder_orders"
+        "text_length_histogram", "text_normalize", "text_novelty_by_source",
+        "text_pii_scrub", "text_quality_score", "text_repetition",
+        "text_rolling_fingerprint", "text_subword_tokens", "text_tfidf_topk",
+        "text_token_count", "time_weighted_avg", "topk_due", "topk_orders",
+        "ts_sax_words", "ts_sax_znorm", "ts_similar_users", "unpivot_orders",
+        "visibility_timeout_scan", "vocab_topk", "weighted_median_price",
+        "window_first_last", "window_lag_lead", "window_moving_agg",
+        "window_ntile_dist", "window_range_frame", "window_rank",
+        "window_running_sum", "window_session", "window_sliding",
+        "window_topk_users", "window_tumbling", "zorder_orders",
     }
 )
 
