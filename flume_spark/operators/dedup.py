@@ -546,6 +546,7 @@ def cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     blocks: int = 8,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold (rounded 6dp), doc_a < doc_b.
 
@@ -555,30 +556,45 @@ def cosine_pairs(
     `applyInPandas` (Arrow-batched, BLAS).  Exact — every pair lands in
     exactly one block-pair group.
 
+    `group_col` (optional) is the candidate-pruning seam: when given, pairs
+    are restricted to rows sharing that key (e.g. a k-means cluster id from
+    `similarity.kmeans_assign_vectorized`, or an LSH band bucket) and the
+    block decomposition happens WITHIN each group — the grouped form is
+    SemDeDup's sum(cluster^2) cost law instead of the all-pairs n^2, while
+    the per-group blocks keep a single huge group's sub-matrices memory-
+    bounded.  Without it the join is exact-but-quadratic: fine for a
+    bounded rerank set, wrong as a corpus-scale pairing leg.
+
     Scale: replication factor is `blocks` (vs |N| for a naive cross-join);
-    the only shuffle is the groupBy on the block-pair key, and each group is
-    O((N/blocks)^2) flops of vectorized work.  Tune `blocks` so a group's two
-    sub-matrices fit executor memory (~N/blocks x dim doubles each).  An
-    expression-only variant of the same semantics is `similarity.cosine_expr`
-    in a theta-join, which Catalyst evaluates row-at-a-time — ~100x slower.
+    the only shuffle is the groupBy on the (group, block-pair) key, and each
+    task is O((N_g/blocks)^2) flops of vectorized work.  Tune `blocks` so a
+    group's two sub-matrices fit executor memory (~N_g/blocks x dim doubles
+    each).  An expression-only variant of the same semantics is
+    `similarity.cosine_expr` in a theta-join, which Catalyst evaluates
+    row-at-a-time — ~100x slower.
     """
     import pandas as pd
 
+    grp = F.col(group_col) if group_col is not None else F.lit(0)
     b = F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int")
     partner = F.explode(F.array(*[F.lit(i) for i in range(blocks)]))
     tagged = (
         emb.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), b.alias("blk")
+            grp.alias("grp"),
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            b.alias("blk"),
         )
         .withColumn("partner", partner)
         .select(
+            "grp",
             F.least("blk", "partner").alias("blo"),
             F.greatest("blk", "partner").alias("bhi"),
             "blk",
             "id",
             "vec",
         )
-        .dropDuplicates(["blo", "bhi", "id"])
+        .dropDuplicates(["grp", "blo", "bhi", "id"])
     )
 
     def _block_cosine(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -611,7 +627,7 @@ def cosine_pairs(
             }
         )
 
-    return tagged.groupBy("blo", "bhi").applyInPandas(
+    return tagged.groupBy("grp", "blo", "bhi").applyInPandas(
         _block_cosine, schema="doc_a long, doc_b long, cosine double"
     )
 

@@ -1257,19 +1257,40 @@ def dedup_multimodal_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     video dedup pass (perceptual-embedding near-dup) with the decode step
     stubbed per the environment mandate and every Spark-side piece real:
     BinaryType payloads -> Arrow-batched feature extraction (mapInPandas,
-    the production batch shape) -> the block-matmul cosine join
-    `dedup_embedding_cosine` uses.  The stub features are deterministic
-    and SQL-expressible, so unlike most media pipelines this one is
-    value-hash-checked end to end; a real encoder swaps into the kernel
-    with schema, partitioning, and join unchanged."""
-    from flume_spark.operators import multimodal
+    the production batch shape) -> a k-means CANDIDATE stage
+    (`kmeans_assign_vectorized`, the deterministic md5-seeded assignment
+    `dedup_semantic` pins, k grown with the corpus at n/125) -> the
+    block-matmul cosine join restricted to same-cluster pairs
+    (`cosine_pairs(group_col=...)`).  Pairing cost is sum(cluster^2), never
+    n^2 — the same SemDeDup shape every other dedup modality uses; at
+    threshold 0.999 near-identical features land in the same cluster, so
+    the cluster restriction is the standard recall trade every banded
+    modality makes.  The stub features are deterministic and
+    SQL-expressible, so unlike most media pipelines this one is
+    value-hash-checked end to end (the oracle replays the SAME seeded
+    assignment); a real encoder swaps into the kernel with schema,
+    partitioning, clustering, and join unchanged."""
+    from flume_spark.operators import multimodal, similarity
 
     docs = T(spark, sf_dir, "documents")
     payloads = multimodal.to_binary_payload(docs, "doc_id", "text")
-    feats = multimodal.feature_extract_stub(payloads)
-    return dedup.cosine_pairs(feats, "id", "features", threshold=0.999, blocks=4)
+    # stage the features once: they feed the centroid draw, the assignment
+    # scan, and the pairing join — unstaged, the Arrow feature kernel would
+    # re-run per consumer (the composition discipline curate_spans uses)
+    feats = multimodal.feature_extract_stub(payloads).localCheckpoint(eager=True)
+    k = max(4, feats.count() // 125)
+    assigned = similarity.kmeans_assign_vectorized(
+        feats, "id", "features", k=int(k)
+    ).select("id", "cluster")
+    cand = feats.join(assigned, "id")
+    return dedup.cosine_pairs(
+        cand, "id", "features", threshold=0.999, blocks=4, group_col="cluster"
+    )
 
 
+# k pins to max(4, 500 // 125) = 4 at the sf0.01 oracle scale (same
+# convention as DEDUP_SEMANTIC_SQL); the init/scored/assign CTEs replay the
+# md5-seeded deterministic Lloyd assignment step bit-for-bit.
 DEDUP_MULTIMODAL_COSINE_SQL = """
 WITH f AS (
   SELECT doc_id AS id,
@@ -1279,14 +1300,36 @@ WITH f AS (
            (octet_length(CAST(text AS BLOB)) * 7 % 256) / 256.0 ] AS v
   FROM documents
 ),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
+              AS INT) AS cluster,
+         v AS cv
+  FROM f
+  ORDER BY md5(CAST(id AS VARCHAR)), id
+  LIMIT 4
+),
 scored AS (
+  SELECT f.id, init.cluster,
+         round(list_sum(list_transform(range(1, len(f.v) + 1),
+               i -> (f.v[i] - init.cv[i]) * (f.v[i] - init.cv[i]))), 6) AS dist2
+  FROM f CROSS JOIN init
+),
+assign AS (
+  SELECT id, cluster FROM (
+    SELECT id, cluster,
+           row_number() OVER (PARTITION BY id ORDER BY dist2, cluster) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+pts AS (SELECT a.id, a.cluster, f.v FROM assign a JOIN f ON f.id = a.id),
+pairs AS (
   SELECT a.id AS doc_a, b.id AS doc_b,
          round(list_dot_product(a.v, b.v)
                / (sqrt(list_dot_product(a.v, a.v))
                   * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-  FROM f a JOIN f b ON a.id < b.id
+  FROM pts a JOIN pts b ON a.cluster = b.cluster AND a.id < b.id
 )
-SELECT doc_a, doc_b, cosine FROM scored WHERE cosine >= 0.999
+SELECT doc_a, doc_b, cosine FROM pairs WHERE cosine >= 0.999
 """
 
 
@@ -1487,6 +1530,7 @@ def stream_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics — a window occurrence is duplicated iff another doc with
     batch' <= batch holds its hash — so hash-equality proves the
     at-ingest-time profile AND ledger idempotence through the real store."""
+    import shutil
     import tempfile
 
     from flume_spark.streaming.dedup import SubstrIngestor
@@ -1503,7 +1547,11 @@ def stream_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b, bdf in enumerate(batches):
         ing.process(bdf, b)
     ing.process(batches[1], 1)  # re-delivered batch id: ledger must skip it
-    return ing.dup_stats()
+    # checkpoint decouples the result from the store files, so the temp
+    # tree can be removed NOW instead of leaking one per driver invocation
+    out = ing.dup_stats().localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 STREAM_SUBSTR_SQL = """
@@ -1546,6 +1594,7 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     EARLIER-batch or lower-id-same-batch vector shares its cluster at
     cosine >= 0.4 — so hash-equality proves at-ingest-time marking AND
     ledger idempotence through the real store."""
+    import shutil
     import tempfile
 
     from flume_spark.streaming.dedup import SemanticIngestor
@@ -1564,7 +1613,9 @@ def stream_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b, bdf in enumerate(batches):
         ing.process(bdf, b)
     ing.process(batches[1], 1)  # re-delivered batch id: ledger must skip it
-    return ing.dup_marks()
+    out = ing.dup_marks().localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 STREAM_SEMANTIC_SQL = """

@@ -1281,6 +1281,80 @@ def main_semantic() -> None:
     )
 
 
+def main_multimodal() -> None:
+    """Multimodal near-dup pairing probe: the k-means candidate stage vs the
+    raw all-pairs block matmul.  Clustered cost is sum(cluster_pop^2) with
+    k grown n/125 (populations ~constant) -> expect exponent ~1; all-pairs
+    is Theta(n^2/blocks) -> expect ~2, so it only runs at the small factors
+    (at x50 = 250k features the all-pairs leg is the 100 TB trap this probe
+    exists to document, not to wait on)."""
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
+    allpairs_cap = 10  # all-pairs leg only below this factor
+    spark = get_spark(app_name="flume_probe_multimodal")
+    from flume_spark.operators import multimodal, similarity
+
+    clus_t: dict[int, float] = {}
+    raw_t: dict[int, float] = {}
+    for f in factors:
+        docs = scaled_docs(spark, f)
+        payloads = multimodal.to_binary_payload(docs, "doc_id", "text")
+        feats = multimodal.feature_extract_stub(payloads).localCheckpoint(
+            eager=True
+        )
+        n = feats.count()
+        k = max(4, n // 125)
+        print(json.dumps({"factor": f, "features": n, "k": k}), flush=True)
+
+        def clustered(fe=feats, kk=k):
+            assigned = similarity.kmeans_assign_vectorized(
+                fe, "id", "features", k=int(kk)
+            ).select("id", "cluster")
+            return dedup.cosine_pairs(
+                fe.join(assigned, "id"), "id", "features",
+                threshold=0.999, blocks=4, group_col="cluster",
+            )
+
+        dt, _ = probe(f"multimodal_clustered@x{f}", clustered)
+        clus_t[f] = dt
+        if f <= allpairs_cap:
+            dt, _ = probe(
+                f"multimodal_allpairs@x{f}",
+                lambda fe=feats: dedup.cosine_pairs(
+                    fe, "id", "features", threshold=0.999, blocks=4
+                ),
+            )
+            raw_t[f] = dt
+        docs.unpersist()
+        feats.unpersist()
+        spark.catalog.clearCache()
+    base = factors[0]
+
+    def exps(times: dict[int, float]) -> dict[int, float]:
+        return {
+            f: round(math.log(times[f] / times[base]) / math.log(f / base), 2)
+            for f in times
+            if f != base and times[f] > 0
+        }
+
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "multimodal_clustered": {
+                        "sec": {k: round(v, 2) for k, v in clus_t.items()},
+                        "exponent": exps(clus_t),
+                    },
+                    "multimodal_allpairs": {
+                        "sec": {k: round(v, 2) for k, v in raw_t.items()},
+                        "exponent": exps(raw_t),
+                    },
+                }
+            }
+        ),
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--ingest":
         main_ingest()
@@ -1304,6 +1378,8 @@ if __name__ == "__main__":
         main_substr()
     elif len(sys.argv) > 1 and sys.argv[1] == "--semantic":
         main_semantic()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--multimodal":
+        main_multimodal()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scd2":
         main_scd2()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scd2compact":

@@ -416,6 +416,20 @@ def test_substring_clean_no_pairwise(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_multimodal_cosine_pairs_are_cluster_grouped(spark):
+    """The media near-dup pairing leg must carry the k-means candidate
+    stage: the block-matmul's groupBy key includes the cluster id (grp), so
+    pairing cost is sum(cluster_pop^2), never n^2 — and no nested-loop or
+    cartesian pairing anywhere.  This is the gate on round 8's one weak
+    plan."""
+    plan = explained(spark, "dedup_multimodal_cosine")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    # the group key of the pairing exchange must include the cluster column
+    assert "hashpartitioning(grp" in plan, plan
+
+
 def test_substring_hot_uses_take_ordered(spark):
     """The boilerplate report's top-N must collapse to per-partition heaps
     (TakeOrderedAndProject), never a global range sort over every window
