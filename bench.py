@@ -105,6 +105,15 @@ HEADLINE = [
     "dedup_semantic",
     "dedup_substring_incremental",
     "dedup_substring_clean",
+    # round-9 additions (VERDICT item 5): the round-8 tail that had driver
+    # oracles but no bench row — the composed curate-spans report is the
+    # most expensive previously-unbenched plan, and multimodal_cosine is
+    # the re-planned (cluster-banded) pairing leg
+    "dedup_substring_maxspan",
+    "corpus_curate_spans",
+    "dedup_source_mirrors",
+    "text_bigram_rarity",
+    "dedup_multimodal_cosine",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture
@@ -132,6 +141,15 @@ SHARDED = [
     "dedup_incremental",
     "ann_topk_multiprobe",
     "scd2_user_history",
+    # round-9 growth (contract test fired again): siblings of officials
+    # (dedup_substring_exact / graph_sssp_k / sketch_countmin /
+    # rollup_topk_window / percentiles_exact), none with a baseline row;
+    # the four NEW round-9 modalities stay official
+    "dedup_substring_maxspan",
+    "graph_bfs_hops",
+    "sketch_hll",
+    "channel_share_gsets",
+    "histogram_quantiles",
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

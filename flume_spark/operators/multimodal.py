@@ -178,19 +178,46 @@ def resize_stub(payloads: DataFrame, max_dim: int = 64) -> DataFrame:
 FEATURE_SCHEMA = "id bigint, features array<double>"
 
 
-def feature_extract_stub(payloads: DataFrame) -> DataFrame:
-    """STUB media feature extraction: a deterministic 4-dim embedding from
-    payload bytes (each component k/256, exactly representable in binary so
-    any engine reproduces it bit-for-bit).  The real kernel swaps the
-    arithmetic for a model forward pass over the decoded media — batch
-    shape, Arrow transfer, and output schema (`array<double>`) unchanged.
+def pixel_features(payload: bytes) -> list[float] | None:
+    """REAL pixel-level feature when a codec is installed: grayscale 2x2
+    block means / 256 — a tiny perceptual-embedding stand-in computed from
+    DECODED PIXELS, same 4-dim shape as the byte stub.  Returns None when
+    PIL is absent or the payload is not a decodable image, so callers fall
+    back to the stub and synthetic-blob pipelines stay oracle-checkable
+    (the `probe_media` convention)."""
+    if not _HAS_PIL:
+        return None
+    try:
+        img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((2, 2))
+    except Exception:  # noqa: BLE001 — not an image PIL can decode
+        return None
+    return [p / 256.0 for p in img.getdata()]
+
+
+def feature_extract_stub(payloads: DataFrame, encoder=None) -> DataFrame:
+    """Media feature extraction with a pluggable encoder seam.
+
+    `encoder(payload_bytes) -> list[float] | None` runs first per item
+    (default: `pixel_features` — real decoded-pixel features whenever PIL
+    can open the payload); items it declines fall back to the STUB — a
+    deterministic 4-dim embedding from payload bytes (each component
+    k/256, exactly representable in binary so any engine reproduces it
+    bit-for-bit).  A production model forward pass swaps in as `encoder`
+    with batch shape, Arrow transfer, partitioning, and the
+    `array<double>` output schema unchanged — the one-liner seam the
+    declared `dedup_multimodal_cosine` plan is already exercised by.
     """
+    enc = pixel_features if encoder is None else encoder
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = []
             for p in pdf["payload"]:
                 b = bytes(p)
+                real = enc(b)
+                if real is not None:
+                    feats.append([float(x) for x in real])
+                    continue
                 n = len(b)
                 feats.append(
                     [

@@ -51,6 +51,11 @@ _NEEDS_DRIVER_ROW = [  # round-9 additions/changes, ascending expected sf0.01 ru
     # in front of the block matmul — round-8's one weak plan.  The oracle
     # mirrors the md5-seeded assignment, so the hash must stay green.
     "dedup_multimodal_cosine",
+    # new round-9: the end-to-end curation funnel (quality -> exact ->
+    # LSH-verified -> substring clean -> semantic), per-stage per-source
+    # doc/token attrition, every stage the already-oracled operator.
+    # Most expensive new row (staged composition, ~1 min sf0.01) -> last.
+    "corpus_funnel",
 ]
 
 # Union of CORRECTNESS_r01..r08 keys: 207 oracled hash-green at latest

@@ -1728,7 +1728,91 @@ def dedup_semantic_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel — the one table a 100 TB pipeline owner
+    reads: per-stage, per-source document AND token attrition through
+    quality gate -> exact dedup -> LSH-verified near-dup drop -> exact-
+    substring span clean -> semantic dedup.  Every stage is the already-
+    oracled operator with its declared-query parameters (quality >= 0.5 as
+    `curation_pipeline`; lsh_verified_pairs shingle 2 / 16 hashes /
+    threshold 0.3; substring k=8; SemDeDup over the deterministic media
+    stub features at 0.999, k = n/125 — the `dedup_multimodal_cosine`
+    convention, so the whole funnel stays value-hash-checkable).  Token
+    accounting uses the ONE substring normalization canon
+    (`norm_words_expr`) at every stage, so the span-clean attrition is
+    directly comparable to the doc-level stages.
+
+    Composition discipline: each stage output is localCheckpoint'd before
+    the report aggregates — unstaged, the six per-stage groupBys would
+    re-inline the whole upstream chain per consumer (the re-planning trap
+    the plan-hygiene gate caught twice in round 8); at warehouse scale the
+    same staging is a checkpoint / intermediate table per stage."""
+    from flume_spark.operators import multimodal
+    from flume_spark.operators.sizing import suggest_lsh_bands
+    from flume_spark.operators.text import quality_col
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    base = docs.withColumn(
+        "n_toks", F.size(dedup.norm_words_expr("text")).cast("long")
+    ).localCheckpoint(eager=True)
+
+    q = base.filter(quality_col("text") >= 0.5).localCheckpoint(eager=True)
+
+    keep = q.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    ex = q.join(keep.select("doc_id"), "doc_id").localCheckpoint(eager=True)
+
+    pairs = dedup.lsh_verified_pairs(
+        ex, "doc_id", "text",
+        shingle_n=2, num_hashes=16,
+        bands=suggest_lsh_bands(16, 0.7), threshold=0.3,
+    )
+    comps = dedup.connected_components(pairs, "doc_a", "doc_b")
+    non_canon = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    nd = ex.join(non_canon, "doc_id", "left_anti").localCheckpoint(eager=True)
+
+    clean = (
+        dedup.substring_dedup_clean(nd, "doc_id", "text", k=8)
+        .select("doc_id", F.col("n_kept").cast("long").alias("n_kept"))
+        .localCheckpoint(eager=True)
+    )
+
+    # semantic stage embeds the DOCUMENT (stub features of the raw text —
+    # a model embeds content identity; the span clean is a token-level
+    # edit), then drops within-cluster 0.999-cosine juniors
+    feats = multimodal.feature_extract_stub(
+        multimodal.to_binary_payload(nd, "doc_id", "text")
+    ).localCheckpoint(eager=True)
+    k = max(4, feats.count() // 125)
+    marks = dedup.semantic_dedup(feats, "id", "features", k=int(k), threshold=0.999)
+    sem = nd.join(
+        marks.filter(~F.col("is_dup")).select(F.col("id").alias("doc_id")),
+        "doc_id",
+    ).localCheckpoint(eager=True)
+
+    def stage(df, ordinal, name, tok_col="n_toks"):
+        return df.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(tok_col).cast("long").alias("n_tokens"),
+        ).select(
+            F.lit(ordinal).alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            "source",
+            "n_docs",
+            "n_tokens",
+        )
+
+    return (
+        stage(base, 1, "input")
+        .unionByName(stage(q, 2, "quality"))
+        .unionByName(stage(ex, 3, "exact"))
+        .unionByName(stage(nd, 4, "near_dup"))
+        .unionByName(stage(nd.join(clean, "doc_id"), 5, "substring_clean", "n_kept"))
+        .unionByName(stage(sem.join(clean, "doc_id"), 6, "semantic", "n_kept"))
+    )
+
+
 QUERIES = {
+    "corpus_funnel": corpus_funnel,
     "corpus_shard_manifest": corpus_shard_manifest,
     # round-8 additions ordered cheapest-first: the driver's check prefix
     # has a time budget, and the two stream_* entries (real-ingestor runs,
@@ -1770,7 +1854,158 @@ QUERIES = {
     "percentiles_exact": percentiles_exact,
 }
 
+# The funnel oracle replays every stage from the SAME fragments its
+# component oracles use: CURATION_SQL's quality formula, DEDUP_EXACT's
+# min-id-per-md5 rule, the shared lsh_verify_ctes (parameterized on the
+# exact-dedup survivors), DEDUP_SUBSTRING_CLEAN's kept-word accounting, and
+# DEDUP_MULTIMODAL_COSINE's stub-feature k-means (k pins to 4 at the sf0.01
+# oracle scale: nd survivors <= 500 -> max(4, n//125) = 4).
+from flume_spark.queries.llm_ops import lsh_verify_ctes as _lsh_ctes  # noqa: E402
+
+CORPUS_FUNNEL_SQL = f"""
+WITH RECURSIVE
+nw AS (
+  SELECT doc_id, source, text,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+           AS cw
+  FROM documents
+),
+base AS (SELECT doc_id, source, text, CAST(len(cw) AS BIGINT) AS n_toks FROM nw),
+qt AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+qscore AS (
+  SELECT doc_id,
+         least(len(t) / 100.0, 1.0) * 0.5
+           + least(len(list_filter(t,
+               x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) * 1.0
+               / len(t) * 5.0, 1.0) * 0.25
+           + len(list_distinct(t)) * 1.0 / len(t) * 0.25 AS quality
+  FROM qt
+),
+q AS (
+  SELECT b.* FROM base b JOIN qscore s USING (doc_id) WHERE s.quality >= 0.5
+),
+ek AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+e AS (SELECT q.* FROM q JOIN ek USING (doc_id)),
+{_lsh_ctes("e")},
+edges AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.3
+),
+bidir AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+),
+reach AS (
+  SELECT src, dst FROM bidir
+  UNION
+  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+),
+nddrop AS (
+  SELECT src AS doc_id FROM reach GROUP BY src
+  HAVING least(src, min(dst)) != src
+),
+nd AS (
+  SELECT e.* FROM e WHERE doc_id NOT IN (SELECT doc_id FROM nddrop)
+),
+ndw AS (SELECT nd.doc_id, nw.cw FROM nd JOIN nw USING (doc_id)),
+allw AS (
+  SELECT doc_id, i - 1 AS wpos
+  FROM ndw, unnest(range(1, len(cw) + 1)) AS t(i)
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(cw[i : i + 7], ' ')) AS h
+  FROM ndw, unnest(range(1, len(cw) - 8 + 2)) AS t(i)
+  WHERE len(cw) >= 8
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         count(*)     OVER (PARTITION BY h) AS cnt
+  FROM wins
+),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS wpos
+  FROM ranked, unnest(range(0, 8)) AS u(j)
+  WHERE cnt > 1 AND rn > 1
+),
+keptw AS (
+  SELECT a.doc_id, count(*) AS n_kept
+  FROM allw a LEFT JOIN covered c
+    ON c.doc_id = a.doc_id AND c.wpos = a.wpos
+  WHERE c.doc_id IS NULL
+  GROUP BY a.doc_id
+),
+clean AS (
+  SELECT nd.doc_id, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+  FROM nd LEFT JOIN keptw k USING (doc_id)
+),
+f AS (
+  SELECT doc_id AS id,
+         [ (octet_length(CAST(text AS BLOB)) % 256) / 256.0,
+           ascii(substr(text, 1, 1)) / 256.0,
+           ascii(substr(text, length(text), 1)) / 256.0,
+           (octet_length(CAST(text AS BLOB)) * 7 % 256) / 256.0 ] AS v
+  FROM nd
+),
+finit AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
+              AS INT) AS cluster,
+         v AS cv
+  FROM f
+  ORDER BY md5(CAST(id AS VARCHAR)), id
+  LIMIT 4
+),
+fsc AS (
+  SELECT f.id, finit.cluster,
+         round(list_sum(list_transform(range(1, len(f.v) + 1),
+               i -> (f.v[i] - finit.cv[i]) * (f.v[i] - finit.cv[i]))), 6) AS dist2
+  FROM f CROSS JOIN finit
+),
+fasg AS (
+  SELECT id, cluster FROM (
+    SELECT id, cluster,
+           row_number() OVER (PARTITION BY id ORDER BY dist2, cluster) AS rn
+    FROM fsc
+  ) WHERE rn = 1
+),
+fpts AS (SELECT a.id, a.cluster, f.v FROM fasg a JOIN f ON f.id = a.id),
+semdrop AS (
+  SELECT DISTINCT b.id
+  FROM fpts a JOIN fpts b ON a.cluster = b.cluster AND a.id < b.id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.999
+),
+sem AS (SELECT nd.* FROM nd WHERE doc_id NOT IN (SELECT id FROM semdrop))
+SELECT 1 AS stage_ord, 'input' AS stage, source,
+       count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+FROM base GROUP BY source
+UNION ALL
+SELECT 2, 'quality', source, count(*), CAST(sum(n_toks) AS BIGINT)
+FROM q GROUP BY source
+UNION ALL
+SELECT 3, 'exact', source, count(*), CAST(sum(n_toks) AS BIGINT)
+FROM e GROUP BY source
+UNION ALL
+SELECT 4, 'near_dup', source, count(*), CAST(sum(n_toks) AS BIGINT)
+FROM nd GROUP BY source
+UNION ALL
+SELECT 5, 'substring_clean', source, count(*), CAST(sum(c.n_kept) AS BIGINT)
+FROM nd JOIN clean c USING (doc_id) GROUP BY source
+UNION ALL
+SELECT 6, 'semantic', source, count(*), CAST(sum(c.n_kept) AS BIGINT)
+FROM sem JOIN clean c USING (doc_id) GROUP BY source
+"""
+
+
 ORACLES = {
+    "corpus_funnel": CORPUS_FUNNEL_SQL,
     "corpus_shard_manifest": CORPUS_SHARD_MANIFEST_SQL,
     "dedup_substring_exact": DEDUP_SUBSTRING_SQL,
     "dedup_substring_hot": DEDUP_SUBSTRING_HOT_SQL,

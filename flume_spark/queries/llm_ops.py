@@ -239,8 +239,18 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared CTE chain for the LSH->exact-verify oracles: 2-word shingle index,
 # minhash signatures, bands, candidate pairs, sizes, intersections.  Used by
-# BOTH DEDUP_LSH_VERIFIED_SQL and CURATION_SQL so tuning changes (shingle_n,
-# bands, threshold) cannot silently desynchronize the two oracles.
+# DEDUP_LSH_VERIFIED_SQL, CURATION_SQL and (over a stage-survivor CTE) the
+# corpus-funnel oracle, so tuning changes (shingle_n, bands, threshold)
+# cannot silently desynchronize the oracles.
+
+
+def lsh_verify_ctes(table: str = "documents") -> str:
+    """The fragment parameterized on its input relation: `table` is any
+    earlier CTE with (doc_id, text) — the funnel runs it over the
+    exact-dedup survivors instead of the raw documents table."""
+    return _LSH_VERIFY_CTES.replace("FROM documents", f"FROM {table}", 1)
+
+
 _LSH_VERIFY_CTES = f"""w AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
   FROM documents

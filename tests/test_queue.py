@@ -1485,3 +1485,66 @@ def test_multi_instance_end_to_end_exactly_one_dispatch(spark, tmp_path):
     # job-table state agrees, across BOTH managers' views of the store
     assert m2.current().filter("status = 'succeeded'").count() == n_u + 40
     assert m1.current().filter("status = 'pending'").count() == n_lim - 40
+
+
+def test_feature_extract_stub_falls_back_for_non_images(spark):
+    """Without a codec (or for undecodable payloads) every item takes the
+    deterministic byte stub — the value-hash-checked path the declared
+    multimodal queries oracle."""
+    from flume_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(b""))],
+        "id long, payload binary",
+    )
+    rows = {
+        r["id"]: r["features"]
+        for r in multimodal.feature_extract_stub(df).collect()
+    }
+    assert rows[1] == [3 / 256.0, ord("a") / 256.0, ord("c") / 256.0, 21 / 256.0]
+    assert rows[2] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_feature_extract_custom_encoder_seam(spark):
+    """A production encoder plugs in as `encoder=` with schema, batch shape,
+    and fallback semantics unchanged: items it declines take the stub."""
+    from flume_spark.operators import multimodal
+
+    def enc(payload: bytes):
+        return [1.0, 2.0, 3.0, 4.0] if payload.startswith(b"IMG") else None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"IMGxxxx")), (2, bytearray(b"abc"))],
+        "id long, payload binary",
+    )
+    rows = {
+        r["id"]: r["features"]
+        for r in multimodal.feature_extract_stub(df, encoder=enc).collect()
+    }
+    assert rows[1] == [1.0, 2.0, 3.0, 4.0]
+    assert rows[2][1] == ord("a") / 256.0
+
+
+@pytest.mark.skipif(
+    not __import__("importlib.util", fromlist=["util"]).find_spec("PIL"),
+    reason="PIL not installed",
+)
+def test_feature_extract_pil_pixel_path(spark):
+    """With PIL installed the default encoder computes REAL decoded-pixel
+    features for image payloads while text payloads keep the stub."""
+    from flume_spark.operators import multimodal
+
+    png = _tiny_png(4, 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"plain text"))],
+        "id long, payload binary",
+    )
+    rows = {
+        r["id"]: r["features"]
+        for r in multimodal.feature_extract_stub(df).collect()
+    }
+    expect = multimodal.pixel_features(png)
+    assert expect is not None and rows[1] == expect
+    # all pixels are the same RGB(0x10,0x20,0x30) -> one grayscale level
+    assert len(set(rows[1])) == 1 and 0.0 < rows[1][0] < 1.0
+    assert rows[2][0] == 10 / 256.0  # text payload: stub path
