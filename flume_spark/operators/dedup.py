@@ -553,7 +553,8 @@ def cosine_pairs(
     Block-matrix similarity join: vectors are hashed into `blocks` groups,
     each vector is replicated once per partner block, and every block-pair
     group computes its cosine sub-matrix as ONE numpy float64 matmul inside
-    `applyInPandas` (Arrow-batched, BLAS).  Exact — every pair lands in
+    the grouped Arrow kernel (kernels.grouped_arrow_apply — Arrow-batched,
+    BLAS, per-partition pandas boundary).  Exact — every pair lands in
     exactly one block-pair group.
 
     `group_col` (optional) is the candidate-pruning seam: when given, pairs
@@ -627,8 +628,16 @@ def cosine_pairs(
             }
         )
 
-    return tagged.groupBy("grp", "blo", "bhi").applyInPandas(
-        _block_cosine, schema="doc_a long, doc_b long, cosine double"
+    # per-partition pandas boundary (kernels.py): a grouped corpus-scale
+    # run has thousands of (group, block-pair) cells, and the ~ms-per-group
+    # Arrow overhead of applyInPandas dominates the matmuls it wraps
+    from flume_spark.operators.kernels import grouped_arrow_apply
+
+    return grouped_arrow_apply(
+        tagged,
+        ["grp", "blo", "bhi"],
+        _block_cosine,
+        schema="doc_a long, doc_b long, cosine double",
     )
 
 
@@ -1485,7 +1494,8 @@ def semantic_dedup(
     with the corpus (the paper uses ~n/1e4 clusters) to bound cluster
     populations.  One exchange on the cluster key; the centroid frame is a
     broadcast of k rows; each cluster's cosine sub-matrix is ONE numpy
-    float64 matmul inside applyInPandas (Arrow-batched, BLAS — the same
+    float64 matmul inside the grouped Arrow kernel (Arrow-batched, BLAS,
+    per-partition pandas boundary via kernels.grouped_arrow_apply — the same
     vectorized kernel `cosine_pairs` uses; the expression-fold equivalent
     is ~100x slower row-at-a-time).  Per-group memory is pop x dim + pop^2
     doubles, bounded by the k scaling.  On a real corpus the iterative
@@ -1548,8 +1558,15 @@ def semantic_dedup(
         )
         return pd.DataFrame({"id": ids, "dup_of": dup_of})
 
-    dups = pts.groupBy("cluster").applyInPandas(
-        _cluster_dups, schema="id long, dup_of long"
+    # per-partition pandas boundary: under k ∝ n the clusters are
+    # deliberately SMALL and numerous, and groupBy().applyInPandas pays
+    # ~ms of Arrow overhead per group — grouped_arrow_apply keeps the one
+    # cluster-key exchange but walks many clusters per Arrow batch
+    # (kernels.py; probe-measured 4:1 at k=2420 in --semingest)
+    from flume_spark.operators.kernels import grouped_arrow_apply
+
+    dups = grouped_arrow_apply(
+        pts, ["cluster"], _cluster_dups, schema="id long, dup_of long"
     )
     return assign.join(dups, "id", "left").select(
         F.col("id").alias(id_col),

@@ -398,6 +398,7 @@ def kmeans_assign_hierarchical(
     vec_col: str = "embedding",
     k: int = 4,
     n_probe: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Two-level (IVF-style) approximate variant of
     `kmeans_assign_vectorized`: the SAME k md5-seeded fine centroids, but
@@ -420,13 +421,21 @@ def kmeans_assign_hierarchical(
     import pandas as pd
 
     pts = emb.select(F.col(id_col).alias("id"), _to_double(vec_col).alias("vec"))
-    init = (
-        pts.orderBy(F.md5(F.col("id").cast("string")), "id")
-        .limit(k)
-        .select("vec")
-        .collect()
-    )
-    fine = np.asarray([list(r["vec"]) for r in init], dtype=np.float64)
+    if centroids is not None:
+        # explicit FROZEN fine-centroid table (SemanticIngestor's epoch
+        # store): the router build below stays a pure function of it, so
+        # assignment remains deterministic-per-epoch — same property the
+        # exact path has, minus k-linear scan cost
+        fine = np.asarray(centroids, dtype=np.float64)
+        k = len(fine)
+    else:
+        init = (
+            pts.orderBy(F.md5(F.col("id").cast("string")), "id")
+            .limit(k)
+            .select("vec")
+            .collect()
+        )
+        fine = np.asarray([list(r["vec"]) for r in init], dtype=np.float64)
     n_coarse = max(1, int(_math.isqrt(k)))
     coarse = fine[:n_coarse].copy()
     for _ in range(5):  # driver-side Lloyd over k fine centroids

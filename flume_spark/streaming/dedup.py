@@ -481,10 +481,23 @@ class SemanticIngestor:
     vectors are probed per cluster, never rescanned corpus-wide — then
     appended to the index.  The semantic twin of SubstrIngestor.
 
-    Centroids are FROZEN at construction (`similarity.md5_init_centroids`
+    Centroids are FROZEN within an EPOCH (`similarity.md5_init_centroids`
     or a trained table): assignment is then a pure per-vector function,
-    so the cluster index is append-only by construction — the same
-    argument that makes the window index safe to grow forever.
+    so the cluster index is append-only within the epoch — the same
+    argument that makes the window index safe to grow forever.  Frozen-k
+    alone degrades, though: with k fixed, cluster populations grow
+    linearly with history, so the per-touched-cluster matmul grows
+    O(history/k · batch) per batch.  `per_cluster_cap` bounds that: when
+    the mean population crosses the cap, the ingestor ROLLS AN EPOCH —
+    re-draws k ∝ corpus new centroids deterministically (the md5 draw
+    over the accumulated index), reassigns the whole index into the new
+    cluster space once, and continues under the new frozen table.  The
+    reassignment is O(history) but triggers geometrically (k roughly
+    doubles per roll), so the amortized cost per ingested vector is O(1)
+    and the per-batch probe cost stays ~flat — the BASELINE.md
+    `--semingest` probe measures exactly this.  Marks stay append-only
+    through rolls because each vector's verdict is pinned to its ingest
+    epoch's cluster space and never revisited.
 
     Keep rule (batch-prefix seniority, deterministic): a batch vector is
     a duplicate iff some vector seen STRICTLY EARLIER (any id, earlier
@@ -494,12 +507,17 @@ class SemanticIngestor:
     revisited — exactly the one-pass semantics an arrival-ordered corpus
     wants.
 
-    State is two parquet locations (index: id, cluster, vec; marks) plus
-    the batch-id ledger; a replayed batch re-marks identically (its own
-    partition is excluded from the probe) and its appends are skipped.
-    Per-batch cost: O(batch) assignment (numpy mapInPandas against the
-    frozen centroids) + per-touched-cluster matmuls over
-    (history members + batch members).
+    State is two parquet locations (index: epoch=E/ingest_batch=B rows of
+    id, cluster, vec, src_batch; marks) plus the batch-id ledger and a
+    tiny `_epochs` centroid table inside the index dir (underscore prefix:
+    invisible to the data reads).  A replayed batch re-marks identically
+    — its own rows are excluded from the probe AND from the roll trigger/
+    carry via the src_batch column, so the roll decision and the probe
+    history are byte-identical across the raw crash-window replay — and
+    its appends are skipped by the ledger.  Per-batch cost: O(batch)
+    assignment (numpy mapInPandas against the frozen centroids) +
+    per-touched-cluster matmuls over (history members + batch members),
+    with populations bounded by the cap.
     """
 
     def __init__(
@@ -512,55 +530,185 @@ class SemanticIngestor:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         threshold: float = 0.4,
+        per_cluster_cap: int | None = None,
+        assign: str = "auto",
     ) -> None:
         import os
 
+        if assign not in ("auto", "exact", "hierarchical"):
+            raise ValueError(f"unknown assign mode: {assign}")
         self.spark = spark
-        self.centroids = [list(map(float, c)) for c in centroids]
         self.index_dir = index_dir
         self.marks_dir = marks_dir
         self.id_col = id_col
         self.vec_col = vec_col
         self.threshold = threshold
+        self.per_cluster_cap = per_cluster_cap
+        self.assign = assign
+        self._epochs_dir = os.path.join(index_dir, "_epochs")
         os.makedirs(index_dir, exist_ok=True)
         os.makedirs(marks_dir, exist_ok=True)
+        persisted = self._latest_epoch()
+        if persisted is None:
+            self.epoch = 0
+            self.centroids = [list(map(float, c)) for c in centroids]
+            self._persist_centroids()
+        else:
+            # restart: the persisted table wins (construction centroids are
+            # only the epoch-0 seed) — same recovery story as the ledger
+            self.epoch, self.centroids = persisted
         from flume_spark.streaming.sink import idempotent_foreach_batch
 
         self.process = idempotent_foreach_batch(self._process, ledger_dir)
 
+    # -- epoch state --------------------------------------------------------
+
+    def _latest_epoch(self):
+        import os
+
+        if not os.path.isdir(self._epochs_dir):
+            return None
+        epochs = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self._epochs_dir)
+            if d.startswith("epoch=")
+        ]
+        if not epochs:
+            return None
+        e = max(epochs)
+        rows = (
+            self.spark.read.parquet(
+                os.path.join(self._epochs_dir, f"epoch={e}")
+            )
+            .orderBy("cluster")
+            .collect()
+        )
+        return e, [list(r["vec"]) for r in rows]
+
+    def _persist_centroids(self) -> None:
+        import os
+
+        df = self.spark.createDataFrame(
+            [(i, c) for i, c in enumerate(self.centroids)],
+            "cluster int, vec array<double>",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self._epochs_dir, f"epoch={self.epoch}")
+        )
+
+    def _epoch_path(self) -> str:
+        import os
+
+        return os.path.join(self.index_dir, f"epoch={self.epoch}")
+
+    def _assign(self, df, id_col: str, vec_col: str):
+        """Assignment against the frozen epoch centroids.  `auto` switches
+        to the IVF-style router past k=64: exact scan is O(k·dim) per
+        vector — LINEAR in corpus size once k grows with n — while routing
+        is O(sqrt(k)·dim), which is what keeps the capped ingestor's
+        per-batch cost sub-linear in history (BASELINE.md --semingest).
+        Routing is a pure function of the centroid table, so
+        determinism-per-epoch (and crash-replay identity) is unchanged;
+        the trade is the same bounded routing-miss `dedup_semantic_hier`
+        pins (near-identical vectors still co-route, far pairs were never
+        candidates)."""
+        from flume_spark.operators.similarity import (
+            kmeans_assign_hierarchical,
+            kmeans_assign_vectorized,
+        )
+
+        k = len(self.centroids)
+        hier = self.assign == "hierarchical" or (self.assign == "auto" and k > 64)
+        if hier:
+            return kmeans_assign_hierarchical(
+                df, id_col, vec_col, k=k, centroids=self.centroids
+            )
+        return kmeans_assign_vectorized(
+            df, id_col, vec_col, k=k, centroids=self.centroids
+        )
+
     def _read_index(self, exclude_batch_id: int):
-        if not LshIngestor._has_parquet(self.index_dir):
+        if not LshIngestor._has_parquet(self._epoch_path()):
             return None
         return (
-            self.spark.read.parquet(self.index_dir)
-            .filter(F.col("ingest_batch") != exclude_batch_id)
-            .select("id", "cluster", "vec")
+            self.spark.read.parquet(self._epoch_path())
+            .filter(F.col("src_batch") != exclude_batch_id)
+            .select("id", "cluster", "vec", "src_batch")
         )
+
+    def maybe_roll_epoch(self, exclude_batch: int = -1) -> bool:
+        """Roll to a fresh centroid table if the mean cluster population
+        exceeds `per_cluster_cap`.  Runs automatically at the head of every
+        `_process`; also public so a maintenance window can pay the
+        O(history) reassignment outside the ingest path (the
+        `compact_index` convention).  `exclude_batch` keeps the decision
+        and the carried rows identical across a crash-window replay of
+        that batch.  Returns True iff an epoch rolled."""
+        if self.per_cluster_cap is None:
+            return False
+        hist = self._read_index(exclude_batch_id=exclude_batch)
+        if hist is None:
+            return False
+        n = hist.count()
+        if n <= self.per_cluster_cap * len(self.centroids):
+            return False
+        import math
+        import os
+
+        from flume_spark.operators.similarity import md5_init_centroids
+
+        # target mean population = cap/2 so rolls trigger geometrically
+        # (population must double before the next roll) — amortized O(1)
+        k_new = max(
+            len(self.centroids) + 1,
+            math.ceil(n / max(1, self.per_cluster_cap // 2)),
+        )
+        cur = hist.localCheckpoint(eager=True)
+        self.epoch += 1
+        self.centroids = md5_init_centroids(cur, "id", "vec", k=k_new)
+        assigned = self._assign(cur, "id", "vec").select("id", "cluster")
+        carried = cur.drop("cluster").join(assigned, "id")
+        # carry first, centroid table last: a crash mid-roll leaves the
+        # old epoch current and the deterministic roll simply re-runs
+        carried.select("id", "cluster", "vec", "src_batch").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self._epoch_path(), "ingest_batch=-9"))
+        self._persist_centroids()
+        return True
 
     def _process(self, batch_df, batch_id: int) -> None:
         import os
 
         import pandas as pd
 
-        from flume_spark.operators.similarity import kmeans_assign_vectorized
-
-        assigned = kmeans_assign_vectorized(
-            batch_df,
-            self.id_col,
-            self.vec_col,
-            k=len(self.centroids),
-            centroids=self.centroids,
-        ).select("id", "cluster")
+        self.maybe_roll_epoch(exclude_batch=batch_id)
+        assigned = self._assign(batch_df, self.id_col, self.vec_col).select(
+            "id", "cluster"
+        )
         nb = (
             batch_df.select(
                 F.col(self.id_col).alias("id"), F.col(self.vec_col).alias("vec")
             )
             .join(assigned, "id")
+            .withColumn("src_batch", F.lit(batch_id).cast("int"))
             .localCheckpoint(eager=True)
         )
         history = self._read_index(exclude_batch_id=batch_id)
         if history is None:
             history = nb.filter("1 = 0")
+        else:
+            # probe only TOUCHED clusters: a batch can mark against at most
+            # |batch| distinct clusters, so the semi-join bounds the rows
+            # shuffled into the pairwise stage by touched_clusters x cap —
+            # independent of total history (without it every batch pays an
+            # O(k) pandas per-group overhead sweeping untouched clusters,
+            # the growth the --semingest probe caught at x100).  At 100 TB
+            # a cluster-bucketed index layout adds file-level pruning on
+            # top (the write_band_index precedent); the row-level prune is
+            # the plan-shape win.
+            history = history.join(
+                F.broadcast(nb.select("cluster").distinct()), "cluster", "semi"
+            )
         pool = nb.withColumn("is_new", F.lit(True)).unionByName(
             history.withColumn("is_new", F.lit(False))
         )
@@ -611,15 +759,21 @@ class SemanticIngestor:
                 }
             )
 
-        marks = pool.groupBy("cluster").applyInPandas(
-            _marks, schema="id long, cluster int, dup_of long"
+        # per-PARTITION pandas boundary, not per-cluster: with k grown
+        # n/cap, groupBy().applyInPandas pays ~ms of Arrow overhead x
+        # thousands of tiny cluster groups per batch (the --semingest probe
+        # measured that overhead dominating the capped arm 4:1)
+        from flume_spark.operators.kernels import grouped_arrow_apply
+
+        marks = grouped_arrow_apply(
+            pool, ["cluster"], _marks, schema="id long, cluster int, dup_of long"
         )
         marks.write.mode("overwrite").parquet(
             os.path.join(self.marks_dir, f"ingest_batch={batch_id}")
         )
-        nb.select("id", "cluster", "vec").write.mode("overwrite").parquet(
-            os.path.join(self.index_dir, f"ingest_batch={batch_id}")
-        )
+        nb.select("id", "cluster", "vec", "src_batch").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self._epoch_path(), f"ingest_batch={batch_id}"))
 
     def dup_marks(self):
         """(id, cluster, dup_of, is_dup) for every ingested vector, as of

@@ -1281,6 +1281,133 @@ def main_semantic() -> None:
     )
 
 
+def main_semingest() -> None:
+    """SemanticIngestor per-batch cost vs history size: one FIXED 500-vector
+    batch timed against history x1/x10/x50, frozen-k (the round-8 ship)
+    vs per_cluster_cap epochs (the round-9 fix).  Frozen k means cluster
+    populations grow with history -> per-batch matmul grows ~linearly;
+    the capped ingestor rolls epochs (k grown with the corpus, index
+    reassigned once, amortized O(1)) so the timed batch stays ~flat.
+    The roll itself is reported separately (maintenance cost, not
+    per-batch cost — the compact_index convention)."""
+    import shutil
+    import tempfile
+
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
+    spark = get_spark(app_name="flume_probe_semingest")
+    from flume_spark.operators.similarity import md5_init_centroids
+    from flume_spark.streaming.dedup import SemanticIngestor
+
+    base_emb = spark.read.parquet(
+        os.path.join(SF_DIR, "embeddings.parquet")
+    ).select("vec_id", "embedding")
+    k0 = max(4, base_emb.count() // 125)
+    cents = md5_init_centroids(base_emb, "vec_id", "embedding", k=k0)
+    # fixed probe batch: the full 2000-vector base table (large enough that
+    # the per-cluster matmul term rises above Spark's fixed per-batch
+    # overhead), ids displaced out of every replica band
+    fixed = (
+        base_emb
+        .select(
+            (F.col("vec_id") + 900_000_000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> "
+                "IF(pmod(xxhash64(987, i), 2) = 1, -x, x))"
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frozen_t: dict[int, float] = {}
+    capped_t: dict[int, float] = {}
+    roll_t: dict[int, float] = {}
+    for f in factors:
+        hist = scaled_embeddings(spark, f)
+        n_hist = hist.count()
+        seeds = [hist.filter(F.col("vec_id") % 4 == s) for s in range(4)]
+        row: dict[str, float] = {}
+        for mode, cap in (("frozen", None), ("capped", 125)):
+            root = tempfile.mkdtemp(prefix=f"semingest_{mode}_")
+            ing = SemanticIngestor(
+                spark,
+                cents,
+                index_dir=f"{root}/index",
+                marks_dir=f"{root}/marks",
+                ledger_dir=f"{root}/ledger",
+                threshold=0.4,
+                per_cluster_cap=cap,
+            )
+            for s, sdf in enumerate(seeds):  # history build: untimed
+                ing.process(sdf, s)
+            t0 = time.perf_counter()
+            rolled = ing.maybe_roll_epoch()  # maintenance: timed separately
+            dt_roll = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            ing.process(fixed, 4)
+            dt = time.perf_counter() - t0
+            row[mode] = dt
+            if mode == "capped":
+                roll_t[f] = dt_roll
+                print(
+                    json.dumps(
+                        {
+                            "factor": f,
+                            "history": n_hist,
+                            "epoch": ing.epoch,
+                            "k": len(ing.centroids),
+                            "rolled_at_maintenance": rolled,
+                            "roll_sec": round(dt_roll, 2),
+                            "ingest_sec": round(dt, 2),
+                        }
+                    ),
+                    flush=True,
+                )
+            else:
+                print(
+                    json.dumps(
+                        {
+                            "factor": f,
+                            "history": n_hist,
+                            "mode": "frozen",
+                            "k": k0,
+                            "ingest_sec": round(dt, 2),
+                        }
+                    ),
+                    flush=True,
+                )
+            shutil.rmtree(root, ignore_errors=True)
+        frozen_t[f] = row["frozen"]
+        capped_t[f] = row["capped"]
+        hist.unpersist()
+        spark.catalog.clearCache()
+    base = factors[0]
+
+    def exps(times: dict[int, float]) -> dict[int, float]:
+        return {
+            f: round(math.log(times[f] / times[base]) / math.log(f / base), 2)
+            for f in times
+            if f != base and times[f] > 0
+        }
+
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "semingest_frozen": {
+                        "sec": {k: round(v, 2) for k, v in frozen_t.items()},
+                        "exponent": exps(frozen_t),
+                    },
+                    "semingest_capped": {
+                        "sec": {k: round(v, 2) for k, v in capped_t.items()},
+                        "exponent": exps(capped_t),
+                    },
+                    "roll_sec": {k: round(v, 2) for k, v in roll_t.items()},
+                }
+            }
+        ),
+        flush=True,
+    )
+
+
 def main_multimodal() -> None:
     """Multimodal near-dup pairing probe: the k-means candidate stage vs the
     raw all-pairs block matmul.  Clustered cost is sum(cluster_pop^2) with
@@ -1380,6 +1507,8 @@ if __name__ == "__main__":
         main_semantic()
     elif len(sys.argv) > 1 and sys.argv[1] == "--multimodal":
         main_multimodal()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--semingest":
+        main_semingest()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scd2":
         main_scd2()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scd2compact":

@@ -396,14 +396,17 @@ def test_substring_dedup_no_pairwise(spark):
 
 def test_semantic_dedup_broadcasts_only_centroids(spark):
     """SemDeDup's pairwise leg is ONE exchange on the cluster key feeding a
-    per-cluster Arrow matmul (FlatMapGroupsInPandas) — never a theta join
-    between point tables; the centroid nested-loop lives inside the
-    materialized assignment (checkpointed once), so the final plan carries
-    no nested-loop node at all."""
+    per-cluster Arrow matmul — via the cluster-sorted MapInPandas kernel
+    (kernels.grouped_arrow_apply: per-partition pandas boundary, since k ∝ n
+    makes the clusters small and numerous) — never a theta join between
+    point tables; the centroid nested-loop lives inside the materialized
+    assignment (checkpointed once), so the final plan carries no
+    nested-loop node at all."""
     plan = explained(spark, "dedup_semantic")
     assert n_nodes(plan, "CartesianProduct") == 0
     assert n_nodes(plan, "BroadcastNestedLoopJoin") == 0
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "hashpartitioning(cluster" in plan, plan
 
 
 def test_substring_clean_no_pairwise(spark):
@@ -425,7 +428,7 @@ def test_multimodal_cosine_pairs_are_cluster_grouped(spark):
     plan = explained(spark, "dedup_multimodal_cosine")
     assert n_nodes(plan, "CartesianProduct") == 0
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
     # the group key of the pairing exchange must include the cluster column
     assert "hashpartitioning(grp" in plan, plan
 

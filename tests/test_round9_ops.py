@@ -100,3 +100,79 @@ def test_cosine_pairs_grouped_blocks_exact_within_group(spark):
         if expect is None:
             expect = got
         assert got == expect, f"blocks={blocks} diverged"
+
+
+def test_grouped_arrow_apply_matches_apply_in_pandas(spark):
+    """kernels.grouped_arrow_apply must be semantically identical to
+    groupBy().applyInPandas for a pure per-group fn — including when a
+    group straddles Arrow batch boundaries (forced via a 7-row batch size
+    against 40-row groups)."""
+    import pandas as pd
+
+    from flume_spark.operators.kernels import grouped_arrow_apply
+
+    df = spark.range(1000).selectExpr(
+        "id", "cast(id % 25 as int) AS g", "cast(id * 3 % 97 as double) AS x"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "g": [int(pdf["g"].iloc[0])],
+                "n": [len(pdf)],
+                "sx": [float(pdf["x"].sum())],
+            }
+        )
+
+    expect = {
+        tuple(r)
+        for r in df.groupBy("g")
+        .applyInPandas(fn, schema="g int, n long, sx double")
+        .collect()
+    }
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        got = {
+            tuple(r)
+            for r in grouped_arrow_apply(
+                df, ["g"], fn, schema="g int, n long, sx double"
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == expect
+    assert len(got) == 25
+
+
+def test_grouped_arrow_apply_multi_key_and_empty_returns(spark):
+    """Multi-column keys group correctly; empty per-group returns are
+    skipped without breaking the stream."""
+    import pandas as pd
+
+    from flume_spark.operators.kernels import grouped_arrow_apply
+
+    df = spark.range(200).selectExpr(
+        "cast(id % 4 as int) AS a", "cast(id % 3 as int) AS b", "id AS v"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if int(pdf["a"].iloc[0]) == 0:  # drop a whole key-slice
+            return pd.DataFrame({"a": [], "b": [], "mx": []})
+        return pd.DataFrame(
+            {
+                "a": [int(pdf["a"].iloc[0])],
+                "b": [int(pdf["b"].iloc[0])],
+                "mx": [int(pdf["v"].max())],
+            }
+        )
+
+    got = {
+        tuple(r)
+        for r in grouped_arrow_apply(
+            df, ["a", "b"], fn, schema="a int, b int, mx long"
+        ).collect()
+    }
+    assert len(got) == 9  # 4x3 groups minus the a=0 slice
+    assert all(a != 0 for a, _, _ in got)
+    assert (1, 0, 189) in got  # max id with id%4==1, id%3==0 (id ≡ 9 mod 12)

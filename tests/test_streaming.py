@@ -1244,3 +1244,104 @@ def test_streaming_semantic_ingest_replay_converges(spark, tmp_path):
     assert first == replay
     marks = {r["vec_id"]: r["dup_of"] for r in ing.dup_marks().collect()}
     assert marks == {10: None, 11: 10, 12: None}
+
+
+def _sem_ing_capped(spark, tmp_path, centroids, cap):
+    from flume_spark.streaming.dedup import SemanticIngestor
+
+    return SemanticIngestor(
+        spark,
+        centroids,
+        index_dir=str(tmp_path / "sem_idx"),
+        marks_dir=str(tmp_path / "sem_marks"),
+        ledger_dir=str(tmp_path / "sem_ledger"),
+        threshold=0.9,
+        per_cluster_cap=cap,
+    )
+
+
+_SEM_SCHEMA = "vec_id long, embedding array<double>"
+
+
+def _axis_vecs(ids, dim=8):
+    """One unit vector per id on axis id % dim: same-axis ids are exact
+    dups (cosine 1), cross-axis cosine 0 — verdicts are geometry-obvious."""
+    return [
+        (i, [1.0 if j == i % dim else 0.0 for j in range(dim)]) for i in ids
+    ]
+
+
+def test_semantic_ingestor_epoch_rolls_and_pins_old_marks(spark, tmp_path):
+    """Crossing the population cap rolls an epoch: k grows, centroids are
+    re-drawn, the index is reassigned — and every already-written mark is
+    byte-identical (verdicts are pinned to their ingest epoch)."""
+    ing = _sem_ing_capped(
+        spark, tmp_path, centroids=[v for _, v in _axis_vecs([0, 1])], cap=2
+    )
+    b0 = spark.createDataFrame(_axis_vecs([0, 1, 2, 3, 4, 5]), _SEM_SCHEMA)
+    ing._process(b0, batch_id=0)
+    assert ing.epoch == 0
+    before = {tuple(r) for r in ing.dup_marks().collect()}
+    # 6 vectors / k=2 -> mean pop 3 > cap 2: the next batch rolls first
+    b1 = spark.createDataFrame(_axis_vecs([10]), _SEM_SCHEMA)  # dup of id 2
+    ing._process(b1, batch_id=1)
+    assert ing.epoch == 1
+    assert len(ing.centroids) > 2  # k grew with the corpus
+    after = {tuple(r) for r in ing.dup_marks().collect()}
+    assert before <= after  # old verdicts never revisited
+    marks = {r["vec_id"]: r["dup_of"] for r in ing.dup_marks().collect()}
+    # 10 and 2 share an axis (exact dup): the roll must not lose history
+    assert marks[10] == 2
+
+
+def test_semantic_ingestor_epoch_survives_restart(spark, tmp_path):
+    """A restarted ingestor (same dirs, SEED centroids passed again) must
+    resume the persisted epoch's centroid table, not the seed."""
+    ing = _sem_ing_capped(
+        spark, tmp_path, centroids=[v for _, v in _axis_vecs([0, 1])], cap=2
+    )
+    ing._process(
+        spark.createDataFrame(_axis_vecs(range(6)), _SEM_SCHEMA), batch_id=0
+    )
+    ing._process(
+        spark.createDataFrame(_axis_vecs([10]), _SEM_SCHEMA), batch_id=1
+    )
+    assert ing.epoch == 1
+    re = _sem_ing_capped(
+        spark, tmp_path, centroids=[v for _, v in _axis_vecs([0, 1])], cap=2
+    )
+    assert re.epoch == 1
+    assert re.centroids == ing.centroids
+    re._process(
+        spark.createDataFrame(_axis_vecs([13]), _SEM_SCHEMA), batch_id=2
+    )
+    marks = {r["vec_id"]: r["dup_of"] for r in re.dup_marks().collect()}
+    assert marks[13] == 5  # axis 5: dup of pre-restart, pre-roll id 5
+
+
+def test_semantic_ingestor_crash_window_replay_across_roll(spark, tmp_path):
+    """Raw crash-window replay of the batch that TRIGGERED a roll (marker
+    deleted, _process re-run) must converge: the roll trigger and the probe
+    both exclude the batch's own rows via src_batch, so the decision, the
+    carried index, and the re-marks are identical — and the epoch does not
+    roll twice."""
+    ing = _sem_ing_capped(
+        spark, tmp_path, centroids=[v for _, v in _axis_vecs([0, 1])], cap=2
+    )
+    ing._process(
+        spark.createDataFrame(_axis_vecs(range(6)), _SEM_SCHEMA), batch_id=0
+    )
+    b1 = spark.createDataFrame(_axis_vecs([10, 11]), _SEM_SCHEMA)
+    ing._process(b1, batch_id=1)  # rolls, then marks
+    assert ing.epoch == 1
+    first = {tuple(r) for r in ing.dup_marks().collect()}
+    ing._process(b1, batch_id=1)  # crash-window replay
+    assert ing.epoch == 1  # no double roll
+    replay = {tuple(r) for r in ing.dup_marks().collect()}
+    assert first == replay
+    # and a later batch still probes a clean index (no duplicate-row drift)
+    ing._process(
+        spark.createDataFrame(_axis_vecs([18]), _SEM_SCHEMA), batch_id=2
+    )
+    marks = {r["vec_id"]: r["dup_of"] for r in ing.dup_marks().collect()}
+    assert marks[18] == 2  # axis 2: the senior occupant wins
