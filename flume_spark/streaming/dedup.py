@@ -532,6 +532,7 @@ class SemanticIngestor:
         threshold: float = 0.4,
         per_cluster_cap: int | None = None,
         assign: str = "auto",
+        index_buckets: int = 32,
     ) -> None:
         import os
 
@@ -545,6 +546,7 @@ class SemanticIngestor:
         self.threshold = threshold
         self.per_cluster_cap = per_cluster_cap
         self.assign = assign
+        self.index_buckets = index_buckets
         self._epochs_dir = os.path.join(index_dir, "_epochs")
         os.makedirs(index_dir, exist_ok=True)
         os.makedirs(marks_dir, exist_ok=True)
@@ -627,13 +629,21 @@ class SemanticIngestor:
             df, id_col, vec_col, k=k, centroids=self.centroids
         )
 
-    def _read_index(self, exclude_batch_id: int):
+    def _read_index(self, exclude_batch_id: int, buckets: list[int] | None = None):
+        """Current-epoch index rows.  `buckets` (cluster-bucket ids) prunes
+        at the FILE level: index writes are partitioned by
+        cbucket = cluster % index_buckets, so a probe that knows its
+        touched clusters lists only those directories — the same
+        bucketed-layout discipline as write_band_index.  The row-level
+        semi-join on exact clusters still applies downstream; this bounds
+        what is read, that bounds what is shuffled."""
         if not LshIngestor._has_parquet(self._epoch_path()):
             return None
-        return (
-            self.spark.read.parquet(self._epoch_path())
-            .filter(F.col("src_batch") != exclude_batch_id)
-            .select("id", "cluster", "vec", "src_batch")
+        idx = self.spark.read.parquet(self._epoch_path())
+        if buckets is not None:
+            idx = idx.filter(F.col("cbucket").isin(buckets))
+        return idx.filter(F.col("src_batch") != exclude_batch_id).select(
+            "id", "cluster", "vec", "src_batch"
         )
 
     def maybe_roll_epoch(self, exclude_batch: int = -1) -> bool:
@@ -670,9 +680,12 @@ class SemanticIngestor:
         carried = cur.drop("cluster").join(assigned, "id")
         # carry first, centroid table last: a crash mid-roll leaves the
         # old epoch current and the deterministic roll simply re-runs
-        carried.select("id", "cluster", "vec", "src_batch").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self._epoch_path(), "ingest_batch=-9"))
+        carried.select("id", "cluster", "vec", "src_batch").withColumn(
+            "cbucket",
+            F.pmod(F.col("cluster"), F.lit(self.index_buckets)).cast("int"),
+        ).write.mode("overwrite").partitionBy("cbucket").parquet(
+            os.path.join(self._epoch_path(), "ingest_batch=-9")
+        )
         self._persist_centroids()
         return True
 
@@ -693,7 +706,19 @@ class SemanticIngestor:
             .withColumn("src_batch", F.lit(batch_id).cast("int"))
             .localCheckpoint(eager=True)
         )
-        history = self._read_index(exclude_batch_id=batch_id)
+        # touched cluster-buckets: a bounded (<= index_buckets) driver-side
+        # list that turns the index read into a directory-pruned listing
+        touched = [
+            r["cbucket"]
+            for r in nb.select(
+                F.pmod(F.col("cluster"), F.lit(self.index_buckets))
+                .cast("int")
+                .alias("cbucket")
+            )
+            .distinct()
+            .collect()
+        ]
+        history = self._read_index(exclude_batch_id=batch_id, buckets=touched)
         if history is None:
             history = nb.filter("1 = 0")
         else:
@@ -702,10 +727,9 @@ class SemanticIngestor:
             # shuffled into the pairwise stage by touched_clusters x cap —
             # independent of total history (without it every batch pays an
             # O(k) pandas per-group overhead sweeping untouched clusters,
-            # the growth the --semingest probe caught at x100).  At 100 TB
-            # a cluster-bucketed index layout adds file-level pruning on
-            # top (the write_band_index precedent); the row-level prune is
-            # the plan-shape win.
+            # the growth the --semingest probe caught at x100).  The
+            # cbucket partition filter above already bounded what is READ
+            # at the file level; this bounds what is shuffled.
             history = history.join(
                 F.broadcast(nb.select("cluster").distinct()), "cluster", "semi"
             )
@@ -771,9 +795,12 @@ class SemanticIngestor:
         marks.write.mode("overwrite").parquet(
             os.path.join(self.marks_dir, f"ingest_batch={batch_id}")
         )
-        nb.select("id", "cluster", "vec", "src_batch").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self._epoch_path(), f"ingest_batch={batch_id}"))
+        nb.select("id", "cluster", "vec", "src_batch").withColumn(
+            "cbucket",
+            F.pmod(F.col("cluster"), F.lit(self.index_buckets)).cast("int"),
+        ).write.mode("overwrite").partitionBy("cbucket").parquet(
+            os.path.join(self._epoch_path(), f"ingest_batch={batch_id}")
+        )
 
     def dup_marks(self):
         """(id, cluster, dup_of, is_dup) for every ingested vector, as of

@@ -1345,3 +1345,23 @@ def test_semantic_ingestor_crash_window_replay_across_roll(spark, tmp_path):
     )
     marks = {r["vec_id"]: r["dup_of"] for r in ing.dup_marks().collect()}
     assert marks[18] == 2  # axis 2: the senior occupant wins
+
+
+def test_semantic_ingestor_index_reads_prune_cluster_buckets(spark, tmp_path):
+    """Index writes are partitioned by cbucket = cluster % index_buckets;
+    a bucket-scoped read must carry a parquet PartitionFilter on cbucket,
+    so a probing batch lists only its touched directories — and the
+    pruned read still returns exactly the requested clusters' rows."""
+    ing = _sem_ing_capped(
+        spark, tmp_path, centroids=[v for _, v in _axis_vecs([0, 1])], cap=None
+    )
+    ing._process(
+        spark.createDataFrame(_axis_vecs(range(8)), _SEM_SCHEMA), batch_id=0
+    )
+    full = ing._read_index(exclude_batch_id=-1)
+    some = ing._read_index(exclude_batch_id=-1, buckets=[0])
+    plan = some._jdf.queryExecution().executedPlan().toString()
+    assert "cbucket" in plan and "PartitionFilters" in plan
+    got = {r["cluster"] % ing.index_buckets for r in some.collect()}
+    assert got == {0}
+    assert some.count() < full.count()
