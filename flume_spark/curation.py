@@ -43,6 +43,9 @@ def curate_corpus(
     near_dup: str = "lsh_verified",
     substring_clean: bool = False,
     substring_k: int = 8,
+    semantic: bool = False,
+    semantic_threshold: float = 0.999,
+    embeddings: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the full curation pipeline; returns (curated_df, stage_counts).
 
@@ -64,6 +67,14 @@ def curate_corpus(
     bill the CLEANED text.  `stage_counts["span_tokens_removed"]` records
     the words dropped (doc survivor counts are unchanged — this stage
     edits documents, it never drops them).
+
+    `semantic=True` adds the SemDeDup stage (Abbas et al. 2023) after the
+    span clean: documents are embedded — by `embeddings` (id_col +
+    `embedding` array column, e.g. a model's vectors) when given, else by
+    the deterministic media stub features — clustered (k grown n/125,
+    the paper's discipline), and within-cluster cosine >=
+    `semantic_threshold` juniors dropped (lowest-id keep rule).  This is
+    the composition the declared `corpus_funnel` report measures.
     """
     counts: dict[str, int] = {"input": docs.count()}
 
@@ -116,6 +127,26 @@ def curate_corpus(
             kept.agg(F.coalesce(F.sum("_removed"), F.lit(0))).first()[0]
         )
         kept = kept.drop("_removed")
+
+    if semantic:
+        if embeddings is not None:
+            emb = kept.select(id_col).join(embeddings, id_col)
+            vec_col = "embedding"
+        else:
+            from flume_spark.operators import multimodal
+
+            emb = multimodal.feature_extract_stub(
+                multimodal.to_binary_payload(kept, id_col, text_col)
+            ).withColumnRenamed("id", id_col)
+            vec_col = "features"
+        emb = emb.localCheckpoint(eager=True)  # feeds count + assignment scan
+        k = max(4, emb.count() // 125)
+        marks = dedup.semantic_dedup(
+            emb, id_col, vec_col, k=int(k), threshold=semantic_threshold
+        )
+        keep_ids = marks.filter(~F.col("is_dup")).select(id_col)
+        kept = kept.join(keep_ids, id_col).cache()
+        counts["semantic"] = kept.count()
 
     if probes is not None:
         contaminated = (

@@ -176,3 +176,57 @@ def test_grouped_arrow_apply_multi_key_and_empty_returns(spark):
     assert len(got) == 9  # 4x3 groups minus the a=0 slice
     assert all(a != 0 for a, _, _ in got)
     assert (1, 0, 189) in got  # max id with id%4==1, id%3==0 (id ≡ 9 mod 12)
+
+
+def test_curate_corpus_semantic_stage(spark):
+    """semantic=True drops within-cluster cosine-near-identical juniors
+    (lowest id survives); with explicit embeddings the stage uses them,
+    and the stage count lands between near_dup and packed."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from flume_spark.curation import curate_corpus
+
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(30))),
+        (2, " ".join(f"b{i}" for i in range(30))),
+        (3, " ".join(f"c{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9999, 0.0001]),  # near-identical to doc 1 -> dropped
+            (3, [0.0, 1.0]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    curated, counts = curate_corpus(
+        spark, docs, min_quality=0.0, semantic=True, embeddings=emb
+    )
+    assert counts["semantic"] == 2
+    assert counts["packed"] == 2
+    survivors = {r["doc_id"] for r in curated.collect()}
+    assert survivors == {1, 3}  # lowest id of the near-dup pair survives
+
+
+def test_curate_corpus_semantic_stub_features(spark):
+    """Without an embeddings table the stage embeds via the deterministic
+    stub features: byte-identical texts under different doc ids collapse
+    (the exact-dedup stage is bypassed here by distinct trailing tokens,
+    so the drop is attributable to the semantic stage)."""
+    from flume_spark.curation import curate_corpus
+
+    base = " ".join(f"w{i}" for i in range(40))
+    # stub features are (byte length, first byte, last byte, length*7):
+    # docs 1 and 2 differ as text but match on all four components (same
+    # length, same first char, same last char) -> semantic near-identical
+    rows = [
+        (1, f"{base} aa"),
+        (2, f"{base} ba"),
+        (3, "something else entirely " + " ".join(f"q{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    curated, counts = curate_corpus(spark, docs, min_quality=0.0, semantic=True)
+    assert counts["semantic"] == 2
+    survivors = {r["doc_id"] for r in curated.collect()}
+    assert survivors == {1, 3}
