@@ -26,6 +26,44 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+def walk_groups(
+    batches,
+    cols: Sequence[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+):
+    """The partition-walking core of `grouped_arrow_apply`, separated so
+    the straddle/carry invariant is property-testable without Spark:
+    `batches` is an iterator of pandas frames whose concatenation is
+    group-CONTIGUOUS on `cols` (sorted within the partition); yields
+    `fn(group)` for every group, applying `fn` exactly once per group no
+    matter where the batch boundaries fall.  Only the trailing group of a
+    batch can continue into the next, so it carries; everything earlier in
+    the batch is complete by the contiguity contract."""
+    cols = list(cols)
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if pdf.empty:
+            continue
+        last = tuple(pdf[c].iloc[-1] for c in cols)
+        mask = pd.Series(True, index=pdf.index)
+        for c, v in zip(cols, last):
+            mask &= pdf[c] == v
+        done = pdf[~mask]
+        carry = pdf[mask]
+        for _, g in done.groupby(cols, sort=False):
+            out = fn(g)
+            if len(out):
+                yield out
+    if carry is not None and not carry.empty:
+        for _, g in carry.groupby(cols, sort=False):
+            out = fn(g)
+            if len(out):
+                yield out
+
+
 def grouped_arrow_apply(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -43,28 +81,7 @@ def grouped_arrow_apply(
     cols = list(group_cols)
 
     def _partition(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if pdf.empty:
-                continue
-            last = tuple(pdf[c].iloc[-1] for c in cols)
-            mask = pd.Series(True, index=pdf.index)
-            for c, v in zip(cols, last):
-                mask &= pdf[c] == v
-            done = pdf[~mask]
-            carry = pdf[mask]
-            for _, g in done.groupby(cols, sort=False):
-                out = fn(g)
-                if len(out):
-                    yield out
-        if carry is not None and not carry.empty:
-            for _, g in carry.groupby(cols, sort=False):
-                out = fn(g)
-                if len(out):
-                    yield out
+        yield from walk_groups(batches, cols, fn)
 
     return (
         df.repartition(*cols)

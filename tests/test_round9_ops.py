@@ -230,3 +230,50 @@ def test_curate_corpus_semantic_stub_features(spark):
     assert counts["semantic"] == 2
     survivors = {r["doc_id"] for r in curated.collect()}
     assert survivors == {1, 3}
+
+
+# -- walk_groups property suite (no Spark: the carry invariant itself) --------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=12),
+    cuts=st.lists(st.integers(min_value=1, max_value=80), max_size=8),
+)
+@settings(max_examples=150, deadline=None)
+def test_walk_groups_applies_fn_exactly_once_per_group(sizes, cuts):
+    """For ANY group sizes and ANY batch boundary placement over the
+    group-contiguous row stream, walk_groups must call fn exactly once per
+    group with exactly that group's rows — the invariant that makes
+    grouped_arrow_apply interchangeable with applyInPandas."""
+    import pandas as pd
+
+    from flume_spark.operators.kernels import walk_groups
+
+    rows = []
+    for g, n in enumerate(sizes):
+        rows += [(g, g * 1000 + i) for i in range(n)]
+    df = pd.DataFrame(rows, columns=["g", "v"])
+    total = len(df)
+    bounds = sorted({c % (total + 1) for c in cuts} | {0, total})
+    batches = [
+        df.iloc[a:b].reset_index(drop=True)
+        for a, b in zip(bounds, bounds[1:])
+    ]
+
+    seen: dict[int, list[int]] = {}
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(pdf["g"].iloc[0])
+        assert (pdf["g"] == g).all(), "mixed group handed to fn"
+        assert g not in seen, f"group {g} handed to fn twice"
+        seen[g] = sorted(int(v) for v in pdf["v"])
+        return pd.DataFrame({"g": [g], "n": [len(pdf)]})
+
+    out = pd.concat(list(walk_groups(iter(batches), ["g"], fn)))
+    assert sorted(seen) == list(range(len(sizes)))
+    for g, n in enumerate(sizes):
+        assert seen[g] == [g * 1000 + i for i in range(n)]
+    assert dict(zip(out["g"], out["n"])) == {g: n for g, n in enumerate(sizes)}
