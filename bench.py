@@ -114,6 +114,7 @@ HEADLINE = [
     "dedup_source_mirrors",
     "text_bigram_rarity",
     "dedup_multimodal_cosine",
+    "ann_pq_drift",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture
@@ -143,13 +144,14 @@ SHARDED = [
     "scd2_user_history",
     # round-9 growth (contract test fired again): siblings of officials
     # (dedup_substring_exact / graph_sssp_k / sketch_countmin /
-    # rollup_topk_window / percentiles_exact), none with a baseline row;
-    # the four NEW round-9 modalities stay official
+    # rollup_topk_window / percentiles_exact / ann_topk_ivf), none with a
+    # baseline row; the NEW round-9 modalities stay official
     "dedup_substring_maxspan",
     "graph_bfs_hops",
     "sketch_hll",
     "channel_share_gsets",
     "histogram_quantiles",
+    "lsh_label_purity",
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

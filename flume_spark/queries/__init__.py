@@ -51,6 +51,10 @@ _NEEDS_DRIVER_ROW = [  # round-9 additions/changes, ascending expected sf0.01 ru
     # in front of the block matmul — round-8's one weak plan.  The oracle
     # mirrors the md5-seeded assignment, so the hash must stay green.
     "dedup_multimodal_cosine",
+    # new round-9: per-vector PQ reconstruction error off the persisted
+    # codes table — the codebook-drift monitor (exact ints, one aggregate;
+    # memoized index shared with ann_topk_pq, so the row is cheap).
+    "ann_pq_drift",
     # new round-9: the end-to-end curation funnel (quality -> exact ->
     # LSH-verified -> substring clean -> semantic), per-stage per-source
     # doc/token attrition, every stage the already-oracled operator.

@@ -372,6 +372,24 @@ def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_pq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector PQ reconstruction error — the drift signal a quantized
+    index monitors in production: err2 = sum over the m subspaces of the
+    exact-integer squared distance to the chosen codebook centroid.  The
+    codes table already stores each subspace argmin's distance (it IS the
+    index), so the monitor is ONE aggregate over index metadata — the
+    vectors are never re-scanned.  Rising batch means signal distribution
+    drift away from the training corpus; the operator response is a
+    codebook retrain + re-encode epoch (the same roll discipline
+    SemanticIngestor ships for its centroid table).  PqIngestor exposes
+    the same aggregate per ingest batch (`drift_stats`)."""
+    emb = T(spark, sf_dir, "embeddings")
+    _, codes = _pq_index_memo(spark, sf_dir, emb)
+    return codes.groupBy("vec_id").agg(
+        F.sum("dist").cast("long").alias("err2")
+    )
+
+
 def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ: the full production ANN composition — the coarse
     inverted-file cell (the label, like ann_topk_ivf) prunes the
@@ -395,6 +413,7 @@ def _ann_pq_sql(
     k: int = 10,
     q_pred: str = "vec_id < 2",
     ivf_cells: bool = False,
+    drift: bool = False,
 ) -> str:
     """SQL replay of the full PQ pipeline.  AS MATERIALIZED is
     load-bearing (the kcore lesson): each round's CTEs are referenced
@@ -465,6 +484,26 @@ def _ann_pq_sql(
             f"AS centroid FROM cb{r}p GROUP BY 1, 2)"
         )
     fin = f"cb{refine_rounds}"
+    if drift:
+        # reconstruction-error replay: the chosen (rn=1) centroid's exact
+        # integer distance per subspace, summed per vector
+        parts.append(
+            f"""encd AS MATERIALIZED (
+  SELECT vec_id, dist FROM (
+    SELECT a.vec_id, a.sub, {dist("a.sc", "cb.centroid")} AS dist,
+           row_number() OVER
+      (PARTITION BY a.vec_id, a.sub
+       ORDER BY {dist("a.sc", "cb.centroid")}, cb.code) AS rn
+    FROM subs a JOIN {fin} cb ON a.sub = cb.sub
+  ) WHERE rn = 1
+)"""
+        )
+        return (
+            ",\n".join(parts)
+            + """
+SELECT vec_id, CAST(sum(dist) AS BIGINT) AS err2 FROM encd GROUP BY vec_id
+"""
+        )
     parts.append(
         f"""enc AS MATERIALIZED (
   SELECT vec_id, sub, code FROM (
@@ -516,6 +555,7 @@ SELECT query_id, neighbor_id, "rank", adc_dist FROM (
 
 ANN_PQ_SQL = _ann_pq_sql()
 ANN_IVFPQ_SQL = _ann_pq_sql(q_pred="vec_id < 4", ivf_cells=True)
+ANN_PQ_DRIFT_SQL = _ann_pq_sql(drift=True)
 
 
 # ---------------------------------------------------------------------------
@@ -1834,6 +1874,7 @@ QUERIES = {
     "ann_topk_int8": ann_topk_int8,
     "ann_topk_pq": ann_topk_pq,
     "ann_topk_ivfpq": ann_topk_ivfpq,
+    "ann_pq_drift": ann_pq_drift,
     "text_commonness": text_commonness,
     "text_novelty_by_source": text_novelty_by_source,
     "dedup_passage": dedup_passage,
@@ -2023,6 +2064,7 @@ ORACLES = {
     "ann_topk_int8": ANN_INT8_SQL,
     "ann_topk_pq": ANN_PQ_SQL,
     "ann_topk_ivfpq": ANN_IVFPQ_SQL,
+    "ann_pq_drift": ANN_PQ_DRIFT_SQL,
     "text_commonness": TEXT_COMMONNESS_SQL,
     "text_novelty_by_source": TEXT_NOVELTY_SQL,
     "dedup_passage": DEDUP_PASSAGE_SQL,

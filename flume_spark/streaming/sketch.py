@@ -340,3 +340,24 @@ class PqIngestor:
         return self.spark.read.parquet(self.codes_dir).select(
             self.id_col, "sub", "code", "dist"
         )
+
+    def drift_stats(self):
+        """Per-ingest-batch quantization-error totals — the codebook drift
+        monitor: (ingest_batch, n_vectors, total_err2), all exact integers
+        aggregated from the distances the index already stores (the
+        vectors are never re-scanned).  total_err2 / n_vectors rising
+        across batches means arriving data has drifted from the training
+        corpus; the operator response is a retrain + re-encode epoch (the
+        SemanticIngestor roll discipline).  None before the first batch."""
+        if not self._has_parquet():
+            return None
+        from pyspark.sql import functions as F
+
+        return (
+            self.spark.read.parquet(self.codes_dir)
+            .groupBy("ingest_batch")
+            .agg(
+                F.count_distinct(self.id_col).alias("n_vectors"),
+                F.sum("dist").cast("long").alias("total_err2"),
+            )
+        )

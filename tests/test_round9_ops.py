@@ -277,3 +277,42 @@ def test_walk_groups_applies_fn_exactly_once_per_group(sizes, cuts):
     for g, n in enumerate(sizes):
         assert seen[g] == [g * 1000 + i for i in range(n)]
     assert dict(zip(out["g"], out["n"])) == {g: n for g, n in enumerate(sizes)}
+
+
+def test_pq_ingestor_drift_stats_detect_distribution_shift(spark, tmp_path):
+    """drift_stats aggregates the distances the codes table already
+    stores: batch 0 (the training distribution) has low per-vector error,
+    a shifted batch 1 (sign-flipped vectors — far from every centroid the
+    seed trained) has higher error.  Exact integers; the monitor never
+    re-reads the vectors."""
+    from pyspark.sql import functions as F
+
+    from flume_spark.operators import similarity as S
+    from flume_spark.streaming.sketch import PqIngestor
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cb = S.pq_codebooks(emb, refine_rounds=1).localCheckpoint(eager=True)
+    ing = PqIngestor(
+        spark, str(tmp_path / "codes"), str(tmp_path / "ledger"), cb
+    )
+    ing.process(emb, 0)  # the training corpus itself
+    shifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> IF(pmod(xxhash64(i), 2) = 1, -x, x))"
+        ).alias("embedding"),
+    )
+    ing.process(shifted, 1)
+    stats = {
+        r["ingest_batch"]: (r["n_vectors"], r["total_err2"])
+        for r in ing.drift_stats().collect()
+    }
+    assert set(stats) == {0, 1}
+    n0, e0 = stats[0]
+    n1, e1 = stats[1]
+    assert n0 == n1
+    # per-vector mean error strictly higher on the shifted batch
+    assert e1 / n1 > e0 / n0
+    # and the error the stats report equals the per-vector query's sum
+    per_vec = ing.codes().groupBy("vec_id").agg(F.sum("dist").alias("err2"))
+    assert per_vec.agg(F.sum("err2")).first()[0] == e0 + e1
