@@ -316,3 +316,111 @@ def test_pq_ingestor_drift_stats_detect_distribution_shift(spark, tmp_path):
     # and the error the stats report equals the per-vector query's sum
     per_vec = ing.codes().groupBy("vec_id").agg(F.sum("dist").alias("err2"))
     assert per_vec.agg(F.sum("err2")).first()[0] == e0 + e1
+
+
+def test_epoch_semantic_ingestor_matches_rolling_reference(spark, tmp_path):
+    """The FULL epoch theorem on random inputs: per-batch marks from the
+    capped SemanticIngestor equal an independent brute-force reference
+    that replays the whole contract — the population trigger, the
+    k-growth formula, the md5-seeded centroid re-draw over accumulated
+    history, pure-function reassignment, and the batch-prefix keep rule —
+    with marks pinned to the epoch current AT THEIR ingest.  The frozen
+    sibling suite (test_round8_ops) pins the no-roll case; this pins the
+    rolls."""
+    import hashlib
+    import math as _math
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flume_spark.streaming.dedup import SemanticIngestor
+
+    coord = st.integers(min_value=-2, max_value=2)
+    vec = st.tuples(coord, coord).filter(lambda v: v != (0, 0))
+    vecs = st.lists(vec, min_size=4, max_size=8)
+    cents0 = [[1.0, 0.0], [0.0, 1.0]]
+    t = 0.7
+    cap = 1  # tiny cap: rolls trigger between almost every pair of batches
+
+    def assign(arr, cents):
+        c = np.asarray(cents, dtype=np.float64)
+        d = np.round(((arr[:, None, :] - c[None, :, :]) ** 2).sum(-1), 6)
+        return d.argmin(1)  # first minimum = lowest cluster, the tie rule
+
+    def reference(ids, vs):
+        arr = {i: np.asarray(v, dtype=np.float64) for i, v in zip(ids, vs)}
+        hist: list[int] = []
+        cents = [list(map(float, c)) for c in cents0]
+        want = {}
+        for b in range(3):
+            batch = [i for i in ids if i % 3 == b]
+            if not batch:
+                continue
+            n = len(hist)
+            if cap is not None and hist and n > cap * len(cents):
+                k_new = max(
+                    len(cents) + 1, _math.ceil(n / max(1, cap // 2))
+                )
+                order = sorted(
+                    hist, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+                )
+                cents = [list(arr[i]) for i in order[:k_new]]
+            pool = hist + batch
+            mat = np.stack([arr[i] for i in pool])
+            cl = assign(mat, cents)
+            cluster = dict(zip(pool, cl))
+            norms = {i: float(np.sqrt((arr[i] ** 2).sum())) for i in pool}
+            for j in batch:
+                cands = []
+                for i in pool:
+                    if i == j or cluster[i] != cluster[j]:
+                        continue
+                    senior = i in hist or (i % 3 == j % 3 and i < j)
+                    if not senior:
+                        continue
+                    cos = np.round(
+                        float(arr[i] @ arr[j]) / (norms[i] * norms[j]), 6
+                    )
+                    if cos >= t:
+                        cands.append(i)
+                want[j] = min(cands) if cands else None
+            hist += batch
+        return want
+
+    @given(vs=vecs)
+    @settings(max_examples=6, deadline=None)
+    def check(vs):
+        import shutil
+        import tempfile
+
+        ids = list(range(len(vs)))
+        want = reference(ids, vs)
+        root = tempfile.mkdtemp(prefix="sem_epoch_prop_")
+        try:
+            ing = SemanticIngestor(
+                spark,
+                cents0,
+                index_dir=f"{root}/idx",
+                marks_dir=f"{root}/marks",
+                ledger_dir=f"{root}/ledger",
+                threshold=t,
+                per_cluster_cap=cap,
+                assign="exact",
+            )
+            df = spark.createDataFrame(
+                [(i, [float(x) for x in v]) for i, v in zip(ids, vs)],
+                "vec_id long, embedding array<double>",
+            )
+            for b in range(3):
+                bdf = df.filter(f"vec_id % 3 = {b}")
+                if bdf.count():
+                    ing._process(bdf, batch_id=b)
+            got = {
+                r["vec_id"]: r["dup_of"] for r in ing.dup_marks().collect()
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        assert got == want
+
+    check()
