@@ -46,15 +46,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # in the middle (fresh) group automatically.  tests/test_registry.py
 # fails loudly on typos/overlap.
 _NEEDS_DRIVER_ROW = [  # round-9 additions/changes, ascending expected sf0.01 runtime
+    # new round-9: per-vector PQ reconstruction error off the persisted
+    # codes table — the codebook-drift monitor (exact ints, one aggregate;
+    # memoized index shared with ann_topk_pq, so the row is cheap).
+    "ann_pq_drift",
     # changed round-9: the multimodal near-dup pairing leg gets a k-means
     # candidate stage (same-cluster restriction, the semantic_dedup shape)
     # in front of the block matmul — round-8's one weak plan.  The oracle
     # mirrors the md5-seeded assignment, so the hash must stay green.
     "dedup_multimodal_cosine",
-    # new round-9: per-vector PQ reconstruction error off the persisted
-    # codes table — the codebook-drift monitor (exact ints, one aggregate;
-    # memoized index shared with ann_topk_pq, so the row is cheap).
-    "ann_pq_drift",
     # new round-9: the end-to-end curation funnel (quality -> exact ->
     # LSH-verified -> substring clean -> semantic), per-stage per-source
     # doc/token attrition, every stage the already-oracled operator.
