@@ -590,21 +590,28 @@ def test_streaming_semantic_matches_prefix_reference(spark):
             ]
             want[j] = min(cands) if cands else None
         root = tempfile.mkdtemp(prefix="sem_prop_")
-        ing = SemanticIngestor(
-            spark,
-            cents,
-            index_dir=f"{root}/idx",
-            marks_dir=f"{root}/marks",
-            ledger_dir=f"{root}/ledger",
-            threshold=t,
-        )
-        df = spark.createDataFrame(
-            [(i, [float(x) for x in v]) for i, v in zip(ids, vs)],
-            "vec_id long, embedding array<double>",
-        )
-        for b in range(3):
-            ing._process(df.filter(f"vec_id % 3 = {b}"), batch_id=b)
-        got = {r["vec_id"]: r["dup_of"] for r in ing.dup_marks().collect()}
+        try:
+            ing = SemanticIngestor(
+                spark,
+                cents,
+                index_dir=f"{root}/idx",
+                marks_dir=f"{root}/marks",
+                ledger_dir=f"{root}/ledger",
+                threshold=t,
+            )
+            df = spark.createDataFrame(
+                [(i, [float(x) for x in v]) for i, v in zip(ids, vs)],
+                "vec_id long, embedding array<double>",
+            )
+            for b in range(3):
+                ing._process(df.filter(f"vec_id % 3 = {b}"), batch_id=b)
+            got = {
+                r["vec_id"]: r["dup_of"] for r in ing.dup_marks().collect()
+            }
+        finally:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
         assert got == want
 
     check()
