@@ -55,9 +55,11 @@ full PAA -> SAX -> block -> verify pipeline.
 
 from __future__ import annotations
 
+import atexit
 import json
 import math
 import os
+import shutil
 import sys
 import time
 
@@ -537,6 +539,7 @@ def main_claim() -> None:
     t0 = 1_700_000_000.0
     for f in factors:
         root = tempfile.mkdtemp(prefix=f"claimprobe_x{f}_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
         store = JobStore(spark, root + "/jobs")
         mgr = QueueManager(spark, store)
         n = base_rows * f
@@ -795,6 +798,7 @@ def main_backend() -> None:
         ("optimistic_commit", OptimisticLogStore),
     ):
         root = tempfile.mkdtemp(prefix=f"bprobe_{label}_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
         registry = WorkerRegistry()
         registry.register("NoopWorker", lambda *a: None)
         store = make(spark, root + "/jobs")
@@ -874,6 +878,7 @@ def main_scd2() -> None:
         n_keys = base_keys * f
         n_buckets = max(8, n_keys // 256)
         root = tempfile.mkdtemp(prefix=f"scd2probe_x{f}_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
         path = root + "/store"
         events = (
             spark.range(n_keys * changes_per_key)
@@ -1010,6 +1015,7 @@ def main_scd2_compact() -> None:
         n_keys = base_keys * f
         n_buckets = max(8, n_keys // 256)
         root = tempfile.mkdtemp(prefix=f"scd2cprobe_x{f}_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
         path = root + "/store"
         # regime = 0,0,...,0,1,1,...,1,2,...: changes only at two borders;
         # every other event re-asserts the current attr (no-change row)
@@ -1141,6 +1147,8 @@ def main_substr() -> None:
     FIXED base-corpus batch against a PERSISTED bucketed window index at
     each history factor: per-ingest cost should stay ~flat (probe side is
     O(batch), index side reads exchange-free from its buckets)."""
+    import shutil
+
     factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
     spark = get_spark(app_name="flume_probe_substr")
     whole_t: dict[int, float] = {}
@@ -1183,6 +1191,7 @@ def main_substr() -> None:
         )
         ingest_t[f] = dt
         spark.sql("DROP TABLE IF EXISTS probe_win_idx")
+        shutil.rmtree(f"/tmp/probe_win_idx_x{f}", ignore_errors=True)
         docs.unpersist()
         spark.catalog.clearCache()
     base = factors[0]
