@@ -802,6 +802,38 @@ class SemanticIngestor:
             os.path.join(self._epoch_path(), f"ingest_batch={batch_id}")
         )
 
+    def vacuum_epochs(self) -> int:
+        """Delete index directories of epochs older than the current one —
+        every read targets the current epoch only (the roll carried all
+        live rows forward), so rolled-past trees are dead weight the
+        moment `_persist_centroids` commits the roll.  Marks are untouched
+        (they are the product, pinned per ingest).  Returns the number of
+        epoch directories removed.  Same maintenance-window contract as
+        `OptimisticLogStore.vacuum` / `compact_index`: call between
+        triggers, never concurrently with a processing batch."""
+        import os
+        import shutil
+
+        removed = 0
+        if not os.path.isdir(self.index_dir):
+            return removed
+        for d in os.listdir(self.index_dir):
+            if not d.startswith("epoch="):
+                continue
+            if int(d.split("=", 1)[1]) < self.epoch:
+                shutil.rmtree(
+                    os.path.join(self.index_dir, d), ignore_errors=True
+                )
+                removed += 1
+        # the superseded centroid tables go with their epochs
+        if os.path.isdir(self._epochs_dir):
+            for d in os.listdir(self._epochs_dir):
+                if d.startswith("epoch=") and int(d.split("=", 1)[1]) < self.epoch:
+                    shutil.rmtree(
+                        os.path.join(self._epochs_dir, d), ignore_errors=True
+                    )
+        return removed
+
     def dup_marks(self):
         """(id, cluster, dup_of, is_dup) for every ingested vector, as of
         its OWN ingest time (None if nothing ingested)."""

@@ -1365,3 +1365,39 @@ def test_semantic_ingestor_index_reads_prune_cluster_buckets(spark, tmp_path):
     got = {r["cluster"] % ing.index_buckets for r in some.collect()}
     assert got == {0}
     assert some.count() < full.count()
+
+
+def test_semantic_ingestor_vacuum_epochs(spark, tmp_path):
+    """vacuum_epochs removes rolled-past index trees (reads only touch the
+    current epoch) and their superseded centroid tables, leaves marks and
+    the live epoch intact, and restart recovery still works after."""
+    import os
+
+    ing = _sem_ing_capped(
+        spark, tmp_path, centroids=[v for _, v in _axis_vecs([0, 1])], cap=2
+    )
+    ing._process(
+        spark.createDataFrame(_axis_vecs(range(6)), _SEM_SCHEMA), batch_id=0
+    )
+    ing._process(
+        spark.createDataFrame(_axis_vecs([10]), _SEM_SCHEMA), batch_id=1
+    )  # rolls to epoch 1
+    assert ing.epoch == 1
+    idx = str(tmp_path / "sem_idx")
+    assert os.path.isdir(os.path.join(idx, "epoch=0"))
+    before = {tuple(r) for r in ing.dup_marks().collect()}
+    assert ing.vacuum_epochs() == 1
+    assert not os.path.isdir(os.path.join(idx, "epoch=0"))
+    assert os.path.isdir(os.path.join(idx, "epoch=1"))
+    assert {tuple(r) for r in ing.dup_marks().collect()} == before
+    # the live index still probes correctly after the vacuum
+    ing._process(
+        spark.createDataFrame(_axis_vecs([18]), _SEM_SCHEMA), batch_id=2
+    )
+    marks = {r["vec_id"]: r["dup_of"] for r in ing.dup_marks().collect()}
+    assert marks[18] == 2  # axis-2 senior survived the vacuum
+    # restart recovery: only the live centroid table remains, and it loads
+    re = _sem_ing_capped(
+        spark, tmp_path, centroids=[v for _, v in _axis_vecs([0, 1])], cap=2
+    )
+    assert re.epoch == 1 and re.centroids == ing.centroids
