@@ -1475,6 +1475,8 @@ def semantic_dedup(
     threshold: float = 0.4,
     assign: str = "exact",
     n_probe: int = 3,
+    pairwise: str = "whole",
+    blocks: int = 8,
 ) -> DataFrame:
     """Mark within-cluster embedding near-duplicates, keeping one
     representative per neighborhood.
@@ -1533,6 +1535,33 @@ def semantic_dedup(
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .join(assign, "id")
     )
+
+    if pairwise == "blocked":
+        # skew-safe pairwise leg: a mega-cluster's pop² matmul is block-
+        # decomposed across `blocks²/2` tasks by the SAME grouped
+        # cosine_pairs kernel the multimodal pass uses (group_col =
+        # cluster), instead of landing on one task as a single pandas
+        # group.  dup_of = min same-cluster lower-id neighbor over the
+        # pair set — identical verdicts to the whole-cluster kernel
+        # (equality test-pinned); choose this form when cluster
+        # populations are skewed (length-valued or Zipfian features),
+        # keep "whole" when k ∝ n holds populations small and balanced.
+        pairs = cosine_pairs(
+            pts, "id", "vec", threshold=threshold,
+            blocks=blocks, group_col="cluster",
+        )
+        dups = (
+            pairs.groupBy(F.col("doc_b").alias("id"))
+            .agg(F.min("doc_a").alias("dup_of"))
+        )
+        return assign.join(dups, "id", "left").select(
+            F.col("id").alias(id_col),
+            "cluster",
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    if pairwise != "whole":
+        raise ValueError(f"unknown pairwise mode: {pairwise!r}")
 
     def _cluster_dups(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np

@@ -424,3 +424,37 @@ def test_epoch_semantic_ingestor_matches_rolling_reference(spark, tmp_path):
         assert got == want
 
     check()
+
+
+def test_semantic_dedup_blocked_pairwise_matches_whole(spark):
+    """The skew-safe blocked pairwise leg must produce byte-identical
+    verdicts to the whole-cluster kernel — including on a deliberately
+    SKEWED clustering (one mega-cluster), the case the blocked form
+    exists for."""
+    import numpy as np
+
+    rng = [
+        (i, [round(float(x), 3) for x in v])
+        for i, v in enumerate(
+            np.random.default_rng(7).normal(size=(120, 6)).tolist()
+        )
+    ]
+    # pull 80% of vectors toward one direction -> one dominant cluster
+    rows = [
+        (i, [x + (3.0 if i % 5 else 0.0) for x in v]) for i, v in rng
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(k=6, threshold=0.9)
+    whole = {
+        tuple(r)
+        for r in dedup.semantic_dedup(emb, "vec_id", "embedding", **kw).collect()
+    }
+    for blocks in (1, 3, 8):
+        blocked = {
+            tuple(r)
+            for r in dedup.semantic_dedup(
+                emb, "vec_id", "embedding",
+                pairwise="blocked", blocks=blocks, **kw,
+            ).collect()
+        }
+        assert blocked == whole, f"blocks={blocks} diverged"
