@@ -273,18 +273,31 @@ class HllIngestor:
 
 
 class PqIngestor:
-    """foreachBatch handler: encode arriving vectors against FIXED
-    pre-trained PQ codebooks and append their codes — the streaming
-    continuation of the PQ index (operators/similarity.py): codebooks
-    train once at setup (pq_codebooks over a seed corpus), after which
-    encoding is per-row and batch-parallel, so the codes table grows
-    append-only while staying searchable at any point
-    (pq_adc_topk(..., codebooks=..., codes=ing.codes())).
+    """foreachBatch handler: encode arriving vectors against codebooks
+    FROZEN per EPOCH and append their codes — the streaming continuation
+    of the PQ index (operators/similarity.py): codebooks train once at
+    setup (pq_codebooks over a seed corpus), after which encoding is
+    per-row and batch-parallel, so the codes table grows append-only
+    while staying searchable at any point
+    (pq_adc_topk(..., codebooks=ing.codebooks, codes=ing.codes())).
 
     Replay contract matches the other ingestors: per-batch OVERWRITE
     partition + acknowledgment ledger, and encoding is a pure per-row
     function of (vector, codebooks), so a replayed batch rewrites
     byte-identical codes — doubly convergent.
+
+    Drift response: quantization error vs the frozen codebooks
+    (`drift_stats`) rises as arriving data drifts from the training
+    corpus.  `reencode_epoch(emb_df)` answers it — retrain codebooks on
+    the caller-supplied corpus (the raw vectors live upstream; the codes
+    table deliberately doesn't store them — that is the whole point of
+    PQ) and re-encode into a NEW epoch namespace, exactly the
+    SemanticIngestor roll discipline.  The method REQUIRES a quiesced
+    stream (every written batch acknowledged in the ledger) and enforces
+    it, because a crash-window replay after a roll would re-encode a
+    carried batch into the new epoch twice.  Codebooks persist per epoch
+    in a `_epochs` table inside the codes dir, so a restarted ingestor
+    resumes the live epoch, not the constructor seed.
     """
 
     def __init__(
@@ -300,15 +313,109 @@ class PqIngestor:
     ) -> None:
         self.spark = spark
         self.codes_dir = codes_dir
-        self.codebooks = codebooks.localCheckpoint(eager=True)
+        self.ledger_dir = ledger_dir
         self.id_col = id_col
         self.vec_col = vec_col
         self.m = m
         self.dim = dim
+        self._epochs_dir = os.path.join(codes_dir, "_epochs")
         os.makedirs(codes_dir, exist_ok=True)
+        persisted = self._latest_epoch()
+        if persisted is None:
+            self.epoch = 0
+            self.codebooks = codebooks.localCheckpoint(eager=True)
+            self._persist_codebooks()
+        else:
+            self.epoch, self.codebooks = persisted
         from flume_spark.streaming.sink import idempotent_foreach_batch
 
         self.process = idempotent_foreach_batch(self._process, ledger_dir)
+
+    # -- epoch state ---------------------------------------------------------
+
+    def _latest_epoch(self):
+        if not os.path.isdir(self._epochs_dir):
+            return None
+        epochs = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self._epochs_dir)
+            if d.startswith("epoch=")
+        ]
+        if not epochs:
+            return None
+        e = max(epochs)
+        cb = self.spark.read.parquet(
+            os.path.join(self._epochs_dir, f"epoch={e}")
+        ).localCheckpoint(eager=True)
+        return e, cb
+
+    def _persist_codebooks(self) -> None:
+        self.codebooks.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(self._epochs_dir, f"epoch={self.epoch}")
+        )
+
+    def _epoch_path(self) -> str:
+        return os.path.join(self.codes_dir, f"epoch={self.epoch}")
+
+    def reencode_epoch(self, emb_df, sign_bits: int = 8, refine_rounds: int = 1):
+        """Retrain codebooks on `emb_df` (which must cover every ingested
+        vector — the caller owns the raw vectors) and re-encode it into a
+        fresh epoch namespace.  Raises if any written batch is
+        unacknowledged: the roll must run on a quiesced stream, same
+        maintenance-window contract as compact/vacuum.  Returns the new
+        epoch number."""
+        from flume_spark.operators.similarity import pq_codebooks, pq_encode_arrow
+
+        if os.path.isdir(self._epoch_path()):
+            for d in os.listdir(self._epoch_path()):
+                if not d.startswith("ingest_batch="):
+                    continue
+                b = d.split("=", 1)[1]
+                marker = os.path.join(self.ledger_dir, f"batch-{b}.done")
+                if b != "-9" and not os.path.exists(marker):
+                    raise RuntimeError(
+                        f"reencode_epoch on a non-quiesced stream: batch {b} "
+                        "is written but unacknowledged — let the stream "
+                        "drain (or replay) before rolling codebooks"
+                    )
+        cb = pq_codebooks(
+            emb_df,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            m=self.m,
+            dim=self.dim,
+            sign_bits=sign_bits,
+            refine_rounds=refine_rounds,
+        ).localCheckpoint(eager=True)
+        codes = pq_encode_arrow(
+            emb_df, cb, self.id_col, self.vec_col, m=self.m, dim=self.dim
+        )
+        self.epoch += 1
+        self.codebooks = cb
+        # carry first, codebook table last: a crash mid-roll leaves the
+        # old epoch current and the deterministic roll simply re-runs
+        codes.write.mode("overwrite").parquet(
+            os.path.join(self._epoch_path(), "ingest_batch=-9")
+        )
+        self._persist_codebooks()
+        return self.epoch
+
+    def vacuum_epochs(self) -> int:
+        """Delete codes trees and codebook tables of rolled-past epochs
+        (reads only touch the current epoch).  Maintenance-window
+        contract; returns directories removed."""
+        import shutil
+
+        removed = 0
+        for root in (self.codes_dir, self._epochs_dir):
+            if not os.path.isdir(root):
+                continue
+            for d in os.listdir(root):
+                if d.startswith("epoch=") and int(d.split("=", 1)[1]) < self.epoch:
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                    if root == self.codes_dir:
+                        removed += 1
+        return removed
 
     def _process(self, batch_df, batch_id: int) -> None:
         from flume_spark.operators.similarity import pq_encode
@@ -322,22 +429,24 @@ class PqIngestor:
             dim=self.dim,
         )
         codes.write.mode("overwrite").parquet(
-            os.path.join(self.codes_dir, f"ingest_batch={batch_id}")
+            os.path.join(self._epoch_path(), f"ingest_batch={batch_id}")
         )
 
     def _has_parquet(self) -> bool:
         return any(
             f.endswith(".parquet")
-            for dirpath, _, files in os.walk(self.codes_dir)
+            for dirpath, _, files in os.walk(self._epoch_path())
             if "_temporary" not in dirpath
             for f in files
         )
 
     def codes(self):
-        """The whole-history codes table (None before the first batch)."""
+        """The current epoch's whole-history codes table (None before the
+        first batch).  After a `reencode_epoch`, history rides in the
+        carried `ingest_batch=-9` partition."""
         if not self._has_parquet():
             return None
-        return self.spark.read.parquet(self.codes_dir).select(
+        return self.spark.read.parquet(self._epoch_path()).select(
             self.id_col, "sub", "code", "dist"
         )
 
@@ -347,14 +456,14 @@ class PqIngestor:
         aggregated from the distances the index already stores (the
         vectors are never re-scanned).  total_err2 / n_vectors rising
         across batches means arriving data has drifted from the training
-        corpus; the operator response is a retrain + re-encode epoch (the
-        SemanticIngestor roll discipline).  None before the first batch."""
+        corpus; the response is `reencode_epoch` (the SemanticIngestor
+        roll discipline).  None before the first batch."""
         if not self._has_parquet():
             return None
         from pyspark.sql import functions as F
 
         return (
-            self.spark.read.parquet(self.codes_dir)
+            self.spark.read.parquet(self._epoch_path())
             .groupBy("ingest_batch")
             .agg(
                 F.count_distinct(self.id_col).alias("n_vectors"),

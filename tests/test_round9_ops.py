@@ -458,3 +458,79 @@ def test_semantic_dedup_blocked_pairwise_matches_whole(spark):
             ).collect()
         }
         assert blocked == whole, f"blocks={blocks} diverged"
+
+
+def test_pq_ingestor_reencode_epoch(spark, tmp_path):
+    """The drift RESPONSE: reencode_epoch retrains codebooks on the
+    caller-supplied corpus and re-encodes into a fresh epoch — error on
+    the previously-drifted data drops, search works off the new index,
+    the roll requires a quiesced stream, vacuum removes the old epoch,
+    and a restarted ingestor resumes the live epoch instead of the seed
+    codebooks."""
+    from pyspark.sql import functions as F
+
+    from flume_spark.operators import similarity as S
+    from flume_spark.streaming.sketch import PqIngestor
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    shifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> IF(pmod(xxhash64(i), 2) = 1, -x, x))"
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    seed_cb = S.pq_codebooks(emb, refine_rounds=1).localCheckpoint(eager=True)
+    ing = PqIngestor(
+        spark, str(tmp_path / "codes"), str(tmp_path / "ledger"), seed_cb
+    )
+    ing.process(emb, 0)
+    ing.process(shifted, 1)
+    pre = {r["ingest_batch"]: r["total_err2"] for r in ing.drift_stats().collect()}
+    n = emb.count()
+
+    # quiesce enforcement: an unacknowledged written batch blocks the roll
+    ing._process(shifted.limit(5), 99)  # written, no ledger marker
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="non-quiesced"):
+        ing.reencode_epoch(emb.unionByName(shifted))
+    (tmp_path / "ledger" / "batch-99.done").write_text("done")  # ack it
+
+    corpus = emb.unionByName(shifted)
+    assert ing.reencode_epoch(corpus) == 1
+    post = {
+        r["ingest_batch"]: (r["n_vectors"], r["total_err2"])
+        for r in ing.drift_stats().collect()
+    }
+    assert set(post) == {-9}
+    n_carry, err_carry = post[-9]
+    assert n_carry == 2 * n
+    # retrained codebooks fit the drifted half: total error strictly drops
+    assert err_carry < pre[0] + pre[1]
+    # search off the rolled index == whole-corpus encode + search
+    pred = F.col("vec_id") < 2
+    want = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.pq_adc_topk(
+            corpus, pred, k=5, codebooks=ing.codebooks
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.pq_adc_topk(
+            corpus, pred, k=5, codebooks=ing.codebooks, codes=ing.codes()
+        ).collect()
+    }
+    assert got == want
+    # vacuum removes the rolled-past epoch; restart resumes the live one
+    assert ing.vacuum_epochs() == 1
+    re = PqIngestor(
+        spark, str(tmp_path / "codes"), str(tmp_path / "ledger"), seed_cb
+    )
+    assert re.epoch == 1
+    canon = lambda df: {
+        (r["sub"], r["code"], tuple(r["centroid"])) for r in df.collect()
+    }
+    assert canon(re.codebooks) == canon(ing.codebooks)
