@@ -73,8 +73,11 @@ def curate_corpus(
     `embedding` array column, e.g. a model's vectors) when given, else by
     the deterministic media stub features — clustered (k grown n/125,
     the paper's discipline), and within-cluster cosine >=
-    `semantic_threshold` juniors dropped (lowest-id keep rule).  This is
-    the composition the declared `corpus_funnel` report measures.
+    `semantic_threshold` juniors dropped (lowest-id keep rule).  With a
+    caller-supplied `embeddings` table, documents it does not cover pass
+    through as non-duplicates and `stage_counts["semantic_uncovered"]`
+    records how many.  This is the composition the declared
+    `corpus_funnel` report measures.
     """
     counts: dict[str, int] = {"input": docs.count()}
 
@@ -145,6 +148,16 @@ def curate_corpus(
             emb, id_col, vec_col, k=int(k), threshold=semantic_threshold
         )
         keep_ids = marks.filter(~F.col("is_dup")).select(id_col)
+        if embeddings is not None:
+            # docs with no embedding row were never dedup candidates: pass
+            # them through as non-duplicates and RECORD the exclusion —
+            # an inner join here used to drop them silently with no stage
+            # count attributing the loss
+            uncovered = kept.select(id_col).join(
+                emb.select(id_col), id_col, "left_anti"
+            )
+            counts["semantic_uncovered"] = uncovered.count()
+            keep_ids = keep_ids.unionByName(uncovered)
         kept = kept.join(keep_ids, id_col).cache()
         counts["semantic"] = kept.count()
 

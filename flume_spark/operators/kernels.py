@@ -50,15 +50,21 @@ def walk_groups(
         last = tuple(pdf[c].iloc[-1] for c in cols)
         mask = pd.Series(True, index=pdf.index)
         for c, v in zip(cols, last):
-            mask &= pdf[c] == v
+            # null-safe equality: Spark's groupBy keeps a null-key group,
+            # so the trailing-group carry must recognize it too (plain ==
+            # is always False against NaN/None and would drop those rows).
+            if pd.isna(v):
+                mask &= pdf[c].isna()
+            else:
+                mask &= pdf[c] == v
         done = pdf[~mask]
         carry = pdf[mask]
-        for _, g in done.groupby(cols, sort=False):
+        for _, g in done.groupby(cols, sort=False, dropna=False):
             out = fn(g)
             if len(out):
                 yield out
     if carry is not None and not carry.empty:
-        for _, g in carry.groupby(cols, sort=False):
+        for _, g in carry.groupby(cols, sort=False, dropna=False):
             out = fn(g)
             if len(out):
                 yield out
@@ -77,6 +83,8 @@ def grouped_arrow_apply(
     schema)` for any `fn` that is a pure per-group function; `fn` receives
     each group's rows as one pandas frame (all group-column values equal)
     and returns a frame matching `schema`.  Empty returns are skipped.
+    Null group keys form their own group, same as Spark's groupBy (the
+    walk uses null-safe key equality and pandas `dropna=False`).
     """
     cols = list(group_cols)
 

@@ -247,13 +247,18 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_verify_ctes(table: str = "documents") -> str:
     """The fragment parameterized on its input relation: `table` is any
     earlier CTE with (doc_id, text) — the funnel runs it over the
-    exact-dedup survivors instead of the raw documents table."""
-    return _LSH_VERIFY_CTES.replace("FROM documents", f"FROM {table}", 1)
+    exact-dedup survivors instead of the raw documents table.  The source
+    relation is an explicit `__SRC__` placeholder in the template and
+    EVERY occurrence is substituted, so adding a second read of the source
+    to the chain cannot silently desynchronize the funnel oracle from the
+    component oracles (it used to be a positional first-occurrence
+    string replace of 'FROM documents')."""
+    return _LSH_VERIFY_CTES_TEMPLATE.replace("__SRC__", table)
 
 
-_LSH_VERIFY_CTES = f"""w AS (
+_LSH_VERIFY_CTES_TEMPLATE = f"""w AS (
   SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
-  FROM documents
+  FROM __SRC__
 ),
 sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
@@ -285,6 +290,9 @@ inter AS (
   JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
   GROUP BY 1, 2
 )"""
+
+# the documents-sourced instantiation, for the oracles that read the raw table
+_LSH_VERIFY_CTES = lsh_verify_ctes("documents")
 
 # Oracle: the same banded candidate set, then exact Jaccard over the same
 # 2-word shingles, restricted to candidates (verification semantics).
