@@ -115,6 +115,15 @@ HEADLINE = [
     "text_bigram_rarity",
     "dedup_multimodal_cosine",
     "ann_pq_drift",
+    # round-10 additions (VERDICT items 1+5): the flagship composed
+    # curation plan — the most expensive declared query had zero perf
+    # record — plus the real-ingestor streaming dedup runs and the
+    # hierarchical-router semantic variant
+    "corpus_funnel",
+    "stream_substr_dedup",
+    "stream_semantic_dedup",
+    "dedup_semantic_hier",
+    "stream_corpus_funnel",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture
@@ -152,6 +161,31 @@ SHARDED = [
     "channel_share_gsets",
     "histogram_quantiles",
     "lsh_label_purity",
+    # round-10 growth: the three new siblings-with-no-baseline ride the
+    # shard (stream_substr_dedup / stream_semantic_dedup /
+    # dedup_semantic_hier are the ingestor/router forms of the official
+    # dedup_substring_exact / dedup_semantic rows); the NEW composed
+    # modality — corpus_funnel — stays official
+    "stream_substr_dedup",
+    "stream_semantic_dedup",
+    "dedup_semantic_hier",
+    "stream_corpus_funnel",  # (corpus_funnel)
+    # round-10 re-shard (contract headroom): every entry below is a
+    # near-duplicate sibling of an entry that STAYS official (named in
+    # parens) and none has a BASELINE.md round-1 table row — the 24
+    # baseline-gated entries all remain official
+    "dedup_containment",  # (dedup_lsh_verified)
+    "corpus_split",  # (corpus_curate_spans)
+    "percentiles_exact",  # (agg_percentiles)
+    "embedding_truncate",  # (ann_topk_int8)
+    "zorder_orders",  # (orders_monthly_remerge)
+    "dedup_source_mirrors",  # (dedup_exact)
+    "text_bigram_rarity",  # (text_fingerprint)
+    "snapshot_diff_orders",  # (scd2_incremental)
+    "dedup_prefix_filter",  # (dedup_ngram_jaccard)
+    "dedup_substring_incremental",  # (dedup_substring_exact)
+    "skew_report_lineitem",  # (agg_stats)
+    "orders_market_basket",  # (cohort_retention)
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

@@ -371,6 +371,55 @@ def lsh_verified_pairs(
     )
 
 
+def verify_candidate_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of an EXTERNALLY-supplied candidate pair
+    list — the verification leg of `lsh_verified_pairs`, factored out so
+    incremental/streaming candidate sources (`LshIngestor` pair output,
+    a persisted candidate table) run through the identical verifier.
+
+    `pairs` is (doc_a, doc_b) in any orientation; `df` must contain the
+    text of every id the pairs reference.  Cost is linear in the candidate
+    count (the candidate list joins back to the shingle index; no
+    self-join ever forms).  Returns (doc_a, doc_b, jaccard) for pairs with
+    true shingle Jaccard >= threshold, rounded 6dp, orientation preserved.
+    """
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cands = pairs.select("doc_a", "doc_b")
+    a_sh = cands.join(sh.select(F.col("id").alias("doc_a"), "shingle"), "doc_a")
+    inter = (
+        a_sh.join(
+            sh.select(F.col("id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.id"))
+        .join(sb, F.col("doc_b") == F.col("sb.id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_fingerprint(
     df: DataFrame, id_col: str, text_col: str, bits: int = 32
 ) -> DataFrame:

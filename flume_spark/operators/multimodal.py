@@ -235,26 +235,77 @@ def feature_extract_stub(payloads: DataFrame, encoder=None) -> DataFrame:
 FRAME_SCHEMA = "id bigint, frame_idx int, frame_off int, frame_len int"
 
 
-def frame_sample_stub(payloads: DataFrame, n_frames: int = 4) -> DataFrame:
-    """STUB video frame sampling: emit `n_frames` evenly-spaced byte-slice
-    coordinates per payload (an exploding 1->N mapInPandas — the real kernel
-    would also carry `frame_bytes`).  frame_len drops the tail remainder."""
+def frame_samples(payload: bytes, n_frames: int) -> list[tuple[int, int, int]] | None:
+    """REAL frame sampling when PIL can open a MULTI-frame payload
+    (animated GIF / multi-page TIFF — the in-container stand-in for
+    video): `n_frames` evenly-spaced source frames, each verified to
+    decode via `seek`.  Rows are (sample_idx, src_frame_idx, 1) — in the
+    real path frame_off is the SOURCE FRAME INDEX and frame_len is 1
+    frame, the coordinates a decode stage consumes.  Returns None for
+    stills, undecodable payloads, or when PIL is absent, so callers fall
+    back to the byte-slice stub and synthetic-blob pipelines stay
+    oracle-checkable (the `pixel_features` / `probe_media` convention)."""
+    if not _HAS_PIL:
+        return None
+    try:
+        img = _PILImage.open(io.BytesIO(payload))
+        total = int(getattr(img, "n_frames", 1))
+    except Exception:  # noqa: BLE001 — not media PIL can decode
+        return None
+    if total <= 1:
+        return None
+    out = []
+    for i in range(n_frames):
+        src = min(i * total // n_frames, total - 1)
+        try:
+            img.seek(src)  # prove the sampled frame actually decodes
+        except Exception:  # noqa: BLE001 — truncated stream mid-frame
+            return None
+        out.append((i, src, 1))
+    return out
+
+
+def frame_sample_stub(
+    payloads: DataFrame, n_frames: int = 4, sampler=None
+) -> DataFrame:
+    """Video frame sampling with a pluggable sampler seam (the
+    `feature_extract_stub(encoder=)` pattern).
+
+    `sampler(payload_bytes, n_frames) -> [(frame_idx, frame_off,
+    frame_len)] | None` runs first per item (default: `frame_samples` —
+    real evenly-spaced frames whenever PIL opens a multi-frame payload);
+    items it declines fall back to the STUB: `n_frames` evenly-spaced
+    byte-slice coordinates (frame_len drops the tail remainder).  A real
+    codec (ffmpeg keyframe extraction) swaps in as `sampler` with the
+    exploding 1->N mapInPandas shape, Arrow transfer, and output schema
+    unchanged — the real kernel would also carry `frame_bytes`."""
+    sam = frame_samples if sampler is None else sampler
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n = pdf["n_bytes"].astype("int64")
-            out = []
-            for i in range(n_frames):
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "id": pdf["id"],
-                            "frame_idx": i,
-                            "frame_off": (i * (n // n_frames)).astype("int32"),
-                            "frame_len": (n // n_frames).astype("int32"),
-                        }
-                    )
+            ids, idxs, offs, lens = [], [], [], []
+            for pid, p, n in zip(pdf["id"], pdf["payload"], pdf["n_bytes"]):
+                real = sam(bytes(p), n_frames)
+                rows = (
+                    real
+                    if real is not None
+                    else [
+                        (i, i * (int(n) // n_frames), int(n) // n_frames)
+                        for i in range(n_frames)
+                    ]
                 )
-            yield pd.concat(out, ignore_index=True)
+                for fi, fo, fl in rows:
+                    ids.append(pid)
+                    idxs.append(fi)
+                    offs.append(fo)
+                    lens.append(fl)
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_off": pd.array(offs, dtype="int32"),
+                    "frame_len": pd.array(lens, dtype="int32"),
+                }
+            )
 
     return payloads.mapInPandas(batches, schema=FRAME_SCHEMA)

@@ -39,36 +39,26 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # in the middle group and get checked next round automatically.
 # tests/test_registry.py asserts both lists stay consistent with the merged
 # query dict (no typos, no overlap, full coverage).
-# Round-9 re-tier done: all 50 CORRECTNESS_r08 rows (49 hash-green + 1
-# rows-only-by-design) folded into _DRIVER_CHECKED — the cumulative union
-# r01-r08 now covers every declared query.  _NEEDS_DRIVER_ROW is the
-# round-9 new/changed set; new round-9 queries absent from both lists land
-# in the middle (fresh) group automatically.  tests/test_registry.py
-# fails loudly on typos/overlap.
-_NEEDS_DRIVER_ROW = [  # round-9 additions/changes, ascending expected sf0.01 runtime
-    # new round-9: per-vector PQ reconstruction error off the persisted
-    # codes table — the codebook-drift monitor (exact ints, one aggregate;
-    # memoized index shared with ann_topk_pq, so the row is cheap).
-    "ann_pq_drift",
-    # changed round-9: the multimodal near-dup pairing leg gets a k-means
-    # candidate stage (same-cluster restriction, the semantic_dedup shape)
-    # in front of the block matmul — round-8's one weak plan.  The oracle
-    # mirrors the md5-seeded assignment, so the hash must stay green.
-    "dedup_multimodal_cosine",
-    # new round-9: the end-to-end curation funnel (quality -> exact ->
-    # LSH-verified -> substring clean -> semantic), per-stage per-source
-    # doc/token attrition, every stage the already-oracled operator.
-    # Most expensive new row (staged composition, ~1 min sf0.01) -> last.
-    "corpus_funnel",
+# Round-10 re-tier: all 50 CORRECTNESS_r09 rows (49 hash-green + 1
+# rows-only-by-design, including the three round-9 additions) folded into
+# _DRIVER_CHECKED — the cumulative union r01-r09 covers every previously
+# declared query.  _NEEDS_DRIVER_ROW is the round-10 new set; new queries
+# absent from both lists land in the middle (fresh) group automatically.
+# tests/test_registry.py fails loudly on typos/overlap.
+_NEEDS_DRIVER_ROW = [  # round-10 additions, ascending expected sf0.01 runtime
+    # new round-10: the curation funnel run STREAMING through the real
+    # LshIngestor / SubstrIngestor / SemanticIngestor stores with a
+    # re-delivered batch per ledger; oracle replays every stage under
+    # batch-prefix seniority.  The last batch-only capability seam.
+    "stream_corpus_funnel",
 ]
 
-# Union of CORRECTNESS_r01..r08 keys: 207 oracled hash-green at latest
+# Union of CORRECTNESS_r01..r09 keys: 209 oracled hash-green at latest
 # check, 6 rows-only by design (approx_distinct, ann_topk_lsh,
 # embedding_kmeans, approx_percentiles, graph_pagerank,
 # dedup_semantic_hier), MINUS any query whose semantics changed since its
-# driver row — those move back into _NEEDS_DRIVER_ROW (round 9:
-# dedup_multimodal_cosine via the clustered candidate stage).  Do NOT
-# "restore" a name to this set without removing it from the re-verify list.
+# driver row — those move back into _NEEDS_DRIVER_ROW.  Do NOT "restore"
+# a name to this set without removing it from the re-verify list.
 _DRIVER_CHECKED = frozenset(
     {
         "agg_conditional", "agg_count_distinct_salted", "agg_cube",
@@ -76,10 +66,11 @@ _DRIVER_CHECKED = frozenset(
         "agg_percentiles", "agg_rollup", "agg_stats", "ann_range_cells",
         "ann_range_search", "ann_topk_bruteforce", "ann_topk_int8",
         "ann_topk_ivf", "ann_topk_ivfpq", "ann_topk_lsh",
-        "ann_topk_multiprobe", "ann_topk_pq", "approx_distinct",
+        "ann_pq_drift", "ann_topk_multiprobe", "ann_topk_pq", "approx_distinct",
         "approx_percentiles", "array_agg_sorted", "backoff_expr",
         "case_when_bucketing", "channel_running_compare",
         "channel_share_gsets", "cohort_retention", "corpus_curate_spans",
+        "corpus_funnel",
         "corpus_shard_manifest", "corpus_shuffle", "corpus_split",
         "corpus_split_leakage_safe", "correlated_subquery",
         "curation_pipeline", "date_spine_fill", "dedup_canonical_best",
@@ -87,7 +78,8 @@ _DRIVER_CHECKED = frozenset(
         "dedup_exact", "dedup_incremental", "dedup_lsh_verified",
         "dedup_minhash_lsh", "dedup_ngram_jaccard",
         "dedup_ngram_jaccard_capped", "dedup_passage", "dedup_prefix_filter",
-        "dedup_prefix_incremental", "dedup_rate_by_source", "dedup_semantic",
+        "dedup_multimodal_cosine", "dedup_prefix_incremental",
+        "dedup_rate_by_source", "dedup_semantic",
         "dedup_semantic_hier", "dedup_simhash", "dedup_source_mirrors",
         "dedup_substring_clean", "dedup_substring_exact",
         "dedup_substring_hot", "dedup_substring_incremental",

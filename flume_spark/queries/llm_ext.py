@@ -1768,66 +1768,87 @@ def dedup_semantic_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full curation funnel — the one table a 100 TB pipeline owner
-    reads: per-stage, per-source document AND token attrition through
-    quality gate -> exact dedup -> LSH-verified near-dup drop -> exact-
-    substring span clean -> semantic dedup.  Every stage is the already-
-    oracled operator with its declared-query parameters (quality >= 0.5 as
-    `curation_pipeline`; lsh_verified_pairs shingle 2 / 16 hashes /
-    threshold 0.3; substring k=8; SemDeDup over the deterministic media
-    stub features at 0.999, k = n/125 — the `dedup_multimodal_cosine`
-    convention, so the whole funnel stays value-hash-checkable).  Token
-    accounting uses the ONE substring normalization canon
-    (`norm_words_expr`) at every stage, so the span-clean attrition is
-    directly comparable to the doc-level stages.
+def funnel_report(
+    spark: SparkSession, docs: DataFrame, timings: dict | None = None
+) -> DataFrame:
+    """The curation-funnel composition over an arbitrary (doc_id, source,
+    text) corpus — the library form behind the declared `corpus_funnel`
+    query, separated so the `--funnel` scale probe can drive the SAME plan
+    over salted replica corpora.  Pass a dict as `timings` to record each
+    stage's wall-clock seconds: stages are eager localCheckpoints, so the
+    time around each one is that stage's isolated cost — the probe checks
+    the composed wall tracks their sum (stage-additivity; a broken stage
+    boundary re-inlines the upstream chain into every report aggregate).
+    """
+    import time as _time
 
-    Composition discipline: each stage output is localCheckpoint'd before
-    the report aggregates — unstaged, the six per-stage groupBys would
-    re-inline the whole upstream chain per consumer (the re-planning trap
-    the plan-hygiene gate caught twice in round 8); at warehouse scale the
-    same staging is a checkpoint / intermediate table per stage."""
     from flume_spark.operators import multimodal
     from flume_spark.operators.sizing import suggest_lsh_bands
     from flume_spark.operators.text import quality_col
 
-    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    base = docs.withColumn(
-        "n_toks", F.size(dedup.norm_words_expr("text")).cast("long")
-    ).localCheckpoint(eager=True)
+    def timed(name, fn):
+        t0 = _time.perf_counter()
+        out = fn()
+        if timings is not None:
+            timings[name] = round(_time.perf_counter() - t0, 3)
+        return out
 
-    q = base.filter(quality_col("text") >= 0.5).localCheckpoint(eager=True)
-
-    keep = q.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
-    ex = q.join(keep.select("doc_id"), "doc_id").localCheckpoint(eager=True)
-
-    pairs = dedup.lsh_verified_pairs(
-        ex, "doc_id", "text",
-        shingle_n=2, num_hashes=16,
-        bands=suggest_lsh_bands(16, 0.7), threshold=0.3,
+    base = timed(
+        "tokenize",
+        lambda: docs.withColumn(
+            "n_toks", F.size(dedup.norm_words_expr("text")).cast("long")
+        ).localCheckpoint(eager=True),
     )
-    comps = dedup.connected_components(pairs, "doc_a", "doc_b")
-    non_canon = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
-    nd = ex.join(non_canon, "doc_id", "left_anti").localCheckpoint(eager=True)
 
-    clean = (
-        dedup.substring_dedup_clean(nd, "doc_id", "text", k=8)
+    q = timed(
+        "quality",
+        lambda: base.filter(quality_col("text") >= 0.5).localCheckpoint(eager=True),
+    )
+
+    def _exact():
+        keep = q.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+        return q.join(keep.select("doc_id"), "doc_id").localCheckpoint(eager=True)
+
+    ex = timed("exact", _exact)
+
+    def _near_dup():
+        pairs = dedup.lsh_verified_pairs(
+            ex, "doc_id", "text",
+            shingle_n=2, num_hashes=16,
+            bands=suggest_lsh_bands(16, 0.7), threshold=0.3,
+        )
+        comps = dedup.connected_components(pairs, "doc_a", "doc_b")
+        non_canon = comps.filter(F.col("doc_id") != F.col("component")).select(
+            "doc_id"
+        )
+        return ex.join(non_canon, "doc_id", "left_anti").localCheckpoint(eager=True)
+
+    nd = timed("near_dup", _near_dup)
+
+    clean = timed(
+        "substring_clean",
+        lambda: dedup.substring_dedup_clean(nd, "doc_id", "text", k=8)
         .select("doc_id", F.col("n_kept").cast("long").alias("n_kept"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True),
     )
 
     # semantic stage embeds the DOCUMENT (stub features of the raw text —
     # a model embeds content identity; the span clean is a token-level
     # edit), then drops within-cluster 0.999-cosine juniors
-    feats = multimodal.feature_extract_stub(
-        multimodal.to_binary_payload(nd, "doc_id", "text")
-    ).localCheckpoint(eager=True)
-    k = max(4, feats.count() // 125)
-    marks = dedup.semantic_dedup(feats, "id", "features", k=int(k), threshold=0.999)
-    sem = nd.join(
-        marks.filter(~F.col("is_dup")).select(F.col("id").alias("doc_id")),
-        "doc_id",
-    ).localCheckpoint(eager=True)
+    def _semantic():
+        feats = multimodal.feature_extract_stub(
+            multimodal.to_binary_payload(nd, "doc_id", "text")
+        ).localCheckpoint(eager=True)
+        k = max(4, feats.count() // 125)
+        marks = dedup.semantic_dedup(
+            feats, "id", "features", k=int(k), threshold=0.999
+        )
+        return nd.join(
+            marks.filter(~F.col("is_dup")).select(F.col("id").alias("doc_id")),
+            "doc_id",
+        ).localCheckpoint(eager=True)
+
+    sem = timed("semantic", _semantic)
 
     def stage(df, ordinal, name, tok_col="n_toks"):
         return df.groupBy("source").agg(
@@ -1851,8 +1872,231 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel run STREAMING — quality gate -> exact
+    first-seen dedup -> LSH near-dup drop -> exact-substring profile ->
+    semantic dedup, with the three stateful stages going through the REAL
+    ingestors (LshIngestor / SubstrIngestor / SemanticIngestor) as
+    documents arrive in 3 micro-batches (doc_id % 3).  The last
+    capability seam where batch had a form streaming lacked (round-9
+    VERDICT item 8).
+
+    Streaming semantics, per stage (all decisions AT-INGEST-TIME,
+    batch-prefix seniority = (batch, id) order; marks never revisited):
+    - exact: first-seen per content hash (the foreachBatch realization of
+      `streaming_exact_dedup`'s watermark rule).
+    - near_dup: a doc is dropped iff a SENIOR exact-survivor is a
+      verified near-dup partner (LshIngestor banded candidates at the
+      junior's ingest, exact-Jaccard >= 0.3 via
+      `dedup.verify_candidate_pairs` — verification linear in
+      candidates).  No connected components: seniors were already judged
+      at their own ingest and are never re-dropped (so a transitive
+      chain keeps its batch-local canonicals — the one semantic
+      difference from the batch funnel's component rule, by design).
+    - substring: SubstrIngestor's at-ingest dup-window profile over
+      near-dup survivors; the token metric is n_toks - n_dup_windows
+      (each duplicated k-window START is one removable span occurrence —
+      a profile metric; the batch funnel's span REMOVAL stays batch).
+    - semantic: SemanticIngestor marks over the survivors' stub
+      features, centroids FROZEN before ingest from the md5 draw over
+      the full corpus' features (k = n/125 -> 4 at oracle scale), the
+      construction-time-seed convention of `stream_semantic_dedup`.
+    One batch is re-delivered through every ledger-guarded entrypoint
+    and must be skipped (exactly-once through the real stores).  Each
+    per-batch verification joins candidates back to the prefix shingle
+    index; at warehouse scale the persisted band index itself is the
+    verify side (`LshIngestor` table mode) — noted, not simulated here.
+
+    The oracle replays every stage declaratively under the same
+    batch-prefix seniority (the STREAM_SUBSTR_SQL / STREAM_SEMANTIC_SQL
+    pattern composed end-to-end), so hash-equality proves at-ingest-time
+    marking AND ledger idempotence through all three real stores."""
+    import shutil
+    import tempfile
+
+    from flume_spark.operators import multimodal
+    from flume_spark.operators.sizing import suggest_lsh_bands
+    from flume_spark.operators.text import quality_col
+    from flume_spark.streaming.dedup import (
+        LshIngestor,
+        SemanticIngestor,
+        SubstrIngestor,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    base = (
+        docs.withColumn("n_toks", F.size(dedup.norm_words_expr("text")).cast("long"))
+        .withColumn("b", F.pmod(F.col("doc_id"), F.lit(3)).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+
+    q = base.filter(quality_col("text") >= 0.5).localCheckpoint(eager=True)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("b", "doc_id")
+    ex = (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+        .localCheckpoint(eager=True)
+    )
+
+    feats_all = multimodal.feature_extract_stub(
+        multimodal.to_binary_payload(base, "doc_id", "text")
+    ).localCheckpoint(eager=True)
+    k = max(4, base.count() // 125)
+    cents = similarity.md5_init_centroids(feats_all, "id", "features", k=int(k))
+
+    root = tempfile.mkdtemp(prefix="funnel_stream_")
+    lsh = LshIngestor(
+        spark,
+        index_dir=f"{root}/lsh_idx",
+        pairs_dir=f"{root}/lsh_pairs",
+        ledger_dir=f"{root}/lsh_ledger",
+        shingle_n=2,
+        num_hashes=16,
+        bands=suggest_lsh_bands(16, 0.7),
+    )
+    sub = SubstrIngestor(
+        spark,
+        index_dir=f"{root}/sub_idx",
+        stats_dir=f"{root}/sub_stats",
+        ledger_dir=f"{root}/sub_ledger",
+    )
+    sem = SemanticIngestor(
+        spark,
+        cents,
+        index_dir=f"{root}/sem_idx",
+        marks_dir=f"{root}/sem_marks",
+        ledger_dir=f"{root}/sem_ledger",
+        id_col="id",
+        vec_col="features",
+        threshold=0.999,
+    )
+
+    def batch_pairs(b: int):
+        if not LshIngestor._has_parquet(f"{root}/lsh_pairs"):
+            return None
+        return (
+            spark.read.parquet(f"{root}/lsh_pairs")
+            .filter(F.col("ingest_batch") == b)
+            .select(F.col("doc_new").alias("doc_a"), F.col("doc_match").alias("doc_b"))
+        )
+
+    nd_parts = []
+    for b in range(3):
+        exb = ex.filter(F.col("b") == b)
+        lsh.process(exb, b)
+        cands = batch_pairs(b)
+        if cands is None or not cands.head(1):
+            nd_b = exb
+        else:
+            prefix = ex.filter(F.col("b") <= b)
+            ver = dedup.verify_candidate_pairs(
+                prefix, cands, "doc_id", "text", shingle_n=2, threshold=0.3
+            )
+            # the junior of each verified pair (by (batch, id)) is dropped
+            # at ITS ingest; only this batch's docs are juniors here
+            sen_a = F.struct(F.pmod("doc_a", F.lit(3)), "doc_a")
+            sen_b = F.struct(F.pmod("doc_b", F.lit(3)), "doc_b")
+            juniors = ver.select(
+                F.when(sen_a < sen_b, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+                    "doc_id"
+                )
+            ).distinct()
+            nd_b = exb.join(juniors, "doc_id", "left_anti")
+        nd_b = nd_b.localCheckpoint(eager=True)
+        nd_parts.append(nd_b)
+        sub.process(nd_b, b)
+        sem.process(
+            feats_all.join(nd_b.select(F.col("doc_id").alias("id")), "id"), b
+        )
+    # re-delivered batch id through every ledger: all three must skip
+    lsh.process(ex.filter("b = 1"), 1)
+    sub.process(nd_parts[1], 1)
+    sem.process(
+        feats_all.join(nd_parts[1].select(F.col("doc_id").alias("id")), "id"), 1
+    )
+
+    nd = nd_parts[0].unionByName(nd_parts[1]).unionByName(nd_parts[2])
+    stats = sub.dup_stats()
+    if stats is None:  # no doc reached one k-window: nothing to subtract
+        stats = nd.select("doc_id", F.lit(0).alias("n_dup_windows")).filter("1 = 0")
+    kept_toks = nd.join(
+        stats.select("doc_id", "n_dup_windows"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "source",
+        "n_toks",
+        (F.col("n_toks") - F.coalesce("n_dup_windows", F.lit(0)))
+        .cast("long")
+        .alias("n_kept"),
+    )
+    marks = sem.dup_marks()
+    sem_surv = nd.join(
+        marks.filter(~F.col("is_dup")).select(F.col("id").alias("doc_id")), "doc_id"
+    )
+
+    def stage(df, ordinal, name, tok_col="n_toks"):
+        return (
+            df.groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(tok_col).cast("long").alias("n_tokens"),
+            )
+            .select(
+                F.lit(ordinal).alias("stage_ord"),
+                F.lit(name).alias("stage"),
+                "source",
+                "n_docs",
+                "n_tokens",
+            )
+        )
+
+    out = (
+        stage(base, 1, "input")
+        .unionByName(stage(q, 2, "quality"))
+        .unionByName(stage(ex, 3, "exact"))
+        .unionByName(stage(nd, 4, "near_dup"))
+        .unionByName(stage(kept_toks, 5, "substring", "n_kept"))
+        .unionByName(
+            stage(sem_surv.join(kept_toks.select("doc_id", "n_kept"), "doc_id"),
+                  6, "semantic", "n_kept")
+        )
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel — the one table a 100 TB pipeline owner
+    reads: per-stage, per-source document AND token attrition through
+    quality gate -> exact dedup -> LSH-verified near-dup drop -> exact-
+    substring span clean -> semantic dedup.  Every stage is the already-
+    oracled operator with its declared-query parameters (quality >= 0.5 as
+    `curation_pipeline`; lsh_verified_pairs shingle 2 / 16 hashes /
+    threshold 0.3; substring k=8; SemDeDup over the deterministic media
+    stub features at 0.999, k = n/125 — the `dedup_multimodal_cosine`
+    convention, so the whole funnel stays value-hash-checkable).  Token
+    accounting uses the ONE substring normalization canon
+    (`norm_words_expr`) at every stage, so the span-clean attrition is
+    directly comparable to the doc-level stages.
+
+    Composition discipline: each stage output is localCheckpoint'd before
+    the report aggregates — unstaged, the six per-stage groupBys would
+    re-inline the whole upstream chain per consumer (the re-planning trap
+    the plan-hygiene gate caught twice in round 8); at warehouse scale the
+    same staging is a checkpoint / intermediate table per stage.  The
+    composition body lives in `funnel_report`, which the `--funnel` scale
+    probe drives over salted replica corpora."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return funnel_report(spark, docs)
+
+
 QUERIES = {
     "corpus_funnel": corpus_funnel,
+    "stream_corpus_funnel": stream_corpus_funnel,
     "corpus_shard_manifest": corpus_shard_manifest,
     # round-8 additions ordered cheapest-first: the driver's check prefix
     # has a time budget, and the two stream_* entries (real-ingestor runs,
@@ -2045,8 +2289,152 @@ FROM sem JOIN clean c USING (doc_id) GROUP BY source
 """
 
 
+# stream_corpus_funnel oracle: the SAME stage fragments, replayed under
+# batch-prefix seniority (batch = doc_id % 3; senior = earlier batch, or
+# lower id within the batch) — the STREAM_SUBSTR_SQL / STREAM_SEMANTIC_SQL
+# at-ingest-time pattern composed end-to-end.  No connected components:
+# the streaming near-dup rule drops exactly the junior endpoint of every
+# verified pair.  Centroids are the construction-time md5 draw over the
+# FULL corpus' stub features (k = n/125 -> LIMIT 4 at the sf0.01 oracle
+# scale), matching the frozen-before-ingest seed the query passes to
+# SemanticIngestor.
+STREAM_CORPUS_FUNNEL_SQL = f"""
+WITH nw AS (
+  SELECT doc_id, source, text,
+         string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')
+           AS cw
+  FROM documents
+),
+base AS (SELECT doc_id, source, text, CAST(len(cw) AS BIGINT) AS n_toks FROM nw),
+qt AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+qscore AS (
+  SELECT doc_id,
+         least(len(t) / 100.0, 1.0) * 0.5
+           + least(len(list_filter(t,
+               x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) * 1.0
+               / len(t) * 5.0, 1.0) * 0.25
+           + len(list_distinct(t)) * 1.0 / len(t) * 0.25 AS quality
+  FROM qt
+),
+q AS (
+  SELECT b.* FROM base b JOIN qscore s USING (doc_id) WHERE s.quality >= 0.5
+),
+ek AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY md5(text)
+                              ORDER BY doc_id % 3, doc_id) AS rn
+    FROM q
+  ) WHERE rn = 1
+),
+e AS (SELECT q.* FROM q JOIN ek USING (doc_id)),
+{_lsh_ctes("e")},
+edges AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.3
+),
+nddrop AS (
+  SELECT CASE WHEN doc_a % 3 < doc_b % 3
+                OR (doc_a % 3 = doc_b % 3 AND doc_a < doc_b)
+              THEN doc_b ELSE doc_a END AS doc_id
+  FROM edges
+),
+nd AS (SELECT e.* FROM e WHERE doc_id NOT IN (SELECT doc_id FROM nddrop)),
+ndw AS (SELECT nd.doc_id, nw.cw FROM nd JOIN nw USING (doc_id)),
+swins AS (
+  SELECT doc_id, md5(array_to_string(cw[i : i + 7], ' ')) AS h
+  FROM ndw, unnest(range(1, len(cw) - 8 + 2)) AS t(i)
+  WHERE len(cw) >= 8
+),
+dupc AS (
+  SELECT w.doc_id, count(*) AS dup_w
+  FROM swins w
+  WHERE EXISTS (
+    SELECT 1 FROM swins o
+    WHERE o.h = w.h AND o.doc_id <> w.doc_id
+      AND o.doc_id % 3 <= w.doc_id % 3
+  )
+  GROUP BY w.doc_id
+),
+kept AS (
+  SELECT nd.doc_id,
+         CAST(nd.n_toks - COALESCE(d.dup_w, 0) AS BIGINT) AS n_kept
+  FROM nd LEFT JOIN dupc d USING (doc_id)
+),
+f AS (
+  SELECT doc_id AS id,
+         [ (octet_length(CAST(text AS BLOB)) % 256) / 256.0,
+           ascii(substr(text, 1, 1)) / 256.0,
+           ascii(substr(text, length(text), 1)) / 256.0,
+           (octet_length(CAST(text AS BLOB)) * 7 % 256) / 256.0 ] AS v
+  FROM base
+),
+finit AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
+              AS INT) AS cluster,
+         v AS cv
+  FROM f
+  ORDER BY md5(CAST(id AS VARCHAR)), id
+  LIMIT 4
+),
+fnd AS (SELECT f.* FROM f JOIN nd ON nd.doc_id = f.id),
+fsc AS (
+  SELECT fnd.id, finit.cluster,
+         round(list_sum(list_transform(range(1, len(fnd.v) + 1),
+               i -> (fnd.v[i] - finit.cv[i]) * (fnd.v[i] - finit.cv[i]))), 6) AS dist2
+  FROM fnd CROSS JOIN finit
+),
+fasg AS (
+  SELECT id, cluster FROM (
+    SELECT id, cluster,
+           row_number() OVER (PARTITION BY id ORDER BY dist2, cluster) AS rn
+    FROM fsc
+  ) WHERE rn = 1
+),
+fpts AS (
+  SELECT a.id, a.cluster, fnd.v, a.id % 3 AS b
+  FROM fasg a JOIN fnd ON fnd.id = a.id
+),
+semdrop AS (
+  SELECT DISTINCT y.id
+  FROM fpts x JOIN fpts y
+    ON x.cluster = y.cluster AND x.id <> y.id
+   AND (x.b < y.b OR (x.b = y.b AND x.id < y.id))
+  WHERE round(list_dot_product(x.v, y.v)
+              / (sqrt(list_dot_product(x.v, x.v))
+                 * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.999
+),
+sem AS (SELECT nd.* FROM nd WHERE doc_id NOT IN (SELECT id FROM semdrop))
+SELECT 1 AS stage_ord, 'input' AS stage, source,
+       count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens
+FROM base GROUP BY source
+UNION ALL
+SELECT 2, 'quality', source, count(*), CAST(sum(n_toks) AS BIGINT)
+FROM q GROUP BY source
+UNION ALL
+SELECT 3, 'exact', source, count(*), CAST(sum(n_toks) AS BIGINT)
+FROM e GROUP BY source
+UNION ALL
+SELECT 4, 'near_dup', source, count(*), CAST(sum(n_toks) AS BIGINT)
+FROM nd GROUP BY source
+UNION ALL
+SELECT 5, 'substring', source, count(*), CAST(sum(k.n_kept) AS BIGINT)
+FROM nd JOIN kept k USING (doc_id) GROUP BY source
+UNION ALL
+SELECT 6, 'semantic', source, count(*), CAST(sum(k.n_kept) AS BIGINT)
+FROM sem JOIN kept k USING (doc_id) GROUP BY source
+"""
+
+
 ORACLES = {
     "corpus_funnel": CORPUS_FUNNEL_SQL,
+    "stream_corpus_funnel": STREAM_CORPUS_FUNNEL_SQL,
     "corpus_shard_manifest": CORPUS_SHARD_MANIFEST_SQL,
     "dedup_substring_exact": DEDUP_SUBSTRING_SQL,
     "dedup_substring_hot": DEDUP_SUBSTRING_HOT_SQL,

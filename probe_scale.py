@@ -46,6 +46,10 @@ index as history grows (expect ~flat).
 with cluster count grown with the corpus (k = 4f), the discipline that
 keeps the within-cluster pairwise leg ~linear.
 
+`python probe_scale.py --funnel [factor ...]` runs the corpus-funnel
+composition probe: per-stage isolated cost, composed end-to-end wall,
+the stage-additivity ratio, and the report-share re-inlining detector.
+
 `python probe_scale.py --ts [factor ...]` runs the time-series
 similarity-search probe: users replicated with per-replica value shifts
 (cross-replica words differ, so candidate pairs stay ~linear in users —
@@ -1491,6 +1495,197 @@ def main_multimodal() -> None:
     )
 
 
+def main_funnel() -> None:
+    """Corpus-funnel composition probe (round-10 VERDICT item 1): drives
+    `funnel_report` — the exact composition behind the declared
+    `corpus_funnel` query — over salted replica corpora.
+
+    Per factor it records:
+    - stage_sec: each stage's isolated wall-clock via the timings hook
+      (every stage reads only the previous stage's eager checkpoint, so
+      time-around-checkpoint IS that stage's cost);
+    - composed_sec: a SECOND, uninstrumented end-to-end run;
+    - additivity: composed_sec / (sum of stage_sec + report_sec) — the
+      stage-additivity check.  ~1.0 means the composed wall tracks the
+      sum of its stage probes;
+    - report_share: report_sec / first-run total.  The re-inlining
+      detector: with staging intact the six per-stage aggregates read
+      checkpoints and the share stays small; a broken stage boundary
+      re-executes the upstream chain once per aggregate (the round-8
+      composition trap) and the share explodes toward ~1.
+    """
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
+    spark = get_spark(app_name="flume_probe_funnel")
+    from flume_spark.queries.llm_ext import funnel_report
+
+    comp_t: dict[int, float] = {}
+    add_r: dict[int, float] = {}
+    share: dict[int, float] = {}
+    stages_all: dict[int, dict[str, float]] = {}
+    for f in factors:
+        docs = (
+            scaled_docs(spark, f)
+            .withColumn(
+                "source",
+                F.concat(F.lit("src"), (F.col("doc_id") % 4).cast("string")),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n = docs.count()
+        print(json.dumps({"factor": f, "docs": n}), flush=True)
+        timings: dict[str, float] = {}
+        t0 = time.perf_counter()
+        staged = funnel_report(spark, docs, timings=timings)
+        t_stages = time.perf_counter()
+        n_rows = staged.count()
+        t_report = time.perf_counter() - t_stages
+        total_instrumented = time.perf_counter() - t0
+        sum_stages = sum(timings.values())
+        dt, _ = probe(f"funnel_composed@x{f}", lambda d=docs: funnel_report(spark, d))
+        comp_t[f] = dt
+        add_r[f] = round(dt / max(1e-9, sum_stages + t_report), 2)
+        share[f] = round(t_report / max(1e-9, total_instrumented), 3)
+        stages_all[f] = dict(timings)
+        print(
+            json.dumps(
+                {
+                    "probe": f"funnel_stages@x{f}",
+                    "stage_sec": timings,
+                    "report_sec": round(t_report, 2),
+                    "rows": n_rows,
+                    "additivity": add_r[f],
+                    "report_share": share[f],
+                }
+            ),
+            flush=True,
+        )
+        docs.unpersist()
+        spark.catalog.clearCache()
+    base = factors[0]
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "funnel_composed": {
+                        "sec": {k: round(v, 2) for k, v in comp_t.items()},
+                        "exponent": {
+                            f: round(
+                                math.log(comp_t[f] / comp_t[base])
+                                / math.log(f / base),
+                                2,
+                            )
+                            for f in comp_t
+                            if f != base and comp_t[f] > 0
+                        },
+                    },
+                    "additivity": add_r,
+                    "report_share": share,
+                    "stage_sec": stages_all,
+                }
+            }
+        ),
+        flush=True,
+    )
+
+
+def main_ctable() -> None:
+    """Centroid-table probe (round-10): `kmeans_assign_table` (fine
+    centroids stay a DataFrame; only sqrt(k) coarse rows reach the
+    driver) vs the list path (`kmeans_assign_hierarchical` closing over a
+    collected k x dim Python list) as k grows.  The list path stops at
+    LIST_CAP — past it the k-proportional driver list / task closure is
+    the semantic family's first hard wall (VERDICT r09 missing#2); the
+    table path keeps running.  Outputs are bit-equal where both run
+    (pinned by tests at k=4/64/1024); agreement is re-checked here at
+    every shared k."""
+    ks = [int(a) for a in sys.argv[2:]] or [1024, 16384, 131072, 524288]
+    list_cap = int(os.environ.get("SPARK_GRAFT_CTABLE_LIST_CAP", "150000"))
+    dim = 16
+    spark = get_spark(app_name="flume_probe_ctable")
+    from flume_spark.operators import similarity as S
+
+    list_t: dict[int, float] = {}
+    table_t: dict[int, float] = {}
+    for k in ks:
+        n = k  # assign the drawn corpus itself: n x ~2 sqrt(k) evals
+        emb = (
+            spark.range(n)
+            .select(
+                F.col("id"),
+                F.expr(
+                    f"transform(sequence(0, {dim - 1}), "
+                    "j -> (pmod(xxhash64(id, j), 1000) - 500) / 100.0)"
+                ).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        print(json.dumps({"k": k, "points": n, "dim": dim}), flush=True)
+        t0 = time.perf_counter()
+        cdf = S.md5_init_centroids_df(emb, "id", "v", k=k)
+        out_t = S.kmeans_assign_table(emb, "id", "v", centroids_df=cdf)
+        n_t = out_t.count()
+        table_t[k] = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {"probe": f"ctable_table@k{k}", "sec": round(table_t[k], 2), "rows": n_t}
+            ),
+            flush=True,
+        )
+        if k <= list_cap:
+            t0 = time.perf_counter()
+            cents = S.md5_init_centroids(emb, "id", "v", k=k)
+            out_l = S.kmeans_assign_hierarchical(emb, "id", "v", k=k, centroids=cents)
+            n_l = out_l.count()
+            list_t[k] = time.perf_counter() - t0
+            list_bytes = k * dim * 8
+            print(
+                json.dumps(
+                    {
+                        "probe": f"ctable_list@k{k}",
+                        "sec": round(list_t[k], 2),
+                        "rows": n_l,
+                        "driver_list_mb": round(list_bytes / 1e6, 1),
+                    }
+                ),
+                flush=True,
+            )
+            mism = (
+                out_t.withColumnRenamed("cluster", "ct")
+                .withColumnRenamed("dist2", "dt")
+                .join(out_l, "id")
+                .filter("ct != cluster OR dt != dist2")
+                .count()
+            )
+            print(
+                json.dumps({"probe": f"ctable_agree@k{k}", "mismatches": mism}),
+                flush=True,
+            )
+        else:
+            print(
+                json.dumps(
+                    {
+                        "probe": f"ctable_list@k{k}",
+                        "skipped": f"k > LIST_CAP {list_cap}: the k-proportional "
+                        "driver list is the wall this probe documents",
+                    }
+                ),
+                flush=True,
+            )
+        emb.unpersist()
+        spark.catalog.clearCache()
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "ctable_table_sec": {k: round(v, 2) for k, v in table_t.items()},
+                    "ctable_list_sec": {k: round(v, 2) for k, v in list_t.items()},
+                }
+            }
+        ),
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--ingest":
         main_ingest()
@@ -1518,6 +1713,10 @@ if __name__ == "__main__":
         main_multimodal()
     elif len(sys.argv) > 1 and sys.argv[1] == "--semingest":
         main_semingest()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--funnel":
+        main_funnel()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ctable":
+        main_ctable()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scd2":
         main_scd2()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scd2compact":

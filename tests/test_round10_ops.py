@@ -219,3 +219,125 @@ def test_semantic_roll_raises_on_non_quiesced_stream(spark, tmp_path):
     assert fresh.maybe_roll_epoch(exclude_batch=1) is True
     assert fresh.epoch == 1
     assert fresh._pop == 6  # the carry preserved every acked row
+
+
+# -- table-resident fine centroids (VERDICT r09 missing#2 / next#6) ------------
+
+
+def _synth_emb(spark, n=1500, dim=8):
+    """Deterministic pseudo-random vectors: coord (i, j) from xxhash64 —
+    enough spread that clusters/routing are non-trivial."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), "
+            "j -> (pmod(xxhash64(id, j), 1000) - 500) / 100.0)"
+        ).alias("v"),
+    ).localCheckpoint(eager=True)
+
+
+def test_md5_init_centroids_df_matches_list_draw(spark):
+    from flume_spark.operators import similarity as S
+
+    emb = _synth_emb(spark, n=300)
+    want = S.md5_init_centroids(emb, "id", "v", k=40)
+    got = (
+        S.md5_init_centroids_df(emb, "id", "v", k=40)
+        .orderBy("cluster")
+        .collect()
+    )
+    assert [list(r["cvec"]) for r in got] == want
+    assert [r["cluster"] for r in got] == list(range(40))
+
+
+@pytest.mark.parametrize("k", [4, 64, 1024])
+def test_kmeans_assign_table_bit_equal_to_list_path(spark, k):
+    """The distributed fine-centroid router must be BIT-EQUAL to
+    kmeans_assign_hierarchical over the same centroid table: same router
+    fit (sorted-member means), same 6dp-round-before-argmin, same probe
+    merge — so swapping the k-proportional driver list for a table is a
+    pure scale change, not a semantics change."""
+    from flume_spark.operators import similarity as S
+
+    emb = _synth_emb(spark, n=1500)
+    cents = S.md5_init_centroids(emb, "id", "v", k=k)
+    want = {
+        r["id"]: (r["cluster"], r["dist2"])
+        for r in S.kmeans_assign_hierarchical(
+            emb, "id", "v", k=k, centroids=cents
+        ).collect()
+    }
+    cdf = S.md5_init_centroids_df(emb, "id", "v", k=k)
+    got = {
+        r["id"]: (r["cluster"], r["dist2"])
+        for r in S.kmeans_assign_table(emb, "id", "v", centroids_df=cdf).collect()
+    }
+    assert got == want  # exact: clusters AND raw float dist2
+
+
+# -- video frame-sample real-decode seam (VERDICT next#7) -----------------------
+
+
+@pytest.mark.skipif(
+    not __import__("importlib.util", fromlist=["util"]).find_spec("PIL"),
+    reason="PIL not installed",
+)
+def test_frame_sample_real_path_on_animated_gif(spark):
+    """With PIL installed, a multi-frame payload (animated GIF — the
+    in-container video stand-in) takes the REAL path: evenly-spaced
+    source frames, frame_off = source frame index, frame_len = 1; a
+    synthetic blob in the same batch still falls back to the byte-slice
+    stub, so the declared query's oracle semantics are untouched."""
+    import io
+
+    from PIL import Image
+
+    from flume_spark.operators import multimodal
+
+    frames = [Image.new("P", (4, 4), color=c) for c in range(8)]
+    buf = io.BytesIO()
+    frames[0].save(
+        buf, format="GIF", save_all=True, append_images=frames[1:], duration=50
+    )
+    gif = buf.getvalue()
+    blob = b"\x00" * 40  # undecodable: stub path
+    df = spark.createDataFrame(
+        [(1, bytearray(gif), len(gif), "video"), (2, bytearray(blob), 40, "blob")],
+        "id long, payload binary, n_bytes int, media_type string",
+    )
+    rows = {
+        (r["id"], r["frame_idx"]): (r["frame_off"], r["frame_len"])
+        for r in multimodal.frame_sample_stub(df, n_frames=4).collect()
+    }
+    # real path: 8 source frames sampled at 0, 2, 4, 6; one frame each
+    assert {k: v for k, v in rows.items() if k[0] == 1} == {
+        (1, 0): (0, 1),
+        (1, 1): (2, 1),
+        (1, 2): (4, 1),
+        (1, 3): (6, 1),
+    }
+    # stub path: byte-slice coordinates, 40 // 4 = 10
+    assert {k: v for k, v in rows.items() if k[0] == 2} == {
+        (2, 0): (0, 10),
+        (2, 1): (10, 10),
+        (2, 2): (20, 10),
+        (2, 3): (30, 10),
+    }
+
+
+def test_frame_sample_stub_path_unchanged_without_real_media(spark):
+    """Synthetic payloads (no decodable multi-frame media) produce exactly
+    the pre-seam byte-slice record — the declared query's oracle contract."""
+    from flume_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(7, bytearray(b"\x01" * 23), 23, "blob")],
+        "id long, payload binary, n_bytes int, media_type string",
+    )
+    got = sorted(
+        (r["frame_idx"], r["frame_off"], r["frame_len"])
+        for r in multimodal.frame_sample_stub(df, n_frames=4).collect()
+    )
+    assert got == [(0, 0, 5), (1, 5, 5), (2, 10, 5), (3, 15, 5)]
