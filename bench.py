@@ -124,6 +124,10 @@ HEADLINE = [
     "stream_semantic_dedup",
     "dedup_semantic_hier",
     "stream_corpus_funnel",
+    # round-10 new modalities: model-based quality filtering (broadcast
+    # linear-classifier inference) and the ANALYZE-style table profile
+    "text_classifier_score",
+    "stats_profile",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture

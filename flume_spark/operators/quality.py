@@ -167,3 +167,35 @@ def k_anonymity_report(
         F.min("__l").alias("min_l_diversity"),
     )
     return out if by is not None else out.drop("__all")
+
+
+def profile_table(
+    df: DataFrame,
+    ndv_cols: list[str],
+    min_max_cols: list[str] = (),
+) -> DataFrame:
+    """ANALYZE-style one-pass table profile: row count, per-column null
+    count and exact distinct count for ``ndv_cols``, min/max for
+    ``min_max_cols`` — the statistics a warehouse keeps per table for
+    CBO join ordering, file-pruning sanity checks, and drift monitoring
+    between corpus releases.
+
+    Plan shape: ONE fused Aggregate over one scan — the exact NDVs share
+    a single Expand (Spark rewrites multiple count-distincts into one
+    expand + two-level aggregate, map-side partials intact), nulls and
+    min/max ride the same pass for free.  At 100 TB the Expand multiplies
+    map-side rows by len(ndv_cols)+1; when that matters, swap
+    count_distinct for approx_count_distinct (the `approx_distinct`
+    sibling query) — same plan minus the Expand.  Min/max stay native-typed
+    (no string casts), so the profile hash-checks cross-engine exactly.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in ndv_cols:
+        aggs.append(F.count_distinct(F.col(c)).alias(f"ndv_{c}"))
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+        )
+    for c in min_max_cols:
+        aggs.append(F.min(F.col(c)).alias(f"min_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"max_{c}"))
+    return df.agg(*aggs)

@@ -1073,3 +1073,81 @@ def bigrams_over(words_col: str) -> Column:
         F.slice(w, 2, F.size(w) - 1),
         lambda a, b: F.concat_ws(" ", a, b),
     )
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 256,
+    seed: str = "flume-cls",
+) -> DataFrame:
+    """fastText-style linear text-classifier INFERENCE as pure DataFrame
+    ops — model-based quality filtering (the CCNet/DCLM filter shape) run
+    at corpus scale.
+
+    The model is a small TABLE (``vocab_size`` rows of token weights);
+    scoring is a broadcast hash join from the exploded token-frequency
+    table plus one per-doc aggregate — no Python in the path.  At 100 TB
+    the weights live on every executor while the corpus streams through
+    map-side; a trained model is a drop-in table swap (same schema:
+    ``tok, w_int``).  Weights here are md5-derived integers in
+    [-1000, 1000] standing in for trained parameters, which keeps the op
+    deterministic and cross-engine oracle-able.
+
+    The logit accumulates as an exact BIGINT (``z_int = sum(tf * w_int)``
+    — integer adds commute, so shuffle order cannot perturb it);
+    the only float op is the final per-row sigmoid over the
+    length-normalized margin, rounded to 6dp.  Docs with no vocab token
+    pass through with z_int = 0 (left join), never silently dropped.
+    """
+    toks = tokens_col(text_col)
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(toks).alias("tok"),
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # document frequency -> top-V vocabulary, deterministic tie-break on the
+    # token itself; the md5 draw stands in for a trained weight vector
+    vocab = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("tok"))
+        .limit(vocab_size)
+        .select(
+            "tok",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(seed + ":"), F.col("tok"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2001
+                - 1000
+            ).alias("w_int"),
+        )
+    )
+    z = (
+        tf.join(F.broadcast(vocab), "tok")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("w_int")).alias("z_int"))
+    )
+    base = df.select(F.col(id_col), F.size(tokens_col(text_col)).alias("n_tokens"))
+    out = base.join(z, id_col, "left").withColumn(
+        "z_int", F.coalesce(F.col("z_int"), F.lit(0)).cast("long")
+    )
+    margin = F.col("z_int") / (1000.0 * F.greatest(F.col("n_tokens"), F.lit(1)))
+    return out.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("z_int"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6).alias("score"),
+        F.when(F.col("z_int") > 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    )

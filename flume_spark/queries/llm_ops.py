@@ -1375,6 +1375,49 @@ SELECT DISTINCT doc_new, doc_match FROM (
 """
 
 
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: fastText-style linear classifier
+    inference (operators/text.py::classifier_score).  The weights are a
+    256-row broadcast table; the corpus streams through a token-frequency
+    explode + broadcast join + exact-integer logit aggregate."""
+    docs = T(spark, sf_dir, "documents")
+    return text.classifier_score(docs, "doc_id", "text")
+
+
+TEXT_CLASSIFIER_SQL = r"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+  ) GROUP BY 1, 2
+),
+vocab AS (
+  SELECT tok,
+         (('0x' || substr(md5('flume-cls:' || tok), 1, 8))::BIGINT % 2001
+          - 1000) AS w_int
+  FROM (SELECT tok, count(*) AS doc_freq FROM tf GROUP BY 1)
+  ORDER BY doc_freq DESC, tok
+  LIMIT 256
+),
+z AS (
+  SELECT tf.doc_id, sum(tf.tf * v.w_int) AS z_int
+  FROM tf JOIN vocab v USING (tok) GROUP BY 1
+),
+base AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(coalesce(z.z_int, 0) AS BIGINT) AS z_int,
+       round(1.0 / (1.0 + exp(-(coalesce(z.z_int, 0)
+             / (1000.0 * greatest(b.n_tokens, 1))))), 6) AS score,
+       CASE WHEN coalesce(z.z_int, 0) > 0 THEN 'keep' ELSE 'drop' END AS label
+FROM base b LEFT JOIN z USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1417,6 +1460,7 @@ QUERIES = {
     "text_quality_score": text_quality_score,
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
+    "text_classifier_score": text_classifier_score,
     "multimodal_meta": multimodal_meta,
 }
 
@@ -1461,5 +1505,6 @@ ORACLES = {
     "text_quality_score": TEXT_QUALITY_SQL,
     "text_lang_id": TEXT_LANG_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_classifier_score": TEXT_CLASSIFIER_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }

@@ -878,6 +878,46 @@ FROM d GROUP BY status
 """
 
 
+def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column profile of orders
+    (operators/quality.py::profile_table): row count, exact NDV + null
+    count per key/categorical column, native-typed min/max for the
+    measure and date columns — the table statistics a CBO and a corpus
+    drift monitor both consume.  One scan, one fused Aggregate (the NDVs
+    share a single Expand); at 100 TB the approx_distinct sibling is the
+    same plan minus the Expand."""
+    from flume_spark.operators.quality import profile_table
+
+    orders = T(spark, sf_dir, "orders")
+    return profile_table(
+        orders,
+        ndv_cols=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        min_max_cols=["o_totalprice", "o_orderdate"],
+    )
+
+
+STATS_PROFILE_SQL = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT o_orderkey) AS ndv_o_orderkey,
+       CAST(coalesce(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS nulls_o_orderkey,
+       count(DISTINCT o_custkey) AS ndv_o_custkey,
+       CAST(coalesce(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS nulls_o_custkey,
+       count(DISTINCT o_orderstatus) AS ndv_o_orderstatus,
+       CAST(coalesce(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS nulls_o_orderstatus,
+       count(DISTINCT o_orderpriority) AS ndv_o_orderpriority,
+       CAST(coalesce(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS nulls_o_orderpriority,
+       min(o_totalprice) AS min_o_totalprice,
+       max(o_totalprice) AS max_o_totalprice,
+       min(o_orderdate) AS min_o_orderdate,
+       max(o_orderdate) AS max_o_orderdate
+FROM orders
+"""
+
+
 QUERIES = {
     "join_null_safe": join_null_safe,
     "snapshot_diff_orders": snapshot_diff_orders,
@@ -897,6 +937,7 @@ QUERIES = {
     "scalar_regex_funcs": scalar_regex_funcs,
     "window_ntile_dist": window_ntile_dist,
     "scalar_array_funcs": scalar_array_funcs,
+    "stats_profile": stats_profile,
 }
 
 ORACLES = {
@@ -918,4 +959,5 @@ ORACLES = {
     "scalar_regex_funcs": SCALAR_REGEX_SQL,
     "window_ntile_dist": WINDOW_NTILE_SQL,
     "scalar_array_funcs": SCALAR_ARRAY_SQL,
+    "stats_profile": STATS_PROFILE_SQL,
 }

@@ -341,3 +341,100 @@ def test_frame_sample_stub_path_unchanged_without_real_media(spark):
         for r in multimodal.frame_sample_stub(df, n_frames=4).collect()
     )
     assert got == [(0, 0, 5), (1, 5, 5), (2, 10, 5), (3, 15, 5)]
+
+
+# -- round-10 new declared ops: classifier inference + table profile ----------
+
+
+def test_classifier_score_matches_bruteforce(spark):
+    """z_int must equal the brute-force python computation: tf-weighted sum
+    of md5-derived weights over the top-V-by-doc-freq vocabulary, and a doc
+    with no vocab token passes through with z_int = 0 (never dropped)."""
+    import hashlib
+
+    from flume_spark.operators.text import classifier_score
+
+    rows = [
+        (1, "alpha beta alpha gamma"),
+        (2, "beta beta delta"),
+        (3, "zzz-only-token"),  # outside a V=3 vocab -> z_int 0, label drop
+        (4, "alpha delta delta delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in classifier_score(df, "doc_id", "text", vocab_size=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+
+    # brute-force replay
+    toks = {i: t.lower().strip().split() for i, t in rows}
+    from collections import Counter
+
+    dfreq = Counter()
+    for ws in toks.values():
+        dfreq.update(set(ws))
+    vocab = sorted(dfreq.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+
+    def w_int(tok: str) -> int:
+        h = int(hashlib.md5(f"flume-cls:{tok}".encode()).hexdigest()[:8], 16)
+        return h % 2001 - 1000
+
+    weights = {t: w_int(t) for t, _ in vocab}
+    for i, ws in toks.items():
+        z = sum(Counter(ws)[t] * w for t, w in weights.items())
+        assert out[i]["z_int"] == z, (i, out[i]["z_int"], z)
+        assert out[i]["label"] == ("keep" if z > 0 else "drop")
+        assert out[i]["n_tokens"] == len(ws)
+
+
+def test_classifier_score_plan_broadcasts_weights(spark, tmp_path):
+    """The weights table must reach the token join as a broadcast — the
+    100 TB inference shape is corpus-side streaming through a map-side
+    hash join, never a shuffle keyed on token."""
+    from flume_spark.operators.text import classifier_score
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 3}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    plan = classifier_score(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_profile_table_exact_counts(spark):
+    """Profile stats must be exact: NDV ignores nulls (Spark and SQL
+    count-distinct semantics), null counts are per-column, min/max keep
+    native types."""
+    from flume_spark.operators.quality import profile_table
+
+    rows = [
+        (1, "a", 10.0),
+        (2, "a", 5.0),
+        (3, None, 7.5),
+        (None, "b", None),
+        (2, "c", 7.5),
+    ]
+    df = spark.createDataFrame(rows, "k long, s string, v double")
+    r = profile_table(df, ndv_cols=["k", "s"], min_max_cols=["v"]).collect()[0]
+    assert r["n_rows"] == 5
+    assert r["ndv_k"] == 3 and r["nulls_k"] == 1
+    assert r["ndv_s"] == 3 and r["nulls_s"] == 1
+    assert r["min_v"] == 5.0 and r["max_v"] == 10.0
+
+
+def test_profile_table_single_fused_aggregate(spark):
+    """All stats ride ONE scan: the plan must contain exactly one Expand
+    (the shared multi-distinct rewrite) and no join/union of per-column
+    subplans."""
+    from flume_spark.operators.quality import profile_table
+
+    df = spark.range(100).selectExpr("id AS a", "id % 7 AS b", "id * 1.5 AS c")
+    plan = (
+        profile_table(df, ndv_cols=["a", "b"], min_max_cols=["c"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Expand") >= 1
+    assert "Join" not in plan and "Union" not in plan
