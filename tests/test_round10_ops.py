@@ -438,3 +438,51 @@ def test_profile_table_single_fused_aggregate(spark):
     )
     assert plan.count("Expand") >= 1
     assert "Join" not in plan and "Union" not in plan
+
+
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    vocab_size=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=8, deadline=None)
+def test_classifier_score_property_bruteforce(spark, corpus, vocab_size):
+    """For any small corpus and vocab size, z_int / n_tokens / label must
+    equal the brute-force replay of the contract: top-V-by-doc-freq vocab
+    (tie-break token asc), md5 weights, tf-weighted integer logit."""
+    import hashlib
+    from collections import Counter
+
+    from flume_spark.operators.text import classifier_score
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in classifier_score(
+            df, "doc_id", "text", vocab_size=vocab_size
+        ).collect()
+    }
+    assert set(out) == set(range(len(corpus)))
+
+    dfreq = Counter()
+    for ws in corpus:
+        dfreq.update(set(ws))
+    vocab = sorted(dfreq.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    weights = {
+        t: int(hashlib.md5(f"flume-cls:{t}".encode()).hexdigest()[:8], 16) % 2001
+        - 1000
+        for t, _ in vocab
+    }
+    for i, ws in enumerate(corpus):
+        z = sum(Counter(ws)[t] * w for t, w in weights.items())
+        assert out[i]["z_int"] == z
+        assert out[i]["n_tokens"] == len(ws)
+        assert out[i]["label"] == ("keep" if z > 0 else "drop")
