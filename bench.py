@@ -125,8 +125,10 @@ HEADLINE = [
     "dedup_semantic_hier",
     "stream_corpus_funnel",
     # round-10 new modalities: model-based quality filtering (broadcast
-    # linear-classifier inference) and the ANALYZE-style table profile
+    # linear-classifier inference + the matching perceptron trainer) and
+    # the ANALYZE-style table profile
     "text_classifier_score",
+    "text_classifier_train",
     "stats_profile",
 ]
 
@@ -190,6 +192,7 @@ SHARDED = [
     "dedup_substring_incremental",  # (dedup_substring_exact)
     "skew_report_lineitem",  # (agg_stats)
     "orders_market_basket",  # (cohort_retention)
+    "text_classifier_train",  # (text_classifier_score)
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

@@ -1081,6 +1081,7 @@ def classifier_score(
     text_col: str,
     vocab_size: int = 256,
     seed: str = "flume-cls",
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """fastText-style linear text-classifier INFERENCE as pure DataFrame
     ops — model-based quality filtering (the CCNet/DCLM filter shape) run
@@ -1100,6 +1101,9 @@ def classifier_score(
     the only float op is the final per-row sigmoid over the
     length-normalized margin, rounded to 6dp.  Docs with no vocab token
     pass through with z_int = 0 (left join), never silently dropped.
+
+    Pass ``weights`` (a (tok, w_int) DataFrame, e.g. classifier_train's
+    output) to score with a TRAINED model instead of the md5 stand-in.
     """
     toks = tokens_col(text_col)
     tf = (
@@ -1110,28 +1114,31 @@ def classifier_score(
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # document frequency -> top-V vocabulary, deterministic tie-break on the
-    # token itself; the md5 draw stands in for a trained weight vector
-    vocab = (
-        tf.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
-        .orderBy(F.desc("doc_freq"), F.asc("tok"))
-        .limit(vocab_size)
-        .select(
-            "tok",
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(seed + ":"), F.col("tok"))), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % 2001
-                - 1000
-            ).alias("w_int"),
+    if weights is not None:
+        vocab = weights.select("tok", F.col("w_int").cast("long").alias("w_int"))
+    else:
+        # document frequency -> top-V vocabulary, deterministic tie-break on
+        # the token itself; the md5 draw stands in for a trained weight vector
+        vocab = (
+            tf.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .orderBy(F.desc("doc_freq"), F.asc("tok"))
+            .limit(vocab_size)
+            .select(
+                "tok",
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(seed + ":"), F.col("tok"))), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2001
+                    - 1000
+                ).alias("w_int"),
+            )
         )
-    )
     z = (
         tf.join(F.broadcast(vocab), "tok")
         .groupBy(id_col)
@@ -1150,4 +1157,110 @@ def classifier_score(
         F.when(F.col("z_int") > 0, F.lit("keep"))
         .otherwise(F.lit("drop"))
         .alias("label"),
+    )
+
+
+def classifier_vocab(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int = 256
+) -> DataFrame:
+    """Top-``vocab_size`` tokens by document frequency (tie-break token
+    asc) — the shared feature space of classifier_score / classifier_train.
+    One explode + two aggregates; the result is weights-table sized."""
+    toks = tokens_col(text_col)
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(toks)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok")
+    )
+
+
+def classifier_train(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    vocab_size: int = 256,
+    iters: int = 3,
+) -> DataFrame:
+    """Distributed BATCH PERCEPTRON training over token-frequency features
+    — the TRAIN half of model-based quality/language filtering (the CCNet
+    recipe: fit a linear text classifier on labeled corpus slices, then
+    filter with it).  classifier_score is the matching inference op.
+
+    All arithmetic is INTEGER (weights, logits, and updates are BIGINTs;
+    the perceptron's prediction is sign(z), never a sigmoid), so training
+    is deterministic under any shuffle order and cross-engine
+    hash-exact — a property no float-gradient trainer has.  Per
+    iteration: one broadcast join of the cached tf table against the
+    current (vocab-sized) weights, one per-doc integer logit aggregate,
+    one token-keyed update aggregate.  At 100 TB the tf table is computed
+    once and persisted; every weight state is broadcast-sized; iteration
+    count is fixed and small.
+
+    Batch update rule (lr = 1):
+        z(doc)   = sum_tok tf * w
+        err(doc) = y - [z > 0]           in {-1, 0, 1}
+        w'(tok)  = w + sum_doc tf * err
+
+    Returns (tok, w_int) for the full vocabulary (untouched tokens keep
+    weight 0).  ``label_col`` must be 0/1.
+    """
+    toks = tokens_col(text_col)
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.col(label_col).cast("long").alias("__y"),
+            F.explode(toks).alias("tok"),
+        )
+        .groupBy(id_col, "__y", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(F.broadcast(classifier_vocab(df, id_col, text_col, vocab_size)), "tok")
+        .localCheckpoint(eager=False)
+    )
+    # w0 = 0 for every vocab token -> first logit is 0, first err is y
+    weights = None  # None encodes the all-zero state (skip the first join)
+    for _ in range(iters):
+        if weights is None:
+            z = tf.select(F.col(id_col), F.col("__y")).distinct().withColumn(
+                "z", F.lit(0).cast("long")
+            )
+        else:
+            z = (
+                tf.join(F.broadcast(weights), "tok", "left")
+                .groupBy(id_col, "__y")
+                .agg(
+                    F.sum(
+                        F.col("tf") * F.coalesce(F.col("w_int"), F.lit(0))
+                    ).alias("z")
+                )
+            )
+        err = z.select(
+            F.col(id_col),
+            (F.col("__y") - F.when(F.col("z") > 0, 1).otherwise(0)).alias("err"),
+        )
+        delta = (
+            tf.join(err, id_col)
+            .groupBy("tok")
+            .agg(F.sum(F.col("tf") * F.col("err")).alias("d"))
+        )
+        if weights is None:
+            weights = delta.select("tok", F.col("d").cast("long").alias("w_int"))
+        else:
+            weights = (
+                weights.join(delta, "tok", "full")
+                .select(
+                    "tok",
+                    (
+                        F.coalesce(F.col("w_int"), F.lit(0))
+                        + F.coalesce(F.col("d"), F.lit(0))
+                    ).cast("long").alias("w_int"),
+                )
+            )
+        weights = weights.localCheckpoint(eager=False)
+    vocab = classifier_vocab(df, id_col, text_col, vocab_size)
+    return vocab.join(weights, "tok", "left").select(
+        "tok", F.coalesce(F.col("w_int"), F.lit(0)).cast("long").alias("w_int")
     )

@@ -1418,6 +1418,64 @@ FROM base b LEFT JOIN z USING (doc_id)
 """
 
 
+def text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the linear filter model: distributed batch perceptron
+    (operators/text.py::classifier_train) fit on the corpus itself — label
+    = (lang = 'en'), i.e. the CCNet language-filter recipe.  All-integer
+    arithmetic makes 3 training iterations cross-engine hash-exact; the
+    oracle unrolls them as CTEs."""
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+    return text.classifier_train(
+        docs, "doc_id", "text", "y", vocab_size=64, iters=3
+    )
+
+
+TEXT_CLASSIFIER_TRAIN_SQL = r"""
+WITH tf0 AS (
+  SELECT doc_id, y, tok, count(*) AS tf FROM (
+    SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+  ) GROUP BY 1, 2, 3
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(DISTINCT doc_id) AS doc_freq FROM tf0 GROUP BY 1
+  ) ORDER BY doc_freq DESC, tok LIMIT 64
+),
+tf AS (SELECT tf0.* FROM tf0 JOIN vocab USING (tok)),
+w1 AS (SELECT tok, sum(tf * y) AS w FROM tf GROUP BY 1),
+z2 AS (
+  SELECT doc_id, y, sum(tf.tf * coalesce(w1.w, 0)) AS z
+  FROM tf LEFT JOIN w1 USING (tok) GROUP BY 1, 2
+),
+e2 AS (SELECT doc_id, y - (CASE WHEN z > 0 THEN 1 ELSE 0 END) AS err FROM z2),
+d2 AS (SELECT tok, sum(tf.tf * e2.err) AS d
+       FROM tf JOIN e2 USING (doc_id) GROUP BY 1),
+w2 AS (
+  SELECT coalesce(w1.tok, d2.tok) AS tok,
+         coalesce(w1.w, 0) + coalesce(d2.d, 0) AS w
+  FROM w1 FULL JOIN d2 ON w1.tok = d2.tok
+),
+z3 AS (
+  SELECT doc_id, y, sum(tf.tf * coalesce(w2.w, 0)) AS z
+  FROM tf LEFT JOIN w2 USING (tok) GROUP BY 1, 2
+),
+e3 AS (SELECT doc_id, y - (CASE WHEN z > 0 THEN 1 ELSE 0 END) AS err FROM z3),
+d3 AS (SELECT tok, sum(tf.tf * e3.err) AS d
+       FROM tf JOIN e3 USING (doc_id) GROUP BY 1),
+w3 AS (
+  SELECT coalesce(w2.tok, d3.tok) AS tok,
+         coalesce(w2.w, 0) + coalesce(d3.d, 0) AS w
+  FROM w2 FULL JOIN d3 ON w2.tok = d3.tok
+)
+SELECT v.tok, CAST(coalesce(w3.w, 0) AS BIGINT) AS w_int
+FROM vocab v LEFT JOIN w3 ON v.tok = w3.tok
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1461,6 +1519,7 @@ QUERIES = {
     "text_lang_id": text_lang_id,
     "text_fingerprint": text_fingerprint,
     "text_classifier_score": text_classifier_score,
+    "text_classifier_train": text_classifier_train,
     "multimodal_meta": multimodal_meta,
 }
 
@@ -1506,5 +1565,6 @@ ORACLES = {
     "text_lang_id": TEXT_LANG_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_classifier_score": TEXT_CLASSIFIER_SQL,
+    "text_classifier_train": TEXT_CLASSIFIER_TRAIN_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }

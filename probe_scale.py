@@ -46,6 +46,11 @@ index as history grows (expect ~flat).
 with cluster count grown with the corpus (k = 4f), the discipline that
 keeps the within-cluster pairwise leg ~linear.
 
+`python probe_scale.py --classifier [factor ...]` runs the broadcast
+linear-classifier inference probe: `classifier_score` wall over salted
+replica corpora (expect ~linear — constant-size broadcast weights, no
+pairwise leg).
+
 `python probe_scale.py --funnel [factor ...]` runs the corpus-funnel
 composition probe: per-stage isolated cost, composed end-to-end wall,
 the stage-additivity ratio, and the report-share re-inlining detector.
@@ -1686,6 +1691,49 @@ def main_ctable() -> None:
     )
 
 
+def main_classifier() -> None:
+    """Broadcast linear-classifier inference probe (round-10 new op):
+    `classifier_score` over salted replica corpora.  Expected ~linear —
+    the plan is token-explode + tf agg + a 256-row broadcast join + one
+    per-doc integer agg; nothing in it is pairwise, and the weights table
+    size is constant in the corpus.  The vocab-selection leg (doc-freq
+    agg + TakeOrdered 256) is the only global step and is itself linear
+    with a constant-size result."""
+    from flume_spark.operators.text import classifier_score
+
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
+    spark = get_spark(app_name="flume_probe_classifier")
+    times: dict[int, float] = {}
+    for f in factors:
+        docs = scaled_docs(spark, f)
+        n = docs.count()
+        print(json.dumps({"factor": f, "docs": n}), flush=True)
+        dt, n_out = probe(
+            f"classifier@x{f}", lambda d=docs: classifier_score(d, "doc_id", "text")
+        )
+        assert n_out == n, "every doc must survive scoring"
+        times[f] = dt
+        docs.unpersist()
+        spark.catalog.clearCache()
+    base = factors[0]
+    exps = {
+        f: round(math.log(times[f] / times[base]) / math.log(f / base), 2)
+        for f in factors
+        if f != base and times[f] > 0
+    }
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "classifier_sec": {k: round(v, 2) for k, v in times.items()},
+                    "exponent": exps,
+                }
+            }
+        ),
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--ingest":
         main_ingest()
@@ -1717,6 +1765,8 @@ if __name__ == "__main__":
         main_funnel()
     elif len(sys.argv) > 1 and sys.argv[1] == "--ctable":
         main_ctable()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--classifier":
+        main_classifier()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scd2":
         main_scd2()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scd2compact":

@@ -486,3 +486,98 @@ def test_classifier_score_property_bruteforce(spark, corpus, vocab_size):
         assert out[i]["z_int"] == z
         assert out[i]["n_tokens"] == len(ws)
         assert out[i]["label"] == ("keep" if z > 0 else "drop")
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                min_size=1,
+                max_size=6,
+            ),
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    vocab_size=st.integers(min_value=1, max_value=5),
+    iters=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=6, deadline=None)
+def test_classifier_train_property_bruteforce(spark, data, vocab_size, iters):
+    """classifier_train must equal the brute-force batch perceptron for any
+    corpus, label assignment, vocab size, and iteration count — integer
+    updates, lr 1, prediction sign(z), w0 = 0."""
+    from collections import Counter
+
+    from flume_spark.operators.text import classifier_train
+
+    rows = [(i, " ".join(ws), y) for i, (ws, y) in enumerate(data)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    out = {
+        r["tok"]: r["w_int"]
+        for r in classifier_train(
+            df, "doc_id", "text", "y", vocab_size=vocab_size, iters=iters
+        ).collect()
+    }
+
+    toks = {i: ws for i, (ws, _) in enumerate(data)}
+    ys = {i: y for i, (_, y) in enumerate(data)}
+    dfreq = Counter()
+    for ws in toks.values():
+        dfreq.update(set(ws))
+    vocab = [
+        t for t, _ in sorted(dfreq.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    ]
+    w = dict.fromkeys(vocab, 0)
+    for _ in range(iters):
+        delta = Counter()
+        for i, ws in toks.items():
+            c = Counter(ws)
+            z = sum(c[t] * w[t] for t in vocab)
+            err = ys[i] - (1 if z > 0 else 0)
+            for t in vocab:
+                if c[t]:
+                    delta[t] += c[t] * err
+        for t in vocab:
+            w[t] += delta[t]
+    assert out == w
+
+
+def test_classifier_train_then_score_separable_corpus(spark):
+    """Train-infer interop: perceptron weights fed back through
+    classifier_score(weights=...) must reach 100% training accuracy on a
+    linearly separable corpus (perceptron convergence guarantee), wiring
+    the TRAINED model through the inference op end to end.
+
+    (The driver's synthetic documents table is deliberately NOT used
+    here: its tokens are drawn from one shared vocabulary independent of
+    `lang`, so the label is unlearnable by any linear model there — the
+    declared text_classifier_train query checks the ARITHMETIC on that
+    table; this test checks LEARNING on data where learning is
+    possible.)"""
+    from pyspark.sql import functions as F
+
+    from flume_spark.operators.text import classifier_score, classifier_train
+
+    rows = []
+    for i in range(30):
+        if i % 2 == 0:
+            rows.append((i, f"good clean prose sample{i % 5} text", 1))
+        else:
+            rows.append((i, f"spam junk noise sample{i % 5} text", 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    weights = classifier_train(docs, "doc_id", "text", "y", vocab_size=16, iters=5)
+    scored = classifier_score(docs, "doc_id", "text", weights=weights)
+    agg = (
+        scored.join(docs.select("doc_id", "y"), "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                ((F.col("label") == "keep").cast("int") == F.col("y")).cast("int")
+            ).alias("correct"),
+        )
+        .collect()[0]
+    )
+    assert agg["correct"] == agg["n"] == 30, (agg["correct"], agg["n"])
