@@ -1708,10 +1708,27 @@ def main_classifier() -> None:
         docs = scaled_docs(spark, f)
         n = docs.count()
         print(json.dumps({"factor": f, "docs": n}), flush=True)
-        dt, n_out = probe(
-            f"classifier@x{f}", lambda d=docs: classifier_score(d, "doc_id", "text")
+        # force the FULL scoring plan: a bare count() lets Catalyst prune
+        # the row-preserving left join (z is provably unique-keyed) and
+        # would time only the corpus scan
+        t0 = time.perf_counter()
+        row = (
+            classifier_score(docs, "doc_id", "text")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("z_int").alias("sz"),
+                F.sum("score").alias("ss"),
+            )
+            .collect()[0]
         )
-        assert n_out == n, "every doc must survive scoring"
+        dt = time.perf_counter() - t0
+        assert row["n"] == n, "every doc must survive scoring"
+        print(
+            json.dumps(
+                {"probe": f"classifier@x{f}", "sec": round(dt, 2), "rows": row["n"]}
+            ),
+            flush=True,
+        )
         times[f] = dt
         docs.unpersist()
         spark.catalog.clearCache()
