@@ -46,10 +46,18 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # absent from both lists land in the middle (fresh) group automatically.
 # tests/test_registry.py fails loudly on typos/overlap.
 _NEEDS_DRIVER_ROW = [  # round-10 additions, ascending expected sf0.01 runtime
-    # new round-10: the curation funnel run STREAMING through the real
-    # LshIngestor / SubstrIngestor / SemanticIngestor stores with a
-    # re-delivered batch per ledger; oracle replays every stage under
-    # batch-prefix seniority.  The last batch-only capability seam.
+    # ANALYZE-style one-pass column profile (single fused Aggregate)
+    "stats_profile",
+    # model-based filtering cycle: broadcast linear-classifier inference
+    # and the all-integer distributed perceptron trainer (3 unrolled
+    # iterations in the oracle)
+    "text_classifier_score",
+    "text_classifier_train",
+    # the curation funnel run STREAMING through the real LshIngestor /
+    # SubstrIngestor / SemanticIngestor stores with a re-delivered batch
+    # per ledger; oracle replays every stage under batch-prefix
+    # seniority.  The last batch-only capability seam — and the most
+    # expensive new row, so it goes last in the prefix.
     "stream_corpus_funnel",
 ]
 
