@@ -129,6 +129,7 @@ HEADLINE = [
     # the ANALYZE-style table profile
     "text_classifier_score",
     "text_classifier_train",
+    "text_classifier_eval",
     "stats_profile",
 ]
 
@@ -193,6 +194,7 @@ SHARDED = [
     "skew_report_lineitem",  # (agg_stats)
     "orders_market_basket",  # (cohort_retention)
     "text_classifier_train",  # (text_classifier_score)
+    "text_classifier_eval",  # (text_classifier_score)
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

@@ -1264,3 +1264,52 @@ def classifier_train(
     return vocab.join(weights, "tok", "left").select(
         "tok", F.coalesce(F.col("w_int"), F.lit(0)).cast("long").alias("w_int")
     )
+
+
+def classifier_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    vocab_size: int = 256,
+    iters: int = 3,
+) -> DataFrame:
+    """Train the batch perceptron and evaluate it on the same corpus in
+    one plan: the confusion matrix (tp/fp/tn/fn) of the trained model's
+    sign(z) prediction against ``label_col``, all exact BIGINTs — the
+    end-to-end train -> infer -> evaluate cycle as a single hash-exact
+    result.  Prediction convention matches classifier_score: positive
+    iff z > 0; docs with no vocab token score z = 0.
+    """
+    weights = classifier_train(
+        df, id_col, text_col, label_col, vocab_size=vocab_size, iters=iters
+    )
+    toks = tokens_col(text_col)
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    z = (
+        tf.join(F.broadcast(weights), "tok")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("tf") * F.col("w_int")).alias("z"))
+    )
+    scored = (
+        df.select(F.col(id_col), F.col(label_col).cast("long").alias("__y"))
+        .join(z, id_col, "left")
+        .select(
+            "__y",
+            F.when(F.coalesce(F.col("z"), F.lit(0)) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("__p"),
+        )
+    )
+    y, p = F.col("__y"), F.col("__p")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
+        F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
+        F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"),
+        F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
+    )

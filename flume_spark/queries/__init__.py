@@ -53,6 +53,9 @@ _NEEDS_DRIVER_ROW = [  # round-10 additions, ascending expected sf0.01 runtime
     # iterations in the oracle)
     "text_classifier_score",
     "text_classifier_train",
+    # the full cycle in one hash-checked row: train -> score with the
+    # trained weights -> exact-integer confusion matrix
+    "text_classifier_eval",
     # the curation funnel run STREAMING through the real LshIngestor /
     # SubstrIngestor / SemanticIngestor stores with a re-delivered batch
     # per ledger; oracle replays every stage under batch-prefix

@@ -1432,8 +1432,11 @@ def text_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TEXT_CLASSIFIER_TRAIN_SQL = r"""
-WITH tf0 AS (
+# Shared CTE chain: vocab + tf + three unrolled perceptron iterations
+# ending at weight state w3 — TEXT_CLASSIFIER_TRAIN_SQL selects w3
+# directly; TEXT_CLASSIFIER_EVAL_SQL extends it with a scoring pass and
+# the confusion aggregate.
+_CLASSIFIER_TRAIN_CTES = r"""tf0 AS (
   SELECT doc_id, y, tok, count(*) AS tf FROM (
     SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
            unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
@@ -1470,9 +1473,45 @@ w3 AS (
   SELECT coalesce(w2.tok, d3.tok) AS tok,
          coalesce(w2.w, 0) + coalesce(d3.d, 0) AS w
   FROM w2 FULL JOIN d3 ON w2.tok = d3.tok
-)
+)"""
+
+TEXT_CLASSIFIER_TRAIN_SQL = f"""
+WITH {_CLASSIFIER_TRAIN_CTES}
 SELECT v.tok, CAST(coalesce(w3.w, 0) AS BIGINT) AS w_int
 FROM vocab v LEFT JOIN w3 ON v.tok = w3.tok
+"""
+
+
+def text_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full model-based-filtering cycle in ONE hash-checked result:
+    train the perceptron (label = lang='en'), score the corpus with the
+    trained weights, report the confusion matrix as exact BIGINTs
+    (operators/text.py::classifier_eval)."""
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+    return text.classifier_eval(docs, "doc_id", "text", "y", vocab_size=64, iters=3)
+
+
+TEXT_CLASSIFIER_EVAL_SQL = f"""
+WITH {_CLASSIFIER_TRAIN_CTES},
+zf AS (
+  SELECT tf.doc_id, sum(tf.tf * w3.w) AS z
+  FROM tf JOIN w3 USING (tok) GROUP BY 1
+),
+pred AS (
+  SELECT d.y,
+         CASE WHEN coalesce(zf.z, 0) > 0 THEN 1 ELSE 0 END AS p
+  FROM (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents) d
+  LEFT JOIN zf USING (doc_id)
+)
+SELECT count(*) AS n_docs,
+       CAST(coalesce(sum(CASE WHEN y = 1 AND p = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+       CAST(coalesce(sum(CASE WHEN y = 0 AND p = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+       CAST(coalesce(sum(CASE WHEN y = 0 AND p = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn,
+       CAST(coalesce(sum(CASE WHEN y = 1 AND p = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn
+FROM pred
 """
 
 
@@ -1520,6 +1559,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_classifier_score": text_classifier_score,
     "text_classifier_train": text_classifier_train,
+    "text_classifier_eval": text_classifier_eval,
     "multimodal_meta": multimodal_meta,
 }
 
@@ -1566,5 +1606,6 @@ ORACLES = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_classifier_score": TEXT_CLASSIFIER_SQL,
     "text_classifier_train": TEXT_CLASSIFIER_TRAIN_SQL,
+    "text_classifier_eval": TEXT_CLASSIFIER_EVAL_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }

@@ -581,3 +581,21 @@ def test_classifier_train_then_score_separable_corpus(spark):
         .collect()[0]
     )
     assert agg["correct"] == agg["n"] == 30, (agg["correct"], agg["n"])
+
+
+def test_classifier_eval_confusion_on_separable_corpus(spark):
+    """classifier_eval must report a perfect confusion matrix where the
+    perceptron converges (separable corpus) — tp + tn = n, fp = fn = 0 —
+    and the counts must be exact partitions of the corpus."""
+    from flume_spark.operators.text import classifier_eval
+
+    rows = []
+    for i in range(30):
+        if i % 2 == 0:
+            rows.append((i, f"good clean prose sample{i % 5} text", 1))
+        else:
+            rows.append((i, f"spam junk noise sample{i % 5} text", 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    r = classifier_eval(docs, "doc_id", "text", "y", vocab_size=16, iters=5).collect()[0]
+    assert r["n_docs"] == 30
+    assert r["tp"] == 15 and r["tn"] == 15 and r["fp"] == 0 and r["fn"] == 0
