@@ -46,6 +46,7 @@ def curate_corpus(
     semantic: bool = False,
     semantic_threshold: float = 0.999,
     embeddings: DataFrame | None = None,
+    classifier_weights: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the full curation pipeline; returns (curated_df, stage_counts).
 
@@ -78,6 +79,13 @@ def curate_corpus(
     through as non-duplicates and `stage_counts["semantic_uncovered"]`
     records how many.  This is the composition the declared
     `corpus_funnel` report measures.
+
+    `classifier_weights` (a (tok, w_int) table, e.g. classifier_train's
+    output) adds MODEL-BASED filtering right after the heuristic quality
+    gate — the CCNet/DCLM recipe: keep docs the linear model scores
+    positive (z > 0, the classifier_score 'keep' label).  The weights
+    broadcast; the stage is a map-side join + integer aggregate, and
+    `stage_counts["model_filter"]` records survivors.
     """
     counts: dict[str, int] = {"input": docs.count()}
 
@@ -86,6 +94,15 @@ def curate_corpus(
     # every upstream join (at warehouse scale: checkpoints or df.observe)
     kept = docs.filter(quality_col(text_col) >= min_quality).cache()
     counts["quality_gate"] = kept.count()
+
+    if classifier_weights is not None:
+        scored = text.classifier_score(
+            kept, id_col, text_col, weights=classifier_weights
+        )
+        kept = kept.join(
+            scored.filter(F.col("label") == "keep").select(id_col), id_col
+        ).cache()
+        counts["model_filter"] = kept.count()
 
     exact = dedup.exact_dedup(kept, id_col, text_col).select(
         F.col("keep_id").alias(id_col)

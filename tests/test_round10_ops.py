@@ -599,3 +599,33 @@ def test_classifier_eval_confusion_on_separable_corpus(spark):
     r = classifier_eval(docs, "doc_id", "text", "y", vocab_size=16, iters=5).collect()[0]
     assert r["n_docs"] == 30
     assert r["tp"] == 15 and r["tn"] == 15 and r["fp"] == 0 and r["fn"] == 0
+
+
+def test_curate_corpus_model_filter_stage(spark):
+    """curate_corpus(classifier_weights=...) applies the trained linear
+    model right after the heuristic gate: docs the model scores z <= 0
+    are dropped and counted; with no weights the pipeline is unchanged."""
+    from flume_spark.curation import curate_corpus
+    from flume_spark.operators.text import classifier_train
+
+    rows = []
+    for i in range(20):
+        if i % 2 == 0:
+            rows.append((i, "the good clean prose " + " ".join(f"u{i}w{j}" for j in range(20)), 1))
+        else:
+            rows.append((i, "the spam junk noise " + " ".join(f"u{i}w{j}" for j in range(20)), 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    weights = classifier_train(docs, "doc_id", "text", "y", vocab_size=8, iters=5)
+
+    curated, counts = curate_corpus(
+        spark,
+        docs.drop("y"),
+        min_quality=0.0,
+        classifier_weights=weights,
+    )
+    assert counts["model_filter"] == 10
+    survivors = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert survivors == {i for i in range(20) if i % 2 == 0}
+
+    _, counts_off = curate_corpus(spark, docs.drop("y"), min_quality=0.0)
+    assert "model_filter" not in counts_off
