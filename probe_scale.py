@@ -1751,6 +1751,79 @@ def main_classifier() -> None:
     )
 
 
+def main_profile() -> None:
+    """Table-profile probe (round-10 stats_profile): exact-NDV profile
+    (multi-count-distinct -> ONE Expand, map-side rows x (ndv_cols + 1))
+    vs the approx profile (approx_count_distinct HLL sketches, no
+    Expand) over replicated orders.  Quantifies the docstring's 100 TB
+    guidance: both are one-scan/one-shuffle linear plans; the Expand
+    multiplies the map-side row volume by a constant, so the exact form
+    stays viable until that constant times the scan dominates — the
+    probe records the actual ratio."""
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
+    spark = get_spark(app_name="flume_probe_profile")
+    from flume_spark.operators.quality import profile_table
+
+    base = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    ndv_cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    exact_t: dict[int, float] = {}
+    approx_t: dict[int, float] = {}
+    for f in factors:
+        reps = spark.range(f).withColumnRenamed("id", "rep")
+        # keys remapped per replica so NDV grows with the corpus like a
+        # real release would (statuses/priorities stay low-cardinality)
+        orders = base.crossJoin(reps).select(
+            (F.col("o_orderkey") + F.col("rep") * 1_000_000_000).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("rep") * 1_000_000_000).alias("o_custkey"),
+            "o_orderstatus",
+            "o_orderpriority",
+            "o_totalprice",
+        ).localCheckpoint(eager=True)
+        n = orders.count()
+        print(json.dumps({"factor": f, "rows": n}), flush=True)
+        t0 = time.perf_counter()
+        profile_table(orders, ndv_cols, min_max_cols=["o_totalprice"]).collect()
+        exact_t[f] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        orders.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[F.approx_count_distinct(c).alias(f"andv_{c}") for c in ndv_cols],
+            F.min("o_totalprice"),
+            F.max("o_totalprice"),
+        ).collect()
+        approx_t[f] = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "probe": f"profile@x{f}",
+                    "exact_sec": round(exact_t[f], 2),
+                    "approx_sec": round(approx_t[f], 2),
+                }
+            ),
+            flush=True,
+        )
+        orders.unpersist()
+    b = factors[0]
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "profile_exact_sec": {k: round(v, 2) for k, v in exact_t.items()},
+                    "profile_approx_sec": {k: round(v, 2) for k, v in approx_t.items()},
+                    "exact_exponent": {
+                        f: round(math.log(exact_t[f] / exact_t[b]) / math.log(f / b), 2)
+                        for f in factors
+                        if f != b
+                    },
+                }
+            }
+        ),
+        flush=True,
+    )
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--ingest":
         main_ingest()
@@ -1784,6 +1857,8 @@ if __name__ == "__main__":
         main_ctable()
     elif len(sys.argv) > 1 and sys.argv[1] == "--classifier":
         main_classifier()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--profile":
+        main_profile()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scd2":
         main_scd2()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scd2compact":
