@@ -629,3 +629,36 @@ def test_curate_corpus_model_filter_stage(spark):
 
     _, counts_off = curate_corpus(spark, docs.drop("y"), min_quality=0.0)
     assert "model_filter" not in counts_off
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),
+            st.one_of(st.none(), st.floats(min_value=-10, max_value=10,
+                                           allow_nan=False)),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_profile_table_property_reference(spark, data):
+    """profile_table must agree with a direct python computation for any
+    null mix: n_rows, per-column null counts, NDV over non-null values,
+    min/max over non-null values (None when the column is all-null)."""
+    from flume_spark.operators.quality import profile_table
+
+    df = spark.createDataFrame(data, "k long, s string, v double")
+    r = profile_table(df, ndv_cols=["k", "s"], min_max_cols=["v"]).collect()[0]
+    ks = [t[0] for t in data]
+    ss = [t[1] for t in data]
+    vs = [t[2] for t in data if t[2] is not None]
+    assert r["n_rows"] == len(data)
+    assert r["ndv_k"] == len({x for x in ks if x is not None})
+    assert r["nulls_k"] == sum(x is None for x in ks)
+    assert r["ndv_s"] == len({x for x in ss if x is not None})
+    assert r["nulls_s"] == sum(x is None for x in ss)
+    assert r["min_v"] == (min(vs) if vs else None)
+    assert r["max_v"] == (max(vs) if vs else None)
