@@ -130,6 +130,7 @@ HEADLINE = [
     "text_classifier_score",
     "text_classifier_train",
     "text_classifier_eval",
+    "stream_classifier_train",
     "stats_profile",
 ]
 
@@ -195,6 +196,7 @@ SHARDED = [
     "orders_market_basket",  # (cohort_retention)
     "text_classifier_train",  # (text_classifier_score)
     "text_classifier_eval",  # (text_classifier_score)
+    "stream_classifier_train",  # (text_classifier_train)
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

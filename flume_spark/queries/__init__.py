@@ -56,6 +56,10 @@ _NEEDS_DRIVER_ROW = [  # round-10 additions, ascending expected sf0.01 runtime
     # the full cycle in one hash-checked row: train -> score with the
     # trained weights -> exact-integer confusion matrix
     "text_classifier_eval",
+    # ONLINE perceptron through the real ledger-guarded ingestor
+    # (hashing-trick features, one integer update per micro-batch,
+    # re-delivered batch skipped) — oracle unrolls the batch schedule
+    "stream_classifier_train",
     # the curation funnel run STREAMING through the real LshIngestor /
     # SubstrIngestor / SemanticIngestor stores with a re-delivered batch
     # per ledger; oracle replays every stage under batch-prefix

@@ -1515,6 +1515,76 @@ FROM pred
 """
 
 
+def stream_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE perceptron training through the REAL streaming ingestor
+    (streaming/classifier.py::PerceptronIngestor): documents arrive as 3
+    micro-batches (doc_id % 3), each applying one hashed-feature
+    perceptron update against the weights AS OF its ingest time, then one
+    batch is RE-DELIVERED through the ledger-guarded entrypoint and must
+    be skipped (an online model double-applying a batch's update is the
+    exactly-once failure this pins).  All-integer updates make the final
+    64-bucket weight vector byte-equal to the oracle's unrolled
+    batch-prefix CTEs — hash-equality proves the order-dependent online
+    schedule AND ledger idempotence through the real state store."""
+    import shutil
+    import tempfile
+
+    from flume_spark.streaming.classifier import PerceptronIngestor
+
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+    root = tempfile.mkdtemp(prefix="perceptron_ingest_")
+    ing = PerceptronIngestor(
+        spark, state_dir=f"{root}/state", ledger_dir=f"{root}/ledger"
+    )
+    batches = [docs.filter(F.col("doc_id") % 3 == b) for b in range(3)]
+    for b, bdf in enumerate(batches):
+        ing.process(bdf, b)
+    ing.process(batches[1], 1)  # re-delivered batch id: ledger must skip it
+    out = ing.weights_df()  # built from driver state — no store dependency
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+STREAM_CLASSIFIER_TRAIN_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 3 AS b,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         ('0x' || substr(md5('flume-hash:' || tok), 1, 8))::BIGINT % 64 AS bucket
+  FROM (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+  )
+),
+tf AS (SELECT b, doc_id, y, bucket, count(*) AS tf FROM toks GROUP BY 1, 2, 3, 4),
+bk AS (SELECT unnest(range(0, 64)) AS bucket),
+-- batch 0 applies against w = 0 -> every err is y
+d0 AS (SELECT bucket, sum(tf * y) AS d FROM tf WHERE b = 0 GROUP BY 1),
+w0 AS (SELECT bk.bucket, coalesce(d0.d, 0) AS w FROM bk LEFT JOIN d0 USING (bucket)),
+z1 AS (
+  SELECT tf.doc_id, y, sum(tf.tf * w0.w) AS z
+  FROM tf JOIN w0 USING (bucket) WHERE b = 1 GROUP BY 1, 2
+),
+e1 AS (SELECT doc_id, y - (CASE WHEN z > 0 THEN 1 ELSE 0 END) AS err FROM z1),
+d1 AS (SELECT bucket, sum(tf.tf * e1.err) AS d
+       FROM tf JOIN e1 USING (doc_id) WHERE tf.b = 1 GROUP BY 1),
+w1 AS (SELECT w0.bucket, w0.w + coalesce(d1.d, 0) AS w
+       FROM w0 LEFT JOIN d1 USING (bucket)),
+z2 AS (
+  SELECT tf.doc_id, y, sum(tf.tf * w1.w) AS z
+  FROM tf JOIN w1 USING (bucket) WHERE b = 2 GROUP BY 1, 2
+),
+e2 AS (SELECT doc_id, y - (CASE WHEN z > 0 THEN 1 ELSE 0 END) AS err FROM z2),
+d2 AS (SELECT bucket, sum(tf.tf * e2.err) AS d
+       FROM tf JOIN e2 USING (doc_id) WHERE tf.b = 2 GROUP BY 1),
+w2 AS (SELECT w1.bucket, w1.w + coalesce(d2.d, 0) AS w
+       FROM w1 LEFT JOIN d2 USING (bucket))
+SELECT bucket, CAST(w AS BIGINT) AS w_int FROM w2
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1560,6 +1630,7 @@ QUERIES = {
     "text_classifier_score": text_classifier_score,
     "text_classifier_train": text_classifier_train,
     "text_classifier_eval": text_classifier_eval,
+    "stream_classifier_train": stream_classifier_train,
     "multimodal_meta": multimodal_meta,
 }
 
@@ -1607,5 +1678,6 @@ ORACLES = {
     "text_classifier_score": TEXT_CLASSIFIER_SQL,
     "text_classifier_train": TEXT_CLASSIFIER_TRAIN_SQL,
     "text_classifier_eval": TEXT_CLASSIFIER_EVAL_SQL,
+    "stream_classifier_train": STREAM_CLASSIFIER_TRAIN_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }

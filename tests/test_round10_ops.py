@@ -662,3 +662,86 @@ def test_profile_table_property_reference(spark, data):
     assert r["nulls_s"] == sum(x is None for x in ss)
     assert r["min_v"] == (min(vs) if vs else None)
     assert r["max_v"] == (max(vs) if vs else None)
+
+
+# -- streaming online perceptron ------------------------------------------------
+
+
+def _hash_bucket(tok: str, n: int = 64, seed: str = "flume-hash") -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{seed}:{tok}".encode()).hexdigest()[:8], 16) % n
+
+
+def _online_reference(batches, n=64):
+    """Brute-force online perceptron over hashed features, one update per
+    batch in order."""
+    from collections import Counter
+
+    w = [0] * n
+    for batch in batches:
+        delta = Counter()
+        for _, text, y in batch:
+            c = Counter(_hash_bucket(t) for t in text.lower().strip().split())
+            z = sum(tf * w[b] for b, tf in c.items())
+            err = y - (1 if z > 0 else 0)
+            for b, tf in c.items():
+                delta[b] += tf * err
+        for b, d in delta.items():
+            w[b] += d
+    return w
+
+
+def test_perceptron_ingestor_matches_online_reference(spark, tmp_path):
+    """Three micro-batches through the real ingestor must reproduce the
+    brute-force online schedule exactly (order-dependent by design), and a
+    re-delivered batch id must be a no-op on the weights."""
+    from flume_spark.streaming.classifier import PerceptronIngestor
+
+    batches = [
+        [(1, "good clean text", 1), (2, "spam junk text", 0)],
+        [(3, "good clean prose", 1), (4, "junk noise spam", 0)],
+        [(5, "clean good words", 1)],
+    ]
+    ing = PerceptronIngestor(
+        spark, state_dir=str(tmp_path / "st"), ledger_dir=str(tmp_path / "lg")
+    )
+    for b, rows in enumerate(batches):
+        ing.process(spark.createDataFrame(rows, "doc_id long, text string, y int"), b)
+    assert ing.weights == _online_reference(batches)
+
+    before = list(ing.weights)
+    ing.process(
+        spark.createDataFrame(batches[1], "doc_id long, text string, y int"), 1
+    )
+    assert ing.weights == before  # ledger skipped the re-delivery
+
+
+def test_perceptron_ingestor_crash_window_replay(spark, tmp_path):
+    """Weights snapshot written but marker lost (the crash window): a
+    fresh ingestor must recover the PRIOR acked state, and replaying the
+    batch must land byte-identical weights."""
+    import json
+    import os
+
+    from flume_spark.streaming.classifier import PerceptronIngestor
+
+    batches = [
+        [(1, "good clean text", 1), (2, "spam junk text", 0)],
+        [(3, "good clean prose", 1), (4, "junk noise spam", 0)],
+    ]
+    st, lg = str(tmp_path / "st"), str(tmp_path / "lg")
+    ing = PerceptronIngestor(spark, state_dir=st, ledger_dir=lg)
+    for b, rows in enumerate(batches):
+        ing.process(spark.createDataFrame(rows, "doc_id long, text string, y int"), b)
+    final = list(ing.weights)
+    os.remove(f"{lg}/batch-1.done")  # crash between snapshot and marker
+
+    fresh = PerceptronIngestor(spark, state_dir=st, ledger_dir=lg)
+    assert fresh.weights == _online_reference(batches[:1])  # prior acked state
+    fresh.process(
+        spark.createDataFrame(batches[1], "doc_id long, text string, y int"), 1
+    )
+    assert fresh.weights == final
+    with open(f"{st}/weights-1.json") as fh:
+        assert [int(x) for x in json.load(fh)] == final
