@@ -20,6 +20,14 @@ State is the weight vector itself: ``n_buckets`` BIGINTs (a few hundred
 bytes), snapshotted per acked batch and recovered from the newest ACKED
 snapshot at restart — the crash window (weights written, marker not)
 replays against the prior snapshot and overwrites deterministically.
+The snapshot is fsync'd (file + directory entry) BEFORE ``_process``
+returns, so the wrapper's ack marker can never become durable while the
+snapshot it points at is not; a missing newest-acked snapshot at
+recovery is therefore corruption and raises instead of silently falling
+back to an older model.  Acked snapshots older than ``keep_snapshots``
+are pruned after each batch (recovery only ever reads the newest acked
+one), so an infinite stream holds a bounded state directory — the same
+keep-window discipline as the queue stores' compactors.
 Scale shape per batch: one map-side hash of the batch's tokens (the
 weights ride into the executors as a 64-element array LITERAL — cheaper
 than any join), one per-doc integer aggregate, one bucket-keyed update
@@ -81,7 +89,10 @@ class PerceptronIngestor:
         label_col: str = "y",
         n_buckets: int = 64,
         seed: str = "flume-hash",
+        keep_snapshots: int = 8,
     ) -> None:
+        if keep_snapshots < 1:
+            raise ValueError("keep_snapshots must be >= 1")
         self.spark = spark
         self.state_dir = state_dir
         self.ledger_dir = ledger_dir
@@ -90,8 +101,22 @@ class PerceptronIngestor:
         self.label_col = label_col
         self.n_buckets = n_buckets
         self.seed = seed
+        self.keep_snapshots = keep_snapshots
         os.makedirs(state_dir, exist_ok=True)
+        # SEQUENTIAL CONTRACT enforcement: _process raises on any batch id
+        # that is not _last_applied+1 (the next id) or _last_applied itself
+        # (the crash-window replay: _process succeeded but the wrapper's
+        # ack-marker write failed, so the unmarked batch comes back).  Acked
+        # replays never reach _process — the ledger wrapper short-circuits
+        # them on the marker.
+        acked = self._acked_batches()
+        self._max_acked: int | None = acked[-1] if acked else None
+        self._last_applied: int | None = self._max_acked
         self.weights: list[int] = self._recover_weights()
+        # weights BEFORE the last applied batch — the base a crash-window
+        # replay of _last_applied must recompute from (deterministic
+        # integer arithmetic makes the recompute byte-identical).
+        self._weights_prev: list[int] = list(self.weights)
         from flume_spark.streaming.sink import idempotent_foreach_batch
 
         self.process = idempotent_foreach_batch(self._process, ledger_dir)
@@ -112,15 +137,47 @@ class PerceptronIngestor:
 
     def _recover_weights(self) -> list[int]:
         """Newest ACKED snapshot, or zeros.  An unacked snapshot (crash
-        window) is ignored — its batch replays and overwrites it."""
-        for b in reversed(self._acked_batches()):
-            path = self._snapshot_path(b)
-            if os.path.exists(path):
-                with open(path) as fh:
-                    w = json.load(fh)
-                assert len(w) == self.n_buckets
-                return [int(x) for x in w]
-        return [0] * self.n_buckets
+        window) is ignored — its batch replays and overwrites it.
+
+        The newest acked snapshot MUST exist: _process fsyncs it before
+        the ack marker is written, so its absence means state corruption
+        (e.g. a manually deleted file or a foreign ledger dir).  Falling
+        back to an older snapshot here would silently diverge — the ledger
+        marker suppresses the batch's replay while its weight update is
+        lost — so we raise instead.  Older acked snapshots are expected to
+        be pruned (keep_snapshots) and are never read."""
+        if self._max_acked is None:
+            return [0] * self.n_buckets
+        path = self._snapshot_path(self._max_acked)
+        if not os.path.exists(path):
+            raise RuntimeError(
+                f"acked batch {self._max_acked} has no weights snapshot at "
+                f"{path}: state is corrupt (the snapshot is fsync'd before "
+                "the ack marker, so this cannot be a crash window)"
+            )
+        with open(path) as fh:
+            w = json.load(fh)
+        if len(w) != self.n_buckets:
+            raise RuntimeError(
+                f"snapshot {path} holds {len(w)} weights, expected "
+                f"{self.n_buckets}: n_buckets changed mid-lineage?"
+            )
+        return [int(x) for x in w]
+
+    def _prune_snapshots(self, current_batch: int) -> None:
+        """Drop acked snapshots beyond the newest ``keep_snapshots`` —
+        recovery only ever reads the newest acked one, so older files are
+        dead weight an infinite stream would otherwise accumulate forever
+        (mirrors the queue stores' keep-window compaction).  The snapshot
+        just written (``current_batch``, not yet acked) and the newest
+        acked snapshots are never touched, so the raise-on-missing
+        recovery invariant holds through any crash window."""
+        acked = [b for b in self._acked_batches() if b != current_batch]
+        for b in acked[: -self.keep_snapshots] if len(acked) > self.keep_snapshots else []:
+            try:
+                os.remove(self._snapshot_path(b))
+            except FileNotFoundError:
+                pass  # already pruned by an earlier pass
 
     def weights_df(self) -> DataFrame:
         """The current model as a (bucket, w_int) DataFrame — every bucket
@@ -133,6 +190,22 @@ class PerceptronIngestor:
     # -- per-batch update --------------------------------------------------
 
     def _process(self, df: DataFrame, batch_id: int) -> None:
+        # Online training is order-dependent: legal ids are _last_applied+1
+        # (the next batch) or _last_applied itself (in-session crash-window
+        # replay — the marker write failed after we returned; recompute
+        # from the pre-batch weights, byte-identical by determinism).  Any
+        # other id means a foreign checkpoint or a skipped batch — applying
+        # it would silently diverge from the batch-prefix oracle.
+        if self._last_applied is None or batch_id == self._last_applied + 1:
+            base = self.weights
+        elif batch_id == self._last_applied:
+            base = self._weights_prev
+        else:
+            raise RuntimeError(
+                f"out-of-order batch {batch_id}: expected "
+                f"{self._last_applied + 1} (or a crash-window replay of "
+                f"{self._last_applied}); newest acked is {self._max_acked}"
+            )
         tf = (
             df.select(
                 F.col(self.id_col),
@@ -147,7 +220,7 @@ class PerceptronIngestor:
         )
         # weights ride in as an array LITERAL (n_buckets ints — far below
         # any broadcast threshold, and no join to plan)
-        w_arr = F.array(*[F.lit(int(w)) for w in self.weights])
+        w_arr = F.array(*[F.lit(int(w)) for w in base])
         z = tf.groupBy(self.id_col, "__y").agg(
             F.sum(F.col("tf") * F.element_at(w_arr, F.col("bucket").cast("int") + 1))
             .alias("z")
@@ -162,12 +235,25 @@ class PerceptronIngestor:
             .agg(F.sum(F.col("tf") * F.col("err")).alias("d"))
             .collect()  # bounded: <= n_buckets rows
         )
-        new_w = list(self.weights)
+        new_w = list(base)
         for r in delta_rows:
             new_w[int(r["bucket"])] += int(r["d"])
-        with open(self._snapshot_path(batch_id), "w") as fh:
+        # Durability order: snapshot file fsync'd, then its directory entry,
+        # BEFORE we return — only then may the wrapper write the ack marker,
+        # so a durable marker implies a durable snapshot (the property
+        # _recover_weights relies on to treat a missing acked snapshot as
+        # corruption rather than a crash window).
+        path = self._snapshot_path(batch_id)
+        with open(path, "w") as fh:
             json.dump(new_w, fh)
-        # commit in-memory state only after the snapshot is durable; the
-        # ledger marker (written by the wrapper AFTER we return) makes it
-        # the recovery point
+            fh.flush()
+            os.fsync(fh.fileno())
+        dir_fd = os.open(self.state_dir, os.O_RDONLY)
+        try:
+            os.fsync(dir_fd)
+        finally:
+            os.close(dir_fd)
+        self._weights_prev = list(base)
+        self._last_applied = batch_id
         self.weights = new_w
+        self._prune_snapshots(batch_id)
