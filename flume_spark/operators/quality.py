@@ -14,6 +14,7 @@ engine-native per the pipeline mandate.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -171,8 +172,8 @@ def k_anonymity_report(
 
 def profile_table(
     df: DataFrame,
-    ndv_cols: list[str],
-    min_max_cols: list[str] = (),
+    ndv_cols: Sequence[str],
+    min_max_cols: Sequence[str] = (),
 ) -> DataFrame:
     """ANALYZE-style one-pass table profile: row count, per-column null
     count and exact distinct count for ``ndv_cols``, min/max for

@@ -1117,27 +1117,21 @@ def classifier_score(
     if weights is not None:
         vocab = weights.select("tok", F.col("w_int").cast("long").alias("w_int"))
     else:
-        # document frequency -> top-V vocabulary, deterministic tie-break on
-        # the token itself; the md5 draw stands in for a trained weight vector
-        vocab = (
-            tf.groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("doc_freq"))
-            .orderBy(F.desc("doc_freq"), F.asc("tok"))
-            .limit(vocab_size)
-            .select(
-                "tok",
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat(F.lit(seed + ":"), F.col("tok"))), 1, 8
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % 2001
-                    - 1000
-                ).alias("w_int"),
-            )
+        # the ONE vocabulary definition (classifier_vocab) + an md5 draw
+        # standing in for a trained weight vector
+        vocab = classifier_vocab(df, id_col, text_col, vocab_size).select(
+            "tok",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(seed + ":"), F.col("tok"))), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2001
+                - 1000
+            ).alias("w_int"),
         )
     z = (
         tf.join(F.broadcast(vocab), "tok")
@@ -1209,6 +1203,11 @@ def classifier_train(
     weight 0).  ``label_col`` must be 0/1.
     """
     toks = tokens_col(text_col)
+    # ONE vocabulary pass, checkpointed and reused for both the tf filter
+    # and the final zero-filled spine (it is weights-table sized)
+    vocab = classifier_vocab(df, id_col, text_col, vocab_size).localCheckpoint(
+        eager=False
+    )
     tf = (
         df.select(
             F.col(id_col),
@@ -1217,7 +1216,7 @@ def classifier_train(
         )
         .groupBy(id_col, "__y", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .join(F.broadcast(classifier_vocab(df, id_col, text_col, vocab_size)), "tok")
+        .join(F.broadcast(vocab), "tok")
         .localCheckpoint(eager=False)
     )
     # w0 = 0 for every vocab token -> first logit is 0, first err is y
@@ -1260,7 +1259,6 @@ def classifier_train(
                 )
             )
         weights = weights.localCheckpoint(eager=False)
-    vocab = classifier_vocab(df, id_col, text_col, vocab_size)
     return vocab.join(weights, "tok", "left").select(
         "tok", F.coalesce(F.col("w_int"), F.lit(0)).cast("long").alias("w_int")
     )
