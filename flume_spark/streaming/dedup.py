@@ -483,6 +483,11 @@ class SemanticIngestor:
 
     Centroids are FROZEN within an EPOCH (`similarity.md5_init_centroids`
     or a trained table): assignment is then a pure per-vector function,
+    and the persisted `_epochs` parquet is the table of record — in
+    `table` mode (auto past `table_threshold`) assignment and the roll
+    draw run entirely against that table (`kmeans_assign_table` /
+    `md5_init_centroids_df`), so no k-proportional centroid list ever
+    reaches the driver; the list modes materialize it lazily,
     so the cluster index is append-only within the epoch — the same
     argument that makes the window index safe to grow forever.  Frozen-k
     alone degrades, though: with k fixed, cluster populations grow
@@ -538,10 +543,11 @@ class SemanticIngestor:
         per_cluster_cap: int | None = None,
         assign: str = "auto",
         index_buckets: int = 32,
+        table_threshold: int = 20000,
     ) -> None:
         import os
 
-        if assign not in ("auto", "exact", "hierarchical"):
+        if assign not in ("auto", "exact", "hierarchical", "table"):
             raise ValueError(f"unknown assign mode: {assign}")
         self.spark = spark
         self.index_dir = index_dir
@@ -552,19 +558,28 @@ class SemanticIngestor:
         self.per_cluster_cap = per_cluster_cap
         self.assign = assign
         self.index_buckets = index_buckets
+        self.table_threshold = table_threshold
         self.ledger_dir = ledger_dir
         self._epochs_dir = os.path.join(index_dir, "_epochs")
         os.makedirs(index_dir, exist_ok=True)
         os.makedirs(marks_dir, exist_ok=True)
-        persisted = self._latest_epoch()
+        persisted = self._latest_epoch_id()
         if persisted is None:
             self.epoch = 0
-            self.centroids = [list(map(float, c)) for c in centroids]
+            self._centroid_list: list[list[float]] | None = [
+                list(map(float, c)) for c in centroids
+            ]
+            self.k = len(self._centroid_list)
             self._persist_centroids()
         else:
             # restart: the persisted table wins (construction centroids are
-            # only the epoch-0 seed) — same recovery story as the ledger
-            self.epoch, self.centroids = persisted
+            # only the epoch-0 seed) — same recovery story as the ledger.
+            # Only k (a count over the k-row table) reaches the driver here;
+            # the vectors are collected lazily and ONLY by the list-path
+            # assign modes — a table-mode restart never materializes them.
+            self.epoch = persisted
+            self.k = self._read_epoch_table().count()
+            self._centroid_list = None
         # exact running index population (acknowledged batches + carry):
         # the roll trigger reads THIS, never the index — a per-batch
         # hist.count() would pay O(#index-files) of listing/footer work
@@ -580,7 +595,18 @@ class SemanticIngestor:
 
     # -- epoch state --------------------------------------------------------
 
-    def _latest_epoch(self):
+    @property
+    def centroids(self) -> list[list[float]]:
+        """The frozen epoch centroids as a driver-side list — the LIST-path
+        assign modes' working form (and the tests' equality handle).  In
+        table mode nothing internal touches this: the k-proportional
+        collect it implies is exactly the wall the table arm removes."""
+        if self._centroid_list is None:
+            rows = self._read_epoch_table().orderBy("cluster").collect()
+            self._centroid_list = [list(r["vec"]) for r in rows]
+        return self._centroid_list
+
+    def _latest_epoch_id(self):
         import os
 
         if not os.path.isdir(self._epochs_dir):
@@ -590,17 +616,16 @@ class SemanticIngestor:
             for d in os.listdir(self._epochs_dir)
             if d.startswith("epoch=")
         ]
-        if not epochs:
-            return None
-        e = max(epochs)
-        rows = (
-            self.spark.read.parquet(
-                os.path.join(self._epochs_dir, f"epoch={e}")
-            )
-            .orderBy("cluster")
-            .collect()
+        return max(epochs) if epochs else None
+
+    def _read_epoch_table(self):
+        """The persisted (cluster, vec) centroid table of the current
+        epoch — the table arm's source of truth; never collected there."""
+        import os
+
+        return self.spark.read.parquet(
+            os.path.join(self._epochs_dir, f"epoch={self.epoch}")
         )
-        return e, [list(r["vec"]) for r in rows]
 
     def _persist_centroids(self) -> None:
         import os
@@ -613,30 +638,73 @@ class SemanticIngestor:
             os.path.join(self._epochs_dir, f"epoch={self.epoch}")
         )
 
+    def _persist_centroids_df(self, cdf) -> None:
+        """Persist a (cluster, cvec) centroid DataFrame as the current
+        epoch's table WITHOUT a driver round-trip — the table-mode roll's
+        commit step (k rows, written distributed)."""
+        import os
+
+        cdf.select(
+            F.col("cluster").cast("int").alias("cluster"),
+            F.col("cvec").alias("vec"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(self._epochs_dir, f"epoch={self.epoch}")
+        )
+
     def _epoch_path(self) -> str:
         import os
 
         return os.path.join(self.index_dir, f"epoch={self.epoch}")
 
-    def _assign(self, df, id_col: str, vec_col: str):
+    def _mode(self, k: int) -> str:
+        """Resolve the assignment mode for a given k.  `auto` escalates:
+        exact scan (O(k·dim) per vector) to k=64; list-path IVF router
+        (O(sqrt(k)·dim), centroids still a driver list) to
+        `table_threshold`; table-resident router past that — with
+        SemDeDup's k ∝ n discipline the centroid LIST is the family's
+        first 100 TB wall (the `--ctable` probe measured the list path
+        3.7× slower at k=131k and structurally impossible at k=524k), so
+        auto must leave it before k gets there."""
+        if self.assign != "auto":
+            return self.assign
+        if k > self.table_threshold:
+            return "table"
+        if k > 64:
+            return "hierarchical"
+        return "exact"
+
+    def _assign(self, df, id_col: str, vec_col: str, centroids_df=None):
         """Assignment against the frozen epoch centroids.  `auto` switches
         to the IVF-style router past k=64: exact scan is O(k·dim) per
         vector — LINEAR in corpus size once k grows with n — while routing
         is O(sqrt(k)·dim), which is what keeps the capped ingestor's
         per-batch cost sub-linear in history (BASELINE.md --semingest).
-        Routing is a pure function of the centroid table, so
-        determinism-per-epoch (and crash-replay identity) is unchanged;
-        the trade is the same bounded routing-miss `dedup_semantic_hier`
-        pins (near-identical vectors still co-route, far pairs were never
-        candidates)."""
+        Past `table_threshold` the router itself goes TABLE-RESIDENT
+        (`kmeans_assign_table`): only the ~sqrt(k) coarse rows reach the
+        driver, the fine table stays the persisted epoch DataFrame — the
+        same routing semantics (bit-equal to the list-path router, pinned
+        in tests), minus the k-proportional list.  Routing is a pure
+        function of the centroid table, so determinism-per-epoch (and
+        crash-replay identity) is unchanged; the trade is the same bounded
+        routing-miss `dedup_semantic_hier` pins (near-identical vectors
+        still co-route, far pairs were never candidates)."""
         from flume_spark.operators.similarity import (
             kmeans_assign_hierarchical,
+            kmeans_assign_table,
             kmeans_assign_vectorized,
         )
 
-        k = len(self.centroids)
-        hier = self.assign == "hierarchical" or (self.assign == "auto" and k > 64)
-        if hier:
+        k = self.k
+        mode = self._mode(k)
+        if mode == "table":
+            if centroids_df is None:
+                centroids_df = self._read_epoch_table().select(
+                    "cluster", F.col("vec").alias("cvec")
+                )
+            return kmeans_assign_table(
+                df, id_col, vec_col, centroids_df=centroids_df
+            )
+        if mode == "hierarchical":
             return kmeans_assign_hierarchical(
                 df, id_col, vec_col, k=k, centroids=self.centroids
             )
@@ -729,7 +797,7 @@ class SemanticIngestor:
         if self.per_cluster_cap is None:
             return False
         n = self._pop
-        if n <= self.per_cluster_cap * len(self.centroids):
+        if n <= self.per_cluster_cap * self.k:
             return False
         stale = [b for b in self._unacked_batches() if b != exclude_batch]
         if stale:
@@ -745,18 +813,38 @@ class SemanticIngestor:
         import math
         import os
 
-        from flume_spark.operators.similarity import md5_init_centroids
+        from flume_spark.operators.similarity import (
+            md5_init_centroids,
+            md5_init_centroids_df,
+        )
 
         # target mean population = cap/2 so rolls trigger geometrically
         # (population must double before the next roll) — amortized O(1)
         k_new = max(
-            len(self.centroids) + 1,
+            self.k + 1,
             math.ceil(n / max(1, self.per_cluster_cap // 2)),
         )
         cur = hist.localCheckpoint(eager=True)
-        self.epoch += 1
-        self.centroids = md5_init_centroids(cur, "id", "vec", k=k_new)
-        assigned = self._assign(cur, "id", "vec").select("id", "cluster")
+        cdf = None
+        if self._mode(k_new) == "table":
+            # table-mode roll: the SAME deterministic draw, but as a
+            # DataFrame — the new centroid table never rides the driver
+            # (md5_init_centroids_df ≡ md5_init_centroids row-for-row),
+            # and the reassignment routes through kmeans_assign_table
+            cdf = md5_init_centroids_df(
+                cur, "id", "vec", k=k_new
+            ).localCheckpoint(eager=True)
+            self.epoch += 1
+            self.k = cdf.count()
+            self._centroid_list = None
+        else:
+            new_list = md5_init_centroids(cur, "id", "vec", k=k_new)
+            self.epoch += 1
+            self._centroid_list = new_list
+            self.k = len(new_list)
+        assigned = self._assign(cur, "id", "vec", centroids_df=cdf).select(
+            "id", "cluster"
+        )
         carried = cur.drop("cluster").join(assigned, "id")
         # carry first, centroid table last: a crash mid-roll leaves the
         # old epoch current and the deterministic roll simply re-runs
@@ -766,7 +854,10 @@ class SemanticIngestor:
         ).write.mode("overwrite").partitionBy("cbucket").parquet(
             os.path.join(self._epoch_path(), "ingest_batch=-9")
         )
-        self._persist_centroids()
+        if cdf is not None:
+            self._persist_centroids_df(cdf)
+        else:
+            self._persist_centroids()
         # the carry preserves every live row; re-anchor the running count
         # off the checkpointed frame (exact, and the scan is in-memory)
         self._pop = cur.count()

@@ -1371,7 +1371,7 @@ def main_semingest() -> None:
                             "factor": f,
                             "history": n_hist,
                             "epoch": ing.epoch,
-                            "k": len(ing.centroids),
+                            "k": ing.k,
                             "rolled_at_maintenance": rolled,
                             "roll_sec": round(dt_roll, 2),
                             "ingest_sec": round(dt, 2),
@@ -1691,6 +1691,113 @@ def main_ctable() -> None:
     )
 
 
+def main_semtable() -> None:
+    """SemanticIngestor table-mode probe (round-11): the `--ctable` probe
+    showed the assignment KERNEL's list wall; this one drives the actual
+    at-scale consumer — the INGESTOR — at a k the list path can't hold.
+    Each arm pre-seeds the persisted `_epochs/epoch=0` centroid table
+    (written distributed, never through the constructor's seed list),
+    constructs the ingestor on its restart path (only k, a count, reaches
+    the driver), and times one 2000-vector `process`.  The list arm
+    (assign='hierarchical': restart collects all k centroids into the
+    driver list) stops at LIST_CAP; the table arm keeps running.  Marks
+    are re-checked identical at every shared k."""
+    import shutil
+    import tempfile
+
+    ks = [int(a) for a in sys.argv[2:]] or [4096, 131072, 524288]
+    list_cap = int(os.environ.get("SPARK_GRAFT_CTABLE_LIST_CAP", "150000"))
+    dim = 16
+    spark = get_spark(app_name="flume_probe_semtable")
+    from flume_spark.streaming.dedup import SemanticIngestor
+
+    batch = (
+        spark.range(2000)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                f"transform(sequence(0, {dim - 1}), "
+                "j -> (pmod(xxhash64(id + 77, j), 1000) - 500) / 100.0)"
+            ).alias("embedding"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    table_t: dict[int, float] = {}
+    list_t: dict[int, float] = {}
+    for k in ks:
+        marks: dict[str, set] = {}
+        for mode in ("table", "hierarchical"):
+            if mode == "hierarchical" and k > list_cap:
+                print(
+                    json.dumps(
+                        {
+                            "probe": f"semtable_list@k{k}",
+                            "skipped": f"k > LIST_CAP {list_cap}: the "
+                            "k-proportional driver centroid list is the wall "
+                            "this probe documents",
+                        }
+                    ),
+                    flush=True,
+                )
+                continue
+            root = tempfile.mkdtemp(prefix=f"semtable_{mode}_")
+            spark.range(k).select(
+                F.col("id").cast("int").alias("cluster"),
+                F.expr(
+                    f"transform(sequence(0, {dim - 1}), "
+                    "j -> (pmod(xxhash64(id, j), 1000) - 500) / 100.0)"
+                ).alias("vec"),
+            ).write.mode("overwrite").parquet(f"{root}/index/_epochs/epoch=0")
+            t0 = time.perf_counter()
+            ing = SemanticIngestor(
+                spark,
+                [],
+                index_dir=f"{root}/index",
+                marks_dir=f"{root}/marks",
+                ledger_dir=f"{root}/ledger",
+                threshold=0.9,
+                assign=mode,
+            )
+            ing.process(batch, 0)
+            dt = time.perf_counter() - t0
+            marks[mode] = {tuple(r) for r in ing.dup_marks().collect()}
+            (table_t if mode == "table" else list_t)[k] = dt
+            print(
+                json.dumps(
+                    {
+                        "probe": f"semtable_{'table' if mode == 'table' else 'list'}@k{k}",
+                        "sec": round(dt, 2),
+                        "k": ing.k,
+                        "driver_list_mb": (
+                            0.0
+                            if mode == "table"
+                            else round(k * dim * 8 / 1e6, 1)
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+            shutil.rmtree(root, ignore_errors=True)
+        if len(marks) == 2:
+            same = marks["table"] == marks["hierarchical"]
+            print(
+                json.dumps({"probe": f"semtable_agree@k{k}", "identical": same}),
+                flush=True,
+            )
+        spark.catalog.clearCache()
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "semtable_table_sec": {k: round(v, 2) for k, v in table_t.items()},
+                    "semtable_list_sec": {k: round(v, 2) for k, v in list_t.items()},
+                }
+            }
+        ),
+        flush=True,
+    )
+
+
 def main_classifier() -> None:
     """Broadcast linear-classifier inference probe (round-10 new op):
     `classifier_score` over salted replica corpora.  Expected ~linear —
@@ -1855,6 +1962,8 @@ if __name__ == "__main__":
         main_funnel()
     elif len(sys.argv) > 1 and sys.argv[1] == "--ctable":
         main_ctable()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--semtable":
+        main_semtable()
     elif len(sys.argv) > 1 and sys.argv[1] == "--classifier":
         main_classifier()
     elif len(sys.argv) > 1 and sys.argv[1] == "--profile":

@@ -4,6 +4,9 @@ Covers:
 - PerceptronIngestor hardening: snapshot GC keep-window, fsync-backed
   raise-on-missing-acked-snapshot recovery, sequential-contract
   enforcement, in-session crash-window replay determinism.
+- SemanticIngestor table-resident centroid arm: bit-equality vs the
+  list-path router across batches, rolls, and restarts; no driver-side
+  centroid list in table mode.
 """
 
 from __future__ import annotations
@@ -111,3 +114,107 @@ def test_perceptron_in_session_replay_recomputes_from_prev(spark, tmp_path):
         assert [int(x) for x in json.load(fh)] == final
     # and the lineage continues normally afterwards
     ing.process(_mk_batch(spark, BATCHES[2]), 2)
+
+
+# -- SemanticIngestor table-resident centroid arm ------------------------------
+
+
+def _sem_ing_assign(spark, base, centroids, cap, assign):
+    from flume_spark.streaming.dedup import SemanticIngestor
+
+    return SemanticIngestor(
+        spark,
+        centroids,
+        index_dir=os.path.join(base, "idx"),
+        marks_dir=os.path.join(base, "marks"),
+        ledger_dir=os.path.join(base, "ledger"),
+        threshold=0.9,
+        per_cluster_cap=cap,
+        assign=assign,
+    )
+
+
+def test_semantic_ingestor_table_arm_bit_equal_to_list(spark, tmp_path):
+    """assign='table' must reproduce the list-path router EXACTLY over the
+    same batch schedule — marks, epochs, k, and the persisted centroid
+    table — including through an epoch roll (the roll draw goes through
+    md5_init_centroids_df instead of the driver list, and the carry
+    reassignment through kmeans_assign_table)."""
+    from tests.test_streaming import _SEM_SCHEMA, _axis_vecs
+
+    seed = [v for _, v in _axis_vecs([0, 1])]
+    batches = [
+        _axis_vecs([0, 1, 2, 3, 4, 5]),  # fills k=2 past cap -> next rolls
+        _axis_vecs([10, 11]),            # roll happens at head of this one
+        _axis_vecs([13, 20]),            # post-roll marks vs carried index
+    ]
+    ings = {
+        mode: _sem_ing_assign(spark, str(tmp_path / mode), seed, 2, mode)
+        for mode in ("hierarchical", "table")
+    }
+    for b, rows in enumerate(batches):
+        for ing in ings.values():
+            ing._process(spark.createDataFrame(rows, _SEM_SCHEMA), batch_id=b)
+
+    hier, tab = ings["hierarchical"], ings["table"]
+    assert tab.epoch == hier.epoch == 1
+    assert tab.k == hier.k > 2
+    hm = {tuple(r) for r in hier.dup_marks().collect()}
+    tm = {tuple(r) for r in tab.dup_marks().collect()}
+    assert tm == hm
+    # the persisted epoch centroid tables are row-identical
+    ch = sorted(
+        (r["cluster"], tuple(r["vec"]))
+        for r in hier._read_epoch_table().collect()
+    )
+    ct = sorted(
+        (r["cluster"], tuple(r["vec"]))
+        for r in tab._read_epoch_table().collect()
+    )
+    assert ct == ch
+    # table mode never materialized the centroid list on the driver
+    assert tab._centroid_list is None
+
+
+def test_semantic_ingestor_table_arm_restart_stays_table_resident(spark, tmp_path):
+    """A restarted table-mode ingestor resumes from the persisted epoch
+    table without ever collecting it (only k, a count, reaches the
+    driver) and keeps marking correctly against pre-restart history."""
+    from tests.test_streaming import _SEM_SCHEMA, _axis_vecs
+
+    seed = [v for _, v in _axis_vecs([0, 1])]
+    base = str(tmp_path / "t")
+    ing = _sem_ing_assign(spark, base, seed, 2, "table")
+    ing._process(
+        spark.createDataFrame(_axis_vecs(range(6)), _SEM_SCHEMA), batch_id=0
+    )
+    ing._process(
+        spark.createDataFrame(_axis_vecs([10]), _SEM_SCHEMA), batch_id=1
+    )
+    assert ing.epoch == 1
+
+    re = _sem_ing_assign(spark, base, seed, 2, "table")
+    assert re.epoch == 1 and re.k == ing.k
+    assert re._centroid_list is None
+    re._process(
+        spark.createDataFrame(_axis_vecs([13]), _SEM_SCHEMA), batch_id=2
+    )
+    marks = {r["vec_id"]: r["dup_of"] for r in re.dup_marks().collect()}
+    assert marks[13] == 5  # axis 5: dup of pre-restart, pre-roll id 5
+    assert re._centroid_list is None  # still no driver-side list
+
+
+def test_semantic_auto_mode_escalates_to_table(spark, tmp_path):
+    """auto resolves exact -> hierarchical -> table as k crosses the
+    thresholds; the default table_threshold keeps today's small-k streams
+    on the list paths (hash-green queries unchanged)."""
+    from tests.test_streaming import _axis_vecs
+
+    ing = _sem_ing_assign(
+        spark, str(tmp_path / "a"), [v for _, v in _axis_vecs([0, 1])], 2, "auto"
+    )
+    assert ing._mode(2) == "exact"
+    assert ing._mode(64) == "exact"
+    assert ing._mode(65) == "hierarchical"
+    assert ing._mode(ing.table_threshold) == "hierarchical"
+    assert ing._mode(ing.table_threshold + 1) == "table"
