@@ -132,6 +132,15 @@ HEADLINE = [
     "text_classifier_eval",
     "stream_classifier_train",
     "stats_profile",
+    # round-11 additions (VERDICT item 6): the remaining heavy-plan rows
+    # with zero regression visibility — dedup_prefix_incremental is the
+    # widest plan in PLAN_AUDIT (12 exchanges), curation_pipeline the
+    # composed five-stage job — plus the new LM perplexity filter
+    "dedup_prefix_incremental",
+    "graph_kcore",
+    "curation_pipeline",
+    "ann_topk_ivfpq",
+    "text_lm_perplexity",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture

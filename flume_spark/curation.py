@@ -47,6 +47,8 @@ def curate_corpus(
     semantic_threshold: float = 0.999,
     embeddings: DataFrame | None = None,
     classifier_weights: DataFrame | None = None,
+    lm_max_ppl: float | None = None,
+    lm_ref: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the full curation pipeline; returns (curated_df, stage_counts).
 
@@ -86,6 +88,14 @@ def curate_corpus(
     positive (z > 0, the classifier_score 'keep' label).  The weights
     broadcast; the stage is a map-side join + integer aggregate, and
     `stage_counts["model_filter"]` records survivors.
+
+    `lm_max_ppl` adds the generative half of that recipe (CCNet's LM
+    perplexity filter, `text.lm_perplexity`): train add-1-smoothed bigram
+    counts on `lm_ref` (a reference slice; defaults to the surviving docs
+    themselves), keep docs whose perplexity is <= the threshold.  The
+    score accumulates as an exact scaled BIGINT, so the stage is
+    deterministic under any shuffle order; `stage_counts["lm_filter"]`
+    records survivors.
     """
     counts: dict[str, int] = {"input": docs.count()}
 
@@ -103,6 +113,13 @@ def curate_corpus(
             scored.filter(F.col("label") == "keep").select(id_col), id_col
         ).cache()
         counts["model_filter"] = kept.count()
+
+    if lm_max_ppl is not None:
+        ppl = text.lm_perplexity(kept, id_col, text_col, ref_df=lm_ref)
+        kept = kept.join(
+            ppl.filter(F.col("ppl") <= lm_max_ppl).select(id_col), id_col
+        ).cache()
+        counts["lm_filter"] = kept.count()
 
     exact = dedup.exact_dedup(kept, id_col, text_col).select(
         F.col("keep_id").alias(id_col)

@@ -1311,3 +1311,126 @@ def classifier_eval(
         F.sum(((y == 0) & (p == 0)).cast("long")).alias("tn"),
         F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
     )
+
+
+def bigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exploded adjacent token pairs: one (id, w1, w2) row per bigram
+    occurrence.  Tokens come from `tokens_col` (whitespace split of
+    lower(trim(text))), so w1/w2 never contain whitespace and never are
+    NULL — the zip pads the final (last_token, NULL) pair, filtered here,
+    which is also how the DuckDB oracle expresses it
+    (`list_zip(arr, arr[2:])` + `pr[2] IS NOT NULL`)."""
+    toks = tokens_col(text_col)
+    z = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.size(toks)),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(z).alias("pr"))
+        .filter(F.col("pr.w2").isNotNull())
+        .select(id_col, F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    )
+
+
+def lm_bigram_model(
+    ref_df: DataFrame, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Bigram language-model counts over a REFERENCE corpus slice — the
+    training half of the CCNet/DCLM perplexity filter (the classifier
+    pair's statistical sibling: classifier_train learns a discriminative
+    filter from labels, this learns a generative one from raw reference
+    text).
+
+    Returns three DataFrames:
+    - bigrams  (w1, w2, c12): adjacent-pair occurrence counts,
+    - contexts (w1, c1):      c1 = sum_w2 c12 (the denominator counts),
+    - vocab    (v):           one row, count(distinct token) in the slice.
+
+    All counts are exact BIGINTs, so the model itself is cross-engine
+    hash-exact.  At 100 TB the reference slice is bounded by design (the
+    recipe trains on a curated reference like Wikipedia, not the corpus
+    being filtered), so contexts/vocab broadcast and the bigram table is
+    at most slice-token-sized."""
+    bg = bigram_pairs(ref_df, id_col, text_col)
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = ref_df.select(F.explode(tokens_col(text_col)).alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
+    return big, ctx, vocab
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ref_df: DataFrame | None = None,
+    add_k: int = 1,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Add-k-smoothed bigram LM perplexity per document — the missing
+    half of the model-based-filtering pair (CCNet's quality signal:
+    score every doc against an LM trained on reference text; natural
+    prose scores low perplexity, boilerplate/noise scores high).
+
+    Per-bigram probability collapses the seen/unseen-bigram and
+    unseen-context cases into ONE formula (missing counts coalesce to 0):
+
+        P(w2|w1) = (c12 + k) / (c1 + k*V)
+
+    The exact-integer discipline of classifier_score applies: each
+    distinct bigram's log-prob is quantized ONCE to a scaled BIGINT
+    (round(ln(P) * scale) — the same 6-decimal quantization the
+    hash-green cosine family uses), and the per-doc score accumulates as
+    an exact integer sum(tf * lp_int), immune to shuffle order.  The
+    only end floats are the reported perplexity
+    exp(-lp_int / (scale * n_bigrams)), rounded 6dp.
+
+    Docs with < 2 tokens have no bigrams: lp_int = 0, ppl = 1.0 (they
+    carry no LM evidence — gate them on length/quality upstream, this op
+    never drops rows).
+
+    Plan shape: the corpus streams through one bigram explode + tf
+    aggregate; the ONLY data-sized join is tf⋈bigrams on (w1, w2) (model
+    side is reference-slice-bounded — AQE broadcasts it when small);
+    contexts and the 1-row vocab ride as explicit broadcasts.  Nothing is
+    pairwise, no Python anywhere.
+    """
+    if ref_df is None:
+        ref_df = df
+    big, ctx, vocab = lm_bigram_model(ref_df, id_col, text_col)
+    tf = (
+        bigram_pairs(df, id_col, text_col)
+        .groupBy(id_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    joined = (
+        tf.join(big, ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(add_k)) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + F.lit(add_k) * F.col("v")
+    ).cast("double")
+    lp_int = F.round(F.log(p) * scale).cast("long")
+    doc = joined.groupBy(id_col).agg(
+        F.sum(F.col("tf") * lp_int).alias("lp_int")
+    )
+    base = df.select(
+        F.col(id_col),
+        F.greatest(F.size(tokens_col(text_col)) - 1, F.lit(0)).alias(
+            "n_bigrams"
+        ),
+    )
+    out = base.join(doc, id_col, "left").withColumn(
+        "lp_int", F.coalesce(F.col("lp_int"), F.lit(0)).cast("long")
+    )
+    ppl = F.round(
+        F.exp(
+            -F.col("lp_int")
+            / (F.lit(float(scale)) * F.greatest(F.col("n_bigrams"), F.lit(1)))
+        ),
+        6,
+    )
+    return out.select(F.col(id_col), "n_bigrams", "lp_int", ppl.alias("ppl"))

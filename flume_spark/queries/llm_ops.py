@@ -1585,6 +1585,59 @@ SELECT bucket, CAST(w AS BIGINT) AS w_int FROM w2
 """
 
 
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style LM filter (the CCNet quality pair's generative
+    half, operators/text.py::lm_perplexity): train add-1-smoothed bigram
+    counts on the doc_id % 4 == 0 reference slice, score EVERY document's
+    log-prob as an exact scaled BIGINT (per-bigram quantization, integer
+    accumulation), report the 6dp perplexity.  Hash-exact on lp_int; the
+    oracle unrolls the count CTEs."""
+    docs = T(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 4 == 0)
+    return text.lm_perplexity(docs, "doc_id", "text", ref_df=ref)
+
+
+TEXT_LM_PERPLEXITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, pr[1] AS w1, pr[2] AS w2 FROM (
+    SELECT doc_id, unnest(list_zip(arr, arr[2:])) AS pr FROM toks
+  ) WHERE pr[2] IS NOT NULL
+),
+big AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg WHERE doc_id % 4 = 0 GROUP BY 1, 2
+),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY 1),
+voc AS (
+  SELECT count(DISTINCT tok) AS v FROM (
+    SELECT unnest(arr) AS tok FROM toks WHERE doc_id % 4 = 0
+  )
+),
+tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+sc AS (
+  SELECT tf.doc_id,
+         sum(tf.tf * CAST(round(ln(
+               (coalesce(big.c12, 0) + 1)
+               / CAST(coalesce(ctx.c1, 0) + 1 * voc.v AS DOUBLE)
+             ) * 1000000) AS BIGINT)) AS lp_int
+  FROM tf
+  LEFT JOIN big USING (w1, w2)
+  LEFT JOIN ctx USING (w1)
+  CROSS JOIN voc
+  GROUP BY 1
+),
+base AS (SELECT doc_id, greatest(len(arr) - 1, 0) AS n_bigrams FROM toks)
+SELECT b.doc_id, b.n_bigrams,
+       CAST(coalesce(sc.lp_int, 0) AS BIGINT) AS lp_int,
+       round(exp(-coalesce(sc.lp_int, 0)
+             / (1000000.0 * greatest(b.n_bigrams, 1))), 6) AS ppl
+FROM base b LEFT JOIN sc USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1631,6 +1684,7 @@ QUERIES = {
     "text_classifier_train": text_classifier_train,
     "text_classifier_eval": text_classifier_eval,
     "stream_classifier_train": stream_classifier_train,
+    "text_lm_perplexity": text_lm_perplexity,
     "multimodal_meta": multimodal_meta,
 }
 
@@ -1679,5 +1733,6 @@ ORACLES = {
     "text_classifier_train": TEXT_CLASSIFIER_TRAIN_SQL,
     "text_classifier_eval": TEXT_CLASSIFIER_EVAL_SQL,
     "stream_classifier_train": STREAM_CLASSIFIER_TRAIN_SQL,
+    "text_lm_perplexity": TEXT_LM_PERPLEXITY_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }

@@ -218,3 +218,144 @@ def test_semantic_auto_mode_escalates_to_table(spark, tmp_path):
     assert ing._mode(65) == "hierarchical"
     assert ing._mode(ing.table_threshold) == "hierarchical"
     assert ing._mode(ing.table_threshold + 1) == "table"
+
+
+# -- bigram LM perplexity filter ----------------------------------------------
+
+
+def _lm_reference(rows, ref_ids, scale=1_000_000):
+    """Brute-force add-1 bigram LM: token/bigram semantics mirror
+    tokens_col (regex \\s+ split of lower(trim(text)) — an empty text
+    yields [''])."""
+    import math
+    import re
+
+    def toks(t):
+        return re.split(r"\s+", t.strip().lower())
+
+    def rnd(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    big, ctx, vocab = {}, {}, set()
+    for i, t in rows:
+        if i in ref_ids:
+            ts = toks(t)
+            vocab.update(ts)
+            for w1, w2 in zip(ts, ts[1:]):
+                big[(w1, w2)] = big.get((w1, w2), 0) + 1
+                ctx[w1] = ctx.get(w1, 0) + 1
+    v = len(vocab)
+    out = {}
+    for i, t in rows:
+        ts = toks(t)
+        lp = sum(
+            rnd(
+                math.log(
+                    (big.get((w1, w2), 0) + 1) / float(ctx.get(w1, 0) + v)
+                )
+                * scale
+            )
+            for w1, w2 in zip(ts, ts[1:])
+        )
+        nb = max(len(ts) - 1, 0)
+        out[i] = (nb, lp, round(math.exp(-lp / (scale * max(nb, 1))), 6))
+    return out
+
+
+def test_lm_perplexity_matches_bruteforce_reference(spark):
+    """lm_perplexity must agree with the brute-force python LM on a mix
+    of seen bigrams, unseen bigrams with seen contexts, and fully unseen
+    contexts; lp_int exactly (the hash-checked column), ppl to 6dp."""
+    from flume_spark.operators.text import lm_perplexity
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ate the hat"),
+        (2, "the dog sat on the log"),       # 'dog'/'log' unseen in ref
+        (3, "zzz qqq zzz"),                  # fully unseen contexts
+        (4, "the cat sat"),
+        (5, "single"),                       # no bigrams
+        (6, ""),                             # empty text -> [''] token
+    ]
+    ref_ids = {0, 1, 4}
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = df.filter("doc_id IN (0, 1, 4)")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lp_int"], r["ppl"])
+        for r in lm_perplexity(df, "doc_id", "text", ref_df=ref).collect()
+    }
+    want = _lm_reference(rows, ref_ids)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0], (i, got[i], want[i])
+        assert got[i][1] == want[i][1], (i, got[i], want[i])
+        assert abs(got[i][2] - want[i][2]) < 2e-6, (i, got[i], want[i])
+
+
+def test_lm_perplexity_property_reference(spark):
+    """Randomized corpora over a small alphabet: lp_int must equal the
+    brute-force LM bit-for-bit (integer accumulation is shuffle-order
+    immune), across every seen/unseen tier hypothesis finds."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flume_spark.operators.text import lm_perplexity
+
+    @given(
+        texts=st.lists(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=6
+            ).map(" ".join),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def run(texts):
+        rows = list(enumerate(texts))
+        ref_ids = {i for i, _ in rows if i % 2 == 0}
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["lp_int"]
+            for r in lm_perplexity(
+                df, "doc_id", "text", ref_df=df.filter("doc_id % 2 = 0")
+            ).collect()
+        }
+        want = _lm_reference(rows, ref_ids)
+        assert got == {i: w[1] for i, w in want.items()}
+
+    run()
+
+
+def test_curate_corpus_lm_filter_stage(spark):
+    """curate_corpus(lm_max_ppl=...) drops high-perplexity docs against
+    the reference-slice LM and records the stage count; without the
+    threshold the pipeline is unchanged."""
+    from flume_spark.curation import curate_corpus
+    from flume_spark.operators.text import lm_perplexity
+
+    rows = []
+    base = "the cat sat on the mat and the dog ran to the log "
+    for i in range(12):
+        if i % 3 == 2:
+            # scrambled junk: no bigram ever seen in the reference slice
+            rows.append((i, " ".join(f"x{i}y{j}" for j in range(14))))
+        else:
+            rows.append((i, base + f"tail{i % 2}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = docs.filter("doc_id % 3 = 0")
+
+    ppl = {
+        r["doc_id"]: r["ppl"]
+        for r in lm_perplexity(docs, "doc_id", "text", ref_df=ref).collect()
+    }
+    cut = sorted(ppl.values())[len(ppl) // 2]  # keep the natural half
+    curated, counts = curate_corpus(
+        spark, docs, min_quality=0.0, lm_max_ppl=cut, lm_ref=ref
+    )
+    expect_keep = {i for i, p in ppl.items() if p <= cut}
+    assert counts["lm_filter"] == len(expect_keep)
+    assert all(i % 3 != 2 for i in expect_keep)  # junk is what gets cut
+
+    _, counts_off = curate_corpus(spark, docs, min_quality=0.0)
+    assert "lm_filter" not in counts_off
