@@ -1769,7 +1769,10 @@ def dedup_semantic_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def funnel_report(
-    spark: SparkSession, docs: DataFrame, timings: dict | None = None
+    spark: SparkSession,
+    docs: DataFrame,
+    timings: dict | None = None,
+    frames: dict | None = None,
 ) -> DataFrame:
     """The curation-funnel composition over an arbitrary (doc_id, source,
     text) corpus — the library form behind the declared `corpus_funnel`
@@ -1850,6 +1853,11 @@ def funnel_report(
 
     sem = timed("semantic", _semantic)
 
+    if frames is not None:
+        # doc-level survivor frames for the batch-vs-stream divergence
+        # diagnostic (funnel_divergence); all checkpointed above
+        frames.update({"base": base, "q": q, "ex": ex, "nd": nd, "sem": sem})
+
     def stage(df, ordinal, name, tok_col="n_toks"):
         return df.groupBy("source").agg(
             F.count("*").alias("n_docs"),
@@ -1912,6 +1920,52 @@ def stream_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern composed end-to-end), so hash-equality proves at-ingest-time
     marking AND ledger idempotence through all three real stores."""
     import shutil
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    frames, root = stream_funnel_frames(spark, docs)
+    base, q, ex, nd = frames["base"], frames["q"], frames["ex"], frames["nd"]
+    kept_toks, sem_surv = frames["kept_toks"], frames["sem_surv"]
+
+    def stage(df, ordinal, name, tok_col="n_toks"):
+        return (
+            df.groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(tok_col).cast("long").alias("n_tokens"),
+            )
+            .select(
+                F.lit(ordinal).alias("stage_ord"),
+                F.lit(name).alias("stage"),
+                "source",
+                "n_docs",
+                "n_tokens",
+            )
+        )
+
+    out = (
+        stage(base, 1, "input")
+        .unionByName(stage(q, 2, "quality"))
+        .unionByName(stage(ex, 3, "exact"))
+        .unionByName(stage(nd, 4, "near_dup"))
+        .unionByName(stage(kept_toks, 5, "substring", "n_kept"))
+        .unionByName(
+            stage(sem_surv.join(kept_toks.select("doc_id", "n_kept"), "doc_id"),
+                  6, "semantic", "n_kept")
+        )
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def stream_funnel_frames(spark: SparkSession, docs: DataFrame):
+    """The streaming funnel's per-stage DOC-LEVEL survivor frames over an
+    arbitrary (doc_id, source, text) corpus — the library body behind the
+    declared `stream_corpus_funnel` query, separated so the batch-vs-
+    stream divergence diagnostic (`funnel_divergence`) can compare the two
+    rule sets doc-by-doc instead of through the aggregated report.
+    Returns ({base, q, ex, nd, kept_toks, sem_surv}, state_root); every
+    frame is eagerly checkpointed, so the caller may delete state_root
+    as soon as it likes."""
     import tempfile
 
     from flume_spark.operators import multimodal
@@ -1923,7 +1977,6 @@ def stream_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         SubstrIngestor,
     )
 
-    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
     base = (
         docs.withColumn("n_toks", F.size(dedup.norm_words_expr("text")).cast("long"))
         .withColumn("b", F.pmod(F.col("doc_id"), F.lit(3)).cast("int"))
@@ -2037,34 +2090,54 @@ def stream_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem_surv = nd.join(
         marks.filter(~F.col("is_dup")).select(F.col("id").alias("doc_id")), "doc_id"
     )
+    # eager checkpoints: kept_toks / sem_surv otherwise read the ingestor
+    # stores lazily, and the caller deletes state_root after this returns
+    kept_toks = kept_toks.localCheckpoint(eager=True)
+    sem_surv = sem_surv.localCheckpoint(eager=True)
+    return (
+        {
+            "base": base,
+            "q": q,
+            "ex": ex,
+            "nd": nd,
+            "kept_toks": kept_toks,
+            "sem_surv": sem_surv,
+        },
+        root,
+    )
 
-    def stage(df, ordinal, name, tok_col="n_toks"):
-        return (
-            df.groupBy("source")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum(tok_col).cast("long").alias("n_tokens"),
-            )
-            .select(
-                F.lit(ordinal).alias("stage_ord"),
-                F.lit(name).alias("stage"),
-                "source",
-                "n_docs",
-                "n_tokens",
-            )
-        )
 
-    out = (
-        stage(base, 1, "input")
-        .unionByName(stage(q, 2, "quality"))
-        .unionByName(stage(ex, 3, "exact"))
-        .unionByName(stage(nd, 4, "near_dup"))
-        .unionByName(stage(kept_toks, 5, "substring", "n_kept"))
-        .unionByName(
-            stage(sem_surv.join(kept_toks.select("doc_id", "n_kept"), "doc_id"),
-                  6, "semantic", "n_kept")
-        )
-    ).localCheckpoint(eager=True)
+def funnel_divergence(spark: SparkSession, docs: DataFrame) -> dict:
+    """Doc-level disagreement between the BATCH funnel's rules
+    (connected-component near-dup canonicals, global semantic marks,
+    min-id exact keep) and the STREAMING funnel's at-ingest seniority
+    rules, stage by stage, over the SAME corpus — the number an operator
+    choosing the streaming path needs (the divergence is documented as
+    by-design at stream_corpus_funnel's near_dup note; this measures it).
+
+    Returns {stage: {batch_only, stream_only, shared}} where batch_only /
+    stream_only count docs only that rule set keeps at that stage.  All
+    comparisons are anti-/semi-join COUNTS — nothing doc-sized reaches
+    the driver."""
+    import shutil
+
+    bframes: dict = {}
+    funnel_report(spark, docs, frames=bframes)  # frames checkpoint eagerly
+    sframes, root = stream_funnel_frames(spark, docs)
+    out: dict = {}
+    for name, bkey, skey in (
+        ("quality", "q", "q"),
+        ("exact", "ex", "ex"),
+        ("near_dup", "nd", "nd"),
+        ("semantic", "sem", "sem_surv"),
+    ):
+        b = bframes[bkey].select("doc_id")
+        s = sframes[skey].select("doc_id")
+        out[name] = {
+            "batch_only": b.join(s, "doc_id", "left_anti").count(),
+            "stream_only": s.join(b, "doc_id", "left_anti").count(),
+            "shared": b.join(s, "doc_id", "semi").count(),
+        }
     shutil.rmtree(root, ignore_errors=True)
     return out
 
