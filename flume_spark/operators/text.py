@@ -1219,7 +1219,21 @@ def classifier_train(
         .join(F.broadcast(vocab), "tok")
         .localCheckpoint(eager=False)
     )
-    # w0 = 0 for every vocab token -> first logit is 0, first err is y
+    weights = _perceptron_iterations(tf, id_col, "tok", iters)
+    return vocab.join(weights, "tok", "left").select(
+        "tok", F.coalesce(F.col("w_int"), F.lit(0)).cast("long").alias("w_int")
+    )
+
+
+def _perceptron_iterations(
+    tf: DataFrame, id_col: str, feat_col: str, iters: int
+) -> DataFrame:
+    """The shared batch-perceptron update loop over a prepared
+    (id, __y, feat, tf) frame — classifier_train keys it on tokens,
+    classifier_train_hashed on hashing-trick buckets.  Returns (feat,
+    w_int) for every TOUCHED feature; callers left-join their zero
+    spine.  All-integer; every weight state is broadcast-sized."""
+    # w0 = 0 for every feature -> first logit is 0, first err is y
     weights = None  # None encodes the all-zero state (skip the first join)
     for _ in range(iters):
         if weights is None:
@@ -1228,7 +1242,7 @@ def classifier_train(
             )
         else:
             z = (
-                tf.join(F.broadcast(weights), "tok", "left")
+                tf.join(F.broadcast(weights), feat_col, "left")
                 .groupBy(id_col, "__y")
                 .agg(
                     F.sum(
@@ -1242,16 +1256,18 @@ def classifier_train(
         )
         delta = (
             tf.join(err, id_col)
-            .groupBy("tok")
+            .groupBy(feat_col)
             .agg(F.sum(F.col("tf") * F.col("err")).alias("d"))
         )
         if weights is None:
-            weights = delta.select("tok", F.col("d").cast("long").alias("w_int"))
+            weights = delta.select(
+                feat_col, F.col("d").cast("long").alias("w_int")
+            )
         else:
             weights = (
-                weights.join(delta, "tok", "full")
+                weights.join(delta, feat_col, "full")
                 .select(
-                    "tok",
+                    feat_col,
                     (
                         F.coalesce(F.col("w_int"), F.lit(0))
                         + F.coalesce(F.col("d"), F.lit(0))
@@ -1259,8 +1275,50 @@ def classifier_train(
                 )
             )
         weights = weights.localCheckpoint(eager=False)
-    return vocab.join(weights, "tok", "left").select(
-        "tok", F.coalesce(F.col("w_int"), F.lit(0)).cast("long").alias("w_int")
+    return weights
+
+
+def classifier_train_hashed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    n_buckets: int = 64,
+    seed: str = "flume-hash",
+    iters: int = 1,
+) -> DataFrame:
+    """`classifier_train` over the HASHING-TRICK feature space — the SAME
+    buckets the streaming PerceptronIngestor learns in (md5(seed:token)
+    mod n_buckets), so the batch and online trainers are directly
+    comparable: under a ONE-batch schedule with iters=1 their weight
+    vectors are IDENTICAL (both apply one update from w=0 over the same
+    integer tf matrix — pinned by the parity property test); under
+    multi-batch online schedules they diverge by design (the online
+    model's later batches see weights the batch trainer never holds).
+
+    No vocabulary pass: the feature space is fixed up front, which is
+    exactly why the streaming form can exist.  Returns (bucket, w_int)
+    with every bucket present (zero spine), matching
+    PerceptronIngestor.weights_df's schema."""
+    from flume_spark.streaming.classifier import hashed_bucket_col
+
+    spark = df.sparkSession
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.col(label_col).cast("long").alias("__y"),
+            F.explode(tokens_col(text_col)).alias("tok"),
+        )
+        .withColumn("bucket", hashed_bucket_col("tok", n_buckets, seed))
+        .groupBy(id_col, "__y", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    weights = _perceptron_iterations(tf, id_col, "bucket", iters)
+    spine = spark.range(n_buckets).select(F.col("id").cast("long").alias("bucket"))
+    return spine.join(weights, "bucket", "left").select(
+        "bucket",
+        F.coalesce(F.col("w_int"), F.lit(0)).cast("long").alias("w_int"),
     )
 
 
