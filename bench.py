@@ -141,6 +141,7 @@ HEADLINE = [
     "curation_pipeline",
     "ann_topk_ivfpq",
     "text_lm_perplexity",
+    "stream_lm_perplexity",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture

@@ -1638,6 +1638,110 @@ FROM base b LEFT JOIN sc USING (doc_id)
 """
 
 
+def stream_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE LM quality filtering through the REAL streaming ingestor
+    (streaming/lm.py::LmIngestor): documents arrive in 3 micro-batches
+    (doc_id % 3); each batch is scored against the add-1 bigram counts
+    accumulated from STRICTLY EARLIER batches (at-ingest verdicts — the
+    generative sibling of stream_classifier_train's discriminative
+    updates), then its counts append.  Batch 0 has no evidence and scores
+    lp_int = 0 / ppl = 1 by definition.  One batch is re-delivered
+    through the ledger-guarded entrypoint and must be skipped.  The
+    exact-integer scoring makes every verdict hash-exact against the
+    oracle's unrolled batch-prefix CTEs."""
+    import shutil
+    import tempfile
+
+    from flume_spark.streaming.lm import LmIngestor
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="lm_ingest_")
+    ing = LmIngestor(
+        spark,
+        state_dir=f"{root}/state",
+        marks_dir=f"{root}/marks",
+        ledger_dir=f"{root}/ledger",
+    )
+    batches = [docs.filter(F.col("doc_id") % 3 == b) for b in range(3)]
+    for b, bdf in enumerate(batches):
+        ing.process(bdf, b)
+    ing.process(batches[1], 1)  # re-delivered batch id: ledger must skip it
+    out = ing.marks().localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+STREAM_LM_PERPLEXITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 3 AS b,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, b, pr[1] AS w1, pr[2] AS w2 FROM (
+    SELECT doc_id, b, unnest(list_zip(arr, arr[2:])) AS pr FROM toks
+  ) WHERE pr[2] IS NOT NULL
+),
+tf AS (SELECT b, doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3, 4),
+big1 AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE b < 1 GROUP BY 1, 2),
+ctx1 AS (SELECT w1, sum(c12) AS c1 FROM big1 GROUP BY 1),
+v1 AS (
+  SELECT count(DISTINCT tok) AS v FROM (
+    SELECT unnest(arr) AS tok FROM toks WHERE b < 1
+  )
+),
+sc1 AS (
+  SELECT tf.doc_id,
+         sum(tf.tf * CAST(round(ln(
+               (coalesce(big1.c12, 0) + 1)
+               / CAST(coalesce(ctx1.c1, 0) + v1.v AS DOUBLE)
+             ) * 1000000) AS BIGINT)) AS lp_int
+  FROM tf
+  LEFT JOIN big1 USING (w1, w2)
+  LEFT JOIN ctx1 USING (w1)
+  CROSS JOIN v1
+  WHERE tf.b = 1
+  GROUP BY 1
+),
+big2 AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE b < 2 GROUP BY 1, 2),
+ctx2 AS (SELECT w1, sum(c12) AS c1 FROM big2 GROUP BY 1),
+v2 AS (
+  SELECT count(DISTINCT tok) AS v FROM (
+    SELECT unnest(arr) AS tok FROM toks WHERE b < 2
+  )
+),
+sc2 AS (
+  SELECT tf.doc_id,
+         sum(tf.tf * CAST(round(ln(
+               (coalesce(big2.c12, 0) + 1)
+               / CAST(coalesce(ctx2.c1, 0) + v2.v AS DOUBLE)
+             ) * 1000000) AS BIGINT)) AS lp_int
+  FROM tf
+  LEFT JOIN big2 USING (w1, w2)
+  LEFT JOIN ctx2 USING (w1)
+  CROSS JOIN v2
+  WHERE tf.b = 2
+  GROUP BY 1
+),
+base AS (
+  SELECT doc_id, doc_id % 3 AS b, greatest(len(arr) - 1, 0) AS n_bigrams
+  FROM toks
+),
+lp AS (
+  SELECT base.doc_id, base.n_bigrams,
+         CASE WHEN base.b = 0 THEN 0
+              WHEN base.b = 1 THEN coalesce(sc1.lp_int, 0)
+              ELSE coalesce(sc2.lp_int, 0) END AS lp_int
+  FROM base
+  LEFT JOIN sc1 ON base.doc_id = sc1.doc_id
+  LEFT JOIN sc2 ON base.doc_id = sc2.doc_id
+)
+SELECT doc_id, n_bigrams, CAST(lp_int AS BIGINT) AS lp_int,
+       round(exp(-lp_int / (1000000.0 * greatest(n_bigrams, 1))), 6) AS ppl
+FROM lp
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1685,6 +1789,7 @@ QUERIES = {
     "text_classifier_eval": text_classifier_eval,
     "stream_classifier_train": stream_classifier_train,
     "text_lm_perplexity": text_lm_perplexity,
+    "stream_lm_perplexity": stream_lm_perplexity,
     "multimodal_meta": multimodal_meta,
 }
 
@@ -1734,5 +1839,6 @@ ORACLES = {
     "text_classifier_eval": TEXT_CLASSIFIER_EVAL_SQL,
     "stream_classifier_train": STREAM_CLASSIFIER_TRAIN_SQL,
     "text_lm_perplexity": TEXT_LM_PERPLEXITY_SQL,
+    "stream_lm_perplexity": STREAM_LM_PERPLEXITY_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }

@@ -1,0 +1,277 @@
+"""Streaming ONLINE bigram LM — perplexity-based quality filtering that
+learns from the corpus as it arrives.
+
+The batch form (operators/text.py::lm_perplexity) trains on a fixed
+reference slice; a stream often has no reference yet — the online form
+scores each arriving micro-batch against the add-k bigram counts
+accumulated from STRICTLY EARLIER batches (at-ingest verdicts, pinned to
+their ingest time and never revisited — the SemanticIngestor mark
+discipline applied to a GENERATIVE model), then appends its own counts.
+The very first batch has no evidence: its docs score lp_int = 0,
+ppl = 1.0, by definition.
+
+Counts are a pure additive integer monoid, so unlike the perceptron
+(order-dependent updates needing the sequential contract) the model
+state is shuffle-order- and merge-order-immune; what stays order-
+dependent is the VERDICT (which prefix a doc was scored against), which
+is exactly what the ledger + per-batch mark partitions pin.  The same
+exact-integer discipline as the batch op applies — each bigram's
+log-prob quantized once to a scaled BIGINT, per-doc scores accumulated
+as integer sums — so the declared `stream_lm_perplexity` query is
+batch-prefix oracle-able (the DuckDB oracle unrolls one scoring CTE per
+batch prefix).
+
+State layout (outside the checkpoint, the LshIngestor contract):
+  state_dir/bigrams/ingest_batch=B   (w1, w2, c12)  per-batch counts
+  state_dir/unigrams/ingest_batch=B  (tok, c)       per-batch counts
+  marks_dir/ingest_batch=B           (id, n_bigrams, lp_int, ppl)
+A replayed batch re-scores identically (its own partitions are excluded
+by the strict `ingest_batch < batch_id` prefix filter) and overwrites
+its own partitions in place; acked replays are ledger-skipped.
+
+Scale shape per batch: one bigram explode + tf aggregate over the batch,
+one prefix-count aggregate + hash join whose size is the MODEL (distinct
+bigram types — vocabulary-bounded, it plateaus while the corpus grows),
+never the corpus.  `compact_state` merges acked count partitions into
+one base partition (ingest_batch=-9) so the per-batch prefix read stays
+a few files regardless of stream length — same quiesce contract as
+SemanticIngestor.maybe_roll_epoch / reencode_epoch.
+
+No reference analog (the queue trains nothing); engine-native per the
+LLM-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flume_spark.operators.text import bigram_pairs, tokens_col
+
+BASE_PARTITION = -9  # compacted acked counts live here (the sem-carry convention)
+
+
+class LmIngestor:
+    """foreachBatch online bigram-LM scorer/trainer.
+
+    Usage:
+        ing = LmIngestor(spark, state_dir, marks_dir, ledger_dir)
+        stream.writeStream.foreachBatch(ing.process).start()
+        ...
+        ing.marks()   # (id, n_bigrams, lp_int, ppl) as-of-ingest verdicts
+    """
+
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        marks_dir: str,
+        ledger_dir: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        add_k: int = 1,
+        scale: int = 1_000_000,
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir
+        self.marks_dir = marks_dir
+        self.ledger_dir = ledger_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        self.add_k = add_k
+        self.scale = scale
+        self.big_dir = os.path.join(state_dir, "bigrams")
+        self.uni_dir = os.path.join(state_dir, "unigrams")
+        os.makedirs(self.big_dir, exist_ok=True)
+        os.makedirs(self.uni_dir, exist_ok=True)
+        os.makedirs(marks_dir, exist_ok=True)
+        self._acked_mem: set[int] = set()
+        from flume_spark.streaming.sink import idempotent_foreach_batch
+
+        self.process = idempotent_foreach_batch(self._process, ledger_dir)
+
+    # -- state -------------------------------------------------------------
+
+    @staticmethod
+    def _has_parquet(path: str) -> bool:
+        from flume_spark.streaming.dedup import LshIngestor
+
+        return LshIngestor._has_parquet(path)
+
+    def _prefix_big(self, batch_id: int) -> DataFrame | None:
+        """Aggregated bigram counts of strictly earlier batches (the
+        compacted base partition is always part of the prefix: compaction
+        requires quiesce, so everything in it precedes any live batch)."""
+        if not self._has_parquet(self.big_dir):
+            return None
+        return (
+            self.spark.read.parquet(self.big_dir)
+            .filter(F.col("ingest_batch") < batch_id)
+            .groupBy("w1", "w2")
+            .agg(F.sum("c12").alias("c12"))
+        )
+
+    def _prefix_vocab(self, batch_id: int) -> DataFrame | None:
+        """One-row (v) frame: distinct prefix tokens — rides the scoring
+        plan as a broadcast, never a driver value."""
+        if not self._has_parquet(self.uni_dir):
+            return None
+        return (
+            self.spark.read.parquet(self.uni_dir)
+            .filter(F.col("ingest_batch") < batch_id)
+            .agg(F.count_distinct("tok").alias("v"))
+        )
+
+    def _batch_acked(self, batch_id: int) -> bool:
+        if batch_id in self._acked_mem:
+            return True
+        return os.path.exists(
+            os.path.join(self.ledger_dir, f"batch-{batch_id}.done")
+        )
+
+    def _count_partitions(self, d: str) -> list[int]:
+        if not os.path.isdir(d):
+            return []
+        return [
+            int(p.split("=", 1)[1])
+            for p in os.listdir(d)
+            if p.startswith("ingest_batch=")
+        ]
+
+    # -- per-batch score-then-learn ---------------------------------------
+
+    def _process(self, batch_df: DataFrame, batch_id: int) -> None:
+        k, scale = self.add_k, self.scale
+        tf = (
+            bigram_pairs(batch_df, self.id_col, self.text_col)
+            .groupBy(self.id_col, "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        big = self._prefix_big(batch_id)
+        vdf = self._prefix_vocab(batch_id)
+        if big is None or vdf is None:
+            # no prefix dirs at all: every doc scores 0 (v = 0 below
+            # covers the empty-prefix case once dirs exist)
+            doc = tf.groupBy(self.id_col).agg(
+                F.lit(0).cast("long").alias("lp_int")
+            )
+        else:
+            ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+            joined = (
+                tf.join(big, ["w1", "w2"], "left")
+                .join(F.broadcast(ctx), "w1", "left")
+                .crossJoin(F.broadcast(vdf))
+            )
+            p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(k)) / (
+                F.coalesce(F.col("c1"), F.lit(0)) + F.lit(k) * F.col("v")
+            ).cast("double")
+            lp_int = F.when(F.col("v") == 0, F.lit(0).cast("long")).otherwise(
+                F.round(F.log(p) * scale).cast("long")
+            )
+            doc = joined.groupBy(self.id_col).agg(
+                F.sum(F.col("tf") * lp_int).alias("lp_int")
+            )
+        base = batch_df.select(
+            F.col(self.id_col).alias("id"),
+            F.greatest(
+                F.size(tokens_col(self.text_col)) - 1, F.lit(0)
+            ).alias("n_bigrams"),
+        )
+        marks = base.join(
+            doc.select(F.col(self.id_col).alias("id"), "lp_int"), "id", "left"
+        ).select(
+            "id",
+            "n_bigrams",
+            F.coalesce(F.col("lp_int"), F.lit(0)).cast("long").alias("lp_int"),
+            F.round(
+                F.exp(
+                    -F.coalesce(F.col("lp_int"), F.lit(0))
+                    / (F.lit(float(scale)) * F.greatest("n_bigrams", F.lit(1)))
+                ),
+                6,
+            ).alias("ppl"),
+        )
+        marks.write.mode("overwrite").parquet(
+            os.path.join(self.marks_dir, f"ingest_batch={batch_id}")
+        )
+        # learn: append this batch's counts (deterministic per batch —
+        # a replay overwrites the same partitions with the same rows)
+        tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.big_dir, f"ingest_batch={batch_id}"))
+        batch_df.select(
+            F.explode(tokens_col(self.text_col)).alias("tok")
+        ).groupBy("tok").agg(F.count(F.lit(1)).alias("c")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.uni_dir, f"ingest_batch={batch_id}"))
+        self._acked_mem.add(batch_id)
+
+    # -- reads / maintenance ----------------------------------------------
+
+    def marks(self) -> DataFrame | None:
+        """(id, n_bigrams, lp_int, ppl) for every ingested doc, as of its
+        OWN ingest time (None if nothing ingested)."""
+        if not self._has_parquet(self.marks_dir):
+            return None
+        return self.spark.read.parquet(self.marks_dir).select(
+            F.col("id").alias(self.id_col), "n_bigrams", "lp_int", "ppl"
+        )
+
+    def model(self) -> DataFrame | None:
+        """The full accumulated bigram model (w1, w2, c12) — e.g. to seed
+        a batch lm_perplexity pass or a downstream frozen-model scorer."""
+        if not self._has_parquet(self.big_dir):
+            return None
+        return (
+            self.spark.read.parquet(self.big_dir)
+            .groupBy("w1", "w2")
+            .agg(F.sum("c12").alias("c12"))
+        )
+
+    def compact_state(self) -> int:
+        """Merge ACKED count partitions into the base partition so the
+        per-batch prefix read stays a few files regardless of stream
+        length.  Counts are an additive monoid, so the merge is exact by
+        construction.  Quiesce contract (the maybe_roll_epoch /
+        reencode_epoch convention): raises if any written batch is
+        unacknowledged — compacting it would double its rows when the
+        ledger replays it.  Returns partitions removed."""
+        import shutil
+
+        stale = sorted(
+            b
+            for d in (self.big_dir, self.uni_dir)
+            for b in self._count_partitions(d)
+            if b != BASE_PARTITION and not self._batch_acked(b)
+        )
+        if stale:
+            raise RuntimeError(
+                f"compact_state on a non-quiesced stream: batch(es) "
+                f"{sorted(set(stale))} are written but unacknowledged — "
+                "let the stream drain (or replay) before compacting"
+            )
+        removed = 0
+        for d, keys, cnt in (
+            (self.big_dir, ["w1", "w2"], "c12"),
+            (self.uni_dir, ["tok"], "c"),
+        ):
+            parts = self._count_partitions(d)
+            if len(parts) <= 1:
+                continue
+            merged = (
+                self.spark.read.parquet(d)
+                .groupBy(*keys)
+                .agg(F.sum(cnt).alias(cnt))
+                .localCheckpoint(eager=True)
+            )
+            for b in parts:
+                shutil.rmtree(
+                    os.path.join(d, f"ingest_batch={b}"), ignore_errors=True
+                )
+                removed += 1
+            merged.write.mode("overwrite").parquet(
+                os.path.join(d, f"ingest_batch={BASE_PARTITION}")
+            )
+        return removed

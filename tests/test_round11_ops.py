@@ -469,3 +469,107 @@ def test_hashed_trainer_multi_batch_schedules_diverge(spark, tmp_path):
     assert ow != bw  # schedules are semantically different — by design
     assert sum(bw.values()) == 2  # one +2 update (y=1 doc), y=0 doc inert
     assert sum(ow.values()) == 0  # +2 then -2: the online correction
+
+
+# -- streaming online bigram LM (streaming/lm.LmIngestor) ---------------------
+
+
+def _lm_ing(spark, tmp_path, tag=""):
+    from flume_spark.streaming.lm import LmIngestor
+
+    return LmIngestor(
+        spark,
+        state_dir=str(tmp_path / f"lm_state{tag}"),
+        marks_dir=str(tmp_path / f"lm_marks{tag}"),
+        ledger_dir=str(tmp_path / f"lm_ledger{tag}"),
+    )
+
+
+_LM_BATCHES = [
+    [(0, "the cat sat on the mat")],
+    [(1, "the cat sat on the log"), (2, "zzz qqq")],
+    [(3, "the cat sat on the mat"), (4, "the dog")],
+]
+
+
+def _lm_schema(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lm_ingestor_scores_against_batch_prefix(spark, tmp_path):
+    """Verdicts are at-ingest-time: batch 0 scores 0/1.0 (no evidence);
+    later batches score against strictly-earlier counts and their marks
+    equal the batch operator trained on exactly that prefix."""
+    from flume_spark.operators.text import lm_perplexity
+
+    ing = _lm_ing(spark, tmp_path)
+    for b, rows in enumerate(_LM_BATCHES):
+        ing.process(_lm_schema(spark, rows), b)
+
+    marks = {r["doc_id"]: (r["lp_int"], r["ppl"]) for r in ing.marks().collect()}
+    assert marks[0] == (0, 1.0)
+    # batch 2's verdicts == batch op with ref = batches 0+1
+    ref = _lm_schema(spark, _LM_BATCHES[0] + _LM_BATCHES[1])
+    b2 = _lm_schema(spark, _LM_BATCHES[2])
+    want = {
+        r["doc_id"]: (r["lp_int"], r["ppl"])
+        for r in lm_perplexity(b2, "doc_id", "text", ref_df=ref).collect()
+    }
+    for i in (3, 4):
+        assert marks[i] == want[i]
+
+
+def test_lm_ingestor_replay_and_redelivery_converge(spark, tmp_path):
+    """A crash-window replay re-scores identically (its own count
+    partitions are excluded by the strict prefix filter); an acked
+    re-delivery is ledger-skipped; the accumulated model is unchanged."""
+    ing = _lm_ing(spark, tmp_path)
+    for b, rows in enumerate(_LM_BATCHES):
+        ing.process(_lm_schema(spark, rows), b)
+    marks1 = {tuple(r) for r in ing.marks().collect()}
+    model1 = {tuple(r) for r in ing.model().collect()}
+
+    # acked re-delivery: ledger skips
+    ing.process(_lm_schema(spark, _LM_BATCHES[1]), 1)
+    assert {tuple(r) for r in ing.marks().collect()} == marks1
+
+    # crash-window replay: marker removed, _process re-runs batch 2
+    import os
+
+    os.remove(str(tmp_path / "lm_ledger") + "/batch-2.done")
+    re_ing = _lm_ing(spark, tmp_path)
+    re_ing.process(_lm_schema(spark, _LM_BATCHES[2]), 2)
+    assert {tuple(r) for r in re_ing.marks().collect()} == marks1
+    assert {tuple(r) for r in re_ing.model().collect()} == model1
+
+
+def test_lm_ingestor_compaction_exact_and_quiesce_guarded(spark, tmp_path):
+    """compact_state merges acked count partitions into the base
+    partition without changing any future verdict (counts are an additive
+    monoid), and raises on a non-quiesced stream."""
+    import os
+
+    ing = _lm_ing(spark, tmp_path)
+    for b, rows in enumerate(_LM_BATCHES[:2]):
+        ing.process(_lm_schema(spark, rows), b)
+    model_before = {tuple(r) for r in ing.model().collect()}
+
+    removed = ing.compact_state()
+    assert removed == 4  # 2 bigram + 2 unigram partitions merged
+    assert {tuple(r) for r in ing.model().collect()} == model_before
+
+    # post-compaction batch scores exactly as the uncompacted twin
+    twin = _lm_ing(spark, tmp_path, tag="_twin")
+    for b, rows in enumerate(_LM_BATCHES[:2]):
+        twin.process(_lm_schema(spark, rows), b)
+    ing.process(_lm_schema(spark, _LM_BATCHES[2]), 2)
+    twin.process(_lm_schema(spark, _LM_BATCHES[2]), 2)
+    assert {tuple(r) for r in ing.marks().collect()} == {
+        tuple(r) for r in twin.marks().collect()
+    }
+
+    # quiesce guard: an unacked written batch blocks compaction
+    os.remove(str(tmp_path / "lm_ledger") + "/batch-2.done")
+    fresh = _lm_ing(spark, tmp_path)  # no in-memory ack for batch 2
+    with pytest.raises(RuntimeError, match="non-quiesced"):
+        fresh.compact_state()
