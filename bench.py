@@ -142,6 +142,7 @@ HEADLINE = [
     "ann_topk_ivfpq",
     "text_lm_perplexity",
     "stream_lm_perplexity",
+    "text_lm_backoff",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture

@@ -1492,3 +1492,124 @@ def lm_perplexity(
         6,
     )
     return out.select(F.col(id_col), "n_bigrams", "lp_int", ppl.alias("ppl"))
+
+
+def trigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exploded adjacent token triples: one (id, w1, w2, w3) row per
+    trigram occurrence.  Built by zipping the bigram structs with the
+    twice-shifted array; the null padding keeps exactly len-2 triples
+    after the w3 filter (w3 non-null implies w2 non-null).  DuckDB form:
+    `unnest(list_zip(arr, arr[2:], arr[3:]))` + `pr[3] IS NOT NULL`."""
+    toks = tokens_col(text_col)
+    bg = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.size(toks)),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    tg = F.zip_with(
+        bg,
+        F.slice(toks, 3, F.size(toks)),
+        lambda p, c: F.struct(
+            p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(tg).alias("pr"))
+        .filter(F.col("pr.w3").isNotNull())
+        .select(
+            id_col,
+            F.col("pr.w1").alias("w1"),
+            F.col("pr.w2").alias("w2"),
+            F.col("pr.w3").alias("w3"),
+        )
+    )
+
+
+def lm_backoff_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ref_df: DataFrame | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Trigram STUPID-BACKOFF LM scoring (Brants et al. 2007, the
+    web-scale LM recipe: no normalization, a fixed 0.4 back-off factor
+    per level) — the higher-order sibling of `lm_perplexity`:
+
+        S(w3|w1,w2) = c123/c12              if c123 > 0
+                    = 0.4 * c23/c2          elif c23 > 0
+                    = 0.4^2 * (c3+1)/(N+V)  otherwise (add-1 unigram floor)
+
+    Determinism discipline: the 0.4 factors are folded as exact RATIONALS
+    (0.4*x/y computed as (2x)/(5y), 0.16*x/y as (4x)/(25y)) so every tier
+    is ONE correctly-rounded IEEE division of exact integers — the only
+    cross-engine risk stays the ln + scaled-round quantization the whole
+    hash-green 6dp family shares.  Per-trigram log-scores quantize once
+    to scaled BIGINTs and accumulate as exact integer sums.
+
+    Plan shape: one trigram explode + tf aggregate over the corpus; the
+    data-sized joins are tf⋈trigram-counts (w1,w2,w3) and tf⋈bigram-counts
+    (w2,w3) — both model-sided (reference-slice-bounded, vocabulary-
+    plateaued); contexts/unigrams/the 1-row totals broadcast.  Returns
+    (id, n_trigrams, lp_int, ppl)."""
+    if ref_df is None:
+        ref_df = df
+    tg = trigram_pairs(ref_df, id_col, text_col)
+    tri = tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    bctx = tri.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
+    bg = bigram_pairs(ref_df, id_col, text_col)
+    bi = bg.groupBy(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3")
+    ).agg(F.count(F.lit(1)).alias("c23"))
+    uctx = bi.groupBy("w2").agg(F.sum("c23").alias("c2"))
+    uni = ref_df.select(F.explode(tokens_col(text_col)).alias("w3")).groupBy(
+        "w3"
+    ).agg(F.count(F.lit(1)).alias("c3"))
+    nv = ref_df.select(F.explode(tokens_col(text_col)).alias("tok")).agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("tok").alias("v")
+    )
+    tf = (
+        trigram_pairs(df, id_col, text_col)
+        .groupBy(id_col, "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    j = (
+        tf.join(tri, ["w1", "w2", "w3"], "left")
+        .join(bctx, ["w1", "w2"], "left")
+        .join(bi, ["w2", "w3"], "left")
+        .join(F.broadcast(uctx), "w2", "left")
+        .join(F.broadcast(uni), "w3", "left")
+        .crossJoin(F.broadcast(nv))
+    )
+    c123 = F.coalesce(F.col("c123"), F.lit(0))
+    c12 = F.coalesce(F.col("c12"), F.lit(0))
+    c23 = F.coalesce(F.col("c23"), F.lit(0))
+    c2 = F.coalesce(F.col("c2"), F.lit(0))
+    c3 = F.coalesce(F.col("c3"), F.lit(0))
+    s = (
+        F.when(c123 > 0, c123 / c12.cast("double"))
+        .when(c23 > 0, (F.lit(2) * c23) / (F.lit(5) * c2).cast("double"))
+        .otherwise(
+            (F.lit(4) * (c3 + 1))
+            / (F.lit(25) * (F.col("n") + F.col("v"))).cast("double")
+        )
+    )
+    lp_int = F.round(F.log(s) * scale).cast("long")
+    doc = j.groupBy(id_col).agg(F.sum(F.col("tf") * lp_int).alias("lp_int"))
+    base = df.select(
+        F.col(id_col),
+        F.greatest(F.size(tokens_col(text_col)) - 2, F.lit(0)).alias(
+            "n_trigrams"
+        ),
+    )
+    out = base.join(doc, id_col, "left").withColumn(
+        "lp_int", F.coalesce(F.col("lp_int"), F.lit(0)).cast("long")
+    )
+    ppl = F.round(
+        F.exp(
+            -F.col("lp_int")
+            / (F.lit(float(scale)) * F.greatest(F.col("n_trigrams"), F.lit(1)))
+        ),
+        6,
+    )
+    return out.select(F.col(id_col), "n_trigrams", "lp_int", ppl.alias("ppl"))

@@ -1638,6 +1638,86 @@ FROM base b LEFT JOIN sc USING (doc_id)
 """
 
 
+def text_lm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff LM scoring (Brants et al. 2007,
+    operators/text.py::lm_backoff_score): counts from the doc_id % 4 == 0
+    reference slice, every document scored through the three-tier backoff
+    with the 0.4 factors folded as exact rationals — per-trigram
+    log-scores quantized once to scaled BIGINTs, integer-accumulated,
+    hash-exact on lp_int."""
+    docs = T(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 4 == 0)
+    return text.lm_backoff_score(docs, "doc_id", "text", ref_df=ref)
+
+
+TEXT_LM_BACKOFF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+  FROM documents
+),
+tg AS (
+  SELECT doc_id, pr[1] AS w1, pr[2] AS w2, pr[3] AS w3 FROM (
+    SELECT doc_id, unnest(list_zip(arr, arr[2:], arr[3:])) AS pr FROM toks
+  ) WHERE pr[3] IS NOT NULL
+),
+bg AS (
+  SELECT doc_id, pr[1] AS w1, pr[2] AS w2 FROM (
+    SELECT doc_id, unnest(list_zip(arr, arr[2:])) AS pr FROM toks
+  ) WHERE pr[2] IS NOT NULL
+),
+tri AS (
+  SELECT w1, w2, w3, count(*) AS c123 FROM tg WHERE doc_id % 4 = 0
+  GROUP BY 1, 2, 3
+),
+bctx AS (SELECT w1, w2, sum(c123) AS c12 FROM tri GROUP BY 1, 2),
+bi AS (
+  SELECT w1 AS w2, w2 AS w3, count(*) AS c23 FROM bg WHERE doc_id % 4 = 0
+  GROUP BY 1, 2
+),
+uctx AS (SELECT w2, sum(c23) AS c2 FROM bi GROUP BY 1),
+uni AS (
+  SELECT tok AS w3, count(*) AS c3 FROM (
+    SELECT unnest(arr) AS tok FROM toks WHERE doc_id % 4 = 0
+  ) GROUP BY 1
+),
+nv AS (
+  SELECT count(*) AS n, count(DISTINCT tok) AS v FROM (
+    SELECT unnest(arr) AS tok FROM toks WHERE doc_id % 4 = 0
+  )
+),
+tf AS (SELECT doc_id, w1, w2, w3, count(*) AS tf FROM tg GROUP BY 1, 2, 3, 4),
+sc AS (
+  SELECT tf.doc_id,
+         sum(tf.tf * CAST(round(ln(
+           CASE
+             WHEN coalesce(tri.c123, 0) > 0
+               THEN coalesce(tri.c123, 0)
+                    / CAST(coalesce(bctx.c12, 0) AS DOUBLE)
+             WHEN coalesce(bi.c23, 0) > 0
+               THEN (2 * coalesce(bi.c23, 0))
+                    / CAST(5 * coalesce(uctx.c2, 0) AS DOUBLE)
+             ELSE (4 * (coalesce(uni.c3, 0) + 1))
+                  / CAST(25 * (nv.n + nv.v) AS DOUBLE)
+           END
+         ) * 1000000) AS BIGINT)) AS lp_int
+  FROM tf
+  LEFT JOIN tri USING (w1, w2, w3)
+  LEFT JOIN bctx USING (w1, w2)
+  LEFT JOIN bi USING (w2, w3)
+  LEFT JOIN uctx USING (w2)
+  LEFT JOIN uni USING (w3)
+  CROSS JOIN nv
+  GROUP BY 1
+),
+base AS (SELECT doc_id, greatest(len(arr) - 2, 0) AS n_trigrams FROM toks)
+SELECT b.doc_id, b.n_trigrams,
+       CAST(coalesce(sc.lp_int, 0) AS BIGINT) AS lp_int,
+       round(exp(-coalesce(sc.lp_int, 0)
+             / (1000000.0 * greatest(b.n_trigrams, 1))), 6) AS ppl
+FROM base b LEFT JOIN sc USING (doc_id)
+"""
+
+
 def stream_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONLINE LM quality filtering through the REAL streaming ingestor
     (streaming/lm.py::LmIngestor): documents arrive in 3 micro-batches
@@ -1789,6 +1869,7 @@ QUERIES = {
     "text_classifier_eval": text_classifier_eval,
     "stream_classifier_train": stream_classifier_train,
     "text_lm_perplexity": text_lm_perplexity,
+    "text_lm_backoff": text_lm_backoff,
     "stream_lm_perplexity": stream_lm_perplexity,
     "multimodal_meta": multimodal_meta,
 }
@@ -1839,6 +1920,7 @@ ORACLES = {
     "text_classifier_eval": TEXT_CLASSIFIER_EVAL_SQL,
     "stream_classifier_train": STREAM_CLASSIFIER_TRAIN_SQL,
     "text_lm_perplexity": TEXT_LM_PERPLEXITY_SQL,
+    "text_lm_backoff": TEXT_LM_BACKOFF_SQL,
     "stream_lm_perplexity": STREAM_LM_PERPLEXITY_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }

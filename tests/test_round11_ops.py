@@ -573,3 +573,68 @@ def test_lm_ingestor_compaction_exact_and_quiesce_guarded(spark, tmp_path):
     fresh = _lm_ing(spark, tmp_path)  # no in-memory ack for batch 2
     with pytest.raises(RuntimeError, match="non-quiesced"):
         fresh.compact_state()
+
+
+# -- trigram stupid-backoff LM ------------------------------------------------
+
+
+def test_lm_backoff_matches_bruteforce_reference(spark):
+    """lm_backoff_score must agree with a brute-force stupid-backoff
+    implementation across all three tiers (seen trigram, bigram backoff,
+    unigram-floor backoff); lp_int exactly."""
+    import math
+    import re
+
+    from flume_spark.operators.text import lm_backoff_score
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the hat"),
+        (2, "the cat ran on the mat"),    # 'cat ran' backs off to bigram tier
+        (3, "zzz qqq ppp"),               # unigram-floor tier
+        (4, "the cat"),                   # no trigrams
+    ]
+    ref_ids = {0, 1}
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["lp_int"])
+        for r in lm_backoff_score(
+            df, "doc_id", "text", ref_df=df.filter("doc_id <= 1")
+        ).collect()
+    }
+
+    def toks(t):
+        return re.split(r"\s+", t.strip().lower())
+
+    def rnd(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    tri, bctx, bi, uctx, uni = {}, {}, {}, {}, {}
+    n_tot, vocab = 0, set()
+    for i, t in rows:
+        if i not in ref_ids:
+            continue
+        ts = toks(t)
+        n_tot += len(ts)
+        vocab.update(ts)
+        for a, b, c in zip(ts, ts[1:], ts[2:]):
+            tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+            bctx[(a, b)] = bctx.get((a, b), 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+            uctx[a] = uctx.get(a, 0) + 1
+        for a in ts:
+            uni[a] = uni.get(a, 0) + 1
+    v = len(vocab)
+    for i, t in rows:
+        ts = toks(t)
+        lp = 0
+        for a, b, c in zip(ts, ts[1:], ts[2:]):
+            if tri.get((a, b, c), 0) > 0:
+                s = tri[(a, b, c)] / float(bctx[(a, b)])
+            elif bi.get((b, c), 0) > 0:
+                s = (2 * bi[(b, c)]) / float(5 * uctx[b])
+            else:
+                s = (4 * (uni.get(c, 0) + 1)) / float(25 * (n_tot + v))
+            lp += rnd(math.log(s) * 1_000_000)
+        assert got[i] == (max(len(ts) - 2, 0), lp), (i, got[i], lp)
