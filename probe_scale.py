@@ -1858,6 +1858,67 @@ def main_classifier() -> None:
     )
 
 
+def main_lm() -> None:
+    """Bigram-LM perplexity probe (round-11 new op): `lm_perplexity` over
+    salted replica corpora with the REFERENCE SLICE HELD FIXED (the CCNet
+    shape: the model trains on a curated reference, not the corpus being
+    filtered), so model size is constant while the corpus scales.
+    Expected ~linear: bigram explode + tf agg + one model-sided hash join
+    + integer per-doc agg; nothing pairwise.  The same count()-prunes-
+    the-join trap as the classifier probe applies — the probe aggregates
+    sum(lp_int)+sum(ppl) to force the full scoring plan."""
+    from flume_spark.operators.text import lm_perplexity
+
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
+    spark = get_spark(app_name="flume_probe_lm")
+    ref = (
+        scaled_docs(spark, 1)
+        .filter(F.col("doc_id") % 4 == 0)
+        .localCheckpoint(eager=True)
+    )
+    times: dict[int, float] = {}
+    for f in factors:
+        docs = scaled_docs(spark, f)
+        n = docs.count()
+        print(json.dumps({"factor": f, "docs": n}), flush=True)
+        t0 = time.perf_counter()
+        row = (
+            lm_perplexity(docs, "doc_id", "text", ref_df=ref)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("lp_int").alias("sl"),
+                F.sum("ppl").alias("sp"),
+            )
+            .collect()[0]
+        )
+        dt = time.perf_counter() - t0
+        assert row["n"] == n, "every doc must survive scoring"
+        print(
+            json.dumps({"probe": f"lm@x{f}", "sec": round(dt, 2), "rows": row["n"]}),
+            flush=True,
+        )
+        times[f] = dt
+        docs.unpersist()
+        spark.catalog.clearCache()
+    base = factors[0]
+    exps = {
+        f: round(math.log(times[f] / times[base]) / math.log(f / base), 2)
+        for f in factors
+        if f != base and times[f] > 0
+    }
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "lm_sec": {k: round(v, 2) for k, v in times.items()},
+                    "exponent": exps,
+                }
+            }
+        ),
+        flush=True,
+    )
+
+
 def main_profile() -> None:
     """Table-profile probe (round-10 stats_profile): exact-NDV profile
     (multi-count-distinct -> ONE Expand, map-side rows x (ndv_cols + 1))
@@ -1966,6 +2027,8 @@ if __name__ == "__main__":
         main_semtable()
     elif len(sys.argv) > 1 and sys.argv[1] == "--classifier":
         main_classifier()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--lm":
+        main_lm()
     elif len(sys.argv) > 1 and sys.argv[1] == "--profile":
         main_profile()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scd2":
