@@ -1613,3 +1613,48 @@ def lm_backoff_score(
         6,
     )
     return out.select(F.col(id_col), "n_trigrams", "lp_int", ppl.alias("ppl"))
+
+
+def lm_quality_buckets(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    ppl_col: str = "ppl",
+    cuts: tuple[float, float] | None = None,
+) -> DataFrame:
+    """CCNet's head/middle/tail quality bucketing over LM perplexity
+    scores (`lm_perplexity` / `lm_backoff_score` output): head = most
+    natural third of the corpus, tail = least — the buckets the recipe
+    samples from at different rates.
+
+    Two arms:
+    - ``cuts=(c1, c2)``: broadcast threshold compare — the 100 TB path
+      (derive the cut points once via approx_percentile or a prior
+      epoch's exact run); a pure map stage, no global order.
+    - ``cuts=None``: EXACT terciles via one ntile(3) window ordered by
+      (ppl, id) — deterministic tie-break, SQL-standard distribution, so
+      the result is cross-engine hash-exact.  The window is a single
+      global sort over DOC-level rows (one row per document, not per
+      token) — fine into the 10^8-doc range; past that use the cuts arm.
+
+    Returns (id, ppl, bucket, label)."""
+    if cuts is not None:
+        c1, c2 = cuts
+        bucket = (
+            F.when(F.col(ppl_col) <= c1, 1)
+            .when(F.col(ppl_col) <= c2, 2)
+            .otherwise(3)
+        )
+    else:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.col(ppl_col), F.col(id_col))
+        bucket = F.ntile(3).over(w)
+    return scored.select(
+        F.col(id_col),
+        F.col(ppl_col),
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket == 1, F.lit("head"))
+        .when(bucket == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("label"),
+    )

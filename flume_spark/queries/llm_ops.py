@@ -1718,6 +1718,29 @@ FROM base b LEFT JOIN sc USING (doc_id)
 """
 
 
+def text_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing
+    (operators/text.py::lm_quality_buckets over lm_perplexity scores):
+    exact terciles via one deterministic ntile(3) window ordered by
+    (ppl, doc_id) — the oracle-able form; the cuts=(c1,c2) broadcast arm
+    is the 100 TB path."""
+    docs = T(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 4 == 0)
+    scored = text.lm_perplexity(docs, "doc_id", "text", ref_df=ref)
+    return text.lm_quality_buckets(scored)
+
+
+TEXT_LM_BUCKETS_SQL = f"""
+WITH scored AS ({TEXT_LM_PERPLEXITY_SQL})
+SELECT doc_id, ppl,
+       CAST(ntile(3) OVER (ORDER BY ppl, doc_id) AS INT) AS bucket,
+       CASE ntile(3) OVER (ORDER BY ppl, doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS label
+FROM scored
+"""
+
+
 def stream_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONLINE LM quality filtering through the REAL streaming ingestor
     (streaming/lm.py::LmIngestor): documents arrive in 3 micro-batches
@@ -1870,6 +1893,7 @@ QUERIES = {
     "stream_classifier_train": stream_classifier_train,
     "text_lm_perplexity": text_lm_perplexity,
     "text_lm_backoff": text_lm_backoff,
+    "text_lm_buckets": text_lm_buckets,
     "stream_lm_perplexity": stream_lm_perplexity,
     "multimodal_meta": multimodal_meta,
 }
@@ -1921,6 +1945,7 @@ ORACLES = {
     "stream_classifier_train": STREAM_CLASSIFIER_TRAIN_SQL,
     "text_lm_perplexity": TEXT_LM_PERPLEXITY_SQL,
     "text_lm_backoff": TEXT_LM_BACKOFF_SQL,
+    "text_lm_buckets": TEXT_LM_BUCKETS_SQL,
     "stream_lm_perplexity": STREAM_LM_PERPLEXITY_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }

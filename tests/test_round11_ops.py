@@ -638,3 +638,25 @@ def test_lm_backoff_matches_bruteforce_reference(spark):
                 s = (4 * (uni.get(c, 0) + 1)) / float(25 * (n_tot + v))
             lp += rnd(math.log(s) * 1_000_000)
         assert got[i] == (max(len(ts) - 2, 0), lp), (i, got[i], lp)
+
+
+def test_lm_quality_buckets_two_arms_agree(spark):
+    """The exact ntile arm and the broadcast-cuts arm (fed the exact
+    arm's own boundaries) must agree whenever ppl values are distinct at
+    the boundaries; exact-arm bucket sizes differ by at most 1."""
+    from collections import Counter
+
+    from flume_spark.operators.text import lm_quality_buckets
+
+    rows = [(i, 10.0 + i) for i in range(11)]  # distinct ppls
+    scored = spark.createDataFrame(rows, "doc_id long, ppl double")
+    exact = lm_quality_buckets(scored).collect()
+    sizes = Counter(r["bucket"] for r in exact)
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    cut1 = max(r["ppl"] for r in exact if r["bucket"] == 1)
+    cut2 = max(r["ppl"] for r in exact if r["bucket"] == 2)
+    cuts_arm = {
+        r["doc_id"]: (r["bucket"], r["label"])
+        for r in lm_quality_buckets(scored, cuts=(cut1, cut2)).collect()
+    }
+    assert cuts_arm == {r["doc_id"]: (r["bucket"], r["label"]) for r in exact}
