@@ -1426,6 +1426,7 @@ def lm_perplexity(
     ref_df: DataFrame | None = None,
     add_k: int = 1,
     scale: int = 1_000_000,
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Add-k-smoothed bigram LM perplexity per document — the missing
     half of the model-based-filtering pair (CCNet's quality signal:
@@ -1454,10 +1455,19 @@ def lm_perplexity(
     side is reference-slice-bounded — AQE broadcasts it when small);
     contexts and the 1-row vocab ride as explicit broadcasts.  Nothing is
     pairwise, no Python anywhere.
+
+    Pass ``model`` (the (bigrams, contexts, vocab) triple of
+    `lm_bigram_model`, or a streaming `LmIngestor.model_frames()` export)
+    to score with a PREBUILT model instead of training on ``ref_df`` —
+    the stream->batch handoff: a continuously-learning ingestor's counts
+    become a frozen batch scorer with zero retraining.
     """
-    if ref_df is None:
-        ref_df = df
-    big, ctx, vocab = lm_bigram_model(ref_df, id_col, text_col)
+    if model is not None:
+        big, ctx, vocab = model
+    else:
+        if ref_df is None:
+            ref_df = df
+        big, ctx, vocab = lm_bigram_model(ref_df, id_col, text_col)
     tf = (
         bigram_pairs(df, id_col, text_col)
         .groupBy(id_col, "w1", "w2")

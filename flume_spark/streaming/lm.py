@@ -230,6 +230,22 @@ class LmIngestor:
             .agg(F.sum("c12").alias("c12"))
         )
 
+    def model_frames(self):
+        """The (bigrams, contexts, vocab) triple in lm_perplexity's
+        ``model=`` shape — the stream->batch handoff: everything this
+        ingestor has learned becomes a frozen batch scorer, equal by
+        construction to lm_bigram_model over the same ingested docs
+        (counts are an additive monoid).  None if nothing ingested."""
+        big = self.model()
+        if big is None:
+            return None
+        ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+        vocab = (
+            self.spark.read.parquet(self.uni_dir)
+            .agg(F.count_distinct("tok").alias("v"))
+        )
+        return big, ctx, vocab
+
     def compact_state(self) -> int:
         """Merge ACKED count partitions into the base partition so the
         per-batch prefix read stays a few files regardless of stream

@@ -660,3 +660,32 @@ def test_lm_quality_buckets_two_arms_agree(spark):
         for r in lm_quality_buckets(scored, cuts=(cut1, cut2)).collect()
     }
     assert cuts_arm == {r["doc_id"]: (r["bucket"], r["label"]) for r in exact}
+
+
+def test_lm_stream_to_batch_model_handoff(spark, tmp_path):
+    """An LmIngestor's accumulated counts, exported via model_frames(),
+    must score a batch corpus EXACTLY like lm_perplexity trained on the
+    same docs as a reference slice (counts are an additive monoid — the
+    stream's per-batch partitions sum to the batch trainer's counts)."""
+    from flume_spark.operators.text import lm_perplexity
+
+    ing = _lm_ing(spark, tmp_path, tag="_handoff")
+    for b, rows in enumerate(_LM_BATCHES):
+        ing.process(_lm_schema(spark, rows), b)
+
+    all_rows = [r for batch in _LM_BATCHES for r in batch]
+    ref = _lm_schema(spark, all_rows)
+    target = _lm_schema(
+        spark, [(100, "the cat sat on the log"), (101, "unseen stuff here")]
+    )
+    via_stream = {
+        tuple(r)
+        for r in lm_perplexity(
+            target, "doc_id", "text", model=ing.model_frames()
+        ).collect()
+    }
+    via_batch = {
+        tuple(r)
+        for r in lm_perplexity(target, "doc_id", "text", ref_df=ref).collect()
+    }
+    assert via_stream == via_batch
