@@ -49,6 +49,7 @@ def curate_corpus(
     classifier_weights: DataFrame | None = None,
     lm_max_ppl: float | None = None,
     lm_ref: DataFrame | None = None,
+    lm_scorer: str = "bigram",
 ) -> tuple[DataFrame, dict]:
     """Run the full curation pipeline; returns (curated_df, stage_counts).
 
@@ -95,7 +96,9 @@ def curate_corpus(
     themselves), keep docs whose perplexity is <= the threshold.  The
     score accumulates as an exact scaled BIGINT, so the stage is
     deterministic under any shuffle order; `stage_counts["lm_filter"]`
-    records survivors.
+    records survivors.  `lm_scorer` picks the model: "bigram" (add-1
+    `lm_perplexity`) or "backoff" (trigram stupid-backoff
+    `lm_backoff_score`).
     """
     counts: dict[str, int] = {"input": docs.count()}
 
@@ -115,7 +118,12 @@ def curate_corpus(
         counts["model_filter"] = kept.count()
 
     if lm_max_ppl is not None:
-        ppl = text.lm_perplexity(kept, id_col, text_col, ref_df=lm_ref)
+        if lm_scorer == "bigram":
+            ppl = text.lm_perplexity(kept, id_col, text_col, ref_df=lm_ref)
+        elif lm_scorer == "backoff":
+            ppl = text.lm_backoff_score(kept, id_col, text_col, ref_df=lm_ref)
+        else:
+            raise ValueError(f"unknown lm_scorer: {lm_scorer!r}")
         kept = kept.join(
             ppl.filter(F.col("ppl") <= lm_max_ppl).select(id_col), id_col
         ).cache()

@@ -689,3 +689,35 @@ def test_lm_stream_to_batch_model_handoff(spark, tmp_path):
         for r in lm_perplexity(target, "doc_id", "text", ref_df=ref).collect()
     }
     assert via_stream == via_batch
+
+
+def test_curate_corpus_lm_scorer_backoff_arm(spark):
+    """curate_corpus(lm_scorer='backoff') routes the LM stage through the
+    trigram stupid-backoff scorer; unknown scorers raise."""
+    from flume_spark.curation import curate_corpus
+    from flume_spark.operators.text import lm_backoff_score
+
+    rows = []
+    base = "the cat sat on the mat and the dog ran to the log "
+    for i in range(9):
+        if i % 3 == 2:
+            rows.append((i, " ".join(f"x{i}y{j}" for j in range(14))))
+        else:
+            rows.append((i, base + f"tail{i % 2}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = docs.filter("doc_id % 3 = 0")
+    ppl = {
+        r["doc_id"]: r["ppl"]
+        for r in lm_backoff_score(docs, "doc_id", "text", ref_df=ref).collect()
+    }
+    cut = sorted(ppl.values())[len(ppl) // 2]
+    _, counts = curate_corpus(
+        spark, docs, min_quality=0.0, lm_max_ppl=cut, lm_ref=ref,
+        lm_scorer="backoff",
+    )
+    assert counts["lm_filter"] == sum(1 for p in ppl.values() if p <= cut)
+
+    with pytest.raises(ValueError, match="unknown lm_scorer"):
+        curate_corpus(
+            spark, docs, min_quality=0.0, lm_max_ppl=1.0, lm_scorer="nope"
+        )
