@@ -1220,7 +1220,9 @@ def classifier_train(
         .localCheckpoint(eager=False)
     )
     weights = _perceptron_iterations(tf, id_col, "tok", iters)
-    return vocab.join(weights, "tok", "left").select(
+    # both sides are vocab-sized, but the checkpointed frames carry no
+    # stats — broadcast explicitly so the spine join never sort-merges
+    return vocab.join(F.broadcast(weights), "tok", "left").select(
         "tok", F.coalesce(F.col("w_int"), F.lit(0)).cast("long").alias("w_int")
     )
 
@@ -1316,7 +1318,7 @@ def classifier_train_hashed(
     )
     weights = _perceptron_iterations(tf, id_col, "bucket", iters)
     spine = spark.range(n_buckets).select(F.col("id").cast("long").alias("bucket"))
-    return spine.join(weights, "bucket", "left").select(
+    return spine.join(F.broadcast(weights), "bucket", "left").select(
         "bucket",
         F.coalesce(F.col("w_int"), F.lit(0)).cast("long").alias("w_int"),
     )

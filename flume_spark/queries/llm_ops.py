@@ -1718,6 +1718,49 @@ FROM base b LEFT JOIN sc USING (doc_id)
 """
 
 
+def text_classifier_train_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch perceptron over the HASHING-TRICK bucket space
+    (operators/text.py::classifier_train_hashed) — the feature space the
+    streaming PerceptronIngestor learns in, trained batch-style for 2
+    iterations (label = lang='en').  All-integer, so both unrolled
+    iterations are cross-engine hash-exact over the 64-bucket spine."""
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+    return text.classifier_train_hashed(
+        docs, "doc_id", "text", "y", n_buckets=64, iters=2
+    )
+
+
+TEXT_CLASSIFIER_HASHED_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         ('0x' || substr(md5('flume-hash:' || tok), 1, 8))::BIGINT % 64 AS bucket
+  FROM (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents
+  )
+),
+tf AS (SELECT doc_id, y, bucket, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+bk AS (SELECT unnest(range(0, 64)) AS bucket),
+-- iteration 1 from w = 0: every err is y
+d1 AS (SELECT bucket, sum(tf * y) AS d FROM tf GROUP BY 1),
+w1 AS (SELECT bk.bucket, coalesce(d1.d, 0) AS w FROM bk LEFT JOIN d1 USING (bucket)),
+z2 AS (
+  SELECT tf.doc_id, y, sum(tf.tf * w1.w) AS z
+  FROM tf JOIN w1 USING (bucket) GROUP BY 1, 2
+),
+e2 AS (SELECT doc_id, y - (CASE WHEN z > 0 THEN 1 ELSE 0 END) AS err FROM z2),
+d2 AS (SELECT bucket, sum(tf.tf * e2.err) AS d
+       FROM tf JOIN e2 USING (doc_id) GROUP BY 1),
+w2 AS (SELECT w1.bucket, w1.w + coalesce(d2.d, 0) AS w
+       FROM w1 LEFT JOIN d2 USING (bucket))
+SELECT bucket, CAST(w AS BIGINT) AS w_int FROM w2
+"""
+
+
 def text_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing
     (operators/text.py::lm_quality_buckets over lm_perplexity scores):
@@ -1894,6 +1937,7 @@ QUERIES = {
     "text_lm_perplexity": text_lm_perplexity,
     "text_lm_backoff": text_lm_backoff,
     "text_lm_buckets": text_lm_buckets,
+    "text_classifier_train_hashed": text_classifier_train_hashed,
     "stream_lm_perplexity": stream_lm_perplexity,
     "multimodal_meta": multimodal_meta,
 }
@@ -1946,6 +1990,7 @@ ORACLES = {
     "text_lm_perplexity": TEXT_LM_PERPLEXITY_SQL,
     "text_lm_backoff": TEXT_LM_BACKOFF_SQL,
     "text_lm_buckets": TEXT_LM_BUCKETS_SQL,
+    "text_classifier_train_hashed": TEXT_CLASSIFIER_HASHED_SQL,
     "stream_lm_perplexity": STREAM_LM_PERPLEXITY_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }

@@ -440,3 +440,36 @@ def test_substring_hot_uses_take_ordered(spark):
     plan = explained(spark, "dedup_substring_hot")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_lm_perplexity_model_sided_joins_no_python(spark):
+    """The LM perplexity filter must stay entirely JVM-side (no Python
+    boundary anywhere) with no pairwise leg: the corpus meets the model
+    through equi-joins only, and the 1-row vocab rides as a broadcast
+    (its nested-loop is a single-row broadcast, the only BNLJ allowed)."""
+    plan = explained(spark, "text_lm_perplexity")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    # the only nested-loop is the 1-row vocab scalar broadcast
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastExchange" in plan  # contexts/vocab broadcast
+
+
+def test_lm_backoff_model_sided_joins_no_python(spark):
+    """Same gates for the trigram stupid-backoff scorer: three count
+    tiers, all equi-joined; one 1-row totals broadcast; no Python."""
+    plan = explained(spark, "text_lm_backoff")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+    assert "BroadcastExchange" in plan
+
+
+def test_classifier_train_hashed_bounded_feature_space(spark):
+    """The hashed trainer's weight states are bucket-spine sized: every
+    weight join is a broadcast (never a sort-merge over a data-sized
+    side), and nothing is pairwise or Python."""
+    plan = explained(spark, "text_classifier_train_hashed")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
