@@ -1394,7 +1394,10 @@ def bigram_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def lm_bigram_model(
-    ref_df: DataFrame, id_col: str, text_col: str
+    ref_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    prune_min_count: int = 1,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Bigram language-model counts over a REFERENCE corpus slice — the
     training half of the CCNet/DCLM perplexity filter (the classifier
@@ -1411,10 +1414,22 @@ def lm_bigram_model(
     hash-exact.  At 100 TB the reference slice is bounded by design (the
     recipe trains on a curated reference like Wikipedia, not the corpus
     being filtered), so contexts/vocab broadcast and the bigram table is
-    at most slice-token-sized."""
+    at most slice-token-sized.
+
+    ``prune_min_count`` > 1 drops bigram rows below the count floor — the
+    standard LM-pruning knob (CCNet ships pruned KenLM models) that
+    shrinks the scoring join's model side; IMPORTANT: contexts (c1) are
+    summed BEFORE pruning, so a pruned bigram's mass still weighs its
+    context's denominator and scoring degrades smoothly to the
+    unseen-bigram tier (k/(c1+kV)) instead of inflating probabilities."""
     bg = bigram_pairs(ref_df, id_col, text_col)
-    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    ctx = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    big_all = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = big_all.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    big = (
+        big_all.filter(F.col("c12") >= prune_min_count)
+        if prune_min_count > 1
+        else big_all
+    )
     vocab = ref_df.select(F.explode(tokens_col(text_col)).alias("tok")).agg(
         F.count_distinct("tok").alias("v")
     )
@@ -1429,6 +1444,7 @@ def lm_perplexity(
     add_k: int = 1,
     scale: int = 1_000_000,
     model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    prune_min_count: int = 1,
 ) -> DataFrame:
     """Add-k-smoothed bigram LM perplexity per document — the missing
     half of the model-based-filtering pair (CCNet's quality signal:
@@ -1469,7 +1485,9 @@ def lm_perplexity(
     else:
         if ref_df is None:
             ref_df = df
-        big, ctx, vocab = lm_bigram_model(ref_df, id_col, text_col)
+        big, ctx, vocab = lm_bigram_model(
+            ref_df, id_col, text_col, prune_min_count=prune_min_count
+        )
     tf = (
         bigram_pairs(df, id_col, text_col)
         .groupBy(id_col, "w1", "w2")

@@ -721,3 +721,43 @@ def test_curate_corpus_lm_scorer_backoff_arm(spark):
         curate_corpus(
             spark, docs, min_quality=0.0, lm_max_ppl=1.0, lm_scorer="nope"
         )
+
+
+def test_lm_perplexity_pruned_model_degrades_to_backoff_tier(spark):
+    """prune_min_count drops rare bigrams from the model JOIN side but
+    keeps their mass in the context denominators: a pruned bigram scores
+    exactly the unseen tier k/(c1+kV) (contexts summed BEFORE pruning),
+    and bigrams at/above the floor score identically to the unpruned
+    model."""
+    import math
+
+    from flume_spark.operators.text import lm_perplexity
+
+    ref_rows = [
+        (0, "a b a b a b"),   # (a,b) x3, (b,a) x2
+        (1, "c d"),           # (c,d) x1 -> pruned at floor 2
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(10, "a b"), (11, "c d")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["lp_int"]
+        for r in lm_perplexity(
+            target, "doc_id", "text", ref_df=ref, prune_min_count=2
+        ).collect()
+    }
+    unpruned = {
+        r["doc_id"]: r["lp_int"]
+        for r in lm_perplexity(target, "doc_id", "text", ref_df=ref).collect()
+    }
+
+    def rnd(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    v = 4  # vocab: a b c d
+    # (a,b): c12=3, c1(a)=3 — survives the floor -> same as unpruned
+    assert got[10] == unpruned[10] == rnd(math.log((3 + 1) / (3 + v)) * 1e6)
+    # (c,d): pruned -> unseen tier k/(c1+kV) with c1(c) still 1 (pre-prune sum)
+    assert got[11] == rnd(math.log(1 / (1 + v)) * 1e6)
+    assert got[11] != unpruned[11]
