@@ -1919,6 +1919,95 @@ def main_lm() -> None:
     )
 
 
+def main_lmingest() -> None:
+    """LmIngestor per-batch cost vs history size: one FIXED 500-doc batch
+    timed against history x1/x10/x50 ingested as 16 micro-batches,
+    compacted vs raw state.  Expected ~flat-ish: the scoring join's model
+    side is DISTINCT-bigram-sized (vocabulary plateaus while the corpus
+    grows), and compaction bounds the prefix read at a few files; the raw
+    arm pays a growing per-batch partition listing + re-aggregate of more
+    (pre-aggregated) partitions."""
+    import shutil
+    import tempfile
+
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
+    n_hist_batches = 16
+    spark = get_spark(app_name="flume_probe_lmingest")
+    from flume_spark.streaming.lm import LmIngestor
+
+    fixed = (
+        scaled_docs(spark, 1)
+        .filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 900_000_000).alias("doc_id"), "text")
+        .localCheckpoint(eager=True)
+    )
+    raw_t: dict[int, float] = {}
+    comp_t: dict[int, float] = {}
+    for f in factors:
+        hist = scaled_docs(spark, f).select("doc_id", "text")
+        n_hist = hist.count()
+        batches = [
+            hist.filter(F.col("doc_id") % n_hist_batches == b)
+            for b in range(n_hist_batches)
+        ]
+        for mode in ("raw", "compacted"):
+            root = tempfile.mkdtemp(prefix=f"lmingest_{mode}_")
+            ing = LmIngestor(
+                spark,
+                state_dir=f"{root}/state",
+                marks_dir=f"{root}/marks",
+                ledger_dir=f"{root}/ledger",
+            )
+            for b, bdf in enumerate(batches):
+                ing.process(bdf, b)
+            if mode == "compacted":
+                t0 = time.perf_counter()
+                ing.compact_state()
+                dt_comp = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            ing.process(fixed, n_hist_batches)
+            dt = time.perf_counter() - t0
+            (raw_t if mode == "raw" else comp_t)[f] = dt
+            out = {
+                "factor": f,
+                "history": n_hist,
+                "mode": mode,
+                "ingest_sec": round(dt, 2),
+            }
+            if mode == "compacted":
+                out["compact_sec"] = round(dt_comp, 2)
+            print(json.dumps(out), flush=True)
+            shutil.rmtree(root, ignore_errors=True)
+        hist.unpersist()
+        spark.catalog.clearCache()
+    base = factors[0]
+
+    def exps(times: dict[int, float]) -> dict[int, float]:
+        return {
+            f: round(math.log(times[f] / times[base]) / math.log(f / base), 2)
+            for f in times
+            if f != base and times[f] > 0
+        }
+
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "lmingest_raw": {
+                        "sec": {k: round(v, 2) for k, v in raw_t.items()},
+                        "exponent": exps(raw_t),
+                    },
+                    "lmingest_compacted": {
+                        "sec": {k: round(v, 2) for k, v in comp_t.items()},
+                        "exponent": exps(comp_t),
+                    },
+                }
+            }
+        ),
+        flush=True,
+    )
+
+
 def main_profile() -> None:
     """Table-profile probe (round-10 stats_profile): exact-NDV profile
     (multi-count-distinct -> ONE Expand, map-side rows x (ndv_cols + 1))
@@ -2029,6 +2118,8 @@ if __name__ == "__main__":
         main_classifier()
     elif len(sys.argv) > 1 and sys.argv[1] == "--lm":
         main_lm()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--lmingest":
+        main_lmingest()
     elif len(sys.argv) > 1 and sys.argv[1] == "--profile":
         main_profile()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scd2":
