@@ -761,3 +761,82 @@ def test_lm_perplexity_pruned_model_degrades_to_backoff_tier(spark):
     # (c,d): pruned -> unseen tier k/(c1+kV) with c1(c) still 1 (pre-prune sum)
     assert got[11] == rnd(math.log(1 / (1 + v)) * 1e6)
     assert got[11] != unpruned[11]
+
+
+def _backoff_reference(rows, ref_ids, scale=1_000_000):
+    """Brute-force stupid-backoff scorer mirroring lm_backoff_score."""
+    import math
+    import re
+
+    def toks(t):
+        return re.split(r"\s+", t.strip().lower())
+
+    def rnd(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    tri, bctx, bi, uctx, uni = {}, {}, {}, {}, {}
+    n_tot, vocab = 0, set()
+    for i, t in rows:
+        if i not in ref_ids:
+            continue
+        ts = toks(t)
+        n_tot += len(ts)
+        vocab.update(ts)
+        for a, b, c in zip(ts, ts[1:], ts[2:]):
+            tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+            bctx[(a, b)] = bctx.get((a, b), 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+            uctx[a] = uctx.get(a, 0) + 1
+        for a in ts:
+            uni[a] = uni.get(a, 0) + 1
+    v = len(vocab)
+    out = {}
+    for i, t in rows:
+        ts = toks(t)
+        lp = 0
+        for a, b, c in zip(ts, ts[1:], ts[2:]):
+            if tri.get((a, b, c), 0) > 0:
+                s = tri[(a, b, c)] / float(bctx[(a, b)])
+            elif bi.get((b, c), 0) > 0:
+                s = (2 * bi[(b, c)]) / float(5 * uctx[b])
+            else:
+                s = (4 * (uni.get(c, 0) + 1)) / float(25 * (n_tot + v))
+            lp += rnd(math.log(s) * scale)
+        out[i] = (max(len(ts) - 2, 0), lp)
+    return out
+
+
+def test_lm_backoff_property_reference(spark):
+    """Randomized corpora over a small alphabet: lp_int must equal the
+    brute-force stupid-backoff scorer bit-for-bit across whatever tier
+    mix hypothesis generates."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flume_spark.operators.text import lm_backoff_score
+
+    @given(
+        texts=st.lists(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc"]), max_size=6
+            ).map(" ".join),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def run(texts):
+        rows = list(enumerate(texts))
+        ref_ids = {i for i, _ in rows if i % 2 == 0}
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["lp_int"]
+            for r in lm_backoff_score(
+                df, "doc_id", "text", ref_df=df.filter("doc_id % 2 = 0")
+            ).collect()
+        }
+        want = _backoff_reference(rows, ref_ids)
+        assert got == {i: w[1] for i, w in want.items()}
+
+    run()
