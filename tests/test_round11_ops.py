@@ -840,3 +840,42 @@ def test_lm_backoff_property_reference(spark):
         assert got == {i: w[1] for i, w in want.items()}
 
     run()
+
+
+def test_stream_semantic_reconcile_as_batch_epoch(spark):
+    """BASELINE.md's guidance made measurable: an operator needing
+    batch-equivalent semantic verdicts on a streaming corpus runs the
+    batch semantic rule as a periodic epoch over the STREAMING survivors.
+    Doing so collapses the semantic divergence from 29/26 (at-ingest
+    marks, frozen full-corpus centroids) to 4/5 — entirely induced by the
+    upstream near-dup membership delta (5/5), i.e. the semantic rule
+    itself reconciles exactly."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from flume_spark.operators import dedup, multimodal
+    from flume_spark.queries.llm_ext import funnel_report, stream_funnel_frames
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    bf: dict = {}
+    funnel_report(spark, docs, frames=bf)
+    sframes, root = stream_funnel_frames(spark, docs)
+    nd_s = sframes["nd"]
+    feats = multimodal.feature_extract_stub(
+        multimodal.to_binary_payload(nd_s, "doc_id", "text")
+    ).localCheckpoint(eager=True)
+    k = max(4, feats.count() // 125)
+    marks = dedup.semantic_dedup(feats, "id", "features", k=int(k), threshold=0.999)
+    sem_rec = nd_s.join(
+        marks.filter(~F.col("is_dup")).select(F.col("id").alias("doc_id")),
+        "doc_id",
+    )
+    b = bf["sem"].select("doc_id")
+    s = sem_rec.select("doc_id")
+    assert b.join(s, "doc_id", "left_anti").count() == 4
+    assert s.join(b, "doc_id", "left_anti").count() == 5
+    assert b.join(s, "doc_id", "semi").count() == 106
+    shutil.rmtree(root, ignore_errors=True)
