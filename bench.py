@@ -143,6 +143,8 @@ HEADLINE = [
     "text_lm_perplexity",
     "stream_lm_perplexity",
     "text_lm_backoff",
+    "text_lm_buckets",
+    "text_classifier_train_hashed",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture
