@@ -145,6 +145,7 @@ HEADLINE = [
     "text_lm_backoff",
     "text_lm_buckets",
     "text_classifier_train_hashed",
+    "multimodal_phash",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture
@@ -210,6 +211,13 @@ SHARDED = [
     "text_classifier_train",  # (text_classifier_score)
     "text_classifier_eval",  # (text_classifier_score)
     "stream_classifier_train",  # (text_classifier_train)
+    # round-11 growth (contract headroom): siblings of entries that stay
+    # official — the NEW modalities text_lm_perplexity and
+    # stream_lm_perplexity remain official
+    "text_lm_backoff",  # (text_lm_perplexity)
+    "text_lm_buckets",  # (text_lm_perplexity)
+    "text_classifier_train_hashed",  # (text_classifier_score)
+    "multimodal_phash",  # (dedup_simhash)
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

@@ -476,21 +476,45 @@ def simhash_pairs(
     that grows with corpus size) finds every qualifying pair — no all-pairs
     comparison.  Returns (doc_a, doc_b, hamming).
     """
+    fp = simhash_fingerprint(df, id_col, text_col, bits)
+    return hamming_block_pairs(
+        fp, "doc_id", "simhash", bits=bits, max_hamming=max_hamming, blocks=blocks
+    )
+
+
+def hamming_block_pairs(
+    fp: DataFrame,
+    id_col: str,
+    hash_col: str,
+    bits: int,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Pigeonhole hamming join over ANY integer fingerprint column —
+    the shared engine behind `simhash_pairs` (text) and
+    `multimodal.phash_pairs` (media payloads): with `blocks` >
+    `max_hamming` equal-width bit blocks, any pair within the hamming
+    budget agrees on at least one whole block, so the block-keyed
+    equi-join finds every qualifying pair with no all-pairs leg.
+    Returns (doc_a, doc_b, hamming)."""
     assert blocks > max_hamming, "pigeonhole requires blocks > max_hamming"
     assert bits % blocks == 0
     width = bits // blocks
     mask = (1 << width) - 1
-    fp = simhash_fingerprint(df, id_col, text_col, bits)
     block_cols = [
         F.struct(
             F.lit(j).alias("block_idx"),
-            F.expr(f"shiftright(simhash, {j * width}) & {mask}").alias("block_val"),
+            F.expr(f"shiftright({hash_col}, {j * width}) & {mask}").alias(
+                "block_val"
+            ),
         )
         for j in range(blocks)
     ]
     banded = fp.select(
-        "doc_id", "simhash", F.explode(F.array(*block_cols)).alias("b")
-    ).select("doc_id", "simhash", "b.block_idx", "b.block_val")
+        F.col(id_col).alias("doc_id"),
+        F.col(hash_col).alias("__h"),
+        F.explode(F.array(*block_cols)).alias("b"),
+    ).select("doc_id", "__h", "b.block_idx", "b.block_val")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -503,7 +527,7 @@ def simhash_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").cast("int").alias("hamming"),
+            F.expr("bit_count(a.__h ^ b.__h)").cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

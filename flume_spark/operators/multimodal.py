@@ -309,3 +309,62 @@ def frame_sample_stub(
             )
 
     return payloads.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+PHASH_SCHEMA = "id bigint, phash bigint"
+
+
+def perceptual_hash_stub(payloads: DataFrame, bits: int = 32) -> DataFrame:
+    """pHash-shaped perceptual fingerprint over the binary-payload seam:
+    sample ``bits`` evenly-spaced payload bytes (s_i = payload[(i*n)//bits])
+    and set bit i iff ``bits * s_i > sum(samples)`` — the
+    downsample-then-compare-to-mean rule of pHash/PDQ, with the
+    mean comparison kept in EXACT integers (bits*s_i vs the sample sum —
+    no float mean, so any engine reproduces the fingerprint bit-for-bit).
+    The decode+DCT stage of a real pHash is stubbed (image libs aren't in
+    this container): at scale the sampled bytes become decoded downsampled
+    luminance through the same `mapInPandas` kernel — schema, batch shape,
+    and the downstream hamming machinery unchanged.  Empty payloads hash
+    to 0.  Returns (id, phash)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                n = len(b)
+                if n == 0:
+                    out.append(0)
+                    continue
+                s = [b[(i * n) // bits] for i in range(bits)]
+                tot = sum(s)
+                h = 0
+                for i, v in enumerate(s):
+                    if bits * v > tot:
+                        h |= 1 << i
+                out.append(h)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "phash": pd.array(out, dtype="int64")}
+            )
+
+    return payloads.mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def phash_pairs(
+    payloads: DataFrame,
+    bits: int = 32,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Media near-dup pairs by perceptual-hash hamming distance — the
+    image/video twin of text `dedup.simhash_pairs`, sharing its exact
+    pigeonhole block-join engine (`dedup.hamming_block_pairs`): every
+    pair within the hamming budget is found through a block-keyed
+    equi-join, never an all-pairs comparison.  Returns
+    (doc_a, doc_b, hamming)."""
+    from flume_spark.operators.dedup import hamming_block_pairs
+
+    fp = perceptual_hash_stub(payloads, bits=bits)
+    return hamming_block_pairs(
+        fp, "id", "phash", bits=bits, max_hamming=max_hamming, blocks=blocks
+    )

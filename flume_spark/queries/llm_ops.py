@@ -1718,6 +1718,56 @@ FROM base b LEFT JOIN sc USING (doc_id)
 """
 
 
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup pairs by perceptual-hash hamming distance
+    (operators/multimodal.py::phash_pairs): the pHash/PDQ shape — sample
+    32 evenly-spaced payload bytes, bit i set iff 32*s_i > sum(samples)
+    (exact-integer mean compare) — over the binary-payload seam, paired
+    through the SAME pigeonhole block join as dedup_simhash
+    (dedup.hamming_block_pairs).  The decode+DCT stage is the documented
+    stub; the fingerprint, blocking, and hamming machinery are real and
+    hash-exact."""
+    docs = T(spark, sf_dir, "documents")
+    payloads = multimodal.to_binary_payload(docs, "doc_id", "text")
+    return multimodal.phash_pairs(payloads, bits=32, max_hamming=3, blocks=4)
+
+
+MULTIMODAL_PHASH_SQL = """
+WITH n_ AS (SELECT doc_id, length(text) AS n FROM documents),
+samp AS (
+  SELECT d.doc_id, t.i,
+         ascii(substr(d.text, CAST((t.i * n_.n) // 32 AS INT) + 1, 1)) AS s
+  FROM documents d JOIN n_ USING (doc_id), unnest(range(0, 32)) AS t(i)
+  WHERE n_.n > 0
+),
+tot AS (SELECT doc_id, sum(s) AS tot FROM samp GROUP BY 1),
+fp AS (
+  SELECT samp.doc_id,
+         sum(CASE WHEN 32 * s > tot THEN CAST(1 AS BIGINT) << i
+                  ELSE 0 END) AS phash
+  FROM samp JOIN tot USING (doc_id) GROUP BY 1
+),
+fp2 AS (
+  SELECT doc_id, phash FROM fp
+  UNION ALL
+  SELECT doc_id, CAST(0 AS BIGINT) FROM n_ WHERE n = 0
+),
+banded AS (
+  SELECT doc_id, phash, t.j AS block_idx,
+         (phash >> CAST(t.j * 8 AS INT)) & 255 AS block_val
+  FROM fp2, unnest(range(0, 4)) AS t(j)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM banded a
+JOIN banded b
+  ON a.block_idx = b.block_idx
+ AND a.block_val = b.block_val
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+"""
+
+
 def text_classifier_train_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch perceptron over the HASHING-TRICK bucket space
     (operators/text.py::classifier_train_hashed) — the feature space the
@@ -1938,6 +1988,7 @@ QUERIES = {
     "text_lm_backoff": text_lm_backoff,
     "text_lm_buckets": text_lm_buckets,
     "text_classifier_train_hashed": text_classifier_train_hashed,
+    "multimodal_phash": multimodal_phash,
     "stream_lm_perplexity": stream_lm_perplexity,
     "multimodal_meta": multimodal_meta,
 }
@@ -1991,6 +2042,7 @@ ORACLES = {
     "text_lm_backoff": TEXT_LM_BACKOFF_SQL,
     "text_lm_buckets": TEXT_LM_BUCKETS_SQL,
     "text_classifier_train_hashed": TEXT_CLASSIFIER_HASHED_SQL,
+    "multimodal_phash": MULTIMODAL_PHASH_SQL,
     "stream_lm_perplexity": STREAM_LM_PERPLEXITY_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }

@@ -879,3 +879,56 @@ def test_stream_semantic_reconcile_as_batch_epoch(spark):
     assert s.join(b, "doc_id", "left_anti").count() == 5
     assert b.join(s, "doc_id", "semi").count() == 106
     shutil.rmtree(root, ignore_errors=True)
+
+
+# -- perceptual-hash media near-dup -------------------------------------------
+
+
+def test_phash_pairs_pigeonhole_is_exact(spark):
+    """The block join must find EXACTLY the brute-force all-pairs result
+    within the hamming budget (pigeonhole guarantee) — recall 1 by
+    construction, verified against collected fingerprints."""
+    from itertools import combinations
+
+    from flume_spark.operators import multimodal
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    pay = multimodal.to_binary_payload(docs, "doc_id", "text")
+    fp = {
+        r["id"]: r["phash"]
+        for r in multimodal.perceptual_hash_stub(pay).collect()
+    }
+    want = {
+        (a, b, bin(fp[a] ^ fp[b]).count("1"))
+        for a, b in combinations(sorted(fp), 2)
+        if bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    got = {
+        tuple(r)
+        for r in multimodal.phash_pairs(pay, max_hamming=3).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the corpus actually exercises the join
+
+
+def test_perceptual_hash_stub_integer_mean_rule(spark):
+    """The fingerprint follows the exact-integer downsample-vs-mean rule
+    (bits*s_i > sum(samples)) including the empty-payload zero case."""
+    from flume_spark.operators import multimodal
+
+    rows = [(1, "abcd" * 16), (2, "")]
+    pay = multimodal.to_binary_payload(
+        spark.createDataFrame(rows, "doc_id long, text string"), "doc_id", "text"
+    )
+    got = {
+        r["id"]: r["phash"]
+        for r in multimodal.perceptual_hash_stub(pay).collect()
+    }
+    b = ("abcd" * 16).encode()
+    n = len(b)
+    s = [b[(i * n) // 32] for i in range(32)]
+    tot = sum(s)
+    want = sum(1 << i for i, v in enumerate(s) if 32 * v > tot)
+    assert got == {1: want, 2: 0}
