@@ -146,6 +146,7 @@ HEADLINE = [
     "text_lm_buckets",
     "text_classifier_train_hashed",
     "multimodal_phash",
+    "stream_phash_dedup",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture
@@ -218,6 +219,7 @@ SHARDED = [
     "text_lm_buckets",  # (text_lm_perplexity)
     "text_classifier_train_hashed",  # (text_classifier_score)
     "multimodal_phash",  # (dedup_simhash)
+    "stream_phash_dedup",  # (multimodal_phash)
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

@@ -1768,6 +1768,84 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
 
 
+def stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MEDIA near-dup through the REAL streaming ingestor
+    (streaming/dedup.py::PhashIngestor): payloads arrive in 3
+    micro-batches (doc_id % 3); each batch is perceptually fingerprinted
+    and marked against the persisted fingerprint index via the pigeonhole
+    block join (batch-prefix seniority: dup_of = min earlier-batch or
+    lower-same-batch id within hamming 3), then appended.  One batch is
+    re-delivered through the ledger-guarded entrypoint and must be
+    skipped.  The oracle replays the keep rule declaratively as all-pairs
+    hamming under the same seniority — with blocks > max_hamming the
+    pigeonhole guarantee makes the two EXACTLY equal, so hash-equality
+    proves fingerprints, blocking recall, seniority, and ledger
+    idempotence at once."""
+    import shutil
+    import tempfile
+
+    from flume_spark.streaming.dedup import PhashIngestor
+
+    docs = T(spark, sf_dir, "documents")
+    payloads = multimodal.to_binary_payload(docs, "doc_id", "text")
+    root = tempfile.mkdtemp(prefix="phash_ingest_")
+    ing = PhashIngestor(
+        spark,
+        index_dir=f"{root}/index",
+        marks_dir=f"{root}/marks",
+        ledger_dir=f"{root}/ledger",
+        id_col="id",
+        bits=32,
+        max_hamming=3,
+        blocks=4,
+    )
+    batches = [payloads.filter(F.col("id") % 3 == b) for b in range(3)]
+    for b, bdf in enumerate(batches):
+        ing.process(bdf, b)
+    ing.process(batches[1], 1)  # re-delivered batch id: ledger must skip it
+    out = (
+        ing.dup_marks()
+        .select(F.col("id").alias("doc_id"), "phash", "dup_of", "is_dup")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+STREAM_PHASH_SQL = """
+WITH n_ AS (SELECT doc_id, length(text) AS n FROM documents),
+samp AS (
+  SELECT d.doc_id, t.i,
+         ascii(substr(d.text, CAST((t.i * n_.n) // 32 AS INT) + 1, 1)) AS s
+  FROM documents d JOIN n_ USING (doc_id), unnest(range(0, 32)) AS t(i)
+  WHERE n_.n > 0
+),
+tot AS (SELECT doc_id, sum(s) AS tot FROM samp GROUP BY 1),
+fp AS (
+  SELECT samp.doc_id,
+         sum(CASE WHEN 32 * s > tot THEN CAST(1 AS BIGINT) << i
+                  ELSE 0 END) AS phash
+  FROM samp JOIN tot USING (doc_id) GROUP BY 1
+),
+fp2 AS (
+  SELECT doc_id, phash FROM fp
+  UNION ALL
+  SELECT doc_id, CAST(0 AS BIGINT) FROM n_ WHERE n = 0
+),
+f AS (SELECT doc_id, doc_id % 3 AS b, phash FROM fp2),
+dups AS (
+  SELECT j.doc_id, min(s.doc_id) AS dup_of
+  FROM f j JOIN f s
+    ON ((s.b < j.b) OR (s.b = j.b AND s.doc_id < j.doc_id))
+   AND bit_count(xor(s.phash, j.phash)) <= 3
+  GROUP BY 1
+)
+SELECT f.doc_id, CAST(f.phash AS BIGINT) AS phash, d.dup_of,
+       d.dup_of IS NOT NULL AS is_dup
+FROM f LEFT JOIN dups d USING (doc_id)
+"""
+
+
 def text_classifier_train_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch perceptron over the HASHING-TRICK bucket space
     (operators/text.py::classifier_train_hashed) — the feature space the
@@ -1989,6 +2067,7 @@ QUERIES = {
     "text_lm_buckets": text_lm_buckets,
     "text_classifier_train_hashed": text_classifier_train_hashed,
     "multimodal_phash": multimodal_phash,
+    "stream_phash_dedup": stream_phash_dedup,
     "stream_lm_perplexity": stream_lm_perplexity,
     "multimodal_meta": multimodal_meta,
 }
@@ -2043,6 +2122,7 @@ ORACLES = {
     "text_lm_buckets": TEXT_LM_BUCKETS_SQL,
     "text_classifier_train_hashed": TEXT_CLASSIFIER_HASHED_SQL,
     "multimodal_phash": MULTIMODAL_PHASH_SQL,
+    "stream_phash_dedup": STREAM_PHASH_SQL,
     "stream_lm_perplexity": STREAM_LM_PERPLEXITY_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }

@@ -1025,3 +1025,156 @@ class SemanticIngestor:
             "dup_of",
             F.col("dup_of").isNotNull().alias("is_dup"),
         )
+
+
+class PhashIngestor:
+    """Streaming incremental MEDIA near-dup: each arriving micro-batch of
+    binary payloads is perceptually fingerprinted
+    (multimodal.perceptual_hash_stub — the pHash/PDQ shape with the
+    decode+DCT stage stubbed), marked against the PERSISTED fingerprint
+    index through the pigeonhole block join (history is met via
+    block-keyed equi-joins, never all-pairs), and appended to the index —
+    the media twin of LshIngestor, same state contract (plain parquet
+    partitions outside the checkpoint; exactly-once via the batch-id
+    ledger; a replayed batch re-marks identically because its own
+    partition is excluded from the probe).
+
+    Keep rule (batch-prefix seniority, the SemanticIngestor convention):
+    a vector is a duplicate iff some STRICTLY-EARLIER-batch doc or a
+    LOWER-id doc in its own batch is within `max_hamming`; dup_of = the
+    smallest such id.  Marks are pinned per ingest and never revisited.
+
+    Per-batch cost: one Arrow fingerprint pass over the batch, one block
+    join whose shuffled rows are (batch + matched-block history) x blocks
+    — history rows outside the batch's touched blocks never shuffle, and
+    with `blocks` > `max_hamming` the pigeonhole guarantee keeps recall
+    exactly 1 vs brute-force hamming."""
+
+    def __init__(
+        self,
+        spark,
+        index_dir: str,
+        marks_dir: str,
+        ledger_dir: str,
+        id_col: str = "doc_id",
+        payload_col: str = "payload",
+        bits: int = 32,
+        max_hamming: int = 3,
+        blocks: int = 4,
+    ) -> None:
+        import os
+
+        assert blocks > max_hamming, "pigeonhole requires blocks > max_hamming"
+        assert bits % blocks == 0
+        self.spark = spark
+        self.index_dir = index_dir
+        self.marks_dir = marks_dir
+        self.id_col = id_col
+        self.payload_col = payload_col
+        self.bits = bits
+        self.max_hamming = max_hamming
+        self.blocks = blocks
+        os.makedirs(index_dir, exist_ok=True)
+        os.makedirs(marks_dir, exist_ok=True)
+        from flume_spark.streaming.sink import idempotent_foreach_batch
+
+        self.process = idempotent_foreach_batch(self._process, ledger_dir)
+
+    def _bands(self, fp):
+        width = self.bits // self.blocks
+        mask = (1 << width) - 1
+        block_cols = [
+            F.struct(
+                F.lit(j).alias("block_idx"),
+                F.expr(f"shiftright(phash, {j * width}) & {mask}").alias(
+                    "block_val"
+                ),
+            )
+            for j in range(self.blocks)
+        ]
+        return fp.select(
+            "id", "phash", F.explode(F.array(*block_cols)).alias("b")
+        ).select("id", "phash", "b.block_idx", "b.block_val")
+
+    def _process(self, batch_df, batch_id: int) -> None:
+        import os
+
+        from flume_spark.operators.dedup import hamming_block_pairs
+        from flume_spark.operators.multimodal import perceptual_hash_stub
+
+        nb = perceptual_hash_stub(
+            batch_df.select(
+                F.col(self.id_col).alias("id"),
+                F.col(self.payload_col).alias("payload"),
+            ),
+            bits=self.bits,
+        ).localCheckpoint(eager=True)
+
+        seniors = None
+        if LshIngestor._has_parquet(self.index_dir):
+            hist = (
+                self.spark.read.parquet(self.index_dir)
+                .filter(F.col("ingest_batch") != batch_id)
+                .select("id", "phash")
+            )
+            cross = (
+                self._bands(nb)
+                .alias("j")
+                .join(
+                    self._bands(hist).alias("s"),
+                    (F.col("j.block_idx") == F.col("s.block_idx"))
+                    & (F.col("j.block_val") == F.col("s.block_val")),
+                )
+                .select(
+                    F.col("j.id").alias("id"),
+                    F.col("s.id").alias("senior"),
+                    F.expr("bit_count(j.phash ^ s.phash)")
+                    .cast("int")
+                    .alias("hamming"),
+                )
+                .filter(F.col("hamming") <= self.max_hamming)
+            )
+            seniors = cross.groupBy("id").agg(F.min("senior").alias("dup_hist"))
+        within = (
+            hamming_block_pairs(
+                nb,
+                "id",
+                "phash",
+                bits=self.bits,
+                max_hamming=self.max_hamming,
+                blocks=self.blocks,
+            )
+            .groupBy(F.col("doc_b").alias("id"))
+            .agg(F.min("doc_a").alias("dup_within"))
+        )
+        marks = nb.join(within, "id", "left")
+        if seniors is not None:
+            marks = marks.join(seniors, "id", "left")
+        else:
+            marks = marks.withColumn("dup_hist", F.lit(None).cast("long"))
+        marks = marks.select(
+            "id",
+            "phash",
+            F.least(
+                F.coalesce("dup_hist", "dup_within"),
+                F.coalesce("dup_within", "dup_hist"),
+            ).alias("dup_of"),
+        )
+        marks.write.mode("overwrite").parquet(
+            os.path.join(self.marks_dir, f"ingest_batch={batch_id}")
+        )
+        nb.write.mode("overwrite").parquet(
+            os.path.join(self.index_dir, f"ingest_batch={batch_id}")
+        )
+
+    def dup_marks(self):
+        """(id, phash, dup_of, is_dup) for every ingested payload, as of
+        its OWN ingest time (None if nothing ingested)."""
+        if not LshIngestor._has_parquet(self.marks_dir):
+            return None
+        return self.spark.read.parquet(self.marks_dir).select(
+            F.col("id").alias(self.id_col),
+            "phash",
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )

@@ -932,3 +932,42 @@ def test_perceptual_hash_stub_integer_mean_rule(spark):
     tot = sum(s)
     want = sum(1 << i for i, v in enumerate(s) if 32 * v > tot)
     assert got == {1: want, 2: 0}
+
+
+def test_phash_ingestor_marks_and_replay_converge(spark, tmp_path):
+    """At-ingest marks: a later near-identical payload dup_of's the
+    senior; a crash-window replay (marker lost) re-marks identically
+    because the batch's own index partition is excluded from its probe."""
+    import os
+
+    from flume_spark.operators import multimodal
+    from flume_spark.streaming.dedup import PhashIngestor
+
+    rows = [(1, "abcdefgh" * 8), (2, "zzzz" + "qqqq" * 15)]
+    rows2 = [(3, "abcdefgh" * 8)]  # exact payload twin of id 1
+    mk = lambda rs: multimodal.to_binary_payload(
+        spark.createDataFrame(rs, "doc_id long, text string"), "doc_id", "text"
+    )
+    ing = PhashIngestor(
+        spark,
+        index_dir=str(tmp_path / "idx"),
+        marks_dir=str(tmp_path / "marks"),
+        ledger_dir=str(tmp_path / "lg"),
+        id_col="id",
+    )
+    ing.process(mk(rows), 0)
+    ing.process(mk(rows2), 1)
+    marks = {r["id"]: r["dup_of"] for r in ing.dup_marks().collect()}
+    assert marks[1] is None and marks[3] == 1
+
+    first = {tuple(r) for r in ing.dup_marks().collect()}
+    os.remove(str(tmp_path / "lg") + "/batch-1.done")
+    re_ing = PhashIngestor(
+        spark,
+        index_dir=str(tmp_path / "idx"),
+        marks_dir=str(tmp_path / "marks"),
+        ledger_dir=str(tmp_path / "lg"),
+        id_col="id",
+    )
+    re_ing.process(mk(rows2), 1)
+    assert {tuple(r) for r in re_ing.dup_marks().collect()} == first
