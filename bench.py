@@ -147,6 +147,7 @@ HEADLINE = [
     "text_classifier_train_hashed",
     "multimodal_phash",
     "stream_phash_dedup",
+    "multimodal_frame_phash",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture
@@ -220,6 +221,7 @@ SHARDED = [
     "text_classifier_train_hashed",  # (text_classifier_score)
     "multimodal_phash",  # (dedup_simhash)
     "stream_phash_dedup",  # (multimodal_phash)
+    "multimodal_frame_phash",  # (multimodal_frame_sample)
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

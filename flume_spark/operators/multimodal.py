@@ -329,20 +329,7 @@ def perceptual_hash_stub(payloads: DataFrame, bits: int = 32) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = []
-            for p in pdf["payload"]:
-                b = bytes(p)
-                n = len(b)
-                if n == 0:
-                    out.append(0)
-                    continue
-                s = [b[(i * n) // bits] for i in range(bits)]
-                tot = sum(s)
-                h = 0
-                for i, v in enumerate(s):
-                    if bits * v > tot:
-                        h |= 1 << i
-                out.append(h)
+            out = [_phash_bytes(bytes(p), bits) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {"id": pdf["id"], "phash": pd.array(out, dtype="int64")}
             )
@@ -367,4 +354,86 @@ def phash_pairs(
     fp = perceptual_hash_stub(payloads, bits=bits)
     return hamming_block_pairs(
         fp, "id", "phash", bits=bits, max_hamming=max_hamming, blocks=blocks
+    )
+
+
+def _phash_bytes(b: bytes, bits: int) -> int:
+    """The exact-integer pHash rule over one byte payload (shared by the
+    whole-payload and per-frame kernels): sample `bits` evenly-spaced
+    bytes, bit i set iff bits*s_i > sum(samples); empty input hashes 0."""
+    n = len(b)
+    if n == 0:
+        return 0
+    s = [b[(i * n) // bits] for i in range(bits)]
+    tot = sum(s)
+    h = 0
+    for i, v in enumerate(s):
+        if bits * v > tot:
+            h |= 1 << i
+    return h
+
+
+FRAME_PHASH_SCHEMA = "id bigint, frame_idx int, fhash bigint"
+
+
+def frame_phash(
+    payloads: DataFrame, n_frames: int = 4, bits: int = 32
+) -> DataFrame:
+    """Per-frame perceptual fingerprints: slice each payload into the
+    SAME n_frames equal windows `frame_sample_stub` reports
+    (off = i*(n//n_frames), len = n//n_frames; a payload shorter than
+    n_frames yields empty frames hashing 0) and pHash each window — the
+    video form of `perceptual_hash_stub`: at scale the windows become
+    decoded keyframes through the same kernel seam.  Returns
+    (id, frame_idx, fhash)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hs = [], [], []
+            for pid, p in zip(pdf["id"], pdf["payload"]):
+                b = bytes(p)
+                fl = len(b) // n_frames
+                for i in range(n_frames):
+                    ids.append(pid)
+                    idxs.append(i)
+                    hs.append(_phash_bytes(b[i * fl : (i + 1) * fl], bits))
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "fhash": pd.array(hs, dtype="int64"),
+                }
+            )
+
+    return payloads.mapInPandas(batches, schema=FRAME_PHASH_SCHEMA)
+
+
+def frame_containment_pairs(
+    payloads: DataFrame,
+    n_frames: int = 4,
+    bits: int = 32,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Video-style near-dup by FRAME containment: pair (a, b) with
+    a < b is emitted iff >= ``min_shared`` of b's frame positions carry a
+    fingerprint that also appears among a's frames — the standard
+    keyframe-fingerprint video-dedup rule (a re-encode or a clip shares
+    most keyframes; hamming-0 on the per-frame hash is the match).
+
+    Plan: the only data-sized shuffle keys on the 32-bit frame hash
+    (exact-equality join — no pairwise leg); degenerate hash values (all
+    sub-n_frames payloads hash 0) form hot join keys — gate such
+    payloads upstream or raise `bits`.  Returns (doc_a, doc_b,
+    n_matched)."""
+    fh = frame_phash(payloads, n_frames=n_frames, bits=bits)
+    fa = fh.select(F.col("id").alias("doc_a"), F.col("fhash").alias("h")).distinct()
+    fb = fh.select(
+        F.col("id").alias("doc_b"), F.col("frame_idx"), F.col("fhash").alias("h")
+    )
+    return (
+        fb.join(fa, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count_distinct("frame_idx").alias("n_matched"))
+        .filter(F.col("n_matched") >= min_shared)
     )

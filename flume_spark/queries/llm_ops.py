@@ -1768,6 +1768,47 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 3
 """
 
 
+def multimodal_frame_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame perceptual fingerprints
+    (operators/multimodal.py::frame_phash): each payload sliced into the
+    4 equal windows frame_sample_stub reports, each window pHashed with
+    the exact-integer mean-compare rule — the video-dedup fingerprint
+    layer (frame_containment_pairs consumes it; its exact-match pairing
+    is unit-tested on constructed clip twins since real frame collisions
+    are rare in a text-backed corpus)."""
+    docs = T(spark, sf_dir, "documents")
+    payloads = multimodal.to_binary_payload(docs, "doc_id", "text")
+    return multimodal.frame_phash(payloads, n_frames=4, bits=32)
+
+
+MULTIMODAL_FRAME_PHASH_SQL = """
+WITH fr AS (
+  SELECT doc_id, CAST(t.i AS INT) AS frame_idx,
+         substr(text,
+                CAST(t.i * (octet_length(CAST(text AS BLOB)) // 4) AS INT) + 1,
+                CAST(octet_length(CAST(text AS BLOB)) // 4 AS INT)) AS ftext
+  FROM documents, unnest(range(0, 4)) AS t(i)
+),
+n_ AS (SELECT doc_id, frame_idx, length(ftext) AS n FROM fr),
+samp AS (
+  SELECT fr.doc_id, fr.frame_idx, t.i,
+         ascii(substr(fr.ftext, CAST((t.i * n_.n) // 32 AS INT) + 1, 1)) AS s
+  FROM fr JOIN n_ USING (doc_id, frame_idx), unnest(range(0, 32)) AS t(i)
+  WHERE n_.n > 0
+),
+tot AS (SELECT doc_id, frame_idx, sum(s) AS tot FROM samp GROUP BY 1, 2),
+fp AS (
+  SELECT samp.doc_id, samp.frame_idx,
+         sum(CASE WHEN 32 * s > tot THEN CAST(1 AS BIGINT) << i
+                  ELSE 0 END) AS fhash
+  FROM samp JOIN tot USING (doc_id, frame_idx) GROUP BY 1, 2
+)
+SELECT n_.doc_id AS id, n_.frame_idx,
+       CAST(coalesce(fp.fhash, 0) AS BIGINT) AS fhash
+FROM n_ LEFT JOIN fp USING (doc_id, frame_idx)
+"""
+
+
 def stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MEDIA near-dup through the REAL streaming ingestor
     (streaming/dedup.py::PhashIngestor): payloads arrive in 3
@@ -2067,6 +2108,7 @@ QUERIES = {
     "text_lm_buckets": text_lm_buckets,
     "text_classifier_train_hashed": text_classifier_train_hashed,
     "multimodal_phash": multimodal_phash,
+    "multimodal_frame_phash": multimodal_frame_phash,
     "stream_phash_dedup": stream_phash_dedup,
     "stream_lm_perplexity": stream_lm_perplexity,
     "multimodal_meta": multimodal_meta,
@@ -2122,6 +2164,7 @@ ORACLES = {
     "text_lm_buckets": TEXT_LM_BUCKETS_SQL,
     "text_classifier_train_hashed": TEXT_CLASSIFIER_HASHED_SQL,
     "multimodal_phash": MULTIMODAL_PHASH_SQL,
+    "multimodal_frame_phash": MULTIMODAL_FRAME_PHASH_SQL,
     "stream_phash_dedup": STREAM_PHASH_SQL,
     "stream_lm_perplexity": STREAM_LM_PERPLEXITY_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,

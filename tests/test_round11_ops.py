@@ -971,3 +971,32 @@ def test_phash_ingestor_marks_and_replay_converge(spark, tmp_path):
     )
     re_ing.process(mk(rows2), 1)
     assert {tuple(r) for r in re_ing.dup_marks().collect()} == first
+
+
+def test_frame_containment_pairs_on_clip_twins(spark):
+    """Video-dedup semantics on constructed clips: a re-encode sharing
+    all 4 frame windows pairs at n_matched=4; a half-overlapping clip
+    (2 shared windows) pairs only when min_shared allows it; an
+    unrelated payload never pairs."""
+    from flume_spark.operators import multimodal
+
+    a = "AAAAAAAA" * 4 + "BBBBBBBB" * 4 + "CCCCCCCC" * 4 + "DDDDDDDD" * 4
+    clip = (
+        "AAAAAAAA" * 4 + "BBBBBBBB" * 4 + "XYZWXYZW" * 4 + "QRSTQRST" * 4
+    )  # shares windows 0,1 with a
+    other = "mnopqrst" * 16
+    rows = [(1, a), (2, a), (3, clip), (4, other)]
+    pay = multimodal.to_binary_payload(
+        spark.createDataFrame(rows, "doc_id long, text string"), "doc_id", "text"
+    )
+    strict = {
+        (r["doc_a"], r["doc_b"]): r["n_matched"]
+        for r in multimodal.frame_containment_pairs(pay, min_shared=3).collect()
+    }
+    assert strict == {(1, 2): 4}  # only the full re-encode
+    loose = {
+        (r["doc_a"], r["doc_b"]): r["n_matched"]
+        for r in multimodal.frame_containment_pairs(pay, min_shared=2).collect()
+    }
+    assert loose[(1, 2)] == 4 and loose[(1, 3)] == 2 and loose[(2, 3)] == 2
+    assert not any(4 in p for p in loose)  # unrelated payload never pairs
