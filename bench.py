@@ -148,6 +148,7 @@ HEADLINE = [
     "multimodal_phash",
     "stream_phash_dedup",
     "multimodal_frame_phash",
+    "multimodal_audio_energy",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture
@@ -222,6 +223,7 @@ SHARDED = [
     "multimodal_phash",  # (dedup_simhash)
     "stream_phash_dedup",  # (multimodal_phash)
     "multimodal_frame_phash",  # (multimodal_frame_sample)
+    "multimodal_audio_energy",  # (multimodal_feature_extract)
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

@@ -34,10 +34,15 @@ MEDIA_META_SCHEMA = (
 )
 
 
-def to_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Demo payload builder: treat UTF-8 text bytes as an opaque blob with
-    metadata columns — the same shape a real image/audio table would have."""
-    payload = F.encode(F.col(text_col), "UTF-8")
+def to_binary_payload(
+    df: DataFrame, id_col: str, text_col: str, encoding: str = "UTF-8"
+) -> DataFrame:
+    """Demo payload builder: treat text bytes as an opaque blob with
+    metadata columns — the same shape a real image/audio table would
+    have.  ``encoding="ISO-8859-1"`` round-trips arbitrary byte values
+    0-255 (latin-1), letting tests feed true binary (e.g. PCM) through
+    a string column."""
+    payload = F.encode(F.col(text_col), encoding)
     return df.select(
         F.col(id_col).alias("id"),
         payload.alias("payload"),
@@ -437,3 +442,60 @@ def frame_containment_pairs(
         .agg(F.count_distinct("frame_idx").alias("n_matched"))
         .filter(F.col("n_matched") >= min_shared)
     )
+
+
+AUDIO_SCHEMA = (
+    "id bigint, window_idx int, n_samples int, energy bigint, is_silence boolean"
+)
+
+
+def audio_energy_stub(
+    payloads: DataFrame,
+    n_windows: int = 8,
+    silence_mean_sq: int = 1000,
+) -> DataFrame:
+    """Audio-analysis seam: treat the payload as raw little-endian
+    16-bit PCM (sample k = b[2k] + 256*b[2k+1], re-signed), slice into
+    ``n_windows`` equal windows, and report each window's EXACT-integer
+    energy (sum of sample squares — BIGINT, shuffle-order immune) plus a
+    silence flag (energy <= silence_mean_sq * n_samples, i.e. mean square
+    at or below the threshold; the <= makes an empty window silent).
+
+    The compressed-codec decode (mp3/aac -> PCM) is the stubbed stage —
+    at scale it runs inside this same Arrow kernel; the byte->int16 view
+    IS the real processing for raw/WAV payloads, so schema, batch shape,
+    windowing, and the exact-integer energy law are all production-real.
+    Window energy / silence gating is the standard first pass of an audio
+    curation pipeline (drop silent/clipped segments before embedding).
+    Returns (id, window_idx, n_samples, energy, is_silence)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, ns, es, sil = [], [], [], [], []
+            for pid, p in zip(pdf["id"], pdf["payload"]):
+                b = bytes(p)
+                n_samp = len(b) // 2
+                wl = n_samp // n_windows
+                for i in range(n_windows):
+                    e = 0
+                    for k in range(i * wl, (i + 1) * wl):
+                        v = b[2 * k] + 256 * b[2 * k + 1]
+                        if v >= 32768:
+                            v -= 65536
+                        e += v * v
+                    ids.append(pid)
+                    idxs.append(i)
+                    ns.append(wl)
+                    es.append(e)
+                    sil.append(e <= silence_mean_sq * wl)
+            yield pd.DataFrame(
+                {
+                    "id": pd.array(ids, dtype="int64"),
+                    "window_idx": pd.array(idxs, dtype="int32"),
+                    "n_samples": pd.array(ns, dtype="int32"),
+                    "energy": pd.array(es, dtype="int64"),
+                    "is_silence": pd.array(sil, dtype="bool"),
+                }
+            )
+
+    return payloads.mapInPandas(batches, schema=AUDIO_SCHEMA)

@@ -1809,6 +1809,51 @@ FROM n_ LEFT JOIN fp USING (doc_id, frame_idx)
 """
 
 
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio curation first pass
+    (operators/multimodal.py::audio_energy_stub): payload bytes as raw
+    little-endian 16-bit PCM, 8 equal windows, exact-integer window
+    energy (sum of sample squares) + silence flag — the
+    window-energy/silence gate that fronts an audio embedding pipeline.
+    The codec decode is the documented stub; the PCM view, windowing, and
+    integer energy law are real and hash-exact."""
+    docs = T(spark, sf_dir, "documents")
+    payloads = multimodal.to_binary_payload(docs, "doc_id", "text")
+    return multimodal.audio_energy_stub(payloads, n_windows=8)
+
+
+MULTIMODAL_AUDIO_SQL = """
+WITH p AS (
+  SELECT doc_id, text,
+         (octet_length(CAST(text AS BLOB)) // 2) // 8 AS wl
+  FROM documents
+),
+w AS (
+  SELECT doc_id, CAST(t.i AS INT) AS window_idx, wl, text
+  FROM p, unnest(range(0, 8)) AS t(i)
+),
+s AS (
+  SELECT doc_id, window_idx, wl,
+         ascii(substr(text, CAST(2 * (window_idx * wl + t.j) + 1 AS INT), 1))
+         + 256 * ascii(substr(text, CAST(2 * (window_idx * wl + t.j) + 2 AS INT), 1))
+         AS v
+  FROM w, unnest(range(0, wl)) AS t(j)
+),
+e AS (
+  SELECT doc_id, window_idx,
+         sum(CASE WHEN v >= 32768
+                  THEN CAST(v - 65536 AS BIGINT) * (v - 65536)
+                  ELSE CAST(v AS BIGINT) * v END) AS energy
+  FROM s GROUP BY 1, 2
+)
+SELECT w.doc_id AS id, w.window_idx,
+       CAST(w.wl AS INT) AS n_samples,
+       CAST(coalesce(e.energy, 0) AS BIGINT) AS energy,
+       coalesce(e.energy, 0) <= 1000 * w.wl AS is_silence
+FROM w LEFT JOIN e USING (doc_id, window_idx)
+"""
+
+
 def stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MEDIA near-dup through the REAL streaming ingestor
     (streaming/dedup.py::PhashIngestor): payloads arrive in 3
@@ -2109,6 +2154,7 @@ QUERIES = {
     "text_classifier_train_hashed": text_classifier_train_hashed,
     "multimodal_phash": multimodal_phash,
     "multimodal_frame_phash": multimodal_frame_phash,
+    "multimodal_audio_energy": multimodal_audio_energy,
     "stream_phash_dedup": stream_phash_dedup,
     "stream_lm_perplexity": stream_lm_perplexity,
     "multimodal_meta": multimodal_meta,
@@ -2165,6 +2211,7 @@ ORACLES = {
     "text_classifier_train_hashed": TEXT_CLASSIFIER_HASHED_SQL,
     "multimodal_phash": MULTIMODAL_PHASH_SQL,
     "multimodal_frame_phash": MULTIMODAL_FRAME_PHASH_SQL,
+    "multimodal_audio_energy": MULTIMODAL_AUDIO_SQL,
     "stream_phash_dedup": STREAM_PHASH_SQL,
     "stream_lm_perplexity": STREAM_LM_PERPLEXITY_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,

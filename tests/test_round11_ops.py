@@ -1000,3 +1000,31 @@ def test_frame_containment_pairs_on_clip_twins(spark):
     }
     assert loose[(1, 2)] == 4 and loose[(1, 3)] == 2 and loose[(2, 3)] == 2
     assert not any(4 in p for p in loose)  # unrelated payload never pairs
+
+
+def test_audio_energy_stub_pcm_reference(spark):
+    """The window energy must equal a direct little-endian int16
+    computation, including negative samples, the <= silence rule, and
+    zero-length windows from sub-16-sample payloads."""
+    import struct
+
+    from flume_spark.operators import multimodal
+
+    # 32 samples: a loud ramp then silence-ish noise
+    samples = [1000 * i - 8000 for i in range(16)] + [1, -1] * 8
+    pcm = struct.pack("<32h", *samples)
+    rows = [(1, pcm.decode("latin-1")), (2, "ab")]  # doc 2: 1 sample -> wl 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # latin-1 round-trips bytes 0-255, so payload bytes == pcm bytes
+    pay = multimodal.to_binary_payload(docs, "doc_id", "text", encoding="ISO-8859-1")
+    got = {
+        (r["id"], r["window_idx"]): (r["n_samples"], r["energy"], r["is_silence"])
+        for r in multimodal.audio_energy_stub(pay, n_windows=8).collect()
+    }
+    wl = 32 // 8
+    for i in range(8):
+        win = samples[i * wl : (i + 1) * wl]
+        e = sum(v * v for v in win)
+        assert got[(1, i)] == (wl, e, e <= 1000 * wl), (i, got[(1, i)])
+    for i in range(8):
+        assert got[(2, i)] == (0, 0, True)  # empty windows are silent
