@@ -1601,6 +1601,20 @@ def semantic_dedup(
         assigned = kmeans_assign_hierarchical(
             emb, id_col, vec_col, k=k, n_probe=n_probe
         )
+    elif assign == "table":
+        # table-resident router (the SemanticIngestor assign="table" arm's
+        # batch twin): the k fine centroids never ride the driver — the
+        # 100 TB form once k ∝ n pushes the list past the --ctable wall;
+        # bit-equal to the hierarchical router (pinned at k=4/64/1024)
+        from flume_spark.operators.similarity import (
+            kmeans_assign_table,
+            md5_init_centroids_df,
+        )
+
+        cdf = md5_init_centroids_df(emb, id_col, vec_col, k=k)
+        assigned = kmeans_assign_table(
+            emb, id_col, vec_col, centroids_df=cdf, n_probe=n_probe
+        )
     else:
         raise ValueError(f"unknown assign mode: {assign!r}")
     assign = assigned.select("id", "cluster").localCheckpoint(eager=True)

@@ -1028,3 +1028,28 @@ def test_audio_energy_stub_pcm_reference(spark):
         assert got[(1, i)] == (wl, e, e <= 1000 * wl), (i, got[(1, i)])
     for i in range(8):
         assert got[(2, i)] == (0, 0, True)  # empty windows are silent
+
+
+def test_semantic_dedup_table_arm_equals_hierarchical(spark):
+    """semantic_dedup(assign='table') — the batch twin of the ingestor's
+    table arm — must produce marks identical to the hierarchical list
+    router (same fine centroids, bit-equal routing)."""
+    from flume_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    k = max(4, emb.count() // 25)  # big enough k to exercise routing
+    h = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", k=int(k), threshold=0.4,
+            assign="hierarchical",
+        ).collect()
+    }
+    t = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", k=int(k), threshold=0.4,
+            assign="table",
+        ).collect()
+    }
+    assert t == h
