@@ -149,6 +149,7 @@ HEADLINE = [
     "stream_phash_dedup",
     "multimodal_frame_phash",
     "multimodal_audio_energy",
+    "multimodal_audio_fingerprint",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture
@@ -224,6 +225,7 @@ SHARDED = [
     "stream_phash_dedup",  # (multimodal_phash)
     "multimodal_frame_phash",  # (multimodal_frame_sample)
     "multimodal_audio_energy",  # (multimodal_feature_extract)
+    "multimodal_audio_fingerprint",  # (multimodal_audio_energy)
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

@@ -499,3 +499,70 @@ def audio_energy_stub(
             )
 
     return payloads.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = "id bigint, ahash bigint"
+
+
+def audio_fingerprint_stub(payloads: DataFrame, n_windows: int = 32) -> DataFrame:
+    """Energy-profile audio fingerprint (the acoustid/chromaprint shape
+    reduced to its energy envelope): the payload as little-endian 16-bit
+    PCM, sliced into ``n_windows`` equal windows; bit i set iff
+    n_windows * E_i > sum(E) where E_i is the window's exact-integer
+    energy — the SAME integer mean-compare rule as the pixel pHash, one
+    level up (energies instead of bytes), so the fingerprint is
+    bit-deterministic cross-engine.  A re-encode or level-shifted copy
+    keeps its energy envelope and lands within a few hamming bits; the
+    codec decode + chroma analysis of a real fingerprint is the stubbed
+    stage behind this same kernel seam.  Empty payloads hash 0.
+    Returns (id, ahash)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                n_samp = len(b) // 2
+                wl = n_samp // n_windows
+                if wl == 0:
+                    out.append(0)
+                    continue
+                es = []
+                for i in range(n_windows):
+                    e = 0
+                    for k in range(i * wl, (i + 1) * wl):
+                        v = b[2 * k] + 256 * b[2 * k + 1]
+                        if v >= 32768:
+                            v -= 65536
+                        e += v * v
+                    es.append(e)
+                tot = sum(es)
+                h = 0
+                for i, e in enumerate(es):
+                    if n_windows * e > tot:
+                        h |= 1 << i
+                out.append(h)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "ahash": pd.array(out, dtype="int64")}
+            )
+
+    return payloads.mapInPandas(batches, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_pairs(
+    payloads: DataFrame,
+    n_windows: int = 32,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Audio near-dup pairs by energy-fingerprint hamming distance —
+    completing the per-modality near-dup set (text SimHash, image pHash,
+    video frame containment, audio energy profile) on the SAME exact
+    pigeonhole engine (`dedup.hamming_block_pairs`).  Returns
+    (doc_a, doc_b, hamming)."""
+    from flume_spark.operators.dedup import hamming_block_pairs
+
+    fp = audio_fingerprint_stub(payloads, n_windows=n_windows)
+    return hamming_block_pairs(
+        fp, "id", "ahash", bits=n_windows, max_hamming=max_hamming, blocks=blocks
+    )

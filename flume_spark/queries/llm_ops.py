@@ -1854,6 +1854,57 @@ FROM w LEFT JOIN e USING (doc_id, window_idx)
 """
 
 
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-profile audio fingerprints
+    (operators/multimodal.py::audio_fingerprint_stub): the payload as
+    16-bit PCM, 32 equal windows, bit i set iff 32*E_i > sum(E) — the
+    pHash mean-compare rule one level up (exact-integer window energies),
+    the acoustid shape with the codec/chroma stage stubbed.
+    `audio_pairs` consumes it through the shared pigeonhole hamming
+    engine (unit-tested on constructed re-encodes; exact collisions are
+    rare in a text-backed corpus)."""
+    docs = T(spark, sf_dir, "documents")
+    payloads = multimodal.to_binary_payload(docs, "doc_id", "text")
+    return multimodal.audio_fingerprint_stub(payloads, n_windows=32)
+
+
+MULTIMODAL_AUDIO_FP_SQL = """
+WITH p AS (
+  SELECT doc_id, text,
+         (octet_length(CAST(text AS BLOB)) // 2) // 32 AS wl
+  FROM documents
+),
+w AS (
+  SELECT doc_id, CAST(t.i AS INT) AS wi, wl, text
+  FROM p, unnest(range(0, 32)) AS t(i)
+  WHERE wl > 0
+),
+s AS (
+  SELECT doc_id, wi,
+         ascii(substr(text, CAST(2 * (wi * wl + t.j) + 1 AS INT), 1))
+         + 256 * ascii(substr(text, CAST(2 * (wi * wl + t.j) + 2 AS INT), 1))
+         AS v
+  FROM w, unnest(range(0, wl)) AS t(j)
+),
+e AS (
+  SELECT doc_id, wi,
+         sum(CASE WHEN v >= 32768
+                  THEN CAST(v - 65536 AS BIGINT) * (v - 65536)
+                  ELSE CAST(v AS BIGINT) * v END) AS energy
+  FROM s GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, sum(energy) AS tot FROM e GROUP BY 1),
+fp AS (
+  SELECT e.doc_id,
+         sum(CASE WHEN 32 * energy > tot THEN CAST(1 AS BIGINT) << wi
+                  ELSE 0 END) AS ahash
+  FROM e JOIN tot USING (doc_id) GROUP BY 1
+)
+SELECT p.doc_id AS id, CAST(coalesce(fp.ahash, 0) AS BIGINT) AS ahash
+FROM p LEFT JOIN fp USING (doc_id)
+"""
+
+
 def stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MEDIA near-dup through the REAL streaming ingestor
     (streaming/dedup.py::PhashIngestor): payloads arrive in 3
@@ -2155,6 +2206,7 @@ QUERIES = {
     "multimodal_phash": multimodal_phash,
     "multimodal_frame_phash": multimodal_frame_phash,
     "multimodal_audio_energy": multimodal_audio_energy,
+    "multimodal_audio_fingerprint": multimodal_audio_fingerprint,
     "stream_phash_dedup": stream_phash_dedup,
     "stream_lm_perplexity": stream_lm_perplexity,
     "multimodal_meta": multimodal_meta,
@@ -2212,6 +2264,7 @@ ORACLES = {
     "multimodal_phash": MULTIMODAL_PHASH_SQL,
     "multimodal_frame_phash": MULTIMODAL_FRAME_PHASH_SQL,
     "multimodal_audio_energy": MULTIMODAL_AUDIO_SQL,
+    "multimodal_audio_fingerprint": MULTIMODAL_AUDIO_FP_SQL,
     "stream_phash_dedup": STREAM_PHASH_SQL,
     "stream_lm_perplexity": STREAM_LM_PERPLEXITY_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,

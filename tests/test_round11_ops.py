@@ -1053,3 +1053,50 @@ def test_semantic_dedup_table_arm_equals_hierarchical(spark):
         ).collect()
     }
     assert t == h
+
+
+def test_audio_pairs_on_constructed_reencodes(spark):
+    """Audio near-dup on constructed signals: a level-shifted re-encode
+    keeps its energy envelope (small hamming, pairs); an inverted-envelope
+    signal does not pair; pigeonhole result equals brute-force hamming."""
+    import math
+    import struct
+    from itertools import combinations
+
+    from flume_spark.operators import multimodal
+
+    def tone(amp_profile, samples_per_window=8):
+        # 32 windows; window i holds a constant-amplitude square wave
+        out = []
+        for a in amp_profile:
+            out += [a, -a] * (samples_per_window // 2)
+        return struct.pack(f"<{len(out)}h", *out).decode("ISO-8859-1")
+
+    loud_then_quiet = [3000] * 16 + [10] * 16
+    rows = [
+        (1, tone(loud_then_quiet)),
+        (2, tone([int(a * 0.9) for a in loud_then_quiet])),  # re-encode
+        (3, tone([10] * 16 + [3000] * 16)),                  # inverted envelope
+    ]
+    pay = multimodal.to_binary_payload(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id",
+        "text",
+        encoding="ISO-8859-1",
+    )
+    fp = {
+        r["id"]: r["ahash"]
+        for r in multimodal.audio_fingerprint_stub(pay).collect()
+    }
+    assert fp[1] == fp[2]          # envelope survives the level shift
+    assert fp[1] != fp[3]
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in multimodal.audio_pairs(pay, max_hamming=3).collect()
+    }
+    want = {
+        (a, b): bin(fp[a] ^ fp[b]).count("1")
+        for a, b in combinations(sorted(fp), 2)
+        if bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    assert got == want and (1, 2) in got and (1, 3) not in got
