@@ -150,6 +150,7 @@ HEADLINE = [
     "multimodal_frame_phash",
     "multimodal_audio_energy",
     "multimodal_audio_fingerprint",
+    "media_funnel",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture

@@ -1905,6 +1905,175 @@ FROM p LEFT JOIN fp USING (doc_id)
 """
 
 
+def media_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MEDIA curation funnel — the media twin of
+    `corpus_funnel`, composed from the modality operators this round
+    completed: (1) input, (2) size gate (payloads under 64 bytes are
+    torn/undecodable media), (3) perceptual near-dup drop (a doc with a
+    LOWER-id pHash neighbor within hamming 3 is dropped — the
+    keep-lowest form of multimodal_phash's pairing), (4) audio silence
+    gate (drop when >= 4 of the 8 PCM windows are silent), (5) frame
+    diversity gate (drop 'static videos': < 2 distinct keyframe-window
+    fingerprints).  Per-stage (stage_ord, stage, n_docs, n_bytes) —
+    each stage checkpointed before the report aggregates (the
+    funnel_report staging discipline).  Every stage is the already-
+    oracled modality operator, so the whole funnel hash-checks."""
+    docs = T(spark, sf_dir, "documents")
+    pay = multimodal.to_binary_payload(docs, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+
+    sized = pay.filter(F.col("n_bytes") >= 64).localCheckpoint(eager=True)
+
+    pairs = multimodal.phash_pairs(sized, bits=32, max_hamming=3, blocks=4)
+    dup_ids = pairs.select(F.col("doc_b").alias("id")).distinct()
+    nd = sized.join(dup_ids, "id", "left_anti").localCheckpoint(eager=True)
+
+    sil = (
+        multimodal.audio_energy_stub(nd, n_windows=8)
+        .groupBy("id")
+        .agg(F.sum(F.col("is_silence").cast("int")).alias("n_sil"))
+        .filter(F.col("n_sil") >= 4)
+        .select("id")
+    )
+    loud = nd.join(sil, "id", "left_anti").localCheckpoint(eager=True)
+
+    static = (
+        multimodal.frame_phash(loud, n_frames=4, bits=32)
+        .groupBy("id")
+        .agg(F.count_distinct("fhash").alias("n_distinct"))
+        .filter(F.col("n_distinct") < 2)
+        .select("id")
+    )
+    varied = loud.join(static, "id", "left_anti").localCheckpoint(eager=True)
+
+    def stage(df, ordinal, name):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_bytes"), F.lit(0)).cast("long").alias("n_bytes"),
+        ).select(
+            F.lit(ordinal).alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_bytes",
+        )
+
+    return (
+        stage(pay, 1, "input")
+        .unionByName(stage(sized, 2, "size_gate"))
+        .unionByName(stage(nd, 3, "phash_dedup"))
+        .unionByName(stage(loud, 4, "silence_gate"))
+        .unionByName(stage(varied, 5, "frame_diversity"))
+    )
+
+
+MEDIA_FUNNEL_SQL = """
+WITH n_ AS (SELECT doc_id, length(text) AS n FROM documents),
+pay AS (
+  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents
+),
+sized AS (SELECT doc_id, n_bytes FROM pay WHERE n_bytes >= 64),
+samp AS (
+  SELECT d.doc_id, t.i,
+         ascii(substr(d.text, CAST((t.i * n_.n) // 32 AS INT) + 1, 1)) AS s
+  FROM documents d JOIN n_ USING (doc_id), unnest(range(0, 32)) AS t(i)
+  WHERE n_.n > 0
+),
+tot AS (SELECT doc_id, sum(s) AS tot FROM samp GROUP BY 1),
+fp0 AS (
+  SELECT samp.doc_id,
+         sum(CASE WHEN 32 * s > tot THEN CAST(1 AS BIGINT) << i
+                  ELSE 0 END) AS phash
+  FROM samp JOIN tot USING (doc_id) GROUP BY 1
+),
+fp AS (
+  SELECT doc_id, phash FROM fp0
+  UNION ALL
+  SELECT doc_id, CAST(0 AS BIGINT) FROM n_ WHERE n = 0
+),
+nd AS (
+  SELECT s.doc_id, s.n_bytes
+  FROM sized s JOIN fp j USING (doc_id)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sized s2 JOIN fp a ON a.doc_id = s2.doc_id
+    WHERE a.doc_id < j.doc_id
+      AND bit_count(xor(a.phash, j.phash)) <= 3
+  )
+),
+aw AS (
+  SELECT nd.doc_id, CAST(t.i AS INT) AS wi,
+         (octet_length(CAST(d.text AS BLOB)) // 2) // 8 AS wl, d.text
+  FROM nd JOIN documents d USING (doc_id), unnest(range(0, 8)) AS t(i)
+),
+av AS (
+  SELECT doc_id, wi, wl,
+         ascii(substr(text, CAST(2 * (wi * wl + t.j) + 1 AS INT), 1))
+         + 256 * ascii(substr(text, CAST(2 * (wi * wl + t.j) + 2 AS INT), 1))
+         AS v
+  FROM aw, unnest(range(0, wl)) AS t(j)
+),
+ae AS (
+  SELECT doc_id, wi,
+         sum(CASE WHEN v >= 32768
+                  THEN CAST(v - 65536 AS BIGINT) * (v - 65536)
+                  ELSE CAST(v AS BIGINT) * v END) AS energy
+  FROM av GROUP BY 1, 2
+),
+asil AS (
+  SELECT aw.doc_id,
+         sum(CASE WHEN coalesce(ae.energy, 0) <= 1000 * aw.wl
+                  THEN 1 ELSE 0 END) AS n_sil
+  FROM aw LEFT JOIN ae USING (doc_id, wi)
+  GROUP BY 1
+),
+loud AS (
+  SELECT nd.doc_id, nd.n_bytes FROM nd JOIN asil USING (doc_id)
+  WHERE n_sil < 4
+),
+fr AS (
+  SELECT l.doc_id, CAST(t.i AS INT) AS frame_idx,
+         substr(d.text,
+                CAST(t.i * (octet_length(CAST(d.text AS BLOB)) // 4) AS INT) + 1,
+                CAST(octet_length(CAST(d.text AS BLOB)) // 4 AS INT)) AS ftext
+  FROM loud l JOIN documents d USING (doc_id), unnest(range(0, 4)) AS t(i)
+),
+fn AS (SELECT doc_id, frame_idx, length(ftext) AS n FROM fr),
+fsamp AS (
+  SELECT fr.doc_id, fr.frame_idx, t.i,
+         ascii(substr(fr.ftext, CAST((t.i * fn.n) // 32 AS INT) + 1, 1)) AS s
+  FROM fr JOIN fn USING (doc_id, frame_idx), unnest(range(0, 32)) AS t(i)
+  WHERE fn.n > 0
+),
+ftot AS (SELECT doc_id, frame_idx, sum(s) AS tot FROM fsamp GROUP BY 1, 2),
+ffp AS (
+  SELECT fsamp.doc_id, fsamp.frame_idx,
+         sum(CASE WHEN 32 * s > tot THEN CAST(1 AS BIGINT) << i
+                  ELSE 0 END) AS fhash
+  FROM fsamp JOIN ftot USING (doc_id, frame_idx) GROUP BY 1, 2
+),
+fall AS (
+  SELECT fn.doc_id, fn.frame_idx, coalesce(ffp.fhash, 0) AS fhash
+  FROM fn LEFT JOIN ffp USING (doc_id, frame_idx)
+),
+varied AS (
+  SELECT l.doc_id, l.n_bytes FROM loud l JOIN (
+    SELECT doc_id, count(DISTINCT fhash) AS nd_ FROM fall GROUP BY 1
+  ) v USING (doc_id)
+  WHERE v.nd_ >= 2
+)
+SELECT 1 AS stage_ord, 'input' AS stage, count(*) AS n_docs,
+       CAST(coalesce(sum(n_bytes), 0) AS BIGINT) AS n_bytes FROM pay
+UNION ALL
+SELECT 2, 'size_gate', count(*), CAST(coalesce(sum(n_bytes), 0) AS BIGINT) FROM sized
+UNION ALL
+SELECT 3, 'phash_dedup', count(*), CAST(coalesce(sum(n_bytes), 0) AS BIGINT) FROM nd
+UNION ALL
+SELECT 4, 'silence_gate', count(*), CAST(coalesce(sum(n_bytes), 0) AS BIGINT) FROM loud
+UNION ALL
+SELECT 5, 'frame_diversity', count(*), CAST(coalesce(sum(n_bytes), 0) AS BIGINT) FROM varied
+"""
+
+
 def stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MEDIA near-dup through the REAL streaming ingestor
     (streaming/dedup.py::PhashIngestor): payloads arrive in 3
@@ -2207,6 +2376,7 @@ QUERIES = {
     "multimodal_frame_phash": multimodal_frame_phash,
     "multimodal_audio_energy": multimodal_audio_energy,
     "multimodal_audio_fingerprint": multimodal_audio_fingerprint,
+    "media_funnel": media_funnel,
     "stream_phash_dedup": stream_phash_dedup,
     "stream_lm_perplexity": stream_lm_perplexity,
     "multimodal_meta": multimodal_meta,
@@ -2265,6 +2435,7 @@ ORACLES = {
     "multimodal_frame_phash": MULTIMODAL_FRAME_PHASH_SQL,
     "multimodal_audio_energy": MULTIMODAL_AUDIO_SQL,
     "multimodal_audio_fingerprint": MULTIMODAL_AUDIO_FP_SQL,
+    "media_funnel": MEDIA_FUNNEL_SQL,
     "stream_phash_dedup": STREAM_PHASH_SQL,
     "stream_lm_perplexity": STREAM_LM_PERPLEXITY_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
