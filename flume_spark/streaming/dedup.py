@@ -1045,10 +1045,14 @@ class PhashIngestor:
     smallest such id.  Marks are pinned per ingest and never revisited.
 
     Per-batch cost: one Arrow fingerprint pass over the batch, one block
-    join whose shuffled rows are (batch + matched-block history) x blocks
-    — history rows outside the batch's touched blocks never shuffle, and
-    with `blocks` > `max_hamming` the pigeonhole guarantee keeps recall
-    exactly 1 vs brute-force hamming."""
+    join whose shuffled rows are (batch + matched-bucket history) x blocks.
+    The index stores EXPLODED band rows partitioned by
+    bband = (block_idx * 2^width + block_val) % index_buckets, so the
+    probe lists only its touched band-bucket DIRECTORIES — history rows
+    outside them are never read, let alone shuffled (the SemanticIngestor
+    cbucket discipline; without it the per-batch index READ grows with
+    total history).  With `blocks` > `max_hamming` the pigeonhole
+    guarantee keeps recall exactly 1 vs brute-force hamming."""
 
     def __init__(
         self,
@@ -1061,6 +1065,7 @@ class PhashIngestor:
         bits: int = 32,
         max_hamming: int = 3,
         blocks: int = 4,
+        index_buckets: int = 16,
     ) -> None:
         import os
 
@@ -1074,6 +1079,7 @@ class PhashIngestor:
         self.bits = bits
         self.max_hamming = max_hamming
         self.blocks = blocks
+        self.index_buckets = index_buckets
         os.makedirs(index_dir, exist_ok=True)
         os.makedirs(marks_dir, exist_ok=True)
         from flume_spark.streaming.sink import idempotent_foreach_batch
@@ -1096,6 +1102,18 @@ class PhashIngestor:
             "id", "phash", F.explode(F.array(*block_cols)).alias("b")
         ).select("id", "phash", "b.block_idx", "b.block_val")
 
+    def _bband(self):
+        """Band-bucket partition key: a bounded (<= index_buckets) function
+        of the (block_idx, block_val) band — the SemanticIngestor cbucket
+        discipline applied to hamming bands, so a probe that knows its
+        touched bands lists only those index DIRECTORIES (file-level
+        pruning; the row-level band equi-join still applies downstream)."""
+        width = self.bits // self.blocks
+        return F.pmod(
+            F.col("block_idx") * (1 << width) + F.col("block_val"),
+            F.lit(self.index_buckets),
+        ).cast("int")
+
     def _process(self, batch_df, batch_id: int) -> None:
         import os
 
@@ -1109,19 +1127,30 @@ class PhashIngestor:
             ),
             bits=self.bits,
         ).localCheckpoint(eager=True)
+        nb_bands = self._bands(nb).withColumn("bband", self._bband())
 
         seniors = None
         if LshIngestor._has_parquet(self.index_dir):
+            # touched band-buckets: a bounded driver list that prunes the
+            # index READ at the directory level — the full-index scan this
+            # replaces grows with history; the pruned read is bounded by
+            # the batch's own band set
+            touched = [
+                r["bband"]
+                for r in nb_bands.select("bband").distinct().collect()
+            ]
             hist = (
                 self.spark.read.parquet(self.index_dir)
-                .filter(F.col("ingest_batch") != batch_id)
-                .select("id", "phash")
+                .filter(
+                    F.col("bband").isin(touched)
+                    & (F.col("ingest_batch") != batch_id)
+                )
+                .select("id", "phash", "block_idx", "block_val")
             )
             cross = (
-                self._bands(nb)
-                .alias("j")
+                nb_bands.alias("j")
                 .join(
-                    self._bands(hist).alias("s"),
+                    hist.alias("s"),
                     (F.col("j.block_idx") == F.col("s.block_idx"))
                     & (F.col("j.block_val") == F.col("s.block_val")),
                 )
@@ -1163,7 +1192,10 @@ class PhashIngestor:
         marks.write.mode("overwrite").parquet(
             os.path.join(self.marks_dir, f"ingest_batch={batch_id}")
         )
-        nb.write.mode("overwrite").parquet(
+        # index stores the EXPLODED band rows partitioned by band-bucket
+        # (blocks rows per doc — the standard banding overhead) so future
+        # probes read only their touched directories
+        nb_bands.write.mode("overwrite").partitionBy("bband").parquet(
             os.path.join(self.index_dir, f"ingest_batch={batch_id}")
         )
 

@@ -971,6 +971,10 @@ def test_phash_ingestor_marks_and_replay_converge(spark, tmp_path):
     )
     re_ing.process(mk(rows2), 1)
     assert {tuple(r) for r in re_ing.dup_marks().collect()} == first
+    # the index layout is band-bucket partitioned (file-level pruning):
+    # every ingest partition holds bband= subdirectories
+    b0 = str(tmp_path / "idx") + "/ingest_batch=0"
+    assert any(d.startswith("bband=") for d in os.listdir(b0)), os.listdir(b0)
 
 
 def test_frame_containment_pairs_on_clip_twins(spark):
