@@ -1,0 +1,173 @@
+"""Round-12 operator tests.
+
+Covers:
+- The real-WAV decode arm of the audio seam (wav_pcm_data: canonical
+  RIFF/WAVE 16-bit PCM parse, strict well-formedness, raw fallback).
+- The vectorized numpy PCM kernels staying bit-identical to the
+  per-sample int16 law (the round-11 pinned references re-verify the
+  raw arm; here the WAV arm gets its own pinned reference).
+- Two's-complement top-bit wrap at 64-bit fingerprints (pHash and the
+  audio energy-profile hash) and their flow through the pigeonhole
+  hamming engine.
+- The frame-containment max_df frequency cap gating degenerate /
+  ambient frame hashes before the equi-join.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from flume_spark.operators import multimodal
+
+
+def _wav_bytes(samples, extra_chunk: bytes = b"", audio_format: int = 1,
+               bits_per: int = 16) -> bytes:
+    """A canonical RIFF/WAVE container around little-endian int16 PCM."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", audio_format, 1, 8000, 16000, 2, bits_per)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += extra_chunk
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def _pay(spark, rows):
+    return multimodal.to_binary_payload(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id",
+        "text",
+        encoding="ISO-8859-1",  # latin-1 round-trips bytes 0-255
+    )
+
+
+# -- real-WAV decode arm -------------------------------------------------------
+
+
+def test_wav_pcm_data_parses_canonical_wav():
+    samples = list(range(-64, 64))
+    wav = _wav_bytes(samples)
+    data = multimodal.wav_pcm_data(wav)
+    assert data == struct.pack("<128h", *samples)
+
+
+def test_wav_pcm_data_skips_odd_sized_chunks_word_aligned():
+    # an odd-sized LIST chunk before data exercises the RIFF 2-byte
+    # alignment rule (chunk bodies are padded to even offsets)
+    samples = [5, -5, 7, -7]
+    wav = _wav_bytes(samples, extra_chunk=b"LIST" + struct.pack("<I", 3) + b"abc\x00")
+    assert multimodal.wav_pcm_data(wav) == struct.pack("<4h", *samples)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"",  # empty
+        b"not a wav at all, just text bytes padded to length 48........",
+        _wav_bytes([1, 2, 3, 4], audio_format=3),  # IEEE float, not PCM
+        _wav_bytes([1, 2, 3, 4], bits_per=8),  # 8-bit, not 16
+        _wav_bytes([1] * 64)[:-10],  # truncated data chunk
+        b"RIFF" + b"\x00" * 60,  # RIFF magic but no WAVE form
+    ],
+)
+def test_wav_pcm_data_rejects_malformed(payload):
+    assert multimodal.wav_pcm_data(payload) is None
+
+
+def test_audio_energy_real_wav_arm_windows_the_data_chunk(spark):
+    """A well-formed WAV payload must be windowed over its DATA CHUNK
+    SAMPLES (header skipped) — pinned against a direct int16 reference;
+    a raw payload of the same bytes-minus-header stays on the raw arm
+    and produces the same energies, proving the arms agree on the law."""
+    samples = [1000 * ((i % 7) - 3) for i in range(64)]
+    wav = _wav_bytes(samples)
+    rows = [(1, wav.decode("ISO-8859-1")), (2, struct.pack("<64h", *samples).decode("ISO-8859-1"))]
+    got = {
+        (r["id"], r["window_idx"]): (r["n_samples"], r["energy"], r["is_silence"])
+        for r in multimodal.audio_energy_stub(_pay(spark, rows), n_windows=8).collect()
+    }
+    wl = 64 // 8
+    for i in range(8):
+        win = samples[i * wl : (i + 1) * wl]
+        e = sum(v * v for v in win)
+        want = (wl, e, e <= 1000 * wl)
+        assert got[(1, i)] == want, (i, got[(1, i)])  # WAV arm: header skipped
+        assert got[(2, i)] == want, (i, got[(2, i)])  # raw arm: same law
+
+
+def test_audio_fingerprint_wav_equals_raw_pcm_fingerprint(spark):
+    """The energy-profile hash of a WAV and of its bare data chunk must
+    be identical — the container parse changes where the samples come
+    from, never the fingerprint law."""
+    samples = [3000] * 64 + [10] * 64 + [2000] * 64 + [0] * 64
+    wav = _wav_bytes(samples)
+    raw = struct.pack(f"<{len(samples)}h", *samples)
+    rows = [(1, wav.decode("ISO-8859-1")), (2, raw.decode("ISO-8859-1"))]
+    fp = {
+        r["id"]: r["ahash"]
+        for r in multimodal.audio_fingerprint_stub(_pay(spark, rows)).collect()
+    }
+    assert fp[1] == fp[2] and fp[1] != 0
+
+
+# -- 64-bit top-bit two's-complement wrap --------------------------------------
+
+
+def test_phash_64bit_top_bit_wraps_and_pairs(spark):
+    """bits=64: a fingerprint with bit 63 set must wrap to a negative
+    BIGINT (no int64 overflow) and still pair correctly through the
+    pigeonhole hamming engine (arithmetic shiftright + mask reads the
+    blocks of a negative long correctly)."""
+    a = bytes([0] * 63 + [255])  # s_i = b[i]; only s_63 beats the mean
+    b = bytes([255] + [0] * 62 + [255])  # bits 0 and 63 beat the mean
+    rows = [(1, a.decode("ISO-8859-1")), (2, b.decode("ISO-8859-1"))]
+    pay = _pay(spark, rows)
+    fp = {
+        r["id"]: r["phash"]
+        for r in multimodal.perceptual_hash_stub(pay, bits=64).collect()
+    }
+    assert fp[1] == -(1 << 63)  # wrapped, not crashed
+    assert fp[2] == 1 - (1 << 63)
+    pairs = multimodal.phash_pairs(pay, bits=64, max_hamming=3, blocks=8).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs] == [(1, 2, 1)]
+
+
+def test_audio_fingerprint_64_windows_top_bit_wraps(spark):
+    """n_windows=64: only the last window loud -> bit 63 -> the hash must
+    come out as the wrapped negative two's-complement value."""
+    samples = [0] * (63 * 4) + [1000, -1000, 1000, -1000]
+    rows = [(1, struct.pack(f"<{len(samples)}h", *samples).decode("ISO-8859-1"))]
+    fp = multimodal.audio_fingerprint_stub(_pay(spark, rows), n_windows=64).collect()
+    assert fp[0]["ahash"] == -(1 << 63)
+
+
+# -- frame-containment frequency cap -------------------------------------------
+
+
+def test_frame_containment_max_df_gates_degenerate_hashes(spark):
+    """Sub-n_frames payloads all hash 0 per frame — the degenerate hot
+    key.  With the cap they are gated out BEFORE the join (no quadratic
+    fan-out, no degenerate pairs); real clip twins still pair at full
+    n_matched.  With max_df=None the old behavior (quadratic degenerate
+    pairing) is still reachable."""
+    # varied 32-byte windows -> four NONZERO, distinct frame hashes (a
+    # constant-byte window hashes 0 — the ambient value the cap gates)
+    def w(seed):
+        return "".join(chr(33 + (seed * 7 + j * 13) % 90) for j in range(32))
+
+    twin = w(1) + w(2) + w(3) + w(4)
+    rows = [(1, twin), (2, twin)] + [(10 + i, "xy") for i in range(8)]
+    pay = _pay(spark, rows)
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["n_matched"]
+        for r in multimodal.frame_containment_pairs(
+            pay, min_shared=3, max_df=4
+        ).collect()
+    }
+    assert capped == {(1, 2): 4}  # twins pair; degenerate zero-hash gated
+    uncapped = multimodal.frame_containment_pairs(
+        pay, min_shared=3, max_df=None
+    ).collect()
+    # without the cap the 8 degenerate docs pair quadratically (8*7/2)
+    assert len(uncapped) == 1 + 28
