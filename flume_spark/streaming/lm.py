@@ -73,6 +73,7 @@ class LmIngestor:
         text_col: str = "text",
         add_k: int = 1,
         scale: int = 1_000_000,
+        auto_compact_every: int | None = None,
     ) -> None:
         self.spark = spark
         self.state_dir = state_dir
@@ -82,15 +83,31 @@ class LmIngestor:
         self.text_col = text_col
         self.add_k = add_k
         self.scale = scale
+        self.auto_compact_every = auto_compact_every
         self.big_dir = os.path.join(state_dir, "bigrams")
         self.uni_dir = os.path.join(state_dir, "unigrams")
         os.makedirs(self.big_dir, exist_ok=True)
         os.makedirs(self.uni_dir, exist_ok=True)
         os.makedirs(marks_dir, exist_ok=True)
-        self._acked_mem: set[int] = set()
         from flume_spark.streaming.sink import idempotent_foreach_batch
 
-        self.process = idempotent_foreach_batch(self._process, ledger_dir)
+        inner = idempotent_foreach_batch(self._process, ledger_dir)
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            # maintenance cadence (BASELINE.md --lmingest guidance: "run
+            # compact_state on a cadence, not never"): right after the
+            # sink commits a batch's marker the stream is quiesced by
+            # construction (foreachBatch is sequential per query), so the
+            # in-line compaction can never hit the quiesce guard — a
+            # long-lived stream's prefix read stays a few files without
+            # anyone remembering to schedule it (the snapshot-GC
+            # discipline).
+            inner(batch_df, batch_id)
+            n = self.auto_compact_every
+            if n and (batch_id + 1) % n == 0:
+                self.compact_state()
+
+        self.process = process
 
     # -- state -------------------------------------------------------------
 
@@ -125,8 +142,18 @@ class LmIngestor:
         )
 
     def _batch_acked(self, batch_id: int) -> bool:
-        if batch_id in self._acked_mem:
-            return True
+        """The ledger MARKER FILE alone — the single source of truth the
+        sink contract guarantees (committed strictly after _process's
+        state writes).  An in-memory ack set would defeat the quiesce
+        guard in the crash window: _process returns, the marker write
+        fails, and a same-session compact_state would fold the unacked
+        batch's counts into the base partition — the ledger then replays
+        the batch, re-writing its ingest_batch partition and
+        double-counting its bigrams in every later prefix read
+        (round-11 ADVICE).  Unlike the SemanticIngestor (whose carried
+        rows stay src_batch-tagged, so its probe excludes a replayed
+        batch's copies either way), LM counts carry no provenance after
+        the fold — the marker is the only safe ack."""
         return os.path.exists(
             os.path.join(self.ledger_dir, f"batch-{batch_id}.done")
         )
@@ -206,7 +233,6 @@ class LmIngestor:
         ).groupBy("tok").agg(F.count(F.lit(1)).alias("c")).write.mode(
             "overwrite"
         ).parquet(os.path.join(self.uni_dir, f"ingest_batch={batch_id}"))
-        self._acked_mem.add(batch_id)
 
     # -- reads / maintenance ----------------------------------------------
 

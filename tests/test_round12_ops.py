@@ -171,3 +171,92 @@ def test_frame_containment_max_df_gates_degenerate_hashes(spark):
     ).collect()
     # without the cap the 8 degenerate docs pair quadratically (8*7/2)
     assert len(uncapped) == 1 + 28
+
+
+# -- LmIngestor: crash-window quiesce + auto-compaction cadence ----------------
+
+
+_LM_BATCHES = [
+    [(0, "the cat sat on the mat")],
+    [(1, "the cat sat on the log"), (2, "zzz qqq")],
+    [(3, "the cat sat on the mat"), (4, "the dog")],
+    [(5, "the dog sat"), (6, "cat cat cat")],
+    [(7, "the mat the log")],
+    [(8, "dog on the mat"), (9, "qqq zzz qqq")],
+]
+
+
+def _lm_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lm_compact_quiesce_guard_holds_in_crash_window_same_session(
+    spark, tmp_path
+):
+    """The round-11 ADVICE scenario: _process returns but the marker write
+    fails (simulated by deleting the marker).  A SAME-SESSION
+    compact_state must still raise — an in-memory ack would fold the
+    unacked batch into the base, and the ledger replay would then
+    double-count its bigrams.  After the replay lands the marker,
+    compaction proceeds and the model is exact."""
+    import os
+
+    import pytest as _pytest
+
+    from flume_spark.streaming.lm import LmIngestor
+
+    ing = LmIngestor(
+        spark,
+        state_dir=str(tmp_path / "st"),
+        marks_dir=str(tmp_path / "mk"),
+        ledger_dir=str(tmp_path / "lg"),
+    )
+    for b in range(2):
+        ing.process(_lm_df(spark, _LM_BATCHES[b]), b)
+    os.remove(str(tmp_path / "lg") + "/batch-1.done")  # marker write "failed"
+
+    with _pytest.raises(RuntimeError, match="non-quiesced"):
+        ing.compact_state()  # same instance: memory must not defeat the guard
+
+    ing.process(_lm_df(spark, _LM_BATCHES[1]), 1)  # ledger replay re-lands it
+    model_before = {tuple(r) for r in ing.model().collect()}
+    assert ing.compact_state() == 4
+    assert {tuple(r) for r in ing.model().collect()} == model_before
+
+
+def test_lm_auto_compact_bounds_state_files_scores_unchanged(spark, tmp_path):
+    """auto_compact_every=2 on a 6-batch schedule: the count-partition
+    directory stays bounded (never more than compact_every + 1 live
+    partitions) and every verdict equals a never-compacted twin's."""
+    import os
+
+    from flume_spark.streaming.lm import LmIngestor
+
+    auto = LmIngestor(
+        spark,
+        state_dir=str(tmp_path / "a_st"),
+        marks_dir=str(tmp_path / "a_mk"),
+        ledger_dir=str(tmp_path / "a_lg"),
+        auto_compact_every=2,
+    )
+    plain = LmIngestor(
+        spark,
+        state_dir=str(tmp_path / "p_st"),
+        marks_dir=str(tmp_path / "p_mk"),
+        ledger_dir=str(tmp_path / "p_lg"),
+    )
+    for b, rows in enumerate(_LM_BATCHES):
+        auto.process(_lm_df(spark, rows), b)
+        plain.process(_lm_df(spark, rows), b)
+        parts = [
+            d
+            for d in os.listdir(str(tmp_path / "a_st" / "bigrams"))
+            if d.startswith("ingest_batch=")
+        ]
+        assert len(parts) <= 3  # base + at most compact_every live batches
+    assert {tuple(r) for r in auto.marks().collect()} == {
+        tuple(r) for r in plain.marks().collect()
+    }
+    assert {tuple(r) for r in auto.model().collect()} == {
+        tuple(r) for r in plain.model().collect()
+    }
