@@ -151,6 +151,11 @@ HEADLINE = [
     "multimodal_audio_energy",
     "multimodal_audio_fingerprint",
     "media_funnel",
+    # round-12 additions: the two new streaming media modalities (audio
+    # near-dup through the parameterized PhashIngestor; the media funnel
+    # through the real ingestor store)
+    "stream_audio_dedup",
+    "stream_media_funnel",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture

@@ -1052,7 +1052,21 @@ class PhashIngestor:
     outside them are never read, let alone shuffled (the SemanticIngestor
     cbucket discipline; without it the per-batch index READ grows with
     total history).  With `blocks` > `max_hamming` the pigeonhole
-    guarantee keeps recall exactly 1 vs brute-force hamming."""
+    guarantee keeps recall exactly 1 vs brute-force hamming.
+
+    The ingestor is generic over the fingerprint: pass ``fingerprint``
+    (payloads (id, payload) -> (id, phash BIGINT), any `bits`-wide
+    integer hash) to dedup other modalities on the same engine — e.g.
+    `audio_fingerprint_stub` renamed to phash covers streaming audio
+    near-dup with zero new machinery (the index, probe, seniority, and
+    compaction never look inside the hash).
+
+    Maintenance: each trigger appends one ingest_batch=N/bband=B/ tree,
+    so a long-lived stream's directory LISTING cost grows with trigger
+    count even though the probe reads stay band-pruned —
+    `compact_index()` folds acked trees into the single base partition
+    (ingest_batch=-9), and `auto_compact_every=N` runs it in-line every
+    N batches (the LmIngestor cadence discipline)."""
 
     def __init__(
         self,
@@ -1066,6 +1080,8 @@ class PhashIngestor:
         max_hamming: int = 3,
         blocks: int = 4,
         index_buckets: int = 16,
+        fingerprint=None,
+        auto_compact_every: int | None = None,
     ) -> None:
         import os
 
@@ -1074,17 +1090,31 @@ class PhashIngestor:
         self.spark = spark
         self.index_dir = index_dir
         self.marks_dir = marks_dir
+        self.ledger_dir = ledger_dir
         self.id_col = id_col
         self.payload_col = payload_col
         self.bits = bits
         self.max_hamming = max_hamming
         self.blocks = blocks
         self.index_buckets = index_buckets
+        self.fingerprint = fingerprint
+        self.auto_compact_every = auto_compact_every
         os.makedirs(index_dir, exist_ok=True)
         os.makedirs(marks_dir, exist_ok=True)
         from flume_spark.streaming.sink import idempotent_foreach_batch
 
-        self.process = idempotent_foreach_batch(self._process, ledger_dir)
+        inner = idempotent_foreach_batch(self._process, ledger_dir)
+
+        def process(batch_df, batch_id: int) -> None:
+            # in-line maintenance: right after the sink commits a batch's
+            # marker the stream is quiesced by construction (foreachBatch
+            # is sequential per query), so the fold can't hit the guard
+            inner(batch_df, batch_id)
+            n = self.auto_compact_every
+            if n and (batch_id + 1) % n == 0:
+                self.compact_index()
+
+        self.process = process
 
     def _bands(self, fp):
         width = self.bits // self.blocks
@@ -1114,19 +1144,26 @@ class PhashIngestor:
             F.lit(self.index_buckets),
         ).cast("int")
 
+    def _fingerprint(self, batch_df):
+        """(id, phash) for one batch: the pluggable fingerprint fn when
+        given (any bits-wide integer hash — audio energy profiles, real
+        pHashes), else the byte-sampling perceptual stub."""
+        from flume_spark.operators.multimodal import perceptual_hash_stub
+
+        pay = batch_df.select(
+            F.col(self.id_col).alias("id"),
+            F.col(self.payload_col).alias("payload"),
+        )
+        if self.fingerprint is not None:
+            return self.fingerprint(pay).select("id", "phash")
+        return perceptual_hash_stub(pay, bits=self.bits)
+
     def _process(self, batch_df, batch_id: int) -> None:
         import os
 
         from flume_spark.operators.dedup import hamming_block_pairs
-        from flume_spark.operators.multimodal import perceptual_hash_stub
 
-        nb = perceptual_hash_stub(
-            batch_df.select(
-                F.col(self.id_col).alias("id"),
-                F.col(self.payload_col).alias("payload"),
-            ),
-            bits=self.bits,
-        ).localCheckpoint(eager=True)
+        nb = self._fingerprint(batch_df).localCheckpoint(eager=True)
         nb_bands = self._bands(nb).withColumn("bband", self._bband())
 
         seniors = None
@@ -1198,6 +1235,74 @@ class PhashIngestor:
         nb_bands.write.mode("overwrite").partitionBy("bband").parquet(
             os.path.join(self.index_dir, f"ingest_batch={batch_id}")
         )
+
+    # -- maintenance --------------------------------------------------------
+
+    def _batch_acked(self, batch_id: int) -> bool:
+        """Ledger marker file ONLY (the LmIngestor discipline): the marker
+        is committed strictly after _process's writes, so it is the one
+        ack that cannot lie across the crash window."""
+        import os
+
+        return os.path.exists(
+            os.path.join(self.ledger_dir, f"batch-{batch_id}.done")
+        )
+
+    def _index_partitions(self) -> list[int]:
+        import os
+
+        if not os.path.isdir(self.index_dir):
+            return []
+        return [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.index_dir)
+            if d.startswith("ingest_batch=")
+        ]
+
+    def compact_index(self) -> int:
+        """Fold per-batch ingest_batch=N/bband=B/ trees into the single
+        base partition (ingest_batch=-9, still bband-partitioned) so the
+        probe's directory-listing cost stays flat on a long-lived stream
+        (each trigger otherwise appends one tree forever).  Band rows are
+        pure per-payload facts, so the fold is exact by construction.
+
+        Quiesce contract (raises on a written-but-unacknowledged batch):
+        folding an unacked batch would let its ledger replay find its OWN
+        rows in the base — self-matches at hamming 0 would corrupt its
+        re-marks.  Acked batches never replay, so folded history is safe.
+        The base is written BEFORE the per-batch trees are deleted: a
+        crash in between leaves duplicate band rows, which the probe's
+        min(senior) aggregate absorbs harmlessly.  Maintenance-window
+        contract (the compact_state / vacuum_epochs convention): call
+        between triggers, never concurrently with a processing batch.
+        Returns the number of batch partitions folded."""
+        import os
+        import shutil
+
+        parts = [b for b in self._index_partitions() if b != -9]
+        stale = sorted(b for b in parts if not self._batch_acked(b))
+        if stale:
+            raise RuntimeError(
+                f"compact_index on a non-quiesced stream: batch(es) "
+                f"{stale} are written but unacknowledged — let the stream "
+                "drain (or replay) before compacting"
+            )
+        if not parts:
+            return 0
+        merged = (
+            self.spark.read.parquet(self.index_dir)
+            .select("id", "phash", "block_idx", "block_val", "bband")
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").partitionBy("bband").parquet(
+            os.path.join(self.index_dir, "ingest_batch=-9")
+        )
+        for b in parts:
+            shutil.rmtree(
+                os.path.join(self.index_dir, f"ingest_batch={b}"),
+                ignore_errors=True,
+            )
+        return len(parts)
 
     def dup_marks(self):
         """(id, phash, dup_of, is_dup) for every ingested payload, as of

@@ -55,6 +55,12 @@ pairwise leg).
 composition probe: per-stage isolated cost, composed end-to-end wall,
 the stage-additivity ratio, and the report-share re-inlining detector.
 
+`python probe_scale.py --phash [factor ...]` runs the streaming
+perceptual-hash ingest probe: per-ingest cost of a fixed payload batch
+against the band-bucket-partitioned fingerprint index as history grows,
+compacted base vs raw per-batch trees (expect both ~flat probe reads;
+compaction bounds the directory-listing growth).
+
 `python probe_scale.py --ts [factor ...]` runs the time-series
 similarity-search probe: users replicated with per-replica value shifts
 (cross-replica words differ, so candidate pairs stay ~linear in users —
@@ -2008,6 +2014,102 @@ def main_lmingest() -> None:
     )
 
 
+def main_phash() -> None:
+    """PhashIngestor per-batch cost vs history size: one FIXED 1000-doc
+    payload batch timed against history x1/x10/x50 ingested as 16
+    micro-batches, compacted index vs raw per-batch trees.  Expected
+    ~flat-ish: the probe reads only its touched bband directories (the
+    band-bucket layout), and compaction bounds the directory LISTING at
+    one tree regardless of trigger count; the raw arm pays a growing
+    per-batch listing over 16f trees.  Verifies the design claim the
+    round-11 verdict called 'design-asserted, never measured'."""
+    import shutil
+    import tempfile
+
+    from flume_spark.operators.multimodal import to_binary_payload
+    from flume_spark.streaming.dedup import PhashIngestor
+
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
+    n_hist_batches = 16
+    spark = get_spark(app_name="flume_probe_phash")
+
+    fixed = to_binary_payload(
+        scaled_docs(spark, 1).filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 900_000_000).alias("doc_id"), "text"
+        ),
+        "doc_id",
+        "text",
+    ).localCheckpoint(eager=True)
+    raw_t: dict[int, float] = {}
+    comp_t: dict[int, float] = {}
+    for f in factors:
+        hist = to_binary_payload(
+            scaled_docs(spark, f), "doc_id", "text"
+        ).localCheckpoint(eager=True)
+        n_hist = hist.count()
+        batches = [
+            hist.filter(F.col("id") % n_hist_batches == b)
+            for b in range(n_hist_batches)
+        ]
+        for mode in ("raw", "compacted"):
+            root = tempfile.mkdtemp(prefix=f"phash_{mode}_")
+            ing = PhashIngestor(
+                spark,
+                index_dir=f"{root}/index",
+                marks_dir=f"{root}/marks",
+                ledger_dir=f"{root}/ledger",
+                id_col="id",
+            )
+            for b, bdf in enumerate(batches):
+                ing.process(bdf, b)
+            if mode == "compacted":
+                t0 = time.perf_counter()
+                ing.compact_index()
+                dt_comp = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            ing.process(fixed, n_hist_batches)
+            dt = time.perf_counter() - t0
+            (raw_t if mode == "raw" else comp_t)[f] = dt
+            out = {
+                "factor": f,
+                "history": n_hist,
+                "mode": mode,
+                "ingest_sec": round(dt, 2),
+            }
+            if mode == "compacted":
+                out["compact_sec"] = round(dt_comp, 2)
+            print(json.dumps(out), flush=True)
+            shutil.rmtree(root, ignore_errors=True)
+        hist.unpersist()
+        spark.catalog.clearCache()
+    base = factors[0]
+
+    def exps(times: dict[int, float]) -> dict[int, float]:
+        return {
+            f: round(math.log(times[f] / times[base]) / math.log(f / base), 2)
+            for f in times
+            if f != base and times[f] > 0
+        }
+
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "phash_raw": {
+                        "sec": {k: round(v, 2) for k, v in raw_t.items()},
+                        "exponent": exps(raw_t),
+                    },
+                    "phash_compacted": {
+                        "sec": {k: round(v, 2) for k, v in comp_t.items()},
+                        "exponent": exps(comp_t),
+                    },
+                }
+            }
+        ),
+        flush=True,
+    )
+
+
 def main_profile() -> None:
     """Table-profile probe (round-10 stats_profile): exact-NDV profile
     (multi-count-distinct -> ONE Expand, map-side rows x (ndv_cols + 1))
@@ -2120,6 +2222,8 @@ if __name__ == "__main__":
         main_lm()
     elif len(sys.argv) > 1 and sys.argv[1] == "--lmingest":
         main_lmingest()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--phash":
+        main_phash()
     elif len(sys.argv) > 1 and sys.argv[1] == "--profile":
         main_profile()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scd2":

@@ -260,3 +260,164 @@ def test_lm_auto_compact_bounds_state_files_scores_unchanged(spark, tmp_path):
     assert {tuple(r) for r in auto.model().collect()} == {
         tuple(r) for r in plain.model().collect()
     }
+
+
+# -- PhashIngestor: compaction, cadence, pluggable fingerprint -----------------
+
+
+def _phash_ing(spark, tmp_path, tag="", **kw):
+    from flume_spark.streaming.dedup import PhashIngestor
+
+    return PhashIngestor(
+        spark,
+        index_dir=str(tmp_path / f"idx{tag}"),
+        marks_dir=str(tmp_path / f"marks{tag}"),
+        ledger_dir=str(tmp_path / f"lg{tag}"),
+        id_col="id",
+        **kw,
+    )
+
+
+_MEDIA_ROWS = [
+    [(1, "abcdefgh" * 8), (2, "zzzz" + "qqqq" * 15)],
+    [(3, "abcdefgh" * 8), (4, "mnopqrst" * 9)],
+    [(5, "zzzz" + "qqqq" * 15), (6, "abcdefgi" * 8)],
+]
+
+
+def test_phash_compact_index_exact_and_quiesce_guarded(spark, tmp_path):
+    """compact_index folds acked batch trees into the base partition:
+    existing marks are untouched, the NEXT batch marks exactly as an
+    uncompacted twin's, the fold is bband-partitioned (pruning survives),
+    and a written-but-unacked batch blocks the fold."""
+    import os
+
+    ing = _phash_ing(spark, tmp_path)
+    twin = _phash_ing(spark, tmp_path, tag="_twin")
+    for b, rows in enumerate(_MEDIA_ROWS[:2]):
+        ing.process(_pay(spark, rows), b)
+        twin.process(_pay(spark, rows), b)
+    before = {tuple(r) for r in ing.dup_marks().collect()}
+
+    assert ing.compact_index() == 2
+    assert {tuple(r) for r in ing.dup_marks().collect()} == before
+    base = str(tmp_path / "idx") + "/ingest_batch=-9"
+    assert os.path.isdir(base)
+    assert any(d.startswith("bband=") for d in os.listdir(base))
+    assert ing._index_partitions() == [-9]
+
+    ing.process(_pay(spark, _MEDIA_ROWS[2]), 2)
+    twin.process(_pay(spark, _MEDIA_ROWS[2]), 2)
+    assert {tuple(r) for r in ing.dup_marks().collect()} == {
+        tuple(r) for r in twin.dup_marks().collect()
+    }
+    # marks: 3 dups 1 (twin payload), 5 dups 2, 6 near-dups 1's family
+    marks = {r["id"]: r["dup_of"] for r in ing.dup_marks().collect()}
+    assert marks[3] == 1 and marks[5] == 2
+
+    # quiesce guard: simulate the crash window on a fresh batch
+    ing._process(_pay(spark, [(9, "freshpayload" * 6)]), 9)  # no marker
+    with pytest.raises(RuntimeError, match="non-quiesced"):
+        ing.compact_index()
+
+
+def test_phash_replay_across_compaction_converges(spark, tmp_path):
+    """The LshIngestor convention: a crash-window replay of a batch whose
+    marker was lost AFTER other batches were compacted must re-mark
+    identically — its own rows are not in the folded base (quiesce blocks
+    folding unacked batches), so the probe still excludes them."""
+    import os
+
+    ing = _phash_ing(spark, tmp_path)
+    for b, rows in enumerate(_MEDIA_ROWS):
+        ing.process(_pay(spark, rows), b)
+    first = {tuple(r) for r in ing.dup_marks().collect()}
+    assert ing.compact_index() == 3
+
+    # marker of batch 2 lost; a restarted instance replays it: its own
+    # rows are inside the base now, but the batch was ACKED when folded —
+    # the ledger skip is what protects acked batches, so simulate the
+    # true crash window instead: batch 3 written, marker lost, replayed
+    ing.process(_pay(spark, [(7, "abcdefgh" * 8)]), 3)
+    os.remove(str(tmp_path / "lg") + "/batch-3.done")
+    re_ing = _phash_ing(spark, tmp_path)
+    re_ing.process(_pay(spark, [(7, "abcdefgh" * 8)]), 3)
+    marks = {r["id"]: r["dup_of"] for r in re_ing.dup_marks().collect()}
+    assert marks[7] == 1  # senior across the compacted history
+    assert first <= {tuple(r) for r in re_ing.dup_marks().collect()}
+
+
+def test_phash_auto_compact_bounds_index_partitions(spark, tmp_path):
+    """auto_compact_every=2 keeps the index at a bounded number of
+    ingest_batch trees over a long schedule, with marks identical to a
+    never-compacted twin's."""
+    auto = _phash_ing(spark, tmp_path, tag="_a", auto_compact_every=2)
+    plain = _phash_ing(spark, tmp_path, tag="_p")
+    sched = _MEDIA_ROWS + [
+        [(10, "abcdefgh" * 8)],
+        [(11, "wxyz" * 16), (12, "zzzz" + "qqqq" * 15)],
+        [(13, "wxyz" * 16)],
+    ]
+    for b, rows in enumerate(sched):
+        auto.process(_pay(spark, rows), b)
+        plain.process(_pay(spark, rows), b)
+        live = [p for p in auto._index_partitions() if p != -9]
+        assert len(live) <= 2  # at most compact_every live trees
+    assert {tuple(r) for r in auto.dup_marks().collect()} == {
+        tuple(r) for r in plain.dup_marks().collect()
+    }
+
+
+def test_phash_ingestor_audio_fingerprint_arm(spark, tmp_path):
+    """The pluggable fingerprint makes the SAME ingestor a streaming
+    AUDIO deduper: marks must equal the brute-force batch-prefix
+    seniority rule over audio_fingerprint_stub hashes."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from flume_spark.operators import multimodal
+
+    def tone(profile):
+        out = []
+        for a in profile:
+            out += [a, -a] * 4
+        return struct.pack(f"<{len(out)}h", *out).decode("ISO-8859-1")
+
+    loud_quiet = [3000] * 16 + [10] * 16
+    batches = [
+        [(1, tone(loud_quiet)), (2, tone([10] * 16 + [3000] * 16))],
+        [(3, tone([int(a * 0.9) for a in loud_quiet]))],  # re-encode of 1
+        [(4, tone([2900] * 16 + [12] * 16))],             # near 1's envelope
+    ]
+
+    def audio_fp(pay):
+        return multimodal.audio_fingerprint_stub(pay, n_windows=32).select(
+            "id", F.col("ahash").alias("phash")
+        )
+
+    ing = _phash_ing(spark, tmp_path, fingerprint=audio_fp)
+    for b, rows in enumerate(batches):
+        ing.process(_pay(spark, rows), b)
+    got = {r["id"]: r["dup_of"] for r in ing.dup_marks().collect()}
+
+    # brute-force reference: batch-prefix seniority over collected hashes
+    all_rows = [(i, t, b) for b, rs in enumerate(batches) for i, t in rs]
+    fp = {
+        r["id"]: r["phash"]
+        for r in audio_fp(
+            _pay(spark, [(i, t) for i, t, _ in all_rows])
+        ).collect()
+    }
+    batch_of = {i: b for i, _, b in all_rows}
+    want = {}
+    for i in fp:
+        seniors = [
+            j
+            for j in fp
+            if (batch_of[j] < batch_of[i] or (batch_of[j] == batch_of[i] and j < i))
+            and bin(fp[i] ^ fp[j]).count("1") <= 3
+        ]
+        want[i] = min(seniors) if seniors else None
+    assert got == want
+    assert want[3] == 1  # the re-encode is caught across batches
