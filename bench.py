@@ -156,6 +156,7 @@ HEADLINE = [
     # through the real ingestor store)
     "stream_audio_dedup",
     "stream_media_funnel",
+    "stream_frame_dedup",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture

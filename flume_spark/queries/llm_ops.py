@@ -2468,6 +2468,100 @@ FROM f LEFT JOIN dups d USING (doc_id)
 """
 
 
+def stream_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VIDEO near-dup by frame containment through the REAL
+    streaming ingestor (streaming/dedup.py::FrameIngestor — the
+    exact-join twin of PhashIngestor): payloads arrive in 3 micro-batches
+    (doc_id % 3); each batch's keyframe-window fingerprints
+    (multimodal.frame_phash) probe the persisted frame index via an
+    EXACT equi-join on the frame hash (reading only touched
+    fband = fhash % buckets directories), and a doc is marked duplicate
+    iff >= 2 of its frame positions carry a hash appearing among one
+    SENIOR doc's frames (batch-prefix seniority; dup_of = min such
+    senior).  One batch is re-delivered and must be ledger-skipped;
+    `auto_compact_every=2` folds the index MID-STREAM, so hash-equality
+    also proves the fold changes no verdict.  min_shared=2 (not the
+    operator's default 3) because real text-backed frames collide
+    rarely — 2 exercises the positive path at oracle scale.  The oracle
+    replays the containment rule declaratively; the equi-join is exact
+    (no banding approximation), so the two are equal by construction."""
+    import shutil
+    import tempfile
+
+    from flume_spark.streaming.dedup import FrameIngestor
+
+    docs = T(spark, sf_dir, "documents")
+    payloads = multimodal.to_binary_payload(docs, "doc_id", "text")
+    root = tempfile.mkdtemp(prefix="frame_ingest_")
+    ing = FrameIngestor(
+        spark,
+        index_dir=f"{root}/index",
+        marks_dir=f"{root}/marks",
+        ledger_dir=f"{root}/ledger",
+        id_col="id",
+        n_frames=4,
+        bits=32,
+        min_shared=2,
+        auto_compact_every=2,
+    )
+    batches = [payloads.filter(F.col("id") % 3 == b) for b in range(3)]
+    for b, bdf in enumerate(batches):
+        ing.process(bdf, b)
+    ing.process(batches[1], 1)  # re-delivered batch id: ledger must skip it
+    out = (
+        ing.dup_marks()
+        .select(F.col("id").alias("doc_id"), "dup_of", "is_dup")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+STREAM_FRAME_SQL = """
+WITH fr AS (
+  SELECT doc_id, CAST(t.i AS INT) AS frame_idx,
+         substr(text,
+                CAST(t.i * (octet_length(CAST(text AS BLOB)) // 4) AS INT) + 1,
+                CAST(octet_length(CAST(text AS BLOB)) // 4 AS INT)) AS ftext
+  FROM documents, unnest(range(0, 4)) AS t(i)
+),
+fn AS (SELECT doc_id, frame_idx, length(ftext) AS n FROM fr),
+fsamp AS (
+  SELECT fr.doc_id, fr.frame_idx, t.i,
+         ascii(substr(fr.ftext, CAST((t.i * fn.n) // 32 AS INT) + 1, 1)) AS s
+  FROM fr JOIN fn USING (doc_id, frame_idx), unnest(range(0, 32)) AS t(i)
+  WHERE fn.n > 0
+),
+ftot AS (SELECT doc_id, frame_idx, sum(s) AS tot FROM fsamp GROUP BY 1, 2),
+ffp AS (
+  SELECT fsamp.doc_id, fsamp.frame_idx,
+         sum(CASE WHEN 32 * s > tot THEN CAST(1 AS BIGINT) << i
+                  ELSE 0 END) AS fhash
+  FROM fsamp JOIN ftot USING (doc_id, frame_idx) GROUP BY 1, 2
+),
+fall AS (
+  SELECT fn.doc_id, fn.frame_idx,
+         CAST(coalesce(ffp.fhash, 0) AS BIGINT) AS fhash
+  FROM fn LEFT JOIN ffp USING (doc_id, frame_idx)
+),
+jb AS (SELECT doc_id, doc_id % 3 AS b, frame_idx, fhash FROM fall),
+sb AS (SELECT DISTINCT doc_id, doc_id % 3 AS b, fhash FROM fall),
+cand AS (
+  SELECT j.doc_id, s.doc_id AS senior,
+         count(DISTINCT j.frame_idx) AS n_matched
+  FROM jb j JOIN sb s
+    ON s.fhash = j.fhash
+   AND ((s.b < j.b) OR (s.b = j.b AND s.doc_id < j.doc_id))
+  GROUP BY 1, 2
+  HAVING count(DISTINCT j.frame_idx) >= 2
+),
+dups AS (SELECT doc_id, min(senior) AS dup_of FROM cand GROUP BY 1),
+docs_ AS (SELECT DISTINCT doc_id FROM fall)
+SELECT d.doc_id, u.dup_of, u.dup_of IS NOT NULL AS is_dup
+FROM docs_ d LEFT JOIN dups u USING (doc_id)
+"""
+
+
 def text_classifier_train_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch perceptron over the HASHING-TRICK bucket space
     (operators/text.py::classifier_train_hashed) — the feature space the
@@ -2696,6 +2790,7 @@ QUERIES = {
     "stream_phash_dedup": stream_phash_dedup,
     "stream_audio_dedup": stream_audio_dedup,
     "stream_media_funnel": stream_media_funnel,
+    "stream_frame_dedup": stream_frame_dedup,
     "stream_lm_perplexity": stream_lm_perplexity,
     "multimodal_meta": multimodal_meta,
 }
@@ -2757,6 +2852,7 @@ ORACLES = {
     "stream_phash_dedup": STREAM_PHASH_SQL,
     "stream_audio_dedup": STREAM_AUDIO_SQL,
     "stream_media_funnel": STREAM_MEDIA_FUNNEL_SQL,
+    "stream_frame_dedup": STREAM_FRAME_SQL,
     "stream_lm_perplexity": STREAM_LM_PERPLEXITY_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }

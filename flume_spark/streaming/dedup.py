@@ -1315,3 +1315,222 @@ class PhashIngestor:
             "dup_of",
             F.col("dup_of").isNotNull().alias("is_dup"),
         )
+
+
+class FrameIngestor:
+    """Streaming incremental VIDEO near-dup by FRAME CONTAINMENT — the
+    exact-match twin of PhashIngestor (hamming blocks become exact
+    frame-hash equality; the pigeonhole engine becomes the keyframe
+    containment rule of `multimodal.frame_containment_pairs`): each
+    arriving micro-batch of binary payloads is sliced into per-frame
+    perceptual fingerprints (`multimodal.frame_phash`), marked against
+    the PERSISTED frame index (a doc is a duplicate iff >= `min_shared`
+    of its frame positions carry a fingerprint appearing among some
+    SENIOR doc's frames — strictly-earlier batch, or lower id in its own
+    batch; dup_of = the smallest such senior), and its DISTINCT
+    (id, fhash) rows appended to the index.  Same state contract as its
+    siblings: plain parquet partitions outside the checkpoint,
+    exactly-once via the batch-id ledger, marks pinned per ingest.
+
+    Per-batch cost: one Arrow fingerprint pass, one EXACT equi-join on
+    the frame hash whose index side reads only the touched
+    fband = fhash % index_buckets directories (the band-bucket
+    discipline, here keyed by the hash value itself since the join is
+    exact).  The index stores one row per DISTINCT (doc, fhash) — the
+    senior side of containment never needs frame positions, so the
+    stored rows are capped at n_frames per doc.  `compact_index()` /
+    `auto_compact_every` fold per-batch trees exactly as PhashIngestor
+    (band rows are pure per-payload facts; quiesce-guarded on
+    marker-file acks)."""
+
+    def __init__(
+        self,
+        spark,
+        index_dir: str,
+        marks_dir: str,
+        ledger_dir: str,
+        id_col: str = "doc_id",
+        payload_col: str = "payload",
+        n_frames: int = 4,
+        bits: int = 32,
+        min_shared: int = 3,
+        index_buckets: int = 16,
+        auto_compact_every: int | None = None,
+    ) -> None:
+        import os
+
+        assert min_shared >= 1
+        self.spark = spark
+        self.index_dir = index_dir
+        self.marks_dir = marks_dir
+        self.ledger_dir = ledger_dir
+        self.id_col = id_col
+        self.payload_col = payload_col
+        self.n_frames = n_frames
+        self.bits = bits
+        self.min_shared = min_shared
+        self.index_buckets = index_buckets
+        self.auto_compact_every = auto_compact_every
+        os.makedirs(index_dir, exist_ok=True)
+        os.makedirs(marks_dir, exist_ok=True)
+        from flume_spark.streaming.sink import idempotent_foreach_batch
+
+        inner = idempotent_foreach_batch(self._process, ledger_dir)
+
+        def process(batch_df, batch_id: int) -> None:
+            inner(batch_df, batch_id)
+            n = self.auto_compact_every
+            if n and (batch_id + 1) % n == 0:
+                self.compact_index()
+
+        self.process = process
+
+    def _frames(self, batch_df):
+        from flume_spark.operators.multimodal import frame_phash
+
+        return frame_phash(
+            batch_df.select(
+                F.col(self.id_col).alias("id"),
+                F.col(self.payload_col).alias("payload"),
+            ),
+            n_frames=self.n_frames,
+            bits=self.bits,
+        )
+
+    def _fband(self):
+        return F.pmod(F.col("fhash"), F.lit(self.index_buckets)).cast("int")
+
+    def _containment(self, junior, senior):
+        """min senior per junior doc under the containment rule: >=
+        min_shared junior frame POSITIONS whose hash appears among one
+        senior doc's (distinct) frame hashes."""
+        return (
+            junior.alias("j")
+            .join(senior.alias("s"), F.col("j.fhash") == F.col("s.fhash"))
+            .filter(F.col("s.senior") != F.col("j.id"))
+            .groupBy(F.col("j.id").alias("id"), F.col("s.senior").alias("senior"))
+            .agg(F.count_distinct("j.frame_idx").alias("n_matched"))
+            .filter(F.col("n_matched") >= self.min_shared)
+            .groupBy("id")
+            .agg(F.min("senior").alias("dup_of_leg"))
+        )
+
+    def _process(self, batch_df, batch_id: int) -> None:
+        import os
+
+        fh = self._frames(batch_df).localCheckpoint(eager=True)
+        new_index = fh.select("id", "fhash").distinct().withColumn(
+            "fband", self._fband()
+        )
+
+        seniors = None
+        if LshIngestor._has_parquet(self.index_dir):
+            touched = [
+                r["fband"]
+                for r in new_index.select("fband").distinct().collect()
+            ]
+            hist = (
+                self.spark.read.parquet(self.index_dir)
+                .filter(
+                    F.col("fband").isin(touched)
+                    & (F.col("ingest_batch") != batch_id)
+                )
+                .select(F.col("id").alias("senior"), "fhash")
+            )
+            seniors = self._containment(fh, hist).withColumnRenamed(
+                "dup_of_leg", "dup_hist"
+            )
+        within = self._containment(
+            fh,
+            fh.select(F.col("id").alias("senior"), "fhash").distinct(),
+        ).withColumnRenamed("dup_of_leg", "dup_any")
+        # within-batch seniority: only LOWER-id same-batch docs count —
+        # the containment leg above returned the min matching doc of ANY
+        # id; a min below the junior's own id IS a lower-id senior, and a
+        # min above it means no lower-id doc contains it
+        within = within.filter(F.col("dup_any") < F.col("id")).select(
+            "id", F.col("dup_any").alias("dup_within")
+        )
+        marks = fh.select("id").distinct().join(within, "id", "left")
+        if seniors is not None:
+            marks = marks.join(seniors, "id", "left")
+        else:
+            marks = marks.withColumn("dup_hist", F.lit(None).cast("long"))
+        marks = marks.select(
+            "id",
+            F.least(
+                F.coalesce("dup_hist", "dup_within"),
+                F.coalesce("dup_within", "dup_hist"),
+            ).alias("dup_of"),
+        )
+        marks.write.mode("overwrite").parquet(
+            os.path.join(self.marks_dir, f"ingest_batch={batch_id}")
+        )
+        new_index.write.mode("overwrite").partitionBy("fband").parquet(
+            os.path.join(self.index_dir, f"ingest_batch={batch_id}")
+        )
+
+    # -- maintenance --------------------------------------------------------
+
+    def _batch_acked(self, batch_id: int) -> bool:
+        import os
+
+        return os.path.exists(
+            os.path.join(self.ledger_dir, f"batch-{batch_id}.done")
+        )
+
+    def _index_partitions(self) -> list[int]:
+        import os
+
+        if not os.path.isdir(self.index_dir):
+            return []
+        return [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.index_dir)
+            if d.startswith("ingest_batch=")
+        ]
+
+    def compact_index(self) -> int:
+        """Fold per-batch ingest_batch=N/fband=B/ trees into the base
+        partition — the PhashIngestor.compact_index contract verbatim
+        (quiesce-guarded marker-only acks; base written before deletes;
+        duplicate rows harmless under min(senior)/containment-existence).
+        Returns the number of batch partitions folded."""
+        import os
+        import shutil
+
+        parts = [b for b in self._index_partitions() if b != -9]
+        stale = sorted(b for b in parts if not self._batch_acked(b))
+        if stale:
+            raise RuntimeError(
+                f"compact_index on a non-quiesced stream: batch(es) "
+                f"{stale} are written but unacknowledged — let the stream "
+                "drain (or replay) before compacting"
+            )
+        if not parts:
+            return 0
+        merged = (
+            self.spark.read.parquet(self.index_dir)
+            .select("id", "fhash", "fband")
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").partitionBy("fband").parquet(
+            os.path.join(self.index_dir, "ingest_batch=-9")
+        )
+        for b in parts:
+            shutil.rmtree(
+                os.path.join(self.index_dir, f"ingest_batch={b}"),
+                ignore_errors=True,
+            )
+        return len(parts)
+
+    def dup_marks(self):
+        """(id, dup_of, is_dup) for every ingested payload, as of its OWN
+        ingest time (None if nothing ingested)."""
+        if not LshIngestor._has_parquet(self.marks_dir):
+            return None
+        return self.spark.read.parquet(self.marks_dir).select(
+            F.col("id").alias(self.id_col),
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )

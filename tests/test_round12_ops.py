@@ -421,3 +421,117 @@ def test_phash_ingestor_audio_fingerprint_arm(spark, tmp_path):
         want[i] = min(seniors) if seniors else None
     assert got == want
     assert want[3] == 1  # the re-encode is caught across batches
+
+
+# -- FrameIngestor: streaming frame-containment video dedup --------------------
+
+
+def _frame_ing(spark, tmp_path, tag="", **kw):
+    from flume_spark.streaming.dedup import FrameIngestor
+
+    return FrameIngestor(
+        spark,
+        index_dir=str(tmp_path / f"fidx{tag}"),
+        marks_dir=str(tmp_path / f"fmarks{tag}"),
+        ledger_dir=str(tmp_path / f"flg{tag}"),
+        id_col="id",
+        **kw,
+    )
+
+
+def _clip(w1, w2, w3, w4):
+    # md5-derived window bytes: uncorrelated above-mean profiles, so
+    # distinct seeds give distinct frame hashes (a linear-congruential
+    # generator's windows share above-mean PATTERNS across seeds and
+    # collide under the pHash rule)
+    import hashlib
+
+    def w(seed):
+        raw = (
+            hashlib.md5(f"frame{seed}a".encode()).digest()
+            + hashlib.md5(f"frame{seed}b".encode()).digest()
+        )
+        return "".join(chr(33 + b % 90) for b in raw)
+
+    return w(w1) + w(w2) + w(w3) + w(w4)
+
+
+def test_frame_ingestor_clip_twins_across_batches(spark, tmp_path):
+    """A re-encode arriving in a LATER batch dup_of's the senior clip;
+    a half-overlapping clip (2 shared windows) passes at min_shared=3;
+    within-batch seniority is lower-id; marks are pinned at ingest."""
+    ing = _frame_ing(spark, tmp_path)
+    b0 = [(1, _clip(1, 2, 3, 4)), (2, _clip(9, 8, 7, 6))]
+    b1 = [(3, _clip(1, 2, 3, 4)),  # full re-encode of 1
+          (4, _clip(1, 2, 30, 40))]  # shares only 2 windows with 1
+    b2 = [(5, _clip(9, 8, 7, 60)),  # 3 of clip 2's windows
+          (6, _clip(9, 8, 7, 60))]  # same-batch twin of 5
+    for b, rows in enumerate([b0, b1, b2]):
+        ing.process(_pay(spark, rows), b)
+    marks = {r["id"]: r["dup_of"] for r in ing.dup_marks().collect()}
+    # 6 dups 2, not its same-batch twin 5: dup_of is the SMALLEST senior
+    # across both legs (history doc 2 contains it too)
+    assert marks == {1: None, 2: None, 3: 1, 4: None, 5: 2, 6: 2}
+
+
+def test_frame_ingestor_replay_and_compaction_converge(spark, tmp_path):
+    """Crash-window replay re-marks identically (its own index partition
+    excluded); compact_index folds acked trees without changing any
+    existing or future verdict; quiesce guard blocks folding an unacked
+    batch."""
+    import os
+
+    ing = _frame_ing(spark, tmp_path)
+    twin = _frame_ing(spark, tmp_path, tag="_twin")
+    b0 = [(1, _clip(1, 2, 3, 4)), (2, _clip(9, 8, 7, 6))]
+    b1 = [(3, _clip(1, 2, 3, 4))]
+    b2 = [(5, _clip(9, 8, 7, 6))]
+    for b, rows in enumerate([b0, b1]):
+        ing.process(_pay(spark, rows), b)
+        twin.process(_pay(spark, rows), b)
+    first = {tuple(r) for r in ing.dup_marks().collect()}
+
+    # crash-window replay of batch 1
+    os.remove(str(tmp_path / "flg") + "/batch-1.done")
+    re_ing = _frame_ing(spark, tmp_path)
+    re_ing.process(_pay(spark, b1), 1)
+    assert {tuple(r) for r in re_ing.dup_marks().collect()} == first
+
+    # fold, then the next batch marks exactly as the unfolded twin
+    assert re_ing.compact_index() == 2
+    assert {tuple(r) for r in re_ing.dup_marks().collect()} == first
+    re_ing.process(_pay(spark, b2), 2)
+    twin.process(_pay(spark, b2), 2)
+    assert {tuple(r) for r in re_ing.dup_marks().collect()} == {
+        tuple(r) for r in twin.dup_marks().collect()
+    }
+    marks = {r["id"]: r["dup_of"] for r in re_ing.dup_marks().collect()}
+    assert marks[5] == 2  # senior found through the folded base
+
+    # quiesce guard
+    re_ing._process(_pay(spark, [(9, _clip(5, 5, 5, 5))]), 9)  # no marker
+    with pytest.raises(RuntimeError, match="non-quiesced"):
+        re_ing.compact_index()
+
+
+def test_frame_ingestor_matches_batch_containment_rule(spark, tmp_path):
+    """Single-batch ingest must reproduce frame_containment_pairs'
+    keep-lowest verdicts exactly (same rule, seniority = id order)."""
+    rows = [
+        (1, _clip(1, 2, 3, 4)),
+        (2, _clip(1, 2, 3, 40)),   # 3 shared -> dup of 1
+        (3, _clip(50, 60, 70, 80)),
+        (4, _clip(1, 2, 3, 4)),    # re-encode -> dup of 1
+    ]
+    ing = _frame_ing(spark, tmp_path)
+    ing.process(_pay(spark, rows), 0)
+    got = {r["id"]: r["dup_of"] for r in ing.dup_marks().collect()}
+
+    pairs = multimodal.frame_containment_pairs(
+        _pay(spark, rows), min_shared=3, max_df=None
+    ).collect()
+    want = {i: None for i, _ in rows}
+    for r in pairs:
+        a, b = r["doc_a"], r["doc_b"]
+        want[b] = a if want[b] is None else min(want[b], a)
+    assert got == want and want[2] == 1 and want[4] == 1
