@@ -61,6 +61,9 @@ against the band-bucket-partitioned fingerprint index as history grows,
 compacted base vs raw per-batch trees (expect both ~flat probe reads;
 compaction bounds the directory-listing growth).
 
+`python probe_scale.py --frame [factor ...]` runs the same ingest probe
+for the frame-containment FrameIngestor (exact fhash equi-join probe).
+
 `python probe_scale.py --ts [factor ...]` runs the time-series
 similarity-search probe: users replicated with per-replica value shifts
 (cross-replica words differ, so candidate pairs stay ~linear in users —
@@ -2110,6 +2113,100 @@ def main_phash() -> None:
     )
 
 
+def main_frame() -> None:
+    """FrameIngestor per-batch cost vs history size — the --phash probe
+    applied to the frame-containment ingestor: one FIXED 1000-doc payload
+    batch timed against history x1/x10/x50 (16 micro-batches), compacted
+    vs raw.  The probe join is an EXACT fhash equi-join whose index side
+    reads only touched fband directories, so both arms should be
+    ~flat-ish with compaction removing the raw arm's listing growth."""
+    import shutil
+    import tempfile
+
+    from flume_spark.operators.multimodal import to_binary_payload
+    from flume_spark.streaming.dedup import FrameIngestor
+
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
+    n_hist_batches = 16
+    spark = get_spark(app_name="flume_probe_frame")
+
+    fixed = to_binary_payload(
+        scaled_docs(spark, 1).filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 900_000_000).alias("doc_id"), "text"
+        ),
+        "doc_id",
+        "text",
+    ).localCheckpoint(eager=True)
+    raw_t: dict[int, float] = {}
+    comp_t: dict[int, float] = {}
+    for f in factors:
+        hist = to_binary_payload(
+            scaled_docs(spark, f), "doc_id", "text"
+        ).localCheckpoint(eager=True)
+        n_hist = hist.count()
+        batches = [
+            hist.filter(F.col("id") % n_hist_batches == b)
+            for b in range(n_hist_batches)
+        ]
+        for mode in ("raw", "compacted"):
+            root = tempfile.mkdtemp(prefix=f"frame_{mode}_")
+            ing = FrameIngestor(
+                spark,
+                index_dir=f"{root}/index",
+                marks_dir=f"{root}/marks",
+                ledger_dir=f"{root}/ledger",
+                id_col="id",
+            )
+            for b, bdf in enumerate(batches):
+                ing.process(bdf, b)
+            if mode == "compacted":
+                t0 = time.perf_counter()
+                ing.compact_index()
+                dt_comp = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            ing.process(fixed, n_hist_batches)
+            dt = time.perf_counter() - t0
+            (raw_t if mode == "raw" else comp_t)[f] = dt
+            out = {
+                "factor": f,
+                "history": n_hist,
+                "mode": mode,
+                "ingest_sec": round(dt, 2),
+            }
+            if mode == "compacted":
+                out["compact_sec"] = round(dt_comp, 2)
+            print(json.dumps(out), flush=True)
+            shutil.rmtree(root, ignore_errors=True)
+        hist.unpersist()
+        spark.catalog.clearCache()
+    base = factors[0]
+
+    def exps(times: dict[int, float]) -> dict[int, float]:
+        return {
+            f: round(math.log(times[f] / times[base]) / math.log(f / base), 2)
+            for f in times
+            if f != base and times[f] > 0
+        }
+
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "frame_raw": {
+                        "sec": {k: round(v, 2) for k, v in raw_t.items()},
+                        "exponent": exps(raw_t),
+                    },
+                    "frame_compacted": {
+                        "sec": {k: round(v, 2) for k, v in comp_t.items()},
+                        "exponent": exps(comp_t),
+                    },
+                }
+            }
+        ),
+        flush=True,
+    )
+
+
 def main_profile() -> None:
     """Table-profile probe (round-10 stats_profile): exact-NDV profile
     (multi-count-distinct -> ONE Expand, map-side rows x (ndv_cols + 1))
@@ -2224,6 +2321,8 @@ if __name__ == "__main__":
         main_lmingest()
     elif len(sys.argv) > 1 and sys.argv[1] == "--phash":
         main_phash()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--frame":
+        main_frame()
     elif len(sys.argv) > 1 and sys.argv[1] == "--profile":
         main_profile()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scd2":

@@ -11,6 +11,14 @@ Covers:
   hamming engine.
 - The frame-containment max_df frequency cap gating degenerate /
   ambient frame hashes before the equi-join.
+- LmIngestor crash-window quiesce (marker-file-only acks, the round-11
+  ADVICE medium) and the auto_compact_every maintenance cadence.
+- PhashIngestor compact_index (fold exactness, quiesce guard, replay
+  convergence), auto-compaction bound, and the pluggable-fingerprint
+  audio arm vs a brute-force batch-prefix reference.
+- FrameIngestor (streaming frame-containment video dedup): clip-twin
+  semantics across batches, replay + fold convergence, single-batch
+  equality to frame_containment_pairs.
 """
 
 from __future__ import annotations
