@@ -543,3 +543,44 @@ def test_frame_ingestor_matches_batch_containment_rule(spark, tmp_path):
         a, b = r["doc_a"], r["doc_b"]
         want[b] = a if want[b] is None else min(want[b], a)
     assert got == want and want[2] == 1 and want[4] == 1
+
+
+# -- property: WAV container round-trip ----------------------------------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=64
+    ),
+    pre_chunk=st.binary(min_size=0, max_size=9),
+)
+def test_wav_round_trip_property(samples, pre_chunk):
+    """Any int16 sample vector wrapped in a canonical WAV parses back to
+    exactly its data chunk, regardless of extra well-formed chunks before
+    `data`; and the raw PCM view of the parsed chunk equals the samples."""
+    import numpy as np
+
+    extra = b"LIST" + struct.pack("<I", len(pre_chunk)) + pre_chunk
+    if len(pre_chunk) % 2:
+        extra += b"\x00"  # RIFF word alignment
+    wav = _wav_bytes(samples, extra_chunk=extra)
+    data = multimodal.wav_pcm_data(wav)
+    assert data == struct.pack(f"<{len(samples)}h", *samples)
+    assert list(np.frombuffer(data, dtype="<i2").astype(int)) == samples
+
+
+@settings(max_examples=60, deadline=None)
+@given(blob=st.binary(min_size=0, max_size=128))
+def test_wav_parser_never_crashes_property(blob):
+    """Arbitrary bytes: the parser returns a bytes data-chunk or None,
+    never raises — and anything without the full RIFF/WAVE + PCM-fmt +
+    data structure is None (raw fallback)."""
+    out = multimodal.wav_pcm_data(blob)
+    assert out is None or isinstance(out, bytes)
+    if not (blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"):
+        assert out is None
