@@ -157,6 +157,7 @@ HEADLINE = [
     "stream_audio_dedup",
     "stream_media_funnel",
     "stream_frame_dedup",
+    "multimodal_audio_meta",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture
@@ -233,6 +234,11 @@ SHARDED = [
     "multimodal_frame_phash",  # (multimodal_frame_sample)
     "multimodal_audio_energy",  # (multimodal_feature_extract)
     "multimodal_audio_fingerprint",  # (multimodal_audio_energy)
+    # round-12 growth (contract headroom): metadata sibling of the
+    # official multimodal_meta; the NEW round-12 streaming modalities
+    # (stream_audio_dedup / stream_media_funnel / stream_frame_dedup)
+    # stay official
+    "multimodal_audio_meta",  # (multimodal_meta)
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

@@ -638,3 +638,76 @@ def audio_pairs(
     return hamming_block_pairs(
         fp, "id", "ahash", bits=n_windows, max_hamming=max_hamming, blocks=blocks
     )
+
+
+AUDIO_META_SCHEMA = (
+    "id bigint, n_bytes int, sample_rate int, n_channels int, "
+    "n_samples bigint, duration_ms bigint, ok boolean"
+)
+
+
+def wav_fmt(b: bytes) -> tuple[int, int, bytes] | None:
+    """(sample_rate, n_channels, data_chunk) of a well-formed 16-bit PCM
+    WAV, else None — `wav_pcm_data` with the fmt fields kept (one parse,
+    both consumers)."""
+    if len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            return None
+        if cid == b"fmt " and size >= 16:
+            audio_format, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+            bits_per = struct.unpack_from("<H", body, 14)[0]
+            fmt = (rate, n_ch) if audio_format == 1 and bits_per == 16 else None
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    return (fmt[0], fmt[1], data) if fmt is not None and data is not None else None
+
+
+def audio_meta(payloads: DataFrame, stub_rate: int = 16000) -> DataFrame:
+    """Typed audio metadata over the binary-payload seam — the audio twin
+    of `decode_media_meta`: a well-formed 16-bit PCM WAV reports its REAL
+    sample rate / channel count / frame count / duration (header parse,
+    `wav_fmt`); anything else falls back to the raw-PCM stub view (mono
+    at ``stub_rate``, n_samples = n_bytes // 2), so synthetic corpora
+    stay oracle-checkable.  duration_ms is exact-integer floor math
+    (1000 * frames // rate — no float, hash-stable cross-engine).
+    Returns (id, n_bytes, sample_rate, n_channels, n_samples,
+    duration_ms, ok); ok is False only for empty payloads."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            nb, rates, chans, samps, durs, oks = [], [], [], [], [], []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                nb.append(len(b))
+                parsed = wav_fmt(b)
+                if parsed is not None:
+                    rate, n_ch, data = parsed
+                    frames = len(data) // (2 * n_ch) if n_ch else 0
+                else:
+                    rate, n_ch = stub_rate, 1
+                    frames = len(b) // 2
+                rates.append(rate)
+                chans.append(n_ch)
+                samps.append(frames)
+                durs.append(1000 * frames // rate if rate else 0)
+                oks.append(len(b) > 0)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "n_bytes": pd.array(nb, dtype="int32"),
+                    "sample_rate": pd.array(rates, dtype="int32"),
+                    "n_channels": pd.array(chans, dtype="int32"),
+                    "n_samples": pd.array(samps, dtype="int64"),
+                    "duration_ms": pd.array(durs, dtype="int64"),
+                    "ok": pd.array(oks, dtype="bool"),
+                }
+            )
+
+    return payloads.mapInPandas(batches, schema=AUDIO_META_SCHEMA)

@@ -1917,6 +1917,33 @@ FROM p LEFT JOIN fp USING (doc_id)
 """
 
 
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed audio metadata (operators/multimodal.py::audio_meta) — the
+    audio twin of multimodal_meta: well-formed 16-bit PCM WAVs report
+    their REAL sample rate / channels / frame count / duration from the
+    RIFF header (`wav_fmt`); raw payloads take the documented stub view
+    (mono @16 kHz, n_samples = n_bytes // 2).  duration_ms is
+    exact-integer floor math, so the whole row is hash-exact.  The
+    text-backed corpus is all-raw, which is exactly what the oracle
+    replays declaratively."""
+    docs = T(spark, sf_dir, "documents")
+    payloads = multimodal.to_binary_payload(docs, "doc_id", "text")
+    return multimodal.audio_meta(payloads)
+
+
+MULTIMODAL_AUDIO_META_SQL = """
+SELECT doc_id AS id,
+       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(octet_length(CAST(text AS BLOB)) // 2 AS BIGINT) AS n_samples,
+       CAST(1000 * (octet_length(CAST(text AS BLOB)) // 2) // 16000 AS BIGINT)
+         AS duration_ms,
+       octet_length(CAST(text AS BLOB)) > 0 AS ok
+FROM documents
+"""
+
+
 def media_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MEDIA curation funnel — the media twin of
     `corpus_funnel`, composed from the modality operators this round
@@ -2786,6 +2813,7 @@ QUERIES = {
     "multimodal_frame_phash": multimodal_frame_phash,
     "multimodal_audio_energy": multimodal_audio_energy,
     "multimodal_audio_fingerprint": multimodal_audio_fingerprint,
+    "multimodal_audio_meta": multimodal_audio_meta,
     "media_funnel": media_funnel,
     "stream_phash_dedup": stream_phash_dedup,
     "stream_audio_dedup": stream_audio_dedup,
@@ -2848,6 +2876,7 @@ ORACLES = {
     "multimodal_frame_phash": MULTIMODAL_FRAME_PHASH_SQL,
     "multimodal_audio_energy": MULTIMODAL_AUDIO_SQL,
     "multimodal_audio_fingerprint": MULTIMODAL_AUDIO_FP_SQL,
+    "multimodal_audio_meta": MULTIMODAL_AUDIO_META_SQL,
     "media_funnel": MEDIA_FUNNEL_SQL,
     "stream_phash_dedup": STREAM_PHASH_SQL,
     "stream_audio_dedup": STREAM_AUDIO_SQL,

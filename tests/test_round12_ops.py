@@ -584,3 +584,38 @@ def test_wav_parser_never_crashes_property(blob):
     assert out is None or isinstance(out, bytes)
     if not (blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"):
         assert out is None
+
+
+# -- audio_meta: typed audio metadata ------------------------------------------
+
+
+def test_audio_meta_real_wav_and_raw_arms(spark):
+    """A mono 8 kHz WAV reports its REAL rate/channels/frames/duration; a
+    stereo WAV divides frames by the channel count; raw payloads take the
+    stub view (mono @16 kHz, n_bytes // 2 samples); empty is not-ok."""
+    mono = _wav_bytes([100, -100] * 40)  # 80 frames @ 8000 Hz -> 10 ms
+    data = struct.pack("<64h", *([7, -7] * 32))  # 64 samples interleaved
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16)  # stereo 44.1k
+    stereo = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    raw = struct.pack("<32h", *range(32))
+    rows = [
+        (1, mono.decode("ISO-8859-1")),
+        (2, stereo.decode("ISO-8859-1")),
+        (3, raw.decode("ISO-8859-1")),
+        (4, ""),
+    ]
+    got = {
+        r["id"]: (
+            r["sample_rate"], r["n_channels"], r["n_samples"],
+            r["duration_ms"], r["ok"],
+        )
+        for r in multimodal.audio_meta(_pay(spark, rows)).collect()
+    }
+    assert got[1] == (8000, 1, 80, 1000 * 80 // 8000, True)
+    assert got[2] == (44100, 2, 32, 1000 * 32 // 44100, True)  # 64 / 2 ch
+    assert got[3] == (16000, 1, 32, 1000 * 32 // 16000, True)
+    assert got[4] == (16000, 1, 0, 0, False)
