@@ -440,8 +440,15 @@ def frame_containment_pairs(
     key; such hashes are dropped via a broadcast anti-join BEFORE the
     data-sized shuffle (at most n_docs*n_frames/max_df survivors, so the
     hot list is always broadcastable).  ``max_df=None`` disables the
-    gate.  Returns (doc_a, doc_b, n_matched) where n_matched counts
-    matches on non-ambient frames only."""
+    gate — the exact ungated rule, and the configuration the streaming
+    twin (`streaming.dedup.FrameIngestor`, default max_df=None) equals
+    on a single batch; the ingestor's own ``max_df`` applies the same
+    gate per-probe with df measured as of each ingest.  The default
+    differs deliberately: a batch run sees its whole corpus (the cap is
+    a safe, corpus-wide property), while a stream's df grows with the
+    prefix, so gating is opt-in there.  Returns (doc_a, doc_b,
+    n_matched) where n_matched counts matches on non-ambient frames
+    only."""
     fh = frame_phash(payloads, n_frames=n_frames, bits=bits)
     if max_df is not None:
         hot = (
@@ -469,20 +476,26 @@ AUDIO_SCHEMA = (
 )
 
 
-def wav_pcm_data(b: bytes) -> bytes | None:
+def wav_fmt(b: bytes) -> tuple[int, int, bytes] | None:
     """REAL audio container parse, no external codecs (the audio twin of
-    `probe_media`): returns the data chunk of a well-formed canonical
-    RIFF/WAVE payload holding 16-bit integer PCM, or None for anything
-    else.  Well-formed means: RIFF magic + WAVE form type, every chunk
-    header in bounds with its full body present (word-aligned per the
-    RIFF spec), a `fmt ` chunk declaring audio_format=1 (PCM) with
-    bits_per_sample=16, and a `data` chunk.  Strictness is the point —
-    a text-backed synthetic payload can never satisfy it, so the raw-PCM
+    `probe_media`): (sample_rate, n_channels, data_chunk) of a
+    well-formed canonical RIFF/WAVE payload holding 16-bit integer PCM,
+    or None for anything else.  THE single WAV parser — `wav_pcm_data`
+    and `audio_meta` both consume it, so acceptance can never diverge
+    between the metadata and the sample kernels.
+
+    Well-formed means: RIFF magic + WAVE form type, every chunk header
+    in bounds with its full body present (word-aligned per the RIFF
+    spec), a `fmt ` chunk declaring audio_format=1 (PCM),
+    bits_per_sample=16, a SANE rate/channel pair (0 < rate < 2^31 so
+    the declared header field always fits downstream INT columns;
+    n_channels >= 1), and a `data` chunk.  Strictness is the point — a
+    text-backed synthetic payload can never satisfy it, so the raw-PCM
     fallback (and the DuckDB oracles built on it) is untouched for the
     test corpora while real WAV files exercise the real path."""
     if len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
-    pos, fmt_ok, data = 12, False, None
+    pos, fmt, data = 12, None, None
     while pos + 8 <= len(b):
         cid = b[pos : pos + 4]
         (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
@@ -490,13 +503,27 @@ def wav_pcm_data(b: bytes) -> bytes | None:
         if len(body) < size:
             return None  # truncated chunk: not a well-formed container
         if cid == b"fmt " and size >= 16:
-            audio_format = struct.unpack_from("<H", body, 0)[0]
+            audio_format, n_ch, rate = struct.unpack_from("<HHI", body, 0)
             bits_per = struct.unpack_from("<H", body, 14)[0]
-            fmt_ok = audio_format == 1 and bits_per == 16
+            ok = (
+                audio_format == 1
+                and bits_per == 16
+                and n_ch >= 1
+                and 0 < rate < 1 << 31
+            )
+            fmt = (rate, n_ch) if ok else None
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
-    return data if fmt_ok and data is not None else None
+    return (fmt[0], fmt[1], data) if fmt is not None and data is not None else None
+
+
+def wav_pcm_data(b: bytes) -> bytes | None:
+    """The data chunk of a well-formed 16-bit PCM WAV (see `wav_fmt` for
+    the acceptance rules — this is the same parse, fmt fields dropped),
+    or None for anything else (callers fall back to raw PCM)."""
+    parsed = wav_fmt(b)
+    return None if parsed is None else parsed[2]
 
 
 def _pcm_i64(b: bytes) -> np.ndarray:
@@ -644,29 +671,6 @@ AUDIO_META_SCHEMA = (
     "id bigint, n_bytes int, sample_rate int, n_channels int, "
     "n_samples bigint, duration_ms bigint, ok boolean"
 )
-
-
-def wav_fmt(b: bytes) -> tuple[int, int, bytes] | None:
-    """(sample_rate, n_channels, data_chunk) of a well-formed 16-bit PCM
-    WAV, else None — `wav_pcm_data` with the fmt fields kept (one parse,
-    both consumers)."""
-    if len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
-        return None
-    pos, fmt, data = 12, None, None
-    while pos + 8 <= len(b):
-        cid = b[pos : pos + 4]
-        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
-        body = b[pos + 8 : pos + 8 + size]
-        if len(body) < size:
-            return None
-        if cid == b"fmt " and size >= 16:
-            audio_format, n_ch, rate = struct.unpack_from("<HHI", body, 0)
-            bits_per = struct.unpack_from("<H", body, 14)[0]
-            fmt = (rate, n_ch) if audio_format == 1 and bits_per == 16 else None
-        elif cid == b"data":
-            data = body
-        pos += 8 + size + (size & 1)
-    return (fmt[0], fmt[1], data) if fmt is not None and data is not None else None
 
 
 def audio_meta(payloads: DataFrame, stub_rate: int = 16000) -> DataFrame:

@@ -2155,13 +2155,23 @@ def stream_media_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=3,
         blocks=4,
     )
-    batches = [sized.filter(F.col("id") % 3 == b) for b in range(3)]
-    for b, bdf in enumerate(batches):
-        ing.process(bdf, b)
-    ing.process(batches[1], 1)  # re-delivered batch id: ledger must skip it
-    keep = ing.dup_marks().filter(~F.col("is_dup")).select("id")
-    nd = sized.join(keep, "id", "left_semi").localCheckpoint(eager=True)
-    shutil.rmtree(root, ignore_errors=True)
+    try:
+        batches = [sized.filter(F.col("id") % 3 == b) for b in range(3)]
+        for b, bdf in enumerate(batches):
+            ing.process(bdf, b)
+        ing.process(batches[1], 1)  # re-delivered batch id: ledger must skip
+        marks = ing.dup_marks()
+        # marks is None only when nothing was ingested (sized is empty) —
+        # the near-dup stage is then vacuously the identity
+        nd = (
+            sized.join(
+                marks.filter(~F.col("is_dup")).select("id"), "id", "left_semi"
+            )
+            if marks is not None
+            else sized
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
     sil = (
         multimodal.audio_energy_stub(nd, n_windows=8)
@@ -2428,22 +2438,24 @@ def stream_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint=audio_fp,
         auto_compact_every=2,
     )
-    batches = [payloads.filter(F.col("id") % 3 == b) for b in range(3)]
-    for b, bdf in enumerate(batches):
-        ing.process(bdf, b)
-    ing.process(batches[1], 1)  # re-delivered batch id: ledger must skip it
-    out = (
-        ing.dup_marks()
-        .select(
+    try:
+        batches = [payloads.filter(F.col("id") % 3 == b) for b in range(3)]
+        for b, bdf in enumerate(batches):
+            ing.process(bdf, b)
+        ing.process(batches[1], 1)  # re-delivered batch id: ledger must skip
+        marks = ing.dup_marks()
+        if marks is None:  # empty corpus: nothing ingested
+            return spark.createDataFrame(
+                [], "doc_id long, ahash bigint, dup_of long, is_dup boolean"
+            )
+        return marks.select(
             F.col("id").alias("doc_id"),
             F.col("phash").alias("ahash"),
             "dup_of",
             "is_dup",
-        )
-        .localCheckpoint(eager=True)
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    return out
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 STREAM_AUDIO_SQL = """
@@ -2531,17 +2543,21 @@ def stream_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared=2,
         auto_compact_every=2,
     )
-    batches = [payloads.filter(F.col("id") % 3 == b) for b in range(3)]
-    for b, bdf in enumerate(batches):
-        ing.process(bdf, b)
-    ing.process(batches[1], 1)  # re-delivered batch id: ledger must skip it
-    out = (
-        ing.dup_marks()
-        .select(F.col("id").alias("doc_id"), "dup_of", "is_dup")
-        .localCheckpoint(eager=True)
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    return out
+    try:
+        batches = [payloads.filter(F.col("id") % 3 == b) for b in range(3)]
+        for b, bdf in enumerate(batches):
+            ing.process(bdf, b)
+        ing.process(batches[1], 1)  # re-delivered batch id: ledger must skip
+        marks = ing.dup_marks()
+        if marks is None:  # empty corpus: nothing ingested
+            return spark.createDataFrame(
+                [], "doc_id long, dup_of long, is_dup boolean"
+            )
+        return marks.select(
+            F.col("id").alias("doc_id"), "dup_of", "is_dup"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 STREAM_FRAME_SQL = """

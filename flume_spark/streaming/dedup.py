@@ -1101,20 +1101,15 @@ class PhashIngestor:
         self.auto_compact_every = auto_compact_every
         os.makedirs(index_dir, exist_ok=True)
         os.makedirs(marks_dir, exist_ok=True)
+        from flume_spark.streaming import state
         from flume_spark.streaming.sink import idempotent_foreach_batch
 
-        inner = idempotent_foreach_batch(self._process, ledger_dir)
-
-        def process(batch_df, batch_id: int) -> None:
-            # in-line maintenance: right after the sink commits a batch's
-            # marker the stream is quiesced by construction (foreachBatch
-            # is sequential per query), so the fold can't hit the guard
-            inner(batch_df, batch_id)
-            n = self.auto_compact_every
-            if n and (batch_id + 1) % n == 0:
-                self.compact_index()
-
-        self.process = process
+        state.recover_fold(index_dir)  # heal a rename-window fold crash
+        self.process = state.with_auto_compact(
+            idempotent_foreach_batch(self._process, ledger_dir),
+            auto_compact_every,
+            self.compact_index,
+        )
 
     def _bands(self, fp):
         width = self.bits // self.blocks
@@ -1239,25 +1234,18 @@ class PhashIngestor:
     # -- maintenance --------------------------------------------------------
 
     def _batch_acked(self, batch_id: int) -> bool:
-        """Ledger marker file ONLY (the LmIngestor discipline): the marker
-        is committed strictly after _process's writes, so it is the one
-        ack that cannot lie across the crash window."""
-        import os
+        """Ledger marker file ONLY (state.batch_acked — the LmIngestor
+        discipline): the marker is committed strictly after _process's
+        writes, so it is the one ack that cannot lie across the crash
+        window."""
+        from flume_spark.streaming import state
 
-        return os.path.exists(
-            os.path.join(self.ledger_dir, f"batch-{batch_id}.done")
-        )
+        return state.batch_acked(self.ledger_dir, batch_id)
 
     def _index_partitions(self) -> list[int]:
-        import os
+        from flume_spark.streaming import state
 
-        if not os.path.isdir(self.index_dir):
-            return []
-        return [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(self.index_dir)
-            if d.startswith("ingest_batch=")
-        ]
+        return state.ingest_partitions(self.index_dir)
 
     def compact_index(self) -> int:
         """Fold per-batch ingest_batch=N/bband=B/ trees into the single
@@ -1270,23 +1258,21 @@ class PhashIngestor:
         folding an unacked batch would let its ledger replay find its OWN
         rows in the base — self-matches at hamming 0 would corrupt its
         re-marks.  Acked batches never replay, so folded history is safe.
-        The base is written BEFORE the per-batch trees are deleted: a
-        crash in between leaves duplicate band rows, which the probe's
-        min(senior) aggregate absorbs harmlessly.  Maintenance-window
-        contract (the compact_state / vacuum_epochs convention): call
-        between triggers, never concurrently with a processing batch.
-        Returns the number of batch partitions folded."""
+        Crash safety (state.atomic_fold_swap): the fold is materialized,
+        written OUTSIDE the read path, and swapped in with two atomic
+        renames — an in-place overwrite of the base would destroy
+        previously-folded history if the write failed mid-way; the one
+        rename window is healed at the next construction or fold.
+        Maintenance-window contract (the compact_state / vacuum_epochs
+        convention): call between triggers, never concurrently with a
+        processing batch.  Returns the number of batch partitions
+        folded."""
         import os
-        import shutil
+
+        from flume_spark.streaming import state
 
         parts = [b for b in self._index_partitions() if b != -9]
-        stale = sorted(b for b in parts if not self._batch_acked(b))
-        if stale:
-            raise RuntimeError(
-                f"compact_index on a non-quiesced stream: batch(es) "
-                f"{stale} are written but unacknowledged — let the stream "
-                "drain (or replay) before compacting"
-            )
+        state.quiesce_or_raise(parts, self.ledger_dir, "compact_index")
         if not parts:
             return 0
         merged = (
@@ -1294,14 +1280,12 @@ class PhashIngestor:
             .select("id", "phash", "block_idx", "block_val", "bband")
             .localCheckpoint(eager=True)
         )
-        merged.write.mode("overwrite").partitionBy("bband").parquet(
-            os.path.join(self.index_dir, "ingest_batch=-9")
+        state.atomic_fold_swap(
+            self.index_dir,
+            lambda tmp: merged.write.partitionBy("bband").parquet(
+                os.path.join(tmp, "ingest_batch=-9")
+            ),
         )
-        for b in parts:
-            shutil.rmtree(
-                os.path.join(self.index_dir, f"ingest_batch={b}"),
-                ignore_errors=True,
-            )
         return len(parts)
 
     def dup_marks(self):
@@ -1341,7 +1325,19 @@ class FrameIngestor:
     stored rows are capped at n_frames per doc.  `compact_index()` /
     `auto_compact_every` fold per-batch trees exactly as PhashIngestor
     (band rows are pure per-payload facts; quiesce-guarded on
-    marker-file acks)."""
+    marker-file acks).
+
+    ``max_df`` is the streaming form of the batch operator's skew gate:
+    at each batch's probe, a frame hash carried by more than ``max_df``
+    distinct documents ACROSS the junior batch plus the prefix index is
+    ambient (degenerate zero-hashes, boilerplate frames) and is dropped
+    from BOTH containment legs via a broadcast anti-join before the
+    data-sized equi-join.  The gate is prefix-deterministic (df as of
+    the junior's ingest — the same at-ingest discipline every streaming
+    verdict follows); marks and the index keep the UNGATED frame set,
+    so the gate affects matching, never bookkeeping.  Default None (the
+    ungated exact rule, equal to frame_containment_pairs(max_df=None)
+    on a single batch)."""
 
     def __init__(
         self,
@@ -1356,6 +1352,7 @@ class FrameIngestor:
         min_shared: int = 3,
         index_buckets: int = 16,
         auto_compact_every: int | None = None,
+        max_df: int | None = None,
     ) -> None:
         import os
 
@@ -1371,19 +1368,18 @@ class FrameIngestor:
         self.min_shared = min_shared
         self.index_buckets = index_buckets
         self.auto_compact_every = auto_compact_every
+        self.max_df = max_df
         os.makedirs(index_dir, exist_ok=True)
         os.makedirs(marks_dir, exist_ok=True)
+        from flume_spark.streaming import state
         from flume_spark.streaming.sink import idempotent_foreach_batch
 
-        inner = idempotent_foreach_batch(self._process, ledger_dir)
-
-        def process(batch_df, batch_id: int) -> None:
-            inner(batch_df, batch_id)
-            n = self.auto_compact_every
-            if n and (batch_id + 1) % n == 0:
-                self.compact_index()
-
-        self.process = process
+        state.recover_fold(index_dir)  # heal a rename-window fold crash
+        self.process = state.with_auto_compact(
+            idempotent_foreach_batch(self._process, ledger_dir),
+            auto_compact_every,
+            self.compact_index,
+        )
 
     def _frames(self, batch_df):
         from flume_spark.operators.multimodal import frame_phash
@@ -1423,7 +1419,7 @@ class FrameIngestor:
             "fband", self._fband()
         )
 
-        seniors = None
+        hist = None
         if LshIngestor._has_parquet(self.index_dir):
             touched = [
                 r["fband"]
@@ -1437,12 +1433,35 @@ class FrameIngestor:
                 )
                 .select(F.col("id").alias("senior"), "fhash")
             )
-            seniors = self._containment(fh, hist).withColumnRenamed(
+        fh_probe = fh
+        if self.max_df is not None:
+            # skew gate (class docstring): df(h) as of this ingest = the
+            # distinct docs carrying h across junior batch + prefix
+            # index; ambient hashes leave BOTH legs before the equi-join.
+            # All rows of a hash share one fband, so the bucket-pruned
+            # history read sees every senior carrying the batch's hashes.
+            occ = new_index.select(F.col("id").alias("d"), "fhash")
+            if hist is not None:
+                occ = occ.unionByName(
+                    hist.select(F.col("senior").alias("d"), "fhash")
+                )
+            hot = (
+                occ.groupBy("fhash")
+                .agg(F.count_distinct("d").alias("df"))
+                .filter(F.col("df") > self.max_df)
+                .select("fhash")
+            )
+            fh_probe = fh.join(F.broadcast(hot), "fhash", "left_anti")
+            if hist is not None:
+                hist = hist.join(F.broadcast(hot), "fhash", "left_anti")
+        seniors = None
+        if hist is not None:
+            seniors = self._containment(fh_probe, hist).withColumnRenamed(
                 "dup_of_leg", "dup_hist"
             )
         within = self._containment(
-            fh,
-            fh.select(F.col("id").alias("senior"), "fhash").distinct(),
+            fh_probe,
+            fh_probe.select(F.col("id").alias("senior"), "fhash").distinct(),
         ).withColumnRenamed("dup_of_leg", "dup_any")
         # within-batch seniority: only LOWER-id same-batch docs count —
         # the containment leg above returned the min matching doc of ANY
@@ -1473,40 +1492,27 @@ class FrameIngestor:
     # -- maintenance --------------------------------------------------------
 
     def _batch_acked(self, batch_id: int) -> bool:
-        import os
+        from flume_spark.streaming import state
 
-        return os.path.exists(
-            os.path.join(self.ledger_dir, f"batch-{batch_id}.done")
-        )
+        return state.batch_acked(self.ledger_dir, batch_id)
 
     def _index_partitions(self) -> list[int]:
-        import os
+        from flume_spark.streaming import state
 
-        if not os.path.isdir(self.index_dir):
-            return []
-        return [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(self.index_dir)
-            if d.startswith("ingest_batch=")
-        ]
+        return state.ingest_partitions(self.index_dir)
 
     def compact_index(self) -> int:
         """Fold per-batch ingest_batch=N/fband=B/ trees into the base
         partition — the PhashIngestor.compact_index contract verbatim
-        (quiesce-guarded marker-only acks; base written before deletes;
-        duplicate rows harmless under min(senior)/containment-existence).
+        (quiesce-guarded marker-only acks; crash-safe
+        state.atomic_fold_swap, never an in-place base overwrite).
         Returns the number of batch partitions folded."""
         import os
-        import shutil
+
+        from flume_spark.streaming import state
 
         parts = [b for b in self._index_partitions() if b != -9]
-        stale = sorted(b for b in parts if not self._batch_acked(b))
-        if stale:
-            raise RuntimeError(
-                f"compact_index on a non-quiesced stream: batch(es) "
-                f"{stale} are written but unacknowledged — let the stream "
-                "drain (or replay) before compacting"
-            )
+        state.quiesce_or_raise(parts, self.ledger_dir, "compact_index")
         if not parts:
             return 0
         merged = (
@@ -1514,14 +1520,12 @@ class FrameIngestor:
             .select("id", "fhash", "fband")
             .localCheckpoint(eager=True)
         )
-        merged.write.mode("overwrite").partitionBy("fband").parquet(
-            os.path.join(self.index_dir, "ingest_batch=-9")
+        state.atomic_fold_swap(
+            self.index_dir,
+            lambda tmp: merged.write.partitionBy("fband").parquet(
+                os.path.join(tmp, "ingest_batch=-9")
+            ),
         )
-        for b in parts:
-            shutil.rmtree(
-                os.path.join(self.index_dir, f"ingest_batch={b}"),
-                ignore_errors=True,
-            )
         return len(parts)
 
     def dup_marks(self):

@@ -49,8 +49,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flume_spark.operators.text import bigram_pairs, tokens_col
-
-BASE_PARTITION = -9  # compacted acked counts live here (the sem-carry convention)
+from flume_spark.streaming import state
+from flume_spark.streaming.state import BASE_PARTITION  # noqa: F401 (re-export)
 
 
 class LmIngestor:
@@ -89,25 +89,20 @@ class LmIngestor:
         os.makedirs(self.big_dir, exist_ok=True)
         os.makedirs(self.uni_dir, exist_ok=True)
         os.makedirs(marks_dir, exist_ok=True)
+        # heal a fold that crashed between its two renames (state.py)
+        state.recover_fold(self.big_dir)
+        state.recover_fold(self.uni_dir)
         from flume_spark.streaming.sink import idempotent_foreach_batch
 
-        inner = idempotent_foreach_batch(self._process, ledger_dir)
-
-        def process(batch_df: DataFrame, batch_id: int) -> None:
-            # maintenance cadence (BASELINE.md --lmingest guidance: "run
-            # compact_state on a cadence, not never"): right after the
-            # sink commits a batch's marker the stream is quiesced by
-            # construction (foreachBatch is sequential per query), so the
-            # in-line compaction can never hit the quiesce guard — a
-            # long-lived stream's prefix read stays a few files without
-            # anyone remembering to schedule it (the snapshot-GC
-            # discipline).
-            inner(batch_df, batch_id)
-            n = self.auto_compact_every
-            if n and (batch_id + 1) % n == 0:
-                self.compact_state()
-
-        self.process = process
+        # maintenance cadence (BASELINE.md --lmingest guidance: "run
+        # compact_state on a cadence, not never"): a long-lived stream's
+        # prefix read stays a few files without anyone remembering to
+        # schedule it (the snapshot-GC discipline)
+        self.process = state.with_auto_compact(
+            idempotent_foreach_batch(self._process, ledger_dir),
+            auto_compact_every,
+            self.compact_state,
+        )
 
     # -- state -------------------------------------------------------------
 
@@ -142,30 +137,19 @@ class LmIngestor:
         )
 
     def _batch_acked(self, batch_id: int) -> bool:
-        """The ledger MARKER FILE alone — the single source of truth the
-        sink contract guarantees (committed strictly after _process's
-        state writes).  An in-memory ack set would defeat the quiesce
-        guard in the crash window: _process returns, the marker write
-        fails, and a same-session compact_state would fold the unacked
-        batch's counts into the base partition — the ledger then replays
-        the batch, re-writing its ingest_batch partition and
-        double-counting its bigrams in every later prefix read
-        (round-11 ADVICE).  Unlike the SemanticIngestor (whose carried
-        rows stay src_batch-tagged, so its probe excludes a replayed
-        batch's copies either way), LM counts carry no provenance after
-        the fold — the marker is the only safe ack."""
-        return os.path.exists(
-            os.path.join(self.ledger_dir, f"batch-{batch_id}.done")
-        )
+        """The ledger MARKER FILE alone (state.batch_acked) — an
+        in-memory ack set would defeat the quiesce guard in the crash
+        window: _process returns, the marker write fails, a same-session
+        compact_state folds the unacked batch, and the ledger replay
+        then double-counts its bigrams (round-11 ADVICE).  Unlike the
+        SemanticIngestor (whose carried rows stay src_batch-tagged, so
+        its probe excludes a replayed batch's copies either way), LM
+        counts carry no provenance after the fold — the marker is the
+        only safe ack."""
+        return state.batch_acked(self.ledger_dir, batch_id)
 
     def _count_partitions(self, d: str) -> list[int]:
-        if not os.path.isdir(d):
-            return []
-        return [
-            int(p.split("=", 1)[1])
-            for p in os.listdir(d)
-            if p.startswith("ingest_batch=")
-        ]
+        return state.ingest_partitions(d)
 
     # -- per-batch score-then-learn ---------------------------------------
 
@@ -279,21 +263,27 @@ class LmIngestor:
         construction.  Quiesce contract (the maybe_roll_epoch /
         reencode_epoch convention): raises if any written batch is
         unacknowledged — compacting it would double its rows when the
-        ledger replays it.  Returns partitions removed."""
-        import shutil
+        ledger replays it.
 
-        stale = sorted(
-            b
-            for d in (self.big_dir, self.uni_dir)
-            for b in self._count_partitions(d)
-            if b != BASE_PARTITION and not self._batch_acked(b)
+        Crash safety (state.atomic_fold_swap): the merged counts are
+        materialized, written OUTSIDE the read path, and swapped in with
+        two atomic renames — additive state can afford neither the
+        delete-before-write order (a crash loses the model) nor
+        write-base-then-delete (a crash double-counts every folded
+        partition); the one rename window is healed at the next
+        construction or fold (`recover_fold`).  Returns partitions
+        removed."""
+        state.quiesce_or_raise(
+            sorted(
+                {
+                    b
+                    for d in (self.big_dir, self.uni_dir)
+                    for b in self._count_partitions(d)
+                }
+            ),
+            self.ledger_dir,
+            "compact_state",
         )
-        if stale:
-            raise RuntimeError(
-                f"compact_state on a non-quiesced stream: batch(es) "
-                f"{sorted(set(stale))} are written but unacknowledged — "
-                "let the stream drain (or replay) before compacting"
-            )
         removed = 0
         for d, keys, cnt in (
             (self.big_dir, ["w1", "w2"], "c12"),
@@ -308,12 +298,11 @@ class LmIngestor:
                 .agg(F.sum(cnt).alias(cnt))
                 .localCheckpoint(eager=True)
             )
-            for b in parts:
-                shutil.rmtree(
-                    os.path.join(d, f"ingest_batch={b}"), ignore_errors=True
-                )
-                removed += 1
-            merged.write.mode("overwrite").parquet(
-                os.path.join(d, f"ingest_batch={BASE_PARTITION}")
+            state.atomic_fold_swap(
+                d,
+                lambda tmp, m=merged: m.write.parquet(
+                    os.path.join(tmp, f"ingest_batch={BASE_PARTITION}")
+                ),
             )
+            removed += len(parts)
         return removed

@@ -2017,24 +2017,23 @@ def main_lmingest() -> None:
     )
 
 
-def main_phash() -> None:
-    """PhashIngestor per-batch cost vs history size: one FIXED 1000-doc
-    payload batch timed against history x1/x10/x50 ingested as 16
-    micro-batches, compacted index vs raw per-batch trees.  Expected
-    ~flat-ish: the probe reads only its touched bband directories (the
-    band-bucket layout), and compaction bounds the directory LISTING at
-    one tree regardless of trigger count; the raw arm pays a growing
-    per-batch listing over 16f trees.  Verifies the design claim the
-    round-11 verdict called 'design-asserted, never measured'."""
+def _media_ingest_probe(make_ingestor, label: str) -> None:
+    """Shared scaffold for the streaming media-ingestor probes (--phash /
+    --frame): one FIXED 1000-doc payload batch timed against history
+    x1/x10/x50 (ingested as 16 micro-batches), compacted index vs raw
+    per-batch trees.  Expected ~flat-ish per-batch cost: probes read only
+    their touched band directories, and compaction bounds the directory
+    LISTING at one tree regardless of trigger count — the raw arm pays a
+    growing per-batch listing over 16f trees (the --lmingest raw-arm
+    signature)."""
     import shutil
     import tempfile
 
     from flume_spark.operators.multimodal import to_binary_payload
-    from flume_spark.streaming.dedup import PhashIngestor
 
     factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
     n_hist_batches = 16
-    spark = get_spark(app_name="flume_probe_phash")
+    spark = get_spark(app_name=f"flume_probe_{label}")
 
     fixed = to_binary_payload(
         scaled_docs(spark, 1).filter(F.col("doc_id") % 10 == 0).select(
@@ -2055,14 +2054,8 @@ def main_phash() -> None:
             for b in range(n_hist_batches)
         ]
         for mode in ("raw", "compacted"):
-            root = tempfile.mkdtemp(prefix=f"phash_{mode}_")
-            ing = PhashIngestor(
-                spark,
-                index_dir=f"{root}/index",
-                marks_dir=f"{root}/marks",
-                ledger_dir=f"{root}/ledger",
-                id_col="id",
-            )
+            root = tempfile.mkdtemp(prefix=f"{label}_{mode}_")
+            ing = make_ingestor(spark, root)
             for b, bdf in enumerate(batches):
                 ing.process(bdf, b)
             if mode == "compacted":
@@ -2098,11 +2091,11 @@ def main_phash() -> None:
         json.dumps(
             {
                 "summary": {
-                    "phash_raw": {
+                    f"{label}_raw": {
                         "sec": {k: round(v, 2) for k, v in raw_t.items()},
                         "exponent": exps(raw_t),
                     },
-                    "phash_compacted": {
+                    f"{label}_compacted": {
                         "sec": {k: round(v, 2) for k, v in comp_t.items()},
                         "exponent": exps(comp_t),
                     },
@@ -2110,101 +2103,44 @@ def main_phash() -> None:
             }
         ),
         flush=True,
+    )
+
+
+def main_phash() -> None:
+    """PhashIngestor per-batch cost vs history size (_media_ingest_probe)
+    — verifies the band-bucket layout's flat-per-batch claim the round-11
+    verdict called 'design-asserted, never measured'."""
+    from flume_spark.streaming.dedup import PhashIngestor
+
+    _media_ingest_probe(
+        lambda spark, root: PhashIngestor(
+            spark,
+            index_dir=f"{root}/index",
+            marks_dir=f"{root}/marks",
+            ledger_dir=f"{root}/ledger",
+            id_col="id",
+        ),
+        "phash",
     )
 
 
 def main_frame() -> None:
-    """FrameIngestor per-batch cost vs history size — the --phash probe
-    applied to the frame-containment ingestor: one FIXED 1000-doc payload
-    batch timed against history x1/x10/x50 (16 micro-batches), compacted
-    vs raw.  The probe join is an EXACT fhash equi-join whose index side
-    reads only touched fband directories, so both arms should be
-    ~flat-ish with compaction removing the raw arm's listing growth."""
-    import shutil
-    import tempfile
-
-    from flume_spark.operators.multimodal import to_binary_payload
+    """FrameIngestor per-batch cost vs history size (_media_ingest_probe)
+    — the frame-containment twin: an EXACT fhash equi-join probe whose
+    index side reads only touched fband directories."""
     from flume_spark.streaming.dedup import FrameIngestor
 
-    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
-    n_hist_batches = 16
-    spark = get_spark(app_name="flume_probe_frame")
-
-    fixed = to_binary_payload(
-        scaled_docs(spark, 1).filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 900_000_000).alias("doc_id"), "text"
+    _media_ingest_probe(
+        lambda spark, root: FrameIngestor(
+            spark,
+            index_dir=f"{root}/index",
+            marks_dir=f"{root}/marks",
+            ledger_dir=f"{root}/ledger",
+            id_col="id",
         ),
-        "doc_id",
-        "text",
-    ).localCheckpoint(eager=True)
-    raw_t: dict[int, float] = {}
-    comp_t: dict[int, float] = {}
-    for f in factors:
-        hist = to_binary_payload(
-            scaled_docs(spark, f), "doc_id", "text"
-        ).localCheckpoint(eager=True)
-        n_hist = hist.count()
-        batches = [
-            hist.filter(F.col("id") % n_hist_batches == b)
-            for b in range(n_hist_batches)
-        ]
-        for mode in ("raw", "compacted"):
-            root = tempfile.mkdtemp(prefix=f"frame_{mode}_")
-            ing = FrameIngestor(
-                spark,
-                index_dir=f"{root}/index",
-                marks_dir=f"{root}/marks",
-                ledger_dir=f"{root}/ledger",
-                id_col="id",
-            )
-            for b, bdf in enumerate(batches):
-                ing.process(bdf, b)
-            if mode == "compacted":
-                t0 = time.perf_counter()
-                ing.compact_index()
-                dt_comp = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            ing.process(fixed, n_hist_batches)
-            dt = time.perf_counter() - t0
-            (raw_t if mode == "raw" else comp_t)[f] = dt
-            out = {
-                "factor": f,
-                "history": n_hist,
-                "mode": mode,
-                "ingest_sec": round(dt, 2),
-            }
-            if mode == "compacted":
-                out["compact_sec"] = round(dt_comp, 2)
-            print(json.dumps(out), flush=True)
-            shutil.rmtree(root, ignore_errors=True)
-        hist.unpersist()
-        spark.catalog.clearCache()
-    base = factors[0]
-
-    def exps(times: dict[int, float]) -> dict[int, float]:
-        return {
-            f: round(math.log(times[f] / times[base]) / math.log(f / base), 2)
-            for f in times
-            if f != base and times[f] > 0
-        }
-
-    print(
-        json.dumps(
-            {
-                "summary": {
-                    "frame_raw": {
-                        "sec": {k: round(v, 2) for k, v in raw_t.items()},
-                        "exponent": exps(raw_t),
-                    },
-                    "frame_compacted": {
-                        "sec": {k: round(v, 2) for k, v in comp_t.items()},
-                        "exponent": exps(comp_t),
-                    },
-                }
-            }
-        ),
-        flush=True,
+        "frame",
     )
+
 
 
 def main_profile() -> None:

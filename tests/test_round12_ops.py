@@ -619,3 +619,112 @@ def test_audio_meta_real_wav_and_raw_arms(spark):
     assert got[2] == (44100, 2, 32, 1000 * 32 // 44100, True)  # 64 / 2 ch
     assert got[3] == (16000, 1, 32, 1000 * 32 // 16000, True)
     assert got[4] == (16000, 1, 0, 0, False)
+
+
+# -- crash-safe fold swap (state.atomic_fold_swap / recover_fold) --------------
+
+
+def test_lm_fold_crash_window_recovers_model(spark, tmp_path):
+    """Simulate the one crash window of the fold protocol (between the
+    two renames: live dir missing, .foldold holds pre-fold state): a
+    restarted ingestor must heal it and report the EXACT same model —
+    additive counts can afford neither loss nor double-count."""
+    import os
+
+    from flume_spark.streaming.lm import LmIngestor
+
+    def mk():
+        return LmIngestor(
+            spark,
+            state_dir=str(tmp_path / "st"),
+            marks_dir=str(tmp_path / "mk"),
+            ledger_dir=str(tmp_path / "lg"),
+        )
+
+    ing = mk()
+    for b in range(3):
+        ing.process(_lm_df(spark, _LM_BATCHES[b]), b)
+    model = {tuple(r) for r in ing.model().collect()}
+
+    big = str(tmp_path / "st" / "bigrams")
+    os.rename(big, big + ".foldold")  # crash between rename 3 and 4
+    healed = mk()
+    assert {tuple(r) for r in healed.model().collect()} == model
+    assert not os.path.isdir(big + ".foldold")
+    # and a real fold still works afterwards, exactly
+    assert healed.compact_state() > 0
+    assert {tuple(r) for r in healed.model().collect()} == model
+
+
+def test_phash_fold_crash_window_recovers_index(spark, tmp_path):
+    """Same protocol on the fingerprint index: the rename-window crash is
+    healed at construction, and marks of a post-recovery batch equal an
+    uncrashed twin's."""
+    import os
+
+    ing = _phash_ing(spark, tmp_path)
+    twin = _phash_ing(spark, tmp_path, tag="_twin")
+    for b, rows in enumerate(_MEDIA_ROWS[:2]):
+        ing.process(_pay(spark, rows), b)
+        twin.process(_pay(spark, rows), b)
+    idx = str(tmp_path / "idx")
+    os.rename(idx, idx + ".foldold")  # crash between rename 3 and 4
+    healed = _phash_ing(spark, tmp_path)
+    healed.process(_pay(spark, _MEDIA_ROWS[2]), 2)
+    twin.process(_pay(spark, _MEDIA_ROWS[2]), 2)
+    assert {tuple(r) for r in healed.dup_marks().collect()} == {
+        tuple(r) for r in twin.dup_marks().collect()
+    }
+
+
+def test_wav_fmt_rejects_insane_rates_and_channels(spark):
+    """A 'well-formed' WAV declaring a rate >= 2^31, rate 0, or zero
+    channels is rejected (raw fallback) instead of overflowing the INT32
+    sample_rate column downstream — one hostile payload must degrade,
+    not fail the Arrow task."""
+    data = struct.pack("<8h", *([1] * 8))
+
+    def wav_with(rate, n_ch):
+        byte_rate = (rate * 2) % (1 << 32)  # header field is uint32
+        fmt = struct.pack("<HHIIHH", 1, n_ch, rate, byte_rate, 2, 16)
+        return (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    assert multimodal.wav_fmt(wav_with(3_000_000_000 % (1 << 32), 1)) is None
+    assert multimodal.wav_fmt(wav_with(0, 1)) is None
+    assert multimodal.wav_fmt(wav_with(8000, 0)) is None
+    assert multimodal.wav_fmt(wav_with(8000, 1)) is not None
+    # the hostile payload flows through audio_meta on the STUB arm
+    rows = [(1, wav_with(3_000_000_000 % (1 << 32), 1).decode("ISO-8859-1"))]
+    got = multimodal.audio_meta(_pay(spark, rows)).collect()[0]
+    assert (got["sample_rate"], got["n_channels"]) == (16000, 1)
+
+
+def test_frame_ingestor_max_df_gates_ambient_hash_as_of_ingest(spark, tmp_path):
+    """The streaming skew gate: an ambient window hash (carried by every
+    doc) crosses max_df as history accumulates — from then on it stops
+    counting toward containment, while pair-specific windows still
+    match.  Marks stay one-row-per-doc even for fully-gated docs."""
+    def clip4(a, b, c, d):
+        return _clip(a, b, c, d)
+
+    gated = _frame_ing(
+        spark, tmp_path, tag="_g", min_shared=2, max_df=3
+    )
+    plain = _frame_ing(spark, tmp_path, tag="_p", min_shared=2)
+    b0 = [(1, clip4(100, 1, 2, 3)), (2, clip4(100, 9, 8, 7))]
+    # batch 1: df(w100) = {3,4} + {1,2} = 4 > 3 -> ambient, gated;
+    # df(w2) = {3,4} + {1} = 3 stays under the cap
+    b1 = [(3, clip4(100, 1, 2, 30)),   # shares w1,w2 with doc 1 -> dup anyway
+          (4, clip4(100, 50, 2, 60))]  # amb + w2 only: dup ONLY if amb counts
+    for b, rows in enumerate([b0, b1]):
+        gated.process(_pay(spark, rows), b)
+        plain.process(_pay(spark, rows), b)
+    g = {r["id"]: r["dup_of"] for r in gated.dup_marks().collect()}
+    p = {r["id"]: r["dup_of"] for r in plain.dup_marks().collect()}
+    assert g[3] == 1 and p[3] == 1        # real twin caught either way
+    assert g[4] is None and p[4] == 1     # ambient-only pair gated out
+    assert set(g) == {1, 2, 3, 4}          # marks keep every ingested doc
