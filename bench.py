@@ -283,7 +283,19 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     samples_n = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    import gc
+
     for name in HEADLINE:
+        # Per-entry session hygiene (round-13, the graph_pagerank_k
+        # post-mortem): operators legitimately .cache()/.localCheckpoint()
+        # inside a run and the references leak across entries — after ~47
+        # entries x 4 runs the accumulated pinned blocks held pagerank_k at
+        # a 5.2s floor in-suite vs 2.4s isolated (same plan, same host).
+        # Dropping dead python refs + clearing the cache between entries
+        # makes each timing measure ITS plan, not the suite's junk; measured
+        # recovery 3.8/3.0/2.1 -> 2.3/1.8/1.8 on a polluted session.
+        spark.catalog.clearCache()
+        gc.collect()
         fn = queries[name]
         runs: list[float] = []
         for _ in range(samples_n):
@@ -454,6 +466,39 @@ def bench_stream_latency(spark) -> dict[str, float]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def spread_record(samples: dict[str, list[float]]) -> dict[str, list[float]]:
+    """Per-entry [min, median, max] — the drift-tripwire sidecar summary
+    (round-13 VERDICT item 5).  Median is the lower-middle order statistic
+    so every reported value is an actually-observed sample."""
+    out: dict[str, list[float]] = {}
+    for name, runs in samples.items():
+        s = sorted(runs)
+        out[name] = [s[0], s[(len(s) - 1) // 2], s[-1]]
+    return out
+
+
+def check_drift(
+    mins: dict[str, float], bands: dict[str, float], factor: float = 1.5
+) -> list[tuple[str, float, float, float]]:
+    """Drift tripwire: entries whose current MIN exceeds `factor` x their
+    recorded band (bench_bands.json = best calm-host min on an unchanged
+    plan).  Returns (name, current_min, band, ratio) rows, worst first.
+    Entries without a band (new this round) are skipped — they earn a band
+    when first recorded.  Sub-0.3s bands are noise-floored to 0.3s: the
+    documented host wobble on sub-second entries is +-0.1s (BASELINE.md's
+    round-12 note records 1.3-1.4x moves on such rows as ambient), so a
+    0.18s->0.28s scheduler blip must not fail a round."""
+    drifted = []
+    for name, band in bands.items():
+        cur = mins.get(name)
+        if cur is None:
+            continue
+        floor = max(band, 0.3)
+        if cur > factor * floor:
+            drifted.append((name, cur, band, round(cur / floor, 2)))
+    return sorted(drifted, key=lambda r: -r[3])
+
+
 def emit_records(
     timings: dict[str, float], samples: dict[str, list[float]], sf: str
 ) -> tuple[str, str, str]:
@@ -510,7 +555,11 @@ def main() -> None:
     samples_line, shard_line, final_line = emit_records(
         timings, samples, SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     )
+    spread_line = json.dumps(
+        {"spread": spread_record(samples)}, separators=(",", ":")
+    )
     print(samples_line)
+    print(spread_line)
     print(shard_line)
     sidecar = os.environ.get(
         "SPARK_GRAFT_BENCH_SIDECAR",
@@ -519,10 +568,55 @@ def main() -> None:
     try:
         with open(sidecar, "w") as fh:
             fh.write(samples_line + "\n")
+            fh.write(spread_line + "\n")
     except OSError:
         pass  # sidecar is best-effort; the stdout line is the durable copy
+    # drift tripwire (round-13 VERDICT item 5): advisory on a normal run —
+    # print drifted entries so a regression is visible in the round record
+    # without failing the bench itself; `bench.py --check` is the gating arm
+    drifted = check_drift(timings, _load_bands())
+    if drifted:
+        print(
+            json.dumps({"drift": [list(r) for r in drifted]}, separators=(",", ":")),
+            file=sys.stderr,
+        )
     print(final_line)
 
 
+def _load_bands() -> dict[str, float]:
+    path = os.environ.get(
+        "SPARK_GRAFT_BENCH_BANDS",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_bands.json"),
+    )
+    try:
+        with open(path) as fh:
+            return {k: float(v) for k, v in json.load(fh).items()}
+    except (OSError, ValueError):
+        return {}
+
+
+def check_main() -> int:
+    """`bench.py --check`: compare the LAST RECORDED run (bench_samples.json
+    sidecar) against bench_bands.json; exit 1 listing any entry whose min
+    drifted >1.5x its band.  No Spark session — this reads artifacts, so it
+    can gate a round after the real run completes."""
+    sidecar = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_samples.json"),
+    )
+    with open(sidecar) as fh:
+        samples = json.loads(fh.readline())["samples"]
+    mins = {k: min(v) for k, v in samples.items()}
+    drifted = check_drift(mins, _load_bands())
+    if drifted:
+        for name, cur, band, ratio in drifted:
+            print(f"DRIFT {name}: min {cur}s vs band {band}s ({ratio}x)")
+        return 1
+    print(f"OK: {len(mins)} entries within 1.5x of their bands")
+    return 0
+
+
 if __name__ == "__main__":
+    if "--check" in sys.argv[1:]:
+        sys.exit(check_main())
     main()

@@ -91,3 +91,44 @@ def test_final_line_total_includes_overflow():
     assert rec["value"] == 3.0
     assert name not in rec["queries"]
     assert json.loads(shard_line)["queries_overflow"][name] == 2.0
+
+
+def test_spread_record_is_min_median_max_of_observed_samples():
+    spread = bench.spread_record({"a": [3.0, 1.0, 2.0], "b": [5.0]})
+    assert spread == {"a": [1.0, 2.0, 3.0], "b": [5.0, 5.0, 5.0]}
+    # even-length: the lower-middle order statistic (an observed sample)
+    assert bench.spread_record({"c": [4.0, 1.0, 3.0, 2.0]})["c"] == [1.0, 2.0, 4.0]
+
+
+def test_drift_tripwire_catches_synthetic_slowdown():
+    """Round-13 VERDICT item 5: a >1.5x min-drift must be flagged."""
+    bands = {"fast": 1.0, "ok": 2.0, "tiny": 0.18}
+    mins = {"fast": 1.6, "ok": 2.9, "tiny": 0.28, "new_entry": 9.9}
+    drifted = bench.check_drift(mins, bands)
+    names = [r[0] for r in drifted]
+    assert "fast" in names  # 1.6x > 1.5x -> flagged
+    assert "ok" not in names  # 1.45x -> inside the band
+    # sub-noise-floor bands cannot fire on scheduler wobble
+    assert "tiny" not in names
+    # entries with no recorded band are skipped, not errors
+    assert "new_entry" not in names
+    fast = next(r for r in drifted if r[0] == "fast")
+    assert fast[1:] == (1.6, 1.0, 1.6)
+
+
+def test_drift_tripwire_clean_run_passes():
+    assert bench.check_drift({"a": 1.4}, {"a": 1.0}) == []
+
+
+def test_bands_file_covers_every_recorded_entry():
+    """bench_bands.json exists and carries a band for the headline suite
+    (new-this-round entries may lag one round — they earn a band when first
+    recorded)."""
+    bands_path = Path(__file__).resolve().parent.parent / "bench_bands.json"
+    bands = json.loads(bands_path.read_text())
+    assert len(bands) > 80
+    missing = set(bench.HEADLINE) - set(bands)
+    # allow only entries introduced this round (no recorded run yet)
+    assert len(missing) <= 8, f"stale bands file — missing {sorted(missing)}"
+    for v in bands.values():
+        assert isinstance(v, (int, float)) and v > 0
