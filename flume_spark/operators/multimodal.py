@@ -423,7 +423,7 @@ def frame_containment_pairs(
     n_frames: int = 4,
     bits: int = 32,
     min_shared: int = 3,
-    max_df: int | None = 1000,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Video-style near-dup by FRAME containment: pair (a, b) with
     a < b is emitted iff >= ``min_shared`` of b's frame positions carry a
@@ -439,14 +439,15 @@ def frame_containment_pairs(
     frames — and would fan the equi-join out quadratically on one hot
     key; such hashes are dropped via a broadcast anti-join BEFORE the
     data-sized shuffle (at most n_docs*n_frames/max_df survivors, so the
-    hot list is always broadcastable).  ``max_df=None`` disables the
-    gate — the exact ungated rule, and the configuration the streaming
-    twin (`streaming.dedup.FrameIngestor`, default max_df=None) equals
-    on a single batch; the ingestor's own ``max_df`` applies the same
-    gate per-probe with df measured as of each ingest.  The default
-    differs deliberately: a batch run sees its whole corpus (the cap is
-    a safe, corpus-wide property), while a stream's df grows with the
-    prefix, so gating is opt-in there.  Returns (doc_a, doc_b,
+    hot list is always broadcastable).  The DEFAULT is ``max_df=None`` —
+    the exact ungated rule (round-13 ADVICE: a silent default cap makes
+    the MOST-duplicated clusters vanish without signal); callers opt
+    into the skew gate at scale, matching the streaming twin
+    (`streaming.dedup.FrameIngestor`, default max_df=None, whose own
+    ``max_df`` applies the gate per-probe with df measured as of each
+    ingest) and the ngram/prefix family convention.  When the gate is
+    on, pair ambient-hash visibility with `frame_ambient_hashes` (same
+    df rule) so dropped mass is observable.  Returns (doc_a, doc_b,
     n_matched) where n_matched counts matches on non-ambient frames
     only."""
     fh = frame_phash(payloads, n_frames=n_frames, bits=bits)
@@ -471,6 +472,25 @@ def frame_containment_pairs(
     )
 
 
+def frame_ambient_hashes(
+    payloads: DataFrame,
+    n_frames: int = 4,
+    bits: int = 32,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """The frame hashes `frame_containment_pairs(max_df=...)` WOULD drop,
+    with their document frequency — the observability half of the skew
+    gate (round-13 ADVICE): when the gate is on, run this alongside so
+    mass-duplicated clusters never vanish silently.  Returns
+    (fhash, df) for hashes carried by more than ``max_df`` documents;
+    empty when ``max_df`` is None (nothing is gated)."""
+    fh = frame_phash(payloads, n_frames=n_frames, bits=bits)
+    dfreq = fh.groupBy("fhash").agg(F.count_distinct("id").alias("df"))
+    if max_df is None:
+        return dfreq.filter(F.lit(False))
+    return dfreq.filter(F.col("df") > max_df)
+
+
 AUDIO_SCHEMA = (
     "id bigint, window_idx int, n_samples int, energy bigint, is_silence boolean"
 )
@@ -486,33 +506,44 @@ def wav_fmt(b: bytes) -> tuple[int, int, bytes] | None:
 
     Well-formed means: RIFF magic + WAVE form type, every chunk header
     in bounds with its full body present (word-aligned per the RIFF
-    spec), a `fmt ` chunk declaring audio_format=1 (PCM),
-    bits_per_sample=16, a SANE rate/channel pair (0 < rate < 2^31 so
-    the declared header field always fits downstream INT columns;
-    n_channels >= 1), and a `data` chunk.  Strictness is the point — a
-    text-backed synthetic payload can never satisfy it, so the raw-PCM
+    spec) and NO trailing bytes that don't form a full chunk, EXACTLY
+    ONE `fmt ` chunk declaring audio_format=1 (PCM), bits_per_sample=16,
+    a SANE rate/channel pair (0 < rate < 2^31 so the declared header
+    field always fits downstream INT columns; n_channels >= 1), and
+    EXACTLY ONE `data` chunk.  Duplicate fmt/data chunks and an invalid
+    fmt are rejected outright — last-wins parsing would let a later
+    chunk veto or rescue an earlier one, so acceptance could flip on
+    adversarial containers (round-13 ADVICE).  Strictness is the point —
+    a text-backed synthetic payload can never satisfy it, so the raw-PCM
     fallback (and the DuckDB oracles built on it) is untouched for the
     test corpora while real WAV files exercise the real path."""
     if len(b) < 44 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     pos, fmt, data = 12, None, None
-    while pos + 8 <= len(b):
+    while pos < len(b):
+        if pos + 8 > len(b):
+            return None  # trailing junk: not a whole chunk header
         cid = b[pos : pos + 4]
         (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
         body = b[pos + 8 : pos + 8 + size]
         if len(body) < size:
             return None  # truncated chunk: not a well-formed container
-        if cid == b"fmt " and size >= 16:
+        if cid == b"fmt ":
+            if fmt is not None or size < 16:
+                return None  # duplicate or under-sized fmt: not canonical
             audio_format, n_ch, rate = struct.unpack_from("<HHI", body, 0)
             bits_per = struct.unpack_from("<H", body, 14)[0]
-            ok = (
+            if not (
                 audio_format == 1
                 and bits_per == 16
                 and n_ch >= 1
                 and 0 < rate < 1 << 31
-            )
-            fmt = (rate, n_ch) if ok else None
+            ):
+                return None  # invalid fmt is terminal, never rescued later
+            fmt = (rate, n_ch)
         elif cid == b"data":
+            if data is not None:
+                return None  # duplicate data chunk: not canonical
             data = body
         pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
     return (fmt[0], fmt[1], data) if fmt is not None and data is not None else None
@@ -668,7 +699,7 @@ def audio_pairs(
 
 
 AUDIO_META_SCHEMA = (
-    "id bigint, n_bytes int, sample_rate int, n_channels int, "
+    "id bigint, n_bytes bigint, sample_rate int, n_channels int, "
     "n_samples bigint, duration_ms bigint, ok boolean"
 )
 
@@ -682,7 +713,10 @@ def audio_meta(payloads: DataFrame, stub_rate: int = 16000) -> DataFrame:
     stay oracle-checkable.  duration_ms is exact-integer floor math
     (1000 * frames // rate — no float, hash-stable cross-engine).
     Returns (id, n_bytes, sample_rate, n_channels, n_samples,
-    duration_ms, ok); ok is False only for empty payloads."""
+    duration_ms, ok); ok is False only for empty payloads.  n_bytes is
+    BIGINT (round-13 ADVICE): long-form audio approaches the 2 GiB
+    int32 bound long before images do, and an OverflowError inside the
+    Arrow kernel is the wrong failure mode for a big payload."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -705,7 +739,7 @@ def audio_meta(payloads: DataFrame, stub_rate: int = 16000) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
-                    "n_bytes": pd.array(nb, dtype="int32"),
+                    "n_bytes": pd.array(nb, dtype="int64"),
                     "sample_rate": pd.array(rates, dtype="int32"),
                     "n_channels": pd.array(chans, dtype="int32"),
                     "n_samples": pd.array(samps, dtype="int64"),

@@ -1933,7 +1933,7 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MULTIMODAL_AUDIO_META_SQL = """
 SELECT doc_id AS id,
-       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
        CAST(16000 AS INT) AS sample_rate,
        CAST(1 AS INT) AS n_channels,
        CAST(octet_length(CAST(text AS BLOB)) // 2 AS BIGINT) AS n_samples,

@@ -26,6 +26,19 @@ A crash between 3 and 4 is the ONLY window where the live dir is missing;
 the old state back — nothing is ever lost, at worst a fold is undone.
 A crash after 4 leaves an orphan .foldold which recover_fold deletes
 (the live dir already holds the folded state).
+
+Concurrency (round-13 ADVICE): the fold window is guarded by an O_EXCL
+pid-sentinel lockfile `<dir>.foldlock`.  Without it, a second ingestor
+instance (or any concurrent construction over the same state dirs)
+racing an in-flight swap could rmtree the swap's staging dir or "heal"
+its mid-rename state destructively.  `atomic_fold_swap` and
+`recover_fold` both take the lock; a LIVE lock (owner pid still
+running) raises `FoldLockHeld` — construct the second instance after
+the maintenance window, never during.  A STALE lock (owner pid gone —
+a crash while folding) is removed and recovery proceeds.  The sentinel
+is pid-liveness-based and therefore single-host; on a shared
+filesystem it degrades to best-effort and the single-writer
+maintenance-window contract is the real guarantee.
 """
 
 from __future__ import annotations
@@ -35,6 +48,64 @@ import shutil
 from collections.abc import Callable
 
 BASE_PARTITION = -9  # folded state lives here (the sem-carry convention)
+
+
+class FoldLockHeld(RuntimeError):
+    """Another live process holds `<dir>.foldlock` — a fold or recovery
+    is in flight over this state directory."""
+
+
+def _lock_is_stale(lock: str) -> bool:
+    """True when the sentinel's owner pid is gone (crashed mid-fold) or
+    the sentinel is unreadable/empty (owner crashed between creating and
+    stamping it — it can hold no fold work yet either way)."""
+    try:
+        with open(lock) as fh:
+            pid = int(fh.read().strip() or "0")
+    except (OSError, ValueError):
+        return True
+    if pid <= 0:
+        return True
+    try:
+        os.kill(pid, 0)  # existence probe only — signal 0 delivers nothing
+        return False
+    except ProcessLookupError:
+        return True
+    except PermissionError:
+        return False  # alive under another uid
+
+
+def _acquire_fold_lock(d: str) -> str:
+    """Create `<dir>.foldlock` with O_EXCL, stamping the owner pid.
+    Raises FoldLockHeld when a live owner exists; reclaims stale locks
+    (at most one retry — a second loss means a live contender won the
+    reclaim race, which IS the held case)."""
+    lock = d + ".foldlock"
+    for _ in range(2):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            if not _lock_is_stale(lock):
+                raise FoldLockHeld(
+                    f"fold in flight on {d} (live {lock}) — one maintenance "
+                    "writer at a time; retry after the window closes"
+                ) from None
+            try:
+                os.unlink(lock)  # stale: owner is gone, reclaim
+            except FileNotFoundError:
+                pass  # another reclaimer got there first; retry O_EXCL
+            continue
+        with os.fdopen(fd, "w") as fh:
+            fh.write(f"{os.getpid()}\n")
+        return lock
+    raise FoldLockHeld(f"could not reclaim contended {lock}")
+
+
+def _release_fold_lock(lock: str) -> None:
+    try:
+        os.unlink(lock)
+    except FileNotFoundError:
+        pass
 
 
 def batch_acked(ledger_dir: str, batch_id: int) -> bool:
@@ -71,12 +142,8 @@ def quiesce_or_raise(parts: list[int], ledger_dir: str, what: str) -> None:
         )
 
 
-def recover_fold(d: str) -> None:
-    """Heal the rename-window crash of `atomic_fold_swap` (call at
-    construction and at the head of every fold): restore `<dir>.foldold`
-    if the live dir is missing — or EMPTY, since a constructor's
-    makedirs may have already recreated the bare directory before the
-    healer runs — then GC orphan staging/old dirs."""
+def _recover_fold_locked(d: str) -> None:
+    """Recovery body — caller holds `<dir>.foldlock`."""
     old, tmp = d + ".foldold", d + ".foldtmp"
     live = os.listdir(d) if os.path.isdir(d) else None
     if not live and os.path.isdir(old):
@@ -87,18 +154,39 @@ def recover_fold(d: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def recover_fold(d: str) -> None:
+    """Heal the rename-window crash of `atomic_fold_swap` (call at
+    construction and at the head of every fold): restore `<dir>.foldold`
+    if the live dir is missing — or EMPTY, since a constructor's
+    makedirs may have already recreated the bare directory before the
+    healer runs — then GC orphan staging/old dirs.  Runs under the fold
+    lock: raises FoldLockHeld instead of destroying an in-flight swap's
+    staging when another live process is mid-fold (round-13 ADVICE)."""
+    lock = _acquire_fold_lock(d)
+    try:
+        _recover_fold_locked(d)
+    finally:
+        _release_fold_lock(lock)
+
+
 def atomic_fold_swap(d: str, write_merged: Callable[[str], None]) -> None:
     """Replace directory `d` with a folded version crash-safely (module
     docstring protocol).  `write_merged(tmp_dir)` must write the complete
     folded state under `tmp_dir` from an ALREADY-MATERIALIZED frame
     (localCheckpoint before calling — the live dir is renamed away in
-    step 3, so lazy plans reading it would fail)."""
-    recover_fold(d)
-    old, tmp = d + ".foldold", d + ".foldtmp"
-    write_merged(tmp)
-    os.rename(d, old)
-    os.rename(tmp, d)
-    shutil.rmtree(old, ignore_errors=True)
+    step 3, so lazy plans reading it would fail).  The whole window runs
+    under the O_EXCL fold lock; a concurrent fold/recovery over the same
+    dir raises FoldLockHeld instead of racing."""
+    lock = _acquire_fold_lock(d)
+    try:
+        _recover_fold_locked(d)
+        old, tmp = d + ".foldold", d + ".foldtmp"
+        write_merged(tmp)
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        _release_fold_lock(lock)
 
 
 def with_auto_compact(
