@@ -158,6 +158,11 @@ HEADLINE = [
     "stream_media_funnel",
     "stream_frame_dedup",
     "multimodal_audio_meta",
+    # round-13 additions: the cross-modal (caption, media) alignment
+    # filter — the CLIP-score gate (VERDICT item 2) — plus its per-source
+    # stats sibling (sharded)
+    "multimodal_align",
+    "multimodal_align_stats",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture
@@ -239,6 +244,15 @@ SHARDED = [
     # (stream_audio_dedup / stream_media_funnel / stream_frame_dedup)
     # stay official
     "multimodal_audio_meta",  # (multimodal_meta)
+    # round-13 growth: the per-source stats aggregate is a near-duplicate
+    # sibling of the official multimodal_align (same CTE, one groupBy on
+    # top); the NEW modality row stays official.  Contract headroom also
+    # moves stream_frame_dedup — the exact-join arm of the same
+    # parameterized media-ingestor path as the official stream_audio_dedup
+    # / stream_media_funnel rows, r12-recorded but with no BASELINE
+    # round-1 table row
+    "multimodal_align_stats",  # (multimodal_align)
+    "stream_frame_dedup",  # (stream_audio_dedup)
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

@@ -749,3 +749,113 @@ def audio_meta(payloads: DataFrame, stub_rate: int = 16000) -> DataFrame:
             )
 
     return payloads.mapInPandas(batches, schema=AUDIO_META_SCHEMA)
+
+
+CAPTION_FEATURE_DIM = 4
+
+
+def caption_features(
+    df: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Text-side stub encoder for cross-modal alignment — the caption
+    twin of `feature_extract_stub`'s byte stub: a deterministic 4-dim
+    embedding of the NORMALIZED caption (lowercased, stripped to
+    [a-z0-9] — the `text.fingerprint` normalization), each component
+    k/256 with k an integer in [0, 255], so the vector is exactly
+    representable in binary and any engine reproduces it bit-for-bit:
+
+      [ (len(norm) % 256)/256,  ascii(first norm char)/256,
+        ascii(last norm char)/256,  (len(norm)*7 % 256)/256 ]
+
+    An empty normalized caption is the zero vector (alignment gates
+    treat it as unalignable).  Entirely built-in JVM expressions — one
+    whole-stage-codegen projection, no Python boundary.  A real text
+    encoder (sentence-transformer forward pass) swaps in as an Arrow
+    kernel producing the same (id, t_features array<double>) shape —
+    the `feature_extract_stub(encoder=)` seam, text side."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    ln = F.length(norm)
+    first = F.when(ln > 0, F.ascii(F.substring(norm, 1, 1))).otherwise(F.lit(0))
+    last = F.when(ln > 0, F.ascii(F.substring(norm, -1, 1))).otherwise(F.lit(0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array(
+            (ln % 256) / F.lit(256.0),
+            first / F.lit(256.0),
+            last / F.lit(256.0),
+            (ln * 7 % 256) / F.lit(256.0),
+        ).alias("t_features"),
+    )
+
+
+def cross_modal_align(
+    pairs: DataFrame,
+    text_col: str = "t_features",
+    media_col: str = "features",
+    tau2_num: int = 361,
+    tau2_den: int = 400,
+    scale: int = 1_000_000,
+    grid: int = 256,
+) -> DataFrame:
+    """Cross-modal (caption, media) pair alignment scoring — the
+    CLIP-score keep gate every multimodal corpus pipeline runs
+    (LAION/DataComp shape), in the repo's exact-integer cosine
+    discipline so the whole gate is hash-exact cross-engine:
+
+    Both embeddings are quantized onto the 1/grid lattice
+    (q_k = floor(x_k*grid + 0.5), round-half-up — exact recovery for
+    the stub encoders whose components ARE k/grid; the documented int8
+    convention for real encoders).  With D = <q_t, q_m>, A = |q_t|^2,
+    B = |q_m|^2 (all BIGINT):
+
+      align_q = sign(D) * (D^2 * scale) div (A*B)   -- cos^2 in scale units
+      keep    = D > 0  AND  D^2 * tau2_den >= tau2_num * A * B
+
+    i.e. keep iff cosine >= sqrt(tau2_num/tau2_den) (default 19/20 =
+    0.95), decided in pure integer arithmetic — no sqrt, no float
+    division, aggregation-order-independent.  Zero-norm sides (empty
+    caption / empty payload) score 0 and never keep.  Overflow bound:
+    D <= dim*(grid-1)^2, so D^2*scale needs dim^2*(grid-1)^4*scale <
+    2^63 — dim 4, grid 256, scale 1e6 gives ~6.8e16, three decades of
+    headroom; larger dims lower `scale` or `grid` to compensate.
+
+    Adds (align_q bigint, keep boolean) to `pairs`; every input column
+    passes through.  One codegen projection over the joined frame — the
+    only shuffles in a full pipeline are the id-equi-joins that built
+    `pairs`."""
+    qt, qm = "__qt", "__qm"
+
+    def _quant(col: str):
+        return F.transform(
+            F.col(col), lambda x: F.floor(x * grid + F.lit(0.5)).cast("long")
+        )
+
+    dotted = pairs.withColumn(qt, _quant(text_col)).withColumn(qm, _quant(media_col))
+    zero = F.lit(0).cast("long")
+    d = F.aggregate(
+        F.zip_with(F.col(qt), F.col(qm), lambda a, b: a * b),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    a2 = F.aggregate(F.col(qt), zero, lambda acc, x: acc + x * x)
+    b2 = F.aggregate(F.col(qm), zero, lambda acc, x: acc + x * x)
+    scored = dotted.withColumns({"__d": d, "__a2": a2, "__b2": b2})
+    align_q = F.when(
+        (F.col("__a2") > 0) & (F.col("__b2") > 0),
+        F.signum("__d").cast("long")
+        * F.expr(f"(__d * __d * CAST({scale} AS BIGINT)) div (__a2 * __b2)"),
+    ).otherwise(F.lit(0).cast("long"))
+    keep = (
+        (F.col("__d") > 0)
+        & (F.col("__a2") > 0)
+        & (F.col("__b2") > 0)
+        & (
+            F.expr(f"__d * __d * CAST({tau2_den} AS BIGINT)")
+            >= F.expr(f"CAST({tau2_num} AS BIGINT) * __a2 * __b2")
+        )
+    )
+    return (
+        scored.withColumn("align_q", align_q)
+        .withColumn("keep", keep)
+        .drop(qt, qm, "__d", "__a2", "__b2")
+    )

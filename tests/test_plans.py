@@ -473,3 +473,26 @@ def test_classifier_train_hashed_bounded_feature_space(spark):
     assert n_nodes(plan, "CartesianProduct") == 0
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_multimodal_align_equi_joins_single_python_boundary(spark):
+    """The cross-modal alignment gate (round-13): id-equi-joins only —
+    no cartesian/nested-loop pairing leg — with exactly ONE Python
+    boundary (the media feature Arrow kernel; the caption encoder and
+    the integer cosine are whole-stage-codegen JVM expressions)."""
+    plan = explained(spark, "multimodal_align")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert n_nodes(plan, "MapInPandas") == 1, plan
+    # no row-at-a-time python: the scoring is plain projections
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_media_funnel_align_stage_adds_no_python_boundary(spark):
+    """The funnel's stage-6 alignment gate must not add a second Python
+    boundary per stage: the only MapInPandas kernels in the whole plan
+    are the per-modality feature/fingerprint extractions, and the gate
+    itself joins on id (no pairing leg)."""
+    plan = explained(spark, "media_funnel")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" not in plan

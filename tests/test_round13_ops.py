@@ -167,3 +167,87 @@ def test_fold_lock_released_after_swap_and_protects_staging(tmp_path):
     state.atomic_fold_swap(d, write_merged)
     assert os.listdir(d) == ["folded"]
     assert not os.path.exists(d + ".foldlock")
+
+
+# -- cross-modal alignment (round-13 VERDICT item 2) ---------------------------
+
+
+def _align(spark, t_vecs, m_vecs, **kw):
+    rows = [(i, t, m) for i, (t, m) in enumerate(zip(t_vecs, m_vecs))]
+    df = spark.createDataFrame(
+        rows, "id long, t_features array<double>, m_features array<double>"
+    )
+    return {
+        r["id"]: (r["align_q"], r["keep"])
+        for r in multimodal.cross_modal_align(
+            df, text_col="t_features", media_col="m_features", **kw
+        ).collect()
+    }
+
+
+def test_cross_modal_align_matches_float_cosine_reference(spark):
+    import math
+    import random
+
+    rng = random.Random(13)
+    t_vecs, m_vecs = [], []
+    for _ in range(64):
+        t_vecs.append([rng.randrange(256) / 256.0 for _ in range(4)])
+        m_vecs.append([rng.randrange(256) / 256.0 for _ in range(4)])
+    got = _align(spark, t_vecs, m_vecs)
+    for i, (t, m) in enumerate(zip(t_vecs, m_vecs)):
+        d = sum(a * b for a, b in zip(t, m))
+        na, nb = math.sqrt(sum(a * a for a in t)), math.sqrt(sum(b * b for b in m))
+        if na == 0 or nb == 0:
+            assert got[i] == (0, False)
+            continue
+        cos = d / (na * nb)
+        # align_q is floor(cos^2 * 1e6) exactly (all quantities integral
+        # after the exact x256 lift); keep is cos >= 0.95
+        want_q = (
+            int(round(d * 256 * 256)) ** 2 * 10**6
+            // (int(round(na * na * 256 * 256)) * int(round(nb * nb * 256 * 256)))
+        )
+        assert got[i][0] == want_q
+        assert abs(got[i][0] / 1e6 - cos * cos) < 1e-5
+        assert got[i][1] == (cos >= 0.95) or abs(cos - 0.95) < 1e-9
+
+
+def test_cross_modal_align_sign_and_zero_norm(spark):
+    # anti-aligned pair: negative dot -> negative align_q, never kept
+    got = _align(
+        spark,
+        [[1.0, 0.0], [0.0, 0.0], [1.0, 0.0]],
+        [[-1.0, 0.0], [1.0, 0.0], [1.0, 0.0]],
+    )
+    assert got[0] == (-1_000_000, False)  # cos = -1
+    assert got[1] == (0, False)  # zero-norm caption side
+    assert got[2] == (1_000_000, True)  # cos = +1
+
+
+def test_cross_modal_align_threshold_is_exact_rational(spark):
+    # construct cos exactly at the 19/20 boundary: t=(19,something)...
+    # simpler: t=[a,b], m=[1,0] -> cos = a/sqrt(a^2+b^2); pick (19, sqrt(39))
+    # not lattice-exact — instead verify strictness around the boundary by
+    # quantized integer vectors: cos^2 = d^2/(a2*b2) vs 361/400
+    t = [[19 / 256.0, 0.0], [18 / 256.0, 6 / 256.0]]
+    m = [[20 / 256.0, 0.0], [1.0, 0.0]]
+    got = _align(spark, t, m)
+    assert got[0] == (1_000_000, True)  # colinear: cos=1
+    # cos^2 = 324/360 = 0.9 < 0.9025 -> dropped
+    assert got[1] == (900_000, False)
+
+
+def test_caption_features_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, ""), (3, "!!!")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["id"]: r["t_features"]
+        for r in multimodal.caption_features(df, "doc_id", "text").collect()
+    }
+    # "helloworld": len 10, first 'h'(104), last 'd'(100), 10*7%256=70
+    assert rows[1] == [10 / 256.0, 104 / 256.0, 100 / 256.0, 70 / 256.0]
+    assert rows[2] == [0.0, 0.0, 0.0, 0.0]
+    assert rows[3] == [0.0, 0.0, 0.0, 0.0]  # normalizes to empty
