@@ -163,6 +163,12 @@ HEADLINE = [
     # stats sibling (sharded)
     "multimodal_align",
     "multimodal_align_stats",
+    # the decoupled-caption streaming arm (AlignIngestor: media-key
+    # equi-join against the persisted feature index, mid-stream fold)
+    "stream_align_ingest",
+    # the final pre-training assembly step: temperature mixture -> E-S
+    # draw -> BPE-budget packing, composed from three oracled stages
+    "corpus_mixture_pack",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture
@@ -253,6 +259,12 @@ SHARDED = [
     # round-1 table row
     "multimodal_align_stats",  # (multimodal_align)
     "stream_frame_dedup",  # (stream_audio_dedup)
+    # headroom for the official stream_align_ingest row: the streaming
+    # funnel twin rides the shard next to its official batch form
+    "stream_media_funnel",  # (media_funnel)
+    # headroom for the official corpus_mixture_pack row: the streaming LM
+    # twin rides the shard next to its official batch form
+    "stream_lm_perplexity",  # (text_lm_perplexity)
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

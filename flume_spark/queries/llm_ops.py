@@ -921,6 +921,145 @@ FROM cum GROUP BY 1, 2
 PACK_BPE_SQL = _pack_bpe_sql()
 
 
+def corpus_mixture_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final pre-training assembly step (round-12 VERDICT item 7):
+    temperature-mixed, token-budgeted shard plan composing three already-
+    oracled stages —
+
+      1. MIXTURE (text.mixture_weights, alpha=0.3): per-language
+         sampling weight tokens_l^0.3 / sum tokens^0.3.  The one
+         transcendental (pow) is quantized ONCE per language to ppm
+         (floor(weight*1e6 + 0.5) on the 6dp-rounded weight), and the
+         per-language quota is then EXACT integer arithmetic:
+         quota_l = (200 * wq_l) div 1e6 — no float decision downstream.
+      2. DRAW (the weighted_sample law, partitioned): within each
+         language, Efraimidis-Spirakis keys -ln(u)/n_tokens with the
+         md5-seeded uniform, rank by (key, doc_id), keep rank <= quota_l
+         — inclusion probability proportional to token count inside the
+         language, language totals governed by the temperature mixture.
+      3. PACK (text.pack_by_counts over REAL BPE counts, budget 256,
+         8 shards): the selected mixture packed in tokenizer units,
+         summarized per (shard, pack_id) with n_langs for mixture
+         visibility — one doc crossing a pack boundary flips the hash.
+
+    Plan: one group-agg for the mixture (language-sized, broadcast
+    total), one window rank per language partition, one shard-window
+    cumsum — pack cost linear in selected docs (probe-verified)."""
+    docs = T(spark, sf_dir, "documents")
+    k_total = 200
+    mw = text.mixture_weights(docs, "lang", "text", alpha=0.3)
+    quota = mw.select(
+        "lang",
+        F.floor(F.col("weight") * 1e6 + F.lit(0.5)).cast("long").alias("wq"),
+    ).select(
+        "lang", F.expr(f"({k_total} * wq) div 1000000").alias("quota")
+    )
+
+    toks = text.token_count(docs, "doc_id", "text").select(
+        "doc_id", "n_tokens"
+    )
+    d = (
+        docs.select("doc_id", "lang")
+        .join(toks, "doc_id")
+        .filter(F.col("n_tokens") > 0)
+    )
+    h = F.conv(
+        F.substring(text.seeded_key("flume", "doc_id"), 1, 12), 16, 10
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(1 << 48))
+    keyed = d.withColumn(
+        "_key", -F.log(u) / F.col("n_tokens").cast("double")
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy("_key", "doc_id")
+    )
+    sel = (
+        keyed.withColumn("rn", rn)
+        .join(F.broadcast(quota), "lang")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "lang")
+    )
+
+    counted = text.bpe_token_count(
+        docs.join(sel.select("doc_id"), "doc_id"),
+        "doc_id",
+        "text",
+        text.EN_MERGES_DEMO,
+    )
+    packed = text.pack_by_counts(
+        counted, "doc_id", "n_bpe_tokens", budget=256, shards=8
+    )
+    return (
+        packed.join(sel, "doc_id")
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+        )
+    )
+
+
+def _mixture_pack_sql() -> str:
+    bpe = text.bpe_replace_sql("text", text.EN_MERGES_DEMO)
+    return f"""
+WITH g AS (
+  SELECT lang,
+         CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS ta FROM g),
+q AS (
+  SELECT lang,
+         (200 * CAST(floor(round(pow(CAST(n_tokens AS DOUBLE), 0.3) / ta, 6)
+                           * 1000000 + 0.5) AS BIGINT)) // 1000000 AS quota
+  FROM g CROSS JOIN tot
+),
+t AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, lang,
+         -ln( (('0x' || substr(md5('flume:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               + 1.0) / 281474976710656.0 )
+           / CAST(n_tokens AS DOUBLE) AS k
+  FROM t WHERE n_tokens > 0
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn
+  FROM keyed
+),
+sel AS (
+  SELECT doc_id, lang FROM ranked JOIN q USING (lang) WHERE rn <= quota
+),
+staged AS (
+  SELECT d.doc_id, CAST(d.doc_id % 8 AS INT) AS shard, sel.lang,
+         CAST({bpe} AS BIGINT) AS n_tokens
+  FROM documents d JOIN sel ON sel.doc_id = d.doc_id
+),
+cum AS (
+  SELECT doc_id, shard, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM staged
+)
+SELECT shard, CAST(floor((cum_tokens - n_tokens) / 256.0) AS INT) AS pack_id,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM cum GROUP BY 1, 2
+"""
+
+
+CORPUS_MIXTURE_PACK_SQL = _mixture_pack_sql()
+
+
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     return text.token_count(docs, "doc_id", "text")
@@ -2498,6 +2637,122 @@ SELECT 6, 'align_gate', count(*), CAST(coalesce(sum(n_bytes), 0) AS BIGINT) FROM
 """
 
 
+def stream_align_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cross-modal alignment through the REAL AlignIngestor
+    (streaming/dedup.py::AlignIngestor — round-13 VERDICT item 6): media
+    and captions are decoupled, each caption referencing its media by
+    key (media_ref = (id div 2)*2, the even-anchor pairing — ~half the
+    odd captions reference media from an EARLIER batch, a deterministic
+    mix of matched and not-yet-arrived).  Docs arrive in 3 micro-batches
+    (doc_id % 3); each batch's media features are appended to the
+    kbucket-partitioned feature index and its captions are scored
+    against the visible prefix via an exact media-key equi-join (never a
+    similarity scan); `auto_compact_every=2` folds the index MID-STREAM
+    so batch 2 probes the compacted base; one batch is re-delivered and
+    must be ledger-skipped.  Verdicts are pinned at ingest: a caption
+    whose media has not arrived is unmatched forever (the at-ingest
+    convention).  The oracle replays caption/media stub features, the
+    batch-prefix visibility rule, and the exact-integer alignment law
+    declaratively — hash-equality proves scoring, visibility, ledger
+    idempotence, AND fold-neutrality end-to-end."""
+    import shutil
+    import tempfile
+
+    from flume_spark.streaming.dedup import AlignIngestor
+
+    docs = T(spark, sf_dir, "documents")
+    pay = multimodal.to_binary_payload(docs, "doc_id", "text")
+    frame = (
+        pay.select("id", "payload")
+        .join(
+            docs.select(
+                F.col("doc_id").alias("id"), F.col("text").alias("caption")
+            ),
+            "id",
+        )
+        .withColumn("media_ref", F.expr("(id div 2) * 2"))
+    )
+    root = tempfile.mkdtemp(prefix="align_ingest_")
+    ing = AlignIngestor(
+        spark,
+        index_dir=f"{root}/index",
+        marks_dir=f"{root}/marks",
+        ledger_dir=f"{root}/ledger",
+        id_col="id",
+        auto_compact_every=2,
+    )
+    try:
+        batches = [frame.filter(F.col("id") % 3 == b) for b in range(3)]
+        for b, bdf in enumerate(batches):
+            ing.process(bdf, b)
+        ing.process(batches[1], 1)  # re-delivered batch id: ledger must skip
+        marks = ing.align_marks()
+        if marks is None:  # empty corpus: nothing ingested
+            return spark.createDataFrame(
+                [],
+                "doc_id long, media_ref long, matched boolean, "
+                "align_q bigint, keep boolean",
+            )
+        return marks.select(
+            F.col("id").alias("doc_id"),
+            "media_ref",
+            "matched",
+            "align_q",
+            "keep",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STREAM_ALIGN_SQL = """
+WITH tf AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nt
+  FROM documents
+),
+cap AS (
+  SELECT d.doc_id, (d.doc_id // 2) * 2 AS media_ref,
+    CAST(length(tf.nt) % 256 AS BIGINT) AS t0,
+    CAST(CASE WHEN length(tf.nt) = 0 THEN 0
+              ELSE ascii(substr(tf.nt, 1, 1)) END AS BIGINT) AS t1,
+    CAST(CASE WHEN length(tf.nt) = 0 THEN 0
+              ELSE ascii(substr(tf.nt, length(tf.nt), 1)) END AS BIGINT) AS t2,
+    CAST((length(tf.nt) * 7) % 256 AS BIGINT) AS t3
+  FROM documents d JOIN tf USING (doc_id)
+),
+med AS (
+  SELECT doc_id AS media_id, doc_id % 3 AS mb,
+    CAST(octet_length(CAST(text AS BLOB)) % 256 AS BIGINT) AS m0,
+    CAST(CASE WHEN length(text) = 0 THEN 0
+              ELSE ascii(substr(text, 1, 1)) END AS BIGINT) AS m1,
+    CAST(CASE WHEN length(text) = 0 THEN 0
+              ELSE ascii(substr(text, length(text), 1)) END AS BIGINT) AS m2,
+    CAST((octet_length(CAST(text AS BLOB)) * 7) % 256 AS BIGINT) AS m3
+  FROM documents
+),
+j AS (
+  SELECT c.doc_id, c.media_ref, c.t0, c.t1, c.t2, c.t3,
+         m.media_id, m.m0, m.m1, m.m2, m.m3
+  FROM cap c LEFT JOIN med m
+    ON m.media_id = c.media_ref AND m.mb <= c.doc_id % 3
+),
+sc AS (
+  SELECT doc_id, media_ref, media_id,
+    t0*m0 + t1*m1 + t2*m2 + t3*m3 AS dd,
+    t0*t0 + t1*t1 + t2*t2 + t3*t3 AS a2,
+    m0*m0 + m1*m1 + m2*m2 + m3*m3 AS b2
+  FROM j
+)
+SELECT doc_id, media_ref,
+  media_id IS NOT NULL AS matched,
+  CASE WHEN media_id IS NOT NULL AND a2 > 0 AND b2 > 0
+       THEN CAST(sign(dd) AS BIGINT) * ((dd*dd*1000000) // (a2*b2))
+       ELSE CAST(0 AS BIGINT) END AS align_q,
+  coalesce(media_id IS NOT NULL AND dd > 0 AND a2 > 0 AND b2 > 0
+           AND dd*dd*400 >= 361*a2*b2, false) AS keep
+FROM sc
+"""
+
+
 def stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MEDIA near-dup through the REAL streaming ingestor
     (streaming/dedup.py::PhashIngestor): payloads arrive in 3
@@ -3008,6 +3263,8 @@ QUERIES = {
     "multimodal_audio_fingerprint": multimodal_audio_fingerprint,
     "multimodal_audio_meta": multimodal_audio_meta,
     "multimodal_align": multimodal_align,
+    "stream_align_ingest": stream_align_ingest,
+    "corpus_mixture_pack": corpus_mixture_pack,
     "multimodal_align_stats": multimodal_align_stats,
     "media_funnel": media_funnel,
     "stream_phash_dedup": stream_phash_dedup,
@@ -3073,6 +3330,8 @@ ORACLES = {
     "multimodal_audio_fingerprint": MULTIMODAL_AUDIO_FP_SQL,
     "multimodal_audio_meta": MULTIMODAL_AUDIO_META_SQL,
     "multimodal_align": MULTIMODAL_ALIGN_SQL,
+    "stream_align_ingest": STREAM_ALIGN_SQL,
+    "corpus_mixture_pack": CORPUS_MIXTURE_PACK_SQL,
     "multimodal_align_stats": MULTIMODAL_ALIGN_STATS_SQL,
     "media_funnel": MEDIA_FUNNEL_SQL,
     "stream_phash_dedup": STREAM_PHASH_SQL,

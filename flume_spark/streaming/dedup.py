@@ -1082,9 +1082,12 @@ class PhashIngestor:
         index_buckets: int = 16,
         fingerprint=None,
         auto_compact_every: int | None = None,
+        compact_mode: str = "full",
+        fanout: int = 8,
     ) -> None:
         import os
 
+        assert compact_mode in ("full", "tiered")
         assert blocks > max_hamming, "pigeonhole requires blocks > max_hamming"
         assert bits % blocks == 0
         self.spark = spark
@@ -1099,6 +1102,7 @@ class PhashIngestor:
         self.index_buckets = index_buckets
         self.fingerprint = fingerprint
         self.auto_compact_every = auto_compact_every
+        self.fanout = fanout
         os.makedirs(index_dir, exist_ok=True)
         os.makedirs(marks_dir, exist_ok=True)
         from flume_spark.streaming import state
@@ -1108,7 +1112,7 @@ class PhashIngestor:
         self.process = state.with_auto_compact(
             idempotent_foreach_batch(self._process, ledger_dir),
             auto_compact_every,
-            self.compact_index,
+            self.compact_step if compact_mode == "tiered" else self.compact_index,
         )
 
     def _bands(self, fp):
@@ -1288,6 +1292,35 @@ class PhashIngestor:
         )
         return len(parts)
 
+    def compact_step(self, fanout: int | None = None) -> int:
+        """One round of TIERED (LSM-style) maintenance — the long-lived
+        alternative to the monolithic `compact_index` (which rewrites the
+        whole base every fold, O(index^2/N) cumulative): fresh acked
+        trees fold into a level-1 run; `fanout` runs at a level fold one
+        level up (state.tiered_compact — hardlinked staging, the same
+        atomic_fold_swap crash contract per step).  Each row is
+        rewritten at most once per level, so cumulative maintenance is
+        O(n log n).  Wire with compact_mode="tiered" to run on the
+        auto_compact_every cadence."""
+        from flume_spark.streaming import state
+
+        def merge_write(fold_ids, run_dir):
+            (
+                self.spark.read.parquet(self.index_dir)
+                .filter(F.col("ingest_batch").isin(fold_ids))
+                .select("id", "phash", "block_idx", "block_val", "bband")
+                .write.partitionBy("bband")
+                .parquet(run_dir)
+            )
+
+        return state.tiered_compact(
+            self.index_dir,
+            self.ledger_dir,
+            merge_write,
+            fanout=self.fanout if fanout is None else fanout,
+            what="compact_step",
+        )
+
     def dup_marks(self):
         """(id, phash, dup_of, is_dup) for every ingested payload, as of
         its OWN ingest time (None if nothing ingested)."""
@@ -1353,9 +1386,12 @@ class FrameIngestor:
         index_buckets: int = 16,
         auto_compact_every: int | None = None,
         max_df: int | None = None,
+        compact_mode: str = "full",
+        fanout: int = 8,
     ) -> None:
         import os
 
+        assert compact_mode in ("full", "tiered")
         assert min_shared >= 1
         self.spark = spark
         self.index_dir = index_dir
@@ -1369,6 +1405,7 @@ class FrameIngestor:
         self.index_buckets = index_buckets
         self.auto_compact_every = auto_compact_every
         self.max_df = max_df
+        self.fanout = fanout
         os.makedirs(index_dir, exist_ok=True)
         os.makedirs(marks_dir, exist_ok=True)
         from flume_spark.streaming import state
@@ -1378,7 +1415,7 @@ class FrameIngestor:
         self.process = state.with_auto_compact(
             idempotent_foreach_batch(self._process, ledger_dir),
             auto_compact_every,
-            self.compact_index,
+            self.compact_step if compact_mode == "tiered" else self.compact_index,
         )
 
     def _frames(self, batch_df):
@@ -1528,6 +1565,28 @@ class FrameIngestor:
         )
         return len(parts)
 
+    def compact_step(self, fanout: int | None = None) -> int:
+        """Tiered (LSM-style) maintenance round — the
+        PhashIngestor.compact_step contract over the fband layout."""
+        from flume_spark.streaming import state
+
+        def merge_write(fold_ids, run_dir):
+            (
+                self.spark.read.parquet(self.index_dir)
+                .filter(F.col("ingest_batch").isin(fold_ids))
+                .select("id", "fhash", "fband")
+                .write.partitionBy("fband")
+                .parquet(run_dir)
+            )
+
+        return state.tiered_compact(
+            self.index_dir,
+            self.ledger_dir,
+            merge_write,
+            fanout=self.fanout if fanout is None else fanout,
+            what="compact_step",
+        )
+
     def dup_marks(self):
         """(id, dup_of, is_dup) for every ingested payload, as of its OWN
         ingest time (None if nothing ingested)."""
@@ -1537,4 +1596,297 @@ class FrameIngestor:
             F.col("id").alias(self.id_col),
             "dup_of",
             F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+
+
+class AlignIngestor:
+    """Streaming cross-modal alignment through a persisted MEDIA-FEATURE
+    index — the streaming arm of `multimodal.cross_modal_align` (round-13
+    VERDICT item 6), on the PhashIngestor state contract (plain parquet
+    partitions outside the checkpoint, batch-id ledger, crash-safe
+    compaction fold).
+
+    Real-world shape: media and captions are DECOUPLED — a caption row
+    references its media by key (`ref_col`), and the referenced media may
+    have arrived in an earlier micro-batch (or the same one).  Each batch
+    is therefore processed in two legs:
+
+      1. INDEX: extract the batch's media features (the
+         `feature_extract_stub` Arrow kernel a real encoder swaps into),
+         quantize onto the 1/`grid` lattice (exact recovery for the stub;
+         the int8 convention for real encoders) and append
+         (media_id, m0..m3, b2) to the feature index, partitioned by
+         kbucket = pmod(media_id, index_buckets) — the cbucket discipline:
+         a probe lists only its touched key-bucket DIRECTORIES.
+      2. SCORE: join the batch's captions against the VISIBLE prefix of
+         the index (history batches + this batch's own in-flight
+         features; a replayed batch excludes its own persisted partition
+         so re-marks are identical) on media key — an exact equi-join,
+         never a similarity scan — and pin the verdict:
+         align_q = sign(D)*(D^2*scale) div (A*B), keep iff D>0 and
+         D^2*tau2_den >= tau2_num*A*B (the cross_modal_align law).
+
+    Batch-prefix semantics (the at-ingest convention every ingestor
+    here uses): a caption whose media has NOT yet arrived is marked
+    unmatched (matched=false, align_q=0, keep=false) and never
+    revisited — a production deployment would park unmatched captions
+    in a retry queue; the mark table is the at-ingest truth the oracle
+    replays.
+
+    Per-batch cost: one Arrow feature pass + one key-equi-join whose
+    index read is pruned to the batch's touched kbuckets — independent
+    of total history size (no similarity leg, no growth with index).
+    Maintenance: `compact_index()` folds acked per-batch trees into the
+    base partition (ingest_batch=-9, still kbucket-partitioned) via
+    `state.atomic_fold_swap`; `auto_compact_every=N` runs it in-line.
+    """
+
+    _PUSH_REFS_CAP = 10_000  # max refs pushed as a parquet id predicate
+
+    def __init__(
+        self,
+        spark,
+        index_dir: str,
+        marks_dir: str,
+        ledger_dir: str,
+        id_col: str = "doc_id",
+        payload_col: str = "payload",
+        caption_col: str = "caption",
+        ref_col: str = "media_ref",
+        tau2_num: int = 361,
+        tau2_den: int = 400,
+        scale: int = 1_000_000,
+        grid: int = 256,
+        index_buckets: int = 16,
+        encoder=None,
+        auto_compact_every: int | None = None,
+        compact_mode: str = "full",
+        fanout: int = 8,
+    ) -> None:
+        import os
+
+        assert compact_mode in ("full", "tiered")
+        self.spark = spark
+        self.index_dir = index_dir
+        self.marks_dir = marks_dir
+        self.ledger_dir = ledger_dir
+        self.id_col = id_col
+        self.payload_col = payload_col
+        self.caption_col = caption_col
+        self.ref_col = ref_col
+        self.tau2_num = tau2_num
+        self.tau2_den = tau2_den
+        self.scale = scale
+        self.grid = grid
+        self.index_buckets = index_buckets
+        self.encoder = encoder
+        self.fanout = fanout
+        os.makedirs(index_dir, exist_ok=True)
+        os.makedirs(marks_dir, exist_ok=True)
+        from flume_spark.streaming import state
+        from flume_spark.streaming.sink import idempotent_foreach_batch
+
+        state.recover_fold(index_dir)
+        self.process = state.with_auto_compact(
+            idempotent_foreach_batch(self._process, ledger_dir),
+            auto_compact_every,
+            self.compact_step if compact_mode == "tiered" else self.compact_index,
+        )
+
+    def _media_features(self, batch_df):
+        """(media_id, m0..m3, b2, kbucket) — quantized media features of
+        one batch, norm precomputed so the probe never re-reads payloads."""
+        from flume_spark.operators.multimodal import feature_extract_stub
+
+        pay = batch_df.select(
+            F.col(self.id_col).alias("id"),
+            F.col(self.payload_col).alias("payload"),
+        )
+        feats = feature_extract_stub(pay, encoder=self.encoder)
+        q = F.transform(
+            F.col("features"),
+            lambda x: F.floor(x * self.grid + F.lit(0.5)).cast("long"),
+        )
+        return (
+            feats.select(F.col("id").alias("media_id"), q.alias("q"))
+            .select(
+                "media_id",
+                *[F.element_at("q", i + 1).alias(f"m{i}") for i in range(4)],
+                F.aggregate(
+                    "q",
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x * x,
+                ).alias("b2"),
+            )
+            .withColumn(
+                "kbucket",
+                F.pmod(F.col("media_id"), F.lit(self.index_buckets)).cast("int"),
+            )
+        )
+
+    def _caption_features(self, batch_df):
+        """(id, media_ref, t0..t3, a2) — quantized caption features (the
+        caption_features lattice, integerized in the same projection)."""
+        from flume_spark.operators.multimodal import caption_features
+
+        caps = caption_features(
+            batch_df.select(
+                F.col(self.id_col).alias("id"), F.col(self.caption_col)
+            ),
+            "id",
+            self.caption_col,
+        )
+        q = F.transform(
+            F.col("t_features"),
+            lambda x: F.floor(x * self.grid + F.lit(0.5)).cast("long"),
+        )
+        refs = batch_df.select(
+            F.col(self.id_col).alias("id"),
+            F.col(self.ref_col).alias("media_ref"),
+        )
+        return (
+            caps.select("id", q.alias("q"))
+            .select(
+                "id",
+                *[F.element_at("q", i + 1).alias(f"t{i}") for i in range(4)],
+                F.aggregate(
+                    "q",
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x * x,
+                ).alias("a2"),
+            )
+            .join(refs, "id")
+        )
+
+    def _process(self, batch_df, batch_id: int) -> None:
+        import os
+
+        mi = self._media_features(batch_df).localCheckpoint(eager=True)
+        ti = self._caption_features(batch_df).localCheckpoint(eager=True)
+
+        vis = mi.select("media_id", "m0", "m1", "m2", "m3", "b2")
+        if LshIngestor._has_parquet(self.index_dir):
+            # touched media keys: a batch-size-bounded driver list that
+            # prunes the index read twice — kbucket derives the touched
+            # partition DIRECTORIES, and the media_id IN (...) predicate
+            # pushes to parquet row-group stats inside them, so the read
+            # is bounded by the batch's own ref set, not history size.
+            # Above _PUSH_REFS_CAP refs the id predicate is dropped (an
+            # unbounded isin costs more than it prunes) and only the
+            # directory pruning remains.
+            refs = [
+                r[0] for r in ti.select("media_ref").distinct().collect()
+            ]
+            touched = sorted({int(r) % self.index_buckets for r in refs})
+            hist = self.spark.read.parquet(self.index_dir).filter(
+                F.col("kbucket").isin(touched)
+                & (F.col("ingest_batch") != batch_id)
+            )
+            if len(refs) <= self._PUSH_REFS_CAP:
+                hist = hist.filter(F.col("media_id").isin(refs))
+            vis = vis.unionByName(
+                hist.select("media_id", "m0", "m1", "m2", "m3", "b2")
+            )
+        scored = ti.join(
+            vis, ti["media_ref"] == vis["media_id"], "left"
+        )
+        d = sum(F.col(f"t{i}") * F.col(f"m{i}") for i in range(4))
+        scored = scored.withColumn("__d", d)
+        align_q = F.when(
+            F.col("media_id").isNotNull()
+            & (F.col("a2") > 0)
+            & (F.col("b2") > 0),
+            F.signum("__d").cast("long")
+            * F.expr(
+                f"(__d * __d * CAST({self.scale} AS BIGINT)) div (a2 * b2)"
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+        keep = (
+            F.col("media_id").isNotNull()
+            & (F.col("__d") > 0)
+            & (F.col("a2") > 0)
+            & (F.col("b2") > 0)
+            & (
+                F.expr(f"__d * __d * CAST({self.tau2_den} AS BIGINT)")
+                >= F.expr(f"CAST({self.tau2_num} AS BIGINT) * a2 * b2")
+            )
+        )
+        marks = scored.select(
+            "id",
+            "media_ref",
+            F.col("media_id").isNotNull().alias("matched"),
+            align_q.alias("align_q"),
+            keep.alias("keep"),
+        )
+        marks.write.mode("overwrite").parquet(
+            os.path.join(self.marks_dir, f"ingest_batch={batch_id}")
+        )
+        mi.write.mode("overwrite").partitionBy("kbucket").parquet(
+            os.path.join(self.index_dir, f"ingest_batch={batch_id}")
+        )
+
+    # -- maintenance --------------------------------------------------------
+
+    def compact_index(self) -> int:
+        """Fold per-batch ingest_batch=N/kbucket=B/ trees into the base
+        partition (ingest_batch=-9, still kbucket-partitioned).  Feature
+        rows are pure per-payload facts, so the fold is exact; quiesce +
+        atomic_fold_swap per the PhashIngestor contract.  Returns the
+        number of batch partitions folded."""
+        import os
+
+        from flume_spark.streaming import state
+
+        parts = [
+            b for b in state.ingest_partitions(self.index_dir) if b != -9
+        ]
+        state.quiesce_or_raise(parts, self.ledger_dir, "compact_index")
+        if not parts:
+            return 0
+        merged = (
+            self.spark.read.parquet(self.index_dir)
+            .select("media_id", "m0", "m1", "m2", "m3", "b2", "kbucket")
+            .localCheckpoint(eager=True)
+        )
+        state.atomic_fold_swap(
+            self.index_dir,
+            lambda tmp: merged.write.partitionBy("kbucket").parquet(
+                os.path.join(tmp, "ingest_batch=-9")
+            ),
+        )
+        return len(parts)
+
+    def compact_step(self, fanout: int | None = None) -> int:
+        """Tiered (LSM-style) maintenance round — the
+        PhashIngestor.compact_step contract over the kbucket layout."""
+        from flume_spark.streaming import state
+
+        def merge_write(fold_ids, run_dir):
+            (
+                self.spark.read.parquet(self.index_dir)
+                .filter(F.col("ingest_batch").isin(fold_ids))
+                .select("media_id", "m0", "m1", "m2", "m3", "b2", "kbucket")
+                .write.partitionBy("kbucket")
+                .parquet(run_dir)
+            )
+
+        return state.tiered_compact(
+            self.index_dir,
+            self.ledger_dir,
+            merge_write,
+            fanout=self.fanout if fanout is None else fanout,
+            what="compact_step",
+        )
+
+    def align_marks(self):
+        """(id, media_ref, matched, align_q, keep) for every ingested
+        caption, as of its OWN ingest time (None if nothing ingested)."""
+        if not LshIngestor._has_parquet(self.marks_dir):
+            return None
+        return self.spark.read.parquet(self.marks_dir).select(
+            F.col("id").alias(self.id_col),
+            "media_ref",
+            "matched",
+            "align_q",
+            "keep",
         )

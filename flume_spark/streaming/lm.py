@@ -74,7 +74,10 @@ class LmIngestor:
         add_k: int = 1,
         scale: int = 1_000_000,
         auto_compact_every: int | None = None,
+        compact_mode: str = "full",
+        fanout: int = 8,
     ) -> None:
+        assert compact_mode in ("full", "tiered")
         self.spark = spark
         self.state_dir = state_dir
         self.marks_dir = marks_dir
@@ -84,6 +87,7 @@ class LmIngestor:
         self.add_k = add_k
         self.scale = scale
         self.auto_compact_every = auto_compact_every
+        self.fanout = fanout
         self.big_dir = os.path.join(state_dir, "bigrams")
         self.uni_dir = os.path.join(state_dir, "unigrams")
         os.makedirs(self.big_dir, exist_ok=True)
@@ -101,7 +105,7 @@ class LmIngestor:
         self.process = state.with_auto_compact(
             idempotent_foreach_batch(self._process, ledger_dir),
             auto_compact_every,
-            self.compact_state,
+            self.compact_step if compact_mode == "tiered" else self.compact_state,
         )
 
     # -- state -------------------------------------------------------------
@@ -305,4 +309,40 @@ class LmIngestor:
                 ),
             )
             removed += len(parts)
+        return removed
+
+    def compact_step(self, fanout: int | None = None) -> int:
+        """Tiered (LSM-style) maintenance round over BOTH count
+        directories — the long-lived alternative to the monolithic
+        `compact_state` (which re-sums the ENTIRE model every fold,
+        O(model^2/N) cumulative): fresh acked count partitions merge by
+        groupBy-SUM into a level-1 run (counts are an additive monoid,
+        so a partial merge is exact); `fanout` runs at a level fold one
+        level up (state.tiered_compact — hardlinked staging, the same
+        atomic_fold_swap crash contract per step).  Wire with
+        compact_mode="tiered" to run on the auto_compact_every cadence."""
+        from flume_spark.streaming import state as st
+
+        removed = 0
+        for d, keys, cnt in (
+            (self.big_dir, ["w1", "w2"], "c12"),
+            (self.uni_dir, ["tok"], "c"),
+        ):
+
+            def merge_write(fold_ids, run_dir, d=d, keys=keys, cnt=cnt):
+                (
+                    self.spark.read.parquet(d)
+                    .filter(F.col("ingest_batch").isin(fold_ids))
+                    .groupBy(*keys)
+                    .agg(F.sum(cnt).alias(cnt))
+                    .write.parquet(run_dir)
+                )
+
+            removed += st.tiered_compact(
+                d,
+                self.ledger_dir,
+                merge_write,
+                fanout=self.fanout if fanout is None else fanout,
+                what="compact_step",
+            )
         return removed

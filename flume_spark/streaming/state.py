@@ -204,3 +204,122 @@ def with_auto_compact(
             compact()
 
     return process
+
+
+# -- tiered (LSM-style) fold compaction (round-13 VERDICT item 4) -------------
+#
+# The monolithic fold above rewrites the ENTIRE base partition every time:
+# with auto_compact_every=N a long-lived stream pays O(index) every N
+# batches -> O(index^2 / N) cumulative — at 100 TB-class index sizes the
+# maintenance dominates the ingest.  The leveled merge below fixes the
+# asymptotics: fresh per-batch trees (level 0) fold into a level-1 RUN;
+# when `fanout` runs accumulate at a level they fold into one run a level
+# up.  Every row is rewritten at most once per level (log_fanout(n)
+# levels), so cumulative maintenance is O(n log n) instead of O(n^2/N).
+#
+# Crash safety reuses atomic_fold_swap VERBATIM per step: the step's
+# write_merged HARDLINKS every untouched partition tree into the staging
+# dir (O(#files), zero bytes copied — staging is a sibling path, same
+# filesystem) and writes only the new run, then the same two-rename swap
+# commits.  On an object store (no hardlinks) this degrades to a
+# metadata-layer manifest — the Iceberg-style rewrite — which is the
+# documented production analog; the protocol and recovery are unchanged.
+#
+# Run partitions are encoded as ingest_batch = -(level*RUN_STRIDE + seq)
+# (always negative, never colliding with real batch ids >= 0 or the
+# legacy full-fold base -9, which sorts above every tier).  Probes are
+# layout-blind: they filter `ingest_batch != batch_id`, and a replayed
+# batch id is never negative, so folded history stays visible and a
+# batch's own rows are only ever excluded while still un-folded (only
+# ACKED batches fold — quiesce — and acked batches never replay).
+
+RUN_STRIDE = 1_000_000
+
+
+def run_level(p: int) -> int:
+    """Tier of a state partition id: fresh batches (>= 0) are level 0;
+    runs encode -(level*RUN_STRIDE + seq); the legacy full-fold base
+    (-9) sits above every tier (never folded by a tiered step)."""
+    if p >= 0:
+        return 0
+    if p == BASE_PARTITION:
+        return 1 << 30
+    return (-p) // RUN_STRIDE
+
+
+def next_run_id(parts: list[int], level: int) -> int:
+    """A fresh run id at `level`: seq strictly above every live run's."""
+    seqs = [
+        (-p) % RUN_STRIDE for p in parts if p < 0 and p != BASE_PARTITION
+    ]
+    return -(level * RUN_STRIDE + max(seqs, default=0) + 1)
+
+
+def plan_tiered_fold(
+    parts: list[int], fanout: int, level0_min: int = 2
+) -> tuple[list[int], int] | None:
+    """One leveled merge step: (partitions_to_fold, new_run_id), or None
+    when no level is due.  Level 0 folds at `level0_min` trees (the
+    maintenance CADENCE decides how often fresh trees accumulate — two
+    is already worth one cheap merge); levels >= 1 fold at `fanout`
+    runs.  The lowest due level folds first (cheapest bytes)."""
+    by_level: dict[int, list[int]] = {}
+    for p in parts:
+        by_level.setdefault(run_level(p), []).append(p)
+    for level in sorted(by_level):
+        if level >= 1 << 30:
+            continue  # the legacy base is terminal
+        threshold = level0_min if level == 0 else fanout
+        if len(by_level[level]) >= threshold:
+            return sorted(by_level[level]), next_run_id(parts, level + 1)
+    return None
+
+
+def link_tree(src: str, dst: str) -> None:
+    """Hardlink-copy a directory tree: O(#files) metadata ops, zero data
+    bytes — how a tiered step carries untouched partitions into the
+    staging dir for free."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        tdir = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(tdir, exist_ok=True)
+        for fn in files:
+            os.link(os.path.join(root, fn), os.path.join(tdir, fn))
+
+
+def tiered_compact(
+    d: str,
+    ledger_dir: str,
+    merge_write: Callable[[list[int], str], None],
+    fanout: int = 8,
+    what: str = "tiered_compact",
+) -> int:
+    """Run leveled merge steps until every level is below its threshold;
+    returns total partitions folded.  `merge_write(fold_ids, run_dir)`
+    writes the merged state of exactly `fold_ids` under `run_dir` —
+    union for band/feature indexes, groupBy-sum for additive counts; it
+    executes while the live dir is still readable (before the swap's
+    renames), so lazy reads of the live partitions are safe.  Quiesce:
+    only acked fresh batches fold (runs are acked by construction);
+    raises on a written-but-unacknowledged batch like the full fold."""
+    total = 0
+    while True:
+        parts = ingest_partitions(d)
+        quiesce_or_raise([p for p in parts if p >= 0], ledger_dir, what)
+        plan = plan_tiered_fold(parts, fanout)
+        if plan is None:
+            return total
+        fold_ids, run_id = plan
+        fold_set = set(fold_ids)
+
+        def write_merged(tmp: str) -> None:
+            os.makedirs(tmp, exist_ok=True)
+            for p in parts:
+                if p in fold_set:
+                    continue
+                name = f"ingest_batch={p}"
+                link_tree(os.path.join(d, name), os.path.join(tmp, name))
+            merge_write(fold_ids, os.path.join(tmp, f"ingest_batch={run_id}"))
+
+        atomic_fold_swap(d, write_merged)
+        total += len(fold_ids)

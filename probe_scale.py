@@ -2143,6 +2143,291 @@ def main_frame() -> None:
 
 
 
+def main_align() -> None:
+    """AlignIngestor per-batch cost vs history size: one FIXED 1000-doc
+    caption batch (refs spread uniformly over rep-0 history media) timed
+    against history x1/x10/x50 ingested as 16 micro-batches, compacted
+    index vs raw trees.  The probe is a media-key EQUI-JOIN: kbucket
+    directory pruning + the batch's media_id IN (...) row-group
+    predicate bound the index read by the batch's own ref set, so the
+    expected shape is ~flat per-batch cost with the raw arm paying the
+    growing 16f-tree directory listing (the --phash signature)."""
+    import shutil
+    import tempfile
+
+    from flume_spark.operators.multimodal import to_binary_payload
+    from flume_spark.streaming.dedup import AlignIngestor
+
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
+    n_hist_batches = 16
+    spark = get_spark(app_name="flume_probe_align")
+
+    def align_frame(docs, ref_expr: str):
+        pay = to_binary_payload(docs, "doc_id", "text")
+        return (
+            pay.select("id", "payload")
+            .join(
+                docs.select(
+                    F.col("doc_id").alias("id"),
+                    F.col("text").alias("caption"),
+                ),
+                "id",
+            )
+            .withColumn("media_ref", F.expr(ref_expr))
+        )
+
+    n_base = scaled_docs(spark, 1).count()
+    # fixed probe batch: 1000 synthetic captions whose refs fan out over
+    # the rep-0 history media ids (id*7 mod n_base — touches every kbucket)
+    fixed = align_frame(
+        scaled_docs(spark, 1).filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 900_000_000).alias("doc_id"), "text"
+        ),
+        f"pmod(id * 7, {n_base})",
+    ).localCheckpoint(eager=True)
+    raw_t: dict[int, float] = {}
+    comp_t: dict[int, float] = {}
+    for f in factors:
+        hist = align_frame(scaled_docs(spark, f), "id").localCheckpoint(
+            eager=True
+        )
+        n_hist = hist.count()
+        batches = [
+            hist.filter(F.col("id") % n_hist_batches == b)
+            for b in range(n_hist_batches)
+        ]
+        for mode in ("raw", "compacted"):
+            root = tempfile.mkdtemp(prefix=f"align_{mode}_")
+            ing = AlignIngestor(
+                spark,
+                index_dir=f"{root}/index",
+                marks_dir=f"{root}/marks",
+                ledger_dir=f"{root}/ledger",
+                id_col="id",
+            )
+            for b, bdf in enumerate(batches):
+                ing.process(bdf, b)
+            if mode == "compacted":
+                t0 = time.perf_counter()
+                ing.compact_index()
+                dt_comp = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            ing.process(fixed, n_hist_batches)
+            dt = time.perf_counter() - t0
+            (raw_t if mode == "raw" else comp_t)[f] = dt
+            out = {
+                "factor": f,
+                "history": n_hist,
+                "mode": mode,
+                "ingest_sec": round(dt, 2),
+            }
+            if mode == "compacted":
+                out["compact_sec"] = round(dt_comp, 2)
+            print(json.dumps(out), flush=True)
+            shutil.rmtree(root, ignore_errors=True)
+        hist.unpersist()
+        spark.catalog.clearCache()
+    base = factors[0]
+
+    def exps(times: dict[int, float]) -> dict[int, float]:
+        return {
+            f: round(math.log(times[f] / times[base]) / math.log(f / base), 2)
+            for f in times
+            if f != base and times[f] > 0
+        }
+
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "align_raw": {
+                        "sec": {k: round(v, 2) for k, v in raw_t.items()},
+                        "exponent": exps(raw_t),
+                    },
+                    "align_compacted": {
+                        "sec": {k: round(v, 2) for k, v in comp_t.items()},
+                        "exponent": exps(comp_t),
+                    },
+                }
+            }
+        ),
+        flush=True,
+    )
+
+
+def main_mixpack() -> None:
+    """corpus_mixture_pack pack-stage cost vs selected-doc count (the
+    round-12 VERDICT item 7 done-criterion: pack cost LINEAR in docs):
+    the corpus AND the draw size both scale with the factor (k_total =
+    200*f over f perturbed replicas), so the packed selection grows
+    linearly; the timed leg is the BPE count + shard-window cumsum +
+    pack aggregate over the selection.  Expected exponent ~1.0 —
+    per-doc codegen BPE replace and one bounded window per shard."""
+    import flume_spark.operators.text as text_ops
+
+    factors = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
+    spark = get_spark(app_name="flume_probe_mixpack")
+    times: dict[int, float] = {}
+    sizes: dict[int, int] = {}
+    for f in factors:
+        docs = scaled_docs(spark, f)
+        k_total = 200 * f
+        mw = text_ops.mixture_weights(docs, "lang", "text", alpha=0.3)
+        quota = mw.select(
+            "lang",
+            F.floor(F.col("weight") * 1e6 + F.lit(0.5)).cast("long").alias("wq"),
+        ).select("lang", F.expr(f"({k_total} * wq) div 1000000").alias("quota"))
+        toks = text_ops.token_count(docs, "doc_id", "text").select(
+            "doc_id", "n_tokens"
+        )
+        d = (
+            docs.select("doc_id", "lang")
+            .join(toks, "doc_id")
+            .filter(F.col("n_tokens") > 0)
+        )
+        h = F.conv(
+            F.substring(text_ops.seeded_key("flume", "doc_id"), 1, 12), 16, 10
+        ).cast("double")
+        u = (h + F.lit(1.0)) / F.lit(float(1 << 48))
+        keyed = d.withColumn("_key", -F.log(u) / F.col("n_tokens").cast("double"))
+        from pyspark.sql.window import Window
+
+        rn = F.row_number().over(Window.partitionBy("lang").orderBy("_key", "doc_id"))
+        sel = (
+            keyed.withColumn("rn", rn)
+            .join(F.broadcast(quota), "lang")
+            .filter(F.col("rn") <= F.col("quota"))
+            .select("doc_id")
+            .localCheckpoint(eager=True)  # draw staged: time the PACK leg only
+        )
+        n_sel = sel.count()
+        picked = docs.join(sel, "doc_id").localCheckpoint(eager=True)
+
+        def run(p=picked):
+            counted = text_ops.bpe_token_count(
+                p, "doc_id", "text", text_ops.EN_MERGES_DEMO
+            )
+            packed = text_ops.pack_by_counts(
+                counted, "doc_id", "n_bpe_tokens", budget=256, shards=8
+            )
+            return (
+                packed.groupBy("shard", "pack_id")
+                .agg(F.count(F.lit(1)).alias("n_docs"))
+                .count()
+            )
+
+        run()  # warm codegen
+        dt, _ = probe(f"mixpack_x{f}", run)
+        times[f], sizes[f] = dt, n_sel
+        print(
+            json.dumps(
+                {"factor": f, "selected": n_sel, "pack_sec": round(dt, 2)}
+            ),
+            flush=True,
+        )
+        spark.catalog.clearCache()
+    base = factors[0]
+    exps = {
+        f: round(
+            math.log(times[f] / times[base])
+            / math.log(sizes[f] / sizes[base]),
+            2,
+        )
+        for f in factors
+        if f != base and times[f] > 0 and sizes[f] != sizes[base]
+    }
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "mixpack_pack": {
+                        "sec": {k: round(v, 2) for k, v in times.items()},
+                        "selected": sizes,
+                        "exponent": exps,
+                    }
+                }
+            }
+        ),
+        flush=True,
+    )
+
+
+def main_tiered() -> None:
+    """Cumulative MAINTENANCE cost of the two fold modes over a long
+    schedule (round-13 VERDICT item 4): 64 batches through PhashIngestor,
+    one maintenance call per batch (>= 64 folds per arm), comparing the
+    monolithic full fold (rewrites the ENTIRE base each time — O(n^2)
+    cumulative bytes) against the tiered LSM fold (each row rewritten
+    once per level — O(n log n)).  Bytes are measured by NEW INODES after
+    each fold (hardlinked survivors keep their inodes, so the tiered
+    arm's linked carry-over correctly counts zero).  Checkpoints at
+    n = 16/32/64 report cumulative fold seconds + bytes; sublinear
+    bytes-per-index-byte for the tiered arm is the pass criterion."""
+    import shutil
+    import tempfile
+
+    from flume_spark.operators.multimodal import to_binary_payload
+    from flume_spark.streaming.dedup import PhashIngestor
+
+    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    spark = get_spark(app_name="flume_probe_tiered")
+    docs = scaled_docs(spark, 2)
+    pay = to_binary_payload(docs, "doc_id", "text").localCheckpoint(eager=True)
+    batches = [
+        pay.filter(F.col("id") % n_batches == b).localCheckpoint(eager=True)
+        for b in range(n_batches)
+    ]
+
+    def inode_bytes(d: str) -> dict[int, int]:
+        out: dict[int, int] = {}
+        for root, _dirs, files in os.walk(d):
+            for fn in files:
+                st = os.stat(os.path.join(root, fn))
+                out[st.st_ino] = st.st_size
+        return out
+
+    results = {}
+    for mode in ("full", "tiered"):
+        root = tempfile.mkdtemp(prefix=f"tiered_{mode}_")
+        ing = PhashIngestor(
+            spark,
+            index_dir=f"{root}/index",
+            marks_dir=f"{root}/marks",
+            ledger_dir=f"{root}/ledger",
+            id_col="id",
+            fanout=4,
+        )
+        cum_sec, cum_bytes, checkpoints = 0.0, 0, {}
+        for b, bdf in enumerate(batches):
+            ing.process(bdf, b)
+            before = inode_bytes(ing.index_dir)
+            t0 = time.perf_counter()
+            folded = (
+                ing.compact_index() if mode == "full" else ing.compact_step()
+            )
+            cum_sec += time.perf_counter() - t0
+            after = inode_bytes(ing.index_dir)
+            cum_bytes += sum(
+                sz for ino, sz in after.items() if ino not in before
+            )
+            assert folded >= 0
+            if (b + 1) in (16, 32, n_batches):
+                idx_bytes = sum(after.values())
+                checkpoints[b + 1] = {
+                    "cum_fold_sec": round(cum_sec, 2),
+                    "cum_fold_mb": round(cum_bytes / 1e6, 2),
+                    "index_mb": round(idx_bytes / 1e6, 2),
+                    "write_amp": round(cum_bytes / max(idx_bytes, 1), 1),
+                }
+                print(
+                    json.dumps({"mode": mode, "n": b + 1, **checkpoints[b + 1]}),
+                    flush=True,
+                )
+        results[mode] = checkpoints
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({"summary": results}), flush=True)
+
+
 def main_profile() -> None:
     """Table-profile probe (round-10 stats_profile): exact-NDV profile
     (multi-count-distinct -> ONE Expand, map-side rows x (ndv_cols + 1))
@@ -2259,6 +2544,12 @@ if __name__ == "__main__":
         main_phash()
     elif len(sys.argv) > 1 and sys.argv[1] == "--frame":
         main_frame()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--align":
+        main_align()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--tiered":
+        main_tiered()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--mixpack":
+        main_mixpack()
     elif len(sys.argv) > 1 and sys.argv[1] == "--profile":
         main_profile()
     elif len(sys.argv) > 1 and sys.argv[1] == "--scd2":

@@ -251,3 +251,239 @@ def test_caption_features_normalization(spark):
     assert rows[1] == [10 / 256.0, 104 / 256.0, 100 / 256.0, 70 / 256.0]
     assert rows[2] == [0.0, 0.0, 0.0, 0.0]
     assert rows[3] == [0.0, 0.0, 0.0, 0.0]  # normalizes to empty
+
+
+# -- AlignIngestor: streaming cross-modal alignment ----------------------------
+
+
+def _align_ing(spark, tmp_path, **kw):
+    from flume_spark.streaming.dedup import AlignIngestor
+
+    return AlignIngestor(
+        spark,
+        index_dir=str(tmp_path / "index"),
+        marks_dir=str(tmp_path / "marks"),
+        ledger_dir=str(tmp_path / "ledger"),
+        id_col="id",
+        **kw,
+    )
+
+
+def _align_frame(spark, rows):
+    """rows: (id, text, media_ref) — payload and caption both from text."""
+    df = spark.createDataFrame(rows, "id long, text string, media_ref long")
+    pay = multimodal.to_binary_payload(df, "id", "text")
+    return (
+        pay.select("id", "payload")
+        .join(df.select("id", multimodal.F.col("text").alias("caption"),
+                        "media_ref"), "id")
+    )
+
+
+def test_align_ingestor_matches_then_pins_unmatched(spark, tmp_path):
+    ing = _align_ing(spark, tmp_path)
+    # batch 0: doc 0 (self-ref, matched); doc 2 refs media 4 (not arrived)
+    ing.process(_align_frame(spark, [(0, "hello world", 0),
+                                     (2, "caption two", 4)]), 0)
+    # batch 1: media 4 arrives, and doc 5 refs it (matched same-batch)
+    ing.process(_align_frame(spark, [(4, "media four", 4),
+                                     (5, "caption five", 4)]), 1)
+    got = {r["id"]: (r["matched"], r["keep"]) for r in ing.align_marks().collect()}
+    assert got[0][0] is True
+    assert got[2] == (False, False)  # pinned at ingest: never revisited
+    assert got[4][0] is True and got[5][0] is True
+    # self-aligned doc 0: caption and media derive from the same text —
+    # correlated but not identical embeddings; score must be a real value
+    aq = {r["id"]: r["align_q"] for r in ing.align_marks().collect()}
+    assert 0 < aq[0] <= 1_000_000
+
+
+def test_align_ingestor_ledger_replay_is_idempotent(spark, tmp_path):
+    ing = _align_ing(spark, tmp_path)
+    ing.process(_align_frame(spark, [(0, "alpha beta", 0)]), 0)
+    ing.process(_align_frame(spark, [(3, "gamma delta", 0)]), 1)
+    before = sorted(map(tuple, ing.align_marks().collect()))
+    ing.process(_align_frame(spark, [(3, "gamma delta", 0)]), 1)  # re-delivery
+    after = sorted(map(tuple, ing.align_marks().collect()))
+    assert before == after
+
+
+def test_align_ingestor_fold_changes_no_verdict(spark, tmp_path):
+    rows0 = [(0, "first media doc", 0), (2, "second doc here", 0)]
+    rows1 = [(1, "third caption x", 0), (4, "fourth one here", 2)]
+    rows2 = [(7, "late caption yz", 4), (6, "even anchor doc", 6)]
+    a = _align_ing(spark, tmp_path / "a")
+    b = _align_ing(spark, tmp_path / "b", auto_compact_every=2)
+    for ing in (a, b):
+        ing.process(_align_frame(spark, rows0), 0)
+        ing.process(_align_frame(spark, rows1), 1)  # b folds after this
+        ing.process(_align_frame(spark, rows2), 2)  # b probes the base
+    ra = sorted(map(tuple, a.align_marks().collect()))
+    rb = sorted(map(tuple, b.align_marks().collect()))
+    assert ra == rb
+    # the fold actually happened: batches 0-1 folded into the base, only
+    # the post-fold batch-2 partition rides alongside
+    from flume_spark.streaming import state as st
+
+    assert sorted(
+        st.ingest_partitions(str(tmp_path / "b" / "index"))
+    ) == [-9, 2]
+
+
+def test_align_ingestor_quiesce_guard(spark, tmp_path):
+    ing = _align_ing(spark, tmp_path)
+    ing.process(_align_frame(spark, [(0, "doc zero", 0)]), 0)
+    # simulate a written-but-unacked batch: write index partition, no marker
+    import os
+
+    df = ing._media_features(_align_frame(spark, [(9, "unacked doc", 9)]))
+    df.write.mode("overwrite").partitionBy("kbucket").parquet(
+        os.path.join(str(tmp_path / "index"), "ingest_batch=7")
+    )
+    with pytest.raises(RuntimeError, match="non-quiesced"):
+        ing.compact_index()
+
+
+# -- tiered (LSM) fold compaction (round-13 VERDICT item 4) --------------------
+
+
+def test_plan_tiered_fold_levels_and_cascade():
+    from flume_spark.streaming import state as st
+
+    # fresh trees fold at level0_min
+    assert st.plan_tiered_fold([0, 1], fanout=8) == ([0, 1], -(st.RUN_STRIDE + 1))
+    assert st.plan_tiered_fold([0], fanout=8) is None
+    # level-1 runs fold at fanout into a level-2 run with a fresh seq
+    runs = [-(st.RUN_STRIDE + s) for s in (1, 2, 3)]
+    assert st.plan_tiered_fold(runs, fanout=3) == (
+        sorted(runs),
+        -(2 * st.RUN_STRIDE + 4),
+    )
+    assert st.plan_tiered_fold(runs[:2], fanout=3) is None
+    # the legacy base is terminal: never folded by a tiered step
+    assert st.plan_tiered_fold([-9], fanout=1) is None
+    # lowest due level folds first
+    mixed = [0, 1, *runs]
+    assert st.plan_tiered_fold(mixed, fanout=3)[0] == [0, 1]
+
+
+def test_run_level_encoding():
+    from flume_spark.streaming import state as st
+
+    assert st.run_level(0) == 0 and st.run_level(17) == 0
+    assert st.run_level(-(st.RUN_STRIDE + 5)) == 1
+    assert st.run_level(-(3 * st.RUN_STRIDE + 12)) == 3
+    assert st.run_level(-9) > 100  # legacy base above every tier
+
+
+def test_link_tree_is_hardlink_copy(tmp_path):
+    import os
+
+    from flume_spark.streaming import state as st
+
+    src = tmp_path / "src" / "nested"
+    os.makedirs(src)
+    (src / "a.parquet").write_text("data")
+    st.link_tree(str(tmp_path / "src"), str(tmp_path / "dst"))
+    dst_file = tmp_path / "dst" / "nested" / "a.parquet"
+    assert dst_file.read_text() == "data"
+    assert os.stat(dst_file).st_ino == os.stat(src / "a.parquet").st_ino
+
+
+_TIER_ROWS = [
+    [(1, "abcdefgh" * 8), (2, "ijklmnop" * 8)],
+    [(3, "abcdefgh" * 8)],             # dup of 1
+    [(4, "qrstuvwx" * 8), (5, "ijklmnop" * 8)],  # 5 dups 2
+    [(6, "abcdefgi" * 8)],             # near-dup of 1's family
+    [(7, "yz" * 32)],
+    [(8, "qrstuvwx" * 8)],             # dup of 4
+]
+
+
+def test_phash_tiered_marks_equal_full_fold_twin(spark, tmp_path):
+    """compact_mode='tiered' produces EXACTLY the marks of a
+    never-compacted twin over a multi-fold schedule, while the index
+    layout becomes level runs (no monolithic base rewrite)."""
+    from flume_spark.streaming import state as st
+    from flume_spark.streaming.dedup import PhashIngestor
+
+    def ing(tag, **kw):
+        return PhashIngestor(
+            spark,
+            index_dir=str(tmp_path / f"idx{tag}"),
+            marks_dir=str(tmp_path / f"mk{tag}"),
+            ledger_dir=str(tmp_path / f"lg{tag}"),
+            id_col="id",
+            **kw,
+        )
+
+    tiered = ing("t", auto_compact_every=2, compact_mode="tiered", fanout=2)
+    plain = ing("p")
+    for b, rows in enumerate(_TIER_ROWS):
+        tiered.process(_pay(spark, rows), b)
+        plain.process(_pay(spark, rows), b)
+    assert {tuple(r) for r in tiered.dup_marks().collect()} == {
+        tuple(r) for r in plain.dup_marks().collect()
+    }
+    parts = st.ingest_partitions(str(tmp_path / "idxt"))
+    # folds happened AND cascaded: with fanout=2 and 3 level-1 folds, at
+    # least one level-2 run must exist; no fresh trees remain unfolded
+    # beyond the cadence bound
+    assert any(st.run_level(p) >= 2 for p in parts), parts
+    assert sum(1 for p in parts if p >= 0) < len(_TIER_ROWS)
+    # the probe still sees every doc: ingest a final twin of doc 7
+    tiered.process(_pay(spark, [(9, "yz" * 32)]), len(_TIER_ROWS))
+    marks = {r["id"]: r["dup_of"] for r in tiered.dup_marks().collect()}
+    assert marks[9] == 7
+
+
+def test_lm_tiered_counts_equal_full_fold(spark, tmp_path):
+    """Additive counts: a tiered groupBy-sum fold schedule yields the
+    SAME perplexity marks as the monolithic compact_state twin."""
+    from flume_spark.streaming.lm import LmIngestor
+
+    rows = [
+        [(1, "the cat sat on the mat")],
+        [(2, "the dog sat on the log")],
+        [(3, "a cat and a dog")],
+        [(4, "the cat sat again")],
+    ]
+
+    def ing(tag, **kw):
+        return LmIngestor(
+            spark,
+            state_dir=str(tmp_path / f"st{tag}"),
+            marks_dir=str(tmp_path / f"mk{tag}"),
+            ledger_dir=str(tmp_path / f"lg{tag}"),
+            id_col="id",
+            text_col="text",
+            **kw,
+        )
+
+    tiered = ing("t", auto_compact_every=2, compact_mode="tiered", fanout=2)
+    plain = ing("p")
+    for b, r in enumerate(rows):
+        df = spark.createDataFrame(r, "id long, text string")
+        tiered.process(df, b)
+        plain.process(df, b)
+    assert sorted(map(tuple, tiered.marks().collect())) == sorted(
+        map(tuple, plain.marks().collect())
+    )
+
+
+def test_align_tiered_marks_equal_full(spark, tmp_path):
+    rows0 = [(0, "first media doc", 0), (2, "second doc here", 0)]
+    rows1 = [(1, "third caption x", 0), (4, "fourth one here", 2)]
+    rows2 = [(7, "late caption yz", 4), (6, "even anchor doc", 6)]
+    rows3 = [(9, "final caption q", 6)]
+    a = _align_ing(spark, tmp_path / "full")
+    b = _align_ing(
+        spark, tmp_path / "tier", auto_compact_every=2,
+        compact_mode="tiered", fanout=2,
+    )
+    for i, rows in enumerate((rows0, rows1, rows2, rows3)):
+        a.process(_align_frame(spark, rows), i)
+        b.process(_align_frame(spark, rows), i)
+    assert sorted(map(tuple, a.align_marks().collect())) == sorted(
+        map(tuple, b.align_marks().collect())
+    )
