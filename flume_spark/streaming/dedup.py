@@ -1818,12 +1818,19 @@ class AlignIngestor:
             align_q.alias("align_q"),
             keep.alias("keep"),
         )
-        marks.write.mode("overwrite").parquet(
-            os.path.join(self.marks_dir, f"ingest_batch={batch_id}")
-        )
-        mi.write.mode("overwrite").partitionBy("kbucket").parquet(
-            os.path.join(self.index_dir, f"ingest_batch={batch_id}")
-        )
+        try:
+            marks.write.mode("overwrite").parquet(
+                os.path.join(self.marks_dir, f"ingest_batch={batch_id}")
+            )
+            mi.write.mode("overwrite").partitionBy("kbucket").parquet(
+                os.path.join(self.index_dir, f"ingest_batch={batch_id}")
+            )
+        finally:
+            # release the per-batch checkpoint blocks — a long-running
+            # stream otherwise accumulates two dead cached frames per
+            # trigger (the LshIngestor nb.unpersist discipline)
+            mi.unpersist()
+            ti.unpersist()
 
     # -- maintenance --------------------------------------------------------
 

@@ -2267,10 +2267,23 @@ def main_mixpack() -> None:
 
     factors = [int(a) for a in sys.argv[2:]] or [1, 4, 16]
     spark = get_spark(app_name="flume_probe_mixpack")
+    base_lang = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select(F.col("doc_id").alias("base_id"), "lang")
+        .localCheckpoint(eager=True)
+    )
     times: dict[int, float] = {}
     sizes: dict[int, int] = {}
     for f in factors:
-        docs = scaled_docs(spark, f)
+        # scaled_docs carries (doc_id, text) only; a replica inherits its
+        # base doc's language (base_id = doc_id % 10M, the replica stride)
+        docs = (
+            scaled_docs(spark, f)
+            .withColumn("base_id", F.pmod(F.col("doc_id"), F.lit(10_000_000)))
+            .join(F.broadcast(base_lang), "base_id")
+            .drop("base_id")
+            .localCheckpoint(eager=True)
+        )
         k_total = 200 * f
         mw = text_ops.mixture_weights(docs, "lang", "text", alpha=0.3)
         quota = mw.select(
@@ -2310,13 +2323,11 @@ def main_mixpack() -> None:
             packed = text_ops.pack_by_counts(
                 counted, "doc_id", "n_bpe_tokens", budget=256, shards=8
             )
-            return (
-                packed.groupBy("shard", "pack_id")
-                .agg(F.count(F.lit(1)).alias("n_docs"))
-                .count()
+            return packed.groupBy("shard", "pack_id").agg(
+                F.count(F.lit(1)).alias("n_docs")
             )
 
-        run()  # warm codegen
+        run().count()  # warm codegen
         dt, _ = probe(f"mixpack_x{f}", run)
         times[f], sizes[f] = dt, n_sel
         print(
