@@ -577,7 +577,13 @@ def main() -> None:
         vals = [r[key] for r in queue_runs]
         timings[key] = min(vals)
         samples[key] = vals
-    timings.update(bench_stream_latency(spark))
+    # latency entries join `samples` too (single-sample lists): the
+    # --check gate derives mins from the sidecar samples record, so an
+    # entry absent there could never fail its band (round-13 review)
+    latency = bench_stream_latency(spark)
+    timings.update(latency)
+    for key, val in latency.items():
+        samples[key] = [val]
     samples_line, shard_line, final_line = emit_records(
         timings, samples, SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     )

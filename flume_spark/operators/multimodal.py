@@ -476,14 +476,16 @@ def frame_ambient_hashes(
     payloads: DataFrame,
     n_frames: int = 4,
     bits: int = 32,
-    max_df: int | None = 1000,
+    max_df: int | None = None,
 ) -> DataFrame:
     """The frame hashes `frame_containment_pairs(max_df=...)` WOULD drop,
     with their document frequency — the observability half of the skew
-    gate (round-13 ADVICE): when the gate is on, run this alongside so
-    mass-duplicated clusters never vanish silently.  Returns
-    (fhash, df) for hashes carried by more than ``max_df`` documents;
-    empty when ``max_df`` is None (nothing is gated)."""
+    gate (round-13 ADVICE): when the gate is on, run this alongside WITH
+    THE SAME ``max_df`` so mass-duplicated clusters never vanish
+    silently.  The default mirrors the pairing op's (None — exact rule,
+    nothing gated, empty result): default-paired calls must never report
+    drops the pairing op didn't make.  Returns (fhash, df) for hashes
+    carried by more than ``max_df`` documents."""
     fh = frame_phash(payloads, n_frames=n_frames, bits=bits)
     dfreq = fh.groupBy("fhash").agg(F.count_distinct("id").alias("df"))
     if max_df is None:

@@ -1659,6 +1659,7 @@ class AlignIngestor:
         grid: int = 256,
         index_buckets: int = 16,
         encoder=None,
+        dim: int = 4,
         auto_compact_every: int | None = None,
         compact_mode: str = "full",
         fanout: int = 8,
@@ -1666,6 +1667,7 @@ class AlignIngestor:
         import os
 
         assert compact_mode in ("full", "tiered")
+        assert dim >= 1
         self.spark = spark
         self.index_dir = index_dir
         self.marks_dir = marks_dir
@@ -1680,6 +1682,8 @@ class AlignIngestor:
         self.grid = grid
         self.index_buckets = index_buckets
         self.encoder = encoder
+        self.dim = dim
+        self.mcols = [f"m{i}" for i in range(dim)]
         self.fanout = fanout
         os.makedirs(index_dir, exist_ok=True)
         os.makedirs(marks_dir, exist_ok=True)
@@ -1703,17 +1707,31 @@ class AlignIngestor:
             F.col(self.payload_col).alias("payload"),
         )
         feats = feature_extract_stub(pay, encoder=self.encoder)
-        q = F.transform(
-            F.col("features"),
-            lambda x: F.floor(x * self.grid + F.lit(0.5)).cast("long"),
+        # quantize, then SLICE to the configured dim before anything else:
+        # the dot product AND the norm must cover exactly the same
+        # components, or a longer/shorter encoder output silently skews
+        # every cosine (round-13 review) — scoring is the projection onto
+        # the first `dim` components, norms consistent by construction
+        q = F.slice(
+            F.transform(
+                F.col("features"),
+                lambda x: F.floor(x * self.grid + F.lit(0.5)).cast("long"),
+            ),
+            1,
+            self.dim,
         )
         return (
             feats.select(F.col("id").alias("media_id"), q.alias("q"))
             .select(
                 "media_id",
-                *[F.element_at("q", i + 1).alias(f"m{i}") for i in range(4)],
+                *[
+                    F.coalesce(F.element_at("q", i + 1), F.lit(0))
+                    .cast("long")
+                    .alias(f"m{i}")
+                    for i in range(self.dim)
+                ],
                 F.aggregate(
-                    "q",
+                    F.transform("q", lambda x: F.coalesce(x, F.lit(0))),
                     F.lit(0).cast("long"),
                     lambda acc, x: acc + x * x,
                 ).alias("b2"),
@@ -1736,9 +1754,13 @@ class AlignIngestor:
             "id",
             self.caption_col,
         )
-        q = F.transform(
-            F.col("t_features"),
-            lambda x: F.floor(x * self.grid + F.lit(0.5)).cast("long"),
+        q = F.slice(
+            F.transform(
+                F.col("t_features"),
+                lambda x: F.floor(x * self.grid + F.lit(0.5)).cast("long"),
+            ),
+            1,
+            self.dim,
         )
         refs = batch_df.select(
             F.col(self.id_col).alias("id"),
@@ -1748,9 +1770,14 @@ class AlignIngestor:
             caps.select("id", q.alias("q"))
             .select(
                 "id",
-                *[F.element_at("q", i + 1).alias(f"t{i}") for i in range(4)],
+                *[
+                    F.coalesce(F.element_at("q", i + 1), F.lit(0))
+                    .cast("long")
+                    .alias(f"t{i}")
+                    for i in range(self.dim)
+                ],
                 F.aggregate(
-                    "q",
+                    F.transform("q", lambda x: F.coalesce(x, F.lit(0))),
                     F.lit(0).cast("long"),
                     lambda acc, x: acc + x * x,
                 ).alias("a2"),
@@ -1764,7 +1791,7 @@ class AlignIngestor:
         mi = self._media_features(batch_df).localCheckpoint(eager=True)
         ti = self._caption_features(batch_df).localCheckpoint(eager=True)
 
-        vis = mi.select("media_id", "m0", "m1", "m2", "m3", "b2")
+        vis = mi.select("media_id", *self.mcols, "b2")
         if LshIngestor._has_parquet(self.index_dir):
             # touched media keys: a batch-size-bounded driver list that
             # prunes the index read twice — kbucket derives the touched
@@ -1775,22 +1802,27 @@ class AlignIngestor:
             # unbounded isin costs more than it prunes) and only the
             # directory pruning remains.
             refs = [
-                r[0] for r in ti.select("media_ref").distinct().collect()
+                r[0]
+                for r in ti.select("media_ref").distinct().collect()
+                if r[0] is not None  # a ref-less caption probes nothing:
+                # the left join marks it unmatched per the at-ingest rule
             ]
             touched = sorted({int(r) % self.index_buckets for r in refs})
             hist = self.spark.read.parquet(self.index_dir).filter(
                 F.col("kbucket").isin(touched)
                 & (F.col("ingest_batch") != batch_id)
             )
-            if len(refs) <= self._PUSH_REFS_CAP:
+            if refs and len(refs) <= self._PUSH_REFS_CAP:
                 hist = hist.filter(F.col("media_id").isin(refs))
+            elif not refs:
+                hist = hist.filter(F.lit(False))  # nothing to probe
             vis = vis.unionByName(
-                hist.select("media_id", "m0", "m1", "m2", "m3", "b2")
+                hist.select("media_id", *self.mcols, "b2")
             )
         scored = ti.join(
             vis, ti["media_ref"] == vis["media_id"], "left"
         )
-        d = sum(F.col(f"t{i}") * F.col(f"m{i}") for i in range(4))
+        d = sum(F.col(f"t{i}") * F.col(f"m{i}") for i in range(self.dim))
         scored = scored.withColumn("__d", d)
         align_q = F.when(
             F.col("media_id").isNotNull()
@@ -1852,7 +1884,7 @@ class AlignIngestor:
             return 0
         merged = (
             self.spark.read.parquet(self.index_dir)
-            .select("media_id", "m0", "m1", "m2", "m3", "b2", "kbucket")
+            .select("media_id", *self.mcols, "b2", "kbucket")
             .localCheckpoint(eager=True)
         )
         state.atomic_fold_swap(
@@ -1872,7 +1904,7 @@ class AlignIngestor:
             (
                 self.spark.read.parquet(self.index_dir)
                 .filter(F.col("ingest_batch").isin(fold_ids))
-                .select("media_id", "m0", "m1", "m2", "m3", "b2", "kbucket")
+                .select("media_id", *self.mcols, "b2", "kbucket")
                 .write.partitionBy("kbucket")
                 .parquet(run_dir)
             )

@@ -27,22 +27,30 @@ the old state back — nothing is ever lost, at worst a fold is undone.
 A crash after 4 leaves an orphan .foldold which recover_fold deletes
 (the live dir already holds the folded state).
 
-Concurrency (round-13 ADVICE): the fold window is guarded by an O_EXCL
-pid-sentinel lockfile `<dir>.foldlock`.  Without it, a second ingestor
+Concurrency (round-13 ADVICE): the fold window is guarded by an
+flock(2)-held lockfile `<dir>.foldlock`.  Without it, a second ingestor
 instance (or any concurrent construction over the same state dirs)
 racing an in-flight swap could rmtree the swap's staging dir or "heal"
 its mid-rename state destructively.  `atomic_fold_swap` and
-`recover_fold` both take the lock; a LIVE lock (owner pid still
-running) raises `FoldLockHeld` — construct the second instance after
-the maintenance window, never during.  A STALE lock (owner pid gone —
-a crash while folding) is removed and recovery proceeds.  The sentinel
-is pid-liveness-based and therefore single-host; on a shared
-filesystem it degrades to best-effort and the single-writer
-maintenance-window contract is the real guarantee.
+`recover_fold` both take the lock; a held lock raises `FoldLockHeld` —
+construct the second instance after the maintenance window, never
+during.  flock is the whole staleness story: the kernel releases it
+when the owner dies, so a crash mid-fold leaves nothing to reclaim and
+there is no stale-pid TOCTOU (an unlink-and-retry reclaim could delete
+a contender's FRESH lock — the round-13 review's race).  The lockfile
+itself is never unlinked (the classic flock unlink race: a holder
+removing the path lets a third process lock a NEW inode while a waiter
+holds the old one); the empty sentinel file persisting next to the
+state dir is intentional.  flock is per-open-file-description, so a
+second acquire in the SAME process (nested maintenance) also raises.
+On filesystems without flock semantics (some network mounts) this
+degrades to best-effort and the single-writer maintenance-window
+contract is the real guarantee.
 """
 
 from __future__ import annotations
 
+import fcntl
 import os
 import shutil
 from collections.abc import Callable
@@ -51,61 +59,39 @@ BASE_PARTITION = -9  # folded state lives here (the sem-carry convention)
 
 
 class FoldLockHeld(RuntimeError):
-    """Another live process holds `<dir>.foldlock` — a fold or recovery
+    """Another holder has `<dir>.foldlock` flocked — a fold or recovery
     is in flight over this state directory."""
 
 
-def _lock_is_stale(lock: str) -> bool:
-    """True when the sentinel's owner pid is gone (crashed mid-fold) or
-    the sentinel is unreadable/empty (owner crashed between creating and
-    stamping it — it can hold no fold work yet either way)."""
-    try:
-        with open(lock) as fh:
-            pid = int(fh.read().strip() or "0")
-    except (OSError, ValueError):
-        return True
-    if pid <= 0:
-        return True
-    try:
-        os.kill(pid, 0)  # existence probe only — signal 0 delivers nothing
-        return False
-    except ProcessLookupError:
-        return True
-    except PermissionError:
-        return False  # alive under another uid
-
-
-def _acquire_fold_lock(d: str) -> str:
-    """Create `<dir>.foldlock` with O_EXCL, stamping the owner pid.
-    Raises FoldLockHeld when a live owner exists; reclaims stale locks
-    (at most one retry — a second loss means a live contender won the
-    reclaim race, which IS the held case)."""
+def _acquire_fold_lock(d: str) -> int:
+    """Open `<dir>.foldlock` and take an exclusive non-blocking flock.
+    Returns the held fd; raises FoldLockHeld when any live holder (other
+    process OR another fd in this process) has it.  The pid is stamped
+    for diagnostics only — liveness is the kernel's flock, which a
+    crashed owner releases automatically."""
     lock = d + ".foldlock"
-    for _ in range(2):
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-        except FileExistsError:
-            if not _lock_is_stale(lock):
-                raise FoldLockHeld(
-                    f"fold in flight on {d} (live {lock}) — one maintenance "
-                    "writer at a time; retry after the window closes"
-                ) from None
-            try:
-                os.unlink(lock)  # stale: owner is gone, reclaim
-            except FileNotFoundError:
-                pass  # another reclaimer got there first; retry O_EXCL
-            continue
-        with os.fdopen(fd, "w") as fh:
-            fh.write(f"{os.getpid()}\n")
-        return lock
-    raise FoldLockHeld(f"could not reclaim contended {lock}")
-
-
-def _release_fold_lock(lock: str) -> None:
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
     try:
-        os.unlink(lock)
-    except FileNotFoundError:
-        pass
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        os.close(fd)
+        raise FoldLockHeld(
+            f"fold in flight on {d} (flock held on {lock}) — one "
+            "maintenance writer at a time; retry after the window closes"
+        ) from None
+    os.ftruncate(fd, 0)
+    os.write(fd, f"{os.getpid()}\n".encode())
+    return fd
+
+
+def _release_fold_lock(fd: int) -> None:
+    # release the flock and close; the lockfile path is NEVER unlinked
+    # (unlink-at-release lets a third process lock a fresh inode while a
+    # waiter still holds the unlinked one — two holders)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+    finally:
+        os.close(fd)
 
 
 def batch_acked(ledger_dir: str, batch_id: int) -> bool:
@@ -128,11 +114,16 @@ def ingest_partitions(d: str) -> list[int]:
 
 
 def quiesce_or_raise(parts: list[int], ledger_dir: str, what: str) -> None:
-    """Raise unless every non-base partition is ledger-acknowledged —
+    """Raise unless every FRESH batch partition is ledger-acknowledged —
     folding a written-but-unacked batch corrupts its ledger replay
-    (double-counted additive state; self-matching probe rows)."""
+    (double-counted additive state; self-matching probe rows).  Real
+    batch ids are non-negative by contract; every negative partition is
+    maintenance output (the -9 base or a tiered level run), acked by
+    construction — a run id must never be looked up in the ledger, or a
+    full fold after tiered maintenance spuriously raises (round-13
+    review)."""
     stale = sorted(
-        b for b in parts if b != BASE_PARTITION and not batch_acked(ledger_dir, b)
+        b for b in parts if b >= 0 and not batch_acked(ledger_dir, b)
     )
     if stale:
         raise RuntimeError(
@@ -248,11 +239,19 @@ def run_level(p: int) -> int:
 
 
 def next_run_id(parts: list[int], level: int) -> int:
-    """A fresh run id at `level`: seq strictly above every live run's."""
-    seqs = [
+    """A fresh run id at `level`: seq distinct from every LIVE run's.
+    Prefers max+1, but wraps to the smallest unused seq instead of
+    overflowing the stride — an ever-growing seq would eventually bleed
+    into the next level's id space and misclassify tiers on exactly the
+    million-fold streams the feature targets (round-13 review).  Live
+    runs number at most fanout x levels, so the wrap scan is tiny."""
+    used = {
         (-p) % RUN_STRIDE for p in parts if p < 0 and p != BASE_PARTITION
-    ]
-    return -(level * RUN_STRIDE + max(seqs, default=0) + 1)
+    }
+    seq = max(used, default=0) + 1
+    if seq >= RUN_STRIDE:
+        seq = next(s for s in range(1, RUN_STRIDE) if s not in used)
+    return -(level * RUN_STRIDE + seq)
 
 
 def plan_tiered_fold(

@@ -120,32 +120,42 @@ def test_frame_ambient_hashes_surfaces_gated_mass(spark):
 # -- fold-window lock sentinel (round-13 ADVICE) --------------------------------
 
 
-def test_fold_lock_live_owner_raises(tmp_path):
+def test_fold_lock_held_raises(tmp_path):
     d = str(tmp_path / "state")
     os.makedirs(d)
-    open(d + ".foldlock", "w").write(f"{os.getpid()}\n")  # this pid: live
-    with pytest.raises(state.FoldLockHeld):
-        state.recover_fold(d)
-    with pytest.raises(state.FoldLockHeld):
-        state.atomic_fold_swap(d, lambda tmp: os.makedirs(tmp))
-    os.unlink(d + ".foldlock")
+    fd = state._acquire_fold_lock(d)  # hold the flock (same-process fd
+    # counts: flock is per-open-file-description)
+    try:
+        with pytest.raises(state.FoldLockHeld):
+            state.recover_fold(d)
+        with pytest.raises(state.FoldLockHeld):
+            state.atomic_fold_swap(d, lambda tmp: os.makedirs(tmp))
+    finally:
+        state._release_fold_lock(fd)
+    state.recover_fold(d)  # released: acquirable again
 
 
-def test_fold_lock_stale_owner_is_reclaimed(tmp_path):
+def test_fold_lock_crashed_owner_never_blocks(tmp_path):
+    """flock IS the staleness story: a leftover lockfile whose owner died
+    (kernel released the flock) must not block — including the unstamped
+    crash window and a dead pid stamp.  There is no unlink-based reclaim
+    to race (the round-13 review's TOCTOU)."""
     d = str(tmp_path / "state")
     os.makedirs(d)
     open(os.path.join(d, "part"), "w").write("x")
-    # a pid that is certainly gone: spawn a child that exits immediately
-    p = multiprocessing.Process(target=lambda: None)
+
+    def crash_holding_lock(path):
+        import fcntl as f
+
+        fd = os.open(path + ".foldlock", os.O_CREAT | os.O_RDWR, 0o644)
+        f.flock(fd, f.LOCK_EX)  # die without releasing: kernel cleans up
+
+    p = multiprocessing.Process(target=crash_holding_lock, args=(d,))
     p.start()
     p.join()
-    open(d + ".foldlock", "w").write(f"{p.pid}\n")
-    state.recover_fold(d)  # reclaims the stale lock instead of raising
-    assert not os.path.exists(d + ".foldlock")
-    # empty/unstamped sentinel (crash between create and stamp) is stale too
-    open(d + ".foldlock", "w").close()
-    state.recover_fold(d)
-    assert not os.path.exists(d + ".foldlock")
+    state.recover_fold(d)  # not held anymore: proceeds, no reclaim needed
+    # the sentinel file persists by design (never unlinked)
+    assert os.path.exists(d + ".foldlock")
 
 
 def test_fold_lock_released_after_swap_and_protects_staging(tmp_path):
@@ -156,17 +166,17 @@ def test_fold_lock_released_after_swap_and_protects_staging(tmp_path):
     def write_merged(tmp):
         os.makedirs(tmp)
         open(os.path.join(tmp, "folded"), "w").write("new")
-        # mid-fold, the lock exists and names this process
-        assert os.path.exists(d + ".foldlock")
-        # a concurrent recover_fold inside the window must refuse,
-        # leaving the staging dir intact
+        # mid-fold, a concurrent recover_fold must refuse, leaving the
+        # staging dir intact
         with pytest.raises(state.FoldLockHeld):
             state.recover_fold(d)
         assert os.path.isdir(tmp)
 
     state.atomic_fold_swap(d, write_merged)
     assert os.listdir(d) == ["folded"]
-    assert not os.path.exists(d + ".foldlock")
+    # lock released (file persists, flock free): next window acquirable
+    fd = state._acquire_fold_lock(d)
+    state._release_fold_lock(fd)
 
 
 # -- cross-modal alignment (round-13 VERDICT item 2) ---------------------------
@@ -486,4 +496,94 @@ def test_align_tiered_marks_equal_full(spark, tmp_path):
         b.process(_align_frame(spark, rows), i)
     assert sorted(map(tuple, a.align_marks().collect())) == sorted(
         map(tuple, b.align_marks().collect())
+    )
+
+
+# -- round-13 review regressions ----------------------------------------------
+
+
+def test_full_fold_after_tiered_runs_succeeds(spark, tmp_path):
+    """A full compact_index on a dir holding tiered RUN partitions must
+    fold them into the base, not raise 'non-quiesced' (run ids have no
+    ledger markers and never will — review finding #2)."""
+    from flume_spark.streaming import state as st
+    from flume_spark.streaming.dedup import PhashIngestor
+
+    ing = PhashIngestor(
+        spark,
+        index_dir=str(tmp_path / "idx"),
+        marks_dir=str(tmp_path / "mk"),
+        ledger_dir=str(tmp_path / "lg"),
+        id_col="id",
+        fanout=2,
+    )
+    for b, rows in enumerate(_TIER_ROWS[:4]):
+        ing.process(_pay(spark, rows), b)
+    assert ing.compact_step() > 0
+    parts = st.ingest_partitions(str(tmp_path / "idx"))
+    assert any(p < 0 and p != -9 for p in parts)  # tiered runs live
+    before = {tuple(r) for r in ing.dup_marks().collect()}
+    assert ing.compact_index() > 0  # regression: raised RuntimeError
+    assert st.ingest_partitions(str(tmp_path / "idx")) == [-9]
+    # and the squashed index still probes identically
+    ing.process(_pay(spark, [(9, "abcdefgh" * 8)]), 9)
+    marks = {r["id"]: r["dup_of"] for r in ing.dup_marks().collect()}
+    assert marks[9] == 1
+    assert before <= {tuple(r) for r in ing.dup_marks().collect()}
+
+
+def test_align_null_media_ref_is_unmatched(spark, tmp_path):
+    """A caption with media_ref NULL must be marked unmatched, not crash
+    the trigger (review finding #3: int(None) in the kbucket derivation)."""
+    ing = _align_ing(spark, tmp_path)
+    ing.process(_align_frame(spark, [(0, "media zero doc", 0)]), 0)
+    rows = [(1, "refless caption", None), (2, "good caption xx", 0)]
+    df = spark.createDataFrame(rows, "id long, text string, media_ref long")
+    pay = multimodal.to_binary_payload(df, "id", "text")
+    frame = pay.select("id", "payload").join(
+        df.select("id", multimodal.F.col("text").alias("caption"), "media_ref"),
+        "id",
+    )
+    ing.process(frame, 1)
+    got = {r["id"]: (r["matched"], r["keep"]) for r in ing.align_marks().collect()}
+    assert got[1] == (False, False)
+    assert got[2][0] is True
+
+
+def test_align_dim_param_keeps_norm_consistent(spark, tmp_path):
+    """With a longer encoder output, scoring is the projection onto the
+    first `dim` components with norms over the SAME slice — never a
+    mismatched-norm cosine (review finding #4)."""
+
+    def enc8(b):
+        return [1.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0]
+
+    ing = _align_ing(spark, tmp_path, encoder=enc8, dim=4)
+    # caption 'a...' normalizes nonempty; media features sliced to 4 dims
+    ing.process(_align_frame(spark, [(0, "aaaa", 0)]), 0)
+    row = ing.align_marks().collect()[0]
+    # media slice = [256,0,0,0] -> b2 must be 256^2 (not the 8-dim sum)
+    idx = spark.read.parquet(str(tmp_path / "index")).collect()[0]
+    assert idx["b2"] == 256 * 256
+    assert row["matched"] is True
+
+
+def test_next_run_id_wraps_instead_of_overflowing():
+    from flume_spark.streaming import state as st
+
+    near = -(1 * st.RUN_STRIDE + (st.RUN_STRIDE - 1))  # seq at stride-1
+    rid = st.next_run_id([near], level=2)
+    assert st.run_level(rid) == 2  # stayed in level-2 id space
+    assert (-rid) % st.RUN_STRIDE == 1  # wrapped to the smallest unused
+
+
+def test_frame_ambient_default_mirrors_pairing_default():
+    import inspect
+
+    amb = inspect.signature(multimodal.frame_ambient_hashes)
+    pair = inspect.signature(multimodal.frame_containment_pairs)
+    assert (
+        amb.parameters["max_df"].default
+        == pair.parameters["max_df"].default
+        is None
     )
