@@ -163,6 +163,7 @@ HEADLINE = [
     # stats sibling (sharded)
     "multimodal_align",
     "multimodal_align_stats",
+    "multimodal_align_sweep",
     # the decoupled-caption streaming arm (AlignIngestor: media-key
     # equi-join against the persisted feature index, mid-stream fold)
     "stream_align_ingest",
@@ -258,6 +259,7 @@ SHARDED = [
     # / stream_media_funnel rows, r12-recorded but with no BASELINE
     # round-1 table row
     "multimodal_align_stats",  # (multimodal_align)
+    "multimodal_align_sweep",  # (multimodal_align)
     "stream_frame_dedup",  # (stream_audio_dedup)
     # headroom for the official stream_align_ingest row: the streaming
     # funnel twin rides the shard next to its official batch form

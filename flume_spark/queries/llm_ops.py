@@ -2174,6 +2174,60 @@ GROUP BY source
 """
 
 
+# cosine thresholds whose tau^2 * 1e6 is an EXACT integer, so the sweep
+# reduces to align_q >= cutoff with no float boundary: floor(x) >= n
+# <=> x >= n for integer n, and align_q > 0 already encodes D > 0
+ALIGN_SWEEP_TAUS = {
+    "0.80": 640_000,
+    "0.85": 722_500,
+    "0.90": 810_000,
+    "0.95": 902_500,
+    "0.99": 980_100,
+}
+
+
+def multimodal_align_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-rate vs threshold sweep over the cross-modal alignment score
+    — how a LAION/DataComp-style pipeline TUNES its CLIP-score cutoff:
+    one scoring pass, then per-(source, tau) keep counts for a grid of
+    thresholds whose tau^2*1e6 is exactly representable, so the whole
+    sweep stays in align_q integer space (keep at tau <=> align_q >=
+    tau^2*1e6, because floor(x) >= n <=> x >= n for integer n; D > 0 is
+    align_q > 0).  One explode + one groupBy — the sweep costs one
+    aggregate over |pairs| x |taus| rows, never a re-score."""
+    scored = multimodal_align(spark, sf_dir)
+    taus = F.array(
+        *[
+            F.struct(F.lit(t).alias("tau"), F.lit(q).alias("tau_q"))
+            for t, q in ALIGN_SWEEP_TAUS.items()
+        ]
+    )
+    return (
+        scored.select("source", "align_q", F.explode(taus).alias("t"))
+        .groupBy("source", F.col("t.tau").alias("tau"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                (F.col("align_q") >= F.col("t.tau_q")).cast("long")
+            ).alias("n_keep"),
+        )
+    )
+
+
+MULTIMODAL_ALIGN_SWEEP_SQL = _ALIGN_CTE + """
+, taus(tau, tau_q) AS (
+  VALUES ('0.80', 640000), ('0.85', 722500), ('0.90', 810000),
+         ('0.95', 902500), ('0.99', 980100)
+)
+SELECT source, tau,
+       count(*) AS n_pairs,
+       CAST(sum(CASE WHEN align_q >= tau_q THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep
+FROM aligned CROSS JOIN taus
+GROUP BY source, tau
+"""
+
+
 def media_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MEDIA curation funnel — the media twin of
     `corpus_funnel`, composed from the modality operators this round
@@ -3266,6 +3320,7 @@ QUERIES = {
     "stream_align_ingest": stream_align_ingest,
     "corpus_mixture_pack": corpus_mixture_pack,
     "multimodal_align_stats": multimodal_align_stats,
+    "multimodal_align_sweep": multimodal_align_sweep,
     "media_funnel": media_funnel,
     "stream_phash_dedup": stream_phash_dedup,
     "stream_audio_dedup": stream_audio_dedup,
@@ -3333,6 +3388,7 @@ ORACLES = {
     "stream_align_ingest": STREAM_ALIGN_SQL,
     "corpus_mixture_pack": CORPUS_MIXTURE_PACK_SQL,
     "multimodal_align_stats": MULTIMODAL_ALIGN_STATS_SQL,
+    "multimodal_align_sweep": MULTIMODAL_ALIGN_SWEEP_SQL,
     "media_funnel": MEDIA_FUNNEL_SQL,
     "stream_phash_dedup": STREAM_PHASH_SQL,
     "stream_audio_dedup": STREAM_AUDIO_SQL,

@@ -587,3 +587,23 @@ def test_frame_ambient_default_mirrors_pairing_default():
         == pair.parameters["max_df"].default
         is None
     )
+
+
+def test_align_sweep_consistent_with_keep_gate(spark):
+    """The 0.95 sweep column must equal the declared keep gate's count,
+    and keep counts must be monotone non-increasing in tau."""
+    from flume_spark.queries.llm_ops import (
+        multimodal_align,
+        multimodal_align_sweep,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    scored = multimodal_align(spark, sf)
+    kept_95 = scored.filter("keep").count()
+    sweep = multimodal_align_sweep(spark, sf).collect()
+    by_tau = {}
+    for r in sweep:
+        by_tau[r["tau"]] = by_tau.get(r["tau"], 0) + r["n_keep"]
+    assert by_tau["0.95"] == kept_95
+    taus = sorted(by_tau)  # string sort == numeric here
+    assert all(by_tau[a] >= by_tau[b] for a, b in zip(taus, taus[1:]))
