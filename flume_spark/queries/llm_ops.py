@@ -947,22 +947,41 @@ def corpus_mixture_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumsum — pack cost linear in selected docs (probe-verified)."""
     docs = T(spark, sf_dir, "documents")
     k_total = 200
-    mw = text.mixture_weights(docs, "lang", "text", alpha=0.3)
-    quota = mw.select(
-        "lang",
-        F.floor(F.col("weight") * 1e6 + F.lit(0.5)).cast("long").alias("wq"),
-    ).select(
-        "lang", F.expr(f"({k_total} * wq) div 1000000").alias("quota")
-    )
-
+    # tokenize ONCE: the (doc_id, lang, n_tokens) frame feeds both the
+    # mixture group-by and the draw keys (mixture_weights would
+    # re-tokenize the corpus for its own aggregate — a second full text
+    # scan the composition doesn't need); the checkpoint is 3 narrow
+    # columns, the weight law below is byte-identical to
+    # text.mixture_weights (same tokenizer, same round-6dp pow ratio)
     toks = text.token_count(docs, "doc_id", "text").select(
         "doc_id", "n_tokens"
     )
     d = (
         docs.select("doc_id", "lang")
         .join(toks, "doc_id")
-        .filter(F.col("n_tokens") > 0)
+        .localCheckpoint(eager=True)
     )
+    g = d.groupBy("lang").agg(F.sum("n_tokens").alias("n_tokens"))
+    tot = g.agg(
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(0.3))).alias(
+            "_ta"
+        )
+    )
+    weight = F.round(
+        F.pow(F.col("n_tokens").cast("double"), F.lit(0.3)) / F.col("_ta"), 6
+    )
+    quota = (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.floor(weight * 1e6 + F.lit(0.5)).cast("long").alias("wq"),
+        )
+        .select(
+            "lang", F.expr(f"({k_total} * wq) div 1000000").alias("quota")
+        )
+    )
+
+    d = d.filter(F.col("n_tokens") > 0)
     h = F.conv(
         F.substring(text.seeded_key("flume", "doc_id"), 1, 12), 16, 10
     ).cast("double")
