@@ -834,8 +834,15 @@ def cross_modal_align(
 
     dotted = pairs.withColumn(qt, _quant(text_col)).withColumn(qm, _quant(media_col))
     zero = F.lit(0).cast("long")
+    # zip_with pads the shorter side with NULLs; coalesce-to-0 makes a
+    # length mismatch between encoders score as a projection (missing
+    # components contribute nothing) instead of poisoning the sum to NULL
     d = F.aggregate(
-        F.zip_with(F.col(qt), F.col(qm), lambda a, b: a * b),
+        F.zip_with(
+            F.col(qt),
+            F.col(qm),
+            lambda a, b: F.coalesce(a, F.lit(0)) * F.coalesce(b, F.lit(0)),
+        ),
         zero,
         lambda acc, x: acc + x,
     )

@@ -1725,7 +1725,10 @@ class AlignIngestor:
             .select(
                 "media_id",
                 *[
-                    F.coalesce(F.element_at("q", i + 1), F.lit(0))
+                    # F.get is 0-based and NULL out-of-bounds even under
+                    # ANSI (element_at would throw when dim exceeds the
+                    # encoder's output length)
+                    F.coalesce(F.get("q", i), F.lit(0))
                     .cast("long")
                     .alias(f"m{i}")
                     for i in range(self.dim)
@@ -1771,7 +1774,7 @@ class AlignIngestor:
             .select(
                 "id",
                 *[
-                    F.coalesce(F.element_at("q", i + 1), F.lit(0))
+                    F.coalesce(F.get("q", i), F.lit(0))
                     .cast("long")
                     .alias(f"t{i}")
                     for i in range(self.dim)

@@ -607,3 +607,34 @@ def test_align_sweep_consistent_with_keep_gate(spark):
     assert by_tau["0.95"] == kept_95
     taus = sorted(by_tau)  # string sort == numeric here
     assert all(by_tau[a] >= by_tau[b] for a, b in zip(taus, taus[1:]))
+
+
+def test_align_dim_longer_than_encoder_zero_pads(spark, tmp_path):
+    """dim > encoder output must zero-pad (F.get is NULL out-of-bounds
+    even under ANSI; element_at would throw ArrayIndexOutOfBounds)."""
+
+    def enc2(b):
+        return [1.0, 0.0]
+
+    ing = _align_ing(spark, tmp_path, encoder=enc2, dim=6)
+    ing.process(_align_frame(spark, [(0, "aaaa", 0)]), 0)
+    row = ing.align_marks().collect()[0]
+    assert row["matched"] is True
+    idx = spark.read.parquet(str(tmp_path / "index")).collect()[0]
+    assert idx["b2"] == 256 * 256  # norm over the 2 real components only
+    assert idx["m2"] == 0 and idx["m5"] == 0
+
+
+def test_cross_modal_align_mismatched_lengths_score_as_projection(spark):
+    # 2-dim caption vs 4-dim media: missing components contribute zero,
+    # never NULL-poison the dot product
+    rows = [(0, [1.0, 0.0], [1.0, 0.0, 3.0, 4.0])]
+    df = spark.createDataFrame(
+        rows, "id long, t_features array<double>, m_features array<double>"
+    )
+    r = multimodal.cross_modal_align(
+        df, text_col="t_features", media_col="m_features"
+    ).collect()[0]
+    # D = 256*256; A = 256^2; B = 256^2*(1+9+16) = 26*256^2
+    assert r["align_q"] == 10**6 // 26
+    assert r["keep"] is False
