@@ -947,20 +947,17 @@ def corpus_mixture_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumsum — pack cost linear in selected docs (probe-verified)."""
     docs = T(spark, sf_dir, "documents")
     k_total = 200
-    # tokenize ONCE: the (doc_id, lang, n_tokens) frame feeds both the
-    # mixture group-by and the draw keys (mixture_weights would
-    # re-tokenize the corpus for its own aggregate — a second full text
-    # scan the composition doesn't need); the checkpoint is 3 narrow
-    # columns, the weight law below is byte-identical to
-    # text.mixture_weights (same tokenizer, same round-6dp pow ratio)
-    toks = text.token_count(docs, "doc_id", "text").select(
-        "doc_id", "n_tokens"
-    )
-    d = (
-        docs.select("doc_id", "lang")
-        .join(toks, "doc_id")
-        .localCheckpoint(eager=True)
-    )
+    # tokenize ONCE, as a PROJECTION: (doc_id, lang, n_tokens) comes out
+    # of the single documents scan — n_tokens is size(tokens_col), the
+    # exact token_count/mixture_weights law, so no self-join and no
+    # second text scan; the checkpoint (3 narrow columns) feeds both the
+    # mixture group-by and the draw keys, and the weight law below is
+    # byte-identical to text.mixture_weights (same round-6dp pow ratio)
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(text.tokens_col("text")).alias("n_tokens"),
+    ).localCheckpoint(eager=True)
     g = d.groupBy("lang").agg(F.sum("n_tokens").alias("n_tokens"))
     tot = g.agg(
         F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(0.3))).alias(
@@ -994,15 +991,22 @@ def corpus_mixture_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     rn = F.row_number().over(
         Window.partitionBy("lang").orderBy("_key", "doc_id")
     )
+    # the selection is consumed TWICE (the BPE join and the per-pack
+    # n_langs join) — checkpoint it so the rank window's subtree is not
+    # replanned and re-executed per consumer (the curate_spans staging
+    # discipline); ~k_total rows, broadcastable on both uses
     sel = (
         keyed.withColumn("rn", rn)
         .join(F.broadcast(quota), "lang")
         .filter(F.col("rn") <= F.col("quota"))
         .select("doc_id", "lang")
+        .localCheckpoint(eager=True)
     )
 
+    # checkpointed frames carry no stats: force the broadcast Catalyst
+    # can no longer infer (the test_plans model-spine discipline)
     counted = text.bpe_token_count(
-        docs.join(sel.select("doc_id"), "doc_id"),
+        docs.join(F.broadcast(sel.select("doc_id")), "doc_id"),
         "doc_id",
         "text",
         text.EN_MERGES_DEMO,
@@ -1011,7 +1015,7 @@ def corpus_mixture_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted, "doc_id", "n_bpe_tokens", budget=256, shards=8
     )
     return (
-        packed.join(sel, "doc_id")
+        packed.join(F.broadcast(sel), "doc_id")
         .groupBy("shard", "pack_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
