@@ -798,6 +798,7 @@ def cross_modal_align(
     tau2_den: int = 400,
     scale: int = 1_000_000,
     grid: int = 256,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cross-modal (caption, media) pair alignment scoring — the
     CLIP-score keep gate every multimodal corpus pipeline runs
@@ -821,6 +822,16 @@ def cross_modal_align(
     2^63 — dim 4, grid 256, scale 1e6 gives ~6.8e16, three decades of
     headroom; larger dims lower `scale` or `grid` to compensate.
 
+    Mismatched encoder lengths score on the COMMON slice: both vectors
+    truncate to `dim` components (default None = the pairwise overlap,
+    min(len_t, len_m)), and D, A, B all cover exactly that slice — the
+    true projection cosine on the shared subspace, never a
+    mismatched-norm score.  NULL components count as 0 in D AND the
+    norms.  This is byte-for-byte the streaming law
+    (`AlignIngestor(dim=...)` — its zero-padding beyond a short
+    encoder's output contributes 0 to every aggregate, which equals
+    overlap truncation), so a pair scores identically batch and stream.
+
     Adds (align_q bigint, keep boolean) to `pairs`; every input column
     passes through.  One codegen projection over the joined frame — the
     only shuffles in a full pipeline are the id-equi-joins that built
@@ -828,15 +839,21 @@ def cross_modal_align(
     qt, qm = "__qt", "__qm"
 
     def _quant(col: str):
-        return F.transform(
+        q = F.transform(
             F.col(col), lambda x: F.floor(x * grid + F.lit(0.5)).cast("long")
         )
+        n = (
+            F.lit(dim)
+            if dim is not None
+            else F.least(F.size(F.col(text_col)), F.size(F.col(media_col)))
+        )
+        return F.slice(q, F.lit(1), n)
 
     dotted = pairs.withColumn(qt, _quant(text_col)).withColumn(qm, _quant(media_col))
     zero = F.lit(0).cast("long")
-    # zip_with pads the shorter side with NULLs; coalesce-to-0 makes a
-    # length mismatch between encoders score as a projection (missing
-    # components contribute nothing) instead of poisoning the sum to NULL
+    # zip_with pads the shorter side with NULLs; coalesce-to-0 in the dot
+    # AND the norms keeps the three aggregates over the same components
+    # (one NULL element must not zero the dot but poison a norm)
     d = F.aggregate(
         F.zip_with(
             F.col(qt),
@@ -846,8 +863,16 @@ def cross_modal_align(
         zero,
         lambda acc, x: acc + x,
     )
-    a2 = F.aggregate(F.col(qt), zero, lambda acc, x: acc + x * x)
-    b2 = F.aggregate(F.col(qm), zero, lambda acc, x: acc + x * x)
+
+    def _norm(col: str):
+        return F.aggregate(
+            F.transform(F.col(col), lambda x: F.coalesce(x, F.lit(0))),
+            zero,
+            lambda acc, x: acc + x * x,
+        )
+
+    a2 = _norm(qt)
+    b2 = _norm(qm)
     scored = dotted.withColumns({"__d": d, "__a2": a2, "__b2": b2})
     align_q = F.when(
         (F.col("__a2") > 0) & (F.col("__b2") > 0),

@@ -585,6 +585,19 @@ def mixture_weights(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(toks)).alias("n_tokens"),
     )
+    return mixture_weights_from_counts(g, group_col, alpha=alpha)
+
+
+def mixture_weights_from_counts(
+    g: DataFrame, group_col: str, alpha: float = 0.3
+) -> DataFrame:
+    """The temperature-mixture weight LAW over precomputed group counts —
+    the single definition `mixture_weights` and composed pipelines
+    (corpus_mixture_pack, which already holds a tokenized frame) both
+    delegate to, so the pow/round-6dp sequence can never silently
+    diverge between the standalone op and a composition (round-13
+    review).  `g`: (grp, n_docs, n_tokens).  Returns
+    (group, n_docs, n_tokens, share, weight), ratios rounded 6dp."""
     tot = g.agg(
         F.sum("n_tokens").alias("_tot"),
         F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("_tot_a"),

@@ -958,20 +958,15 @@ def corpus_mixture_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(text.tokens_col("text")).alias("n_tokens"),
     ).localCheckpoint(eager=True)
-    g = d.groupBy("lang").agg(F.sum("n_tokens").alias("n_tokens"))
-    tot = g.agg(
-        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(0.3))).alias(
-            "_ta"
-        )
+    g = d.groupBy(F.col("lang").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
     )
-    weight = F.round(
-        F.pow(F.col("n_tokens").cast("double"), F.lit(0.3)) / F.col("_ta"), 6
-    )
+    mw = text.mixture_weights_from_counts(g, "lang", alpha=0.3)
     quota = (
-        g.crossJoin(F.broadcast(tot))
-        .select(
+        mw.select(
             "lang",
-            F.floor(weight * 1e6 + F.lit(0.5)).cast("long").alias("wq"),
+            F.floor(F.col("weight") * 1e6 + F.lit(0.5)).cast("long").alias("wq"),
         )
         .select(
             "lang", F.expr(f"({k_total} * wq) div 1000000").alias("quota")

@@ -625,9 +625,12 @@ def test_align_dim_longer_than_encoder_zero_pads(spark, tmp_path):
     assert idx["m2"] == 0 and idx["m5"] == 0
 
 
-def test_cross_modal_align_mismatched_lengths_score_as_projection(spark):
-    # 2-dim caption vs 4-dim media: missing components contribute zero,
-    # never NULL-poison the dot product
+def test_cross_modal_align_mismatched_lengths_score_on_overlap(spark):
+    """Mismatched encoder lengths score the COMMON slice — the true
+    projection cosine with norms over exactly the scored components,
+    byte-identical to the streaming AlignIngestor law (review finding:
+    a full-length norm against a truncated dot is a silently skewed
+    cosine that can flip keep between batch and stream)."""
     rows = [(0, [1.0, 0.0], [1.0, 0.0, 3.0, 4.0])]
     df = spark.createDataFrame(
         rows, "id long, t_features array<double>, m_features array<double>"
@@ -635,6 +638,32 @@ def test_cross_modal_align_mismatched_lengths_score_as_projection(spark):
     r = multimodal.cross_modal_align(
         df, text_col="t_features", media_col="m_features"
     ).collect()[0]
-    # D = 256*256; A = 256^2; B = 256^2*(1+9+16) = 26*256^2
-    assert r["align_q"] == 10**6 // 26
-    assert r["keep"] is False
+    # overlap = 2 components: perfectly aligned on the shared subspace
+    assert r["align_q"] == 10**6 and r["keep"] is True
+    # explicit dim pins the slice like the ingestor's dim param
+    r4 = multimodal.cross_modal_align(
+        df, text_col="t_features", media_col="m_features", dim=4
+    ).collect()[0]
+    # caption zero-pads beyond its 2 real components: D=256^2, A=256^2,
+    # B=26*256^2 -> the ingestor's zero-pad semantics exactly
+    assert r4["align_q"] == 10**6 // 26 and r4["keep"] is False
+
+
+def test_cross_modal_align_null_component_counts_as_zero(spark):
+    # one NULL element must not zero the dot but poison a norm: keep is
+    # a real boolean, never NULL (review finding: half-applied hardening
+    # made keep NULL and the row vanished from BOTH filter sides)
+    rows = [(0, [0.5, None, 0.25, 0.0], [0.5, 0.5, 0.25, 0.0])]
+    df = spark.createDataFrame(
+        rows, "id long, t_features array<double>, m_features array<double>"
+    )
+    r = multimodal.cross_modal_align(
+        df, text_col="t_features", media_col="m_features"
+    ).collect()[0]
+    # t -> [128, 0, 64, 0]; m -> [128, 128, 64, 0]
+    dd = 128 * 128 + 64 * 64
+    a2 = 128 * 128 + 64 * 64
+    b2 = 128 * 128 + 128 * 128 + 64 * 64
+    assert r["align_q"] == dd * dd * 10**6 // (a2 * b2)
+    assert r["keep"] in (True, False)  # never NULL
+    assert r["keep"] == (dd * dd * 400 >= 361 * a2 * b2)
