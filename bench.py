@@ -164,6 +164,9 @@ HEADLINE = [
     "multimodal_align",
     "multimodal_align_stats",
     "multimodal_align_sweep",
+    # the retrieval direction (caption -> top-k media via the frozen
+    # cluster candidate stage)
+    "multimodal_retrieval_topk",
     # the decoupled-caption streaming arm (AlignIngestor: media-key
     # equi-join against the persisted feature index, mid-stream fold)
     "stream_align_ingest",
@@ -267,6 +270,10 @@ SHARDED = [
     # headroom for the official corpus_mixture_pack row: the streaming LM
     # twin rides the shard next to its official batch form
     "stream_lm_perplexity",  # (text_lm_perplexity)
+    # headroom for the official multimodal_retrieval_topk row: the
+    # IVF-candidate media pairing twin rides the shard (same frozen
+    # cluster stage + exact-integer scoring as the new official row)
+    "dedup_multimodal_cosine",  # (multimodal_retrieval_topk)
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

@@ -2192,6 +2192,161 @@ GROUP BY source
 """
 
 
+def multimodal_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal RETRIEVAL: for each caption, the top-3 best-aligned
+    media across the whole corpus — the dataset-bootstrapping direction
+    of the CLIP pipeline (text->image search over the media-feature
+    space), complementing multimodal_align's per-pair gate.
+
+    Candidate stage: media AND captions are assigned in the SAME frozen
+    centroid space (centroids md5-drawn from the media features, the
+    dedup_multimodal_cosine convention; explicit-centroid
+    `kmeans_assign_vectorized` makes caption assignment a pure function
+    of the media-side draw), so scoring is same-cluster only — cost
+    sum(cluster_t x cluster_m), never |captions| x |media|.  Scores are
+    `cross_modal_align`'s exact-integer law; rank is (align_q desc,
+    media_id) per caption, deterministic.  The approximation is WHICH
+    candidates are scored (the IVF trade ann_topk_ivf pins); the math
+    inside a cluster is exact, so the whole result hash-checks."""
+    from flume_spark.operators import similarity
+
+    docs = T(spark, sf_dir, "documents")
+    pay = multimodal.to_binary_payload(docs, "doc_id", "text")
+    mf = multimodal.feature_extract_stub(pay).localCheckpoint(eager=True)
+    tf = multimodal.caption_features(docs, "doc_id", "text")
+    kc = max(4, mf.count() // 125)
+    init = (
+        mf.orderBy(F.md5(F.col("id").cast("string")), "id")
+        .limit(int(kc))
+        .select("features")
+        .collect()
+    )
+    cents = [list(r["features"]) for r in init]
+    am = similarity.kmeans_assign_vectorized(
+        mf, "id", "features", k=int(kc), centroids=cents
+    ).select(F.col("id").alias("media_id"), "cluster")
+    at = similarity.kmeans_assign_vectorized(
+        tf, "id", "t_features", k=int(kc), centroids=cents
+    ).select(F.col("id").alias("caption_id"), "cluster")
+    cand = (
+        tf.select(F.col("id").alias("caption_id"), "t_features")
+        .join(at, "caption_id")
+        .join(
+            mf.select(F.col("id").alias("media_id"), "features").join(
+                am, "media_id"
+            ),
+            "cluster",
+        )
+    )
+    scored = multimodal.cross_modal_align(cand)
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("caption_id").orderBy(
+            F.col("align_q").desc(), "media_id"
+        )
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= 3)
+        .select("caption_id", "media_id", "rank", "align_q")
+    )
+
+
+# k pins to max(4, 500 // 125) = 4 at the sf0.01 oracle scale; the
+# init/assignment CTEs replay the md5-seeded frozen-centroid draw over
+# the MEDIA features bit-for-bit (the DEDUP_MULTIMODAL_COSINE_SQL
+# convention), then assign CAPTIONS in the same centroid space.
+MULTIMODAL_RETRIEVAL_SQL = """
+WITH fm AS (
+  SELECT doc_id AS id,
+         [ (octet_length(CAST(text AS BLOB)) % 256) / 256.0,
+           ascii(substr(text, 1, 1)) / 256.0,
+           ascii(substr(text, length(text), 1)) / 256.0,
+           (octet_length(CAST(text AS BLOB)) * 7 % 256) / 256.0 ] AS v,
+         CAST(octet_length(CAST(text AS BLOB)) % 256 AS BIGINT) AS m0,
+         CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS m1,
+         CAST(ascii(substr(text, length(text), 1)) AS BIGINT) AS m2,
+         CAST(octet_length(CAST(text AS BLOB)) * 7 % 256 AS BIGINT) AS m3
+  FROM documents
+),
+tn AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nt
+  FROM documents
+),
+ft AS (
+  SELECT doc_id AS id,
+         [ (length(nt) % 256) / 256.0,
+           CASE WHEN length(nt) = 0 THEN 0
+                ELSE ascii(substr(nt, 1, 1)) END / 256.0,
+           CASE WHEN length(nt) = 0 THEN 0
+                ELSE ascii(substr(nt, length(nt), 1)) END / 256.0,
+           (length(nt) * 7 % 256) / 256.0 ] AS v,
+         CAST(length(nt) % 256 AS BIGINT) AS t0,
+         CAST(CASE WHEN length(nt) = 0 THEN 0
+                   ELSE ascii(substr(nt, 1, 1)) END AS BIGINT) AS t1,
+         CAST(CASE WHEN length(nt) = 0 THEN 0
+                   ELSE ascii(substr(nt, length(nt), 1)) END AS BIGINT) AS t2,
+         CAST(length(nt) * 7 % 256 AS BIGINT) AS t3
+  FROM tn
+),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) - 1
+              AS INT) AS cluster,
+         v AS cv
+  FROM fm
+  ORDER BY md5(CAST(id AS VARCHAR)), id
+  LIMIT 4
+),
+am AS (
+  SELECT id AS media_id, cluster FROM (
+    SELECT fm.id, init.cluster,
+           row_number() OVER (
+             PARTITION BY fm.id
+             ORDER BY round(list_sum(list_transform(range(1, len(fm.v) + 1),
+                     i -> (fm.v[i] - init.cv[i]) * (fm.v[i] - init.cv[i]))), 6),
+                   init.cluster) AS rnk
+    FROM fm CROSS JOIN init
+  ) WHERE rnk = 1
+),
+at_ AS (
+  SELECT id AS caption_id, cluster FROM (
+    SELECT ft.id, init.cluster,
+           row_number() OVER (
+             PARTITION BY ft.id
+             ORDER BY round(list_sum(list_transform(range(1, len(ft.v) + 1),
+                     i -> (ft.v[i] - init.cv[i]) * (ft.v[i] - init.cv[i]))), 6),
+                   init.cluster) AS rnk
+    FROM ft CROSS JOIN init
+  ) WHERE rnk = 1
+),
+sc AS (
+  SELECT at_.caption_id, am.media_id,
+         t.t0*m.m0 + t.t1*m.m1 + t.t2*m.m2 + t.t3*m.m3 AS dd,
+         t.t0*t.t0 + t.t1*t.t1 + t.t2*t.t2 + t.t3*t.t3 AS a2,
+         m.m0*m.m0 + m.m1*m.m1 + m.m2*m.m2 + m.m3*m.m3 AS b2
+  FROM at_ JOIN am USING (cluster)
+  JOIN ft t ON t.id = at_.caption_id
+  JOIN fm m ON m.id = am.media_id
+),
+scored AS (
+  SELECT caption_id, media_id,
+         CASE WHEN a2 > 0 AND b2 > 0
+              THEN CAST(sign(dd) AS BIGINT) * ((dd*dd*1000000) // (a2*b2))
+              ELSE CAST(0 AS BIGINT) END AS align_q
+  FROM sc
+),
+ranked AS (
+  SELECT caption_id, media_id, align_q,
+         row_number() OVER (PARTITION BY caption_id
+                            ORDER BY align_q DESC, media_id) AS "rank"
+  FROM scored
+)
+SELECT caption_id, media_id, CAST("rank" AS INT) AS rank, align_q
+FROM ranked WHERE "rank" <= 3
+"""
+
+
 # cosine thresholds whose tau^2 * 1e6 is an EXACT integer, so the sweep
 # reduces to align_q >= cutoff with no float boundary: floor(x) >= n
 # <=> x >= n for integer n, and align_q > 0 already encodes D > 0
@@ -3339,6 +3494,7 @@ QUERIES = {
     "corpus_mixture_pack": corpus_mixture_pack,
     "multimodal_align_stats": multimodal_align_stats,
     "multimodal_align_sweep": multimodal_align_sweep,
+    "multimodal_retrieval_topk": multimodal_retrieval_topk,
     "media_funnel": media_funnel,
     "stream_phash_dedup": stream_phash_dedup,
     "stream_audio_dedup": stream_audio_dedup,
@@ -3407,6 +3563,7 @@ ORACLES = {
     "corpus_mixture_pack": CORPUS_MIXTURE_PACK_SQL,
     "multimodal_align_stats": MULTIMODAL_ALIGN_STATS_SQL,
     "multimodal_align_sweep": MULTIMODAL_ALIGN_SWEEP_SQL,
+    "multimodal_retrieval_topk": MULTIMODAL_RETRIEVAL_SQL,
     "media_funnel": MEDIA_FUNNEL_SQL,
     "stream_phash_dedup": STREAM_PHASH_SQL,
     "stream_audio_dedup": STREAM_AUDIO_SQL,

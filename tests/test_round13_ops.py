@@ -667,3 +667,69 @@ def test_cross_modal_align_null_component_counts_as_zero(spark):
     assert r["align_q"] == dd * dd * 10**6 // (a2 * b2)
     assert r["keep"] in (True, False)  # never NULL
     assert r["keep"] == (dd * dd * 400 >= 361 * a2 * b2)
+
+
+def test_multimodal_retrieval_topk_matches_cluster_brute_force(spark):
+    """Top-3 per caption must equal a python brute force restricted to
+    the same frozen-centroid clusters (the IVF trade: candidates are
+    approximate, the ranking math is exact)."""
+    from flume_spark.operators import similarity
+    from flume_spark.queries.llm_ops import multimodal_retrieval_topk
+
+    sf = "/root/testdata/sf0.001"
+    got = {}
+    for r in multimodal_retrieval_topk(spark, sf).collect():
+        got.setdefault(r["caption_id"], []).append(
+            (r["rank"], r["media_id"], r["align_q"])
+        )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pay = multimodal.to_binary_payload(docs, "doc_id", "text")
+    mf = {r["id"]: r["features"]
+          for r in multimodal.feature_extract_stub(pay).collect()}
+    tf = {r["id"]: r["t_features"]
+          for r in multimodal.caption_features(docs, "doc_id", "text").collect()}
+    kc = max(4, len(mf) // 125)
+    mdf = multimodal.feature_extract_stub(pay)
+    from pyspark.sql import functions as SF
+
+    init = (
+        mdf.orderBy(SF.md5(SF.col("id").cast("string")), "id")
+        .limit(kc).select("features").collect()
+    )
+    cents = [list(r["features"]) for r in init]
+
+    def assign(vec):
+        best = None
+        for ci, cv in enumerate(cents):
+            d2 = round(sum((a - b) ** 2 for a, b in zip(vec, cv)), 6)
+            if best is None or (d2, ci) < best:
+                best = (d2, ci)
+        return best[1]
+
+    am = {i: assign(v) for i, v in mf.items()}
+    at = {i: assign(v) for i, v in tf.items()}
+
+    def align_q(t, m):
+        qt = [int(x * 256 + 0.5) for x in t]
+        qm = [int(x * 256 + 0.5) for x in m]
+        d = sum(a * b for a, b in zip(qt, qm))
+        a2 = sum(a * a for a in qt)
+        b2 = sum(b * b for b in qm)
+        if a2 == 0 or b2 == 0:
+            return 0
+        s = 1 if d >= 0 else -1
+        return s * (d * d * 10**6 // (a2 * b2))
+
+    for cid, t in tf.items():
+        cands = [
+            (align_q(t, mf[mid]), mid)
+            for mid in mf
+            if am[mid] == at[cid]
+        ]
+        cands.sort(key=lambda p: (-p[0], p[1]))
+        want = [(i + 1, mid, q) for i, (q, mid) in enumerate(cands[:3])]
+        have = sorted(got.get(cid, []))
+        assert have == want, (cid, have, want)
