@@ -893,3 +893,81 @@ def cross_modal_align(
         .withColumn("keep", keep)
         .drop(qt, qm, "__d", "__a2", "__b2")
     )
+
+
+def quantized_feature_cols(
+    df: DataFrame,
+    vec_col: str,
+    prefix: str,
+    id_out: str,
+    id_col: str = "id",
+    dim: int = 4,
+    grid: int = 256,
+) -> DataFrame:
+    """Per-side quantization for PAIRING-scale alignment: the 1/grid
+    lattice components as SCALAR columns ({prefix}0..{prefix}{dim-1})
+    plus the squared norm ({prefix}norm2) over exactly those components
+    — the cross_modal_align law flattened so a candidate join can score
+    pairs in pure whole-stage-codegen integer arithmetic.  The array
+    form's higher-order lambdas (transform/zip_with/aggregate) are
+    interpreted per row — fine for per-doc gating, ~17 us/row at a
+    765k-pair candidate stage (the round-13 retrieval measurement);
+    scalar columns computed ONCE per side (n rows, never n^2) make the
+    pair leg a plain projection.  Missing components (short encoder
+    output) are 0, matching the array form's zero-pad/overlap law."""
+    q = F.slice(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x * grid + F.lit(0.5)).cast("long"),
+        ),
+        1,
+        dim,
+    )
+    out = df.select(F.col(id_col).alias(id_out), q.alias("__q"))
+    comps = [
+        F.coalesce(F.get("__q", i), F.lit(0)).cast("long").alias(f"{prefix}{i}")
+        for i in range(dim)
+    ]
+    out = out.select(id_out, *comps)
+    norm2 = sum(
+        F.col(f"{prefix}{i}") * F.col(f"{prefix}{i}") for i in range(dim)
+    )
+    return out.withColumn(f"{prefix}norm2", norm2)
+
+
+def align_q_cols(
+    prefix_t: str = "t",
+    prefix_m: str = "m",
+    dim: int = 4,
+    tau2_num: int = 361,
+    tau2_den: int = 400,
+    scale: int = 1_000_000,
+):
+    """(align_q, keep) Column pair over `quantized_feature_cols` outputs
+    — the cross_modal_align law on scalar columns (same integers, same
+    sign/zero-norm edge semantics), for pairing-scale plans."""
+    d = sum(
+        F.col(f"{prefix_t}{i}") * F.col(f"{prefix_m}{i}") for i in range(dim)
+    )
+    a2, b2 = F.col(f"{prefix_t}norm2"), F.col(f"{prefix_m}norm2")
+    dd = "__align_d"
+    align_q = F.when(
+        (a2 > 0) & (b2 > 0),
+        F.signum(F.col(dd)).cast("long")
+        * F.expr(
+            f"({dd} * {dd} * CAST({scale} AS BIGINT))"
+            f" div ({prefix_t}norm2 * {prefix_m}norm2)"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    keep = (
+        (F.col(dd) > 0)
+        & (a2 > 0)
+        & (b2 > 0)
+        & (
+            F.expr(f"{dd} * {dd} * CAST({tau2_den} AS BIGINT)")
+            >= F.expr(
+                f"CAST({tau2_num} AS BIGINT) * {prefix_t}norm2 * {prefix_m}norm2"
+            )
+        )
+    )
+    return d.alias(dd), align_q, keep

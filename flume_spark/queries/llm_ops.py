@@ -2228,17 +2228,23 @@ def multimodal_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     at = similarity.kmeans_assign_vectorized(
         tf, "id", "t_features", k=int(kc), centroids=cents
     ).select(F.col("id").alias("caption_id"), "cluster")
-    cand = (
-        tf.select(F.col("id").alias("caption_id"), "t_features")
-        .join(at, "caption_id")
-        .join(
-            mf.select(F.col("id").alias("media_id"), "features").join(
-                am, "media_id"
-            ),
-            "cluster",
-        )
+    # quantize to SCALAR columns per side before the join: the array
+    # form's higher-order lambdas are interpreted per row (~17 us/pair —
+    # 13 s isolated at the sf0.1 765k-pair candidate stage); scalar
+    # components computed once per side make the pair leg one
+    # whole-stage-codegen projection (same integers, same law)
+    tq = multimodal.quantized_feature_cols(
+        tf, "t_features", "t", id_out="caption_id"
+    ).join(at, "caption_id")
+    mq = multimodal.quantized_feature_cols(
+        mf, "features", "m", id_out="media_id"
+    ).join(am, "media_id")
+    d_col, align_q, _keep = multimodal.align_q_cols()
+    scored = (
+        tq.join(mq, "cluster")
+        .withColumn("__align_d", d_col)
+        .withColumn("align_q", align_q)
     )
-    scored = multimodal.cross_modal_align(cand)
     from pyspark.sql.window import Window
 
     rn = F.row_number().over(
