@@ -733,3 +733,49 @@ def test_multimodal_retrieval_topk_matches_cluster_brute_force(spark):
         want = [(i + 1, mid, q) for i, (q, mid) in enumerate(cands[:3])]
         have = sorted(got.get(cid, []))
         assert have == want, (cid, have, want)
+
+
+def test_frame_tiered_marks_equal_full_fold_twin(spark, tmp_path):
+    """FrameIngestor compact_mode='tiered': marks equal a never-compacted
+    twin across a multi-fold schedule (completing the tiered-equality
+    matrix: Phash/Lm/Align/Frame)."""
+    from flume_spark.streaming.dedup import FrameIngestor
+
+    def w(seed):
+        import hashlib
+
+        h = hashlib.md5(str(seed).encode()).digest() * 2
+        return "".join(chr(33 + b % 90) for b in h)
+
+    def clip(*seeds):
+        return "".join(w(s) for s in seeds)
+
+    rows = [
+        [(1, clip(1, 2, 3, 4)), (2, clip(5, 6, 7, 8))],
+        [(3, clip(1, 2, 3, 40))],          # 3 shared frames -> dup of 1
+        [(4, clip(9, 10, 11, 12))],
+        [(5, clip(5, 6, 7, 8))],           # re-encode -> dup of 2
+        [(6, clip(13, 14, 15, 16))],
+        [(7, clip(9, 10, 11, 99))],        # clip of 4
+    ]
+
+    def ing(tag, **kw):
+        return FrameIngestor(
+            spark,
+            index_dir=str(tmp_path / f"idx{tag}"),
+            marks_dir=str(tmp_path / f"mk{tag}"),
+            ledger_dir=str(tmp_path / f"lg{tag}"),
+            id_col="id",
+            **kw,
+        )
+
+    tiered = ing("t", auto_compact_every=2, compact_mode="tiered", fanout=2)
+    plain = ing("p")
+    for b, r in enumerate(rows):
+        tiered.process(_pay(spark, r), b)
+        plain.process(_pay(spark, r), b)
+    t_marks = sorted(map(tuple, tiered.dup_marks().collect()))
+    p_marks = sorted(map(tuple, plain.dup_marks().collect()))
+    assert t_marks == p_marks
+    dups = {r[0]: r[1] for r in t_marks}
+    assert dups[3] == 1 and dups[5] == 2 and dups[7] == 4
