@@ -2208,8 +2208,6 @@ def multimodal_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     media_id) per caption, deterministic.  The approximation is WHICH
     candidates are scored (the IVF trade ann_topk_ivf pins); the math
     inside a cluster is exact, so the whole result hash-checks."""
-    from flume_spark.operators import similarity
-
     docs = T(spark, sf_dir, "documents")
     pay = multimodal.to_binary_payload(docs, "doc_id", "text")
     mf = multimodal.feature_extract_stub(pay).localCheckpoint(eager=True)
@@ -2217,16 +2215,16 @@ def multimodal_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     kc = max(4, mf.count() // 125)
     init = (
         mf.orderBy(F.md5(F.col("id").cast("string")), "id")
-        .limit(int(kc))
+        .limit(kc)
         .select("features")
         .collect()
     )
     cents = [list(r["features"]) for r in init]
     am = similarity.kmeans_assign_vectorized(
-        mf, "id", "features", k=int(kc), centroids=cents
+        mf, "id", "features", k=kc, centroids=cents
     ).select(F.col("id").alias("media_id"), "cluster")
     at = similarity.kmeans_assign_vectorized(
-        tf, "id", "t_features", k=int(kc), centroids=cents
+        tf, "id", "t_features", k=kc, centroids=cents
     ).select(F.col("id").alias("caption_id"), "cluster")
     # quantize to SCALAR columns per side before the join: the array
     # form's higher-order lambdas are interpreted per row (~17 us/pair —

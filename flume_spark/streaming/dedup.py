@@ -1698,47 +1698,33 @@ class AlignIngestor:
         )
 
     def _media_features(self, batch_df):
-        """(media_id, m0..m3, b2, kbucket) — quantized media features of
-        one batch, norm precomputed so the probe never re-reads payloads."""
-        from flume_spark.operators.multimodal import feature_extract_stub
+        """(media_id, m0..m{dim-1}, b2, kbucket) — quantized media
+        features of one batch, norm precomputed so the probe never
+        re-reads payloads.  THE quantization law lives in
+        `multimodal.quantized_feature_cols` (one definition shared with
+        the batch retrieval path — round-13 review: three hand-rolled
+        copies of a law that must stay bit-identical is how hash
+        equality silently dies)."""
+        from flume_spark.operators.multimodal import (
+            feature_extract_stub,
+            quantized_feature_cols,
+        )
 
         pay = batch_df.select(
             F.col(self.id_col).alias("id"),
             F.col(self.payload_col).alias("payload"),
         )
         feats = feature_extract_stub(pay, encoder=self.encoder)
-        # quantize, then SLICE to the configured dim before anything else:
-        # the dot product AND the norm must cover exactly the same
-        # components, or a longer/shorter encoder output silently skews
-        # every cosine (round-13 review) — scoring is the projection onto
-        # the first `dim` components, norms consistent by construction
-        q = F.slice(
-            F.transform(
-                F.col("features"),
-                lambda x: F.floor(x * self.grid + F.lit(0.5)).cast("long"),
-            ),
-            1,
-            self.dim,
-        )
         return (
-            feats.select(F.col("id").alias("media_id"), q.alias("q"))
-            .select(
-                "media_id",
-                *[
-                    # F.get is 0-based and NULL out-of-bounds even under
-                    # ANSI (element_at would throw when dim exceeds the
-                    # encoder's output length)
-                    F.coalesce(F.get("q", i), F.lit(0))
-                    .cast("long")
-                    .alias(f"m{i}")
-                    for i in range(self.dim)
-                ],
-                F.aggregate(
-                    F.transform("q", lambda x: F.coalesce(x, F.lit(0))),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x * x,
-                ).alias("b2"),
+            quantized_feature_cols(
+                feats,
+                "features",
+                "m",
+                id_out="media_id",
+                dim=self.dim,
+                grid=self.grid,
             )
+            .withColumnRenamed("mnorm2", "b2")
             .withColumn(
                 "kbucket",
                 F.pmod(F.col("media_id"), F.lit(self.index_buckets)).cast("int"),
@@ -1757,34 +1743,18 @@ class AlignIngestor:
             "id",
             self.caption_col,
         )
-        q = F.slice(
-            F.transform(
-                F.col("t_features"),
-                lambda x: F.floor(x * self.grid + F.lit(0.5)).cast("long"),
-            ),
-            1,
-            self.dim,
-        )
+        from flume_spark.operators.multimodal import quantized_feature_cols
+
         refs = batch_df.select(
             F.col(self.id_col).alias("id"),
             F.col(self.ref_col).alias("media_ref"),
         )
         return (
-            caps.select("id", q.alias("q"))
-            .select(
-                "id",
-                *[
-                    F.coalesce(F.get("q", i), F.lit(0))
-                    .cast("long")
-                    .alias(f"t{i}")
-                    for i in range(self.dim)
-                ],
-                F.aggregate(
-                    F.transform("q", lambda x: F.coalesce(x, F.lit(0))),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x * x,
-                ).alias("a2"),
+            quantized_feature_cols(
+                caps, "t_features", "t", id_out="id",
+                dim=self.dim, grid=self.grid,
             )
+            .withColumnRenamed("tnorm2", "a2")
             .join(refs, "id")
         )
 

@@ -692,14 +692,14 @@ def test_multimodal_retrieval_topk_matches_cluster_brute_force(spark):
     tf = {r["id"]: r["t_features"]
           for r in multimodal.caption_features(docs, "doc_id", "text").collect()}
     kc = max(4, len(mf) // 125)
-    mdf = multimodal.feature_extract_stub(pay)
-    from pyspark.sql import functions as SF
+    # the centroid draw replayed in python from the already-collected
+    # features (md5 of the decimal id string — the md5_init convention)
+    import hashlib
 
-    init = (
-        mdf.orderBy(SF.md5(SF.col("id").cast("string")), "id")
-        .limit(kc).select("features").collect()
+    order = sorted(
+        mf, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
     )
-    cents = [list(r["features"]) for r in init]
+    cents = [list(mf[i]) for i in order[:kc]]
 
     def assign(vec):
         best = None
