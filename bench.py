@@ -173,6 +173,8 @@ HEADLINE = [
     # the final pre-training assembly step: temperature mixture -> E-S
     # draw -> BPE-budget packing, composed from three oracled stages
     "corpus_mixture_pack",
+    # curriculum assembly: perplexity-tercile-ordered BPE packing
+    "corpus_curriculum_pack",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture
@@ -274,6 +276,11 @@ SHARDED = [
     # IVF-candidate media pairing twin rides the shard (same frozen
     # cluster stage + exact-integer scoring as the new official row)
     "dedup_multimodal_cosine",  # (multimodal_retrieval_topk)
+    # headroom for the official corpus_curriculum_pack row: the LM-score
+    # sibling of the official text_lm_perplexity rides the shard, plus
+    # the windowed-clean sibling of the official dedup_substring_exact
+    "text_lm_buckets",  # (text_lm_perplexity)
+    "dedup_substring_clean",  # (dedup_substring_exact)
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

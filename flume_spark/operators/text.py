@@ -428,26 +428,40 @@ def pack_by_counts(
     count_col: str,
     budget: int = 512,
     shards: int = 8,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """pack_sequences generalized to ANY precomputed token counter — the
     whitespace proxy, the regex subword estimate, or real BPE counts
     (bpe_token_count): same greedy boundary-overflow semantics, same
     per-shard window, so a pipeline can budget its packs in the units its
-    tokenizer actually bills."""
+    tokenizer actually bills.
+
+    ``order_cols`` overrides the within-shard packing order (default
+    [id_col]) — the curriculum knob: packing by (difficulty_bucket, id)
+    makes consecutive packs difficulty-monotone within a shard, the
+    easy-to-hard assembly curriculum training wants.  The order columns
+    ride through to the output (they key the curriculum property a
+    consumer verifies); the default output schema is unchanged."""
     from pyspark.sql.window import Window
 
+    order = order_cols or [id_col]
+    extra = [c for c in order if c != id_col]
     shard = F.pmod(F.col(id_col), F.lit(shards)).cast("int")
     w = (
         Window.partitionBy("shard")
-        .orderBy(id_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     staged = df.select(
-        F.col(id_col), shard.alias("shard"), F.col(count_col).alias("n_tokens")
+        F.col(id_col),
+        shard.alias("shard"),
+        F.col(count_col).alias("n_tokens"),
+        *extra,
     ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return staged.select(
         id_col,
         "shard",
+        *extra,
         "n_tokens",
         F.floor((F.col("cum_tokens") - F.col("n_tokens")) / budget)
         .cast("int")

@@ -3334,6 +3334,70 @@ FROM scored
 """
 
 
+def corpus_curriculum_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-ordered token-budget packing — the easy-to-hard
+    assembly step of curriculum training, composed from oracled stages:
+    (1) LM perplexity terciles (text_lm_buckets' CCNet head/middle/tail
+    law — deterministic ntile over (ppl, doc_id)), (2) REAL BPE counts
+    (bpe_token_count), (3) `pack_by_counts(order_cols=[bucket, id])`:
+    within each shard, docs pack in ascending difficulty, so packs are
+    bucket-monotone — pack p's hardest doc is never harder than pack
+    p+1's easiest.  Per-(shard, pack) report carries b_min/b_max, the
+    columns that make the monotonicity hash-checkable."""
+    docs = T(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 4 == 0)
+    scored = text.lm_perplexity(docs, "doc_id", "text", ref_df=ref)
+    buckets = text.lm_quality_buckets(scored).select("doc_id", "bucket")
+    counted = text.bpe_token_count(docs, "doc_id", "text", text.EN_MERGES_DEMO)
+    staged = counted.join(buckets, "doc_id")
+    packed = text.pack_by_counts(
+        staged,
+        "doc_id",
+        "n_bpe_tokens",
+        budget=256,
+        shards=8,
+        order_cols=["bucket", "doc_id"],
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("bucket").alias("b_min"),
+        F.max("bucket").alias("b_max"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
+def _curriculum_pack_sql() -> str:
+    bpe = text.bpe_replace_sql("text", text.EN_MERGES_DEMO)
+    return f"""
+WITH scored AS ({TEXT_LM_PERPLEXITY_SQL}),
+b AS (
+  SELECT doc_id,
+         CAST(ntile(3) OVER (ORDER BY ppl, doc_id) AS INT) AS bucket
+  FROM scored
+),
+staged AS (
+  SELECT d.doc_id, CAST(d.doc_id % 8 AS INT) AS shard, b.bucket,
+         CAST({bpe} AS BIGINT) AS n_tokens
+  FROM documents d JOIN b USING (doc_id)
+),
+cum AS (
+  SELECT doc_id, shard, bucket, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY bucket, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM staged
+)
+SELECT shard, CAST(floor((cum_tokens - n_tokens) / 256.0) AS INT) AS pack_id,
+       count(*) AS n_docs,
+       min(bucket) AS b_min,
+       max(bucket) AS b_max,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM cum GROUP BY 1, 2
+"""
+
+
+CORPUS_CURRICULUM_PACK_SQL = _curriculum_pack_sql()
+
+
 def stream_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONLINE LM quality filtering through the REAL streaming ingestor
     (streaming/lm.py::LmIngestor): documents arrive in 3 micro-batches
@@ -3496,6 +3560,7 @@ QUERIES = {
     "multimodal_align": multimodal_align,
     "stream_align_ingest": stream_align_ingest,
     "corpus_mixture_pack": corpus_mixture_pack,
+    "corpus_curriculum_pack": corpus_curriculum_pack,
     "multimodal_align_stats": multimodal_align_stats,
     "multimodal_align_sweep": multimodal_align_sweep,
     "multimodal_retrieval_topk": multimodal_retrieval_topk,
@@ -3565,6 +3630,7 @@ ORACLES = {
     "multimodal_align": MULTIMODAL_ALIGN_SQL,
     "stream_align_ingest": STREAM_ALIGN_SQL,
     "corpus_mixture_pack": CORPUS_MIXTURE_PACK_SQL,
+    "corpus_curriculum_pack": CORPUS_CURRICULUM_PACK_SQL,
     "multimodal_align_stats": MULTIMODAL_ALIGN_STATS_SQL,
     "multimodal_align_sweep": MULTIMODAL_ALIGN_SWEEP_SQL,
     "multimodal_retrieval_topk": MULTIMODAL_RETRIEVAL_SQL,

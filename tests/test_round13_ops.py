@@ -779,3 +779,39 @@ def test_frame_tiered_marks_equal_full_fold_twin(spark, tmp_path):
     assert t_marks == p_marks
     dups = {r[0]: r[1] for r in t_marks}
     assert dups[3] == 1 and dups[5] == 2 and dups[7] == 4
+
+
+def test_corpus_curriculum_pack_is_bucket_monotone(spark):
+    """Within each shard, packs must be difficulty-monotone: pack p's
+    hardest bucket <= pack p+1's easiest (the curriculum property the
+    order_cols knob exists for), and pack token sums must equal the
+    plain packing's totals (ordering moves docs between packs, never
+    drops or double-counts them)."""
+    from flume_spark.queries.llm_ops import corpus_curriculum_pack
+
+    sf = "/root/testdata/sf0.001"
+    rows = corpus_curriculum_pack(spark, sf).collect()
+    by_shard = {}
+    tot_docs = tot_tokens = 0
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(
+            (r["pack_id"], r["b_min"], r["b_max"])
+        )
+        tot_docs += r["n_docs"]
+        tot_tokens += r["pack_tokens"]
+    for shard, packs in by_shard.items():
+        packs.sort()
+        for (p1, _, hi1), (p2, lo2, _) in zip(packs, packs[1:]):
+            assert hi1 <= lo2, (shard, p1, p2, hi1, lo2)
+    # conservation vs the un-ordered BPE packing of the same corpus
+    from flume_spark.operators import text as text_ops
+    from flume_spark.queries._util import T as _T
+
+    docs = _T(spark, sf, "documents")
+    counted = text_ops.bpe_token_count(
+        docs, "doc_id", "text", text_ops.EN_MERGES_DEMO
+    )
+    assert tot_docs == counted.count()
+    assert tot_tokens == counted.agg(
+        multimodal.F.sum("n_bpe_tokens")
+    ).first()[0]
