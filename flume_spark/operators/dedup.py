@@ -309,6 +309,7 @@ def lsh_verified_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification — the
     blessed near-dup path at 100 TB scale.
@@ -339,7 +340,18 @@ def lsh_verified_pairs(
         df, id_col, text_col, shingle_n, num_hashes, bands, shingles=sh
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a_sh = cands.join(
+    # Verify-leg broadcast pinning (round-13 driver-record post-mortem:
+    # 4.33s vs a 1.30s calm band on an unchanged plan).  The candidate-pair
+    # frame is banded-collision-bounded — O(true near-dups + band
+    # collisions), orders of magnitude below the shingle index it probes —
+    # so it is the broadcast side BY CONSTRUCTION; leaving the choice to
+    # AQE lets a stats-less candidate frame miss the runtime threshold and
+    # silently sort-merge the full inverted index.  Same for `inter`
+    # (|inter| <= |cands|) against the per-doc size table.  At extreme dup
+    # rates where candidates are genuinely data-sized, pass
+    # broadcast_candidates=False to restore AQE's per-size choice.
+    _b = F.broadcast if broadcast_candidates else (lambda d: d)
+    a_sh = _b(cands).join(
         sh.select(F.col("id").alias("doc_a"), "shingle"), "doc_a"
     )
     inter = (
@@ -353,10 +365,10 @@ def lsh_verified_pairs(
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     # No broadcast hint on the size side: at scale it is one row per doc (not
-    # broadcastable); the probe side (candidate pairs) is the small side and
-    # AQE picks the right strategy per actual sizes.
+    # broadcastable); the probe side (aggregated candidate pairs) is the
+    # small side and carries the explicit hint (see above).
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.id"))
+        _b(inter).join(sa, F.col("doc_a") == F.col("sa.id"))
         .join(sb, F.col("doc_b") == F.col("sb.id"))
         .select(
             "doc_a",

@@ -1373,8 +1373,18 @@ def pq_adc_topk(
         _pq_sqdist(F.col("qc"), F.col("centroid")).alias("qdist"),
     )
     if cell_col is not None:
-        cells = emb.select(F.col(id_col), F.col(cell_col).alias("__cell"))
-        codes = codes.join(cells, id_col)
+        if cell_col in codes.columns:
+            # Production shape: the persisted index already stores each
+            # vector's coarse cell next to its codes (attached once at
+            # encode time) — the query-time codes⋈cells join disappears
+            # entirely.  This also removes the round-13 drift vector: a
+            # stats-less (checkpointed) codes frame meeting a data-sized
+            # cells scan was the one join in this pipeline left to AQE's
+            # runtime broadcast decision.
+            codes = codes.withColumn("__cell", F.col(cell_col))
+        else:
+            cells = emb.select(F.col(id_col), F.col(cell_col).alias("__cell"))
+            codes = codes.join(cells, id_col)
         qcells = emb.filter(query_pred).select(
             F.col(id_col).alias("query_id"), F.col(cell_col).alias("__qcell")
         )

@@ -1472,6 +1472,7 @@ def lm_perplexity(
     scale: int = 1_000_000,
     model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     prune_min_count: int = 1,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Add-k-smoothed bigram LM perplexity per document — the missing
     half of the model-based-filtering pair (CCNet's quality signal:
@@ -1496,9 +1497,10 @@ def lm_perplexity(
     never drops rows).
 
     Plan shape: the corpus streams through one bigram explode + tf
-    aggregate; the ONLY data-sized join is tf⋈bigrams on (w1, w2) (model
-    side is reference-slice-bounded — AQE broadcasts it when small);
-    contexts and the 1-row vocab ride as explicit broadcasts.  Nothing is
+    aggregate; the ONLY data-sized join is tf⋈bigrams on (w1, w2), and the
+    model side rides as an EXPLICIT broadcast by default (reference-slice-
+    bounded, vocabulary-plateaued — see `broadcast_model` below); contexts
+    and the 1-row vocab ride as explicit broadcasts too.  Nothing is
     pairwise, no Python anywhere.
 
     Pass ``model`` (the (bigrams, contexts, vocab) triple of
@@ -1520,8 +1522,18 @@ def lm_perplexity(
         .groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    # The bigram-count frame is model-sided: reference-slice-bounded and
+    # vocabulary-plateaued (counts grow, DISTINCT bigrams plateau), so it is
+    # broadcastable by construction — pin it instead of trusting AQE's
+    # runtime conversion.  Round-13's driver record showed this exact join
+    # silently degrading (6.66s vs a 0.96s calm band on an unchanged plan):
+    # checkpointed/stats-less model frames can miss AQE's broadcast
+    # threshold and fall to a corpus-wide sort-merge with no gate tripping.
+    # `broadcast_model=False` releases the pin for the train-on-everything
+    # regime where the model side is genuinely data-sized.
+    big_j = F.broadcast(big) if broadcast_model else big
     joined = (
-        tf.join(big, ["w1", "w2"], "left")
+        tf.join(big_j, ["w1", "w2"], "left")
         .join(F.broadcast(ctx), "w1", "left")
         .crossJoin(F.broadcast(vocab))
     )
@@ -1588,6 +1600,7 @@ def lm_backoff_score(
     text_col: str,
     ref_df: DataFrame | None = None,
     scale: int = 1_000_000,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Trigram STUPID-BACKOFF LM scoring (Brants et al. 2007, the
     web-scale LM recipe: no normalization, a fixed 0.4 back-off factor
@@ -1607,7 +1620,9 @@ def lm_backoff_score(
     Plan shape: one trigram explode + tf aggregate over the corpus; the
     data-sized joins are tf⋈trigram-counts (w1,w2,w3) and tf⋈bigram-counts
     (w2,w3) — both model-sided (reference-slice-bounded, vocabulary-
-    plateaued); contexts/unigrams/the 1-row totals broadcast.  Returns
+    plateaued), so both ride as EXPLICIT broadcasts by default
+    (`broadcast_model`, same pinning rationale as `lm_perplexity`);
+    contexts/unigrams/the 1-row totals broadcast.  Returns
     (id, n_trigrams, lp_int, ppl)."""
     if ref_df is None:
         ref_df = df
@@ -1630,10 +1645,11 @@ def lm_backoff_score(
         .groupBy(id_col, "w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    _b = F.broadcast if broadcast_model else (lambda d: d)
     j = (
-        tf.join(tri, ["w1", "w2", "w3"], "left")
-        .join(bctx, ["w1", "w2"], "left")
-        .join(bi, ["w2", "w3"], "left")
+        tf.join(_b(tri), ["w1", "w2", "w3"], "left")
+        .join(_b(bctx), ["w1", "w2"], "left")
+        .join(_b(bi), ["w2", "w3"], "left")
         .join(F.broadcast(uctx), "w2", "left")
         .join(F.broadcast(uni), "w3", "left")
         .crossJoin(F.broadcast(nv))

@@ -342,8 +342,15 @@ def _pq_index_memo(spark: SparkSession, sf_dir: str, emb: DataFrame):
     cb = similarity.pq_codebooks(
         emb, m=8, dim=64, sign_bits=8, refine_rounds=1
     ).localCheckpoint(eager=True)
-    codes = similarity.pq_encode(emb, cb, m=8, dim=64).localCheckpoint(
-        eager=True
+    # The persisted index carries each vector's coarse IVF cell (label)
+    # alongside its codes — attached ONCE here at encode time, so IVF-PQ
+    # queries never join codes back to the vectors table (pq_adc_topk
+    # detects the column and skips its cells join).  One narrow equi-join
+    # at index build, zero at query time.
+    codes = (
+        similarity.pq_encode(emb, cb, m=8, dim=64)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .localCheckpoint(eager=True)
     )
     for stale in [k for k in _PQ_CB_MEMO if k[0] != key[0]]:
         del _PQ_CB_MEMO[stale]

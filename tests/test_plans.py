@@ -453,6 +453,12 @@ def test_lm_perplexity_model_sided_joins_no_python(spark):
     # the only nested-loop is the 1-row vocab scalar broadcast
     assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
     assert "BroadcastExchange" in plan  # contexts/vocab broadcast
+    # Round-14 (driver-record drift post-mortem): the tf⋈bigram-model join
+    # must be PINNED to BroadcastHashJoin — the r13 gate accepted an SMJ
+    # fallback here, which let an AQE non-conversion degrade the driver
+    # run 6.9x with no gate tripping.
+    assert n_nodes(plan, "SortMergeJoin") == 0, plan
+    assert n_nodes(plan, "BroadcastHashJoin") >= 1
 
 
 def test_lm_backoff_model_sided_joins_no_python(spark):
@@ -463,6 +469,10 @@ def test_lm_backoff_model_sided_joins_no_python(spark):
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
     assert "BroadcastExchange" in plan
+    # all three model-tier joins pinned to broadcast (round-14, same
+    # rationale as the perplexity gate above)
+    assert n_nodes(plan, "SortMergeJoin") == 0, plan
+    assert n_nodes(plan, "BroadcastHashJoin") >= 3
 
 
 def test_classifier_train_hashed_bounded_feature_space(spark):
@@ -496,3 +506,34 @@ def test_media_funnel_align_stage_adds_no_python_boundary(spark):
     plan = explained(spark, "media_funnel")
     assert n_nodes(plan, "CartesianProduct") == 0
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_verified_verify_legs_broadcast(spark):
+    """The LSH->exact-verify pipeline's verify legs (candidates joined to
+    the shingle index; aggregated pair counts joined to the per-doc size
+    table) are candidate-bounded and carry explicit broadcast hints —
+    round-14's pin after the r13 driver record showed an unhinted verify
+    join degrading 3.3x with a clean compile-time audit.  At the fixed
+    oracle scale every join in the pipeline (including the banded
+    candidate self-join, which legitimately shuffles at 100 TB) resolves
+    to a hash or broadcast join: a SortMergeJoin ANYWHERE here means a
+    pin was lost."""
+    plan = explained(spark, "dedup_lsh_verified")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0, plan
+    assert n_nodes(plan, "BroadcastHashJoin") >= 3
+
+
+def test_ivfpq_codes_carry_cell_no_query_time_join(spark):
+    """IVF-PQ's persisted index stores each vector's coarse cell next to
+    its codes (attached once at encode time, round-14): the query plan
+    must contain NO join between the codes table and the vectors table —
+    the only joins left are the broadcast LUT probes.  The r13 driver
+    record flagged this query 7.6x over band; the stats-less
+    (checkpointed) codes frame meeting a data-sized cells scan was the
+    one AQE-decided join in the pipeline."""
+    plan = explained(spark, "ann_topk_ivfpq")
+    assert n_nodes(plan, "CartesianProduct") == 0
+    assert n_nodes(plan, "SortMergeJoin") == 0, plan
+    # every remaining join carries an explicit broadcast hint
+    assert n_nodes(plan, "BroadcastHashJoin") >= 1
