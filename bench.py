@@ -287,7 +287,46 @@ QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))
 QUEUE_FANOUT = 20  # queues, mirroring redis_benchmark defaults
 
 
-def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
+def executed_plan_counts(df) -> dict[str, int] | None:
+    """Join/exchange node counts from the EXECUTED (AQE-final) physical
+    plan — round-14's drift forensics (r13 VERDICT item 6).  PLAN_AUDIT
+    records the COMPILED plan on the builder host; the r13 driver-record
+    mystery (three entries 3-7x over band on unchanged code and clean
+    compiled plans) was undiagnosable because nothing recorded what the
+    runtime actually ran.  Capturing the post-execution plan string from
+    the same DataFrame the timed run collected turns any future
+    band-breach into a one-artifact diagnosis: counts moved => the
+    RUNTIME plan changed (AQE non-conversion, lost broadcast); counts
+    flat => the host moved.  Counts, not plan text: stable across id
+    renumbering, small enough for the sidecar."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:
+        return None
+    return {
+        "smj": plan.count("SortMergeJoin"),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "shj": plan.count("ShuffledHashJoin"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "cart": plan.count("CartesianProduct"),
+        # shuffle exchanges only (BroadcastExchange counted via bex): in
+        # the executed string AQE rewrites reused stages, so count every
+        # partitioning spelling
+        "exch": sum(
+            plan.count(s)
+            for s in (
+                "Exchange hashpartitioning",
+                "Exchange rangepartitioning",
+                "Exchange SinglePartition",
+            )
+        ),
+        "bex": plan.count("BroadcastExchange"),
+    }
+
+
+def bench_queries(
+    spark,
+) -> tuple[dict[str, float], dict[str, list[float]], dict[str, dict]]:
     from flume_spark.queries import all_queries
 
     queries = all_queries()
@@ -325,6 +364,7 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
     samples_n = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    plans: dict[str, dict] = {}
     import gc
 
     for name in HEADLINE:
@@ -340,14 +380,21 @@ def bench_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
         gc.collect()
         fn = queries[name]
         runs: list[float] = []
+        df = None
         for _ in range(samples_n):
             start = time.perf_counter()
-            rows = fn(spark, SF_DIR).collect()
+            df = fn(spark, SF_DIR)
+            rows = df.collect()
             runs.append(round(time.perf_counter() - start, 3))
             assert rows is not None
         timings[name] = min(runs)
         samples[name] = runs
-    return timings, samples
+        # executed-plan forensics from the LAST timed run's DataFrame (the
+        # collect above finalized its AQE plan) — see executed_plan_counts
+        counts = executed_plan_counts(df)
+        if counts is not None:
+            plans[name] = counts
+    return timings, samples, plans
 
 
 def bench_queue(spark, jobs: int | None = None) -> dict[str, float]:
@@ -578,7 +625,7 @@ def emit_records(
 
 def main() -> None:
     spark = get_spark(app_name="flume_spark_bench")
-    timings, samples = bench_queries(spark)
+    timings, samples, plans = bench_queries(spark)
     # warm the queue engine's codegen/claim path at 1/10 volume first — the
     # query warm-up above doesn't touch it, and cold-JIT inflates
     # queue_process ~7x (10.7s cold vs 1.4s warm on an idle host), the same
@@ -606,8 +653,15 @@ def main() -> None:
     spread_line = json.dumps(
         {"spread": spread_record(samples)}, separators=(",", ":")
     )
+    # executed-plan record (round-14): per-entry AQE-FINAL node counts on
+    # its own non-final line + the sidecar, so a band breach in any later
+    # record is diagnosable as plan-delta vs host-delta from artifacts
+    # alone (the r13 gap).  bench_plans.json holds the committed
+    # known-good counts; --check compares.
+    plans_line = json.dumps({"plans": plans}, separators=(",", ":"))
     print(samples_line)
     print(spread_line)
+    print(plans_line)
     print(shard_line)
     sidecar = os.environ.get(
         "SPARK_GRAFT_BENCH_SIDECAR",
@@ -617,6 +671,7 @@ def main() -> None:
         with open(sidecar, "w") as fh:
             fh.write(samples_line + "\n")
             fh.write(spread_line + "\n")
+            fh.write(plans_line + "\n")
     except OSError:
         pass  # sidecar is best-effort; the stdout line is the durable copy
     # drift tripwire (round-13 VERDICT item 5): advisory on a normal run —
@@ -643,28 +698,108 @@ def _load_bands() -> dict[str, float]:
         return {}
 
 
+def _load_expected_plans() -> dict[str, dict]:
+    path = os.environ.get(
+        "SPARK_GRAFT_BENCH_PLANS",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_plans.json"),
+    )
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
+
+
+def plan_delta_note(
+    name: str, recorded: dict[str, dict], expected: dict[str, dict]
+) -> str:
+    """One-line diagnosis for a drifted entry: did the EXECUTED plan's
+    node counts move vs the committed known-good record (plan-delta — a
+    runtime regression: lost broadcast, AQE non-conversion) or not
+    (time-only — the host moved, the plan didn't)?  This is the message
+    split the r13 mystery lacked."""
+    got = recorded.get(name)
+    want = expected.get(name)
+    if got is None or want is None:
+        return "no-plan-record"
+    diffs = {
+        k: (want.get(k), got.get(k))
+        for k in sorted(set(want) | set(got))
+        if want.get(k) != got.get(k)
+    }
+    if diffs:
+        pretty = ",".join(f"{k}:{w}->{g}" for k, (w, g) in diffs.items())
+        return f"PLAN-DELTA {pretty}"
+    return "time-only (executed plan unchanged — host/suite-state, not code)"
+
+
 def check_main() -> int:
     """`bench.py --check`: compare the LAST RECORDED run (bench_samples.json
     sidecar) against bench_bands.json; exit 1 listing any entry whose min
-    drifted >1.5x its band.  No Spark session — this reads artifacts, so it
-    can gate a round after the real run completes."""
+    drifted >1.5x its band, each annotated plan-delta vs time-only from the
+    executed-plan record (bench_plans.json = committed known-good counts).
+    No Spark session — this reads artifacts, so it can gate a round after
+    the real run completes."""
     sidecar = os.environ.get(
         "SPARK_GRAFT_BENCH_SIDECAR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_samples.json"),
     )
+    samples: dict[str, list[float]] = {}
+    recorded_plans: dict[str, dict] = {}
     with open(sidecar) as fh:
-        samples = json.loads(fh.readline())["samples"]
+        for line in fh:
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            samples = rec.get("samples", samples)
+            recorded_plans = rec.get("plans", recorded_plans)
     mins = {k: min(v) for k, v in samples.items()}
     drifted = check_drift(mins, _load_bands())
     if drifted:
+        expected = _load_expected_plans()
         for name, cur, band, ratio in drifted:
-            print(f"DRIFT {name}: min {cur}s vs band {band}s ({ratio}x)")
+            note = plan_delta_note(name, recorded_plans, expected)
+            print(f"DRIFT {name}: min {cur}s vs band {band}s ({ratio}x) [{note}]")
         return 1
     print(f"OK: {len(mins)} entries within 1.5x of their bands")
+    return 0
+
+
+def record_plans_main() -> int:
+    """`bench.py --record-plans`: promote the last recorded run's executed-
+    plan counts (sidecar) to bench_plans.json — run after a calm run whose
+    plan changes are INTENTIONAL (new entries, a deliberate plan change),
+    then commit the file.  Refresh discipline mirrors bench_bands.json."""
+    sidecar = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_samples.json"),
+    )
+    plans: dict[str, dict] = {}
+    with open(sidecar) as fh:
+        for line in fh:
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            plans = rec.get("plans", plans)
+    if not plans:
+        print("no plans record in sidecar — run bench.py first", file=sys.stderr)
+        return 1
+    path = os.environ.get(
+        "SPARK_GRAFT_BENCH_PLANS",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_plans.json"),
+    )
+    with open(path, "w") as fh:
+        json.dump(plans, fh, indent=0, sort_keys=True, separators=(",", ": "))
+        fh.write("\n")
+    print(f"recorded executed-plan counts for {len(plans)} entries -> {path}")
     return 0
 
 
 if __name__ == "__main__":
     if "--check" in sys.argv[1:]:
         sys.exit(check_main())
+    if "--record-plans" in sys.argv[1:]:
+        sys.exit(record_plans_main())
     main()

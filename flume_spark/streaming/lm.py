@@ -74,7 +74,7 @@ class LmIngestor:
         add_k: int = 1,
         scale: int = 1_000_000,
         auto_compact_every: int | None = None,
-        compact_mode: str = "full",
+        compact_mode: str = "tiered",
         fanout: int = 8,
     ) -> None:
         assert compact_mode in ("full", "tiered")
@@ -319,8 +319,10 @@ class LmIngestor:
         groupBy-SUM into a level-1 run (counts are an additive monoid,
         so a partial merge is exact); `fanout` runs at a level fold one
         level up (state.tiered_compact — hardlinked staging, the same
-        atomic_fold_swap crash contract per step).  Wire with
-        compact_mode="tiered" to run on the auto_compact_every cadence."""
+        atomic_fold_swap crash contract per step).  Runs on the
+        auto_compact_every cadence BY DEFAULT (compact_mode="tiered",
+        round-14 — the measured-sublinear arm); compact_mode="full"
+        restores the monolithic re-sum."""
         from flume_spark.streaming import state as st
 
         removed = 0

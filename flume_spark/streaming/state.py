@@ -65,23 +65,52 @@ class FoldLockHeld(RuntimeError):
 
 def _acquire_fold_lock(d: str) -> int:
     """Open `<dir>.foldlock` and take an exclusive non-blocking flock.
-    Returns the held fd; raises FoldLockHeld when any live holder (other
-    process OR another fd in this process) has it.  The pid is stamped
-    for diagnostics only — liveness is the kernel's flock, which a
-    crashed owner releases automatically."""
+    Returns the held fd (-1 when the filesystem cannot flock); raises
+    FoldLockHeld when any live holder (other process OR another fd in
+    this process) has it.  The pid is stamped for diagnostics only —
+    liveness is the kernel's flock, which a crashed owner releases
+    automatically.
+
+    Errno discipline (round-14, ADVICE r13): only CONTENTION —
+    EWOULDBLOCK/EAGAIN, what LOCK_NB returns when another holder exists
+    — maps to FoldLockHeld.  ENOLCK/EOPNOTSUPP/ENOSYS mean the
+    filesystem cannot take the lock at all (some network mounts);
+    mapping those to FoldLockHeld would make EVERY fold and every
+    recover_fold raise permanently, so they fall through LOCKLESS
+    (best-effort, exactly the degradation the module docstring
+    promises — the single-writer maintenance-window contract is the
+    real guarantee there).  Any other errno is a real I/O error and
+    propagates."""
+    import errno
+
     lock = d + ".foldlock"
     fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
     try:
         fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-    except OSError:
+    except OSError as e:
+        if e.errno in (errno.EWOULDBLOCK, errno.EAGAIN, errno.EACCES):
+            # EACCES: POSIX-permitted alias for EAGAIN on some platforms
+            os.close(fd)
+            raise FoldLockHeld(
+                f"fold in flight on {d} (flock held on {lock}) — one "
+                "maintenance writer at a time; retry after the window "
+                "closes"
+            ) from None
+        if e.errno in (errno.ENOLCK, errno.EOPNOTSUPP, errno.ENOSYS):
+            os.close(fd)
+            return -1  # unsupported filesystem: documented lockless arm
         os.close(fd)
-        raise FoldLockHeld(
-            f"fold in flight on {d} (flock held on {lock}) — one "
-            "maintenance writer at a time; retry after the window closes"
-        ) from None
+        raise
     os.ftruncate(fd, 0)
     os.write(fd, f"{os.getpid()}\n".encode())
     return fd
+
+
+def _release_if_held(fd: int) -> None:
+    """Release a fold lock acquired by `_acquire_fold_lock`, tolerating
+    the lockless (-1) arm."""
+    if fd >= 0:
+        _release_fold_lock(fd)
 
 
 def _release_fold_lock(fd: int) -> None:
@@ -157,7 +186,7 @@ def recover_fold(d: str) -> None:
     try:
         _recover_fold_locked(d)
     finally:
-        _release_fold_lock(lock)
+        _release_if_held(lock)
 
 
 def atomic_fold_swap(d: str, write_merged: Callable[[str], None]) -> None:
@@ -166,8 +195,9 @@ def atomic_fold_swap(d: str, write_merged: Callable[[str], None]) -> None:
     folded state under `tmp_dir` from an ALREADY-MATERIALIZED frame
     (localCheckpoint before calling — the live dir is renamed away in
     step 3, so lazy plans reading it would fail).  The whole window runs
-    under the O_EXCL fold lock; a concurrent fold/recovery over the same
-    dir raises FoldLockHeld instead of racing."""
+    under the held flock(2) on `<dir>.foldlock`; a concurrent
+    fold/recovery over the same dir raises FoldLockHeld instead of
+    racing."""
     lock = _acquire_fold_lock(d)
     try:
         _recover_fold_locked(d)
@@ -177,7 +207,7 @@ def atomic_fold_swap(d: str, write_merged: Callable[[str], None]) -> None:
         os.rename(tmp, d)
         shutil.rmtree(old, ignore_errors=True)
     finally:
-        _release_fold_lock(lock)
+        _release_if_held(lock)
 
 
 def with_auto_compact(

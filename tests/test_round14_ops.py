@@ -67,3 +67,279 @@ def test_retrieval_oracle_kc_constant_matches_driver_scale():
         f"LIMIT {llm_ops.RETRIEVAL_ORACLE_KC}" in llm_ops.MULTIMODAL_RETRIEVAL_SQL
     )
     assert "__ORACLE_KC__" not in llm_ops.MULTIMODAL_RETRIEVAL_SQL
+
+
+# -- fold-lock errno discipline (ADVICE r13) ----------------------------------
+
+
+def _flock_raiser(err):
+    import fcntl as real_fcntl
+
+    def fake(fd, op):
+        if op & real_fcntl.LOCK_UN:
+            return None
+        raise OSError(err, "fake")
+
+    return fake
+
+
+def test_fold_lock_contention_errnos_raise_held(tmp_path, monkeypatch):
+    import errno
+    import fcntl
+
+    from flume_spark.streaming import state
+
+    for err in (errno.EWOULDBLOCK, errno.EAGAIN, errno.EACCES):
+        monkeypatch.setattr(fcntl, "flock", _flock_raiser(err))
+        with pytest.raises(state.FoldLockHeld):
+            state._acquire_fold_lock(str(tmp_path / "s"))
+
+
+def test_fold_lock_unsupported_filesystem_degrades_lockless(
+    tmp_path, monkeypatch
+):
+    """ENOLCK/EOPNOTSUPP/ENOSYS (flock-less network mounts) must NOT read
+    as contention: the module docstring promises best-effort degradation,
+    and mapping them to FoldLockHeld would make every ingestor __init__
+    (recover_fold) and every fold raise permanently."""
+    import errno
+    import fcntl
+    import os
+
+    from flume_spark.streaming import state
+
+    for err in (errno.ENOLCK, errno.EOPNOTSUPP, errno.ENOSYS):
+        monkeypatch.setattr(fcntl, "flock", _flock_raiser(err))
+        fd = state._acquire_fold_lock(str(tmp_path / "s"))
+        assert fd == -1
+        state._release_if_held(fd)  # no-op, must not blow up
+        # the full healing path works lockless end-to-end
+        d = str(tmp_path / f"state_{err}")
+        os.makedirs(d)
+        state.recover_fold(d)
+
+
+def test_fold_lock_real_io_errors_propagate(tmp_path, monkeypatch):
+    import errno
+    import fcntl
+
+    from flume_spark.streaming import state
+
+    monkeypatch.setattr(fcntl, "flock", _flock_raiser(errno.EIO))
+    with pytest.raises(OSError) as ei:
+        state._acquire_fold_lock(str(tmp_path / "s"))
+    assert ei.value.errno == errno.EIO
+
+
+# -- AlignIngestor ref-collect bound (ADVICE r13) -----------------------------
+
+
+def _align_ing(spark, tmp_path, **kw):
+    from flume_spark.streaming.dedup import AlignIngestor
+
+    return AlignIngestor(
+        spark,
+        index_dir=str(tmp_path / "index"),
+        marks_dir=str(tmp_path / "marks"),
+        ledger_dir=str(tmp_path / "ledger"),
+        id_col="id",
+        **kw,
+    )
+
+
+def _align_frame(spark, rows):
+    from flume_spark.operators import multimodal
+
+    df = spark.createDataFrame(rows, "id long, text string, media_ref long")
+    pay = multimodal.to_binary_payload(df, "id", "text")
+    return pay.select("id", "payload").join(
+        df.select(
+            "id", multimodal.F.col("text").alias("caption"), "media_ref"
+        ),
+        "id",
+    )
+
+
+def test_align_ingestor_ref_overflow_arm_bit_equal(spark, tmp_path, monkeypatch):
+    """A micro-batch with more distinct refs than _PUSH_REFS_CAP must (a)
+    never collect the full ref list driver-side — the limit(cap+1) probe
+    detects overflow — and (b) produce byte-identical marks through the
+    kbucket-only pruning arm (the isin predicate is an optimization, the
+    kbucket directory pruning is the correctness boundary)."""
+    from flume_spark.streaming.dedup import AlignIngestor
+
+    rows0 = [(i, f"media doc {i}", i) for i in range(6)]
+    # batch 1: 5 distinct refs (> the forced cap of 3), mix of hits/misses
+    rows1 = [(10 + j, f"caption number {j}", j) for j in range(5)]
+    a = _align_ing(spark, tmp_path / "a")
+    a.process(_align_frame(spark, rows0), 0)
+    a.process(_align_frame(spark, rows1), 1)
+    monkeypatch.setattr(AlignIngestor, "_PUSH_REFS_CAP", 3)
+    b = _align_ing(spark, tmp_path / "b")
+    b.process(_align_frame(spark, rows0), 0)
+    b.process(_align_frame(spark, rows1), 1)
+    ra = sorted(map(tuple, a.align_marks().collect()))
+    rb = sorted(map(tuple, b.align_marks().collect()))
+    assert ra == rb
+    assert len(ra) == 11
+
+
+# -- RetrievalIngestor: streaming per-caption top-k ---------------------------
+
+
+def _retr_ing(spark, tmp_path, cents, **kw):
+    from flume_spark.streaming.dedup import RetrievalIngestor
+
+    return RetrievalIngestor(
+        spark,
+        index_dir=str(tmp_path / "index"),
+        caps_dir=str(tmp_path / "caps"),
+        topk_dir=str(tmp_path / "topk"),
+        ledger_dir=str(tmp_path / "ledger"),
+        centroids=cents,
+        id_col="id",
+        **kw,
+    )
+
+
+def _retr_frame(spark, rows):
+    from flume_spark.operators import multimodal
+
+    df = spark.createDataFrame(rows, "id long, text string")
+    pay = multimodal.to_binary_payload(df, "id", "text")
+    return pay.select("id", "payload").join(
+        df.select("id", multimodal.F.col("text").alias("caption")), "id"
+    )
+
+
+def _batch_topk(spark, rows, cents, k=3):
+    """Reference: the batch retrieval law over the full corpus in the
+    same frozen centroid space."""
+    from pyspark.sql.window import Window
+
+    from flume_spark.operators import multimodal, similarity
+
+    df = spark.createDataFrame(rows, "id long, text string")
+    pay = multimodal.to_binary_payload(df, "id", "text")
+    mf = multimodal.feature_extract_stub(pay.select("id", "payload"))
+    tf = multimodal.caption_features(df, "id", "text")
+    am = similarity.kmeans_assign_vectorized(
+        mf, "id", "features", k=len(cents), centroids=cents
+    ).select(multimodal.F.col("id").alias("media_id"), "cluster")
+    at = similarity.kmeans_assign_vectorized(
+        tf, "id", "t_features", k=len(cents), centroids=cents
+    ).select(multimodal.F.col("id").alias("caption_id"), "cluster")
+    F = multimodal.F
+    tq = multimodal.quantized_feature_cols(
+        tf, "t_features", "t", id_out="caption_id"
+    ).join(at, "caption_id")
+    mq = multimodal.quantized_feature_cols(
+        mf, "features", "m", id_out="media_id"
+    ).join(am, "media_id")
+    d_col, align_q, _keep = multimodal.align_q_cols()
+    scored = (
+        tq.join(mq, "cluster")
+        .withColumn("__align_d", d_col)
+        .withColumn("align_q", align_q)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("caption_id").orderBy(
+            F.col("align_q").desc(), "media_id"
+        )
+    )
+    return (
+        scored.withColumn("rank", rn)
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("caption_id").alias("id"), "media_id", "rank", "align_q"
+        )
+    )
+
+
+def _cents_from(spark, rows, kc=4):
+    from flume_spark.operators import multimodal
+
+    df = spark.createDataFrame(rows, "id long, text string")
+    pay = multimodal.to_binary_payload(df, "id", "text")
+    mf = multimodal.feature_extract_stub(pay.select("id", "payload"))
+    init = (
+        mf.orderBy(multimodal.F.md5(multimodal.F.col("id").cast("string")), "id")
+        .limit(kc)
+        .select("features")
+        .collect()
+    )
+    return [list(r["features"]) for r in init]
+
+
+_RETR_ROWS = [
+    (i, t)
+    for i, t in enumerate(
+        [
+            "alpha beam over the quiet river",
+            "bravo current in a long canyon",
+            "charlie delta echoes at dawn",
+            "delta frame with painted walls",
+            "echo garden of stone lanterns",
+            "foxtrot harbor lights at night",
+            "golf index of forgotten maps",
+            "hotel jacket weather forecast",
+            "india kilo lima morning train",
+            "juliet mountain north of town",
+            "kilo november paper lanterns",
+            "lima oscar quebec silent film",
+        ]
+    )
+]
+
+
+def test_retrieval_ingestor_matches_batch_law(spark, tmp_path):
+    """After N batches the maintained state must equal the batch query
+    over the full ingested corpus (the heap-merge invariant): later
+    media genuinely displace earlier top-k rows, proven by comparing
+    against the one-shot recompute."""
+    cents = _cents_from(spark, _RETR_ROWS)
+    ing = _retr_ing(spark, tmp_path, cents)
+    for b in range(3):
+        ing.process(
+            _retr_frame(spark, [r for r in _RETR_ROWS if r[0] % 3 == b]), b
+        )
+    got = sorted(map(tuple, ing.retrieval_topk().collect()))
+    want = sorted(map(tuple, _batch_topk(spark, _RETR_ROWS, cents).collect()))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_retrieval_ingestor_replay_and_fold_neutral(spark, tmp_path):
+    cents = _cents_from(spark, _RETR_ROWS)
+    a = _retr_ing(spark, tmp_path / "a", cents)
+    b = _retr_ing(spark, tmp_path / "b", cents, auto_compact_every=2)
+    batches = [
+        _retr_frame(spark, [r for r in _RETR_ROWS if r[0] % 3 == i])
+        for i in range(3)
+    ]
+    for ing in (a, b):
+        for i, bdf in enumerate(batches):
+            ing.process(bdf, i)
+        ing.process(batches[1], 1)  # ledger re-delivery: must be skipped
+    ra = sorted(map(tuple, a.retrieval_topk().collect()))
+    rb = sorted(map(tuple, b.retrieval_topk().collect()))
+    assert ra == rb
+    # and both equal the batch recompute
+    want = sorted(map(tuple, _batch_topk(spark, _RETR_ROWS, cents).collect()))
+    assert ra == want
+
+
+def test_retrieval_ingestor_full_and_tiered_folds_agree(spark, tmp_path):
+    cents = _cents_from(spark, _RETR_ROWS)
+    a = _retr_ing(spark, tmp_path / "a", cents, auto_compact_every=2,
+                  compact_mode="full")
+    b = _retr_ing(spark, tmp_path / "b", cents, auto_compact_every=2,
+                  compact_mode="tiered")
+    for ing in (a, b):
+        for i in range(3):
+            ing.process(
+                _retr_frame(spark, [r for r in _RETR_ROWS if r[0] % 3 == i]), i
+            )
+    assert sorted(map(tuple, a.retrieval_topk().collect())) == sorted(
+        map(tuple, b.retrieval_topk().collect())
+    )
