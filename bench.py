@@ -175,6 +175,12 @@ HEADLINE = [
     "corpus_mixture_pack",
     # curriculum assembly: perplexity-tercile-ordered BPE packing
     "corpus_curriculum_pack",
+    # round-14: streaming retrieval maintenance (RetrievalIngestor —
+    # per-caption top-k under media ingest, mid-stream tiered fold)
+    "stream_retrieval_topk",
+    # round-14: the one-shot training-run assembly capstone (curate ->
+    # mixture select -> BPE pack -> physical shard export + manifest)
+    "corpus_training_run",
 ]
 
 # Final-line overflow shard (round-7): the driver's bounded tail capture
@@ -281,6 +287,16 @@ SHARDED = [
     # the windowed-clean sibling of the official dedup_substring_exact
     "text_lm_buckets",  # (text_lm_perplexity)
     "dedup_substring_clean",  # (dedup_substring_exact)
+    # headroom for the official stream_retrieval_topk row (round-14): the
+    # curriculum pack is the tercile-ordered sibling of the official
+    # corpus_mixture_pack (same E-S draw + BPE-budget packing law),
+    # r13-recorded, no BASELINE round-1 row
+    "corpus_curriculum_pack",  # (corpus_mixture_pack)
+    # headroom for the official corpus_training_run row (round-14): the
+    # curate stage rides INSIDE the capstone verbatim (LSH-verify ->
+    # components -> quality gate), so the standalone pipeline row is its
+    # strict-subset sibling; no BASELINE round-1 row
+    "curation_pipeline",  # (corpus_training_run)
 ]
 
 QUEUE_JOBS = int(os.environ.get("SPARK_GRAFT_QUEUE_JOBS", "2000"))

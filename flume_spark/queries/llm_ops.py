@@ -921,6 +921,56 @@ FROM cum GROUP BY 1, 2
 PACK_BPE_SQL = _pack_bpe_sql()
 
 
+def _mixture_select(d: DataFrame, k_total: int = 200) -> DataFrame:
+    """THE temperature-mixture selection law (stages 1-2 of
+    `corpus_mixture_pack`'s docstring), over a checkpointed
+    (doc_id, lang, n_tokens) frame: ppm-quantized alpha=0.3 mixture
+    quotas, then the per-language Efraimidis-Spirakis draw.  One
+    definition — `corpus_mixture_pack` and the `corpus_training_run`
+    capstone both call it (round-13 review: duplicated law copies are
+    how hash equality silently dies).  Returns the checkpointed
+    (doc_id, lang) selection (~k_total rows, broadcastable)."""
+    g = d.groupBy(F.col("lang").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    mw = text.mixture_weights_from_counts(g, "lang", alpha=0.3)
+    quota = (
+        mw.select(
+            "lang",
+            F.floor(F.col("weight") * 1e6 + F.lit(0.5)).cast("long").alias("wq"),
+        )
+        .select(
+            "lang", F.expr(f"({k_total} * wq) div 1000000").alias("quota")
+        )
+    )
+
+    d = d.filter(F.col("n_tokens") > 0)
+    h = F.conv(
+        F.substring(text.seeded_key("flume", "doc_id"), 1, 12), 16, 10
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(1 << 48))
+    keyed = d.withColumn(
+        "_key", -F.log(u) / F.col("n_tokens").cast("double")
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("lang").orderBy("_key", "doc_id")
+    )
+    # the selection is consumed TWICE (the BPE join and the per-pack
+    # n_langs join) — checkpoint it so the rank window's subtree is not
+    # replanned and re-executed per consumer (the curate_spans staging
+    # discipline); ~k_total rows, broadcastable on both uses
+    return (
+        keyed.withColumn("rn", rn)
+        .join(F.broadcast(quota), "lang")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "lang")
+        .localCheckpoint(eager=True)
+    )
+
+
 def corpus_mixture_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The final pre-training assembly step (round-12 VERDICT item 7):
     temperature-mixed, token-budgeted shard plan composing three already-
@@ -958,45 +1008,7 @@ def corpus_mixture_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size(text.tokens_col("text")).alias("n_tokens"),
     ).localCheckpoint(eager=True)
-    g = d.groupBy(F.col("lang").alias("grp")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
-    )
-    mw = text.mixture_weights_from_counts(g, "lang", alpha=0.3)
-    quota = (
-        mw.select(
-            "lang",
-            F.floor(F.col("weight") * 1e6 + F.lit(0.5)).cast("long").alias("wq"),
-        )
-        .select(
-            "lang", F.expr(f"({k_total} * wq) div 1000000").alias("quota")
-        )
-    )
-
-    d = d.filter(F.col("n_tokens") > 0)
-    h = F.conv(
-        F.substring(text.seeded_key("flume", "doc_id"), 1, 12), 16, 10
-    ).cast("double")
-    u = (h + F.lit(1.0)) / F.lit(float(1 << 48))
-    keyed = d.withColumn(
-        "_key", -F.log(u) / F.col("n_tokens").cast("double")
-    )
-    from pyspark.sql.window import Window
-
-    rn = F.row_number().over(
-        Window.partitionBy("lang").orderBy("_key", "doc_id")
-    )
-    # the selection is consumed TWICE (the BPE join and the per-pack
-    # n_langs join) — checkpoint it so the rank window's subtree is not
-    # replanned and re-executed per consumer (the curate_spans staging
-    # discipline); ~k_total rows, broadcastable on both uses
-    sel = (
-        keyed.withColumn("rn", rn)
-        .join(F.broadcast(quota), "lang")
-        .filter(F.col("rn") <= F.col("quota"))
-        .select("doc_id", "lang")
-        .localCheckpoint(eager=True)
-    )
+    sel = _mixture_select(d, k_total)
 
     # checkpointed frames carry no stats: force the broadcast Catalyst
     # can no longer infer (the test_plans model-spine discipline)
@@ -1076,6 +1088,219 @@ FROM cum GROUP BY 1, 2
 
 
 CORPUS_MIXTURE_PACK_SQL = _mixture_pack_sql()
+
+
+def corpus_training_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-shot TRAINING-RUN ASSEMBLY capstone (round-14, r13
+    VERDICT missing#2): the single declared query that chains what a
+    training job actually consumes end-to-end —
+
+      1. CURATE: the `curation_pipeline` law verbatim (LSH-verified
+         near-dup pairs -> connected components -> drop non-canonical ->
+         quality >= 0.5).
+      2. SELECT + PACK: the `corpus_mixture_pack` law over the CURATED
+         survivors (`_mixture_select`, THE shared draw definition;
+         real-BPE `pack_by_counts`, budget 256, 8 shards).
+      3. EXPORT: `write_training_shards` physically writes the selected
+         docs as 8 shard files + `_manifest.json`; the returned rows'
+         (n_docs, n_tokens, n_chars) come FROM THE WRITTEN MANIFEST —
+         aggregated over the files that landed, not the source frame —
+         joined with the pack-plan bounds (pack_min/pack_max/
+         pack_tokens) per shard, all exact integers.
+
+    Hash-equality against the declarative replay therefore pins the
+    whole chain INCLUDING the physical export: if the written shards
+    diverged from the logical law, the manifest-sourced columns would
+    hash-mismatch.  Composition discipline: each stage output is
+    localCheckpoint'd and selection-sized frames re-broadcast (the
+    round-8 re-inlining trap; checkpointed frames carry no stats)."""
+    import shutil
+    import tempfile
+
+    from flume_spark.operators import export
+    from flume_spark.operators.sizing import suggest_lsh_bands
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = dedup.lsh_verified_pairs(
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=2,
+        num_hashes=16,
+        bands=suggest_lsh_bands(16, 0.7),
+        threshold=0.3,
+    )
+    comps = dedup.connected_components(pairs, "doc_a", "doc_b")
+    dropped = comps.filter(F.col("doc_id") != F.col("component")).select(
+        "doc_id"
+    )
+    scored = text.quality_score(docs, "doc_id", "text")
+    curated = (
+        docs.join(scored.select("doc_id", "quality"), "doc_id")
+        .join(dropped, "doc_id", "left_anti")
+        .filter(F.col("quality") >= 0.5)
+        .select("doc_id", "lang", "text")
+        .localCheckpoint(eager=True)
+    )
+    d = curated.select(
+        "doc_id",
+        "lang",
+        F.size(text.tokens_col("text")).alias("n_tokens"),
+    ).localCheckpoint(eager=True)
+    sel = _mixture_select(d, k_total=200)
+    counted = text.bpe_token_count(
+        curated.join(F.broadcast(sel.select("doc_id")), "doc_id"),
+        "doc_id",
+        "text",
+        text.EN_MERGES_DEMO,
+    )
+    packed = text.pack_by_counts(
+        counted, "doc_id", "n_bpe_tokens", budget=256, shards=8
+    ).localCheckpoint(eager=True)
+    selected = curated.join(F.broadcast(sel.select("doc_id")), "doc_id").select(
+        "doc_id", "text"
+    )
+    root = tempfile.mkdtemp(prefix="training_run_")
+    try:
+        manifest = export.write_training_shards(
+            selected, root, "doc_id", "text", shards=8
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    man_rows = [
+        (int(s), v["n_docs"], v["n_tokens"], v["n_chars"])
+        for s, v in manifest["per_shard"].items()
+    ]
+    man = spark.createDataFrame(
+        man_rows, "shard int, n_docs long, n_tokens long, n_chars long"
+    )
+    pk = packed.groupBy("shard").agg(
+        F.min("pack_id").alias("pack_min"),
+        F.max("pack_id").alias("pack_max"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+    )
+    return man.join(pk, "shard").select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "pack_min",
+        "pack_max",
+        "pack_tokens",
+    )
+
+
+def _training_run_sql() -> str:
+    bpe = text.bpe_replace_sql("text", text.EN_MERGES_DEMO)
+    return f"""
+WITH RECURSIVE {_LSH_VERIFY_CTES},
+edges AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE round(i.n_inter * 1.0 / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.3
+),
+bidir AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+),
+reach AS (
+  SELECT src, dst FROM bidir
+  UNION
+  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+),
+dropped AS (
+  SELECT src AS doc_id FROM reach GROUP BY src
+  HAVING least(src, min(dst)) != src
+),
+toks2 AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+qual AS (
+  SELECT doc_id,
+         least(len(t) / 100.0, 1.0) * 0.5
+           + least(len(list_filter(t,
+               x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) * 1.0
+               / len(t) * 5.0, 1.0) * 0.25
+           + len(list_distinct(t)) * 1.0 / len(t) * 0.25 AS quality
+  FROM toks2
+),
+cur AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d JOIN qual ON qual.doc_id = d.doc_id
+  WHERE qual.quality >= 0.5
+    AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+),
+g AS (
+  SELECT lang,
+         CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM cur GROUP BY lang
+),
+tot AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS ta FROM g),
+q AS (
+  SELECT lang,
+         (200 * CAST(floor(round(pow(CAST(n_tokens AS DOUBLE), 0.3) / ta, 6)
+                           * 1000000 + 0.5) AS BIGINT)) // 1000000 AS quota
+  FROM g CROSS JOIN tot
+),
+t AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM cur
+),
+keyed AS (
+  SELECT doc_id, lang,
+         -ln( (('0x' || substr(md5('flume:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+               + 1.0) / 281474976710656.0 )
+           / CAST(n_tokens AS DOUBLE) AS k
+  FROM t WHERE n_tokens > 0
+),
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rn
+  FROM keyed
+),
+sel AS (
+  SELECT doc_id, lang FROM ranked JOIN q USING (lang) WHERE rn <= quota
+),
+staged AS (
+  SELECT d.doc_id, CAST(d.doc_id % 8 AS INT) AS shard,
+         CAST({bpe} AS BIGINT) AS n_bpe
+  FROM cur d JOIN sel ON sel.doc_id = d.doc_id
+),
+cum AS (
+  SELECT doc_id, shard, n_bpe,
+         sum(n_bpe) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM staged
+),
+packs AS (
+  SELECT shard,
+         CAST(min(floor((cum_tokens - n_bpe) / 256.0)) AS INT) AS pack_min,
+         CAST(max(floor((cum_tokens - n_bpe) / 256.0)) AS INT) AS pack_max,
+         CAST(sum(n_bpe) AS BIGINT) AS pack_tokens
+  FROM cum GROUP BY shard
+),
+man AS (
+  SELECT CAST(c.doc_id % 8 AS INT) AS shard,
+         count(*) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(lower(trim(c.text)), '\\s+'))) AS BIGINT)
+           AS n_tokens,
+         CAST(sum(length(c.text)) AS BIGINT) AS n_chars
+  FROM cur c JOIN sel ON sel.doc_id = c.doc_id
+  GROUP BY 1
+)
+SELECT man.shard, man.n_docs, man.n_tokens, man.n_chars,
+       packs.pack_min, packs.pack_max, packs.pack_tokens
+FROM man JOIN packs ON man.shard = packs.shard
+"""
+
+
+CORPUS_TRAINING_RUN_SQL = _training_run_sql()
 
 
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2397,6 +2622,93 @@ FROM ranked WHERE "rank" <= 3
 """.replace("__ORACLE_KC__", str(RETRIEVAL_ORACLE_KC))
 
 
+def stream_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming retrieval through the REAL RetrievalIngestor
+    (streaming/dedup.py::RetrievalIngestor — round-14, r13 VERDICT
+    missing#1): per-caption top-3 best-aligned media MAINTAINED under
+    media ingest, where the batch query recomputes the world.  Docs
+    arrive in 3 micro-batches (doc_id % 3), each contributing both its
+    media payload and its caption; the centroid space is FROZEN from the
+    batch-0 media (the md5 draw the batch oracle replays), so later
+    batches' media genuinely DISPLACE earlier top-k rows — leg 2's
+    incremental re-rank touches only captions in the new media's
+    clusters (cbucket dir pruning + cluster semi-join), merged with
+    stored top-k under the heap-merge invariant
+    top-k(top-k(old) ∪ new) = top-k(all).  `auto_compact_every=2` folds
+    all three state dirs MID-STREAM (tiered default) and one batch is
+    re-delivered and ledger-skipped; the final state must still equal
+    the one-shot batch law over the full corpus — hash-equality against
+    the declarative replay proves the incremental maintenance, the
+    visibility rule, ledger idempotence, AND fold-neutrality at once."""
+    import shutil
+    import tempfile
+
+    from flume_spark.streaming.dedup import RetrievalIngestor
+
+    docs = T(spark, sf_dir, "documents")
+    pay = multimodal.to_binary_payload(docs, "doc_id", "text")
+    frame = pay.select("id", "payload").join(
+        docs.select(
+            F.col("doc_id").alias("id"), F.col("text").alias("caption")
+        ),
+        "id",
+    )
+    mf0 = multimodal.feature_extract_stub(
+        pay.select("id", "payload").filter(F.col("id") % 3 == 0)
+    )
+    init = (
+        mf0.orderBy(F.md5(F.col("id").cast("string")), "id")
+        .limit(RETRIEVAL_ORACLE_KC)
+        .select("features")
+        .collect()
+    )
+    if not init:  # empty corpus: no centroid space, nothing to ingest
+        return spark.createDataFrame(
+            [], "caption_id long, media_id long, rank int, align_q bigint"
+        )
+    cents = [list(r["features"]) for r in init]
+    root = tempfile.mkdtemp(prefix="retr_ingest_")
+    ing = RetrievalIngestor(
+        spark,
+        index_dir=f"{root}/index",
+        caps_dir=f"{root}/caps",
+        topk_dir=f"{root}/topk",
+        ledger_dir=f"{root}/ledger",
+        centroids=cents,
+        id_col="id",
+        auto_compact_every=2,
+    )
+    try:
+        batches = [frame.filter(F.col("id") % 3 == b) for b in range(3)]
+        for b, bdf in enumerate(batches):
+            ing.process(bdf, b)
+        ing.process(batches[1], 1)  # re-delivered batch id: ledger must skip
+        out = ing.retrieval_topk()
+        if out is None:
+            return spark.createDataFrame(
+                [], "caption_id long, media_id long, rank int, align_q bigint"
+            )
+        return out.select(
+            F.col("id").alias("caption_id"), "media_id", "rank", "align_q"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# The maintained state equals the one-shot batch law over the full corpus
+# in the FROZEN batch-0 centroid space (the heap-merge invariant — see
+# RetrievalIngestor), so the replay is the batch retrieval SQL with the
+# init draw restricted to the batch-0 slice.
+STREAM_RETRIEVAL_SQL = MULTIMODAL_RETRIEVAL_SQL.replace(
+    """  FROM fm
+  ORDER BY md5(CAST(id AS VARCHAR)), id""",
+    """  FROM fm
+  WHERE id % 3 = 0
+  ORDER BY md5(CAST(id AS VARCHAR)), id""",
+    1,
+)
+
+
 # cosine thresholds whose tau^2 * 1e6 is an EXACT integer, so the sweep
 # reduces to align_q >= cutoff with no float boundary: floor(x) >= n
 # <=> x >= n for integer n, and align_q > 0 already encodes D > 0
@@ -3616,6 +3928,8 @@ QUERIES = {
     "stream_media_funnel": stream_media_funnel,
     "stream_frame_dedup": stream_frame_dedup,
     "stream_lm_perplexity": stream_lm_perplexity,
+    "stream_retrieval_topk": stream_retrieval_topk,
+    "corpus_training_run": corpus_training_run,
     "multimodal_meta": multimodal_meta,
 }
 
@@ -3686,5 +4000,7 @@ ORACLES = {
     "stream_media_funnel": STREAM_MEDIA_FUNNEL_SQL,
     "stream_frame_dedup": STREAM_FRAME_SQL,
     "stream_lm_perplexity": STREAM_LM_PERPLEXITY_SQL,
+    "stream_retrieval_topk": STREAM_RETRIEVAL_SQL,
+    "corpus_training_run": CORPUS_TRAINING_RUN_SQL,
     "multimodal_meta": MULTIMODAL_META_SQL,
 }

@@ -2255,6 +2255,115 @@ def main_align() -> None:
     )
 
 
+def main_retrieval() -> None:
+    """RetrievalIngestor per-batch cost vs history size: one FIXED
+    1000-doc batch (media + captions) timed against history x1/x10/x50
+    ingested as 16 micro-batches.  Each factor constructs its ingestor
+    with k ~ n_hist/125 frozen centroids (the SemDeDup k-proportional
+    discipline a real deployment sizes at — or maintains via epoch
+    rolls), so mean cluster population stays ~constant and the expected
+    shape is ~flat per-batch cost: leg 1 is new_captions x their cluster
+    populations, leg 2 is touched-cluster captions x new media, both
+    O(batch x n/k).  A frozen UNDERSIZED k would instead show the linear
+    growth this probe exists to catch."""
+    import shutil
+    import tempfile
+
+    from flume_spark.operators.multimodal import to_binary_payload
+    from flume_spark.streaming.dedup import RetrievalIngestor
+
+    factors = [int(a) for a in sys.argv[2:]] or [1, 10, 50]
+    n_hist_batches = 16
+    spark = get_spark(app_name="flume_probe_retrieval")
+
+    def retr_frame(docs):
+        pay = to_binary_payload(docs, "doc_id", "text")
+        return pay.select("id", "payload").join(
+            docs.select(
+                F.col("doc_id").alias("id"), F.col("text").alias("caption")
+            ),
+            "id",
+        )
+
+    fixed = retr_frame(
+        scaled_docs(spark, 1).filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 900_000_000).alias("doc_id"), "text"
+        )
+    ).localCheckpoint(eager=True)
+    times: dict[int, float] = {}
+    for f in factors:
+        hist = retr_frame(scaled_docs(spark, f)).localCheckpoint(eager=True)
+        n_hist = hist.count()
+        kc = max(4, n_hist // 125)
+        from flume_spark.operators.multimodal import feature_extract_stub
+
+        cents = [
+            list(r["features"])
+            for r in feature_extract_stub(hist.select("id", "payload"))
+            .orderBy(F.md5(F.col("id").cast("string")), "id")
+            .limit(kc)
+            .select("features")
+            .collect()
+        ]
+        batches = [
+            hist.filter(F.col("id") % n_hist_batches == b)
+            for b in range(n_hist_batches)
+        ]
+        root = tempfile.mkdtemp(prefix="retr_probe_")
+        ing = RetrievalIngestor(
+            spark,
+            index_dir=f"{root}/index",
+            caps_dir=f"{root}/caps",
+            topk_dir=f"{root}/topk",
+            ledger_dir=f"{root}/ledger",
+            centroids=cents,
+            id_col="id",
+            auto_compact_every=4,
+        )
+        for b, bdf in enumerate(batches):
+            ing.process(bdf, b)
+        t0 = time.perf_counter()
+        ing.process(fixed, n_hist_batches)
+        dt = time.perf_counter() - t0
+        times[f] = dt
+        print(
+            json.dumps(
+                {
+                    "factor": f,
+                    "history": n_hist,
+                    "k": kc,
+                    "ingest_sec": round(dt, 2),
+                }
+            ),
+            flush=True,
+        )
+        shutil.rmtree(root, ignore_errors=True)
+        hist.unpersist()
+        spark.catalog.clearCache()
+    base = factors[0]
+    print(
+        json.dumps(
+            {
+                "summary": {
+                    "retrieval_ingest": {
+                        "sec": {k: round(v, 2) for k, v in times.items()},
+                        "exponent": {
+                            f: round(
+                                math.log(times[f] / times[base])
+                                / math.log(f / base),
+                                2,
+                            )
+                            for f in times
+                            if f != base and times[f] > 0
+                        },
+                    }
+                }
+            }
+        ),
+        flush=True,
+    )
+
+
 def main_mixpack() -> None:
     """corpus_mixture_pack pack-stage cost vs selected-doc count (the
     round-12 VERDICT item 7 done-criterion: pack cost LINEAR in docs):
@@ -2557,6 +2666,8 @@ if __name__ == "__main__":
         main_frame()
     elif len(sys.argv) > 1 and sys.argv[1] == "--align":
         main_align()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--retrieval":
+        main_retrieval()
     elif len(sys.argv) > 1 and sys.argv[1] == "--tiered":
         main_tiered()
     elif len(sys.argv) > 1 and sys.argv[1] == "--mixpack":
