@@ -185,13 +185,18 @@ class LshIngestor:
     def _has_parquet(root: str) -> bool:
         import os
 
-        # ignore in-flight _temporary dirs: a crash mid-write leaves them
-        # behind with no committed data files, and counting them would make
-        # a replay read an unreadable "index"
+        # ignore ANY underscore-prefixed subtree — Spark's own data-source
+        # listing rule: in-flight _temporary dirs (a crash mid-write
+        # leaves them behind with no committed data files) and sidecar
+        # tables like the FrameIngestor _ambient accounting, which must
+        # not make an empty marks dir read as readable
         return any(
             f.endswith(".parquet")
             for dirpath, _, files in os.walk(root)
-            if "_temporary" not in dirpath
+            if not any(
+                part.startswith("_")
+                for part in os.path.relpath(dirpath, root).split(os.sep)
+            )
             for f in files
         )
 
@@ -1491,11 +1496,27 @@ class FrameIngestor:
                 occ.groupBy("fhash")
                 .agg(F.count_distinct("d").alias("df"))
                 .filter(F.col("df") > self.max_df)
-                .select("fhash")
+                .select("fhash", "df")
+                .localCheckpoint(eager=True)
             )
-            fh_probe = fh.join(F.broadcast(hot), "fhash", "left_anti")
+            # ambient accounting (round-14, r13 VERDICT item 8 — parity
+            # with the batch `frame_ambient_hashes`): persist what the
+            # gate dropped, per batch, so silent-drop visibility exists
+            # in the streaming form too.  The hot list is broadcastable
+            # by construction (<= occurrences/max_df rows), so the write
+            # is index_buckets-trivial; it rides an underscore dir the
+            # parquet reader of the marks table ignores.
+            import os as _os
+
+            hot.write.mode("overwrite").parquet(
+                _os.path.join(
+                    self.marks_dir, "_ambient", f"ingest_batch={batch_id}"
+                )
+            )
+            hot_keys = hot.select("fhash")
+            fh_probe = fh.join(F.broadcast(hot_keys), "fhash", "left_anti")
             if hist is not None:
-                hist = hist.join(F.broadcast(hot), "fhash", "left_anti")
+                hist = hist.join(F.broadcast(hot_keys), "fhash", "left_anti")
         seniors = None
         if hist is not None:
             seniors = self._containment(fh_probe, hist).withColumnRenamed(
@@ -1601,6 +1622,22 @@ class FrameIngestor:
             F.col("id").alias(self.id_col),
             "dup_of",
             F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+
+    def ambient_hashes(self):
+        """(fhash, df, ingest_batch) — every frame hash the max_df gate
+        dropped, per batch, with its document frequency AS OF that
+        batch's probe (round-14: streaming parity with the batch
+        `frame_ambient_hashes`, so gated deployments can audit what
+        silently stopped matching).  None when the gate never fired
+        (max_df unset, or no batch crossed it)."""
+        import os
+
+        d = os.path.join(self.marks_dir, "_ambient")
+        if not LshIngestor._has_parquet(d):
+            return None
+        return self.spark.read.parquet(d).select(
+            "fhash", "df", "ingest_batch"
         )
 
 

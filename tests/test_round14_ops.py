@@ -343,3 +343,30 @@ def test_retrieval_ingestor_full_and_tiered_folds_agree(spark, tmp_path):
     assert sorted(map(tuple, a.retrieval_topk().collect())) == sorted(
         map(tuple, b.retrieval_topk().collect())
     )
+
+
+# -- FrameIngestor ambient accounting parity (r13 VERDICT item 8) -------------
+
+
+def test_frame_ingestor_ambient_hashes_accounting(spark, tmp_path):
+    """The streaming max_df gate must leave an audit trail matching the
+    batch `frame_ambient_hashes` convention: every dropped hash appears
+    in `ambient_hashes()` with its df AS OF the batch that gated it;
+    ungated runs return None."""
+    from tests.test_round12_ops import _clip, _frame_ing, _pay
+
+    gated = _frame_ing(spark, tmp_path, tag="_g", min_shared=2, max_df=3)
+    plain = _frame_ing(spark, tmp_path, tag="_p", min_shared=2)
+    b0 = [(1, _clip(100, 1, 2, 3)), (2, _clip(100, 9, 8, 7))]
+    b1 = [(3, _clip(100, 1, 2, 30)), (4, _clip(100, 50, 2, 60))]
+    for b, rows in enumerate([b0, b1]):
+        gated.process(_pay(spark, rows), b)
+        plain.process(_pay(spark, rows), b)
+    amb = gated.ambient_hashes()
+    assert amb is not None
+    rows = amb.collect()
+    # the shared w100 hash crossed max_df=3 at batch 1 (df = 4)
+    assert [(r["df"], r["ingest_batch"]) for r in rows] == [(4, 1)]
+    # the ungated twin has no trail, and its marks table stays readable
+    assert plain.ambient_hashes() is None
+    assert len(plain.dup_marks().collect()) == 4
