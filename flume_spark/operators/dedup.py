@@ -350,12 +350,18 @@ def lsh_verified_pairs(
     # (|inter| <= |cands|) against the per-doc size table.  At extreme dup
     # rates where candidates are genuinely data-sized, pass
     # broadcast_candidates=False to restore AQE's per-size choice.
+    # The hint must ride EVERY candidate-bounded side, not just the first
+    # join's: a broadcast hint attaches to the marked subtree only, so
+    # `_b(cands).join(sh).join(sh2)` leaves the second join unhinted
+    # (the round-14 review catch).  a_sh (candidates x their own
+    # shingles) is still candidate-bounded, as is the aggregated inter.
     _b = F.broadcast if broadcast_candidates else (lambda d: d)
     a_sh = _b(cands).join(
         sh.select(F.col("id").alias("doc_a"), "shingle"), "doc_a"
     )
     inter = (
-        a_sh.join(
+        _b(a_sh)
+        .join(
             sh.select(F.col("id").alias("doc_b"), "shingle"),
             ["doc_b", "shingle"],
         )
@@ -366,9 +372,10 @@ def lsh_verified_pairs(
     sb = sizes.alias("sb")
     # No broadcast hint on the size side: at scale it is one row per doc (not
     # broadcastable); the probe side (aggregated candidate pairs) is the
-    # small side and carries the explicit hint (see above).
+    # small side and carries the explicit hint ON BOTH size joins — the
+    # inter⋈sa result is still pair-bounded, so it re-broadcasts against sb.
     return (
-        _b(inter).join(sa, F.col("doc_a") == F.col("sa.id"))
+        _b(_b(inter).join(sa, F.col("doc_a") == F.col("sa.id")))
         .join(sb, F.col("doc_b") == F.col("sb.id"))
         .select(
             "doc_a",

@@ -1472,7 +1472,7 @@ def lm_perplexity(
     scale: int = 1_000_000,
     model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     prune_min_count: int = 1,
-    broadcast_model: bool = True,
+    broadcast_model: bool | None = None,
 ) -> DataFrame:
     """Add-k-smoothed bigram LM perplexity per document — the missing
     half of the model-based-filtering pair (CCNet's quality signal:
@@ -1497,10 +1497,11 @@ def lm_perplexity(
     never drops rows).
 
     Plan shape: the corpus streams through one bigram explode + tf
-    aggregate; the ONLY data-sized join is tf⋈bigrams on (w1, w2), and the
-    model side rides as an EXPLICIT broadcast by default (reference-slice-
-    bounded, vocabulary-plateaued — see `broadcast_model` below); contexts
-    and the 1-row vocab ride as explicit broadcasts too.  Nothing is
+    aggregate; the ONLY data-sized join is tf⋈bigrams on (w1, w2), and
+    when a bounded model is supplied (a `model` triple or a `ref_df`
+    slice) the model side rides as an EXPLICIT broadcast (AUTO default —
+    see the inline note; train-on-self stays AQE-decided); contexts and
+    the 1-row vocab ride as explicit broadcasts always.  Nothing is
     pairwise, no Python anywhere.
 
     Pass ``model`` (the (bigrams, contexts, vocab) triple of
@@ -1522,15 +1523,21 @@ def lm_perplexity(
         .groupBy(id_col, "w1", "w2")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # The bigram-count frame is model-sided: reference-slice-bounded and
-    # vocabulary-plateaued (counts grow, DISTINCT bigrams plateau), so it is
-    # broadcastable by construction — pin it instead of trusting AQE's
-    # runtime conversion.  Round-13's driver record showed this exact join
-    # silently degrading (6.66s vs a 0.96s calm band on an unchanged plan):
-    # checkpointed/stats-less model frames can miss AQE's broadcast
-    # threshold and fall to a corpus-wide sort-merge with no gate tripping.
-    # `broadcast_model=False` releases the pin for the train-on-everything
-    # regime where the model side is genuinely data-sized.
+    # The bigram-count frame is model-sided: a reference-slice model is
+    # bounded and vocabulary-plateaued, so it is broadcastable by
+    # construction — pin it instead of trusting AQE's runtime conversion.
+    # Round-13's driver record showed this exact join silently degrading
+    # (6.66s vs a 0.96s calm band on an unchanged plan): checkpointed/
+    # stats-less model frames can miss AQE's broadcast threshold and fall
+    # to a corpus-wide sort-merge with no gate tripping.  broadcast_model
+    # defaults to AUTO: pin when a bounded model was supplied (an explicit
+    # `model` triple or a `ref_df` slice); when training on the scored
+    # corpus itself (ref_df=None — curate_corpus's default lm_ref), the
+    # model side is CORPUS-sized and a forced broadcast would be a
+    # guaranteed OOM/8GB-limit failure where AQE's choice is merely slow,
+    # so the auto default leaves it unpinned there.
+    if broadcast_model is None:
+        broadcast_model = model is not None or ref_df is not df
     big_j = F.broadcast(big) if broadcast_model else big
     joined = (
         tf.join(big_j, ["w1", "w2"], "left")
@@ -1600,7 +1607,7 @@ def lm_backoff_score(
     text_col: str,
     ref_df: DataFrame | None = None,
     scale: int = 1_000_000,
-    broadcast_model: bool = True,
+    broadcast_model: bool | None = None,
 ) -> DataFrame:
     """Trigram STUPID-BACKOFF LM scoring (Brants et al. 2007, the
     web-scale LM recipe: no normalization, a fixed 0.4 back-off factor
@@ -1619,11 +1626,11 @@ def lm_backoff_score(
 
     Plan shape: one trigram explode + tf aggregate over the corpus; the
     data-sized joins are tf⋈trigram-counts (w1,w2,w3) and tf⋈bigram-counts
-    (w2,w3) — both model-sided (reference-slice-bounded, vocabulary-
-    plateaued), so both ride as EXPLICIT broadcasts by default
-    (`broadcast_model`, same pinning rationale as `lm_perplexity`);
-    contexts/unigrams/the 1-row totals broadcast.  Returns
-    (id, n_trigrams, lp_int, ppl)."""
+    (w2,w3) — both model-sided; with a `ref_df` slice both ride as
+    EXPLICIT broadcasts (`broadcast_model` AUTO, same pinning-vs-OOM
+    rationale as `lm_perplexity`: train-on-self model frames are
+    corpus-sized and stay AQE-decided); contexts/unigrams/the 1-row
+    totals broadcast.  Returns (id, n_trigrams, lp_int, ppl)."""
     if ref_df is None:
         ref_df = df
     tg = trigram_pairs(ref_df, id_col, text_col)
@@ -1645,6 +1652,8 @@ def lm_backoff_score(
         .groupBy(id_col, "w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    if broadcast_model is None:
+        broadcast_model = ref_df is not df
     _b = F.broadcast if broadcast_model else (lambda d: d)
     j = (
         tf.join(_b(tri), ["w1", "w2", "w3"], "left")

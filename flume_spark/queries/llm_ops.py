@@ -446,18 +446,18 @@ FROM s GROUP BY 1, 2
 """
 
 
-def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation with the blessed near-dup path: MinHash-LSH
-    candidates -> exact-Jaccard verification -> connected components ->
-    drop non-canonical members; keep quality >= 0.5, report tokens — the
-    composed filter a training-data run applies before packing.  Each stage
-    is the already-oracled operator (dedup_lsh_verified, dedup_components
-    shape, text_quality_score); the composition is one declarative plan
-    (anti-join + quality filter + projection).  Mirrors
-    flume_spark.curation.curate_corpus(near_dup='lsh_verified')."""
+def _curation_survivors(docs: DataFrame) -> DataFrame:
+    """THE curate law (the `curation_pipeline` composition): MinHash-LSH
+    candidates -> exact-Jaccard verification (shingle 2 / 16 hashes /
+    bands from suggest_lsh_bands(16, 0.7) / threshold 0.3) -> connected
+    components -> drop non-canonical members -> quality >= 0.5.  One
+    definition — `curation_pipeline` and the `corpus_training_run`
+    capstone both call it, so a parameter tweak cannot silently diverge
+    the capstone from the standalone pipeline or from either SQL oracle
+    (the `_mixture_select` discipline).  Returns the quality_score frame
+    of the survivors (doc_id, n_tokens, quality)."""
     from flume_spark.operators.sizing import suggest_lsh_bands
 
-    docs = T(spark, sf_dir, "documents")
     pairs = dedup.lsh_verified_pairs(
         docs,
         "doc_id",
@@ -468,13 +468,27 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.3,
     )
     comps = dedup.connected_components(pairs, "doc_a", "doc_b")
-    dropped = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
-    scored = text.quality_score(docs, "doc_id", "text")
-    return (
-        scored.join(dropped, "doc_id", "left_anti")
-        .filter(F.col("quality") >= 0.5)
-        .select("doc_id", "n_tokens", "quality")
+    dropped = comps.filter(F.col("doc_id") != F.col("component")).select(
+        "doc_id"
     )
+    scored = text.quality_score(docs, "doc_id", "text")
+    return scored.join(dropped, "doc_id", "left_anti").filter(
+        F.col("quality") >= 0.5
+    )
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation with the blessed near-dup path: MinHash-LSH
+    candidates -> exact-Jaccard verification -> connected components ->
+    drop non-canonical members; keep quality >= 0.5, report tokens — the
+    composed filter a training-data run applies before packing
+    (`_curation_survivors`, THE shared curate law).  Each stage is the
+    already-oracled operator (dedup_lsh_verified, dedup_components
+    shape, text_quality_score); the composition is one declarative plan
+    (anti-join + quality filter + projection).  Mirrors
+    flume_spark.curation.curate_corpus(near_dup='lsh_verified')."""
+    docs = T(spark, sf_dir, "documents")
+    return _curation_survivors(docs).select("doc_id", "n_tokens", "quality")
 
 
 CURATION_SQL = f"""
@@ -1095,9 +1109,9 @@ def corpus_training_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERDICT missing#2): the single declared query that chains what a
     training job actually consumes end-to-end —
 
-      1. CURATE: the `curation_pipeline` law verbatim (LSH-verified
-         near-dup pairs -> connected components -> drop non-canonical ->
-         quality >= 0.5).
+      1. CURATE: the `curation_pipeline` law (`_curation_survivors`,
+         THE shared definition: LSH-verified near-dup pairs -> connected
+         components -> drop non-canonical -> quality >= 0.5).
       2. SELECT + PACK: the `corpus_mixture_pack` law over the CURATED
          survivors (`_mixture_select`, THE shared draw definition;
          real-BPE `pack_by_counts`, budget 256, 8 shards).
@@ -1118,27 +1132,10 @@ def corpus_training_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from flume_spark.operators import export
-    from flume_spark.operators.sizing import suggest_lsh_bands
 
     docs = T(spark, sf_dir, "documents")
-    pairs = dedup.lsh_verified_pairs(
-        docs,
-        "doc_id",
-        "text",
-        shingle_n=2,
-        num_hashes=16,
-        bands=suggest_lsh_bands(16, 0.7),
-        threshold=0.3,
-    )
-    comps = dedup.connected_components(pairs, "doc_a", "doc_b")
-    dropped = comps.filter(F.col("doc_id") != F.col("component")).select(
-        "doc_id"
-    )
-    scored = text.quality_score(docs, "doc_id", "text")
     curated = (
-        docs.join(scored.select("doc_id", "quality"), "doc_id")
-        .join(dropped, "doc_id", "left_anti")
-        .filter(F.col("quality") >= 0.5)
+        docs.join(_curation_survivors(docs).select("doc_id"), "doc_id")
         .select("doc_id", "lang", "text")
         .localCheckpoint(eager=True)
     )
@@ -2428,7 +2425,8 @@ def _retrieval_assignments(mf, tf, kc: int, table_threshold: int):
     """(media, caption) cluster assignments in one frozen media-drawn
     centroid space — list route below `table_threshold`, table-resident
     route past it.  Split out so tests can force both routes on the same
-    corpus and assert bit-equality."""
+    corpus; equality is exact in the all-cells-probed regime (see the
+    caller's docstring), approximate-by-design past it."""
     if kc > table_threshold:
         cdf = similarity.md5_init_centroids_df(mf, "id", "features", k=kc)
         am = similarity.kmeans_assign_table(
@@ -2481,9 +2479,15 @@ def multimodal_retrieval_topk(
     table-resident router (`kmeans_assign_table`) — with SemDeDup's
     k ∝ n discipline a 100 TB corpus pushes kc past 10⁷, the regime the
     --ctable probe measured has no list form (multi-GB driver broadcast
-    per assignment).  Same distance law both paths (centroid-at-a-time
-    accumulation, 6dp round before argmin, ties -> lowest cluster);
-    tests pin bit-equality of the two routes on this query."""
+    per assignment).  Same distance/tie law both paths (centroid-at-a-
+    time accumulation, 6dp round before argmin, ties -> lowest cluster);
+    the table route probes n_probe=2 coarse cells, so it is bit-equal to
+    the flat sweep exactly when every cell is probed (n_coarse <=
+    n_probe — the kc=4 regime the suite pins); past that the difference
+    is WHICH same-cluster candidates are scored — the IVF approximation
+    trade `ann_topk_ivf` pins and `SemanticIngestor`'s table mode
+    documents — never the arithmetic.  The sf0.01 oracle runs the list
+    path, so the committed hash is pinned regardless."""
     docs = T(spark, sf_dir, "documents")
     pay = multimodal.to_binary_payload(docs, "doc_id", "text")
     mf = multimodal.feature_extract_stub(pay).localCheckpoint(eager=True)

@@ -1504,15 +1504,20 @@ class FrameIngestor:
             # gate dropped, per batch, so silent-drop visibility exists
             # in the streaming form too.  The hot list is broadcastable
             # by construction (<= occurrences/max_df rows), so the write
-            # is index_buckets-trivial; it rides an underscore dir the
-            # parquet reader of the marks table ignores.
+            # is trivial; it rides an underscore dir the parquet reader
+            # of the marks table ignores.  Written ONLY when non-empty —
+            # an always-written schema-only file would flip
+            # ambient_hashes()'s None contract ("gate never fired") to
+            # an empty frame; skipping empties is replay-safe because
+            # hot is a pure function of the visible prefix.
             import os as _os
 
-            hot.write.mode("overwrite").parquet(
-                _os.path.join(
-                    self.marks_dir, "_ambient", f"ingest_batch={batch_id}"
+            if hot.count() > 0:
+                hot.write.mode("overwrite").parquet(
+                    _os.path.join(
+                        self.marks_dir, "_ambient", f"ingest_batch={batch_id}"
+                    )
                 )
-            )
             hot_keys = hot.select("fhash")
             fh_probe = fh.join(F.broadcast(hot_keys), "fhash", "left_anti")
             if hist is not None:
@@ -1551,6 +1556,13 @@ class FrameIngestor:
         new_index.write.mode("overwrite").partitionBy("fband").parquet(
             os.path.join(self.index_dir, f"ingest_batch={batch_id}")
         )
+        # release the per-batch checkpoint blocks (the AlignIngestor
+        # mi/ti discipline): a long-running stream otherwise accumulates
+        # dead cached frames per trigger.  An exception above kills the
+        # stream, so normal-path release is the one that matters.
+        fh.unpersist()
+        if self.max_df is not None:
+            hot.unpersist()
 
     # -- maintenance --------------------------------------------------------
 
@@ -2137,6 +2149,21 @@ class RetrievalIngestor:
         )
         return q.join(asg, "caption_id").withColumn("cbucket", self._cb())
 
+    @staticmethod
+    def _latest_per_caption(t):
+        """THE latest-wins read law: keep each caption's max-src_batch
+        row-set.  One definition — the leg-2 merge, the fold builders,
+        and `retrieval_topk` all call it (a tiebreaker added in one
+        copy would silently desynchronize fold from read)."""
+        from pyspark.sql.window import Window
+
+        wl = Window.partitionBy("caption_id")
+        return (
+            t.withColumn("__mx", F.max("src_batch").over(wl))
+            .filter(F.col("src_batch") == F.col("__mx"))
+            .drop("__mx")
+        )
+
     def _score_topk(self, caps, media):
         """Per-caption top-k of caps x media joined on cluster — the one
         scoring-and-ranking law both legs share."""
@@ -2165,6 +2192,7 @@ class RetrievalIngestor:
 
         mi = self._media_side(batch_df).localCheckpoint(eager=True)
         ti = self._caption_side(batch_df).localCheckpoint(eager=True)
+        out_ck = None
         try:
             mi_sl = mi.select("cluster", "media_id", *self.mcols, "mnorm2")
             # Leg 1: new captions vs all visible media in their clusters.
@@ -2233,13 +2261,8 @@ class RetrievalIngestor:
                             "leftsemi",
                         )
                     )
-                    wl = Window.partitionBy("caption_id")
-                    old_latest = (
-                        old.withColumn(
-                            "__mx", F.max("src_batch").over(wl)
-                        )
-                        .filter(F.col("src_batch") == F.col("__mx"))
-                        .select("caption_id", "cbucket", "media_id", "align_q")
+                    old_latest = self._latest_per_caption(old).select(
+                        "caption_id", "cbucket", "media_id", "align_q"
                     )
                     pool = new_scores.unionByName(old_latest)
                     rn = F.row_number().over(
@@ -2254,6 +2277,7 @@ class RetrievalIngestor:
             out = out.withColumn(
                 "src_batch", F.lit(batch_id).cast("long")
             ).localCheckpoint(eager=True)
+            out_ck = out
             out.write.mode("overwrite").partitionBy("cbucket").parquet(
                 os.path.join(self.topk_dir, f"ingest_batch={batch_id}")
             )
@@ -2266,6 +2290,8 @@ class RetrievalIngestor:
         finally:
             mi.unpersist()
             ti.unpersist()
+            if out_ck is not None:
+                out_ck.unpersist()
 
     # -- maintenance --------------------------------------------------------
 
@@ -2282,16 +2308,8 @@ class RetrievalIngestor:
             return build
 
         def latest(src):
-            from pyspark.sql.window import Window
-
-            wl = Window.partitionBy("caption_id")
-            return (
-                src.withColumn("__mx", F.max("src_batch").over(wl))
-                .filter(F.col("src_batch") == F.col("__mx"))
-                .select(
-                    "caption_id", "media_id", "align_q",
-                    "src_batch", "cbucket",
-                )
+            return self._latest_per_caption(src).select(
+                "caption_id", "media_id", "align_q", "src_batch", "cbucket"
             )
 
         return [
@@ -2378,10 +2396,8 @@ class RetrievalIngestor:
 
         if not LshIngestor._has_parquet(self.topk_dir):
             return None
-        t = self.spark.read.parquet(self.topk_dir)
-        wl = Window.partitionBy("caption_id")
-        latest = t.withColumn("__mx", F.max("src_batch").over(wl)).filter(
-            F.col("src_batch") == F.col("__mx")
+        latest = self._latest_per_caption(
+            self.spark.read.parquet(self.topk_dir)
         )
         rn = F.row_number().over(
             Window.partitionBy("caption_id").orderBy(

@@ -19,12 +19,12 @@ from tests.conftest import SF_SMOKE
 
 
 def test_retrieval_topk_list_and_table_routes_bit_equal(spark):
-    """The declared query must return identical rows whichever side of
-    `table_threshold` it lands on: the table-resident router is the SAME
-    assignment law (centroid-at-a-time accumulation, 6dp round before
-    argmin, ties -> lowest cluster) with the centroid table kept
-    distributed — at the smoke scale kc = 4, n_probe covers every coarse
-    cell, so equality is exact, not approximate."""
+    """In the all-cells-probed regime (kc = 4 -> n_coarse = 2 <=
+    n_probe = 2) the two routes must return IDENTICAL rows: same
+    distance/tie law, centroid table merely kept distributed.  (Past
+    that regime the table route is the documented IVF candidate
+    approximation — membership, never arithmetic — so exact frame
+    equality is only asserted here, where it genuinely holds.)"""
     lst = llm_ops.multimodal_retrieval_topk(
         spark, SF_SMOKE, table_threshold=10**9
     )
