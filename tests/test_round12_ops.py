@@ -358,7 +358,12 @@ def test_phash_replay_across_compaction_converges(spark, tmp_path):
 def test_phash_auto_compact_bounds_index_partitions(spark, tmp_path):
     """auto_compact_every=2 keeps the index at a bounded number of
     ingest_batch trees over a long schedule, with marks identical to a
-    never-compacted twin's."""
+    never-compacted twin's.  Under the tiered default (round-14) the
+    bound is the LSM invariant: at most compact_every fresh level-0
+    trees and fewer than `fanout` runs at every level >= 1 (the old
+    `<= 2 live trees` assertion was the monolithic-fold bound)."""
+    from flume_spark.streaming.state import run_level
+
     auto = _phash_ing(spark, tmp_path, tag="_a", auto_compact_every=2)
     plain = _phash_ing(spark, tmp_path, tag="_p")
     sched = _MEDIA_ROWS + [
@@ -370,7 +375,13 @@ def test_phash_auto_compact_bounds_index_partitions(spark, tmp_path):
         auto.process(_pay(spark, rows), b)
         plain.process(_pay(spark, rows), b)
         live = [p for p in auto._index_partitions() if p != -9]
-        assert len(live) <= 2  # at most compact_every live trees
+        by_level: dict[int, int] = {}
+        for p in live:
+            by_level[run_level(p)] = by_level.get(run_level(p), 0) + 1
+        assert by_level.get(0, 0) <= 2  # <= compact_every fresh trees
+        for level, n_runs in by_level.items():
+            if level >= 1:
+                assert n_runs < auto.fanout  # < fanout runs per level
     assert {tuple(r) for r in auto.dup_marks().collect()} == {
         tuple(r) for r in plain.dup_marks().collect()
     }
