@@ -319,6 +319,15 @@ def executed_plan_counts(df) -> dict[str, int] | None:
         plan = df._jdf.queryExecution().executedPlan().toString()
     except Exception:
         return None
+    # AdaptiveSparkPlan.toString() appends the pre-AQE "== Initial Plan =="
+    # section after the final one; counting the whole string conflates
+    # planned-but-replaced nodes with executed ones (round-14 measurement
+    # fix: curation_pipeline showed smj:1 from the Initial section while
+    # the Final plan ran a BroadcastHashJoin — exactly the drift signal
+    # this counter exists to isolate).  Count only the final section.
+    cut = plan.find("== Initial Plan ==")
+    if cut != -1:
+        plan = plan[:cut]
     return {
         "smj": plan.count("SortMergeJoin"),
         "bhj": plan.count("BroadcastHashJoin"),

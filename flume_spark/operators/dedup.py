@@ -597,7 +597,6 @@ def connected_components(
         bidir.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     # Convergence scalar: labels only ever decrease, so the label sum strictly
     # decreases iff any node changed.  Summed as decimal(38,0): a bigint sum
@@ -606,7 +605,17 @@ def connected_components(
     # (round-2 ADVICE).  1e10 rows x 9.2e18 max id ~ 1e29 << 1e38, so the
     # decimal sum is exact.
     label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
-    prev_sum = labels.agg(label_sum).collect()[0][0]
+    # Convergence sums ride `observe()`: the metric is computed DURING the
+    # same job that materializes the round's labels (the localCheckpoint),
+    # so the driver's scalar costs zero extra Spark actions — round-14:
+    # the separate labels.agg(..).collect() per round was one full
+    # fixed-overhead job per iteration on every CC consumer (curation
+    # pipeline, funnel, training-run capstone).
+    from pyspark.sql import Observation
+
+    obs0 = Observation()
+    labels = labels.observe(obs0, label_sum.alias("s")).localCheckpoint()
+    prev_sum = obs0.get["s"]
     for _ in range(max_iter):
         # Min-label propagation with pointer jumping: each node takes the min
         # over {its own label, neighbor labels, its label's label}.  The
@@ -622,10 +631,14 @@ def connected_components(
             .select(F.col("l1.node").alias("node"), F.col("l2.label").alias("label"))
         )
         contrib = neighbor.unionByName(labels).unionByName(grand)
+        obs = Observation()
         labels = (
-            contrib.groupBy("node").agg(F.min("label").alias("label")).localCheckpoint()
+            contrib.groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .observe(obs, label_sum.alias("s"))
+            .localCheckpoint()
         )
-        new_sum = labels.agg(label_sum).collect()[0][0]
+        new_sum = obs.get["s"]
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

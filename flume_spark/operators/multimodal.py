@@ -903,6 +903,7 @@ def quantized_feature_cols(
     id_col: str = "id",
     dim: int = 4,
     grid: int = 256,
+    keep: tuple = (),
 ) -> DataFrame:
     """Per-side quantization for PAIRING-scale alignment: the 1/grid
     lattice components as SCALAR columns ({prefix}0..{prefix}{dim-1})
@@ -923,12 +924,15 @@ def quantized_feature_cols(
         1,
         dim,
     )
-    out = df.select(F.col(id_col).alias(id_out), q.alias("__q"))
+    # `keep` columns ride through unchanged (round-14: lets a caller fuse
+    # e.g. a cluster-assignment column into this projection instead of
+    # re-attaching it with a self-join)
+    out = df.select(F.col(id_col).alias(id_out), *keep, q.alias("__q"))
     comps = [
         F.coalesce(F.get("__q", i), F.lit(0)).cast("long").alias(f"{prefix}{i}")
         for i in range(dim)
     ]
-    out = out.select(id_out, *comps)
+    out = out.select(id_out, *keep, *comps)
     norm2 = sum(
         F.col(f"{prefix}{i}") * F.col(f"{prefix}{i}") for i in range(dim)
     )

@@ -371,6 +371,39 @@ def kmeans_assign_vectorized(
     return pts.mapInPandas(_assign, schema="id long, cluster int, dist2 double")
 
 
+# Past this many frozen centroids the unrolled codegen expression stops
+# paying (codegen size grows k x dim); route to the Arrow kernel instead.
+ASSIGN_EXPR_MAX_K = 64
+
+
+def kmeans_assign_expr(vec_col: str, centroids: list[list[float]]):
+    """The frozen-centroid assignment law as ONE whole-stage-codegen
+    Column — the zero-boundary twin of `kmeans_assign_vectorized(...,
+    centroids=...)` for construction-constant centroid lists (round-14:
+    the Arrow kernel forced every ingestor batch through a Python
+    boundary plus a self-join to re-attach the other columns; as a
+    Column the assignment fuses into the surrounding projection).
+
+    Same law, spelled identically to the suite-pinned expression twin
+    `kmeans_assign_step`: squared euclidean distance accumulated in
+    component order from 0.0, `F.round(.., 6)` BEFORE the argmin, ties
+    -> lowest cluster index (`array_position` returns the FIRST match).
+    Bounded use only (len(centroids) <= ASSIGN_EXPR_MAX_K — the
+    RetrievalIngestor / oracle-scale retrieval regime); k-grows-with-n
+    callers stay on the kernel.
+    """
+    assert centroids and len(centroids) <= ASSIGN_EXPR_MAX_K
+    dists = []
+    for c in centroids:
+        d = F.lit(0.0)
+        for i, ci in enumerate(c):
+            x = F.get(F.col(vec_col), i).cast("double")
+            d = d + (x - F.lit(float(ci))) * (x - F.lit(float(ci)))
+        dists.append(F.round(d, 6))
+    arr = F.array(*dists)
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
 def md5_init_centroids(
     emb: DataFrame,
     id_col: str = "vec_id",

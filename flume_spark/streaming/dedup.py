@@ -2087,51 +2087,74 @@ class RetrievalIngestor:
 
     # -- per-batch feature/cluster legs -------------------------------------
 
-    def _assign(self, feats, vec_col):
-        """(id, cluster) in the frozen construction space — the
+    def _assign_col(self, vec_col):
+        """The frozen-space cluster as ONE Column — the
         kmeans_assign_vectorized law (6dp round before argmin, ties ->
-        lowest cluster), identical to the batch query's list route."""
+        lowest cluster), identical to the batch query's list route.
+        Construction-bounded k rides the codegen expression twin
+        (`similarity.kmeans_assign_expr` — suite-pinned to the kernel);
+        past ASSIGN_EXPR_MAX_K it falls back to the Arrow kernel
+        (`_assign_kernel_cluster`)."""
+        from flume_spark.operators import similarity
+
+        assert len(self.centroids) <= similarity.ASSIGN_EXPR_MAX_K
+        return similarity.kmeans_assign_expr(vec_col, self.centroids)
+
+    def _assign_kernel_cluster(self, feats, vec_col, id_out):
+        """Kernel-route assignment for k past the expression bound:
+        (id_out, cluster) via the Arrow kernel, re-attached by join."""
         from flume_spark.operators import similarity
 
         return similarity.kmeans_assign_vectorized(
             feats, "id", vec_col, k=len(self.centroids),
             centroids=self.centroids,
-        ).select("id", "cluster")
+        ).select(F.col("id").alias(id_out), "cluster")
 
     def _cb(self):
         return F.pmod(F.col("cluster"), F.lit(self.index_buckets)).cast("int")
+
+    def _side(self, feats, vec_col, prefix, id_out):
+        """Shared quantize+assign projection for both sides: cluster
+        fuses into the quantization projection as a codegen Column when
+        k is expression-bounded (round-14: the kernel route forced a
+        Python boundary + a re-attach self-join per batch per side);
+        large-k configurations keep the kernel + join shape."""
+        from flume_spark.operators import similarity
+        from flume_spark.operators.multimodal import quantized_feature_cols
+
+        if len(self.centroids) <= similarity.ASSIGN_EXPR_MAX_K:
+            wc = feats.withColumn("cluster", self._assign_col(vec_col))
+            q = quantized_feature_cols(
+                wc, vec_col, prefix, id_out=id_out,
+                dim=self.dim, grid=self.grid, keep=("cluster",),
+            )
+        else:
+            q = quantized_feature_cols(
+                feats, vec_col, prefix, id_out=id_out,
+                dim=self.dim, grid=self.grid,
+            ).join(self._assign_kernel_cluster(feats, vec_col, id_out), id_out)
+        return q.withColumn("cbucket", self._cb())
 
     def _media_side(self, batch_df):
         """(media_id, m0.., mnorm2, cluster, cbucket) — quantized media
         features + frozen-space cluster, cbucket = pmod(cluster,
         index_buckets) so probes list only touched cluster-bucket
         directories."""
-        from flume_spark.operators.multimodal import (
-            feature_extract_stub,
-            quantized_feature_cols,
-        )
+        from flume_spark.operators.multimodal import feature_extract_stub
 
         pay = batch_df.select(
             F.col(self.id_col).alias("id"),
             F.col(self.payload_col).alias("payload"),
         )
         feats = feature_extract_stub(pay, encoder=self.encoder)
-        q = quantized_feature_cols(
-            feats, "features", "m", id_out="media_id",
-            dim=self.dim, grid=self.grid,
-        )
-        asg = self._assign(feats, "features").select(
-            F.col("id").alias("media_id"), "cluster"
-        )
-        return q.join(asg, "media_id").withColumn("cbucket", self._cb())
+        return self._side(feats, "features", "m", "media_id")
 
     def _caption_side(self, batch_df):
         """(caption_id, t0.., tnorm2, cluster, cbucket) — caption twin,
-        assigned in the SAME frozen media-drawn space."""
-        from flume_spark.operators.multimodal import (
-            caption_features,
-            quantized_feature_cols,
-        )
+        assigned in the SAME frozen media-drawn space.  With bounded k
+        this side is ONE whole-stage-codegen projection end to end
+        (caption_features is pure SQL)."""
+        from flume_spark.operators.multimodal import caption_features
 
         caps = caption_features(
             batch_df.select(
@@ -2140,14 +2163,7 @@ class RetrievalIngestor:
             "id",
             self.caption_col,
         )
-        q = quantized_feature_cols(
-            caps, "t_features", "t", id_out="caption_id",
-            dim=self.dim, grid=self.grid,
-        )
-        asg = self._assign(caps, "t_features").select(
-            F.col("id").alias("caption_id"), "cluster"
-        )
-        return q.join(asg, "caption_id").withColumn("cbucket", self._cb())
+        return self._side(caps, "t_features", "t", "caption_id")
 
     @staticmethod
     def _latest_per_caption(t):
@@ -2164,44 +2180,75 @@ class RetrievalIngestor:
             .drop("__mx")
         )
 
-    def _score_topk(self, caps, media):
-        """Per-caption top-k of caps x media joined on cluster — the one
-        scoring-and-ranking law both legs share."""
-        from pyspark.sql.window import Window
-
+    def _score(self, caps, media):
+        """caps x media joined on cluster, scored — the one scoring law
+        both legs share.  Returns (caption_id, cbucket, media_id,
+        align_q) UNRANKED: both legs' pools flow into ONE top-k window
+        in `_process` (keyed by (leg, caption_id), so the row-set is
+        exactly topk(leg1) ∪ topk(leg2) — identical to ranking each leg
+        separately — while paying one window exchange instead of two;
+        round-14: at the bench scale every extra window is a full
+        fixed-overhead Spark stage)."""
         from flume_spark.operators.multimodal import align_q_cols
 
         d_col, align_q, _keep = align_q_cols(dim=self.dim, scale=self.scale)
-        scored = (
+        return (
             caps.join(media, "cluster")
             .withColumn("__align_d", d_col)
             .withColumn("align_q", align_q)
             .select("caption_id", "cbucket", "media_id", "align_q")
         )
-        rn = F.row_number().over(
-            Window.partitionBy("caption_id").orderBy(
-                F.col("align_q").desc(), "media_id"
-            )
-        )
-        return scored.withColumn("__rn", rn).filter(
-            F.col("__rn") <= self.k
-        ).drop("__rn")
+
+    @staticmethod
+    def _staged_overwrite(df, root: str, batch_id: int, partition_by: str):
+        """Write a per-batch partition ONCE via an underscore-prefixed
+        staging dir + rename — replacing the old localCheckpoint(eager)
+        + write pair, which materialized the frame twice.  Underscore
+        dirs are invisible to every reader (Spark's data-source listing
+        rule and `_has_parquet` both skip them), so writing inside the
+        live root is safe even while the same _process holds lazy reads
+        of the sibling partitions; the rename commits atomically.
+        Replay converges exactly like mode("overwrite") did: a crashed
+        staging dir is invisible and rewritten, a crashed final dir is
+        removed before the rename."""
+        import os
+        import shutil
+
+        staging = os.path.join(root, f"_staging-{batch_id}")
+        shutil.rmtree(staging, ignore_errors=True)
+        df.write.mode("overwrite").partitionBy(partition_by).parquet(staging)
+        final = os.path.join(root, f"ingest_batch={batch_id}")
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(staging, final)
 
     def _process(self, batch_df, batch_id: int) -> None:
         import os
 
+        from pyspark.sql.window import Window
+
         mi = self._media_side(batch_df).localCheckpoint(eager=True)
         ti = self._caption_side(batch_df).localCheckpoint(eager=True)
-        out_ck = None
         try:
             mi_sl = mi.select("cluster", "media_id", *self.mcols, "mnorm2")
+            # ONE driver round-trip for both legs' touched-cbucket lists
+            # (round-14: the two separate distinct().collect()s were two
+            # full AQE actions per batch on checkpointed KB-scale frames).
+            sides = (
+                ti.select(F.lit(0).alias("s"), "cbucket", "cluster")
+                .unionByName(mi.select(F.lit(1).alias("s"), "cbucket", "cluster"))
+                .distinct()
+                .collect()
+            )
+            t_buckets = sorted({r["cbucket"] for r in sides if r["s"] == 0})
+            m_buckets = sorted({r["cbucket"] for r in sides if r["s"] == 1})
+            # batch media clusters: bounded by min(k, batch) — with the
+            # expression-route bound (k <= 64) the leg-2 caption prune is
+            # a literal isin instead of a distinct+broadcast semi-join
+            m_clusters = sorted({r["cluster"] for r in sides if r["s"] == 1})
             # Leg 1: new captions vs all visible media in their clusters.
             # Directory pruning lists only the captions' touched cbuckets
             # (a <= index_buckets driver list, a small constant); replay
             # excludes this batch's own persisted partition.
-            t_buckets = sorted(
-                r[0] for r in ti.select("cbucket").distinct().collect()
-            )
             vis = mi_sl
             if LshIngestor._has_parquet(self.index_dir) and t_buckets:
                 hist_m = self.spark.read.parquet(self.index_dir).filter(
@@ -2213,40 +2260,55 @@ class RetrievalIngestor:
                         "cluster", "media_id", *self.mcols, "mnorm2"
                     )
                 )
-            fresh = self._score_topk(
-                ti.select(
-                    "caption_id", "cbucket", "cluster", *self.tcols, "tnorm2"
+            # The batch side of each cluster join is bounded by the
+            # micro-batch by construction — the broadcast pin keeps the
+            # HISTORY side (visible media / stored captions) from ever
+            # being shuffled, the same argument as the AlignIngestor's
+            # batch-bounded probe (and at bench scale it drops the
+            # sort+exchange stages from every per-batch action).
+            pool = self._score(
+                F.broadcast(
+                    ti.select(
+                        "caption_id", "cbucket", "cluster",
+                        *self.tcols, "tnorm2",
+                    )
                 ),
                 vis,
-            )
-            out = fresh
+            ).withColumn("__leg", F.lit(0))
             # Leg 2: existing captions in clusters touched by NEW media
             # re-rank against the new media only, merged with their
             # stored top-k (heap-merge invariant).  The caption read is
             # cbucket-dir-pruned then cluster-SEMI-joined against the
             # batch's media clusters (batch-bounded broadcast).
-            m_buckets = sorted(
-                r[0] for r in mi.select("cbucket").distinct().collect()
-            )
             if LshIngestor._has_parquet(self.caps_dir) and m_buckets:
-                new_clusters = F.broadcast(mi.select("cluster").distinct())
-                hist_t = (
-                    self.spark.read.parquet(self.caps_dir)
-                    .filter(
-                        F.col("cbucket").isin(m_buckets)
-                        & (F.col("ingest_batch") != batch_id)
+                from flume_spark.operators.similarity import ASSIGN_EXPR_MAX_K
+
+                hist_t = self.spark.read.parquet(self.caps_dir).filter(
+                    F.col("cbucket").isin(m_buckets)
+                    & (F.col("ingest_batch") != batch_id)
+                )
+                if len(self.centroids) <= ASSIGN_EXPR_MAX_K:
+                    # touched-cluster prune as a literal list: the
+                    # cluster space is construction-bounded (<= 64), so
+                    # the distinct+broadcast semi-join paid a whole
+                    # broadcast stage per batch for a handful of ints
+                    hist_t = hist_t.filter(F.col("cluster").isin(m_clusters))
+                else:
+                    hist_t = hist_t.join(
+                        F.broadcast(mi.select("cluster").distinct()),
+                        "cluster",
+                        "leftsemi",
                     )
-                    .join(new_clusters, "cluster", "leftsemi")
-                    .select(
-                        "caption_id", "cbucket", "cluster",
-                        *self.tcols, "tnorm2",
+                hist_t = hist_t.select(
+                    "caption_id", "cbucket", "cluster",
+                    *self.tcols, "tnorm2",
+                )
+                pool = pool.unionByName(
+                    self._score(hist_t, F.broadcast(mi_sl)).withColumn(
+                        "__leg", F.lit(1)
                     )
                 )
-                new_scores = self._score_topk(hist_t, mi_sl)
-                merged = new_scores
                 if LshIngestor._has_parquet(self.topk_dir):
-                    from pyspark.sql.window import Window
-
                     old = (
                         self.spark.read.parquet(self.topk_dir)
                         .filter(
@@ -2264,23 +2326,25 @@ class RetrievalIngestor:
                     old_latest = self._latest_per_caption(old).select(
                         "caption_id", "cbucket", "media_id", "align_q"
                     )
-                    pool = new_scores.unionByName(old_latest)
-                    rn = F.row_number().over(
-                        Window.partitionBy("caption_id").orderBy(
-                            F.col("align_q").desc(), "media_id"
-                        )
+                    pool = pool.unionByName(
+                        old_latest.withColumn("__leg", F.lit(1))
                     )
-                    merged = pool.withColumn("__rn", rn).filter(
-                        F.col("__rn") <= self.k
-                    ).drop("__rn")
-                out = out.unionByName(merged)
-            out = out.withColumn(
-                "src_batch", F.lit(batch_id).cast("long")
-            ).localCheckpoint(eager=True)
-            out_ck = out
-            out.write.mode("overwrite").partitionBy("cbucket").parquet(
-                os.path.join(self.topk_dir, f"ingest_batch={batch_id}")
+            # ONE top-k window over the tagged union: partitioning by
+            # (leg, caption_id) makes the kept row-set exactly
+            # topk(leg1-pool) ∪ topk(leg2-pool) — the same rows the
+            # per-leg windows produced — with a single exchange.
+            rn = F.row_number().over(
+                Window.partitionBy("__leg", "caption_id").orderBy(
+                    F.col("align_q").desc(), "media_id"
+                )
             )
+            out = (
+                pool.withColumn("__rn", rn)
+                .filter(F.col("__rn") <= self.k)
+                .drop("__rn", "__leg")
+                .withColumn("src_batch", F.lit(batch_id).cast("long"))
+            )
+            self._staged_overwrite(out, self.topk_dir, batch_id, "cbucket")
             mi.write.mode("overwrite").partitionBy("cbucket").parquet(
                 os.path.join(self.index_dir, f"ingest_batch={batch_id}")
             )
@@ -2290,8 +2354,6 @@ class RetrievalIngestor:
         finally:
             mi.unpersist()
             ti.unpersist()
-            if out_ck is not None:
-                out_ck.unpersist()
 
     # -- maintenance --------------------------------------------------------
 

@@ -370,3 +370,54 @@ def test_frame_ingestor_ambient_hashes_accounting(spark, tmp_path):
     # the ungated twin has no trail, and its marks table stays readable
     assert plain.ambient_hashes() is None
     assert len(plain.dup_marks().collect()) == 4
+
+
+# -- frozen-centroid assignment: codegen expression twin ----------------------
+
+
+def test_kmeans_assign_expr_matches_kernel(spark):
+    """Round-14 optimization pin: `kmeans_assign_expr` (the zero-boundary
+    codegen Column the RetrievalIngestor fuses into its quantization
+    projection) must reproduce `kmeans_assign_vectorized`'s cluster for
+    every point, including exact-tie rows (6dp round BEFORE the argmin,
+    ties -> lowest cluster index)."""
+    from pyspark.sql import functions as F
+
+    from flume_spark.operators.similarity import (
+        ASSIGN_EXPR_MAX_K,
+        kmeans_assign_expr,
+        kmeans_assign_vectorized,
+    )
+
+    cents = [
+        [0.0, 0.0, 0.0, 0.0],
+        [1.0, 0.0, 0.0, 0.0],
+        [0.25, 0.25, 0.25, 0.25],
+    ]
+    rows = [
+        # exact midpoint of centroids 0 and 1: dist2 ties at 0.25 -> cluster 0
+        (1, [0.5, 0.0, 0.0, 0.0]),
+        # clear winners
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.26, 0.24, 0.25, 0.25]),
+        (4, [-3.5, 2.0, 7.25, 0.125]),
+        # sub-6dp jitter that rounds back onto the tie -> still cluster 0
+        (5, [0.5 + 2e-8, 0.0, 0.0, 0.0]),
+        (6, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    assert len(cents) <= ASSIGN_EXPR_MAX_K
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", kmeans_assign_expr("vec", cents).alias("c")
+        ).collect()
+    }
+    want = {
+        r["id"]: r["cluster"]
+        for r in kmeans_assign_vectorized(
+            df, "id", "vec", k=len(cents), centroids=cents
+        ).collect()
+    }
+    assert got == want
+    assert got[1] == 0 and got[5] == 0  # the tie law, explicitly
