@@ -423,21 +423,31 @@ def bfs_hops(
     Returns (vertex, dist) for vertices reachable within max_hops,
     sources included at dist 0.
     """
+    from pyspark.sql import Observation
+
     dist = sources.select(F.col(sources.columns[0]).alias("vertex")).distinct()
     dist = dist.withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
     frontier = dist
     for h in range(1, max_hops + 1):
+        # One Spark action per hop (round-14): the frontier size rides
+        # observe() on the checkpoint job (replacing a separate isEmpty
+        # scan), and the settled set stays a LAZY union of the per-hop
+        # checkpointed frontiers — re-checkpointing the whole settled set
+        # every hop re-materialized O(V) rows per hop for rows that were
+        # already checkpoint leaves.
+        obs = Observation()
         nxt = (
             frontier.join(edges, frontier["vertex"] == edges[src])
             .select(F.col(dst).alias("vertex"))
             .distinct()
             .join(dist.select("vertex"), "vertex", "left_anti")
             .withColumn("dist", F.lit(h))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if obs.get["n"] == 0:
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        dist = dist.unionByName(nxt)
         frontier = nxt
     return dist
 
@@ -620,22 +630,31 @@ def kcore_peel(
 
     Returns (vertex, deg): survivors with their in-core degree.
     """
+    from pyspark.sql import Observation
+
+    # Round sizes ride observe() on each round's checkpoint job (round-14:
+    # the separate count() was a second full action per round — the same
+    # convergence-scalar move as connected_components).
+    obs0 = Observation()
     live = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n_prev = live.count()
+    n_prev = obs0.get["n"]
     for _ in range(rounds):
         deg = live.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select("u")
+        obs = Observation()
         live = (
             live.join(keep, "u", "semi")
             .join(keep.select(F.col("u").alias("v")), "v", "semi")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n_now = live.count()
+        n_now = obs.get["n"]
         if n_now == n_prev:
             break  # converged: further rounds are identity
         n_prev = n_now
