@@ -397,6 +397,7 @@ def verify_candidate_pairs(
     text_col: str,
     shingle_n: int = 2,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of an EXTERNALLY-supplied candidate pair
     list — the verification leg of `lsh_verified_pairs`, factored out so
@@ -408,8 +409,20 @@ def verify_candidate_pairs(
     count (the candidate list joins back to the shingle index; no
     self-join ever forms).  Returns (doc_a, doc_b, jaccard) for pairs with
     true shingle Jaccard >= threshold, rounded 6dp, orientation preserved.
+
+    `shingles` (a DISTINCT (id, shingle) frame covering at least every id
+    the pairs reference, same shingle_n) lets a caller that verifies many
+    candidate lists against one corpus build the index once (e.g. a
+    checkpointed frame) instead of re-shingling per call; extra ids are
+    harmless — every shingle row only reaches the result through a join
+    on the pairs' own doc_a/doc_b.  Must be distinct-per-doc (the
+    word_shingles contract): a multiset would inflate n_inter/n_sh.
     """
-    sh = word_shingles(df, id_col, text_col, shingle_n)
+    sh = (
+        shingles
+        if shingles is not None
+        else word_shingles(df, id_col, text_col, shingle_n)
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     cands = pairs.select("doc_a", "doc_b")
     a_sh = cands.join(sh.select(F.col("id").alias("doc_a"), "shingle"), "doc_a")

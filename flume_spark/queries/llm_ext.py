@@ -1984,9 +1984,15 @@ def stream_funnel_frames(spark: SparkSession, docs: DataFrame):
         SubstrIngestor,
     )
 
+    from pyspark.sql import Observation
+
+    # corpus size rides observe() on the checkpoint job (round-14): the
+    # separate base.count() below was one extra full action
+    base_obs = Observation()
     base = (
         docs.withColumn("n_toks", F.size(dedup.norm_words_expr("text")).cast("long"))
         .withColumn("b", F.pmod(F.col("doc_id"), F.lit(3)).cast("int"))
+        .observe(base_obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
 
@@ -2005,7 +2011,7 @@ def stream_funnel_frames(spark: SparkSession, docs: DataFrame):
     feats_all = multimodal.feature_extract_stub(
         multimodal.to_binary_payload(base, "doc_id", "text")
     ).localCheckpoint(eager=True)
-    k = max(4, base.count() // 125)
+    k = max(4, int(base_obs.get["n"]) // 125)
     cents = similarity.md5_init_centroids(feats_all, "id", "features", k=int(k))
 
     root = tempfile.mkdtemp(prefix="funnel_stream_")
@@ -2044,6 +2050,21 @@ def stream_funnel_frames(spark: SparkSession, docs: DataFrame):
             .select(F.col("doc_new").alias("doc_a"), F.col("doc_match").alias("doc_b"))
         )
 
+    # ONE shingle index serves every batch's verification (round-14): the
+    # verifier only reaches shingles through joins on its candidate pairs'
+    # own ids, and candidates reference prefix docs only, so the full-ex
+    # index is row-equivalent to re-shingling each growing prefix — built
+    # lazily (first candidate batch), checkpointed, reused 3x.
+    sh_ex = None
+
+    def ex_shingles():
+        nonlocal sh_ex
+        if sh_ex is None:
+            sh_ex = dedup.word_shingles(
+                ex, "doc_id", "text", 2
+            ).localCheckpoint(eager=True)
+        return sh_ex
+
     nd_parts = []
     for b in range(3):
         exb = ex.filter(F.col("b") == b)
@@ -2054,7 +2075,8 @@ def stream_funnel_frames(spark: SparkSession, docs: DataFrame):
         else:
             prefix = ex.filter(F.col("b") <= b)
             ver = dedup.verify_candidate_pairs(
-                prefix, cands, "doc_id", "text", shingle_n=2, threshold=0.3
+                prefix, cands, "doc_id", "text", shingle_n=2, threshold=0.3,
+                shingles=ex_shingles(),
             )
             # the junior of each verified pair (by (batch, id)) is dropped
             # at ITS ingest; only this batch's docs are juniors here

@@ -873,30 +873,62 @@ class SemanticIngestor:
 
         import pandas as pd
 
-        self.maybe_roll_epoch(exclude_batch=batch_id)
-        assigned = self._assign(batch_df, self.id_col, self.vec_col).select(
-            "id", "cluster"
+        from pyspark.sql import Observation
+
+        from flume_spark.operators.similarity import (
+            ASSIGN_EXPR_MAX_K,
+            kmeans_assign_expr,
         )
-        nb = (
-            batch_df.select(
-                F.col(self.id_col).alias("id"), F.col(self.vec_col).alias("vec")
+
+        self.maybe_roll_epoch(exclude_batch=batch_id)
+        base = batch_df.select(
+            F.col(self.id_col).alias("id"), F.col(self.vec_col).alias("vec")
+        )
+        # Bounded-k fast path (round-14): in exact list mode the cluster is
+        # ONE whole-stage-codegen Column (kmeans_assign_expr, pinned
+        # bit-equal to the Arrow kernel) fused into this projection — no
+        # Python boundary and no re-attach self-join per batch.  Larger k
+        # keeps the kernel + join shape (hierarchical/table routes).
+        expr_route = (
+            self._mode(self.k) == "exact" and self.k <= ASSIGN_EXPR_MAX_K
+        )
+        if expr_route:
+            nb0 = base.withColumn(
+                "cluster", kmeans_assign_expr("vec", self.centroids)
             )
-            .join(assigned, "id")
-            .withColumn("src_batch", F.lit(batch_id).cast("int"))
+        else:
+            assigned = self._assign(batch_df, self.id_col, self.vec_col).select(
+                "id", "cluster"
+            )
+            nb0 = base.join(assigned, "id")
+        # One action materializes the batch AND delivers every driver
+        # scalar the rest of the batch needs (round-14): the touched
+        # cluster-bucket list, the batch size for the running population,
+        # and (bounded-k only) the touched-cluster list all ride observe()
+        # on the checkpoint job — they were three separate actions.
+        obs = Observation()
+        metrics = [
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set("cbucket").alias("bks"),
+        ]
+        if expr_route:
+            # cluster ids are construction-bounded (<= k <= 64): safe as a
+            # driver list; unbounded-k routes keep the broadcast semi-join
+            metrics.append(F.collect_set("cluster").alias("cls"))
+        nb = (
+            nb0.withColumn("src_batch", F.lit(batch_id).cast("int"))
+            .withColumn(
+                "cbucket",
+                F.pmod(F.col("cluster"), F.lit(self.index_buckets)).cast("int"),
+            )
+            .observe(obs, *metrics)
             .localCheckpoint(eager=True)
         )
+        got = obs.get
         # touched cluster-buckets: a bounded (<= index_buckets) driver-side
         # list that turns the index read into a directory-pruned listing
-        touched = [
-            r["cbucket"]
-            for r in nb.select(
-                F.pmod(F.col("cluster"), F.lit(self.index_buckets))
-                .cast("int")
-                .alias("cbucket")
-            )
-            .distinct()
-            .collect()
-        ]
+        touched = sorted(int(b) for b in got["bks"])
+        nb = nb.select("id", "cluster", "vec", "src_batch")
         history = self._read_index(exclude_batch_id=batch_id, buckets=touched)
         if history is None:
             history = nb.filter("1 = 0")
@@ -909,9 +941,16 @@ class SemanticIngestor:
             # the growth the --semingest probe caught at x100).  The
             # cbucket partition filter above already bounded what is READ
             # at the file level; this bounds what is shuffled.
-            history = history.join(
-                F.broadcast(nb.select("cluster").distinct()), "cluster", "semi"
-            )
+            if expr_route:
+                history = history.filter(
+                    F.col("cluster").isin(sorted(int(c) for c in got["cls"]))
+                )
+            else:
+                history = history.join(
+                    F.broadcast(nb.select("cluster").distinct()),
+                    "cluster",
+                    "semi",
+                )
         pool = nb.withColumn("is_new", F.lit(True)).unionByName(
             history.withColumn("is_new", F.lit(False))
         )
@@ -982,9 +1021,10 @@ class SemanticIngestor:
         )
         # count the batch into the running population exactly once: a
         # deterministic replay overwrites the same partition with the same
-        # rows, so an already-counted batch must not increment again
+        # rows, so an already-counted batch must not increment again.
+        # The size rode observe() on the checkpoint job — no extra action.
         if not self._batch_acked(batch_id):
-            self._pop += nb.count()
+            self._pop += int(got["n"])
         self._acked_mem.add(batch_id)
 
     def vacuum_epochs(self) -> int:
