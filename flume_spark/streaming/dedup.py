@@ -1205,9 +1205,35 @@ class PhashIngestor:
     def _process(self, batch_df, batch_id: int) -> None:
         import os
 
+        from pyspark.sql import Observation
+
         from flume_spark.operators.dedup import hamming_block_pairs
 
-        nb = self._fingerprint(batch_df).localCheckpoint(eager=True)
+        # touched band-buckets ride observe() on the fingerprint
+        # checkpoint (round-14: the separate distinct().collect() was one
+        # extra action per batch): per block j the bucket is a direct
+        # expression of phash, and each collect_set is bounded by
+        # index_buckets values — scale-independent driver traffic.
+        width = self.bits // self.blocks
+        mask = (1 << width) - 1
+        obs = Observation()
+        nb = (
+            self._fingerprint(batch_df)
+            .observe(
+                obs,
+                *[
+                    F.collect_set(
+                        F.pmod(
+                            F.lit(j * (1 << width))
+                            + F.expr(f"shiftright(phash, {j * width}) & {mask}"),
+                            F.lit(self.index_buckets),
+                        ).cast("int")
+                    ).alias(f"bk{j}")
+                    for j in range(self.blocks)
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
         nb_bands = self._bands(nb).withColumn("bband", self._bband())
 
         seniors = None
@@ -1216,10 +1242,10 @@ class PhashIngestor:
             # index READ at the directory level — the full-index scan this
             # replaces grows with history; the pruned read is bounded by
             # the batch's own band set
-            touched = [
-                r["bband"]
-                for r in nb_bands.select("bband").distinct().collect()
-            ]
+            got = obs.get
+            touched = sorted(
+                {int(v) for j in range(self.blocks) for v in got[f"bk{j}"]}
+            )
             hist = (
                 self.spark.read.parquet(self.index_dir)
                 .filter(
@@ -1501,17 +1527,32 @@ class FrameIngestor:
     def _process(self, batch_df, batch_id: int) -> None:
         import os
 
-        fh = self._frames(batch_df).localCheckpoint(eager=True)
+        from pyspark.sql import Observation
+
+        # touched frame-band buckets ride observe() on the frame-hash
+        # checkpoint (round-14: the separate distinct().collect() was one
+        # extra action per batch); fband is a direct expression of fhash
+        # and the set is bounded by index_buckets values.
+        obs = Observation()
+        fh = (
+            self._frames(batch_df)
+            .observe(
+                obs,
+                F.collect_set(
+                    F.pmod(F.col("fhash"), F.lit(self.index_buckets)).cast(
+                        "int"
+                    )
+                ).alias("bks"),
+            )
+            .localCheckpoint(eager=True)
+        )
         new_index = fh.select("id", "fhash").distinct().withColumn(
             "fband", self._fband()
         )
 
         hist = None
         if LshIngestor._has_parquet(self.index_dir):
-            touched = [
-                r["fband"]
-                for r in new_index.select("fband").distinct().collect()
-            ]
+            touched = sorted(int(v) for v in obs.get["bks"])
             hist = (
                 self.spark.read.parquet(self.index_dir)
                 .filter(
@@ -1532,11 +1573,13 @@ class FrameIngestor:
                 occ = occ.unionByName(
                     hist.select(F.col("senior").alias("d"), "fhash")
                 )
+            hot_obs = Observation()
             hot = (
                 occ.groupBy("fhash")
                 .agg(F.count_distinct("d").alias("df"))
                 .filter(F.col("df") > self.max_df)
                 .select("fhash", "df")
+                .observe(hot_obs, F.count(F.lit(1)).alias("n"))
                 .localCheckpoint(eager=True)
             )
             # ambient accounting (round-14, r13 VERDICT item 8 — parity
@@ -1552,7 +1595,7 @@ class FrameIngestor:
             # hot is a pure function of the visible prefix.
             import os as _os
 
-            if hot.count() > 0:
+            if int(hot_obs.get["n"]) > 0:
                 hot.write.mode("overwrite").parquet(
                     _os.path.join(
                         self.marks_dir, "_ambient", f"ingest_batch={batch_id}"
