@@ -1585,6 +1585,49 @@ def substring_hot_spans(
 # ---------------------------------------------------------------------------
 
 
+def _semantic_cluster_dups(pts: DataFrame, threshold: float) -> DataFrame:
+    """semantic_dedup's within-cluster pairwise leg, shared by both
+    assignment routes: per cluster, one numpy float64 matmul marks each
+    vector's smallest lower-id neighbor with cosine >= threshold
+    (6dp-rounded).  Per-PARTITION pandas boundary: under k ∝ n the
+    clusters are deliberately SMALL and numerous, and
+    groupBy().applyInPandas pays ~ms of Arrow overhead per group —
+    grouped_arrow_apply keeps the one cluster-key exchange but walks many
+    clusters per Arrow batch (kernels.py; probe-measured 4:1 at k=2420 in
+    --semingest)."""
+    import pandas as pd
+
+    def _cluster_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if pdf.empty:
+            return pd.DataFrame(
+                {"id": pd.array([], dtype="int64"),
+                 "dup_of": pd.array([], dtype="Int64")}
+            )
+        order = np.argsort(pdf["id"].to_numpy())
+        ids = pdf["id"].to_numpy()[order]
+        mat = np.stack(pdf["vec"].to_numpy())[order].astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(1))
+        cos = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        # ids are sorted ascending, so the first qualifying row above the
+        # diagonal IS the smallest lower id — the deterministic keep rule
+        tri = np.triu(cos >= threshold, 1)
+        has = tri.any(axis=0)
+        first = tri.argmax(axis=0)
+        dup_of = pd.array(
+            [int(ids[f]) if h else None for f, h in zip(first, has)],
+            dtype="Int64",
+        )
+        return pd.DataFrame({"id": ids, "dup_of": dup_of})
+
+    from flume_spark.operators.kernels import grouped_arrow_apply
+
+    return grouped_arrow_apply(
+        pts, ["cluster"], _cluster_dups, schema="id long, dup_of long"
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -1641,6 +1684,51 @@ def semantic_dedup(
     # under the k-grows-with-n discipline (BASELINE.md --semantic x100);
     # routing is approximate, the keep rule within each cluster unchanged.
     if assign == "exact":
+        from flume_spark.operators.similarity import (
+            ASSIGN_EXPR_MAX_K,
+            _to_double,
+            kmeans_assign_expr,
+        )
+
+        if k <= ASSIGN_EXPR_MAX_K:
+            # Bounded-k fast path (round-14): the assignment is ONE
+            # whole-stage-codegen Column (kmeans_assign_expr, pinned
+            # bit-equal to the Arrow kernel) fused into the point
+            # projection — no Python boundary, no re-attach join, and no
+            # checkpoint (recomputing the codegen projection per consumer
+            # is cheaper than materializing it).  The init draw is the
+            # same md5-seeded collect the kernel performs internally.
+            ptsd = emb.select(
+                F.col(id_col).alias("id"), _to_double(vec_col).alias("vec")
+            )
+            init = (
+                ptsd.orderBy(F.md5(F.col("id").cast("string")), "id")
+                .limit(k)
+                .select("vec")
+                .collect()
+            )
+            cents = [list(r["vec"]) for r in init]
+            pts = ptsd.withColumn("cluster", kmeans_assign_expr("vec", cents))
+            assign = pts.select("id", "cluster")
+            if pairwise == "blocked":
+                pairs = cosine_pairs(
+                    pts, "id", "vec", threshold=threshold,
+                    blocks=blocks, group_col="cluster",
+                )
+                dups = (
+                    pairs.groupBy(F.col("doc_b").alias("id"))
+                    .agg(F.min("doc_a").alias("dup_of"))
+                )
+            else:
+                if pairwise != "whole":
+                    raise ValueError(f"unknown pairwise mode: {pairwise!r}")
+                dups = _semantic_cluster_dups(pts, threshold)
+            return assign.join(dups, "id", "left").select(
+                F.col("id").alias(id_col),
+                "cluster",
+                "dup_of",
+                F.col("dup_of").isNotNull().alias("is_dup"),
+            )
         assigned = kmeans_assign_vectorized(emb, id_col, vec_col, k=k)
     elif assign == "hierarchical":
         assigned = kmeans_assign_hierarchical(
@@ -1695,40 +1783,7 @@ def semantic_dedup(
     if pairwise != "whole":
         raise ValueError(f"unknown pairwise mode: {pairwise!r}")
 
-    def _cluster_dups(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        if pdf.empty:
-            return pd.DataFrame(
-                {"id": pd.array([], dtype="int64"),
-                 "dup_of": pd.array([], dtype="Int64")}
-            )
-        order = np.argsort(pdf["id"].to_numpy())
-        ids = pdf["id"].to_numpy()[order]
-        mat = np.stack(pdf["vec"].to_numpy())[order].astype(np.float64)
-        norms = np.sqrt((mat * mat).sum(1))
-        cos = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
-        # ids are sorted ascending, so the first qualifying row above the
-        # diagonal IS the smallest lower id — the deterministic keep rule
-        tri = np.triu(cos >= threshold, 1)
-        has = tri.any(axis=0)
-        first = tri.argmax(axis=0)
-        dup_of = pd.array(
-            [int(ids[f]) if h else None for f, h in zip(first, has)],
-            dtype="Int64",
-        )
-        return pd.DataFrame({"id": ids, "dup_of": dup_of})
-
-    # per-partition pandas boundary: under k ∝ n the clusters are
-    # deliberately SMALL and numerous, and groupBy().applyInPandas pays
-    # ~ms of Arrow overhead per group — grouped_arrow_apply keeps the one
-    # cluster-key exchange but walks many clusters per Arrow batch
-    # (kernels.py; probe-measured 4:1 at k=2420 in --semingest)
-    from flume_spark.operators.kernels import grouped_arrow_apply
-
-    dups = grouped_arrow_apply(
-        pts, ["cluster"], _cluster_dups, schema="id long, dup_of long"
-    )
+    dups = _semantic_cluster_dups(pts, threshold)
     return assign.join(dups, "id", "left").select(
         F.col("id").alias(id_col),
         "cluster",

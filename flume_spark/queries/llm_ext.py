@@ -1846,10 +1846,17 @@ def funnel_report(
     # a model embeds content identity; the span clean is a token-level
     # edit), then drops within-cluster 0.999-cosine juniors
     def _semantic():
-        feats = multimodal.feature_extract_stub(
-            multimodal.to_binary_payload(nd, "doc_id", "text")
-        ).localCheckpoint(eager=True)
-        k = max(4, feats.count() // 125)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        feats = (
+            multimodal.feature_extract_stub(
+                multimodal.to_binary_payload(nd, "doc_id", "text")
+            )
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        k = max(4, int(obs.get["n"]) // 125)
         marks = dedup.semantic_dedup(
             feats, "id", "features", k=int(k), threshold=0.999
         )
