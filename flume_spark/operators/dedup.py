@@ -336,6 +336,11 @@ def lsh_verified_pairs(
     # the caller clears the catalog cache — it cannot be unpersisted here
     # because the returned plan is lazy and still references it.
     sh = word_shingles(df, id_col, text_col, shingle_n).cache()
+    # (round-14 A/B: a lazy localCheckpoint of the candidate frame was
+    # measured and REVERTED — jobs and wall unchanged, i.e. AQE stage
+    # reuse already dedupes the banded-join subtree across the nested
+    # broadcast builds below, and the checkpoint would pin pair rows in
+    # executor memory for nothing at scale.)
     cands = minhash_lsh_candidates(
         df, id_col, text_col, shingle_n, num_hashes, bands, shingles=sh
     )
@@ -1687,17 +1692,23 @@ def semantic_dedup(
         from flume_spark.operators.similarity import (
             ASSIGN_EXPR_MAX_K,
             _to_double,
+            assign_expr_ok,
             kmeans_assign_expr,
         )
 
         if k <= ASSIGN_EXPR_MAX_K:
-            # Bounded-k fast path (round-14): the assignment is ONE
-            # whole-stage-codegen Column (kmeans_assign_expr, pinned
-            # bit-equal to the Arrow kernel) fused into the point
-            # projection — no Python boundary, no re-attach join, and no
-            # checkpoint (recomputing the codegen projection per consumer
-            # is cheaper than materializing it).  The init draw is the
-            # same md5-seeded collect the kernel performs internally.
+            # Bounded-k fast path (round-14): when the unrolled term
+            # count k x dim fits the codegen budget (assign_expr_ok),
+            # the assignment is ONE whole-stage-codegen Column
+            # (kmeans_assign_expr, pinned bit-equal to the Arrow kernel)
+            # fused into the point projection — no Python boundary, no
+            # re-attach join, and no checkpoint (recomputing the codegen
+            # projection per consumer is cheaper than materializing it).
+            # The init draw is the same md5-seeded collect the kernel
+            # performs internally — collected once here and handed to
+            # whichever route wins (wide vectors, e.g. dim-64 embeddings,
+            # blew the budget and went INTERPRETED 25x slower — the
+            # round-14 A/B behind ASSIGN_EXPR_MAX_TERMS).
             ptsd = emb.select(
                 F.col(id_col).alias("id"), _to_double(vec_col).alias("vec")
             )
@@ -1708,28 +1719,37 @@ def semantic_dedup(
                 .collect()
             )
             cents = [list(r["vec"]) for r in init]
-            pts = ptsd.withColumn("cluster", kmeans_assign_expr("vec", cents))
-            assign = pts.select("id", "cluster")
-            if pairwise == "blocked":
-                pairs = cosine_pairs(
-                    pts, "id", "vec", threshold=threshold,
-                    blocks=blocks, group_col="cluster",
+            if assign_expr_ok(cents):
+                pts = ptsd.withColumn(
+                    "cluster", kmeans_assign_expr("vec", cents)
                 )
-                dups = (
-                    pairs.groupBy(F.col("doc_b").alias("id"))
-                    .agg(F.min("doc_a").alias("dup_of"))
+                assign = pts.select("id", "cluster")
+                if pairwise == "blocked":
+                    pairs = cosine_pairs(
+                        pts, "id", "vec", threshold=threshold,
+                        blocks=blocks, group_col="cluster",
+                    )
+                    dups = (
+                        pairs.groupBy(F.col("doc_b").alias("id"))
+                        .agg(F.min("doc_a").alias("dup_of"))
+                    )
+                else:
+                    if pairwise != "whole":
+                        raise ValueError(
+                            f"unknown pairwise mode: {pairwise!r}"
+                        )
+                    dups = _semantic_cluster_dups(pts, threshold)
+                return assign.join(dups, "id", "left").select(
+                    F.col("id").alias(id_col),
+                    "cluster",
+                    "dup_of",
+                    F.col("dup_of").isNotNull().alias("is_dup"),
                 )
-            else:
-                if pairwise != "whole":
-                    raise ValueError(f"unknown pairwise mode: {pairwise!r}")
-                dups = _semantic_cluster_dups(pts, threshold)
-            return assign.join(dups, "id", "left").select(
-                F.col("id").alias(id_col),
-                "cluster",
-                "dup_of",
-                F.col("dup_of").isNotNull().alias("is_dup"),
+            assigned = kmeans_assign_vectorized(
+                emb, id_col, vec_col, k=k, centroids=cents
             )
-        assigned = kmeans_assign_vectorized(emb, id_col, vec_col, k=k)
+        else:
+            assigned = kmeans_assign_vectorized(emb, id_col, vec_col, k=k)
     elif assign == "hierarchical":
         assigned = kmeans_assign_hierarchical(
             emb, id_col, vec_col, k=k, n_probe=n_probe

@@ -375,6 +375,25 @@ def kmeans_assign_vectorized(
 # paying (codegen size grows k x dim); route to the Arrow kernel instead.
 ASSIGN_EXPR_MAX_K = 64
 
+# ... and the REAL budget is the unrolled term count k x dim, not k alone:
+# at 256 terms (k=4, dim=64 — the embedding-table regime) the generated
+# method already leaves the fast path and per-row evaluation went
+# INTERPRETED, measured 25x slower than the Arrow kernel on dedup_semantic
+# (0.68s -> 16.95s, round-14 A/B).  200 keeps every measured-fast case
+# (dim-4 lattice features up to k=50; tiny k at moderate dims) and returns
+# the wide-vector regimes to the kernel.
+ASSIGN_EXPR_MAX_TERMS = 200
+
+
+def assign_expr_ok(centroids: list[list[float]]) -> bool:
+    """True iff the frozen-centroid list is small enough for the unrolled
+    codegen expression route (`kmeans_assign_expr`) to beat the Arrow
+    kernel — the ONE gate every expr-route caller must consult."""
+    return bool(centroids) and (
+        len(centroids) <= ASSIGN_EXPR_MAX_K
+        and len(centroids) * len(centroids[0]) <= ASSIGN_EXPR_MAX_TERMS
+    )
+
 
 def kmeans_assign_expr(vec_col: str, centroids: list[list[float]]):
     """The frozen-centroid assignment law as ONE whole-stage-codegen
@@ -388,11 +407,13 @@ def kmeans_assign_expr(vec_col: str, centroids: list[list[float]]):
     `kmeans_assign_step`: squared euclidean distance accumulated in
     component order from 0.0, `F.round(.., 6)` BEFORE the argmin, ties
     -> lowest cluster index (`array_position` returns the FIRST match).
-    Bounded use only (len(centroids) <= ASSIGN_EXPR_MAX_K — the
-    RetrievalIngestor / oracle-scale retrieval regime); k-grows-with-n
-    callers stay on the kernel.
+    Bounded use only (`assign_expr_ok(centroids)`: k <= ASSIGN_EXPR_MAX_K
+    AND k x dim <= ASSIGN_EXPR_MAX_TERMS — the RetrievalIngestor /
+    dim-4-lattice regime); k-grows-with-n and wide-vector callers stay on
+    the kernel (at 256+ unrolled terms the generated code went
+    interpreted, 25x slower than the kernel — round-14 A/B).
     """
-    assert centroids and len(centroids) <= ASSIGN_EXPR_MAX_K
+    assert assign_expr_ok(centroids)
     dists = []
     for c in centroids:
         d = F.lit(0.0)

@@ -876,7 +876,7 @@ class SemanticIngestor:
         from pyspark.sql import Observation
 
         from flume_spark.operators.similarity import (
-            ASSIGN_EXPR_MAX_K,
+            assign_expr_ok,
             kmeans_assign_expr,
         )
 
@@ -884,13 +884,15 @@ class SemanticIngestor:
         base = batch_df.select(
             F.col(self.id_col).alias("id"), F.col(self.vec_col).alias("vec")
         )
-        # Bounded-k fast path (round-14): in exact list mode the cluster is
-        # ONE whole-stage-codegen Column (kmeans_assign_expr, pinned
-        # bit-equal to the Arrow kernel) fused into this projection — no
-        # Python boundary and no re-attach self-join per batch.  Larger k
-        # keeps the kernel + join shape (hierarchical/table routes).
-        expr_route = (
-            self._mode(self.k) == "exact" and self.k <= ASSIGN_EXPR_MAX_K
+        # Bounded fast path (round-14): in exact list mode, when k x dim
+        # fits the codegen budget (assign_expr_ok), the cluster is ONE
+        # whole-stage-codegen Column (kmeans_assign_expr, pinned bit-equal
+        # to the Arrow kernel) fused into this projection — no Python
+        # boundary and no re-attach self-join per batch.  Larger k or wide
+        # vectors keep the kernel + join shape (the unrolled expression
+        # went interpreted past ~256 terms — round-14 A/B).
+        expr_route = self._mode(self.k) == "exact" and assign_expr_ok(
+            self.centroids
         )
         if expr_route:
             nb0 = base.withColumn(
@@ -2176,11 +2178,11 @@ class RetrievalIngestor:
         lowest cluster), identical to the batch query's list route.
         Construction-bounded k rides the codegen expression twin
         (`similarity.kmeans_assign_expr` — suite-pinned to the kernel);
-        past ASSIGN_EXPR_MAX_K it falls back to the Arrow kernel
+        past the assign_expr_ok budget it falls back to the Arrow kernel
         (`_assign_kernel_cluster`)."""
         from flume_spark.operators import similarity
 
-        assert len(self.centroids) <= similarity.ASSIGN_EXPR_MAX_K
+        assert similarity.assign_expr_ok(self.centroids)
         return similarity.kmeans_assign_expr(vec_col, self.centroids)
 
     def _assign_kernel_cluster(self, feats, vec_col, id_out):
@@ -2205,7 +2207,7 @@ class RetrievalIngestor:
         from flume_spark.operators import similarity
         from flume_spark.operators.multimodal import quantized_feature_cols
 
-        if len(self.centroids) <= similarity.ASSIGN_EXPR_MAX_K:
+        if similarity.assign_expr_ok(self.centroids):
             wc = feats.withColumn("cluster", self._assign_col(vec_col))
             q = quantized_feature_cols(
                 wc, vec_col, prefix, id_out=id_out,
@@ -2364,13 +2366,13 @@ class RetrievalIngestor:
             # cbucket-dir-pruned then cluster-SEMI-joined against the
             # batch's media clusters (batch-bounded broadcast).
             if LshIngestor._has_parquet(self.caps_dir) and m_buckets:
-                from flume_spark.operators.similarity import ASSIGN_EXPR_MAX_K
+                from flume_spark.operators.similarity import assign_expr_ok
 
                 hist_t = self.spark.read.parquet(self.caps_dir).filter(
                     F.col("cbucket").isin(m_buckets)
                     & (F.col("ingest_batch") != batch_id)
                 )
-                if len(self.centroids) <= ASSIGN_EXPR_MAX_K:
+                if assign_expr_ok(self.centroids):
                     # touched-cluster prune as a literal list: the
                     # cluster space is construction-bounded (<= 64), so
                     # the distinct+broadcast semi-join paid a whole

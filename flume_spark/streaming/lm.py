@@ -159,10 +159,16 @@ class LmIngestor:
 
     def _process(self, batch_df: DataFrame, batch_id: int) -> None:
         k, scale = self.add_k, self.scale
+        # cached, not recomputed per consumer (round-14): the per-doc
+        # bigram tf feeds BOTH the scoring leg (marks write) and the
+        # learn leg (count write) — uncached, each write re-ran the
+        # bigram explode + aggregate over the batch (the LshIngestor
+        # nb.cache discipline)
         tf = (
             bigram_pairs(batch_df, self.id_col, self.text_col)
             .groupBy(self.id_col, "w1", "w2")
             .agg(F.count(F.lit(1)).alias("tf"))
+            .cache()
         )
         big = self._prefix_big(batch_id)
         vdf = self._prefix_vocab(batch_id)
@@ -208,19 +214,24 @@ class LmIngestor:
                 6,
             ).alias("ppl"),
         )
-        marks.write.mode("overwrite").parquet(
-            os.path.join(self.marks_dir, f"ingest_batch={batch_id}")
-        )
-        # learn: append this batch's counts (deterministic per batch —
-        # a replay overwrites the same partitions with the same rows)
-        tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12")).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self.big_dir, f"ingest_batch={batch_id}"))
-        batch_df.select(
-            F.explode(tokens_col(self.text_col)).alias("tok")
-        ).groupBy("tok").agg(F.count(F.lit(1)).alias("c")).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self.uni_dir, f"ingest_batch={batch_id}"))
+        try:
+            marks.write.mode("overwrite").parquet(
+                os.path.join(self.marks_dir, f"ingest_batch={batch_id}")
+            )
+            # learn: append this batch's counts (deterministic per batch —
+            # a replay overwrites the same partitions with the same rows)
+            tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self.big_dir, f"ingest_batch={batch_id}"))
+            batch_df.select(
+                F.explode(tokens_col(self.text_col)).alias("tok")
+            ).groupBy("tok").agg(F.count(F.lit(1)).alias("c")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self.uni_dir, f"ingest_batch={batch_id}"))
+        finally:
+            # a long-running stream would otherwise accumulate one dead
+            # cached frame per trigger
+            tf.unpersist()
 
     # -- reads / maintenance ----------------------------------------------
 

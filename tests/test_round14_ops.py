@@ -421,3 +421,17 @@ def test_kmeans_assign_expr_matches_kernel(spark):
     }
     assert got == want
     assert got[1] == 0 and got[5] == 0  # the tie law, explicitly
+
+
+def test_assign_expr_budget_rejects_wide_vectors():
+    """The round-14 A/B: at k x dim = 256 (k=4, dim-64 embeddings) the
+    unrolled expression left codegen and ran 25x slower than the kernel —
+    the gate must reject that regime and keep the measured-fast dim-4
+    lattice cases."""
+    from flume_spark.operators.similarity import assign_expr_ok
+
+    assert assign_expr_ok([[0.0] * 4] * 50)        # dim-4 lattice, k=50
+    assert assign_expr_ok([[0.0] * 64] * 3)        # tiny k, wide dim: 192
+    assert not assign_expr_ok([[0.0] * 64] * 4)    # the measured regression
+    assert not assign_expr_ok([[0.0] * 4] * 65)    # k past the hard cap
+    assert not assign_expr_ok([])
