@@ -2309,27 +2309,43 @@ class RetrievalIngestor:
     def _process(self, batch_df, batch_id: int) -> None:
         import os
 
+        from pyspark.sql import Observation
         from pyspark.sql.window import Window
 
-        mi = self._media_side(batch_df).localCheckpoint(eager=True)
-        ti = self._caption_side(batch_df).localCheckpoint(eager=True)
+        from flume_spark.operators.similarity import assign_expr_ok
+
+        # ZERO driver round-trips for the touched-bucket/cluster lists
+        # (round-14, step 2: the combined distinct().collect() was still
+        # one full action per batch) — each side's bounded sets ride
+        # observe() on its own checkpoint job.  cbucket sets are <=
+        # index_buckets values; the media cluster set is only collected on
+        # the expr route, where the cluster space is construction-bounded.
+        expr_route = assign_expr_ok(self.centroids)
+        t_obs, m_obs = Observation(), Observation()
+        m_metrics = [F.collect_set("cbucket").alias("bks")]
+        if expr_route:
+            m_metrics.append(F.collect_set("cluster").alias("cls"))
+        mi = (
+            self._media_side(batch_df)
+            .observe(m_obs, *m_metrics)
+            .localCheckpoint(eager=True)
+        )
+        ti = (
+            self._caption_side(batch_df)
+            .observe(t_obs, F.collect_set("cbucket").alias("bks"))
+            .localCheckpoint(eager=True)
+        )
         try:
             mi_sl = mi.select("cluster", "media_id", *self.mcols, "mnorm2")
-            # ONE driver round-trip for both legs' touched-cbucket lists
-            # (round-14: the two separate distinct().collect()s were two
-            # full AQE actions per batch on checkpointed KB-scale frames).
-            sides = (
-                ti.select(F.lit(0).alias("s"), "cbucket", "cluster")
-                .unionByName(mi.select(F.lit(1).alias("s"), "cbucket", "cluster"))
-                .distinct()
-                .collect()
-            )
-            t_buckets = sorted({r["cbucket"] for r in sides if r["s"] == 0})
-            m_buckets = sorted({r["cbucket"] for r in sides if r["s"] == 1})
+            m_got = m_obs.get
+            t_buckets = sorted(int(v) for v in t_obs.get["bks"])
+            m_buckets = sorted(int(v) for v in m_got["bks"])
             # batch media clusters: bounded by min(k, batch) — with the
             # expression-route bound (k <= 64) the leg-2 caption prune is
             # a literal isin instead of a distinct+broadcast semi-join
-            m_clusters = sorted({r["cluster"] for r in sides if r["s"] == 1})
+            m_clusters = (
+                sorted(int(v) for v in m_got["cls"]) if expr_route else None
+            )
             # Leg 1: new captions vs all visible media in their clusters.
             # Directory pruning lists only the captions' touched cbuckets
             # (a <= index_buckets driver list, a small constant); replay
@@ -2366,13 +2382,11 @@ class RetrievalIngestor:
             # cbucket-dir-pruned then cluster-SEMI-joined against the
             # batch's media clusters (batch-bounded broadcast).
             if LshIngestor._has_parquet(self.caps_dir) and m_buckets:
-                from flume_spark.operators.similarity import assign_expr_ok
-
                 hist_t = self.spark.read.parquet(self.caps_dir).filter(
                     F.col("cbucket").isin(m_buckets)
                     & (F.col("ingest_batch") != batch_id)
                 )
-                if assign_expr_ok(self.centroids):
+                if expr_route:
                     # touched-cluster prune as a literal list: the
                     # cluster space is construction-bounded (<= 64), so
                     # the distinct+broadcast semi-join paid a whole
