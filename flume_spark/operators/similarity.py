@@ -375,14 +375,17 @@ def kmeans_assign_vectorized(
 # paying (codegen size grows k x dim); route to the Arrow kernel instead.
 ASSIGN_EXPR_MAX_K = 64
 
-# ... and the REAL budget is the unrolled term count k x dim, not k alone:
-# at 256 terms (k=4, dim=64 — the embedding-table regime) the generated
-# method already leaves the fast path and per-row evaluation went
-# INTERPRETED, measured 25x slower than the Arrow kernel on dedup_semantic
-# (0.68s -> 16.95s, round-14 A/B).  200 keeps every measured-fast case
-# (dim-4 lattice features up to k=50; tiny k at moderate dims) and returns
-# the wide-vector regimes to the kernel.
-ASSIGN_EXPR_MAX_TERMS = 200
+# ... and the REAL budget is the unrolled term count k x dim, not k alone.
+# Round-14 A/B sweep (5000 dim-4 rows incl. the kernel route's re-attach
+# join, min-of-3 noop-sink seconds):
+#   k=4: expr 0.33 / kernel 0.40;  k=8: 0.38 / 0.26;  k=16: 0.68 / 0.27;
+#   k=40: 2.37 / 0.32;  k=4 x dim=64 (256 terms): interpreted, 25x slower
+#   (dedup_semantic 0.68s -> 16.95s).
+# Per-row expression cost grows linearly with k x dim while the kernel's
+# Arrow-boundary cost is flat, so the expression only pays where the
+# boundary+join overhead dominates: the tiny frozen spaces (k=4, dim=4 —
+# the retrieval-oracle regime).  24 admits exactly that neighborhood.
+ASSIGN_EXPR_MAX_TERMS = 24
 
 
 def assign_expr_ok(centroids: list[list[float]]) -> bool:

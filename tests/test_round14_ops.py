@@ -430,8 +430,10 @@ def test_assign_expr_budget_rejects_wide_vectors():
     lattice cases."""
     from flume_spark.operators.similarity import assign_expr_ok
 
-    assert assign_expr_ok([[0.0] * 4] * 50)        # dim-4 lattice, k=50
-    assert assign_expr_ok([[0.0] * 64] * 3)        # tiny k, wide dim: 192
-    assert not assign_expr_ok([[0.0] * 64] * 4)    # the measured regression
+    assert assign_expr_ok([[0.0] * 4] * 4)         # the retrieval regime
+    assert assign_expr_ok([[0.0] * 4] * 6)         # 24 terms: the edge
+    assert not assign_expr_ok([[0.0] * 4] * 8)     # kernel wins from k=8
+    assert not assign_expr_ok([[0.0] * 4] * 40)    # expr 2.37s vs 0.32s
+    assert not assign_expr_ok([[0.0] * 64] * 4)    # the interpreted cliff
     assert not assign_expr_ok([[0.0] * 4] * 65)    # k past the hard cap
     assert not assign_expr_ok([])
