@@ -459,6 +459,7 @@ def sssp_k_exact(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Bounded Bellman-Ford: exact integer shortest-path distances using
     at most k edges — the WEIGHTED multi-join fixpoint (bfs_hops is the
@@ -479,7 +480,7 @@ def sssp_k_exact(
         .withColumn("dist", F.lit(0).cast("long"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(k):
+    for i in range(k):
         relaxed = (
             dist.join(edges, dist["vertex"] == edges[src])
             .select(
@@ -491,8 +492,14 @@ def sssp_k_exact(
             dist.unionByName(relaxed)
             .groupBy("vertex")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
         )
+        # Lineage truncated every `checkpoint_every` rounds — the
+        # pagerank_k_exact convention (round-14): a per-round eager
+        # checkpoint was one full action + materialization per relaxation,
+        # while a bounded lazy chain of join+agg rounds compiles into ONE
+        # job and the optimizer keeps every round's single exchange.
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < k:
+            dist = dist.localCheckpoint(eager=True)
     return dist
 
 
