@@ -497,8 +497,11 @@ def sssp_k_exact(
         # pagerank_k_exact convention (round-14): a per-round eager
         # checkpoint was one full action + materialization per relaxation,
         # while a bounded lazy chain of join+agg rounds compiles into ONE
-        # job and the optimizer keeps every round's single exchange.
-        if (i + 1) % checkpoint_every == 0 and (i + 1) < k:
+        # job.  The cadence INCLUDES the final round (exactly as
+        # pagerank_k_exact): skipping it left the whole k-round chain
+        # lazy in the returned plan — O(k) exchanges at explain time,
+        # tripping the global plan-hygiene cap.
+        if (i + 1) % checkpoint_every == 0:
             dist = dist.localCheckpoint(eager=True)
     return dist
 
