@@ -513,7 +513,15 @@ def simhash_pairs(
     that grows with corpus size) finds every qualifying pair — no all-pairs
     comparison.  Returns (doc_a, doc_b, hamming).
     """
-    fp = simhash_fingerprint(df, id_col, text_col, bits)
+    # Materialize the fingerprints ONCE (round-14): the block self-join
+    # consumes the frame on BOTH sides, and without staging each side
+    # re-runs the whole token-explode + bit-sum fingerprint subtree —
+    # the executed plan computed it twice (one broadcast leg, one probe
+    # leg; no ReusedExchange fires across a broadcast build).  The
+    # staged frame is one (doc_id, simhash) row per doc — narrow.
+    fp = simhash_fingerprint(df, id_col, text_col, bits).localCheckpoint(
+        eager=True
+    )
     return hamming_block_pairs(
         fp, "doc_id", "simhash", bits=bits, max_hamming=max_hamming, blocks=blocks
     )
@@ -1398,7 +1406,14 @@ def incremental_prefix_candidates(
     if (history_prefix is None) == (history is None):
         raise ValueError("pass exactly one of history_prefix / history")
     new_sh = word_shingles(new, id_col, text_col, n)
-    np_ = hash_ordered_prefix(new_sh, t_num, t_den)
+    # Stage the new side's prefix ONCE (round-14): it feeds THREE plan
+    # legs (the history probe's a-side and both sides of the new-new
+    # self-join), and without staging each leg re-executes the whole
+    # explode + agg + double-window subtree — the executed plan ran it
+    # 3x (plus hp's once: 4 identical subtrees, 12 exchanges).  The
+    # batch side is the small side by construction (one ingest batch),
+    # so the materialization is batch-sized, never corpus-sized.
+    np_ = hash_ordered_prefix(new_sh, t_num, t_den).localCheckpoint(eager=True)
     hp = (
         history_prefix
         if history_prefix is not None

@@ -357,7 +357,13 @@ def phash_pairs(
     (doc_a, doc_b, hamming)."""
     from flume_spark.operators.dedup import hamming_block_pairs
 
-    fp = perceptual_hash_stub(payloads, bits=bits)
+    # Materialize the fingerprints ONCE (round-14): the block self-join
+    # consumes the frame on BOTH sides, and without staging each side
+    # re-runs the Arrow pHash kernel over every payload — the executed
+    # plan showed two MapInPandas nodes for one fingerprint pass (guide
+    # §4: the Python boundary is the expensive leg; never pay it twice).
+    # The staged frame is one (id, phash) row per payload — narrow.
+    fp = perceptual_hash_stub(payloads, bits=bits).localCheckpoint(eager=True)
     return hamming_block_pairs(
         fp, "id", "phash", bits=bits, max_hamming=max_hamming, blocks=blocks
     )

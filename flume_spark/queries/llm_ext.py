@@ -742,8 +742,24 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     history = docs.filter(F.col("doc_id") % 3 != 0)
     new = docs.filter(F.col("doc_id") % 3 == 0)
+    # Band the batch ONCE and own the materialization — exactly the
+    # caching contract incremental_lsh_candidates documents (round-14):
+    # the convenience path re-ran the batch's whole shingle + minhash
+    # + band subplan for all three join legs (the executed plan showed
+    # 4 identical explode+sort-agg subtrees).  The staged frame is
+    # O(batch x bands) rows — batch-sized, never history-sized.
+    new_banded = dedup.banded_signatures(
+        new, "doc_id", "text", 2, 16, 4
+    ).localCheckpoint(eager=True)
     return dedup.incremental_lsh_candidates(
-        history, new, "doc_id", "text", shingle_n=2, num_hashes=16, bands=4
+        history,
+        new,
+        "doc_id",
+        "text",
+        shingle_n=2,
+        num_hashes=16,
+        bands=4,
+        new_banded=new_banded,
     )
 
 
@@ -1164,8 +1180,16 @@ def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     history = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
+    # Window the batch ONCE and own the materialization — the caching
+    # contract incremental_substring_stats documents (round-14): the
+    # convenience path re-ran the batch's window explode for the history
+    # probe, both self-join sides, and the totals (4 identical subtrees
+    # in the executed plan).  O(batch x words) rows, batch-sized.
+    new_windows = dedup.substring_windows(
+        dedup._spread(new), "doc_id", "text", k=8
+    ).localCheckpoint(eager=True)
     return dedup.incremental_substring_stats(
-        new, "doc_id", "text", k=8, history=history
+        new, "doc_id", "text", k=8, history=history, new_windows=new_windows
     )
 
 
