@@ -1450,7 +1450,18 @@ def lm_bigram_model(
     context's denominator and scoring degrades smoothly to the
     unseen-bigram tier (k/(c1+kV)) instead of inflating probabilities."""
     bg = bigram_pairs(ref_df, id_col, text_col)
-    big_all = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # Stage the aggregated bigram counts ONCE (round-14): big and ctx are
+    # both built from big_all, and each downstream broadcast build would
+    # otherwise re-run the whole bigram explode + aggregate over ref_df
+    # (no ReusedExchange fires across separate broadcast builds).  The
+    # staged frame is bigram-TYPE-grain — vocabulary-sized, far below the
+    # corpus it came from — so the materialization is cheap in both the
+    # ref-slice and train-on-self regimes.
+    big_all = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     ctx = big_all.groupBy("w1").agg(F.sum("c12").alias("c1"))
     big = (
         big_all.filter(F.col("c12") >= prune_min_count)
@@ -1548,18 +1559,26 @@ def lm_perplexity(
         F.coalesce(F.col("c1"), F.lit(0)) + F.lit(add_k) * F.col("v")
     ).cast("double")
     lp_int = F.round(F.log(p) * scale).cast("long")
+    # No corpus⋈corpus re-attach join (round-14): n_bigrams IS sum(tf)
+    # for every doc that has a bigram (both equal token_count - 1), so it
+    # rides the same per-doc aggregate as lp_int; the <2-token docs —
+    # exactly the ids absent from tf — come back via a narrow filtered
+    # union instead of a doc-grain left join.  The old base⋈doc join was
+    # the plan's only corpus-sized join: it auto-broadcast only while the
+    # model side's size estimate stayed tiny, and at scale it degraded to
+    # a two-exchange sort-merge of the whole corpus against itself.
     doc = joined.groupBy(id_col).agg(
-        F.sum(F.col("tf") * lp_int).alias("lp_int")
+        F.sum(F.col("tf") * lp_int).cast("long").alias("lp_int"),
+        F.sum("tf").cast("int").alias("n_bigrams"),
     )
-    base = df.select(
+    zero = df.filter(
+        F.coalesce(F.size(tokens_col(text_col)), F.lit(0)) < 2
+    ).select(
         F.col(id_col),
-        F.greatest(F.size(tokens_col(text_col)) - 1, F.lit(0)).alias(
-            "n_bigrams"
-        ),
+        F.lit(0).cast("long").alias("lp_int"),
+        F.lit(0).cast("int").alias("n_bigrams"),
     )
-    out = base.join(doc, id_col, "left").withColumn(
-        "lp_int", F.coalesce(F.col("lp_int"), F.lit(0)).cast("long")
-    )
+    out = doc.unionByName(zero)
     ppl = F.round(
         F.exp(
             -F.col("lp_int")
@@ -1633,19 +1652,37 @@ def lm_backoff_score(
     totals broadcast.  Returns (id, n_trigrams, lp_int, ppl)."""
     if ref_df is None:
         ref_df = df
+    # Stage each count table ONCE (round-14): every derived table (bctx
+    # from tri, uctx from bi, nv from uni) and every broadcast build
+    # would otherwise re-run its parent's full explode + aggregate over
+    # ref_df — the executed plan ran the trigram, bigram, and token
+    # explodes twice each (14 Generate nodes for 3 logical passes).  The
+    # staged frames are n-gram-TYPE-grain (vocabulary-sized); nv now
+    # derives from the unigram table (n = sum of counts, v = row count —
+    # exact identities), dropping a whole token explode.
     tg = trigram_pairs(ref_df, id_col, text_col)
-    tri = tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    tri = (
+        tg.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+        .localCheckpoint(eager=True)
+    )
     bctx = tri.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
     bg = bigram_pairs(ref_df, id_col, text_col)
-    bi = bg.groupBy(
-        F.col("w1").alias("w2"), F.col("w2").alias("w3")
-    ).agg(F.count(F.lit(1)).alias("c23"))
+    bi = (
+        bg.groupBy(F.col("w1").alias("w2"), F.col("w2").alias("w3"))
+        .agg(F.count(F.lit(1)).alias("c23"))
+        .localCheckpoint(eager=True)
+    )
     uctx = bi.groupBy("w2").agg(F.sum("c23").alias("c2"))
-    uni = ref_df.select(F.explode(tokens_col(text_col)).alias("w3")).groupBy(
-        "w3"
-    ).agg(F.count(F.lit(1)).alias("c3"))
-    nv = ref_df.select(F.explode(tokens_col(text_col)).alias("tok")).agg(
-        F.count(F.lit(1)).alias("n"), F.count_distinct("tok").alias("v")
+    uni = (
+        ref_df.select(F.explode(tokens_col(text_col)).alias("w3"))
+        .groupBy("w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+        .localCheckpoint(eager=True)
+    )
+    nv = uni.agg(
+        F.coalesce(F.sum("c3"), F.lit(0)).cast("long").alias("n"),
+        F.count(F.lit(1)).alias("v"),
     )
     tf = (
         trigram_pairs(df, id_col, text_col)
@@ -1677,16 +1714,23 @@ def lm_backoff_score(
         )
     )
     lp_int = F.round(F.log(s) * scale).cast("long")
-    doc = j.groupBy(id_col).agg(F.sum(F.col("tf") * lp_int).alias("lp_int"))
-    base = df.select(
+    # Same no-re-attach shape as lm_perplexity (round-14): n_trigrams IS
+    # sum(tf) for every doc with a trigram (both equal token_count - 2),
+    # so it rides the per-doc aggregate; <3-token docs — exactly the ids
+    # absent from tf — union back with zero scores.  Drops the corpus-
+    # sized base⋈doc left join (two exchanges + a sort at scale).
+    doc = j.groupBy(id_col).agg(
+        F.sum(F.col("tf") * lp_int).cast("long").alias("lp_int"),
+        F.sum("tf").cast("int").alias("n_trigrams"),
+    )
+    zero = df.filter(
+        F.coalesce(F.size(tokens_col(text_col)), F.lit(0)) < 3
+    ).select(
         F.col(id_col),
-        F.greatest(F.size(tokens_col(text_col)) - 2, F.lit(0)).alias(
-            "n_trigrams"
-        ),
+        F.lit(0).cast("long").alias("lp_int"),
+        F.lit(0).cast("int").alias("n_trigrams"),
     )
-    out = base.join(doc, id_col, "left").withColumn(
-        "lp_int", F.coalesce(F.col("lp_int"), F.lit(0)).cast("long")
-    )
+    out = doc.unionByName(zero)
     ppl = F.round(
         F.exp(
             -F.col("lp_int")
