@@ -907,7 +907,11 @@ class SemanticIngestor:
         # scalar the rest of the batch needs (round-14): the touched
         # cluster-bucket list, the batch size for the running population,
         # and (bounded-k only) the touched-cluster list all ride observe()
-        # on the checkpoint job — they were three separate actions.
+        # — and that one action IS the index write (round-14, step 3): the
+        # batch is written straight to its epoch partition and read back
+        # LAZILY for the marking legs; the old eager checkpoint +
+        # end-of-batch index write materialized every batch twice and
+        # cost an extra action.
         obs = Observation()
         metrics = [
             F.count(F.lit(1)).alias("n"),
@@ -917,20 +921,31 @@ class SemanticIngestor:
             # cluster ids are construction-bounded (<= k <= 64): safe as a
             # driver list; unbounded-k routes keep the broadcast semi-join
             metrics.append(F.collect_set("cluster").alias("cls"))
-        nb = (
+        ep_path = os.path.join(self._epoch_path(), f"ingest_batch={batch_id}")
+        (
             nb0.withColumn("src_batch", F.lit(batch_id).cast("int"))
+            .select("id", "cluster", "vec", "src_batch")
             .withColumn(
                 "cbucket",
                 F.pmod(F.col("cluster"), F.lit(self.index_buckets)).cast("int"),
             )
             .observe(obs, *metrics)
-            .localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .partitionBy("cbucket")
+            .parquet(ep_path)
         )
         got = obs.get
         # touched cluster-buckets: a bounded (<= index_buckets) driver-side
         # list that turns the index read into a directory-pruned listing
         touched = sorted(int(b) for b in got["bks"])
-        nb = nb.select("id", "cluster", "vec", "src_batch")
+        if int(got["n"]) > 0:
+            nb = self.spark.read.parquet(ep_path).select(
+                "id", "cluster", "vec", "src_batch"
+            )
+        else:  # empty partition dirs have no parquet footers to read
+            nb = nb0.withColumn(
+                "src_batch", F.lit(batch_id).cast("int")
+            ).select("id", "cluster", "vec", "src_batch")
         history = self._read_index(exclude_batch_id=batch_id, buckets=touched)
         if history is None:
             history = nb.filter("1 = 0")
@@ -1015,16 +1030,10 @@ class SemanticIngestor:
         marks.write.mode("overwrite").parquet(
             os.path.join(self.marks_dir, f"ingest_batch={batch_id}")
         )
-        nb.select("id", "cluster", "vec", "src_batch").withColumn(
-            "cbucket",
-            F.pmod(F.col("cluster"), F.lit(self.index_buckets)).cast("int"),
-        ).write.mode("overwrite").partitionBy("cbucket").parquet(
-            os.path.join(self._epoch_path(), f"ingest_batch={batch_id}")
-        )
         # count the batch into the running population exactly once: a
         # deterministic replay overwrites the same partition with the same
         # rows, so an already-counted batch must not increment again.
-        # The size rode observe() on the checkpoint job — no extra action.
+        # The size rode observe() on the index-write job — no extra action.
         if not self._batch_acked(batch_id):
             self._pop += int(got["n"])
         self._acked_mem.add(batch_id)
@@ -1211,43 +1220,51 @@ class PhashIngestor:
 
         from flume_spark.operators.dedup import hamming_block_pairs
 
-        # touched band-buckets ride observe() on the fingerprint
-        # checkpoint (round-14: the separate distinct().collect() was one
-        # extra action per batch): per block j the bucket is a direct
-        # expression of phash, and each collect_set is bounded by
-        # index_buckets values — scale-independent driver traffic.
-        width = self.bits // self.blocks
-        mask = (1 << width) - 1
+        from flume_spark.streaming import state
+
+        # ONE materialization per batch (round-14): the exploded band
+        # rows are written straight to the index partition with the
+        # touched-bucket observation riding the write job (bband IS the
+        # per-block bucket expression, so collect_set("bband") is the
+        # union of the per-block sets — bounded by index_buckets values,
+        # scale-independent driver traffic).  The per-doc (id, phash)
+        # frame is then read back LAZILY as the block_idx=0 slice — the
+        # old eager fingerprint checkpoint + end-of-batch band write
+        # materialized the batch twice and cost an extra action.
         obs = Observation()
-        nb = (
-            self._fingerprint(batch_df)
+        hist_parts = [
+            p for p in state.ingest_partitions(self.index_dir) if p != batch_id
+        ]
+        idx_path = os.path.join(self.index_dir, f"ingest_batch={batch_id}")
+        (
+            self._bands(self._fingerprint(batch_df))
+            .withColumn("bband", self._bband())
             .observe(
                 obs,
-                *[
-                    F.collect_set(
-                        F.pmod(
-                            F.lit(j * (1 << width))
-                            + F.expr(f"shiftright(phash, {j * width}) & {mask}"),
-                            F.lit(self.index_buckets),
-                        ).cast("int")
-                    ).alias(f"bk{j}")
-                    for j in range(self.blocks)
-                ],
+                F.collect_set("bband").alias("bks"),
+                F.count(F.lit(1)).alias("n"),
             )
-            .localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .partitionBy("bband")
+            .parquet(idx_path)
         )
-        nb_bands = self._bands(nb).withColumn("bband", self._bband())
+        got = obs.get
+        if int(got["n"]) > 0:
+            bands_rd = self.spark.read.parquet(idx_path)
+        else:  # empty partition dirs have no parquet footers to read
+            bands_rd = self._bands(self._fingerprint(batch_df)).withColumn(
+                "bband", self._bband()
+            )
+        nb = bands_rd.filter(F.col("block_idx") == 0).select("id", "phash")
+        nb_bands = bands_rd
 
         seniors = None
-        if LshIngestor._has_parquet(self.index_dir):
+        if hist_parts:
             # touched band-buckets: a bounded driver list that prunes the
             # index READ at the directory level — the full-index scan this
             # replaces grows with history; the pruned read is bounded by
             # the batch's own band set
-            got = obs.get
-            touched = sorted(
-                {int(v) for j in range(self.blocks) for v in got[f"bk{j}"]}
-            )
+            touched = sorted(int(v) for v in got["bks"])
             hist = (
                 self.spark.read.parquet(self.index_dir)
                 .filter(
@@ -1300,12 +1317,6 @@ class PhashIngestor:
         )
         marks.write.mode("overwrite").parquet(
             os.path.join(self.marks_dir, f"ingest_batch={batch_id}")
-        )
-        # index stores the EXPLODED band rows partitioned by band-bucket
-        # (blocks rows per doc — the standard banding overhead) so future
-        # probes read only their touched directories
-        nb_bands.write.mode("overwrite").partitionBy("bband").parquet(
-            os.path.join(self.index_dir, f"ingest_batch={batch_id}")
         )
 
     # -- maintenance --------------------------------------------------------
@@ -1900,11 +1911,37 @@ class AlignIngestor:
     def _process(self, batch_df, batch_id: int) -> None:
         import os
 
-        mi = self._media_features(batch_df).localCheckpoint(eager=True)
+        from pyspark.sql import Observation
+
+        from flume_spark.streaming import state
+
+        # ONE materialization for the media side (round-14, step 3): the
+        # batch's media index partition is written FIRST (its size riding
+        # observe() on the write job) and read back LAZILY for the probe —
+        # the old eager checkpoint + end-of-batch write materialized the
+        # media features twice and cost an extra action per batch.  The
+        # caption side keeps its checkpoint: it feeds TWO actions (the
+        # bounded ref collect and the marks write).
+        m_obs = Observation()
+        hist_parts = [
+            p for p in state.ingest_partitions(self.index_dir) if p != batch_id
+        ]
+        idx_path = os.path.join(self.index_dir, f"ingest_batch={batch_id}")
+        (
+            self._media_features(batch_df)
+            .observe(m_obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .partitionBy("kbucket")
+            .parquet(idx_path)
+        )
+        if int(m_obs.get["n"]) > 0:
+            mi = self.spark.read.parquet(idx_path)
+        else:  # empty partition dirs have no parquet footers to read
+            mi = self._media_features(batch_df)
         ti = self._caption_features(batch_df).localCheckpoint(eager=True)
 
         vis = mi.select("media_id", *self.mcols, "b2")
-        if LshIngestor._has_parquet(self.index_dir):
+        if hist_parts:
             # touched media keys: a CAP-BOUNDED driver list that prunes
             # the index read twice — kbucket derives the touched partition
             # DIRECTORIES, and the media_id IN (...) predicate pushes to
@@ -1987,14 +2024,10 @@ class AlignIngestor:
             marks.write.mode("overwrite").parquet(
                 os.path.join(self.marks_dir, f"ingest_batch={batch_id}")
             )
-            mi.write.mode("overwrite").partitionBy("kbucket").parquet(
-                os.path.join(self.index_dir, f"ingest_batch={batch_id}")
-            )
         finally:
             # release the per-batch checkpoint blocks — a long-running
-            # stream otherwise accumulates two dead cached frames per
+            # stream otherwise accumulates one dead cached frame per
             # trigger (the LshIngestor nb.unpersist discipline)
-            mi.unpersist()
             ti.unpersist()
 
     # -- maintenance --------------------------------------------------------
@@ -2314,145 +2347,174 @@ class RetrievalIngestor:
 
         from flume_spark.operators.similarity import assign_expr_ok
 
+        from flume_spark.streaming import state
+
         # ZERO driver round-trips for the touched-bucket/cluster lists
-        # (round-14, step 2: the combined distinct().collect() was still
-        # one full action per batch) — each side's bounded sets ride
-        # observe() on its own checkpoint job.  cbucket sets are <=
-        # index_buckets values; the media cluster set is only collected on
-        # the expr route, where the cluster space is construction-bounded.
+        # (round-14, step 2) — each side's bounded sets ride observe() on
+        # the side's ONE action.  cbucket sets are <= index_buckets
+        # values; the media cluster set is only collected on the expr
+        # route, where the cluster space is construction-bounded.
+        # ONE materialization per side (round-14, step 3): each side is
+        # written straight to its state partition with the observation
+        # riding the write job, then read back LAZILY for scoring — the
+        # old eager checkpoint + end-of-batch write pair materialized
+        # every side twice and cost two extra actions per batch.  The
+        # scoring legs that used to exclude the current batch id from
+        # history reads are unchanged: the read-back below targets the
+        # just-written partition directory explicitly.
         expr_route = assign_expr_ok(self.centroids)
         t_obs, m_obs = Observation(), Observation()
-        m_metrics = [F.collect_set("cbucket").alias("bks")]
+        m_metrics = [
+            F.collect_set("cbucket").alias("bks"),
+            F.count(F.lit(1)).alias("n"),
+        ]
         if expr_route:
             m_metrics.append(F.collect_set("cluster").alias("cls"))
-        mi = (
-            self._media_side(batch_df)
-            .observe(m_obs, *m_metrics)
-            .localCheckpoint(eager=True)
+        # history = any persisted partition other than this batch's own
+        # (driver-side dir listing, no Spark job) — captured BEFORE the
+        # current batch's partitions land
+        hist_m_parts = [
+            p for p in state.ingest_partitions(self.index_dir) if p != batch_id
+        ]
+        hist_t_parts = [
+            p for p in state.ingest_partitions(self.caps_dir) if p != batch_id
+        ]
+        self._staged_overwrite(
+            self._media_side(batch_df).observe(m_obs, *m_metrics),
+            self.index_dir,
+            batch_id,
+            "cbucket",
         )
-        ti = (
-            self._caption_side(batch_df)
-            .observe(t_obs, F.collect_set("cbucket").alias("bks"))
-            .localCheckpoint(eager=True)
+        self._staged_overwrite(
+            self._caption_side(batch_df).observe(
+                t_obs,
+                F.collect_set("cbucket").alias("bks"),
+                F.count(F.lit(1)).alias("n"),
+            ),
+            self.caps_dir,
+            batch_id,
+            "cbucket",
         )
-        try:
-            mi_sl = mi.select("cluster", "media_id", *self.mcols, "mnorm2")
-            m_got = m_obs.get
-            t_buckets = sorted(int(v) for v in t_obs.get["bks"])
-            m_buckets = sorted(int(v) for v in m_got["bks"])
-            # batch media clusters: bounded by min(k, batch) — with the
-            # expression-route bound (k <= 64) the leg-2 caption prune is
-            # a literal isin instead of a distinct+broadcast semi-join
-            m_clusters = (
-                sorted(int(v) for v in m_got["cls"]) if expr_route else None
+        m_got, t_got = m_obs.get, t_obs.get
+        if int(m_got["n"]) > 0:
+            mi = self.spark.read.parquet(
+                os.path.join(self.index_dir, f"ingest_batch={batch_id}")
             )
-            # Leg 1: new captions vs all visible media in their clusters.
-            # Directory pruning lists only the captions' touched cbuckets
-            # (a <= index_buckets driver list, a small constant); replay
-            # excludes this batch's own persisted partition.
-            vis = mi_sl
-            if LshIngestor._has_parquet(self.index_dir) and t_buckets:
-                hist_m = self.spark.read.parquet(self.index_dir).filter(
-                    F.col("cbucket").isin(t_buckets)
-                    & (F.col("ingest_batch") != batch_id)
+        else:  # empty partition dirs have no parquet footers to read
+            mi = self._media_side(batch_df)
+        if int(t_got["n"]) > 0:
+            ti = self.spark.read.parquet(
+                os.path.join(self.caps_dir, f"ingest_batch={batch_id}")
+            )
+        else:
+            ti = self._caption_side(batch_df)
+        mi_sl = mi.select("cluster", "media_id", *self.mcols, "mnorm2")
+        t_buckets = sorted(int(v) for v in t_got["bks"])
+        m_buckets = sorted(int(v) for v in m_got["bks"])
+        # batch media clusters: bounded by min(k, batch) — with the
+        # expression-route bound (k <= 64) the leg-2 caption prune is
+        # a literal isin instead of a distinct+broadcast semi-join
+        m_clusters = (
+            sorted(int(v) for v in m_got["cls"]) if expr_route else None
+        )
+        # Leg 1: new captions vs all visible media in their clusters.
+        # Directory pruning lists only the captions' touched cbuckets
+        # (a <= index_buckets driver list, a small constant); history
+        # excludes this batch's own persisted partition.
+        vis = mi_sl
+        if hist_m_parts and t_buckets:
+            hist_m = self.spark.read.parquet(self.index_dir).filter(
+                F.col("cbucket").isin(t_buckets)
+                & (F.col("ingest_batch") != batch_id)
+            )
+            vis = vis.unionByName(
+                hist_m.select(
+                    "cluster", "media_id", *self.mcols, "mnorm2"
                 )
-                vis = vis.unionByName(
-                    hist_m.select(
-                        "cluster", "media_id", *self.mcols, "mnorm2"
-                    )
-                )
-            # The batch side of each cluster join is bounded by the
-            # micro-batch by construction — the broadcast pin keeps the
-            # HISTORY side (visible media / stored captions) from ever
-            # being shuffled, the same argument as the AlignIngestor's
-            # batch-bounded probe (and at bench scale it drops the
-            # sort+exchange stages from every per-batch action).
-            pool = self._score(
-                F.broadcast(
-                    ti.select(
-                        "caption_id", "cbucket", "cluster",
-                        *self.tcols, "tnorm2",
-                    )
-                ),
-                vis,
-            ).withColumn("__leg", F.lit(0))
-            # Leg 2: existing captions in clusters touched by NEW media
-            # re-rank against the new media only, merged with their
-            # stored top-k (heap-merge invariant).  The caption read is
-            # cbucket-dir-pruned then cluster-SEMI-joined against the
-            # batch's media clusters (batch-bounded broadcast).
-            if LshIngestor._has_parquet(self.caps_dir) and m_buckets:
-                hist_t = self.spark.read.parquet(self.caps_dir).filter(
-                    F.col("cbucket").isin(m_buckets)
-                    & (F.col("ingest_batch") != batch_id)
-                )
-                if expr_route:
-                    # touched-cluster prune as a literal list: the
-                    # cluster space is construction-bounded (<= 64), so
-                    # the distinct+broadcast semi-join paid a whole
-                    # broadcast stage per batch for a handful of ints
-                    hist_t = hist_t.filter(F.col("cluster").isin(m_clusters))
-                else:
-                    hist_t = hist_t.join(
-                        F.broadcast(mi.select("cluster").distinct()),
-                        "cluster",
-                        "leftsemi",
-                    )
-                hist_t = hist_t.select(
+            )
+        # The batch side of each cluster join is bounded by the
+        # micro-batch by construction — the broadcast pin keeps the
+        # HISTORY side (visible media / stored captions) from ever
+        # being shuffled, the same argument as the AlignIngestor's
+        # batch-bounded probe (and at bench scale it drops the
+        # sort+exchange stages from every per-batch action).
+        pool = self._score(
+            F.broadcast(
+                ti.select(
                     "caption_id", "cbucket", "cluster",
                     *self.tcols, "tnorm2",
                 )
+            ),
+            vis,
+        ).withColumn("__leg", F.lit(0))
+        # Leg 2: existing captions in clusters touched by NEW media
+        # re-rank against the new media only, merged with their
+        # stored top-k (heap-merge invariant).  The caption read is
+        # cbucket-dir-pruned then cluster-SEMI-joined against the
+        # batch's media clusters (batch-bounded broadcast).
+        if hist_t_parts and m_buckets:
+            hist_t = self.spark.read.parquet(self.caps_dir).filter(
+                F.col("cbucket").isin(m_buckets)
+                & (F.col("ingest_batch") != batch_id)
+            )
+            if expr_route:
+                # touched-cluster prune as a literal list: the
+                # cluster space is construction-bounded (<= 64), so
+                # the distinct+broadcast semi-join paid a whole
+                # broadcast stage per batch for a handful of ints
+                hist_t = hist_t.filter(F.col("cluster").isin(m_clusters))
+            else:
+                hist_t = hist_t.join(
+                    F.broadcast(mi.select("cluster").distinct()),
+                    "cluster",
+                    "leftsemi",
+                )
+            hist_t = hist_t.select(
+                "caption_id", "cbucket", "cluster",
+                *self.tcols, "tnorm2",
+            )
+            pool = pool.unionByName(
+                self._score(hist_t, F.broadcast(mi_sl)).withColumn(
+                    "__leg", F.lit(1)
+                )
+            )
+            if LshIngestor._has_parquet(self.topk_dir):
+                old = (
+                    self.spark.read.parquet(self.topk_dir)
+                    .filter(
+                        F.col("cbucket").isin(m_buckets)
+                        & (F.col("ingest_batch") != batch_id)
+                    )
+                    .join(
+                        F.broadcast(
+                            hist_t.select("caption_id").distinct()
+                        ),
+                        "caption_id",
+                        "leftsemi",
+                    )
+                )
+                old_latest = self._latest_per_caption(old).select(
+                    "caption_id", "cbucket", "media_id", "align_q"
+                )
                 pool = pool.unionByName(
-                    self._score(hist_t, F.broadcast(mi_sl)).withColumn(
-                        "__leg", F.lit(1)
-                    )
+                    old_latest.withColumn("__leg", F.lit(1))
                 )
-                if LshIngestor._has_parquet(self.topk_dir):
-                    old = (
-                        self.spark.read.parquet(self.topk_dir)
-                        .filter(
-                            F.col("cbucket").isin(m_buckets)
-                            & (F.col("ingest_batch") != batch_id)
-                        )
-                        .join(
-                            F.broadcast(
-                                hist_t.select("caption_id").distinct()
-                            ),
-                            "caption_id",
-                            "leftsemi",
-                        )
-                    )
-                    old_latest = self._latest_per_caption(old).select(
-                        "caption_id", "cbucket", "media_id", "align_q"
-                    )
-                    pool = pool.unionByName(
-                        old_latest.withColumn("__leg", F.lit(1))
-                    )
-            # ONE top-k window over the tagged union: partitioning by
-            # (leg, caption_id) makes the kept row-set exactly
-            # topk(leg1-pool) ∪ topk(leg2-pool) — the same rows the
-            # per-leg windows produced — with a single exchange.
-            rn = F.row_number().over(
-                Window.partitionBy("__leg", "caption_id").orderBy(
-                    F.col("align_q").desc(), "media_id"
-                )
+        # ONE top-k window over the tagged union: partitioning by
+        # (leg, caption_id) makes the kept row-set exactly
+        # topk(leg1-pool) ∪ topk(leg2-pool) — the same rows the
+        # per-leg windows produced — with a single exchange.
+        rn = F.row_number().over(
+            Window.partitionBy("__leg", "caption_id").orderBy(
+                F.col("align_q").desc(), "media_id"
             )
-            out = (
-                pool.withColumn("__rn", rn)
-                .filter(F.col("__rn") <= self.k)
-                .drop("__rn", "__leg")
-                .withColumn("src_batch", F.lit(batch_id).cast("long"))
-            )
-            self._staged_overwrite(out, self.topk_dir, batch_id, "cbucket")
-            mi.write.mode("overwrite").partitionBy("cbucket").parquet(
-                os.path.join(self.index_dir, f"ingest_batch={batch_id}")
-            )
-            ti.write.mode("overwrite").partitionBy("cbucket").parquet(
-                os.path.join(self.caps_dir, f"ingest_batch={batch_id}")
-            )
-        finally:
-            mi.unpersist()
-            ti.unpersist()
+        )
+        out = (
+            pool.withColumn("__rn", rn)
+            .filter(F.col("__rn") <= self.k)
+            .drop("__rn", "__leg")
+            .withColumn("src_batch", F.lit(batch_id).cast("long"))
+        )
+        self._staged_overwrite(out, self.topk_dir, batch_id, "cbucket")
 
     # -- maintenance --------------------------------------------------------
 
