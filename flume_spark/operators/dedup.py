@@ -513,15 +513,14 @@ def simhash_pairs(
     that grows with corpus size) finds every qualifying pair — no all-pairs
     comparison.  Returns (doc_a, doc_b, hamming).
     """
-    # Materialize the fingerprints ONCE (round-14): the block self-join
-    # consumes the frame on BOTH sides, and without staging each side
-    # re-runs the whole token-explode + bit-sum fingerprint subtree —
-    # the executed plan computed it twice (one broadcast leg, one probe
-    # leg; no ReusedExchange fires across a broadcast build).  The
-    # staged frame is one (doc_id, simhash) row per doc — narrow.
-    fp = simhash_fingerprint(df, id_col, text_col, bits).localCheckpoint(
-        eager=True
-    )
+    # (round-14 A/B: staging the fingerprint frame with an eager
+    # localCheckpoint was measured and REVERTED — 2.68 -> 3.64 s, jobs
+    # 6 -> 8 at sf0.1: the fingerprint subtree ends in the signature
+    # aggregate's exchange, which stage reuse already shares across the
+    # block join's legs, so the checkpoint only added a materialization.
+    # Contrast phash_pairs, whose Arrow-kernel fingerprint has no
+    # exchange to reuse and DOES win from staging.)
+    fp = simhash_fingerprint(df, id_col, text_col, bits)
     return hamming_block_pairs(
         fp, "doc_id", "simhash", bits=bits, max_hamming=max_hamming, blocks=blocks
     )

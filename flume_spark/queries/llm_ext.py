@@ -742,24 +742,14 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     history = docs.filter(F.col("doc_id") % 3 != 0)
     new = docs.filter(F.col("doc_id") % 3 == 0)
-    # Band the batch ONCE and own the materialization — exactly the
-    # caching contract incremental_lsh_candidates documents (round-14):
-    # the convenience path re-ran the batch's whole shingle + minhash
-    # + band subplan for all three join legs (the executed plan showed
-    # 4 identical explode+sort-agg subtrees).  The staged frame is
-    # O(batch x bands) rows — batch-sized, never history-sized.
-    new_banded = dedup.banded_signatures(
-        new, "doc_id", "text", 2, 16, 4
-    ).localCheckpoint(eager=True)
+    # (round-14 A/B: pre-banding the batch behind an eager
+    # localCheckpoint was measured and REVERTED — 2.88 -> 3.53 s, jobs
+    # 8 -> 10 at sf0.1: the banded subplan ends in the signature
+    # aggregate's exchange, which stage reuse already shares across the
+    # join legs.  Contrast dedup_substring_incremental, whose window
+    # explode has no terminal exchange and DOES win from staging.)
     return dedup.incremental_lsh_candidates(
-        history,
-        new,
-        "doc_id",
-        "text",
-        shingle_n=2,
-        num_hashes=16,
-        bands=4,
-        new_banded=new_banded,
+        history, new, "doc_id", "text", shingle_n=2, num_hashes=16, bands=4
     )
 
 
