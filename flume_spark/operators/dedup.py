@@ -335,7 +335,9 @@ def lsh_verified_pairs(
     # Cache ownership: the cached index lives until Spark's LRU evicts it or
     # the caller clears the catalog cache — it cannot be unpersisted here
     # because the returned plan is lazy and still references it.
-    sh = word_shingles(df, id_col, text_col, shingle_n).cache()
+    sh = word_shingles(df, id_col, text_col, shingle_n).localCheckpoint(
+        eager=True
+    )
     # (round-14 A/B: a lazy localCheckpoint of the candidate frame was
     # measured and REVERTED — jobs and wall unchanged, i.e. AQE stage
     # reuse already dedupes the banded-join subtree across the nested
