@@ -1229,29 +1229,54 @@ def classifier_train(
     Returns (tok, w_int) for the full vocabulary (untouched tokens keep
     weight 0).  ``label_col`` must be 0/1.
     """
-    toks = tokens_col(text_col)
-    # ONE vocabulary pass, checkpointed and reused for both the tf filter
-    # and the final zero-filled spine (it is weights-table sized)
-    vocab = classifier_vocab(df, id_col, text_col, vocab_size).localCheckpoint(
-        eager=False
-    )
-    tf = (
-        df.select(
-            F.col(id_col),
-            F.col(label_col).cast("long").alias("__y"),
-            F.explode(toks).alias("tok"),
-        )
-        .groupBy(id_col, "__y", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .join(F.broadcast(vocab), "tok")
-        .localCheckpoint(eager=False)
-    )
-    weights = _perceptron_iterations(tf, id_col, "tok", iters)
+    tf0 = _classifier_tf0(df, id_col, text_col, label_col)
+    vocab, weights = _train_from_tf0(tf0, id_col, vocab_size, iters)
     # both sides are vocab-sized, but the checkpointed frames carry no
     # stats — broadcast explicitly so the spine join never sort-merges
     return vocab.join(F.broadcast(weights), "tok", "left").select(
         "tok", F.coalesce(F.col("w_int"), F.lit(0)).cast("long").alias("w_int")
     )
+
+
+def _classifier_tf0(
+    df: DataFrame, id_col: str, text_col: str, label_col: str
+) -> DataFrame:
+    """The ONE corpus tokenization of the classifier family: the full
+    (id, __y, tok, tf) frequency table, lazily checkpointed so the vocab
+    derivation, every training iteration, and classifier_eval's scoring
+    pass all read the same materialized blocks — round-14: vocab, train,
+    and eval each re-ran their own corpus explode (three scans + three
+    doc-token shuffles for one logical pass)."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(label_col).cast("long").alias("__y"),
+            F.explode(tokens_col(text_col)).alias("tok"),
+        )
+        .groupBy(id_col, "__y", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _train_from_tf0(
+    tf0: DataFrame, id_col: str, vocab_size: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """classifier_train's core over a prepared tf0: returns (vocab,
+    touched-feature weights).  Document frequency falls out of tf0 for
+    free — it holds exactly one row per (doc, token), so a plain count
+    per token IS classifier_vocab's count(distinct doc), tie-break and
+    all."""
+    vocab = (
+        tf0.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok")
+        .localCheckpoint(eager=False)
+    )
+    tf = tf0.join(F.broadcast(vocab), "tok").localCheckpoint(eager=False)
+    return vocab, _perceptron_iterations(tf, id_col, "tok", iters)
 
 
 def _perceptron_iterations(
@@ -1366,17 +1391,17 @@ def classifier_eval(
     result.  Prediction convention matches classifier_score: positive
     iff z > 0; docs with no vocab token score z = 0.
     """
-    weights = classifier_train(
-        df, id_col, text_col, label_col, vocab_size=vocab_size, iters=iters
-    )
-    toks = tokens_col(text_col)
-    tf = (
-        df.select(F.col(id_col), F.explode(toks).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    # ONE tokenization feeds training AND the scoring pass (round-14):
+    # the separate scoring explode was a third corpus scan.  Joining the
+    # vocab-spine weights keeps the same z: tokens outside the vocab are
+    # absent from the spine exactly as they were filtered before.
+    tf0 = _classifier_tf0(df, id_col, text_col, label_col)
+    vocab, touched = _train_from_tf0(tf0, id_col, vocab_size, iters)
+    weights = vocab.join(F.broadcast(touched), "tok", "left").select(
+        "tok", F.coalesce(F.col("w_int"), F.lit(0)).cast("long").alias("w_int")
     )
     z = (
-        tf.join(F.broadcast(weights), "tok")
+        tf0.join(F.broadcast(weights), "tok")
         .groupBy(id_col)
         .agg(F.sum(F.col("tf") * F.col("w_int")).alias("z"))
     )
