@@ -1518,7 +1518,11 @@ def substring_windows(
 
 
 def substring_dup_stats(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span profile: what fraction of the doc's
     k-word windows also appears VERBATIM in another document.
@@ -1535,8 +1539,16 @@ def substring_dup_stats(
     span shared by d documents costs d rows, not d^2 — the property that
     makes this the 100 TB-safe exact-substring pass while pairwise
     similarity joins stay candidate-bounded.
+
+    `windows` (an (id, pos, h) frame from substring_windows over the same
+    corpus/k) lets a caller that needs the window index for other legs
+    build it once — the verify_candidate_pairs `shingles=` convention.
     """
-    wins = substring_windows(_spread(df), id_col, text_col, k=k)
+    wins = (
+        windows
+        if windows is not None
+        else substring_windows(_spread(df), id_col, text_col, k=k)
+    )
     cross_dup = (
         wins.groupBy("h")
         .agg(F.count_distinct("id").alias("nd"))

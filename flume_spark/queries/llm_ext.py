@@ -1454,14 +1454,23 @@ def corpus_curate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered positions directly — no text reassembly.  Columns: source,
     n_docs, n_rejected, tokens_before, tokens_after."""
     docs = T(spark, sf_dir, "documents")
-    stats = dedup.substring_dup_stats(docs, "doc_id", "text", k=8)
+    # Window the corpus ONCE (round-14): the stats leg and the survivor
+    # clean leg consumed two independent full window explodes; windowing
+    # is per-doc, so the survivor windows are exactly the checkpointed
+    # index anti-joined on the rejected ids — row-identical to
+    # re-windowing the survivor docs.
+    wins = dedup.substring_windows(
+        dedup._spread(docs), "doc_id", "text", k=8
+    ).localCheckpoint(eager=True)
+    stats = dedup.substring_dup_stats(docs, "doc_id", "text", k=8, windows=wins)
     rejected = (
         stats.filter(F.col("dup_frac") > 0.5)
         .select("doc_id", F.lit(1).alias("rejected"))
         .localCheckpoint(eager=True)
     )
-    survivors = docs.join(rejected.select("doc_id"), "doc_id", "left_anti")
-    swins = dedup.substring_windows(survivors, "doc_id", "text", k=8)
+    swins = wins.join(
+        rejected.select(F.col("doc_id").alias("id")), "id", "left_anti"
+    )
     covered = dedup.dup_canonical_covered(swins, k=8)
     ncov = (
         covered.groupBy("id")

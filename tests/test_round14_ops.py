@@ -437,3 +437,72 @@ def test_assign_expr_budget_rejects_wide_vectors():
     assert not assign_expr_ok([[0.0] * 64] * 4)    # the interpreted cliff
     assert not assign_expr_ok([[0.0] * 4] * 65)    # k past the hard cap
     assert not assign_expr_ok([])
+
+
+def test_substring_dup_stats_accepts_prebuilt_windows(spark):
+    """The `windows=` reuse seam (the verify_candidate_pairs `shingles=`
+    convention): stats computed from a caller-built window index must be
+    row-identical to the self-built default — corpus_curate_spans feeds
+    ONE checkpointed index into both its stats and clean legs."""
+    from pyspark.sql import functions as F
+
+    from flume_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "a b c d e f g h x y"),
+            (3, "z z z z z z z z z z"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    wins = dedup.substring_windows(dedup._spread(docs), "doc_id", "text", k=8)
+    got = sorted(
+        dedup.substring_dup_stats(
+            docs, "doc_id", "text", k=8, windows=wins
+        ).collect()
+    )
+    want = sorted(dedup.substring_dup_stats(docs, "doc_id", "text", k=8).collect())
+    assert got == want
+    # the anti-join survivor form the curate-spans query uses is
+    # row-identical to re-windowing the surviving docs
+    rejected = docs.filter(F.col("doc_id") == 3).select(
+        F.col("doc_id").alias("id")
+    )
+    via_anti = sorted(
+        wins.join(rejected, "id", "left_anti").collect()
+    )
+    via_rewindow = sorted(
+        dedup.substring_windows(
+            docs.filter(F.col("doc_id") != 3), "doc_id", "text", k=8
+        ).collect()
+    )
+    assert via_anti == via_rewindow
+
+
+def test_classifier_tf0_vocab_matches_classifier_vocab(spark):
+    """The shared-tokenization refactor: the vocabulary derived from the
+    one tf0 table (plain count per token) must equal classifier_vocab's
+    explode(array_distinct) doc-frequency top-k, tie-break included."""
+    from pyspark.sql import functions as F
+
+    from flume_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the cat sat on the mat"),
+            (2, "en", "the dog sat"),
+            (3, "de", "der hund sass"),
+            (4, "en", "cat dog mat sass"),
+        ],
+        "doc_id long, lang string, text string",
+    ).withColumn("y", (F.col("lang") == "en").cast("int"))
+    tf0 = T._classifier_tf0(docs, "doc_id", "text", "y")
+    vocab, _ = T._train_from_tf0(tf0, "doc_id", vocab_size=5, iters=1)
+    got = [r["tok"] for r in vocab.collect()]
+    want = [
+        r["tok"]
+        for r in T.classifier_vocab(docs, "doc_id", "text", 5).collect()
+    ]
+    assert got == want
