@@ -155,7 +155,11 @@ def curate_corpus(
     counts["near_dup"] = kept.count()
 
     if substring_clean:
-        cleaned = dedup.substring_dedup_clean(kept, id_col, text_col, k=substring_k)
+        # kept is a cached survivor frame: re-tokenizing it per leg reads
+        # memory blocks, so the tokens checkpoint would be pure cost
+        cleaned = dedup.substring_dedup_clean(
+            kept, id_col, text_col, k=substring_k, stage_tokens=False
+        )
         kept = (
             kept.drop(text_col)
             .join(

@@ -1478,6 +1478,7 @@ def substring_windows(
     text_col: str,
     k: int = 8,
     with_text: bool = False,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Every k-WORD window of the normalized text as (id, h[, span]).
 
@@ -1495,12 +1496,20 @@ def substring_windows(
 
     Rows carry `pos` (0-based window start) so an OCCURRENCE has identity —
     the incremental path dedups per-occurrence match evidence on (id, pos).
+
+    `tokens` (an (id, w) frame holding this corpus's norm_words_expr
+    arrays) lets a caller that needs BOTH the word positions and the
+    windows tokenize once — the substring family's windows=/shingles=
+    staging convention, one seam lower.
     """
-    words = norm_words_expr(text_col)
-    base = (
-        df.select(F.col(id_col).alias("id"), words.alias("w"))
-        .filter(F.size("w") >= k)
-    )
+    if tokens is not None:
+        base = tokens.filter(F.size("w") >= k)
+    else:
+        words = norm_words_expr(text_col)
+        base = (
+            df.select(F.col(id_col).alias("id"), words.alias("w"))
+            .filter(F.size("w") >= k)
+        )
     if not with_text:
         wins = F.expr(
             f"transform(sequence(1, size(w) - {k} + 1),"
@@ -1956,7 +1965,11 @@ def dup_canonical_covered(wins: DataFrame, k: int) -> DataFrame:
 
 
 def substring_dedup_clean(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    stage_tokens: bool = True,
 ) -> DataFrame:
     """The curation ACTION for exact-substring dedup: remove every
     duplicated k-word span from the corpus, keeping exactly one canonical
@@ -1984,15 +1997,28 @@ def substring_dedup_clean(
     and the per-doc reassembly key on (id, wpos) / id.  Everything is
     codegen; reassembly state is bounded by single-document size.
     """
-    words_arr = norm_words_expr(text_col)
-    words = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(words_arr).alias("wpos", "word"),
+    # Tokenize ONCE (round-14): the word-position explode feeds the kept
+    # leg, the totals leg needs only size(w), and the window pass is a
+    # third consumer — three scan+regex tokenizations of the corpus for
+    # one logical canon, none sharing a terminal exchange for stage reuse.
+    # `stage_tokens` materializes the (id, w) arrays once (the budget the
+    # shingle/window index checkpoints already spend) so every leg reads
+    # the tokenized blocks — it pays when df is a raw parquet scan
+    # (A/B 3.01 -> 2.38 s maxspan-style single-scan law; clean standalone
+    # 2.37 -> 2.24 s) and LOSES when df is already a checkpointed
+    # survivor frame (corpus_funnel stage 5: the re-tokenize legs read
+    # memory blocks, so the extra materialization is pure cost — the
+    # entry-9 staging rule), so composed callers pass False.
+    toks = df.select(
+        F.col(id_col).alias("id"), norm_words_expr(text_col).alias("w")
     )
-    wins = substring_windows(df, id_col, text_col, k=k)
+    if stage_tokens:
+        toks = toks.localCheckpoint(eager=True)
+    words = toks.select("id", F.posexplode("w").alias("wpos", "word"))
+    wins = substring_windows(df, id_col, text_col, k=k, tokens=toks)
     covered = dup_canonical_covered(wins, k)
     kept = words.join(covered, ["id", "wpos"], "left_anti")
-    totals = words.groupBy("id").agg(F.count(F.lit(1)).alias("n_words"))
+    totals = toks.groupBy("id").agg(F.sum(F.size("w")).alias("n_words"))
     rebuilt = kept.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
@@ -2035,13 +2061,27 @@ def substring_max_dup_span(
     never pairwise); doubling widths gives a log-granular severity ladder
     at constant shuffle count.
     """
+    # ONE corpus scan + ONE tokenization for every probed width (round-14):
+    # the per-width legs used to union three independent scan+regex+window
+    # passes; the widths differ only in the transform bound, so they fuse
+    # into a single projection (concat of per-width window-struct arrays,
+    # one explode) — row-identical to the union, pinned by
+    # test_maxspan_fused_pass_matches_union.  CASE guards the short docs:
+    # sequence(1, size-k+1) at size < k would DESCEND, not empty.
     spread = _spread(df)
-    wins_all = None
-    for kk in ks:
-        part = substring_windows(spread, id_col, text_col, k=kk).select(
-            "id", "h", F.lit(kk).alias("k")
-        )
-        wins_all = part if wins_all is None else wins_all.unionByName(part)
+    arms = ",".join(
+        f"CASE WHEN size(w) >= {kk} THEN"
+        f" transform(sequence(1, size(w) - {kk} + 1),"
+        f" i -> struct(md5(array_join(slice(w, i, {kk}), ' ')) AS h,"
+        f" {kk} AS k)) ELSE array() END"
+        for kk in ks
+    )
+    base = spread.select(
+        F.col(id_col).alias("id"), norm_words_expr(text_col).alias("w")
+    ).filter(F.size("w") >= min(ks))
+    wins_all = base.select(
+        "id", F.explode(F.expr(f"concat({arms})")).alias("wk")
+    ).select("id", F.col("wk.h").alias("h"), F.col("wk.k").alias("k"))
     # materialize the window frame once: it is BOTH the semi-join probe and
     # the input of the duplicated-hash aggregate, and unpersisted the whole
     # multi-width subtree would re-plan per consumer (the same staged-

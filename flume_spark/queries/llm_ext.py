@@ -1860,7 +1860,9 @@ def funnel_report(
 
     clean = timed(
         "substring_clean",
-        lambda: dedup.substring_dedup_clean(nd, "doc_id", "text", k=8)
+        # nd is checkpointed: skip the tokens staging (A/B 7.10 -> 7.66 s
+        # with it — the re-tokenize legs read memory blocks already)
+        lambda: dedup.substring_dedup_clean(nd, "doc_id", "text", k=8, stage_tokens=False)
         .select("doc_id", F.col("n_kept").cast("long").alias("n_kept"))
         .localCheckpoint(eager=True),
     )

@@ -506,3 +506,108 @@ def test_classifier_tf0_vocab_matches_classifier_vocab(spark):
         for r in T.classifier_vocab(docs, "doc_id", "text", 5).collect()
     ]
     assert got == want
+
+
+def _maxspan_docs(spark):
+    """Edge grid for the substring family: >=32 words, 16..31, 8..15,
+    < 8 (no windows at any width), empty text ('' -> [''])."""
+    long = " ".join(f"w{i}" for i in range(40))
+    mid = " ".join(f"w{i}" for i in range(20))
+    return spark.createDataFrame(
+        [
+            (1, long),
+            (2, long),  # mirrors doc 1 at every width
+            (3, mid),
+            (4, mid + " tail differs here truly"),
+            (5, "a b c d e f g h"),  # exactly 8 words
+            (6, "a b c d e f g h"),
+            (7, "too short"),
+            (8, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_maxspan_fused_pass_matches_union(spark):
+    """substring_max_dup_span's fused single-scan window pass must return
+    the same severity ladder as the per-width union it replaced (and the
+    per-width window frames themselves must agree, multiplicity
+    included)."""
+    from pyspark.sql import functions as F
+
+    from flume_spark.operators import dedup
+
+    docs = _maxspan_docs(spark)
+    ks = (8, 16, 32)
+    got = sorted(
+        dedup.substring_max_dup_span(docs, "doc_id", "text", ks=ks).collect()
+    )
+    # reference: the pre-fusion union-of-widths formulation
+    ref_wins = None
+    for kk in ks:
+        part = dedup.substring_windows(docs, "doc_id", "text", k=kk).select(
+            "id", "h", F.lit(kk).alias("k")
+        )
+        ref_wins = part if ref_wins is None else ref_wins.unionByName(part)
+    hot = (
+        ref_wins.groupBy("k", "h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("k", "h")
+    )
+    hits = (
+        ref_wins.join(hot, ["k", "h"], "left_semi")
+        .select("id", "k")
+        .distinct()
+    )
+    agg = hits.groupBy("id").agg(F.max("k").alias("max_dup_span"))
+    want = sorted(
+        docs.select(F.col("doc_id").alias("id"))
+        .join(agg, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("max_dup_span", F.lit(0))
+            .cast("int")
+            .alias("max_dup_span"),
+        )
+        .collect()
+    )
+    assert got == want
+    # 1/2 mirror at 32; 3/4 share their 20 leading words (16, not 32);
+    # 5/6 mirror at exactly 8; 7/8 too short for any width
+    assert {r["max_dup_span"] for r in got} == {0, 8, 16, 32}
+
+
+def test_substring_windows_tokens_seam(spark):
+    """substring_windows(tokens=) — the tokenize-once seam
+    substring_dedup_clean rides — must be row-identical to the self-
+    tokenizing default, pos and multiplicity included."""
+    from pyspark.sql import functions as F
+
+    from flume_spark.operators import dedup
+
+    docs = _maxspan_docs(spark)
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        dedup.norm_words_expr("text").alias("w"),
+    )
+    got = sorted(
+        dedup.substring_windows(
+            None, "doc_id", "text", k=8, tokens=toks
+        ).collect()
+    )
+    want = sorted(
+        dedup.substring_windows(docs, "doc_id", "text", k=8).collect()
+    )
+    assert got == want and len(got) > 0
+    # both staging routes of the clean action are row-identical (the
+    # composed funnels pass stage_tokens=False over checkpointed inputs)
+    staged = sorted(
+        dedup.substring_dedup_clean(docs, "doc_id", "text", k=8).collect()
+    )
+    lazy = sorted(
+        dedup.substring_dedup_clean(
+            docs, "doc_id", "text", k=8, stage_tokens=False
+        ).collect()
+    )
+    assert staged == lazy
