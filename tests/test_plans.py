@@ -336,13 +336,18 @@ def test_no_declared_query_plans_a_cartesian_product(spark):
     query may plan a CartesianProduct (broadcast-nested-loop with a
     bounded broadcast side is the accepted non-equi form), and none may
     exceed 12 exchanges — a regression here is a scale bug even when the
-    sf0.01 answer stays correct.  (12, not 10: cached-subtree state from
-    earlier tests in a shared session can add 1-2 exchanges to a printed
-    plan — dedup_ngram_jaccard_capped showed 11 mid-suite vs 10 fresh.)"""
+    sf0.01 answer stays correct.  Each query is explained with the cache
+    CLEARED first (the bench's round-13 per-entry hygiene): live cached
+    subtrees from earlier tests — or from earlier queries in this very
+    loop — add exchanges to a printed plan that are the SESSION's state,
+    not the query's shape (dedup_ngram_jaccard_capped showed 11 mid-suite
+    vs 10 fresh; dedup_prefix_filter 13 vs 11), which made this gate
+    order-dependent."""
     from flume_spark.plans import n_nodes
 
     offenders, heavy = [], []
     for name, fn in QUERIES.items():
+        spark.catalog.clearCache()
         plan = explain_str(fn(spark, SF_ORACLE))
         if "CartesianProduct" in plan:
             offenders.append(name)
