@@ -1500,9 +1500,16 @@ def substring_windows(
     `tokens` (an (id, w) frame holding this corpus's norm_words_expr
     arrays) lets a caller that needs BOTH the word positions and the
     windows tokenize once — the substring family's windows=/shingles=
-    staging convention, one seam lower.
+    staging convention, one seam lower.  On that path df/id_col/text_col
+    are UNUSED (callers may pass df=None); the shape is asserted.
     """
     if tokens is not None:
+        # the tokens frame REPLACES df/id_col/text_col on this path (they
+        # are unused) — reject a frame with the wrong shape rather than
+        # silently windowing something else (round-15 ADVICE)
+        assert set(tokens.columns) == {"id", "w"}, (
+            f"tokens= must be exactly (id, w), got {tokens.columns}"
+        )
         base = tokens.filter(F.size("w") >= k)
     else:
         words = norm_words_expr(text_col)
@@ -2018,7 +2025,14 @@ def substring_dedup_clean(
     wins = substring_windows(df, id_col, text_col, k=k, tokens=toks)
     covered = dup_canonical_covered(wins, k)
     kept = words.join(covered, ["id", "wpos"], "left_anti")
-    totals = toks.groupBy("id").agg(F.sum(F.size("w")).alias("n_words"))
+    # NULL text tokenizes to a NULL array: coalesce its size to 0 so the
+    # doc still gets an (n_words=0, n_kept=0, clean_text='') row — the
+    # docstring's "every document" contract (sum over a NULL size would
+    # emit n_words=NULL instead; round-15 ADVICE, pinned by the NULL-text
+    # row in _maxspan_docs)
+    totals = toks.groupBy("id").agg(
+        F.sum(F.coalesce(F.size("w"), F.lit(0))).alias("n_words")
+    )
     rebuilt = kept.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(

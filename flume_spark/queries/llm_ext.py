@@ -1820,8 +1820,14 @@ def funnel_report(
     from flume_spark.operators.text import quality_col
 
     def timed(name, fn):
+        # label the stage's jobs in the UI / statusStore (guide §1.5) —
+        # the round-15 job-duration profile was unreadable without it
+        spark.sparkContext.setJobDescription(f"funnel:{name}")
         t0 = _time.perf_counter()
-        out = fn()
+        try:
+            out = fn()
+        finally:
+            spark.sparkContext.setJobDescription(None)
         if timings is not None:
             timings[name] = round(_time.perf_counter() - t0, 3)
         return out
@@ -2097,12 +2103,25 @@ def stream_funnel_frames(spark: SparkSession, docs: DataFrame):
             ).localCheckpoint(eager=True)
         return sh_ex
 
+    from flume_spark.operators.concurrency import overlap
+
     nd_parts = []
     for b in range(3):
         exb = ex.filter(F.col("b") == b)
         lsh.process(exb, b)
-        cands = batch_pairs(b)
-        if cands is None or not cands.head(1):
+        # "any pairs this batch?" rides the ingestor's own pairs-write
+        # observation (round-15) — the head(1) probe was one extra Spark
+        # action per batch; the read-based fallback only runs when the
+        # count is unknown (ledger-skipped replay)
+        n_pairs = lsh.pair_count(b)
+        if n_pairs == 0:
+            no_pairs = True
+        else:
+            cands = batch_pairs(b)
+            no_pairs = cands is None or (
+                n_pairs is None and not cands.head(1)
+            )
+        if no_pairs:
             nd_b = exb
         else:
             prefix = ex.filter(F.col("b") <= b)
@@ -2122,9 +2141,18 @@ def stream_funnel_frames(spark: SparkSession, docs: DataFrame):
             nd_b = exb.join(juniors, "doc_id", "left_anti")
         nd_b = nd_b.localCheckpoint(eager=True)
         nd_parts.append(nd_b)
-        sub.process(nd_b, b)
-        sem.process(
-            feats_all.join(nd_b.select(F.col("doc_id").alias("id")), "id"), b
+        # the substring and semantic ingests of this batch are independent
+        # (disjoint stores/ledgers, both off the checkpointed nd_b) —
+        # overlap them (§2.6, round-15); batch order within each ingestor
+        # is preserved because the loop joins both before b+1
+        overlap(
+            lambda: sub.process(nd_b, b),
+            lambda: sem.process(
+                feats_all.join(
+                    nd_b.select(F.col("doc_id").alias("id")), "id"
+                ),
+                b,
+            ),
         )
     # re-delivered batch id through every ledger: all three must skip
     lsh.process(ex.filter("b = 1"), 1)
@@ -2153,8 +2181,11 @@ def stream_funnel_frames(spark: SparkSession, docs: DataFrame):
     )
     # eager checkpoints: kept_toks / sem_surv otherwise read the ingestor
     # stores lazily, and the caller deletes state_root after this returns
-    kept_toks = kept_toks.localCheckpoint(eager=True)
-    sem_surv = sem_surv.localCheckpoint(eager=True)
+    # (independent frames — overlapped, §2.6 round-15)
+    kept_toks, sem_surv = overlap(
+        lambda: kept_toks.localCheckpoint(eager=True),
+        lambda: sem_surv.localCheckpoint(eager=True),
+    )
     return (
         {
             "base": base,

@@ -259,6 +259,10 @@ class LshIngestor:
             incremental_lsh_candidates,
         )
 
+        from pyspark.sql import Observation
+
+        from flume_spark.operators.concurrency import overlap
+
         nb = banded_signatures(
             batch_df, self.id_col, self.text_col,
             self.shingle_n, self.num_hashes, self.bands,
@@ -282,14 +286,37 @@ class LshIngestor:
             )
             import os
 
-            pairs.write.mode("overwrite").parquet(
-                os.path.join(self.pairs_dir, f"ingest_batch={batch_id}")
+            # the pair count rides observe() on the pairs write (round-15:
+            # consumers paid a separate head(1) action per batch to learn
+            # "any pairs?"); the two writes are independent — pairs dir vs
+            # index dir, both off the cached nb — so they overlap (§2.6).
+            # Both frames (pairs' history read included) are constructed
+            # BEFORE the threads launch, and the history read excludes
+            # this batch's partition, so the concurrent index write can
+            # never leak into the probe.
+            obs = Observation()
+            pairs_obs = pairs.observe(obs, F.count(F.lit(1)).alias("n"))
+            overlap(
+                lambda: pairs_obs.write.mode("overwrite").parquet(
+                    os.path.join(self.pairs_dir, f"ingest_batch={batch_id}")
+                ),
+                lambda: self._write_index(nb, batch_id),
             )
-            self._write_index(nb, batch_id)
+            self.last_pairs = (batch_id, int(obs.get["n"]))
         finally:
             # a long-running stream would otherwise accumulate one dead
             # cached frame per trigger
             nb.unpersist()
+
+    def pair_count(self, batch_id: int) -> int | None:
+        """Candidate-pair count of `batch_id` IF this instance just
+        processed it (rode the pairs write's observation — no extra
+        action); None when unknown (ledger-skipped replay, restart), in
+        which case the caller falls back to reading the pairs table."""
+        last = getattr(self, "last_pairs", None)
+        if last is not None and last[0] == batch_id:
+            return last[1]
+        return None
 
     def candidate_pairs(self):
         """All (doc_new, doc_match) pairs found so far (None if none)."""
@@ -435,6 +462,8 @@ class SubstrIngestor:
             substring_windows,
         )
 
+        from flume_spark.operators.concurrency import overlap
+
         nw = substring_windows(
             batch_df, self.id_col, self.text_col, k=self.k
         ).cache()
@@ -450,10 +479,15 @@ class SubstrIngestor:
                 history_windows=history,
                 new_windows=nw,
             )
-            stats.write.mode("overwrite").parquet(
-                os.path.join(self.stats_dir, f"ingest_batch={batch_id}")
+            # stats dir vs index dir: independent writes off the cached
+            # nw, history read constructed above and excluding this
+            # batch's partition — overlap them (§2.6, round-15)
+            overlap(
+                lambda: stats.write.mode("overwrite").parquet(
+                    os.path.join(self.stats_dir, f"ingest_batch={batch_id}")
+                ),
+                lambda: self._write_index(nw, batch_id),
             )
-            self._write_index(nw, batch_id)
         finally:
             nw.unpersist()
 
@@ -2379,21 +2413,25 @@ class RetrievalIngestor:
         hist_t_parts = [
             p for p in state.ingest_partitions(self.caps_dir) if p != batch_id
         ]
-        self._staged_overwrite(
-            self._media_side(batch_df).observe(m_obs, *m_metrics),
-            self.index_dir,
-            batch_id,
-            "cbucket",
+        # the two side writes are independent (disjoint staging dirs,
+        # disjoint state dirs, both derive only from batch_df) — overlap
+        # them from driver threads (guide §2.6, round-15): sequentially
+        # each was a 1-3-partition write job leaving most cores idle
+        from flume_spark.operators.concurrency import overlap
+
+        media_frame = self._media_side(batch_df).observe(m_obs, *m_metrics)
+        caption_frame = self._caption_side(batch_df).observe(
+            t_obs,
+            F.collect_set("cbucket").alias("bks"),
+            F.count(F.lit(1)).alias("n"),
         )
-        self._staged_overwrite(
-            self._caption_side(batch_df).observe(
-                t_obs,
-                F.collect_set("cbucket").alias("bks"),
-                F.count(F.lit(1)).alias("n"),
+        overlap(
+            lambda: self._staged_overwrite(
+                media_frame, self.index_dir, batch_id, "cbucket"
             ),
-            self.caps_dir,
-            batch_id,
-            "cbucket",
+            lambda: self._staged_overwrite(
+                caption_frame, self.caps_dir, batch_id, "cbucket"
+            ),
         )
         m_got, t_got = m_obs.get, t_obs.get
         if int(m_got["n"]) > 0:
@@ -2561,12 +2599,13 @@ class RetrievalIngestor:
 
         from flume_spark.streaming import state
 
-        folded = 0
-        for d, build in self._fold_frames():
+        from flume_spark.operators.concurrency import overlap
+
+        def fold_one(d, build) -> int:
             parts = [b for b in state.ingest_partitions(d) if b != -9]
             state.quiesce_or_raise(parts, self.ledger_dir, "compact_index")
             if not parts:
-                continue
+                return 0
             merged = build(self.spark.read.parquet(d)).localCheckpoint(
                 eager=True
             )
@@ -2576,20 +2615,29 @@ class RetrievalIngestor:
                     os.path.join(tmp, "ingest_batch=-9")
                 ),
             )
-            folded += len(parts)
-        return folded
+            return len(parts)
+
+        # the three state dirs fold independently (disjoint dirs, each
+        # under its own fold lock) — overlap them (guide §2.6, round-15)
+        return sum(
+            overlap(
+                *[
+                    lambda d=d, b=build: fold_one(d, b)
+                    for d, build in self._fold_frames()
+                ]
+            )
+        )
 
     def compact_step(self, fanout: int | None = None) -> int:
         """Tiered (LSM-style) maintenance round over all three dirs —
         the PhashIngestor.compact_step contract; the top-k merge keeps
         per-caption max-src_batch rows within the folded ids (max is
         associative, so leveled merging is exact)."""
+        from flume_spark.operators.concurrency import overlap
         from flume_spark.streaming import state
 
-        total = 0
-        for d, build in self._fold_frames():
-
-            def merge_write(fold_ids, run_dir, d=d, build=build):
+        def step_one(d, build) -> int:
+            def merge_write(fold_ids, run_dir):
                 (
                     build(
                         self.spark.read.parquet(d).filter(
@@ -2600,14 +2648,23 @@ class RetrievalIngestor:
                     .parquet(run_dir)
                 )
 
-            total += state.tiered_compact(
+            return state.tiered_compact(
                 d,
                 self.ledger_dir,
                 merge_write,
                 fanout=self.fanout if fanout is None else fanout,
                 what="compact_step",
             )
-        return total
+
+        # independent dirs, independent fold locks — overlap (round-15)
+        return sum(
+            overlap(
+                *[
+                    lambda d=d, b=build: step_one(d, b)
+                    for d, build in self._fold_frames()
+                ]
+            )
+        )
 
     # -- reads ---------------------------------------------------------------
 

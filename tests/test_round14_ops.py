@@ -510,7 +510,8 @@ def test_classifier_tf0_vocab_matches_classifier_vocab(spark):
 
 def _maxspan_docs(spark):
     """Edge grid for the substring family: >=32 words, 16..31, 8..15,
-    < 8 (no windows at any width), empty text ('' -> [''])."""
+    < 8 (no windows at any width), empty text ('' -> ['']), NULL text
+    (tokenizes to a NULL array — round-15 ADVICE)."""
     long = " ".join(f"w{i}" for i in range(40))
     mid = " ".join(f"w{i}" for i in range(20))
     return spark.createDataFrame(
@@ -523,6 +524,7 @@ def _maxspan_docs(spark):
             (6, "a b c d e f g h"),
             (7, "too short"),
             (8, ""),
+            (9, None),  # NULL text: w is NULL, size(w) is NULL
         ],
         "doc_id long, text string",
     )
@@ -611,3 +613,22 @@ def test_substring_windows_tokens_seam(spark):
         ).collect()
     )
     assert staged == lazy
+
+
+def test_substring_dedup_clean_null_text_row(spark):
+    """A NULL-text doc must still get an (n_words=0, n_kept=0,
+    clean_text='') row — the docstring's "every document" contract.
+    Before the round-15 coalesce, sum(size(w)) over the NULL token
+    array emitted the doc with n_words=NULL (round-15 ADVICE)."""
+    from flume_spark.operators import dedup
+
+    docs = _maxspan_docs(spark)
+    rows = {
+        r["doc_id"]: r
+        for r in dedup.substring_dedup_clean(
+            docs, "doc_id", "text", k=8
+        ).collect()
+    }
+    assert 9 in rows
+    r9 = rows[9]
+    assert (r9["n_words"], r9["n_kept"], r9["clean_text"]) == (0, 0, "")
