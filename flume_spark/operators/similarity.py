@@ -286,7 +286,10 @@ def kmeans_assign_step(
         .select("vec")
         .collect()
     )
-    cdf = emb.sparkSession.createDataFrame(
+    from flume_spark.session import local_rows
+
+    cdf = local_rows(
+        emb.sparkSession,
         [(i, list(r["vec"])) for i, r in enumerate(init)],
         "cluster int, cvec array<double>",
     )
@@ -843,7 +846,9 @@ def kmeans(
         )
 
     for _ in range(iters):
-        cdf = spark.createDataFrame(centroids, "cluster int, cvec array<double>")
+        from flume_spark.session import local_rows
+
+        cdf = local_rows(spark, centroids, "cluster int, cvec array<double>")
         assignments = _assign(cdf)
         # per-slice sum(dist2) repeats the cluster total once per dim pos;
         # first() after the regroup reads it back exactly once

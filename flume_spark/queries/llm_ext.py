@@ -1864,14 +1864,16 @@ def funnel_report(
 
     nd = timed("near_dup", _near_dup)
 
-    clean = timed(
-        "substring_clean",
+    def _clean():
         # nd is checkpointed: skip the tokens staging (A/B 7.10 -> 7.66 s
         # with it — the re-tokenize legs read memory blocks already)
-        lambda: dedup.substring_dedup_clean(nd, "doc_id", "text", k=8, stage_tokens=False)
-        .select("doc_id", F.col("n_kept").cast("long").alias("n_kept"))
-        .localCheckpoint(eager=True),
-    )
+        return (
+            dedup.substring_dedup_clean(
+                nd, "doc_id", "text", k=8, stage_tokens=False
+            )
+            .select("doc_id", F.col("n_kept").cast("long").alias("n_kept"))
+            .localCheckpoint(eager=True)
+        )
 
     # semantic stage embeds the DOCUMENT (stub features of the raw text —
     # a model embeds content identity; the span clean is a token-level
@@ -1896,7 +1898,16 @@ def funnel_report(
             "doc_id",
         ).localCheckpoint(eager=True)
 
-    sem = timed("semantic", _semantic)
+    # the span-clean and semantic stages BOTH consume only the
+    # checkpointed nd and are mutually independent — overlap them
+    # (§2.6, round-15); job descriptions are thread-local so each
+    # stage's label survives the split
+    from flume_spark.operators.concurrency import overlap
+
+    clean, sem = overlap(
+        lambda: timed("substring_clean", _clean),
+        lambda: timed("semantic", _semantic),
+    )
 
     if frames is not None:
         # doc-level survivor frames for the batch-vs-stream divergence

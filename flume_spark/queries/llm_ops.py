@@ -1151,16 +1151,24 @@ def corpus_training_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         text.EN_MERGES_DEMO,
     )
-    packed = text.pack_by_counts(
-        counted, "doc_id", "n_bpe_tokens", budget=256, shards=8
-    ).localCheckpoint(eager=True)
     selected = curated.join(F.broadcast(sel.select("doc_id")), "doc_id").select(
         "doc_id", "text"
     )
     root = tempfile.mkdtemp(prefix="training_run_")
     try:
-        manifest = export.write_training_shards(
-            selected, root, "doc_id", "text", shards=8
+        # the pack plan and the physical shard export both consume only
+        # the checkpointed curated/sel frames and are mutually
+        # independent (checkpoint blocks vs tempdir files) — overlap
+        # them (§2.6, round-15)
+        from flume_spark.operators.concurrency import overlap
+
+        packed, manifest = overlap(
+            lambda: text.pack_by_counts(
+                counted, "doc_id", "n_bpe_tokens", budget=256, shards=8
+            ).localCheckpoint(eager=True),
+            lambda: export.write_training_shards(
+                selected, root, "doc_id", "text", shards=8
+            ),
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -1168,8 +1176,10 @@ def corpus_training_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(s), v["n_docs"], v["n_tokens"], v["n_chars"])
         for s, v in manifest["per_shard"].items()
     ]
-    man = spark.createDataFrame(
-        man_rows, "shard int, n_docs long, n_tokens long, n_chars long"
+    from flume_spark.session import local_rows
+
+    man = local_rows(
+        spark, man_rows, "shard int, n_docs long, n_tokens long, n_chars long"
     )
     pk = packed.groupBy("shard").agg(
         F.min("pack_id").alias("pack_min"),

@@ -182,7 +182,10 @@ class PerceptronIngestor:
     def weights_df(self) -> DataFrame:
         """The current model as a (bucket, w_int) DataFrame — every bucket
         present, zeros included (matches the oracle's bucket spine)."""
-        return self.spark.createDataFrame(
+        from flume_spark.session import local_rows
+
+        return local_rows(
+            self.spark,
             [(b, int(w)) for b, w in enumerate(self.weights)],
             "bucket long, w_int long",
         )

@@ -669,11 +669,17 @@ class SemanticIngestor:
     def _persist_centroids(self) -> None:
         import os
 
-        df = self.spark.createDataFrame(
+        from flume_spark.session import local_rows
+
+        # single-slice local frame: the old createDataFrame + coalesce(1)
+        # drained ~defaultParallelism python-worker rounds serially in one
+        # write task (~5 s per construction on local[32] — round-15)
+        df = local_rows(
+            self.spark,
             [(i, c) for i, c in enumerate(self.centroids)],
             "cluster int, vec array<double>",
         )
-        df.coalesce(1).write.mode("overwrite").parquet(
+        df.write.mode("overwrite").parquet(
             os.path.join(self._epochs_dir, f"epoch={self.epoch}")
         )
 
@@ -1956,23 +1962,30 @@ class AlignIngestor:
         # media features twice and cost an extra action per batch.  The
         # caption side keeps its checkpoint: it feeds TWO actions (the
         # bounded ref collect and the marks write).
+        from flume_spark.operators.concurrency import overlap
+
         m_obs = Observation()
         hist_parts = [
             p for p in state.ingest_partitions(self.index_dir) if p != batch_id
         ]
         idx_path = os.path.join(self.index_dir, f"ingest_batch={batch_id}")
-        (
-            self._media_features(batch_df)
-            .observe(m_obs, F.count(F.lit(1)).alias("n"))
-            .write.mode("overwrite")
+        media_frame = self._media_features(batch_df).observe(
+            m_obs, F.count(F.lit(1)).alias("n")
+        )
+        # media-index write and caption checkpoint are independent (both
+        # derive only from batch_df; disjoint outputs) — overlap (§2.6)
+        _, ti = overlap(
+            lambda: media_frame.write.mode("overwrite")
             .partitionBy("kbucket")
-            .parquet(idx_path)
+            .parquet(idx_path),
+            lambda: self._caption_features(batch_df).localCheckpoint(
+                eager=True
+            ),
         )
         if int(m_obs.get["n"]) > 0:
             mi = self.spark.read.parquet(idx_path)
         else:  # empty partition dirs have no parquet footers to read
             mi = self._media_features(batch_df)
-        ti = self._caption_features(batch_df).localCheckpoint(eager=True)
 
         vis = mi.select("media_id", *self.mcols, "b2")
         if hist_parts:
