@@ -1685,26 +1685,26 @@ def lm_backoff_score(
     # staged frames are n-gram-TYPE-grain (vocabulary-sized); nv now
     # derives from the unigram table (n = sum of counts, v = row count —
     # exact identities), dropping a whole token explode.
+    from flume_spark.operators.concurrency import overlap
+
     tg = trigram_pairs(ref_df, id_col, text_col)
-    tri = (
-        tg.groupBy("w1", "w2", "w3")
-        .agg(F.count(F.lit(1)).alias("c123"))
-        .localCheckpoint(eager=True)
-    )
-    bctx = tri.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
     bg = bigram_pairs(ref_df, id_col, text_col)
-    bi = (
-        bg.groupBy(F.col("w1").alias("w2"), F.col("w2").alias("w3"))
+    # the three count tables are independent aggregates over ref_df —
+    # their eager checkpoints overlap (§2.6, round-15)
+    tri, bi, uni = overlap(
+        lambda: tg.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c123"))
+        .localCheckpoint(eager=True),
+        lambda: bg.groupBy(F.col("w1").alias("w2"), F.col("w2").alias("w3"))
         .agg(F.count(F.lit(1)).alias("c23"))
-        .localCheckpoint(eager=True)
-    )
-    uctx = bi.groupBy("w2").agg(F.sum("c23").alias("c2"))
-    uni = (
-        ref_df.select(F.explode(tokens_col(text_col)).alias("w3"))
+        .localCheckpoint(eager=True),
+        lambda: ref_df.select(F.explode(tokens_col(text_col)).alias("w3"))
         .groupBy("w3")
         .agg(F.count(F.lit(1)).alias("c3"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True),
     )
+    bctx = tri.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
+    uctx = bi.groupBy("w2").agg(F.sum("c23").alias("c2"))
     nv = uni.agg(
         F.coalesce(F.sum("c3"), F.lit(0)).cast("long").alias("n"),
         F.count(F.lit(1)).alias("v"),

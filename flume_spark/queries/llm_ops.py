@@ -2777,6 +2777,72 @@ GROUP BY source, tau
 """
 
 
+def _media_gate_chain(nd, docs):
+    """Stages 4-6 of the media funnels — silence gate, frame-diversity
+    gate, cross-modal alignment gate — over the checkpointed near-dup
+    survivors `nd`.  THE shared definition for `media_funnel` and
+    `stream_media_funnel` (their gates were verbatim copies).
+
+    Each gate is a pure PER-DOC predicate, so its drop/keep id-set
+    computed over nd (a superset of its chain position's input) yields
+    the identical survivor chain — extra ids never match the anti/semi
+    joins.  That makes the three gate computations mutually independent:
+    they run concurrently off the one checkpointed nd, and the three
+    survivor checkpoints (each derived from nd + the id-sets alone)
+    overlap too (§2.6, round-15; sequential before, the chain paid six
+    serialized actions for three one-or-two-partition jobs).
+
+    Returns (loud, varied, aligned), each eagerly checkpointed:
+      loud    = nd − silent
+      varied  = nd − silent − static      (== loud − static)
+      aligned = (nd − silent − static) ⋉ aligned-keep (== varied ⋉ keep)
+    """
+    from flume_spark.operators.concurrency import overlap
+
+    def _sil_ids():
+        return (
+            multimodal.audio_energy_stub(nd, n_windows=8)
+            .groupBy("id")
+            .agg(F.sum(F.col("is_silence").cast("int")).alias("n_sil"))
+            .filter(F.col("n_sil") >= 4)
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+
+    def _static_ids():
+        return (
+            multimodal.frame_phash(nd, n_frames=4, bits=32)
+            .groupBy("id")
+            .agg(F.count_distinct("fhash").alias("n_distinct"))
+            .filter(F.col("n_distinct") < 2)
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+
+    def _keep_ids():
+        # the CLIP-score shape — caption embedding vs media feature
+        # cosine >= 19/20 in the exact-integer lattice
+        # (cross_modal_align); a pure per-payload stateless gate
+        mfeat = multimodal.feature_extract_stub(nd)
+        tfeat = multimodal.caption_features(docs, "doc_id", "text")
+        return (
+            multimodal.cross_modal_align(mfeat.join(tfeat, "id"))
+            .filter(F.col("keep"))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+
+    sil, static, keep = overlap(_sil_ids, _static_ids, _keep_ids)
+    loud_f = nd.join(sil, "id", "left_anti")
+    varied_f = loud_f.join(static, "id", "left_anti")
+    aligned_f = varied_f.join(keep, "id", "left_semi")
+    return overlap(
+        lambda: loud_f.localCheckpoint(eager=True),
+        lambda: varied_f.localCheckpoint(eager=True),
+        lambda: aligned_f.localCheckpoint(eager=True),
+    )
+
+
 def media_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MEDIA curation funnel — the media twin of
     `corpus_funnel`, composed from the modality operators this round
@@ -2801,36 +2867,7 @@ def media_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_ids = pairs.select(F.col("doc_b").alias("id")).distinct()
     nd = sized.join(dup_ids, "id", "left_anti").localCheckpoint(eager=True)
 
-    sil = (
-        multimodal.audio_energy_stub(nd, n_windows=8)
-        .groupBy("id")
-        .agg(F.sum(F.col("is_silence").cast("int")).alias("n_sil"))
-        .filter(F.col("n_sil") >= 4)
-        .select("id")
-    )
-    loud = nd.join(sil, "id", "left_anti").localCheckpoint(eager=True)
-
-    static = (
-        multimodal.frame_phash(loud, n_frames=4, bits=32)
-        .groupBy("id")
-        .agg(F.count_distinct("fhash").alias("n_distinct"))
-        .filter(F.col("n_distinct") < 2)
-        .select("id")
-    )
-    varied = loud.join(static, "id", "left_anti").localCheckpoint(eager=True)
-
-    # (6) cross-modal alignment gate (round-13 VERDICT item 3): the
-    # CLIP-score shape — caption embedding vs media feature cosine
-    # >= 19/20 in the exact-integer lattice (cross_modal_align); a pure
-    # per-payload stateless gate, identical in batch and stream
-    mfeat = multimodal.feature_extract_stub(varied)
-    tfeat = multimodal.caption_features(docs, "doc_id", "text")
-    keep_ids = (
-        multimodal.cross_modal_align(mfeat.join(tfeat, "id"))
-        .filter(F.col("keep"))
-        .select("id")
-    )
-    aligned = varied.join(keep_ids, "id", "left_semi").localCheckpoint(eager=True)
+    loud, varied, aligned = _media_gate_chain(nd, docs)
 
     def stage(df, ordinal, name):
         return df.agg(
@@ -3049,36 +3086,7 @@ def stream_media_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
-    sil = (
-        multimodal.audio_energy_stub(nd, n_windows=8)
-        .groupBy("id")
-        .agg(F.sum(F.col("is_silence").cast("int")).alias("n_sil"))
-        .filter(F.col("n_sil") >= 4)
-        .select("id")
-    )
-    loud = nd.join(sil, "id", "left_anti").localCheckpoint(eager=True)
-
-    static = (
-        multimodal.frame_phash(loud, n_frames=4, bits=32)
-        .groupBy("id")
-        .agg(F.count_distinct("fhash").alias("n_distinct"))
-        .filter(F.col("n_distinct") < 2)
-        .select("id")
-    )
-    varied = loud.join(static, "id", "left_anti").localCheckpoint(eager=True)
-
-    # (6) cross-modal alignment gate (round-13 VERDICT item 3): the
-    # CLIP-score shape — caption embedding vs media feature cosine
-    # >= 19/20 in the exact-integer lattice (cross_modal_align); a pure
-    # per-payload stateless gate, identical in batch and stream
-    mfeat = multimodal.feature_extract_stub(varied)
-    tfeat = multimodal.caption_features(docs, "doc_id", "text")
-    keep_ids = (
-        multimodal.cross_modal_align(mfeat.join(tfeat, "id"))
-        .filter(F.col("keep"))
-        .select("id")
-    )
-    aligned = varied.join(keep_ids, "id", "left_semi").localCheckpoint(eager=True)
+    loud, varied, aligned = _media_gate_chain(nd, docs)
 
     def stage(df, ordinal, name):
         return df.agg(

@@ -215,19 +215,34 @@ class LmIngestor:
             ).alias("ppl"),
         )
         try:
-            marks.write.mode("overwrite").parquet(
-                os.path.join(self.marks_dir, f"ingest_batch={batch_id}")
+            # the three per-batch writes are mutually independent — marks
+            # (scoring, strict-prefix model reads constructed above),
+            # bigram counts (off the cached tf), unigram counts (off
+            # batch_df) — and target disjoint dirs: overlap them (§2.6,
+            # round-15).  Learning stays deterministic per batch — a
+            # replay overwrites the same partitions with the same rows.
+            from flume_spark.operators.concurrency import overlap
+
+            overlap(
+                lambda: marks.write.mode("overwrite").parquet(
+                    os.path.join(self.marks_dir, f"ingest_batch={batch_id}")
+                ),
+                lambda: tf.groupBy("w1", "w2")
+                .agg(F.sum("tf").alias("c12"))
+                .write.mode("overwrite")
+                .parquet(
+                    os.path.join(self.big_dir, f"ingest_batch={batch_id}")
+                ),
+                lambda: batch_df.select(
+                    F.explode(tokens_col(self.text_col)).alias("tok")
+                )
+                .groupBy("tok")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .write.mode("overwrite")
+                .parquet(
+                    os.path.join(self.uni_dir, f"ingest_batch={batch_id}")
+                ),
             )
-            # learn: append this batch's counts (deterministic per batch —
-            # a replay overwrites the same partitions with the same rows)
-            tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12")).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(self.big_dir, f"ingest_batch={batch_id}"))
-            batch_df.select(
-                F.explode(tokens_col(self.text_col)).alias("tok")
-            ).groupBy("tok").agg(F.count(F.lit(1)).alias("c")).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(self.uni_dir, f"ingest_batch={batch_id}"))
         finally:
             # a long-running stream would otherwise accumulate one dead
             # cached frame per trigger
