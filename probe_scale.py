@@ -1521,7 +1521,11 @@ def main_funnel() -> None:
     - composed_sec: a SECOND, uninstrumented end-to-end run;
     - additivity: composed_sec / (sum of stage_sec + report_sec) — the
       stage-additivity check.  ~1.0 means the composed wall tracks the
-      sum of its stage probes;
+      sum of its stage probes; since round-15 the span-clean and
+      semantic stages run OVERLAPPED inside funnel_report (and the two
+      threads' timings overlap in wall-clock), so SUB-additive ratios
+      (< 1) are the expected healthy reading — the detector this probe
+      exists for is the super-additive direction (re-inlining);
     - report_share: report_sec / first-run total.  The re-inlining
       detector: with staging intact the six per-stage aggregates read
       checkpoints and the share stays small; a broken stage boundary
