@@ -2045,23 +2045,37 @@ def stream_funnel_frames(spark: SparkSession, docs: DataFrame):
         .localCheckpoint(eager=True)
     )
 
-    q = base.filter(quality_col("text") >= 0.5).localCheckpoint(eager=True)
-
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.md5("text")).orderBy("b", "doc_id")
-    ex = (
-        q.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .drop("rn")
-        .localCheckpoint(eager=True)
-    )
+    from flume_spark.operators.concurrency import overlap
 
-    feats_all = multimodal.feature_extract_stub(
-        multimodal.to_binary_payload(base, "doc_id", "text")
-    ).localCheckpoint(eager=True)
-    k = max(4, int(base_obs.get["n"]) // 125)
-    cents = similarity.md5_init_centroids(feats_all, "id", "features", k=int(k))
+    # the quality->exact chain and the feature/centroid draw both hang
+    # only off the checkpointed base and are mutually independent —
+    # overlap the two legs (§2.6, round-15); base_obs resolves inside
+    # the thread without blocking (base is already materialized)
+    def _q_ex():
+        q = base.filter(quality_col("text") >= 0.5).localCheckpoint(
+            eager=True
+        )
+        w = Window.partitionBy(F.md5("text")).orderBy("b", "doc_id")
+        ex = (
+            q.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+        return q, ex
+
+    def _feats_cents():
+        fa = multimodal.feature_extract_stub(
+            multimodal.to_binary_payload(base, "doc_id", "text")
+        ).localCheckpoint(eager=True)
+        k = max(4, int(base_obs.get["n"]) // 125)
+        return fa, similarity.md5_init_centroids(
+            fa, "id", "features", k=int(k)
+        )
+
+    (q, ex), (feats_all, cents) = overlap(_q_ex, _feats_cents)
 
     root = tempfile.mkdtemp(prefix="funnel_stream_")
     lsh = LshIngestor(

@@ -1686,11 +1686,18 @@ class FrameIngestor:
                 F.coalesce("dup_within", "dup_hist"),
             ).alias("dup_of"),
         )
-        marks.write.mode("overwrite").parquet(
-            os.path.join(self.marks_dir, f"ingest_batch={batch_id}")
-        )
-        new_index.write.mode("overwrite").partitionBy("fband").parquet(
-            os.path.join(self.index_dir, f"ingest_batch={batch_id}")
+        # marks and index writes are independent (both derive only from
+        # the checkpointed fh and the pre-constructed history read, to
+        # disjoint dirs) — overlap them (§2.6, round-15)
+        from flume_spark.operators.concurrency import overlap
+
+        overlap(
+            lambda: marks.write.mode("overwrite").parquet(
+                os.path.join(self.marks_dir, f"ingest_batch={batch_id}")
+            ),
+            lambda: new_index.write.mode("overwrite")
+            .partitionBy("fband")
+            .parquet(os.path.join(self.index_dir, f"ingest_batch={batch_id}")),
         )
         # release the per-batch checkpoint blocks (the AlignIngestor
         # mi/ti discipline): a long-running stream otherwise accumulates
